@@ -1,0 +1,255 @@
+"""The five KPI queries of the reference, as pure DataFrame→DataFrame
+functions over the enriched wide table.
+
+Reference: ``/root/reference/scripts/compute_kpis.py``
+  * A1 user KPIs            :157-175
+  * A2 genre daily metrics  :178-195
+  * A3+W1 top songs/genre   :197-205  (dense_rank <= 3)
+  * W2 top genres/day       :207-210  (dense_rank <= 5)
+  * W3+A4+O1 trending-24h   :219-249  (range frame + agg + global sort)
+
+Every query has its DuckDB-oracle SQL twin colocated in this module so the
+Spark plan and the oracle can't drift. All double aggregates go through
+``exact_sum`` (order-independent decimal accumulation — see
+functions/numeric.py) so results are bit-stable at any partition count.
+
+dense_rank (not row_number) is intentional: ties all survive the top-k
+filter, so "top 3" can return more than 3 rows — reference semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.functions.numeric import exact_sum
+from music_streaming_etl_glue_spark.operators.enrich import ENRICH_SQL
+
+TOP_SONGS_K = 3
+TOP_GENRES_K = 5
+TRENDING_WINDOW_SECONDS = 86_400
+
+
+# ---------------------------------------------------------------------------
+# A1 — user KPIs
+# ---------------------------------------------------------------------------
+
+def user_kpis(enriched: DataFrame) -> DataFrame:
+    """Per-user listening totals (reference ``compute_kpis.py:157-175``).
+
+    One hash-aggregate shuffle on the group keys; Catalyst supplies the
+    partial (map-side) aggregation stage automatically.
+    """
+    return enriched.groupBy("user_id", "user_name", "user_country").agg(
+        F.count("track_id").alias("total_songs_played"),
+        exact_sum("listening_time").alias("total_listening_time_minutes"),
+        (exact_sum("listening_time") / F.count("listening_time")).alias(
+            "avg_listening_time_minutes"
+        ),
+        F.lit("user").alias("kpi_type"),
+    )
+
+
+USER_KPIS_SQL = f"""
+WITH enriched AS ({ENRICH_SQL})
+SELECT
+    user_id,
+    user_name,
+    user_country,
+    COUNT(track_id) AS total_songs_played,
+    CAST(SUM(CAST(listening_time AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_listening_time_minutes,
+    CAST(SUM(CAST(listening_time AS DECIMAL(18,2))) AS DOUBLE)
+        / COUNT(listening_time) AS avg_listening_time_minutes,
+    'user' AS kpi_type
+FROM enriched
+GROUP BY user_id, user_name, user_country
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2 — genre daily metrics
+# ---------------------------------------------------------------------------
+
+def genre_daily_metrics(enriched: DataFrame) -> DataFrame:
+    """Daily per-genre listens / unique listeners / listening time
+    (reference ``compute_kpis.py:178-195``).
+
+    ``countDistinct`` is exact for oracle parity; at 100 TB swap in
+    ``approx_count_distinct`` (see :func:`genre_daily_metrics_approx`).
+    """
+    return (
+        enriched.withColumn("date", F.col("timestamp").cast("date"))
+        .groupBy("date", "track_genre")
+        .agg(
+            F.count("track_id").alias("listen_count"),
+            F.countDistinct("user_id").alias("unique_listeners"),
+            exact_sum("listening_time").alias("total_listening_time_minutes"),
+        )
+    )
+
+
+def genre_daily_metrics_approx(enriched: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HLL++ variant for very large scale: one shuffle instead of the
+    two-phase exact-distinct expansion."""
+    return (
+        enriched.withColumn("date", F.col("timestamp").cast("date"))
+        .groupBy("date", "track_genre")
+        .agg(
+            F.count("track_id").alias("listen_count"),
+            F.approx_count_distinct("user_id", rsd).alias("unique_listeners"),
+            exact_sum("listening_time").alias("total_listening_time_minutes"),
+        )
+    )
+
+
+GENRE_DAILY_SQL = f"""
+WITH enriched AS ({ENRICH_SQL})
+SELECT
+    CAST(timestamp AS DATE) AS date,
+    track_genre,
+    COUNT(track_id) AS listen_count,
+    COUNT(DISTINCT user_id) AS unique_listeners,
+    CAST(SUM(CAST(listening_time AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_listening_time_minutes
+FROM enriched
+GROUP BY CAST(timestamp AS DATE), track_genre
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 + W1 — top songs per (day, genre)
+# ---------------------------------------------------------------------------
+
+def genre_top_songs(enriched: DataFrame, k: int = TOP_SONGS_K) -> DataFrame:
+    """Top-k tracks by play count within each (day, genre)
+    (reference ``compute_kpis.py:197-205``).
+
+    groupBy shuffle on (date, genre, track), then a window shuffle on
+    (date, genre) — the second shuffle moves only the small aggregate.
+    """
+    plays = (
+        enriched.withColumn("date", F.col("timestamp").cast("date"))
+        .groupBy("date", "track_genre", "track_id")
+        .agg(F.count("*").alias("play_count"))
+    )
+    w = Window.partitionBy("date", "track_genre").orderBy(F.col("play_count").desc())
+    return (
+        plays.withColumn("rank", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+GENRE_TOP_SONGS_SQL = f"""
+WITH enriched AS ({ENRICH_SQL}),
+plays AS (
+    SELECT CAST(timestamp AS DATE) AS date,
+           track_genre, track_id, COUNT(*) AS play_count
+    FROM enriched
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT *, DENSE_RANK() OVER (
+        PARTITION BY date, track_genre ORDER BY play_count DESC
+    ) AS rank
+    FROM plays
+)
+SELECT date, track_genre, track_id, play_count, rank
+FROM ranked WHERE rank <= {TOP_SONGS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2 — top genres per day
+# ---------------------------------------------------------------------------
+
+def genre_top_genres(enriched: DataFrame, k: int = TOP_GENRES_K) -> DataFrame:
+    """Top-k genres by daily listen count (reference
+    ``compute_kpis.py:207-210``) — ranks the (already tiny) daily metrics."""
+    daily = genre_daily_metrics(enriched)
+    w = Window.partitionBy("date").orderBy(F.col("listen_count").desc())
+    return (
+        daily.withColumn("rank", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+GENRE_TOP_GENRES_SQL = f"""
+WITH daily AS ({GENRE_DAILY_SQL}),
+ranked AS (
+    SELECT *, DENSE_RANK() OVER (
+        PARTITION BY date ORDER BY listen_count DESC
+    ) AS rank
+    FROM daily
+)
+SELECT date, track_genre, listen_count, unique_listeners,
+       total_listening_time_minutes, rank
+FROM ranked WHERE rank <= {TOP_GENRES_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3 + A4 + O1 — trending tracks (24h range frame)
+# ---------------------------------------------------------------------------
+
+def _trending(enriched: DataFrame, descending: bool) -> DataFrame:
+    unix_ts = F.unix_timestamp("timestamp")
+    order = unix_ts.desc() if descending else unix_ts.asc()
+    w = (
+        Window.partitionBy("track_id")
+        .orderBy(order)
+        .rangeBetween(-TRENDING_WINDOW_SECONDS, 0)
+    )
+    windowed = enriched.withColumn("plays_window", F.count("track_id").over(w))
+    return (
+        windowed.groupBy("track_id", "track_genre")
+        .agg(
+            F.max("plays_window").alias("plays_last_24h"),
+            exact_sum("listening_time").alias("total_listening_time_minutes"),
+            F.countDistinct("user_id").alias("unique_listeners"),
+            F.lit("trending").alias("kpi_type"),
+        )
+        .orderBy(F.col("plays_last_24h").desc())
+    )
+
+
+def trending_tracks(enriched: DataFrame) -> DataFrame:
+    """Canonical trailing-24h trending: max plays of each track within any
+    trailing 24h window (ascending time order — the semantics the
+    reference's *name* promises)."""
+    return _trending(enriched, descending=False)
+
+
+def trending_tracks_reference_exact(enriched: DataFrame) -> DataFrame:
+    """Bit-compatible reproduction of the reference's W3
+    (``compute_kpis.py:230-239``): the ORDER BY is **descending**, so
+    "86400 preceding" selects *later* timestamps — each row's frame is the
+    *following* 24 hours. Kept for parity tests; see SURVEY §2.5 caveat."""
+    return _trending(enriched, descending=True)
+
+
+def _trending_sql(direction: str) -> str:
+    return f"""
+WITH enriched AS ({ENRICH_SQL}),
+windowed AS (
+    SELECT track_id, track_genre, user_id, listening_time,
+           COUNT(track_id) OVER (
+               PARTITION BY track_id
+               ORDER BY CAST(floor(epoch(timestamp)) AS BIGINT) {direction}
+               RANGE BETWEEN {TRENDING_WINDOW_SECONDS} PRECEDING AND CURRENT ROW
+           ) AS plays_window
+    FROM enriched
+)
+SELECT track_id, track_genre,
+       MAX(plays_window) AS plays_last_24h,
+       CAST(SUM(CAST(listening_time AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_listening_time_minutes,
+       COUNT(DISTINCT user_id) AS unique_listeners,
+       'trending' AS kpi_type
+FROM windowed
+GROUP BY track_id, track_genre
+"""
+
+
+TRENDING_SQL = _trending_sql("ASC")
+TRENDING_REFERENCE_EXACT_SQL = _trending_sql("DESC")

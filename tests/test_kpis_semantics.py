@@ -1,0 +1,79 @@
+"""Semantic unit tests for the KPI operators on tiny hand-built frames:
+dense_rank tie behavior, left-join null paths, trending window direction."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.operators.kpis import (
+    genre_top_songs,
+    trending_tracks,
+    trending_tracks_reference_exact,
+)
+
+
+def _enriched_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "user_id long, user_name string, user_country string, track_id long, "
+        "track_genre string, timestamp timestamp, listening_time double",
+    )
+
+
+TS = dt.datetime(2024, 6, 25, 12, 0, 0)
+
+
+def test_dense_rank_ties_can_exceed_k(spark):
+    # Four tracks: plays 3,2,2,1 → dense ranks 1,2,2,3 → top-3 keeps all 4.
+    rows = []
+    for track, n in [(1, 3), (2, 2), (3, 2), (4, 1)]:
+        for i in range(n):
+            rows.append((10, "u", "c", track, "rock", TS, 1.0))
+    out = genre_top_songs(_enriched_rows(spark, rows), k=3).collect()
+    assert len(out) == 4
+    ranks = {r.track_id: r.rank for r in out}
+    assert ranks == {1: 1, 2: 2, 3: 2, 4: 3}
+
+
+def test_left_join_nulls_group_together(spark):
+    # Null user_name (unmatched dim) must form its own group, not be dropped.
+    rows = [
+        (1, None, None, 7, "rock", TS, 2.0),
+        (1, None, None, 8, "rock", TS, 4.0),
+    ]
+    from music_streaming_etl_glue_spark.operators.kpis import user_kpis
+
+    out = user_kpis(_enriched_rows(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].total_songs_played == 2
+    assert out[0].total_listening_time_minutes == 6.0
+
+
+def test_trending_trailing_vs_forward(spark):
+    # Track 1 plays: t0, t0+1h, t0+30h. Trailing-24h max = 2 (t0 & t0+1h).
+    rows = [
+        (1, "u", "c", 1, "rock", TS, 1.0),
+        (1, "u", "c", 1, "rock", TS + dt.timedelta(hours=1), 1.0),
+        (2, "u", "c", 1, "rock", TS + dt.timedelta(hours=30), 1.0),
+    ]
+    df = _enriched_rows(spark, rows)
+    trailing = {r.track_id: r.plays_last_24h for r in trending_tracks(df).collect()}
+    forward = {
+        r.track_id: r.plays_last_24h
+        for r in trending_tracks_reference_exact(df).collect()
+    }
+    assert trailing == {1: 2}
+    # forward-looking frame anchored at t0 also sees t0+1h → same max here
+    assert forward == {1: 2}
+
+
+def test_trending_window_is_range_not_rows(spark):
+    # Two plays 25h apart: never in the same 24h range frame → max 1.
+    rows = [
+        (1, "u", "c", 5, "pop", TS, 1.0),
+        (1, "u", "c", 5, "pop", TS + dt.timedelta(hours=25), 1.0),
+    ]
+    out = trending_tracks(_enriched_rows(spark, rows)).collect()
+    assert out[0].plays_last_24h == 1
