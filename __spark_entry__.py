@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from music_streaming_etl_glue_spark.operators import enrich as _enrich
 from music_streaming_etl_glue_spark.operators import kpis as _kpis
+from music_streaming_etl_glue_spark.operators import serving as _serving
 from music_streaming_etl_glue_spark.sources.catalog import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -51,6 +52,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_tracks_reference_exact": lambda spark, sf: (
             _kpis.trending_tracks_reference_exact(_enriched(spark, sf))
         ),
+        "serving_items": lambda spark, sf: _serving.serving_items(
+            _enriched(spark, sf)
+        ),
     }
 
 
@@ -63,4 +67,5 @@ def oracle_sql() -> dict[str, str]:
         "genre_top_genres": _kpis.GENRE_TOP_GENRES_SQL,
         "trending_tracks": _kpis.TRENDING_SQL,
         "trending_tracks_reference_exact": _kpis.TRENDING_REFERENCE_EXACT_SQL,
+        "serving_items": _serving.SERVING_ITEMS_SQL,
     }

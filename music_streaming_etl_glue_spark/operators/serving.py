@@ -1,0 +1,149 @@
+"""Serving-layer item shaping: KPI tables → key-value items.
+
+Reference (``/root/reference/scripts/load_dynamodb.py:184-343``) collects
+every KPI table to the driver and shapes dict items in Python loops. Here
+each shaping is a projection (distributed, codegen'd), and the five item
+families union into one sparse wide frame — the layout of the reference's
+DynamoDB table (composite string ``id`` + ``timestamp`` sort key + GSI
+keys, ``create_dynamodb_table.py:20-50``).
+
+``batch_ts`` — the reference stamps items with wall-clock ``datetime.now()``
+(load_dynamodb.py:226), which is unreproducible; we take it as a parameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.functions.serving_keys import (
+    composite_key,
+    iso_date,
+)
+from music_streaming_etl_glue_spark.operators import kpis as K
+
+#: Deterministic default batch timestamp for oracle-checked query entries.
+DEFAULT_BATCH_TS = "2026-01-01T00:00:00"
+
+
+def user_items(user_kpis: DataFrame, batch_ts: str) -> DataFrame:
+    return user_kpis.select(
+        composite_key("USER", "user_id").alias("id"),
+        F.lit(batch_ts).alias("timestamp"),
+        F.col("kpi_type"),
+        F.col("user_name"),
+        F.col("user_country"),
+        F.col("total_songs_played"),
+        F.col("total_listening_time_minutes"),
+        F.col("avg_listening_time_minutes"),
+    )
+
+
+def genre_daily_items(genre_daily: DataFrame, batch_ts: str) -> DataFrame:
+    return genre_daily.select(
+        composite_key("GENRE_DAILY", "track_genre", iso_date("date")).alias("id"),
+        F.lit(batch_ts).alias("timestamp"),
+        F.lit("genre_daily").alias("kpi_type"),
+        iso_date("date").alias("date"),
+        F.col("track_genre"),
+        F.col("listen_count"),
+        F.col("unique_listeners"),
+        F.col("total_listening_time_minutes"),
+    )
+
+
+def top_songs_items(top_songs: DataFrame, batch_ts: str) -> DataFrame:
+    return top_songs.select(
+        composite_key(
+            "GENRE_TOP_SONGS", "track_genre", iso_date("date"), "track_id"
+        ).alias("id"),
+        F.lit(batch_ts).alias("timestamp"),
+        F.lit("genre_top_songs").alias("kpi_type"),
+        iso_date("date").alias("date"),
+        F.col("track_genre"),
+        F.col("track_id"),
+        F.col("play_count"),
+        F.col("rank"),
+    )
+
+
+def top_genres_items(top_genres: DataFrame, batch_ts: str) -> DataFrame:
+    return top_genres.select(
+        composite_key("GENRE_TOP", "track_genre", iso_date("date")).alias("id"),
+        F.lit(batch_ts).alias("timestamp"),
+        F.lit("genre_top_genres").alias("kpi_type"),
+        iso_date("date").alias("date"),
+        F.col("track_genre"),
+        F.col("listen_count"),
+        F.col("rank"),
+    )
+
+
+def trending_items(trending: DataFrame, batch_ts: str) -> DataFrame:
+    # Reference key is TRENDING_<track> (load_dynamodb.py:329) — unique there
+    # because genre is a track attribute. In this data model genre is an
+    # event dimension, so the key includes it to stay collision-free.
+    return trending.select(
+        composite_key("TRENDING", "track_id", "track_genre").alias("id"),
+        F.lit(batch_ts).alias("timestamp"),
+        F.col("kpi_type"),
+        F.col("track_id"),
+        F.col("track_genre"),
+        F.col("plays_last_24h"),
+        F.col("total_listening_time_minutes"),
+        F.col("unique_listeners"),
+    )
+
+
+def serving_items(enriched: DataFrame, batch_ts: str = DEFAULT_BATCH_TS) -> DataFrame:
+    """All five KPI item families unioned by name into the sparse serving
+    layout (U1 union; missing attributes null, as in a KV table)."""
+    frames = [
+        user_items(K.user_kpis(enriched), batch_ts),
+        genre_daily_items(K.genre_daily_metrics(enriched), batch_ts),
+        top_songs_items(K.genre_top_songs(enriched), batch_ts),
+        top_genres_items(K.genre_top_genres(enriched), batch_ts),
+        trending_items(K.trending_tracks(enriched), batch_ts),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+SERVING_ITEMS_SQL = f"""
+WITH user_kpis AS ({K.USER_KPIS_SQL}),
+genre_daily AS ({K.GENRE_DAILY_SQL}),
+top_songs AS ({K.GENRE_TOP_SONGS_SQL}),
+top_genres AS ({K.GENRE_TOP_GENRES_SQL}),
+trending AS ({K.TRENDING_SQL})
+SELECT concat_ws('_', 'USER', user_id) AS id,
+       '{DEFAULT_BATCH_TS}' AS timestamp,
+       kpi_type, user_name, user_country, total_songs_played,
+       total_listening_time_minutes, avg_listening_time_minutes
+FROM user_kpis
+UNION ALL BY NAME
+SELECT concat_ws('_', 'GENRE_DAILY', track_genre, strftime(date, '%Y-%m-%d')) AS id,
+       '{DEFAULT_BATCH_TS}' AS timestamp,
+       'genre_daily' AS kpi_type, strftime(date, '%Y-%m-%d') AS date,
+       track_genre, listen_count, unique_listeners, total_listening_time_minutes
+FROM genre_daily
+UNION ALL BY NAME
+SELECT concat_ws('_', 'GENRE_TOP_SONGS', track_genre, strftime(date, '%Y-%m-%d'), track_id) AS id,
+       '{DEFAULT_BATCH_TS}' AS timestamp,
+       'genre_top_songs' AS kpi_type, strftime(date, '%Y-%m-%d') AS date,
+       track_genre, track_id, play_count, rank
+FROM top_songs
+UNION ALL BY NAME
+SELECT concat_ws('_', 'GENRE_TOP', track_genre, strftime(date, '%Y-%m-%d')) AS id,
+       '{DEFAULT_BATCH_TS}' AS timestamp,
+       'genre_top_genres' AS kpi_type, strftime(date, '%Y-%m-%d') AS date,
+       track_genre, listen_count, rank
+FROM top_genres
+UNION ALL BY NAME
+SELECT concat_ws('_', 'TRENDING', track_id, track_genre) AS id,
+       '{DEFAULT_BATCH_TS}' AS timestamp,
+       kpi_type, track_id, track_genre, plays_last_24h,
+       total_listening_time_minutes, unique_listeners
+FROM trending
+"""

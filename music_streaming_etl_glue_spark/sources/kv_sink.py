@@ -1,0 +1,130 @@
+"""Distributed key-value serving sink.
+
+The reference's serving load is a driver-side ``collect()`` over every KPI
+table followed by boto3 batch writes
+(``/root/reference/scripts/load_dynamodb.py:125-181, 229-343``) — full
+materialization on one node, the pipeline's scalability cliff. Here the
+write runs on the executors via ``foreachPartition``: each partition batches
+its rows (default 25, the DynamoDB batch-write limit the reference uses),
+dedupes within a batch on the (id, timestamp) composite key, and retries
+throttled batches with capped exponential backoff.
+
+The backend is pluggable: any callable ``(batch: list[dict]) -> None``.
+``LocalDirBackend`` (ndjson file per partition) stands in for DynamoDB in
+tests; a real deployment passes a client-wrapping callable created *inside*
+``writer_factory`` so nothing unpicklable is captured in the closure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+import uuid
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+BATCH_SIZE = 25  # reference load_dynamodb.py:134
+MAX_RETRIES = 5  # reference load_dynamodb.py:135
+BACKOFF_BASE_S = 1.0  # reference load_dynamodb.py:138
+
+
+class RetryableWriteError(Exception):
+    """Backend signal for a throttled/temporarily-failed batch."""
+
+
+def _dedupe(batch: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Last-wins dedupe on (id, timestamp) — a DynamoDB BatchWriteItem
+    rejects duplicate keys in one request (reference :140)."""
+    seen: dict[tuple[Any, Any], dict[str, Any]] = {}
+    for item in batch:
+        seen[(item.get("id"), item.get("timestamp"))] = item
+    return list(seen.values())
+
+
+def _write_with_retry(
+    write_batch: Callable[[list[dict[str, Any]]], None],
+    batch: list[dict[str, Any]],
+    max_retries: int = MAX_RETRIES,
+    backoff_base_s: float = BACKOFF_BASE_S,
+) -> None:
+    attempt = 0
+    while True:
+        try:
+            write_batch(batch)
+            return
+        except RetryableWriteError:
+            if attempt >= max_retries:
+                raise
+            sleep = backoff_base_s * (2**attempt) * (0.5 + random.random() / 2)
+            time.sleep(sleep)
+            attempt += 1
+
+
+def write_kv(
+    df: DataFrame,
+    writer_factory: Callable[[], Callable[[list[dict[str, Any]]], None]],
+    batch_size: int = BATCH_SIZE,
+    max_retries: int = MAX_RETRIES,
+    backoff_base_s: float = BACKOFF_BASE_S,
+) -> None:
+    """Write every row of ``df`` through a per-partition batch writer.
+
+    ``writer_factory`` is called once per partition *on the executor* and
+    must return the batch-write callable — connections are created
+    executor-side, never pickled from the driver.
+    """
+    columns = df.columns
+
+    def handle_partition(rows: Iterator[Any]) -> None:
+        write_batch = writer_factory()
+        batch: list[dict[str, Any]] = []
+        for row in rows:
+            batch.append({c: row[c] for c in columns})
+            if len(batch) >= batch_size:
+                _write_with_retry(
+                    write_batch, _dedupe(batch), max_retries, backoff_base_s
+                )
+                batch = []
+        if batch:
+            _write_with_retry(write_batch, _dedupe(batch), max_retries, backoff_base_s)
+
+    df.foreachPartition(handle_partition)
+
+
+def local_dir_backend(
+    out_dir: str,
+) -> Callable[[], Callable[[list[dict[str, Any]]], None]]:
+    """ndjson-per-partition stand-in backend (for tests / local serving)."""
+
+    def factory() -> Callable[[list[dict[str, Any]]], None]:
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.ndjson")
+        fh = open(path, "a", encoding="utf-8")
+
+        def write_batch(batch: list[dict[str, Any]]) -> None:
+            for item in batch:
+                fh.write(json.dumps(item, default=str) + "\n")
+            fh.flush()
+
+        return write_batch
+
+    return factory
+
+
+def write_serving_parquet(items: DataFrame, path: str) -> None:
+    """Columnar serving table with the same id/timestamp/GSI-key layout —
+    partitioned by kpi_type so point-family scans prune."""
+    items.write.mode("overwrite").partitionBy("kpi_type").parquet(path)
+
+
+def read_kv_dir(out_dir: str) -> Iterable[dict[str, Any]]:
+    """Read back everything a ``local_dir_backend`` run wrote."""
+    for name in sorted(os.listdir(out_dir)):
+        if name.endswith(".ndjson"):
+            with open(os.path.join(out_dir, name), encoding="utf-8") as fh:
+                for line in fh:
+                    yield json.loads(line)

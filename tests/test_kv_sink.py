@@ -1,0 +1,71 @@
+"""KV serving sink: distributed batch write, dedupe, retry/backoff."""
+
+from __future__ import annotations
+
+from music_streaming_etl_glue_spark.operators.enrich import enrich_events
+from music_streaming_etl_glue_spark.operators.serving import serving_items
+from music_streaming_etl_glue_spark.sources.catalog import load_table
+from music_streaming_etl_glue_spark.sources.kv_sink import (
+    RetryableWriteError,
+    _dedupe,
+    _write_with_retry,
+    local_dir_backend,
+    read_kv_dir,
+    write_kv,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_write_kv_roundtrip(spark, tmp_path):
+    enriched = enrich_events(
+        load_table(spark, SF_SMOKE, "events"),
+        load_table(spark, SF_SMOKE, "customer"),
+        load_table(spark, SF_SMOKE, "nation"),
+    )
+    items = serving_items(enriched)
+    expected = items.count()
+    out = str(tmp_path / "kv")
+    write_kv(items, local_dir_backend(out), batch_size=25)
+    got = list(read_kv_dir(out))
+    assert len(got) == expected
+    ids = {g["id"] for g in got}
+    assert any(i.startswith("USER_") for i in ids)
+    assert any(i.startswith("TRENDING_") for i in ids)
+    assert any(i.startswith("GENRE_DAILY_") for i in ids)
+
+
+def test_dedupe_last_wins():
+    batch = [
+        {"id": "A", "timestamp": "t", "v": 1},
+        {"id": "A", "timestamp": "t", "v": 2},
+        {"id": "B", "timestamp": "t", "v": 3},
+    ]
+    out = {(d["id"], d["v"]) for d in _dedupe(batch)}
+    assert out == {("A", 2), ("B", 3)}
+
+
+def test_retry_backoff_then_success():
+    calls = []
+
+    def flaky(batch):
+        calls.append(len(batch))
+        if len(calls) < 3:
+            raise RetryableWriteError("throttled")
+
+    _write_with_retry(flaky, [{"id": 1, "timestamp": "t"}], backoff_base_s=0.001)
+    assert len(calls) == 3
+
+
+def test_retry_exhaustion_raises():
+    def always_throttled(batch):
+        raise RetryableWriteError("throttled")
+
+    import pytest
+
+    with pytest.raises(RetryableWriteError):
+        _write_with_retry(
+            always_throttled,
+            [{"id": 1, "timestamp": "t"}],
+            max_retries=2,
+            backoff_base_s=0.001,
+        )
