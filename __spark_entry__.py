@@ -12,12 +12,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from music_streaming_etl_glue_spark.operators import dedup as _dedup
 from music_streaming_etl_glue_spark.operators import enrich as _enrich
 from music_streaming_etl_glue_spark.operators import kpis as _kpis
+from music_streaming_etl_glue_spark.operators import multimodal as _mm
 from music_streaming_etl_glue_spark.operators import serving as _serving
+from music_streaming_etl_glue_spark.operators import similarity as _sim
+from music_streaming_etl_glue_spark.operators import text as _text
 from music_streaming_etl_glue_spark.sources.catalog import load_table
 
 SF0001 = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
 
 
 def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,6 +67,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_items": lambda spark, sf: _serving.serving_items(
             _enriched(spark, sf)
         ),
+        # text analysis (documents table)
+        "token_counts": lambda spark, sf: _text.token_counts(_docs(spark, sf)),
+        "text_quality": lambda spark, sf: _text.text_quality(_docs(spark, sf)),
+        "lang_id": lambda spark, sf: _text.lang_id(_docs(spark, sf)),
+        "fingerprints": lambda spark, sf: _text.fingerprints(_docs(spark, sf)),
+        # dedup (documents table)
+        "dedup_exact": lambda spark, sf: _dedup.dedup_exact(_docs(spark, sf)),
+        "dedup_normalized": lambda spark, sf: _dedup.dedup_normalized(
+            _docs(spark, sf)
+        ),
+        "ngram_jaccard_pairs": lambda spark, sf: _dedup.ngram_jaccard_pairs(
+            _docs(spark, sf)
+        ),
+        "minhash_signatures": lambda spark, sf: _dedup.minhash_signatures(
+            _docs(spark, sf)
+        ),
+        "minhash_dedup_pairs": lambda spark, sf: _dedup.minhash_dedup_pairs(
+            _docs(spark, sf)
+        ),
+        "simhash_fingerprints": lambda spark, sf: _dedup.simhash_fingerprints(
+            _docs(spark, sf)
+        ),
+        "simhash_near_dups": lambda spark, sf: _dedup.simhash_near_dups(
+            _docs(spark, sf)
+        ),
+        # similarity search (embeddings table)
+        "ann_topk_bruteforce": lambda spark, sf: _sim.ann_topk_bruteforce(
+            _embs(spark, sf)
+        ),
+        "ann_topk_pandas": lambda spark, sf: _sim.ann_topk_pandas(
+            _embs(spark, sf)
+        ),
+        "cosine_pairs": lambda spark, sf: _sim.cosine_pairs(_embs(spark, sf)),
+        "cosine_pairs_lsh": lambda spark, sf: _sim.cosine_pairs_lsh(
+            _embs(spark, sf)
+        ),
+        # multimodal binary-column plumbing (documents as stand-in payloads)
+        "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
+            _docs(spark, sf)
+        ),
+        "multimodal_features": lambda spark, sf: _mm.extract_features(
+            _mm.attach_binary(_docs(spark, sf))
+        ),
     }
 
 
@@ -68,4 +123,22 @@ def oracle_sql() -> dict[str, str]:
         "trending_tracks": _kpis.TRENDING_SQL,
         "trending_tracks_reference_exact": _kpis.TRENDING_REFERENCE_EXACT_SQL,
         "serving_items": _serving.SERVING_ITEMS_SQL,
+        "token_counts": _text.TOKEN_COUNTS_SQL,
+        "text_quality": _text.TEXT_QUALITY_SQL,
+        "lang_id": _text.LANG_ID_SQL,
+        "fingerprints": _text.FINGERPRINTS_SQL,
+        "dedup_exact": _dedup.DEDUP_EXACT_SQL,
+        "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,
+        "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,
+        "minhash_signatures": _dedup.MINHASH_SIGNATURES_SQL,
+        "minhash_dedup_pairs": _dedup.MINHASH_DEDUP_SQL,
+        "simhash_fingerprints": _dedup.SIMHASH_SQL,
+        "simhash_near_dups": _dedup.SIMHASH_NEAR_DUPS_SQL,
+        "ann_topk_bruteforce": _sim.ANN_TOPK_SQL,
+        "ann_topk_pandas": _sim.ANN_TOPK_SQL,
+        "cosine_pairs": _sim.COSINE_PAIRS_SQL,
+        "cosine_pairs_lsh": _sim.COSINE_PAIRS_LSH_SQL,
+        "multimodal_meta": _mm.MULTIMODAL_META_SQL,
+        # multimodal_features: mapInPandas featurizer — not SQL-expressible,
+        # driver records the rows-only check.
     }

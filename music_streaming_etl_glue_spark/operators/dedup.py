@@ -1,0 +1,450 @@
+"""Deduplication operators over the ``documents`` table: exact, word-shingle
+Jaccard, MinHash+LSH, and SimHash — the training-data-pipeline dedup
+toolkit, built entirely from JVM-side expressions (split/slice/md5/bit ops)
+so everything stays inside whole-stage codegen.
+
+Scale design (100 TB):
+* Exact dedup = one hash-aggregate shuffle on md5(text) — embarrassingly
+  parallel; AQE handles the (rare) hot hash.
+* Shingle/LSH paths shuffle on the shingle/bucket key, never all-pairs:
+  candidate generation is |bands| rows per doc, and only candidates pay the
+  verification join. An optional document-frequency cap drops
+  ultra-common shingles (stopword-shingle skew) before the join.
+* All hashing is md5-derived and engine-portable, so every operator here
+  has a DuckDB oracle twin (hex strings compare lexicographically the same
+  in both engines; 15 hex chars = 60 bits fits BIGINT exactly).
+
+Determinism note: md5 is used as a *deterministic* hash family (seeded by
+band/row index), not for security.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_N = 3
+MINHASH_K = 6
+MINHASH_BANDS = 3  # rows-per-band r = K / BANDS = 2 → s-curve @ ~0.58
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = 4
+
+
+# ---------------------------------------------------------------------------
+# word shingles (shared by jaccard + minhash)
+# ---------------------------------------------------------------------------
+
+def _shingle_array(n: int = SHINGLE_N) -> Column:
+    """Distinct word n-shingles of ``text`` (empty for docs < n tokens)."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingle sets."""
+    return documents.select(
+        "doc_id", F.explode(_shingle_array(n)).alias("shingle")
+    )
+
+
+def _shingles_cte(n: int = SHINGLE_N) -> str:
+    return f"""
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - {n - 1}),
+               i -> array_to_string((string_split(text, ' '))[i:i + {n - 1}], ' ')
+           ))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {n}
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text, with the
+    canonical (minimum) doc_id and the duplicate count."""
+    return documents.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("dup_count"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def dedup_normalized(documents: DataFrame) -> DataFrame:
+    """Exact dedup on the order/multiplicity-invariant token-set form
+    (catches shuffled near-dups that raw hashing misses)."""
+    toks = F.split(F.col("text"), " ")
+    norm = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return documents.groupBy(norm.alias("norm_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("dup_count"),
+    )
+
+
+DEDUP_NORMALIZED_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS norm_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact, shingle-join based)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with word-``n``-shingle Jaccard >= threshold.
+
+    Exact (no approximation): co-group on the shingle key, count
+    intersections, derive |A ∪ B| from per-doc set sizes. The shuffle key
+    is the shingle, so cost is Σ df(shingle)² — ``max_shingle_df`` drops
+    shingles more frequent than the cap (skew guard at scale; off by
+    default to keep oracle parity).
+    """
+    sh = shingles(documents, n)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(keep), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("set_size").alias("size_b")
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_shingles_cte()}),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       inter::DOUBLE / (sa.set_size + sb.set_size - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE inter::DOUBLE / (sa.set_size + sb.set_size - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-permutation MinHash signature per doc. Hash family = md5 seeded by
+    the row index; min over hex strings ≡ min over the 128-bit value."""
+    sh = shingles(documents)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))).alias(
+            f"h{j}"
+        )
+        for j in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig_cte(k: int = MINHASH_K) -> str:
+    cols = ",\n           ".join(
+        f"min(md5(concat_ws('|', '{j}', shingle))) AS h{j}" for j in range(k)
+    )
+    return f"SELECT doc_id,\n           {cols}\n    FROM sh GROUP BY doc_id"
+
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH sh AS ({_shingles_cte()})
+{_minhash_sig_cte()}
+"""
+
+
+def minhash_dedup_pairs(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """LSH near-dup pairs: band the MinHash signature, bucket-join on
+    (band, band_hash), then verify candidates with the exact shingle
+    Jaccard. Only candidate pairs (≈ docs sharing a band) pay the
+    verification join — the 100 TB path."""
+    r = k // bands
+    sigs = minhash_signatures(documents, k)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)])
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    x, y = buckets.alias("x"), buckets.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sh = shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    inter = (
+        candidates.join(sh.alias("sa"), F.col("doc_id_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_id_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("set_size").alias("size_b")
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_dedup_sql(
+    k: int = MINHASH_K, bands: int = MINHASH_BANDS, threshold: float = JACCARD_THRESHOLD
+) -> str:
+    r = k // bands
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{b * r + i}" for i in range(r))
+        + ")) AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({_shingles_cte()}),
+sigs AS ({_minhash_sig_cte(k)}),
+buckets AS (
+{band_selects}
+),
+candidates AS (
+    SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+    FROM buckets x JOIN buckets y
+      ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_id_a, c.doc_id_b, count(*) AS inter
+    FROM candidates c
+    JOIN sh sa ON sa.doc_id = c.doc_id_a
+    JOIN sh sb ON sb.doc_id = c.doc_id_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       inter::DOUBLE / (sa.set_size + sb.set_size - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE inter::DOUBLE / (sa.set_size + sb.set_size - inter) >= {threshold}
+"""
+
+
+MINHASH_DEDUP_SQL = _minhash_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """60-bit SimHash over distinct whitespace tokens: per bit, sum +1/-1
+    across token hashes (md5 → 60-bit int), bit set iff sum > 0."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    ).withColumn(
+        "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_aggs)
+    sig: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+    FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents)
+),
+sums AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+def simhash_near_dups(
+    documents: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    band_bits: int = SIMHASH_BAND_BITS,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, LSH-bucketed on
+    ``bits/band_bits`` bit-bands (a pair within ``max_hamming`` ≤ bands-1
+    bit flips must collide on ≥1 band), verified with bit_count(xor)."""
+    sigs = simhash_fingerprints(documents, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+    x, y = buckets.alias("x"), buckets.alias("y")
+    hamming = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_near_dups_sql(
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    band_bits: int = SIMHASH_BAND_BITS,
+    bits: int = SIMHASH_BITS,
+) -> str:
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {b * band_bits}) & {mask} AS band_val FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sigs AS ({_simhash_sql(bits)}),
+buckets AS (
+{band_selects}
+)
+SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+FROM buckets x JOIN buckets y
+  ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
+SIMHASH_NEAR_DUPS_SQL = _simhash_near_dups_sql()

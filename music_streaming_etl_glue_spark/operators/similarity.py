@@ -1,0 +1,245 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``
+column): brute-force cosine top-k as the exact baseline, sign-LSH bucketed
+pair search as the scale path, and an Arrow-batched Pandas-UDF variant of
+the scorer to demonstrate the vectorized Python escape hatch.
+
+Scale design (100 TB of vectors):
+* Top-k vs one query: the scan is embarrassingly parallel — per-partition
+  partial top-k then a tiny global merge (Spark's window over the rounded
+  score does exactly this after AQE coalescing). No shuffle of raw vectors.
+* All-pairs: never materialize the cross product. ``cosine_pairs_lsh``
+  buckets on a deterministic sign signature (first ``SIGN_BITS`` dims) so
+  the join is bucket-local; candidates are verified with the exact cosine.
+  The bucketing is deterministic → the approximation itself is
+  oracle-checkable in DuckDB with identical SQL.
+* Scores are rounded to 6 decimals before ranking/filtering so results are
+  reproducible across summation orders (Spark fold vs BLAS vs DuckDB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+TOP_K = 20
+QUERY_VEC_ID = 0
+PAIR_THRESHOLD = 0.45
+SIGN_BITS = 4  # 2^4 buckets; more bits = better pruning, lower recall
+ROUND = 6
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold dot product — JVM-side, no Python boundary."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def ann_topk_bruteforce(
+    embeddings: DataFrame, k: int = TOP_K, query_vec_id: int = QUERY_VEC_ID
+) -> DataFrame:
+    """Exact cosine top-k against the embedding of ``query_vec_id``.
+
+    The query vector rides along via a broadcast single-row cross join —
+    no driver-side collect, so the same plan works when the "query" is
+    itself a table at scale.
+    """
+    q = F.broadcast(
+        embeddings.filter(F.col("vec_id") == query_vec_id).select(
+            _as_double("embedding").alias("qvec")
+        )
+    )
+    scored = (
+        embeddings.crossJoin(q)
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(_cosine(_as_double("embedding"), F.col("qvec")), ROUND).alias(
+                "similarity"
+            ),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition partial top-k, tiny driver merge — no global sort, no
+    single-partition window). The rank window then runs over only k rows."""
+    top = scored.orderBy(F.col("similarity").desc(), F.col("vec_id").asc()).limit(k)
+    w = Window.orderBy(F.col("similarity").desc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+    WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+    SELECT e.vec_id,
+           round(
+               list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), {ROUND}
+           ) AS similarity
+    FROM embeddings e, q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+),
+ranked AS (
+    SELECT vec_id, similarity,
+           row_number() OVER (ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT vec_id, similarity, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def ann_topk_pandas(
+    embeddings: DataFrame, k: int = TOP_K, query_vec_id: int = QUERY_VEC_ID
+) -> DataFrame:
+    """Same top-k, but the scorer is an Arrow-batched Pandas UDF (numpy
+    matrix-vector product per batch) — the pattern for scorers that
+    genuinely need Python (learned rerankers, custom metrics). Shares the
+    brute-force oracle because scores are rounded before ranking."""
+    qrow = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .head()
+    )
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qnorm = float(np.sqrt(qv @ qv))
+
+    @F.pandas_udf(DoubleType())
+    def cosine_vs_query(batch: pd.Series) -> pd.Series:
+        mat = np.vstack(batch.map(lambda v: np.asarray(v, dtype=np.float64)))
+        sims = (mat @ qv) / (np.sqrt((mat * mat).sum(axis=1)) * qnorm)
+        return pd.Series(sims)
+
+    scored = embeddings.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id",
+        F.round(cosine_vs_query(_as_double("embedding")), ROUND).alias("similarity"),
+    )
+    return _ranked_topk(scored, k)
+
+
+def cosine_pairs(
+    embeddings: DataFrame, threshold: float = PAIR_THRESHOLD
+) -> DataFrame:
+    """Exact all-pairs cosine above threshold (the small-data baseline —
+    O(n²); use :func:`cosine_pairs_lsh` at scale)."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_id_a"), _as_double("embedding").alias("va")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_id_b"), _as_double("embedding").alias("vb")
+    )
+    sim = F.round(_cosine(F.col("va"), F.col("vb")), ROUND)
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+COSINE_PAIRS_SQL = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+           {ROUND}
+       ) AS similarity
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+           {ROUND}
+       ) >= {PAIR_THRESHOLD}
+"""
+
+
+def _sign_bucket(col: Column, bits: int = SIGN_BITS) -> Column:
+    """Deterministic sign-LSH bucket: bit i set iff dim i > 0 (unrolled —
+    ``bits`` is a compile-time constant, so this stays one codegen'd expr)."""
+    acc: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(F.element_at(col, i + 1) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return acc
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = PAIR_THRESHOLD,
+    bits: int = SIGN_BITS,
+) -> DataFrame:
+    """Approximate all-pairs: candidates must share the sign pattern of the
+    first ``bits`` dimensions (bucket-local join — the join key makes the
+    shuffle linear in n, not n²), then exact-cosine verified. Deterministic
+    bucketing → same recall in Spark and the oracle."""
+    e = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("vec"),
+        _sign_bucket(_as_double("embedding"), bits).alias("bucket"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("vec").alias("va"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("vec").alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    sim = F.round(_cosine(F.col("va"), F.col("vb")), ROUND)
+    return (
+        a.join(
+            b,
+            (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select("vec_id_a", "vec_id_b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+_BUCKET_SQL = (
+    "list_sum(list_transform(generate_series(0, "
+    + str(SIGN_BITS - 1)
+    + "), i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END))"
+)
+
+COSINE_PAIRS_LSH_SQL = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec, {_BUCKET_SQL} AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(
+           list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec))
+              * sqrt(list_dot_product(b.vec, b.vec))), {ROUND}
+       ) AS similarity
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(
+           list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec))
+              * sqrt(list_dot_product(b.vec, b.vec))), {ROUND}
+       ) >= {PAIR_THRESHOLD}
+"""
