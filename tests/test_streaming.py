@@ -1,0 +1,79 @@
+"""Structured Streaming twins: exactly-once file ingestion and
+watermarked sliding-window trending."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.sources.catalog import load_table
+from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+    ingest_available_now,
+    stream_events,
+)
+from music_streaming_etl_glue_spark.streaming.trending import (
+    trending_top_tracks,
+    trending_windowed,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_ingest_exactly_once_and_incremental(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "batch1.parquet")
+    out, ckpt = str(tmp_path / "fact"), str(tmp_path / "ckpt")
+
+    assert ingest_available_now(spark, str(src), out, ckpt) >= 1
+    n1 = spark.read.parquet(out).count()
+    assert n1 == load_table(spark, SF_SMOKE, "events").count()
+
+    # rerun with no new files → checkpoint prevents reprocessing
+    ingest_available_now(spark, str(src), out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # land a new file → only its rows are appended
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "batch2.parquet")
+    ingest_available_now(spark, str(src), out, ckpt)
+    assert spark.read.parquet(out).count() == 2 * n1
+
+
+def test_streaming_trending_matches_batch_plan(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events.parquet")
+
+    stream = trending_windowed(stream_events(spark, str(src)))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trend_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM trend_out")
+
+    batch = trending_windowed(load_table(spark, SF_SMOKE, "events"))
+    # Streaming append emits only watermark-closed windows — every emitted
+    # row must match the batch computation exactly.
+    emitted = got.count()
+    assert emitted > 0
+    joined = got.alias("s").join(
+        batch.alias("b"),
+        ["window_start", "window_end", "track_id"],
+        "inner",
+    )
+    assert joined.count() == emitted
+    mismatches = joined.filter(
+        (F.col("s.plays") != F.col("b.plays"))
+        | (
+            F.col("s.total_listening_time_minutes")
+            != F.col("b.total_listening_time_minutes")
+        )
+    ).count()
+    assert mismatches == 0
+
+    top = trending_top_tracks(batch)
+    assert top.count() > 0
