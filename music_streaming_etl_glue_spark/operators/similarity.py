@@ -47,6 +47,29 @@ def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _normalized(vec: Column, norm: Column) -> Column:
+    return F.transform(vec, lambda x: x / norm)
+
+
+def _unrolled_dot(a: Column, b: Column, dims: int) -> Column:
+    """Dot product as a flat codegen'd expression (element_at products).
+
+    The fold-based ``_dot`` is a HigherOrderFunction — interpreted per
+    element, outside whole-stage codegen. For the O(n²) pair kernels that
+    difference dominates the runtime, so when the dimensionality is known
+    we unroll: left-associated sum, same order as the fold → same value.
+    """
+    acc: Column = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dims + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
+
+
+def _dims(embeddings: DataFrame) -> int:
+    row = embeddings.select(F.size("embedding").alias("d")).head()
+    return int(row["d"])
+
+
 def ann_topk_bruteforce(
     embeddings: DataFrame, k: int = TOP_K, query_vec_id: int = QUERY_VEC_ID
 ) -> DataFrame:
@@ -135,18 +158,33 @@ def ann_topk_pandas(
     return _ranked_topk(scored, k)
 
 
+def _normalized_vecs(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, unit-norm vector): norms computed once per row, so the
+    O(n²) pair kernel pays exactly one dot product per pair."""
+    withnorm = embeddings.select(
+        "vec_id", _as_double("embedding").alias("vec")
+    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    return withnorm.select(
+        "vec_id", _normalized(F.col("vec"), F.col("norm")).alias("vec")
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame, threshold: float = PAIR_THRESHOLD
 ) -> DataFrame:
     """Exact all-pairs cosine above threshold (the small-data baseline —
     O(n²); use :func:`cosine_pairs_lsh` at scale)."""
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_id_a"), _as_double("embedding").alias("va")
+    dims = _dims(embeddings)
+    e = _normalized_vecs(embeddings)
+    # The inequality join compiles to BroadcastNestedLoopJoin; its
+    # parallelism equals the *stream-side* partition count. A single input
+    # file means one task unless we spread the probe side across cores.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = e.repartition(par).select(
+        F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("va")
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_id_b"), _as_double("embedding").alias("vb")
-    )
-    sim = F.round(_cosine(F.col("va"), F.col("vb")), ROUND)
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vb"))
+    sim = F.round(_unrolled_dot(F.col("va"), F.col("vb"), dims), ROUND)
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b", sim.alias("similarity"))
@@ -192,10 +230,10 @@ def cosine_pairs_lsh(
     first ``bits`` dimensions (bucket-local join — the join key makes the
     shuffle linear in n, not n²), then exact-cosine verified. Deterministic
     bucketing → same recall in Spark and the oracle."""
-    e = embeddings.select(
-        "vec_id",
-        _as_double("embedding").alias("vec"),
-        _sign_bucket(_as_double("embedding"), bits).alias("bucket"),
+    dims = _dims(embeddings)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    e = _normalized_vecs(embeddings).repartition(par).withColumn(
+        "bucket", _sign_bucket(F.col("vec"), bits)
     )
     a = e.select(
         F.col("vec_id").alias("vec_id_a"),
@@ -207,7 +245,7 @@ def cosine_pairs_lsh(
         F.col("vec").alias("vb"),
         F.col("bucket").alias("bucket_b"),
     )
-    sim = F.round(_cosine(F.col("va"), F.col("vb")), ROUND)
+    sim = F.round(_unrolled_dot(F.col("va"), F.col("vb"), dims), ROUND)
     return (
         a.join(
             b,
