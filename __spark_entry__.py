@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from music_streaming_etl_glue_spark.operators import analytics as _an
 from music_streaming_etl_glue_spark.operators import dedup as _dedup
 from music_streaming_etl_glue_spark.operators import enrich as _enrich
 from music_streaming_etl_glue_spark.operators import kpis as _kpis
@@ -103,6 +104,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_lsh": lambda spark, sf: _sim.cosine_pairs_lsh(
             _embs(spark, sf)
         ),
+        # relational generalizations (TPC-H-ish tables)
+        "pricing_summary": lambda spark, sf: _an.pricing_summary(
+            load_table(spark, sf, "lineitem")
+        ),
+        "revenue_by_nation": lambda spark, sf: _an.revenue_by_nation(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "nation"),
+        ),
+        "top_customers_per_nation": lambda spark, sf: _an.top_customers_per_nation(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "nation"),
+        ),
+        "customers_without_orders": lambda spark, sf: _an.customers_without_orders(
+            load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+        ),
+        "customers_with_big_orders": lambda spark, sf: _an.customers_with_big_orders(
+            load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+        ),
+        "order_priority_pivot": lambda spark, sf: _an.order_priority_pivot(
+            load_table(spark, sf, "orders")
+        ),
+        "sales_rollup": lambda spark, sf: _an.sales_rollup(
+            load_table(spark, sf, "orders")
+        ),
+        "user_sessions": lambda spark, sf: _an.user_sessions(
+            load_table(spark, sf, "events")
+        ),
         # multimodal binary-column plumbing (documents as stand-in payloads)
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)
@@ -138,6 +169,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pandas": _sim.ANN_TOPK_SQL,
         "cosine_pairs": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_lsh": _sim.COSINE_PAIRS_LSH_SQL,
+        "pricing_summary": _an.PRICING_SUMMARY_SQL,
+        "revenue_by_nation": _an.REVENUE_BY_NATION_SQL,
+        "top_customers_per_nation": _an.TOP_CUSTOMERS_SQL,
+        "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "customers_with_big_orders": _an.CUSTOMERS_WITH_BIG_ORDERS_SQL,
+        "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
+        "sales_rollup": _an.SALES_ROLLUP_SQL,
+        "user_sessions": _an.USER_SESSIONS_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
         # multimodal_features: mapInPandas featurizer — not SQL-expressible,
         # driver records the rows-only check.

@@ -1,0 +1,288 @@
+"""General analytics operators beyond the reference's two-left-join
+surface: filtered multi-agg scans, inner/semi/anti joins, pivot, rollup,
+top-k per group with deterministic tiebreaks, and gap-based
+sessionization. These are the generalizations SURVEY §2.3/§7 calls for so
+a reference user has the full relational toolkit, each with a DuckDB
+oracle twin.
+
+All on the TPC-H-ish tables (lineitem/orders/customer/nation) and the
+events stream table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PRICING_CUTOFF = "1998-09-02"
+SESSION_GAP_SECONDS = 1800
+TOP_CUSTOMERS_K = 3
+
+
+# ---------------------------------------------------------------------------
+# filtered scan + 8 aggregates (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """Filter pushed to the parquet scan; one hash-agg shuffle; every
+    double sum through an exact decimal accumulator (deterministic under
+    any partitioning)."""
+    def dsum(col, scale=4):
+        return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(PRICING_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            # disc_price is exact at 4 decimals (2dp × 2dp); charge needs 6
+            # (2dp × 2dp × 2dp) — rounding a 6dp-exact value to scale 4 hits
+            # .00005 ties where engines' rounding modes disagree.
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            (dsum(F.col("l_quantity"), 2) / F.count("l_quantity")).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice"), 2) / F.count("l_extendedprice")).alias(
+                "avg_price"
+            ),
+            (dsum(F.col("l_discount"), 2) / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+        AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+        / COUNT(l_quantity) AS avg_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+        / COUNT(l_extendedprice) AS avg_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE)
+        / COUNT(l_discount) AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# inner-join chain + agg
+# ---------------------------------------------------------------------------
+
+def revenue_by_nation(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Fact→orders shuffle join (both large: co-partitioned on the key by
+    Catalyst), then broadcast dims."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue.cast("decimal(28,4)")).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4)))
+            AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (deterministic row_number tiebreak)
+# ---------------------------------------------------------------------------
+
+def top_customers_per_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, k: int = TOP_CUSTOMERS_K
+) -> DataFrame:
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double").alias("spend"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("spend").desc(), F.col("o_custkey").asc()
+    )
+    return (
+        spend.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_name").alias("customer_name"),
+            "spend",
+            "rank",
+        )
+    )
+
+
+TOP_CUSTOMERS_SQL = f"""
+WITH spend AS (
+    SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+           AS spend
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT n.n_name AS nation, s.o_custkey AS custkey, c.c_name AS customer_name,
+           s.spend,
+           row_number() OVER (PARTITION BY n.n_name
+                              ORDER BY s.spend DESC, s.o_custkey ASC) AS rank
+    FROM spend s
+    JOIN customer c ON s.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation, custkey, customer_name, spend, rank
+FROM ranked WHERE rank <= {TOP_CUSTOMERS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS) — shuffle-free when the keys side broadcasts."""
+    return customer.join(
+        orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("customer_name"))
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey AS custkey, c_name AS customer_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def customers_with_big_orders(
+    customer: DataFrame, orders: DataFrame, min_total: float = 400_000.0
+) -> DataFrame:
+    """LEFT SEMI (EXISTS) with the predicate pushed below the join."""
+    big = orders.filter(F.col("o_totalprice") >= min_total).select("o_custkey")
+    return customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("customer_name"))
+
+
+CUSTOMERS_WITH_BIG_ORDERS_SQL = """
+SELECT c_custkey AS custkey, c_name AS customer_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 400000.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot / rollup
+# ---------------------------------------------------------------------------
+
+ORDER_STATUSES = ("O", "F", "P")
+
+
+def order_priority_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot order counts: one row per priority, one column per status.
+    Status values pinned so the output schema is static."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .count()
+        .na.fill(0, list(ORDER_STATUSES))
+    )
+
+
+ORDER_PRIORITY_PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+       COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+       COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def sales_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP (year → priority → grand total); NULL group keys mark the
+    subtotal levels, same convention as ANSI SQL."""
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_sales"),
+        )
+    )
+
+
+SALES_ROLLUP_SQL = """
+SELECT year(o_orderdate)::BIGINT AS order_year, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_sales
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate)::BIGINT, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (lag window + cumulative flag sum)
+# ---------------------------------------------------------------------------
+
+def user_sessions(events: DataFrame, gap_s: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Per user: session count and events/session with a 30-min idle gap.
+    Single shuffle on user_id shared by the window and the aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        (F.count("*").cast("double") / F.sum("new_session")).alias(
+            "events_per_session"
+        ),
+    )
+
+
+USER_SESSIONS_SQL = f"""
+WITH flagged AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                        > {SESSION_GAP_SECONDS}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       SUM(new_session) AS n_sessions,
+       COUNT(*) AS n_events,
+       COUNT(*)::DOUBLE / SUM(new_session) AS events_per_session
+FROM flagged
+GROUP BY user_id
+"""

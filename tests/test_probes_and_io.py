@@ -1,0 +1,68 @@
+"""Existence probes, archival, multi-path parquet reads, quarantine sink."""
+
+from __future__ import annotations
+
+from music_streaming_etl_glue_spark.plans.contracts import (
+    STREAM_SCHEMA,
+    quarantine_corrupt,
+    read_csv_validated,
+)
+from music_streaming_etl_glue_spark.sources.catalog import read_parquet_multi
+from music_streaming_etl_glue_spark.sources.probes import (
+    archive_files,
+    list_files,
+    path_exists,
+    readable_parquet,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_path_exists_and_listing(spark, tmp_path):
+    assert path_exists(spark, f"{SF_SMOKE}/events.parquet")
+    assert not path_exists(spark, f"{SF_SMOKE}/nope.parquet")
+    assert list_files(spark, str(tmp_path)) == []
+    (tmp_path / "a.csv").write_text("x")
+    (tmp_path / "_SUCCESS").write_text("")
+    files = list_files(spark, str(tmp_path))
+    assert len(files) == 1 and files[0].endswith("a.csv")
+
+
+def test_readable_parquet(spark, tmp_path):
+    assert readable_parquet(spark, f"{SF_SMOKE}/nation.parquet")
+    bad = tmp_path / "bad.parquet"
+    bad.write_text("not parquet")
+    assert not readable_parquet(spark, str(bad))
+
+
+def test_read_parquet_multi(spark):
+    df = read_parquet_multi(
+        spark, [f"{SF_SMOKE}/nation.parquet", f"{SF_SMOKE}/nation.parquet"]
+    )
+    assert df.count() == 50  # both paths scanned
+
+
+def test_archive_files(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.csv").write_text("data")
+    files = list_files(spark, str(src))
+    archived = archive_files(spark, files, str(tmp_path / "arch"), "2026-01-01")
+    assert len(archived) == 3
+    assert list_files(spark, str(src)) == []
+    assert len(list_files(spark, str(tmp_path / "arch" / "2026-01-01"))) == 3
+
+
+def test_quarantine_corrupt_sink(spark, tmp_path):
+    csv = tmp_path / "s.csv"
+    csv.write_text(
+        "user_id,track_id,listen_time\nu1,t1,2024-06-25 08:00:00\nu2,t2,BAD\n"
+    )
+    res = read_csv_validated(spark, [str(csv)], STREAM_SCHEMA)
+    qdir = str(tmp_path / "quarantine")
+    quarantine_corrupt(res.corrupt, qdir)
+    back = spark.read.json(qdir)
+    assert back.count() == 1
+    # empty corrupt frame → no-op (no empty dirs written)
+    quarantine_corrupt(res.corrupt.limit(0), str(tmp_path / "q2"))
+    assert not (tmp_path / "q2").exists()
