@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pandas": lambda spark, sf: _sim.ann_topk_pandas(
             _embs(spark, sf)
         ),
+        "ann_topk_bucketed": lambda spark, sf: _sim.ann_topk_bucketed(
+            _embs(spark, sf)
+        ),
         "cosine_pairs": lambda spark, sf: _sim.cosine_pairs(_embs(spark, sf)),
         "cosine_pairs_lsh": lambda spark, sf: _sim.cosine_pairs_lsh(
             _embs(spark, sf)
@@ -167,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _dedup.SIMHASH_NEAR_DUPS_SQL,
         "ann_topk_bruteforce": _sim.ANN_TOPK_SQL,
         "ann_topk_pandas": _sim.ANN_TOPK_SQL,
+        "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
         "cosine_pairs": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_lsh": _sim.COSINE_PAIRS_LSH_SQL,
         "pricing_summary": _an.PRICING_SUMMARY_SQL,

@@ -169,6 +169,76 @@ def _normalized_vecs(embeddings: DataFrame) -> DataFrame:
     )
 
 
+# DuckDB twin of _sign_bucket over the raw `embedding` column (sign of the
+# raw dim == sign of the normalized dim).
+_BUCKET_SQL = (
+    "list_sum(list_transform(generate_series(0, "
+    + str(SIGN_BITS - 1)
+    + "), i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END))"
+)
+
+
+def ann_topk_bucketed(
+    embeddings: DataFrame, k: int = TOP_K, query_vec_id: int = QUERY_VEC_ID
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only vectors whose sign-bucket is
+    within Hamming distance 1 of the query's bucket (bucket + ``bits``
+    neighbors ≈ (bits+1)/2^bits of the data scanned). Deterministic
+    bucketing → oracle-checkable; recall is approximate by design."""
+    dims = _dims(embeddings)
+    e = _normalized_vecs(embeddings).withColumn(
+        "bucket", _sign_bucket(F.col("vec"), SIGN_BITS)
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket")
+        )
+    )
+    probed = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != query_vec_id)
+        # Hamming(bucket, qbucket) <= 1 — bit_count of the xor
+        .filter(
+            F.bit_count(
+                F.col("bucket").bitwiseXOR(F.col("qbucket"))
+            ) <= 1
+        )
+        .select(
+            "vec_id",
+            F.round(_unrolled_dot(F.col("vec"), F.col("qvec"), dims), ROUND).alias(
+                "similarity"
+            ),
+        )
+    )
+    return _ranked_topk(probed, k)
+
+
+ANN_TOPK_BUCKETED_SQL = f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS vec,
+           {_BUCKET_SQL} AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec AS qvec, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probed AS (
+    SELECT e.vec_id,
+           round(list_dot_product(e.vec, q.qvec), {ROUND}) AS similarity
+    FROM e, q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+      AND bit_count(xor(e.bucket, q.qbucket)) <= 1
+),
+ranked AS (
+    SELECT vec_id, similarity,
+           row_number() OVER (ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM probed
+)
+SELECT vec_id, similarity, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def cosine_pairs(
     embeddings: DataFrame, threshold: float = PAIR_THRESHOLD
 ) -> DataFrame:
@@ -256,12 +326,6 @@ def cosine_pairs_lsh(
         .filter(F.col("similarity") >= threshold)
     )
 
-
-_BUCKET_SQL = (
-    "list_sum(list_transform(generate_series(0, "
-    + str(SIGN_BITS - 1)
-    + "), i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END))"
-)
 
 COSINE_PAIRS_LSH_SQL = f"""
 WITH e AS (
