@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(spark, sf)
         ),
         "cosine_pairs": lambda spark, sf: _sim.cosine_pairs(_embs(spark, sf)),
+        "cosine_pairs_blocked": lambda spark, sf: _sim.cosine_pairs_blocked(
+            _embs(spark, sf)
+        ),
         "cosine_pairs_lsh": lambda spark, sf: _sim.cosine_pairs_lsh(
             _embs(spark, sf)
         ),
@@ -172,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pandas": _sim.ANN_TOPK_SQL,
         "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
         "cosine_pairs": _sim.COSINE_PAIRS_SQL,
+        "cosine_pairs_blocked": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_lsh": _sim.COSINE_PAIRS_LSH_SQL,
         "pricing_summary": _an.PRICING_SUMMARY_SQL,
         "revenue_by_nation": _an.REVENUE_BY_NATION_SQL,

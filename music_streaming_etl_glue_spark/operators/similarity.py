@@ -280,6 +280,57 @@ WHERE round(
 """
 
 
+def cosine_pairs_blocked(
+    embeddings: DataFrame, threshold: float = PAIR_THRESHOLD
+) -> DataFrame:
+    """Exact all-pairs cosine via blocked matrix multiply (mapInPandas +
+    BLAS): each Arrow batch of rows A computes A·Bᵀ against the broadcast
+    normalized matrix B in one GEMM call.
+
+    Same result set as :func:`cosine_pairs` (shares its oracle) — rounding
+    to 6 decimals absorbs BLAS-vs-fold summation-order differences. The
+    broadcast side must fit executor memory (n·d·8 bytes; ~1 GB per 2M
+    64-dim vectors) — beyond that, shard B and union, or use
+    :func:`cosine_pairs_lsh`.
+    """
+    spark = embeddings.sparkSession
+    # Arrow hop of the raw vectors; all float math stays in numpy (the JVM
+    # array-lambda path is interpreted and would dominate the runtime).
+    pdf_all = embeddings.select("vec_id", "embedding").toPandas()
+    ids = pdf_all["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.vstack(pdf_all["embedding"].map(np.asarray)).astype(np.float64)
+    mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    par = spark.sparkContext.defaultParallelism
+    src = embeddings.select("vec_id", "embedding").repartition(par)
+
+    def block(batches):
+        B, Bids = b_mat.value, b_ids.value
+        margin = 10.0 ** (-ROUND)  # values that would round up to threshold
+        for pdf in batches:
+            A = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            A /= np.sqrt((A * A).sum(axis=1, keepdims=True))
+            Aids = pdf["vec_id"].to_numpy()
+            sims = A @ B.T
+            # threshold on raw scores first; round only the survivors
+            ai, bj = np.nonzero(sims >= threshold - margin)
+            rounded = np.round(sims[ai, bj], ROUND)
+            keep = (rounded >= threshold) & (Aids[ai] < Bids[bj])
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": Aids[ai[keep]],
+                    "vec_id_b": Bids[bj[keep]],
+                    "similarity": rounded[keep],
+                }
+            )
+
+    return src.mapInPandas(
+        block, schema="vec_id_a long, vec_id_b long, similarity double"
+    )
+
+
 def _sign_bucket(col: Column, bits: int = SIGN_BITS) -> Column:
     """Deterministic sign-LSH bucket: bit i set iff dim i > 0 (unrolled —
     ``bits`` is a compile-time constant, so this stays one codegen'd expr)."""
