@@ -1,0 +1,90 @@
+"""Physical-layout utilities for the 100 TB path: bucketed tables for
+shuffle-free co-located joins, and salted two-phase aggregation for
+skewed keys.
+
+The reference never manages layout (flat unpartitioned writes,
+``validate_data.py:316-318``); at cluster scale join/agg shuffle placement
+is the dominant cost, so the engine makes both first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
+) -> None:
+    """Persist hash-bucketed (and bucket-sorted) by the join key. Two
+    tables bucketed the same way join with NO shuffle on either side —
+    the bucketing metadata lets Catalyst elide both Exchanges.
+
+    ``path`` makes it an external table (bucketing requires the catalog,
+    but the files can live anywhere)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join_plan(
+    spark, left_table: str, right_table: str, key: str, force_merge: bool = False
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key. With
+    ``force_merge`` a sort-merge join is hinted — on matching buckets it
+    runs with zero shuffle exchanges (bucket-local merge)."""
+    left = spark.table(left_table)
+    if force_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), key)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation: pre-aggregate on (keys + salt), then reduce
+    to (keys). A hot key's rows spread over ``salt_buckets`` partial
+    groups instead of hammering one reducer.
+
+    ``aggs`` maps column -> 'sum' | 'count' | 'max' | 'min' (algebraic
+    functions whose two-phase split is exact).
+    """
+    allowed = {"sum", "count", "max", "min"}
+    bad = {fn for fn in aggs.values() if fn not in allowed}
+    if bad:
+        raise ValueError(f"salted_agg supports {sorted(allowed)}, got {sorted(bad)}")
+
+    # salt must split rows of the SAME key across reducers, so it cannot be
+    # a function of the keys; any per-row spreader works (the final phase
+    # merges the partials, so the result is salt-independent).
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    partial_aggs: list[Column] = []
+    final_aggs: list[Column] = []
+    for col, fn in aggs.items():
+        p = f"__p_{fn}_{col}"
+        if fn == "count":
+            partial_aggs.append(F.count(col).alias(p))
+            final_aggs.append(F.sum(p).alias(f"{fn}_{col}"))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(col).alias(p))
+            final_aggs.append(F.sum(p).alias(f"{fn}_{col}"))
+        elif fn == "max":
+            partial_aggs.append(F.max(col).alias(p))
+            final_aggs.append(F.max(p).alias(f"{fn}_{col}"))
+        else:
+            partial_aggs.append(F.min(col).alias(p))
+            final_aggs.append(F.min(p).alias(f"{fn}_{col}"))
+
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)

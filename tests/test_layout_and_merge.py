@@ -1,0 +1,108 @@
+"""Bucketed co-located joins (no-shuffle plan), salted aggregation,
+upsert/SCD2 emulation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.plans.layout import (
+    bucketed_join_plan,
+    salted_agg,
+    write_bucketed,
+)
+from music_streaming_etl_glue_spark.plans.merge import scd2_apply, upsert
+from music_streaming_etl_glue_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(
+        orders, "b_orders", "o_orderkey", n_buckets=8, path=str(tmp_path / "o")
+    )
+    write_bucketed(
+        lineitem, "b_lineitem", "o_orderkey", n_buckets=8, path=str(tmp_path / "l")
+    )
+    joined = bucketed_join_plan(
+        spark, "b_orders", "b_lineitem", "o_orderkey", force_merge=True
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # bucket-local sort-merge join: no shuffle exchange on either side
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        f"bucketed join still shuffles:\n{plan[:600]}"
+    )
+    assert joined.count() == lineitem.count()
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")
+
+
+def test_salted_agg_matches_plain(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r.event_type): (r["count_value"], round(r["sum_value"], 6))
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count("value").alias("count_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r["count_value"], round(r["sum_value"], 6))
+        for r in salted_agg(
+            events.withColumn("value", F.col("value").cast("decimal(18,2)")),
+            ["event_type"],
+            {"value": "sum"},
+        )
+        .join(
+            salted_agg(events, ["event_type"], {"value": "count"}),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            F.col("sum_value").cast("double").alias("sum_value"),
+            "count_value",
+        )
+        .collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    import pytest
+
+    events = load_table(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError, match="salted_agg supports"):
+        salted_agg(events, ["event_type"], {"value": "avg"})
+
+
+def test_upsert_last_write_wins(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "id long, v string, ver int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 2), (4, "d", 2)], "id long, v string, ver int"
+    )
+    out = {r.id: (r.v, r.ver) for r in upsert(target, updates, ["id"]).collect()}
+    assert out == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1), 4: ("d", 2)}
+
+
+def test_scd2_versions(spark):
+    OPEN = "9999-12-31 00:00:00"
+    dim = spark.createDataFrame(
+        [(1, "x", "2024-01-01", OPEN), (2, "y", "2024-01-01", OPEN)],
+        "id long, attr string, valid_from string, valid_to string",
+    )
+    changes = spark.createDataFrame(
+        [(1, "x2", "2024-06-01")], "id long, attr string, eff string"
+    )
+    out = scd2_apply(dim, changes, "id", "eff").collect()
+    rows = {(r.id, r.attr): (r.valid_from, r.valid_to) for r in out}
+    assert rows[(1, "x")] == ("2024-01-01", "2024-06-01")  # closed
+    assert rows[(1, "x2")] == ("2024-06-01", OPEN)  # new open version
+    assert rows[(2, "y")] == ("2024-01-01", OPEN)  # untouched
+    assert len(out) == 3
