@@ -73,6 +73,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda spark, sf: _text.text_quality(_docs(spark, sf)),
         "lang_id": lambda spark, sf: _text.lang_id(_docs(spark, sf)),
         "fingerprints": lambda spark, sf: _text.fingerprints(_docs(spark, sf)),
+        "tfidf_top_terms": lambda spark, sf: _text.tfidf_top_terms(
+            _docs(spark, sf)
+        ),
+        "value_histogram": lambda spark, sf: _an.value_histogram(
+            load_table(spark, sf, "events")
+        ),
         # dedup (documents table)
         "dedup_exact": lambda spark, sf: _dedup.dedup_exact(_docs(spark, sf)),
         "dedup_normalized": lambda spark, sf: _dedup.dedup_normalized(
@@ -164,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _text.TEXT_QUALITY_SQL,
         "lang_id": _text.LANG_ID_SQL,
         "fingerprints": _text.FINGERPRINTS_SQL,
+        "tfidf_top_terms": _text.TFIDF_TOP_TERMS_SQL,
+        "value_histogram": _an.VALUE_HISTOGRAM_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,
         "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,

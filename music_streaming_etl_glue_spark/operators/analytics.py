@@ -247,6 +247,40 @@ GROUP BY ROLLUP (year(o_orderdate)::BIGINT, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# histogram / binning
+# ---------------------------------------------------------------------------
+
+HISTOGRAM_BIN_WIDTH = 10.0
+
+
+def value_histogram(
+    events: DataFrame, bin_width: float = HISTOGRAM_BIN_WIDTH
+) -> DataFrame:
+    """Fixed-width histogram of the event measure per event type — the
+    binning reduces before the shuffle, so cardinality is bins, not rows."""
+    bucket = F.floor(F.col("value") / bin_width).cast("long")
+    return (
+        events.groupBy("event_type", bucket.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(floor(value / {HISTOGRAM_BIN_WIDTH}) AS BIGINT) AS bin,
+       count(*) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # gap-based sessionization (lag window + cumulative flag sum)
 # ---------------------------------------------------------------------------
 

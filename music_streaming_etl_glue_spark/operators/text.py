@@ -12,7 +12,7 @@ so Java-vs-RE2 dialect differences don't bite).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny deterministic English-stopword list used by quality + lang-id.
@@ -154,4 +154,60 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
            AS normalized_fp
 FROM documents
+"""
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Term frequencies and document frequencies are two hash aggregates on
+    the exploded token stream (the shuffle key is the token — linear in
+    corpus size, never quadratic); the tiny corpus size rides along via a
+    broadcast scalar. Scores rounded to 6 decimals before the
+    deterministic (score desc, term asc) rank."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = F.broadcast(documents.agg(F.count("*").alias("n_docs")))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(n_docs)
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df), 6)
+               AS tfidf
+    FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+    ) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """

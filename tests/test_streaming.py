@@ -39,6 +39,24 @@ def test_ingest_exactly_once_and_incremental(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2 * n1
 
 
+def test_ingest_deduplicated_drops_replays(spark, tmp_path):
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        ingest_deduplicated,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # the same file landed twice under different names → same event_ids
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "b.parquet")
+    out, ckpt = str(tmp_path / "fact"), str(tmp_path / "ckpt")
+    ingest_deduplicated(spark, str(src), out, ckpt)
+    got = spark.read.parquet(out)
+    n_src = load_table(spark, SF_SMOKE, "events").count()
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src
+
+
 def test_streaming_trending_matches_batch_plan(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
