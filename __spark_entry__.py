@@ -53,6 +53,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genre_daily_metrics": lambda spark, sf: _kpis.genre_daily_metrics(
             _enriched(spark, sf)
         ),
+        # approx-distinct (HLL++) variant — the 100TB path; approximate, so
+        # rows-only check (no oracle entry).
+        "genre_daily_metrics_approx": lambda spark, sf: (
+            _kpis.genre_daily_metrics_approx(_enriched(spark, sf))
+        ),
         "genre_top_songs": lambda spark, sf: _kpis.genre_top_songs(
             _enriched(spark, sf)
         ),

@@ -29,7 +29,7 @@ MINHASH_BANDS = 3  # rows-per-band r = K / BANDS = 2 → s-curve @ ~0.58
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 60
 SIMHASH_BAND_BITS = 15
-SIMHASH_MAX_HAMMING = 4
+SIMHASH_MAX_HAMMING = 2
 
 
 # ---------------------------------------------------------------------------
@@ -48,9 +48,17 @@ def _shingle_array(n: int = SHINGLE_N) -> Column:
     )
 
 
+def _spread(documents: DataFrame) -> DataFrame:
+    """Spread a (often single-file) document scan across the cores before
+    the explode stage — the shingle fan-out inherits the scan's partition
+    count, and one input file would serialize the whole stage."""
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return documents if documents.rdd.getNumPartitions() >= par else documents.repartition(par)
+
+
 def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingle sets."""
-    return documents.select(
+    return _spread(documents).select(
         "doc_id", F.explode(_shingle_array(n)).alias("shingle")
     )
 
@@ -330,7 +338,7 @@ MINHASH_DEDUP_SQL = _minhash_dedup_sql()
 def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash over distinct whitespace tokens: per bit, sum +1/-1
     across token hashes (md5 → 60-bit int), bit set iff sum > 0."""
-    toks = documents.select(
+    toks = _spread(documents).select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
     ).withColumn(

@@ -121,6 +121,16 @@ def write_serving_parquet(items: DataFrame, path: str) -> None:
     items.write.mode("overwrite").partitionBy("kpi_type").parquet(path)
 
 
+def serving_lookup(spark, serving_path: str, item_id: str, kpi_type: str | None = None):
+    """Point lookup on the local serving table (the reference's DynamoDB
+    GetItem). With ``kpi_type`` the partition column prunes the scan to one
+    directory; the ``id`` predicate pushes to the parquet row groups."""
+    df = spark.read.parquet(serving_path)
+    if kpi_type is not None:
+        df = df.filter(df["kpi_type"] == kpi_type)
+    return df.filter(df["id"] == item_id)
+
+
 def read_kv_dir(out_dir: str) -> Iterable[dict[str, Any]]:
     """Read back everything a ``local_dir_backend`` run wrote."""
     for name in sorted(os.listdir(out_dir)):

@@ -40,3 +40,13 @@ def test_batch_pipeline_end_to_end(spark, tmp_path):
     # date-partitioned layout on disk for partition pruning
     parts = list((tmp_path / "out" / "genre_daily_metrics").glob("date=*"))
     assert len(parts) > 1
+
+    # point lookup against the serving table (partition-pruned + pushed)
+    from music_streaming_etl_glue_spark.sources.kv_sink import serving_lookup
+
+    serving_path = str(tmp_path / "out" / "serving_items")
+    any_user = spark.read.parquet(serving_path).filter("kpi_type = 'user'").head()
+    hit = serving_lookup(spark, serving_path, any_user["id"], kpi_type="user")
+    assert hit.count() == 1
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id," in plan
