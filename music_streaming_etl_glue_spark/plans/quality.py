@@ -1,0 +1,84 @@
+"""Post-load data-quality checks on the serving table.
+
+The reference documents these as *manual* DynamoDB scan/query checks
+(``/root/reference/docs/dynamodb-queries.md:103-185``): items with missing
+attributes, out-of-range metric values, malformed timestamps. Here they are
+one declarative pass over the serving frame — a single aggregate, so the
+QA cost is a scan even at serving-table scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Required attributes per item family (reference item shapes,
+#: ``load_dynamodb.py:229-343``).
+REQUIRED_ATTRS = {
+    "user": ("user_name", "total_songs_played", "total_listening_time_minutes"),
+    "genre_daily": ("date", "track_genre", "listen_count", "unique_listeners"),
+    "genre_top_songs": ("date", "track_genre", "track_id", "play_count", "rank"),
+    "genre_top_genres": ("date", "track_genre", "listen_count", "rank"),
+    "trending": ("track_id", "plays_last_24h", "unique_listeners"),
+}
+
+_TS_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$"
+
+
+def qa_serving_items(items: DataFrame) -> DataFrame:
+    """One row per kpi_type with violation counts: missing required
+    attributes, negative metrics, malformed item ids / timestamps."""
+    missing_attr = F.lit(False)
+    for family, attrs in REQUIRED_ATTRS.items():
+        fam_missing = F.lit(False)
+        for a in attrs:
+            fam_missing = fam_missing | F.col(a).isNull()
+        missing_attr = F.when(F.col("kpi_type") == family, fam_missing).otherwise(
+            missing_attr
+        )
+
+    negative_metric = F.lit(False)
+    for m in (
+        "total_songs_played",
+        "total_listening_time_minutes",
+        "listen_count",
+        "unique_listeners",
+        "play_count",
+        "plays_last_24h",
+        "rank",
+    ):
+        negative_metric = negative_metric | (F.col(m) < 0)
+
+    bad_ts = ~F.col("timestamp").rlike(_TS_RE)
+    bad_id = ~F.col("id").rlike(r"^[A-Z_]+_")
+
+    return (
+        items.withColumn("v_missing", missing_attr.cast("int"))
+        .withColumn("v_negative", F.coalesce(negative_metric, F.lit(False)).cast("int"))
+        .withColumn("v_bad_ts", bad_ts.cast("int"))
+        .withColumn("v_bad_id", bad_id.cast("int"))
+        .groupBy("kpi_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("v_missing").alias("missing_attrs"),
+            F.sum("v_negative").alias("negative_metrics"),
+            F.sum("v_bad_ts").alias("malformed_timestamps"),
+            F.sum("v_bad_id").alias("malformed_ids"),
+        )
+    )
+
+
+def assert_serving_quality(items: DataFrame) -> None:
+    """Raise if any violation count is non-zero (pipeline gate)."""
+    bad = (
+        qa_serving_items(items)
+        .filter(
+            (F.col("missing_attrs") > 0)
+            | (F.col("negative_metrics") > 0)
+            | (F.col("malformed_timestamps") > 0)
+            | (F.col("malformed_ids") > 0)
+        )
+        .collect()
+    )
+    if bad:
+        raise ValueError(f"serving quality violations: {[r.asDict() for r in bad]}")

@@ -1,0 +1,43 @@
+"""Physical-plan regression guards: the optimizations the engine promises
+must be visible in the executed plans."""
+
+from __future__ import annotations
+
+from music_streaming_etl_glue_spark.operators.enrich import enrich_events
+from music_streaming_etl_glue_spark.operators.kpis import user_kpis
+from music_streaming_etl_glue_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enrichment_broadcasts_dims(spark):
+    enriched = enrich_events(
+        load_table(spark, SF_SMOKE, "events"),
+        load_table(spark, SF_SMOKE, "customer"),
+        load_table(spark, SF_SMOKE, "nation"),
+    )
+    plan = _plan(enriched)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # fact side never shuffles
+
+
+def test_kpi_scan_prunes_columns(spark):
+    df = user_kpis(
+        enrich_events(
+            load_table(spark, SF_SMOKE, "events"),
+            load_table(spark, SF_SMOKE, "customer"),
+            load_table(spark, SF_SMOKE, "nation"),
+        )
+    )
+    plan = _plan(df)
+    # user_kpis needs only user_id/value/props from the fact scan —
+    # ts and event_type must NOT be read.
+    scan = plan[plan.index("FileScan parquet") :].split("\n")[0]
+    assert "ts" not in scan.split("ReadSchema")[-1]
+    assert "event_type" not in scan
+    # two-phase aggregation (partial before the exchange)
+    assert plan.count("HashAggregate") >= 2

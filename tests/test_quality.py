@@ -1,0 +1,54 @@
+"""Serving-table QA checks (reference's manual DynamoDB audits, automated)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.operators.enrich import enrich_events
+from music_streaming_etl_glue_spark.operators.serving import serving_items
+from music_streaming_etl_glue_spark.plans.quality import (
+    assert_serving_quality,
+    qa_serving_items,
+)
+from music_streaming_etl_glue_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    enriched = enrich_events(
+        load_table(spark, SF_SMOKE, "events"),
+        load_table(spark, SF_SMOKE, "customer"),
+        load_table(spark, SF_SMOKE, "nation"),
+    )
+    return serving_items(enriched).cache()
+
+
+def test_pipeline_output_is_clean(items):
+    assert_serving_quality(items)
+    qa = {r.kpi_type: r for r in qa_serving_items(items).collect()}
+    assert set(qa) == {
+        "user", "genre_daily", "genre_top_songs", "genre_top_genres", "trending",
+    }
+    assert all(r.n_items > 0 for r in qa.values())
+
+
+def test_qa_flags_injected_violations(spark, items):
+    corrupted = items.withColumn(
+        "listen_count",
+        F.when(F.col("kpi_type") == "genre_daily", F.lit(None)).otherwise(
+            F.col("listen_count")
+        ),
+    ).withColumn(
+        "plays_last_24h",
+        F.when(F.col("kpi_type") == "trending", F.lit(-5)).otherwise(
+            F.col("plays_last_24h")
+        ),
+    )
+    qa = {r.kpi_type: r for r in qa_serving_items(corrupted).collect()}
+    assert qa["genre_daily"].missing_attrs == qa["genre_daily"].n_items
+    assert qa["trending"].negative_metrics == qa["trending"].n_items
+    assert qa["user"].missing_attrs == 0
+    with pytest.raises(ValueError, match="serving quality violations"):
+        assert_serving_quality(corrupted)
