@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from music_streaming_etl_glue_spark.operators import kpis as K
 from music_streaming_etl_glue_spark.operators.enrich import enrich_events
@@ -40,6 +41,14 @@ class PipelineResult:
     kpi_rows: dict[str, int]
     serving_rows: int
     output_dir: str
+
+
+@dataclass
+class IncrementalResult:
+    new_files: list[str]
+    fact_rows: int
+    kpi: PipelineResult | None
+    archived: list[str]
 
 
 def run_batch_pipeline(
@@ -86,4 +95,97 @@ def run_batch_pipeline(
     enriched.unpersist()
     return PipelineResult(
         kpi_rows=kpi_rows, serving_rows=serving_rows, output_dir=output_dir
+    )
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    incoming_dir: str,
+    dims_dir: str,
+    work_dir: str,
+    batch_ts: str = "2026-01-01T00:00:00",
+    archive: bool = True,
+    qa_gate: bool = True,
+) -> IncrementalResult:
+    """The reference DAG end-to-end, engine-native: discover new fact
+    files (ledger diff), append them to the validated fact table, rebuild
+    the KPI + serving outputs from the accumulated facts, QA-gate the
+    serving items, archive the consumed inputs, update the ledger.
+
+    Ledger update happens *after* the append so a crash mid-run re-reads
+    (at-least-once on the fact table, like the reference); the streaming
+    twin (``streaming/file_pipeline.py``) upgrades this to exactly-once.
+    """
+    from music_streaming_etl_glue_spark.operators import serving as _serving
+    from music_streaming_etl_glue_spark.plans.incremental import FileLedger
+    from music_streaming_etl_glue_spark.plans.quality import (
+        assert_serving_quality,
+    )
+    from music_streaming_etl_glue_spark.sources.probes import (
+        archive_files,
+        list_files,
+    )
+
+    from music_streaming_etl_glue_spark.sources.catalog import (
+        _ensure_session_confs,
+    )
+
+    _ensure_session_confs(spark)  # raw batch reads hit nanos timestamps
+    os.makedirs(work_dir, exist_ok=True)
+    fact_dir = os.path.join(work_dir, "fact")
+    out_dir = os.path.join(work_dir, "kpis")
+    ledger = FileLedger(os.path.join(work_dir, "processed_files.json"))
+
+    discovered = list_files(spark, incoming_dir, suffix=".parquet")
+    new_files = ledger.new_files(discovered)
+    if new_files:
+        batch = spark.read.parquet(*new_files)
+        if dict(batch.dtypes).get("ts") == "bigint":
+            batch = batch.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        batch.write.mode("append").parquet(fact_dir)
+        ledger.mark_processed(new_files)
+
+    if not os.path.exists(fact_dir):
+        return IncrementalResult([], 0, None, [])
+
+    events = spark.read.parquet(fact_dir)
+    customer = load_table(spark, dims_dir, "customer")
+    nation = load_table(spark, dims_dir, "nation")
+    enriched = enrich_events(events, customer, nation).cache()
+
+    kpi_rows: dict[str, int] = {}
+    for name, df in {
+        "user_kpis": K.user_kpis(enriched),
+        "genre_daily_metrics": K.genre_daily_metrics(enriched),
+        "genre_top_songs": K.genre_top_songs(enriched),
+        "genre_top_genres": K.genre_top_genres(enriched),
+        "trending_tracks": K.trending_tracks(enriched),
+    }.items():
+        path = os.path.join(out_dir, name)
+        writer = df.write.mode("overwrite")
+        if "date" in df.columns:
+            writer = writer.partitionBy("date")
+        writer.parquet(path)
+        kpi_rows[name] = spark.read.parquet(path).count()
+
+    items = _serving.serving_items(enriched, batch_ts)
+    if qa_gate:
+        assert_serving_quality(items)
+    write_serving_parquet(items, os.path.join(out_dir, "serving_items"))
+    serving_rows = spark.read.parquet(os.path.join(out_dir, "serving_items")).count()
+    enriched.unpersist()
+
+    archived: list[str] = []
+    if archive and new_files:
+        archived = archive_files(
+            spark, new_files, os.path.join(work_dir, "archived"), batch_ts
+        )
+
+    return IncrementalResult(
+        new_files=new_files,
+        fact_rows=events.count(),
+        kpi=PipelineResult(kpi_rows, serving_rows, out_dir),
+        archived=archived,
     )

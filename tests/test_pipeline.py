@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
-from music_streaming_etl_glue_spark.plans.pipeline import run_batch_pipeline
+from music_streaming_etl_glue_spark.plans.pipeline import (
+    run_batch_pipeline,
+    run_incremental_pipeline,
+)
 from music_streaming_etl_glue_spark.sources.kv_sink import (
     local_dir_backend,
     read_kv_dir,
@@ -50,3 +53,33 @@ def test_batch_pipeline_end_to_end(spark, tmp_path):
     assert hit.count() == 1
     plan = hit._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), EqualTo(id," in plan
+
+
+def test_incremental_pipeline_lifecycle(spark, tmp_path):
+    import shutil
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    work = str(tmp_path / "work")
+
+    # batch 1 lands
+    shutil.copy(f"{SF_SMOKE}/events.parquet", incoming / "b1.parquet")
+    r1 = run_incremental_pipeline(spark, str(incoming), SF_SMOKE, work)
+    assert len(r1.new_files) == 1
+    n1 = r1.fact_rows
+    assert n1 > 0 and r1.kpi is not None
+    # consumed input was archived out of incoming
+    assert not (incoming / "b1.parquet").exists()
+    assert len(r1.archived) == 1
+
+    # no new files → nothing ingested, KPIs still rebuilt from history
+    r2 = run_incremental_pipeline(spark, str(incoming), SF_SMOKE, work)
+    assert r2.new_files == [] and r2.fact_rows == n1
+
+    # batch 2 lands → facts accumulate (append), KPIs reflect the union
+    shutil.copy(f"{SF_SMOKE}/events.parquet", incoming / "b2.parquet")
+    r3 = run_incremental_pipeline(spark, str(incoming), SF_SMOKE, work)
+    assert r3.fact_rows == 2 * n1
+    assert (
+        r3.kpi.kpi_rows["user_kpis"] == r1.kpi.kpi_rows["user_kpis"]
+    )  # same users, doubled plays
