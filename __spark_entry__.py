@@ -151,6 +151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": lambda spark, sf: _an.user_sessions(
             load_table(spark, sf, "events")
         ),
+        "value_percentiles": lambda spark, sf: _an.value_percentiles(
+            load_table(spark, sf, "events")
+        ),
+        "skyline_parts": lambda spark, sf: _an.skyline_parts(
+            load_table(spark, sf, "part")
+        ),
         # multimodal binary-column plumbing (documents as stand-in payloads)
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)
@@ -198,6 +204,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,
         "user_sessions": _an.USER_SESSIONS_SQL,
+        "value_percentiles": _an.VALUE_PERCENTILES_SQL,
+        "skyline_parts": _an.SKYLINE_PARTS_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
         # multimodal_features: mapInPandas featurizer — not SQL-expressible,
         # driver records the rows-only check.

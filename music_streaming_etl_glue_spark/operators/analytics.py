@@ -247,6 +247,74 @@ GROUP BY ROLLUP (year(o_orderdate)::BIGINT, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# exact percentiles
+# ---------------------------------------------------------------------------
+
+PERCENTILES = (0.5, 0.95, 0.99)
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact linear-interpolated percentiles of the event measure per
+    type. Exact (sort-based) for oracle parity; at 100 TB swap in
+    ``percentile_approx`` (KLL-sketch, single pass, mergeable)."""
+    aggs = [
+        F.round(F.percentile("value", F.lit(p)), 6).alias(f"p{int(p * 100)}")
+        for p in PERCENTILES
+    ]
+    return events.groupBy("event_type").agg(*aggs)
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto-optimal set)
+# ---------------------------------------------------------------------------
+
+def skyline_parts(part: DataFrame) -> DataFrame:
+    """Skyline of parts minimizing (p_size, p_retailprice): rows no other
+    row dominates (<= on both dims, < on at least one).
+
+    Expressed as a NOT EXISTS anti-join (the dominance test), with the
+    probe side spread across cores (non-equi join → BNLJ, parallelism =
+    stream-side partitions). Scale path per the skyline-in-Spark-SQL
+    literature: grid/angular pre-partitioning so each partition computes
+    a local skyline before the global merge — the anti-join here IS the
+    correct global semantics the fancier plans must reproduce.
+    """
+    par = part.sparkSession.sparkContext.defaultParallelism
+    p = part.select("p_partkey", "p_size", "p_retailprice").repartition(par)
+    q = part.select(
+        F.col("p_size").alias("q_size"),
+        F.col("p_retailprice").alias("q_price"),
+    )
+    dominated = (
+        (F.col("q_size") <= F.col("p_size"))
+        & (F.col("q_price") <= F.col("p_retailprice"))
+        & ((F.col("q_size") < F.col("p_size")) | (F.col("q_price") < F.col("p_retailprice")))
+    )
+    return p.join(q, dominated, "left_anti")
+
+
+SKYLINE_PARTS_SQL = """
+SELECT p_partkey, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
+      AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # histogram / binning
 # ---------------------------------------------------------------------------
 
