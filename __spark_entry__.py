@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from music_streaming_etl_glue_spark.operators import analytics as _an
+from music_streaming_etl_glue_spark.operators import asof as _asof
 from music_streaming_etl_glue_spark.operators import dedup as _dedup
 from music_streaming_etl_glue_spark.operators import enrich as _enrich
 from music_streaming_etl_glue_spark.operators import kpis as _kpis
@@ -157,6 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": lambda spark, sf: _an.skyline_parts(
             load_table(spark, sf, "part")
         ),
+        "error_click_asof": lambda spark, sf: _asof.error_click_asof(
+            load_table(spark, sf, "events")
+        ),
         # multimodal binary-column plumbing (documents as stand-in payloads)
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)
@@ -206,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": _an.USER_SESSIONS_SQL,
         "value_percentiles": _an.VALUE_PERCENTILES_SQL,
         "skyline_parts": _an.SKYLINE_PARTS_SQL,
+        "error_click_asof": _asof.ERROR_CLICK_ASOF_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
         # multimodal_features: mapInPandas featurizer — not SQL-expressible,
         # driver records the rows-only check.

@@ -1,0 +1,142 @@
+"""As-of (most-recent-match) join — an operator Spark has no native form
+of, composed entirely from built-ins: tag the two sides, union them,
+and carry the right side's values forward with ``last(..., ignorenulls)``
+over a per-key event-time window. One shuffle on (key), no UDF, no
+per-group pandas — the union trick keeps it linear and whole-stage
+codegen'd, where a naive approach would be a per-key sort inside
+``applyInPandas`` (Arrow round-trip) or an O(n·m) range join.
+
+Semantics: for each left row, the right row with the greatest
+``right_ts <= left_ts`` for the same key (LEFT as-of: unmatched left rows
+survive with nulls). Ties between right rows at identical timestamps are
+broken by the highest tiebreaker column — deterministic, and mirrored in
+the DuckDB ``ASOF LEFT JOIN`` oracle by pre-deduplicating the right side
+the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_values: list[str] | None = None,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """LEFT as-of join via the union + carry-forward-window composition.
+
+    ``right_values`` are the right columns to attach (prefixed
+    ``asof_``); ``tiebreaker`` (a right column) resolves duplicate
+    right timestamps per key deterministically (max wins).
+    """
+    right_values = right_values or []
+
+    extra = [tiebreaker] if tiebreaker and tiebreaker not in right_values else []
+    r = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c) for c in right_values + extra],
+    )
+    if tiebreaker is not None:
+        w_dedup = Window.partitionBy("__key", "__ts").orderBy(
+            F.col(tiebreaker).desc()
+        )
+        r = (
+            r.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", *extra)
+        )
+    r = r.select(
+        "__key",
+        "__ts",
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("__left_id"),
+        *[F.col(c).alias(f"asof_{c}") for c in right_values],
+        F.col("__ts").alias("asof_ts"),
+    )
+
+    lid = left.withColumn("__left_id", F.monotonically_increasing_id())
+    marker = lid.select(
+        F.col(key).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        "__left_id",
+        *[
+            F.lit(None).cast(r.schema[f"asof_{c}"].dataType).alias(f"asof_{c}")
+            for c in right_values
+        ],
+        F.lit(None).cast("timestamp").alias("asof_ts"),
+    )
+
+    # right rows sort before left rows at equal timestamps (side 0 < 1), so
+    # a right event exactly at left_ts IS matched ("<=" semantics).
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(marker)
+    for c in right_values:
+        carried = carried.withColumn(
+            f"asof_{c}", F.last(f"asof_{c}", ignorenulls=True).over(w)
+        )
+    carried = carried.withColumn(
+        "asof_ts", F.last("asof_ts", ignorenulls=True).over(w)
+    )
+
+    matched = carried.filter(F.col("__side") == 1).select(
+        "__left_id", "asof_ts", *[f"asof_{c}" for c in right_values]
+    )
+    return lid.join(matched, "__left_id").drop("__left_id")
+
+
+def error_click_asof(events: DataFrame) -> DataFrame:
+    """For every error event: the same user's most recent click at or
+    before it (the monitoring/attribution query shape)."""
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        key="user_id",
+        right_values=["value"],
+        tiebreaker="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_value").alias("click_value"),
+    )
+
+
+ERROR_CLICK_ASOF_SQL = """
+WITH errors AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+    SELECT user_id, ts, value
+    FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       c.ts AS click_ts, c.value AS click_value
+FROM errors e
+ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
