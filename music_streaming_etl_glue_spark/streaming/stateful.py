@@ -1,0 +1,66 @@
+"""Custom stateful streaming operator: per-user running aggregates via
+``applyInPandasWithState``.
+
+This is the escape hatch for stateful logic Spark's built-in streaming
+aggregations can't express (per-key custom state machines, decaying
+counters, fraud scores). State is a tiny per-key tuple managed by the
+engine's state store — checkpointed, recoverable, and partitioned by the
+group key, so it scales with keys, not events. Arrow batches flow through
+pandas once per key per micro-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events_total", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 2)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events_total": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Streaming per-user running (count, value-total): one output row per
+    user per micro-batch with the post-batch totals."""
+    return events_stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
