@@ -425,8 +425,10 @@ def simhash_near_dups(
             F.col("y.doc_id").alias("doc_id_b"),
             hamming.cast("long").alias("hamming"),
         )
-        .distinct()
+        # filter before distinct: the Hamming cut discards most candidate
+        # rows, so the dedup shuffle only carries survivors
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -34,6 +34,33 @@ def test_write_kv_roundtrip(spark, tmp_path):
     assert any(i.startswith("GENRE_DAILY_") for i in ids)
 
 
+def test_serving_key_helpers(spark):
+    from decimal import Decimal
+
+    from music_streaming_etl_glue_spark.functions.serving_keys import (
+        composite_key,
+        default_zero,
+        iso_date,
+        to_sink_decimal,
+    )
+
+    df = spark.createDataFrame(
+        [(7, None, "2024-06-25 13:45:00", 1.5), (8, 3, "2024-01-02 00:00:00", None)],
+        "id long, maybe int, ts string, amount double",
+    )
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        composite_key("USER", "id").alias("k"),
+        default_zero("maybe").alias("m"),
+        iso_date(F.col("ts").cast("timestamp")).alias("d"),
+        to_sink_decimal("amount", 10, 2).alias("a"),
+    ).collect()
+    assert out[0].k == "USER_7" and out[0].m == 0 and out[0].d == "2024-06-25"
+    assert out[0].a == Decimal("1.50")
+    assert out[1].m == 3 and out[1].a is None
+
+
 def test_dedupe_last_wins():
     batch = [
         {"id": "A", "timestamp": "t", "v": 1},
