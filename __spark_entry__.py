@@ -161,6 +161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_click_asof": lambda spark, sf: _asof.error_click_asof(
             load_table(spark, sf, "events")
         ),
+        "events_in_busy_sessions": lambda spark, sf: (
+            _asof.events_in_busy_sessions(load_table(spark, sf, "events"))
+        ),
+        "normalize_text": lambda spark, sf: _text.normalize_text(
+            _docs(spark, sf)
+        ),
         # multimodal binary-column plumbing (documents as stand-in payloads)
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)
@@ -211,6 +217,8 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _an.VALUE_PERCENTILES_SQL,
         "skyline_parts": _an.SKYLINE_PARTS_SQL,
         "error_click_asof": _asof.ERROR_CLICK_ASOF_SQL,
+        "events_in_busy_sessions": _asof.EVENTS_IN_BUSY_SESSIONS_SQL,
+        "normalize_text": _text.NORMALIZE_TEXT_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
         # multimodal_features: mapInPandas featurizer — not SQL-expressible,
         # driver records the rows-only check.

@@ -121,6 +121,108 @@ def error_click_asof(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Range join: each point row matched to interval rows of the same key
+    containing it (``start <= ts <= end``).
+
+    With an equi-key present, Catalyst plans the equi part as the join key
+    and applies the range predicate as a join condition — shuffle on the
+    key, no cross product. (Keyless interval joins need bucketization on
+    time; not required by this surface.)
+    """
+    p = points.alias("__p")
+    i = intervals.alias("__i")
+    cond = (
+        (F.col(f"__p.{key}") == F.col(f"__i.{key}"))
+        & (F.col(f"__p.{point_ts}") >= F.col(f"__i.{start_ts}"))
+        & (F.col(f"__p.{point_ts}") <= F.col(f"__i.{end_ts}"))
+    )
+    return p.join(i, cond, how).drop(F.col(f"__i.{key}"))
+
+
+def events_in_busy_sessions(
+    events: DataFrame, gap_s: int = 14_400, min_events: int = 3
+) -> DataFrame:
+    """Which high-activity session (if any) does each error event fall in?
+
+    Sessions are derived by gap-based sessionization, reduced to
+    (start, end) intervals, filtered to busy ones, then interval-joined
+    back to the error events — points outside any busy window keep nulls.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("session_events"),
+        )
+        .filter(F.col("session_events") >= min_events)
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        errors, sessions, key="user_id", point_ts="ts",
+        start_ts="session_start", end_ts="session_end",
+    ).select(
+        "event_id", "user_id", "ts",
+        "session_id", "session_start", "session_end", "session_events",
+    )
+
+
+EVENTS_IN_BUSY_SESSIONS_SQL = """
+WITH gaps AS (
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 14400
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+    SELECT event_id, user_id, ts, event_type,
+           SUM(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM gaps
+),
+sessions AS (
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS session_events
+    FROM flagged
+    GROUP BY user_id, session_id
+    HAVING count(*) >= 3
+)
+SELECT e.event_id, e.user_id, e.ts,
+       s.session_id, s.session_start, s.session_end, s.session_events
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts >= s.session_start AND e.ts <= s.session_end
+"""
+
+
 ERROR_CLICK_ASOF_SQL = """
 WITH errors AS (
     SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'

@@ -156,6 +156,39 @@ SELECT doc_id,
 FROM documents
 """
 
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Canonical text-normalization pass (the pre-dedup cleanup stage):
+    lowercase, strip non-alphanumerics, collapse whitespace, trim.
+    All JVM regex expressions — one narrow projection, no shuffle."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+        F.length(norm).cast("long").alias("norm_chars"),
+    )
+
+
+NORMALIZE_TEXT_SQL = """
+WITH n AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text,
+       norm_text != text AS changed,
+       length(norm_text)::BIGINT AS norm_chars
+FROM n
+"""
+
+
 TFIDF_TOP_K = 5
 
 
