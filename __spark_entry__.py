@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": lambda spark, sf: _dedup.dedup_normalized(
             _docs(spark, sf)
         ),
+        "dedup_apply": lambda spark, sf: _dedup.dedup_apply(_docs(spark, sf)),
+        "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
         "ngram_jaccard_pairs": lambda spark, sf: _dedup.ngram_jaccard_pairs(
             _docs(spark, sf)
         ),
@@ -195,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,
+        "dedup_apply": _dedup.DEDUP_APPLY_SQL,
+        "dataset_split": _dedup.DATASET_SPLIT_SQL,
         "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": _dedup.MINHASH_SIGNATURES_SQL,
         "minhash_dedup_pairs": _dedup.MINHASH_DEDUP_SQL,

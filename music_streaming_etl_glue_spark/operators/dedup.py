@@ -118,6 +118,80 @@ GROUP BY 1
 """
 
 
+def dedup_apply(documents: DataFrame) -> DataFrame:
+    """Materialize the deduplicated corpus: keep each text's canonical
+    (minimum-doc_id) row. Window-based keep-first — one shuffle on the
+    hash, no join back to the source."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    return (
+        documents.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+DEDUP_APPLY_SQL = """
+SELECT doc_id, text, lang, source, n_chars
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id ASC) AS rn
+    FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split (train/val/test)
+# ---------------------------------------------------------------------------
+
+SPLIT_FRACTIONS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def dataset_split(documents: DataFrame) -> DataFrame:
+    """Stable train/val/test assignment by content-independent key hash:
+    bucket = md5(doc_id) mod 1000 → fraction ranges. Adding or removing
+    other rows never moves an existing row between splits (the property
+    random `randomSplit` lacks), and the assignment reproduces anywhere
+    md5 exists."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    edges = []
+    acc = 0.0
+    for name, frac in SPLIT_FRACTIONS:
+        acc += frac
+        edges.append((name, int(round(acc * 1000))))
+    expr = None
+    for name, hi in edges:
+        expr = (
+            F.when(bucket < hi, F.lit(name))
+            if expr is None
+            else expr.when(bucket < hi, F.lit(name))
+        )
+    return documents.select(
+        "doc_id", expr.alias("split"), bucket.alias("split_bucket")
+    )
+
+
+DATASET_SPLIT_SQL = """
+WITH b AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS split_bucket
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN split_bucket < 800 THEN 'train'
+            WHEN split_bucket < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       split_bucket
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (exact, shingle-join based)
 # ---------------------------------------------------------------------------
