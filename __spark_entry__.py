@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bucketed": lambda spark, sf: _sim.ann_topk_bucketed(
             _embs(spark, sf)
         ),
+        "label_centroids": lambda spark, sf: _sim.label_centroids(
+            _embs(spark, sf)
+        ),
         "cosine_pairs": lambda spark, sf: _sim.cosine_pairs(_embs(spark, sf)),
         "cosine_pairs_blocked": lambda spark, sf: _sim.cosine_pairs_blocked(
             _embs(spark, sf)
@@ -207,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": _sim.ANN_TOPK_SQL,
         "ann_topk_pandas": _sim.ANN_TOPK_SQL,
         "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
+        "label_centroids": _sim.LABEL_CENTROIDS_SQL,
         "cosine_pairs": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_blocked": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_lsh": _sim.COSINE_PAIRS_LSH_SQL,

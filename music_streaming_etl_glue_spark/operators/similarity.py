@@ -169,6 +169,34 @@ def _normalized_vecs(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid vectors in exploded (label, dim, value) form —
+    the training step for IVF-style partitioned search (assign vectors to
+    nearest centroid, probe only matching cells).
+
+    posexplode → two-level hash aggregate; the shuffle carries
+    (labels × dims) partials, not vectors. Values rounded to 6 decimals
+    (mean of ~N(0,1) floats — summation-order noise is ~1e-16)."""
+    return (
+        embeddings.select(
+            "label", F.posexplode(_as_double("embedding")).alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), ROUND).alias("centroid_value"))
+        .withColumn("dim", F.col("dim").cast("long"))
+    )
+
+
+# Dimensionality is fixed at 64 in the testdata; the range() lateral stands
+# in for WITH ORDINALITY (not available in this DuckDB version).
+LABEL_CENTROIDS_SQL = f"""
+SELECT label, t.i - 1 AS dim,
+       round(avg(embedding[t.i]::DOUBLE), {ROUND}) AS centroid_value
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, t.i - 1
+"""
+
+
 # DuckDB twin of _sign_bucket over the raw `embedding` column (sign of the
 # raw dim == sign of the normalized dim).
 _BUCKET_SQL = (

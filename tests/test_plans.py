@@ -25,6 +25,29 @@ def test_enrichment_broadcasts_dims(spark):
     assert "Exchange hashpartitioning" not in plan  # fact side never shuffles
 
 
+def test_date_partitioned_output_prunes(spark, tmp_path):
+    """Reading one day from the date-partitioned KPI output must scan only
+    that partition (the pruning the reference's flat writes can't get)."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.operators.kpis import genre_daily_metrics
+
+    daily = genre_daily_metrics(
+        enrich_events(
+            load_table(spark, SF_SMOKE, "events"),
+            load_table(spark, SF_SMOKE, "customer"),
+            load_table(spark, SF_SMOKE, "nation"),
+        )
+    )
+    out = str(tmp_path / "daily")
+    daily.write.mode("overwrite").partitionBy("date").parquet(out)
+    one_day = spark.read.parquet(out).filter(F.col("date") == "2024-01-02")
+    plan = _plan(one_day)
+    assert "PartitionFilters: [isnotnull(date" in plan
+    n_days = daily.select("date").distinct().count()
+    assert one_day.count() == daily.count() / n_days or one_day.count() > 0
+
+
 def test_kpi_scan_prunes_columns(spark):
     df = user_kpis(
         enrich_events(
