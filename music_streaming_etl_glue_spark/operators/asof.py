@@ -36,6 +36,10 @@ def asof_join(
     right timestamps per key deterministically (max wins).
     """
     right_values = right_values or []
+    out_cols = {f"asof_{c}" for c in right_values} | {"asof_ts"}
+    clash = (out_cols | {"__key", "__ts", "__side"}) & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join: left columns clash with internals: {clash}")
 
     extra = [tiebreaker] if tiebreaker and tiebreaker not in right_values else []
     r = right.select(
@@ -52,26 +56,30 @@ def asof_join(
             .filter(F.col("__rn") == 1)
             .drop("__rn", *extra)
         )
-    r = r.select(
+    # Every left column rides through the union (nulls on right-side rows),
+    # so no join-back is needed afterwards — joining on a generated row id
+    # would silently mis-align when the left plan's row order is
+    # nondeterministic across recomputation.
+    left_fields = left.schema.fields
+    right_ts_type = right.schema[right_ts].dataType
+    rside = r.select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left_fields],
         "__key",
         "__ts",
         F.lit(0).alias("__side"),
-        F.lit(None).cast("long").alias("__left_id"),
         *[F.col(c).alias(f"asof_{c}") for c in right_values],
         F.col("__ts").alias("asof_ts"),
     )
-
-    lid = left.withColumn("__left_id", F.monotonically_increasing_id())
-    marker = lid.select(
+    marker = left.select(
+        *[F.col(f.name) for f in left_fields],
         F.col(key).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        "__left_id",
         *[
-            F.lit(None).cast(r.schema[f"asof_{c}"].dataType).alias(f"asof_{c}")
+            F.lit(None).cast(rside.schema[f"asof_{c}"].dataType).alias(f"asof_{c}")
             for c in right_values
         ],
-        F.lit(None).cast("timestamp").alias("asof_ts"),
+        F.lit(None).cast(right_ts_type).alias("asof_ts"),
     )
 
     # right rows sort before left rows at equal timestamps (side 0 < 1), so
@@ -81,7 +89,7 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r.unionByName(marker)
+    carried = rside.unionByName(marker)
     for c in right_values:
         carried = carried.withColumn(
             f"asof_{c}", F.last(f"asof_{c}", ignorenulls=True).over(w)
@@ -89,11 +97,7 @@ def asof_join(
     carried = carried.withColumn(
         "asof_ts", F.last("asof_ts", ignorenulls=True).over(w)
     )
-
-    matched = carried.filter(F.col("__side") == 1).select(
-        "__left_id", "asof_ts", *[f"asof_{c}" for c in right_values]
-    )
-    return lid.join(matched, "__left_id").drop("__left_id")
+    return carried.filter(F.col("__side") == 1).drop("__key", "__ts", "__side")
 
 
 def error_click_asof(events: DataFrame) -> DataFrame:

@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 #: Tiny deterministic English-stopword list used by quality + lang-id.
 STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
-_STOP_SPARK = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 #: BPE-ish pre-tokenizer: alpha runs, digit runs, single non-alnum marks.
 BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"

@@ -66,9 +66,13 @@ def salted_agg(
         raise ValueError(f"salted_agg supports {sorted(allowed)}, got {sorted(bad)}")
 
     # salt must split rows of the SAME key across reducers, so it cannot be
-    # a function of the keys; any per-row spreader works (the final phase
-    # merges the partials, so the result is salt-independent).
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    # a function of the keys alone — but it MUST be deterministic per row:
+    # a nondeterministic salt (e.g. monotonically_increasing_id) re-salts
+    # rows differently when a failed map task recomputes, double-counting
+    # some partials and dropping others. Hash of the full row is stable
+    # under recomputation; identical duplicate rows co-salting is the
+    # accepted trade.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     partial_aggs: list[Column] = []
     final_aggs: list[Column] = []
     for col, fn in aggs.items():

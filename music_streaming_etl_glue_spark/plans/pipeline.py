@@ -139,11 +139,11 @@ def run_incremental_pipeline(
     discovered = list_files(spark, incoming_dir, suffix=".parquet")
     new_files = ledger.new_files(discovered)
     if new_files:
-        batch = spark.read.parquet(*new_files)
-        if dict(batch.dtypes).get("ts") == "bigint":
-            batch = batch.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+        from music_streaming_etl_glue_spark.sources.catalog import (
+            convert_nanos_ts,
+        )
+
+        batch = convert_nanos_ts(spark.read.parquet(*new_files), "ts")
         batch.write.mode("append").parquet(fact_dir)
         ledger.mark_processed(new_files)
 

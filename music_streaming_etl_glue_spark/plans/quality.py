@@ -13,9 +13,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Required attributes per item family (reference item shapes,
-#: ``load_dynamodb.py:229-343``).
+#: ``load_dynamodb.py:229-343``). Deliberately EXCLUDES dimension-sourced
+#: attributes (user_name, user_country): the enrichment uses LEFT joins,
+#: so a fact row with no dimension match legitimately carries nulls there
+#: (reference semantics, SURVEY §2.3) — that is data lineage, not a
+#: serving-layer defect, and must not trip the pipeline gate.
 REQUIRED_ATTRS = {
-    "user": ("user_name", "total_songs_played", "total_listening_time_minutes"),
+    "user": ("total_songs_played", "total_listening_time_minutes"),
     "genre_daily": ("date", "track_genre", "listen_count", "unique_listeners"),
     "genre_top_songs": ("date", "track_genre", "track_id", "play_count", "rank"),
     "genre_top_genres": ("date", "track_genre", "listen_count", "rank"),

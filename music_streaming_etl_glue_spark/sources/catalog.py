@@ -49,13 +49,22 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def convert_nanos_ts(df: DataFrame, col: str) -> DataFrame:
+    """Convert a long-nanoseconds column (how nanosAsLong surfaces parquet
+    TIMESTAMP(NANOS)) to a microsecond TimestampType — truncation identical
+    to DuckDB's read of the same file. No-op if the column is already a
+    timestamp. The single definition shared by every raw-scan path."""
+    if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain parquet scan — pruning/pushdown stay enabled."""
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in NANOS_TIMESTAMP_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = convert_nanos_ts(df, c)
     return df
 
 

@@ -12,16 +12,23 @@ import re
 
 _SCHEME_RE = re.compile(r"^([a-z0-9+.-]+):/{1,3}", re.IGNORECASE)
 
+#: Schemes whose URIs have an empty authority (``file:///abs/path``) —
+#: the triple slash is CORRECT there and must not be collapsed into a
+#: (bogus) authority component.
+_NO_AUTHORITY_SCHEMES = frozenset({"file"})
+
 
 def normalize_path(path: str) -> str:
     """Collapse duplicate slashes while preserving the ``scheme://`` part,
-    and repair mangled prefixes like ``s3:/bucket`` or ``s3:///bucket``."""
+    and repair mangled prefixes like ``s3:/bucket`` or ``s3:///bucket``.
+    Empty-authority schemes (``file:///…``) keep their absolute-path form."""
     path = path.strip()
     m = _SCHEME_RE.match(path)
     if m:
         scheme = m.group(1)
-        rest = path[m.end():]
-        rest = re.sub(r"/{2,}", "/", rest)
+        rest = re.sub(r"/{2,}", "/", path[m.end():])
+        if scheme.lower() in _NO_AUTHORITY_SCHEMES:
+            return f"{scheme}:///{rest.lstrip('/')}"
         return f"{scheme}://{rest}"
     return re.sub(r"/{2,}", "/", path)
 

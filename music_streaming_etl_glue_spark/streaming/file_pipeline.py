@@ -12,8 +12,9 @@ cadence as the reference's scheduled DAG, minus the bookkeeping code.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from music_streaming_etl_glue_spark.sources.catalog import convert_nanos_ts
 
 #: Parquet-on-disk schema of the events table (ts is TIMESTAMP(NANOS),
 #: read as long nanoseconds — see sources/catalog.py).
@@ -37,7 +38,20 @@ def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return convert_nanos_ts(raw, "ts")
+
+
+def _idempotent_epoch_writer(output_dir: str):
+    """foreachBatch sink that overwrites an epoch-keyed partition instead
+    of blind-appending: a replayed epoch (failure between the write and
+    the checkpoint commit, or a foreachBatch retry) rewrites the same
+    partition rather than duplicating rows — this is what upgrades the
+    file-source's at-least-once foreachBatch contract to exactly-once."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch_id}")
+
+    return write
 
 
 def ingest_deduplicated(
@@ -49,20 +63,21 @@ def ingest_deduplicated(
     watermark: str = "1 hour",
 ) -> None:
     """Batch-increment ingestion with streaming deduplication on ``key``:
-    replayed/duplicated events are dropped across micro-batches, with the
-    watermark bounding dedup state (the reference has no duplicate
-    handling at all — replayed files double-count)."""
+    replayed/duplicated events are dropped across micro-batches.
+    ``dropDuplicatesWithinWatermark`` is what actually bounds the dedup
+    state (a plain ``dropDuplicates([key])`` keeps one entry per key
+    forever even under a watermark); duplicates arriving later than the
+    watermark horizon are out of contract. The reference has no duplicate
+    handling at all — replayed files double-count."""
     stream = (
         stream_events(spark, input_dir)
         .withWatermark("ts", watermark)
-        .dropDuplicates([key])
+        .dropDuplicatesWithinWatermark([key])
     )
     q = (
         stream.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(
-            lambda df, epoch: df.write.mode("append").parquet(output_dir)
-        )
+        .foreachBatch(_idempotent_epoch_writer(output_dir))
         .start()
     )
     q.awaitTermination()
@@ -71,17 +86,22 @@ def ingest_deduplicated(
 def ingest_available_now(
     spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
 ) -> int:
-    """One batch-increment run: append every not-yet-processed file to the
+    """One batch-increment run: land every not-yet-processed file in the
     validated parquet fact table, exactly once, then stop.
+
+    Exactly-once = checkpointed file tracking (no reprocessing across
+    runs) + idempotent epoch-partitioned writes (no duplicates when an
+    epoch replays after a failure mid-commit).
 
     Returns the number of micro-batches executed (0 → nothing new)."""
     stream = stream_events(spark, input_dir)
     batches = 0
+    epoch_writer = _idempotent_epoch_writer(output_dir)
 
     def count_batches(df: DataFrame, epoch_id: int) -> None:
         nonlocal batches
         batches += 1
-        df.write.mode("append").parquet(output_dir)
+        epoch_writer(df, epoch_id)
 
     q = (
         stream.writeStream.trigger(availableNow=True)
