@@ -163,10 +163,15 @@ FROM ranked WHERE rank <= {TOP_SONGS_K}
 # W2 — top genres per day
 # ---------------------------------------------------------------------------
 
-def genre_top_genres(enriched: DataFrame, k: int = TOP_GENRES_K) -> DataFrame:
+def genre_top_genres(
+    enriched: DataFrame, k: int = TOP_GENRES_K, daily: DataFrame | None = None
+) -> DataFrame:
     """Top-k genres by daily listen count (reference
-    ``compute_kpis.py:207-210``) — ranks the (already tiny) daily metrics."""
-    daily = genre_daily_metrics(enriched)
+    ``compute_kpis.py:207-210``) — ranks the (already tiny) daily metrics.
+    Pass ``daily`` when the caller already computed it (avoids rebuilding
+    the aggregate from enriched)."""
+    if daily is None:
+        daily = genre_daily_metrics(enriched)
     w = Window.partitionBy("date").orderBy(F.col("listen_count").desc())
     return (
         daily.withColumn("rank", F.dense_rank().over(w).cast("long"))

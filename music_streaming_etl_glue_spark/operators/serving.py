@@ -98,11 +98,16 @@ def trending_items(trending: DataFrame, batch_ts: str) -> DataFrame:
 def serving_items(enriched: DataFrame, batch_ts: str = DEFAULT_BATCH_TS) -> DataFrame:
     """All five KPI item families unioned by name into the sparse serving
     layout (U1 union; missing attributes null, as in a KV table)."""
+    # The five KPI plans branch from one enriched frame inside a single
+    # action — callers fanning out should cache/persist enriched (the
+    # pipeline does). The daily aggregate is computed once and shared by
+    # its two consumers rather than rebuilt.
+    daily = K.genre_daily_metrics(enriched)
     frames = [
         user_items(K.user_kpis(enriched), batch_ts),
-        genre_daily_items(K.genre_daily_metrics(enriched), batch_ts),
+        genre_daily_items(daily, batch_ts),
         top_songs_items(K.genre_top_songs(enriched), batch_ts),
-        top_genres_items(K.genre_top_genres(enriched), batch_ts),
+        top_genres_items(K.genre_top_genres(enriched, daily=daily), batch_ts),
         trending_items(K.trending_tracks(enriched), batch_ts),
     ]
     out = frames[0]
