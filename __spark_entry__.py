@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": lambda spark, sf: _an.sales_rollup(
             load_table(spark, sf, "orders")
         ),
+        "sales_cube": lambda spark, sf: _an.sales_cube(
+            load_table(spark, sf, "orders")
+        ),
         "user_sessions": lambda spark, sf: _an.user_sessions(
             load_table(spark, sf, "events")
         ),
@@ -221,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_big_orders": _an.CUSTOMERS_WITH_BIG_ORDERS_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,
+        "sales_cube": _an.SALES_CUBE_SQL,
         "user_sessions": _an.USER_SESSIONS_SQL,
         "value_percentiles": _an.VALUE_PERCENTILES_SQL,
         "skyline_parts": _an.SKYLINE_PARTS_SQL,

@@ -237,6 +237,31 @@ def sales_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def sales_cube(orders: DataFrame) -> DataFrame:
+    """CUBE (all grouping-set combinations of year × priority) — the
+    companion to :func:`sales_rollup` completing the grouping-sets
+    surface."""
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .cube("order_year", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_sales"),
+        )
+    )
+
+
+SALES_CUBE_SQL = """
+SELECT year(o_orderdate)::BIGINT AS order_year, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_sales
+FROM orders
+GROUP BY CUBE (year(o_orderdate)::BIGINT, o_orderpriority)
+"""
+
+
 SALES_ROLLUP_SQL = """
 SELECT year(o_orderdate)::BIGINT AS order_year, o_orderpriority,
        COUNT(*) AS n_orders,
