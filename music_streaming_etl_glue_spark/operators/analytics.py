@@ -407,7 +407,7 @@ WITH flagged AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id,
-       SUM(new_session) AS n_sessions,
+       SUM(new_session)::BIGINT AS n_sessions,
        COUNT(*) AS n_events,
        COUNT(*)::DOUBLE / SUM(new_session) AS events_per_session
 FROM flagged

@@ -61,25 +61,26 @@ def asof_join(
     # would silently mis-align when the left plan's row order is
     # nondeterministic across recomputation.
     left_fields = left.schema.fields
-    right_ts_type = right.schema[right_ts].dataType
+    # All carried fields travel in ONE struct so every asof_* output comes
+    # from the same (most recent) right row — carrying columns separately
+    # with last(ignorenulls) would skip a legitimately-NULL value on the
+    # matched row and splice in an older row's value instead.
     rside = r.select(
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in left_fields],
         "__key",
         "__ts",
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"asof_{c}") for c in right_values],
-        F.col("__ts").alias("asof_ts"),
+        F.struct(
+            *[F.col(c).alias(f"asof_{c}") for c in right_values],
+            F.col("__ts").alias("asof_ts"),
+        ).alias("__carry"),
     )
     marker = left.select(
         *[F.col(f.name) for f in left_fields],
         F.col(key).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[
-            F.lit(None).cast(rside.schema[f"asof_{c}"].dataType).alias(f"asof_{c}")
-            for c in right_values
-        ],
-        F.lit(None).cast(right_ts_type).alias("asof_ts"),
+        F.lit(None).cast(rside.schema["__carry"].dataType).alias("__carry"),
     )
 
     # right rows sort before left rows at equal timestamps (side 0 < 1), so
@@ -89,15 +90,17 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = rside.unionByName(marker)
-    for c in right_values:
-        carried = carried.withColumn(
-            f"asof_{c}", F.last(f"asof_{c}", ignorenulls=True).over(w)
-        )
-    carried = carried.withColumn(
-        "asof_ts", F.last("asof_ts", ignorenulls=True).over(w)
+    carried = rside.unionByName(marker).withColumn(
+        "__carry", F.last("__carry", ignorenulls=True).over(w)
     )
-    return carried.filter(F.col("__side") == 1).drop("__key", "__ts", "__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *[F.col(f.name) for f in left_fields],
+            *[F.col(f"__carry.asof_{c}").alias(f"asof_{c}") for c in right_values],
+            F.col("__carry.asof_ts").alias("asof_ts"),
+        )
+    )
 
 
 def error_click_asof(events: DataFrame) -> DataFrame:

@@ -308,54 +308,95 @@ WHERE round(
 """
 
 
+N_GEMM_BLOCKS = 8  # block-pairs = 8·9/2 = 36 GEMM tasks on local[32]
+
+
 def cosine_pairs_blocked(
-    embeddings: DataFrame, threshold: float = PAIR_THRESHOLD
+    embeddings: DataFrame,
+    threshold: float = PAIR_THRESHOLD,
+    n_blocks: int = N_GEMM_BLOCKS,
 ) -> DataFrame:
-    """Exact all-pairs cosine via blocked matrix multiply (mapInPandas +
-    BLAS): each Arrow batch of rows A computes A·Bᵀ against the broadcast
-    normalized matrix B in one GEMM call.
+    """Exact all-pairs cosine via a DISTRIBUTED block nested-loop: rows are
+    hashed into ``n_blocks`` blocks on ``vec_id``; each row is replicated
+    to every unordered block pair containing its block (n_blocks copies);
+    one ``applyInPandas`` task per block pair runs a single BLAS GEMM over
+    its two sub-matrices. Any unordered row pair co-occurs in exactly one
+    block-pair group, so each candidate is scored exactly once.
 
-    Same result set as :func:`cosine_pairs` (shares its oracle) — rounding
-    to 6 decimals absorbs BLAS-vs-fold summation-order differences. The
-    broadcast side must fit executor memory (n·d·8 bytes; ~1 GB per 2M
-    64-dim vectors) — beyond that, shard B and union, or use
-    :func:`cosine_pairs_lsh`.
+    Nothing touches the driver and nothing is broadcast — shuffle volume is
+    ``n_blocks × |data|`` and per-task memory is two blocks (2·(n/n_blocks)
+    ·d·8 bytes), so at 100 TB you raise ``n_blocks`` until two blocks fit
+    an executor (work stays O(n²·d)/task-parallel; :func:`cosine_pairs_lsh`
+    is the sub-quadratic path). Same result set as :func:`cosine_pairs`
+    (shares its oracle) — rounding to 6 decimals absorbs BLAS-vs-fold
+    summation-order differences.
     """
-    spark = embeddings.sparkSession
-    # Arrow hop of the raw vectors; all float math stays in numpy (the JVM
-    # array-lambda path is interpreted and would dominate the runtime).
-    pdf_all = embeddings.select("vec_id", "embedding").toPandas()
-    ids = pdf_all["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.vstack(pdf_all["embedding"].map(np.asarray)).astype(np.float64)
-    mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    margin = 10.0 ** (-ROUND)  # raw scores that would round up to threshold
 
-    par = spark.sparkContext.defaultParallelism
-    src = embeddings.select("vec_id", "embedding").repartition(par)
+    rows = embeddings.select("vec_id", "embedding").withColumn(
+        "b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    # replicate each row to the n_blocks unordered pairs {(min(b,c), max(b,c))}
+    replicated = rows.withColumn(
+        "c", F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+    ).select(
+        F.least("b", "c").alias("bi"),
+        F.greatest("b", "c").alias("bj"),
+        "b",
+        "vec_id",
+        "embedding",
+    )
 
-    def block(batches):
-        B, Bids = b_mat.value, b_ids.value
-        margin = 10.0 ** (-ROUND)  # values that would round up to threshold
-        for pdf in batches:
-            A = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
-            A /= np.sqrt((A * A).sum(axis=1, keepdims=True))
-            Aids = pdf["vec_id"].to_numpy()
-            sims = A @ B.T
-            # threshold on raw scores first; round only the survivors
-            ai, bj = np.nonzero(sims >= threshold - margin)
-            rounded = np.round(sims[ai, bj], ROUND)
-            keep = (rounded >= threshold) & (Aids[ai] < Bids[bj])
-            yield pd.DataFrame(
+    empty = pd.DataFrame(
+        {
+            "vec_id_a": pd.Series(dtype="int64"),
+            "vec_id_b": pd.Series(dtype="int64"),
+            "similarity": pd.Series(dtype="float64"),
+        }
+    )
+
+    def gemm_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+
+        def unit_matrix(sub: pd.DataFrame):
+            ids = sub["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.vstack(sub["embedding"].map(np.asarray)).astype(np.float64)
+            mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            return ids, mat
+
+        a_sub = pdf if bi == bj else pdf[pdf["b"] == bi]
+        b_sub = pdf if bi == bj else pdf[pdf["b"] == bj]
+        if len(a_sub) == 0 or len(b_sub) == 0:
+            return empty
+        a_ids, a_mat = unit_matrix(a_sub)
+        b_ids, b_mat = unit_matrix(b_sub)
+        sims = a_mat @ b_mat.T
+        # threshold on raw scores first; round only the survivors
+        ai, bj_idx = np.nonzero(sims >= threshold - margin)
+        rounded = np.round(sims[ai, bj_idx], ROUND)
+        keep = rounded >= threshold
+        left, right = a_ids[ai[keep]], b_ids[bj_idx[keep]]
+        if bi == bj:
+            # within-block GEMM sees each unordered pair twice — keep a < b
+            ordered = left < right
+            return pd.DataFrame(
                 {
-                    "vec_id_a": Aids[ai[keep]],
-                    "vec_id_b": Bids[bj[keep]],
-                    "similarity": rounded[keep],
+                    "vec_id_a": left[ordered],
+                    "vec_id_b": right[ordered],
+                    "similarity": rounded[keep][ordered],
                 }
             )
+        # cross-block: each unordered pair appears once; order ids for output
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.minimum(left, right),
+                "vec_id_b": np.maximum(left, right),
+                "similarity": rounded[keep],
+            }
+        )
 
-    return src.mapInPandas(
-        block, schema="vec_id_a long, vec_id_b long, similarity double"
+    return replicated.groupBy("bi", "bj").applyInPandas(
+        gemm_block_pair, schema="vec_id_a long, vec_id_b long, similarity double"
     )
 
 

@@ -8,7 +8,7 @@ call signatures are format-agnostic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,25 +39,43 @@ def scd2_apply(
     ``dim`` columns: business columns + ``valid_from``/``valid_to``
     timestamps; open rows marked by ``valid_to == open_marker``.
     ``changes`` columns: business columns + ``effective_ts``.
+
+    Multiple changes for one key in a single batch are sequenced by
+    ``effective_ts``: each intermediate change's version is closed at the
+    next change's timestamp, only the latest stays open, and the
+    previously-open dim row is closed at the EARLIEST change — so validity
+    intervals never overlap. Ties on ``effective_ts`` within a key are not
+    ordered deterministically; give changes distinct timestamps.
     """
     open_rows = dim.filter(F.col(end_col) == open_marker)
     closed_rows = dim.filter(F.col(end_col) != open_marker)
 
-    change_keys = changes.select(
-        F.col(key), F.col(effective_ts).alias("__new_from")
+    # close the currently-open version at the key's EARLIEST change
+    first_change = changes.groupBy(key).agg(
+        F.min(effective_ts).alias("__new_from")
     )
-    # close open versions of changed keys at the change timestamp
     newly_closed = (
-        open_rows.join(change_keys, key)
+        open_rows.join(first_change, key)
         .withColumn(end_col, F.col("__new_from"))
         .drop("__new_from")
     )
-    untouched_open = open_rows.join(change_keys.select(key), key, "left_anti")
+    untouched_open = open_rows.join(
+        changes.select(key).distinct(), key, "left_anti"
+    )
 
+    # sequence the batch per key: each change is closed by the next one;
+    # only the last change per key remains open
+    w = Window.partitionBy(key).orderBy(effective_ts)
     new_versions = (
-        changes.withColumn(start_col, F.col(effective_ts))
-        .withColumn(end_col, F.lit(open_marker).cast("string"))
-        .drop(effective_ts)
+        changes.withColumn("__next_from", F.lead(effective_ts).over(w))
+        .withColumn(start_col, F.col(effective_ts))
+        .withColumn(
+            end_col,
+            F.coalesce(
+                F.col("__next_from").cast("string"), F.lit(open_marker)
+            ),
+        )
+        .drop(effective_ts, "__next_from")
     )
     return (
         closed_rows.unionByName(newly_closed)

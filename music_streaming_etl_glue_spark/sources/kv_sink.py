@@ -21,10 +21,10 @@ import json
 import os
 import random
 import time
-import uuid
 from collections.abc import Callable, Iterable, Iterator
 from typing import Any
 
+from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
 BATCH_SIZE = 25  # reference load_dynamodb.py:134
@@ -75,9 +75,17 @@ def write_kv(
 
     ``writer_factory`` is called once per partition *on the executor* and
     must return the batch-write callable — connections are created
-    executor-side, never pickled from the driver.
+    executor-side, never pickled from the driver. If the returned callable
+    carries a ``finalize`` attribute it is invoked once after the
+    partition's last batch (the commit hook backends use for atomic
+    task-retry-safe output).
     """
     columns = df.columns
+    # The (id, timestamp) in-batch dedupe exists for the DynamoDB composite
+    # key; for frames without those columns every key would collapse to
+    # (None, None) and each batch would silently shrink to one row.
+    has_kv_key = "id" in columns and "timestamp" in columns
+    dedupe = _dedupe if has_kv_key else (lambda batch: batch)
 
     def handle_partition(rows: Iterator[Any]) -> None:
         write_batch = writer_factory()
@@ -86,11 +94,14 @@ def write_kv(
             batch.append({c: row[c] for c in columns})
             if len(batch) >= batch_size:
                 _write_with_retry(
-                    write_batch, _dedupe(batch), max_retries, backoff_base_s
+                    write_batch, dedupe(batch), max_retries, backoff_base_s
                 )
                 batch = []
         if batch:
-            _write_with_retry(write_batch, _dedupe(batch), max_retries, backoff_base_s)
+            _write_with_retry(write_batch, dedupe(batch), max_retries, backoff_base_s)
+        finalize = getattr(write_batch, "finalize", None)
+        if finalize is not None:
+            finalize()
 
     df.foreachPartition(handle_partition)
 
@@ -98,18 +109,33 @@ def write_kv(
 def local_dir_backend(
     out_dir: str,
 ) -> Callable[[], Callable[[list[dict[str, Any]]], None]]:
-    """ndjson-per-partition stand-in backend (for tests / local serving)."""
+    """ndjson-per-partition stand-in backend (for tests / local serving).
+
+    Idempotent under task retry / speculative re-execution: the file is
+    named by partition id (a retried attempt truncates the same tmp file
+    instead of accumulating a second uuid-named one) and committed with an
+    atomic rename in ``finalize`` — ``read_kv_dir`` only sees fully-written
+    ``.ndjson`` files, never a failed attempt's partial output.
+    """
 
     def factory() -> Callable[[list[dict[str, Any]]], None]:
         os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.ndjson")
-        fh = open(path, "a", encoding="utf-8")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        final_path = os.path.join(out_dir, f"part-{pid:05d}.ndjson")
+        tmp_path = final_path + ".tmp"
+        fh = open(tmp_path, "w", encoding="utf-8")
 
         def write_batch(batch: list[dict[str, Any]]) -> None:
             for item in batch:
                 fh.write(json.dumps(item, default=str) + "\n")
             fh.flush()
 
+        def finalize() -> None:
+            fh.close()
+            os.replace(tmp_path, final_path)
+
+        write_batch.finalize = finalize  # type: ignore[attr-defined]
         return write_batch
 
     return factory

@@ -49,3 +49,18 @@ def test_asof_picks_most_recent_and_tiebreaks(spark):
     # most recent right ts wins; within the tied ts, max tiebreaker wins
     assert row.asof_ts == _ts(50)
     assert row.asof_value == 9.0
+
+
+def test_asof_null_value_on_matched_row_is_carried(spark):
+    # The matched (most recent) right row has value=NULL — the join must
+    # report that NULL, not splice in an older row's non-null value.
+    left = spark.createDataFrame(
+        [(1, 7, _ts(60))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(30), 1.0), (7, _ts(50), None)],
+        "user_id long, ts timestamp, value double",
+    )
+    row = asof_join(left, right, key="user_id", right_values=["value"]).collect()[0]
+    assert row.asof_ts == _ts(50)
+    assert row.asof_value is None

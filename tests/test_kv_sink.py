@@ -96,3 +96,35 @@ def test_retry_exhaustion_raises():
             max_retries=2,
             backoff_base_s=0.001,
         )
+
+
+def test_write_kv_without_key_columns_writes_every_row(spark, tmp_path):
+    # No id/timestamp columns → the (id, timestamp) batch dedupe must NOT
+    # collapse each 25-row batch to a single (None, None) key.
+    df = spark.createDataFrame(
+        [(i, "v") for i in range(100)], "k long, payload string"
+    ).coalesce(1)
+    out = str(tmp_path / "kv_nokey")
+    write_kv(df, local_dir_backend(out), batch_size=25)
+    got = list(read_kv_dir(out))
+    assert len(got) == 100
+    assert {g["k"] for g in got} == set(range(100))
+
+
+def test_local_dir_backend_idempotent_under_retry(tmp_path):
+    # A failed first attempt (no finalize) leaves only a tmp file; the
+    # retried attempt truncates it and commits atomically — no double rows.
+    out = str(tmp_path / "kv_retry")
+    factory = local_dir_backend(out)
+    first = factory()  # attempt 1: writes but dies before finalize
+    first(
+        [{"id": "A", "timestamp": "t", "v": 1}, {"id": "B", "timestamp": "t", "v": 2}]
+    )
+    assert list(read_kv_dir(out)) == []  # uncommitted attempt is invisible
+    second = factory()  # attempt 2 (same partition id): full rewrite
+    second([{"id": "A", "timestamp": "t", "v": 1}])
+    second([{"id": "B", "timestamp": "t", "v": 2}])
+    second.finalize()
+    got = list(read_kv_dir(out))
+    assert len(got) == 2
+    assert {g["id"] for g in got} == {"A", "B"}

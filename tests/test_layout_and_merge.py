@@ -106,3 +106,23 @@ def test_scd2_versions(spark):
     assert rows[(1, "x2")] == ("2024-06-01", OPEN)  # new open version
     assert rows[(2, "y")] == ("2024-01-01", OPEN)  # untouched
     assert len(out) == 3
+
+
+def test_scd2_multiple_changes_per_key_in_one_batch(spark):
+    OPEN = "9999-12-31 00:00:00"
+    dim = spark.createDataFrame(
+        [(1, "x", "2024-01-01", OPEN)],
+        "id long, attr string, valid_from string, valid_to string",
+    )
+    changes = spark.createDataFrame(
+        [(1, "x2", "2024-03-01"), (1, "x3", "2024-06-01")],
+        "id long, attr string, eff string",
+    )
+    out = scd2_apply(dim, changes, "id", "eff").collect()
+    rows = {(r.id, r.attr): (r.valid_from, r.valid_to) for r in out}
+    assert rows[(1, "x")] == ("2024-01-01", "2024-03-01")  # closed at FIRST change
+    assert rows[(1, "x2")] == ("2024-03-01", "2024-06-01")  # closed by next change
+    assert rows[(1, "x3")] == ("2024-06-01", OPEN)  # only latest stays open
+    assert len(out) == 3  # no duplicated/overlapping versions
+    open_rows = [r for r in out if r.valid_to == OPEN]
+    assert len(open_rows) == 1
