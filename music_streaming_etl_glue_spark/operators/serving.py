@@ -116,6 +116,44 @@ def serving_items(enriched: DataFrame, batch_ts: str = DEFAULT_BATCH_TS) -> Data
     return out
 
 
+# ---------------------------------------------------------------------------
+# Secondary access path twin of the reference's GenreDateIndex GSI
+# (create_dynamodb_table.py:40-48: genre HASH, date RANGE, projection ALL).
+# DynamoDB GSIs are sparse — only items carrying BOTH key attributes are
+# indexed — so the filter keeps the three item families that have
+# (track_genre, date) and drops user/trending items, exactly like the GSI.
+# ---------------------------------------------------------------------------
+
+GSI_GENRE = "click"
+GSI_DATE_FROM = "2024-01-05"
+GSI_DATE_TO = "2024-01-12"
+
+
+def serving_by_genre_date(
+    enriched: DataFrame,
+    genre: str = GSI_GENRE,
+    date_from: str = GSI_DATE_FROM,
+    date_to: str = GSI_DATE_TO,
+    batch_ts: str = DEFAULT_BATCH_TS,
+) -> DataFrame:
+    """Range lookup on the genre→date secondary index: all KPI items of one
+    genre within a date window (the reference's GenreDateIndex Query).
+
+    Logical form of the physical layout in
+    ``kv_sink.write_serving_gsi_genre_date`` — there the same predicate
+    prunes to one ``track_genre=`` directory and a contiguous ``date=``
+    range instead of filtering a full scan. ISO dates compare correctly as
+    strings, so ``between`` is the range-key condition.
+    """
+    items = serving_items(enriched, batch_ts)
+    return items.filter(
+        F.col("track_genre").isNotNull()
+        & F.col("date").isNotNull()
+        & (F.col("track_genre") == genre)
+        & F.col("date").between(date_from, date_to)
+    )
+
+
 SERVING_ITEMS_SQL = f"""
 WITH user_kpis AS ({K.USER_KPIS_SQL}),
 genre_daily AS ({K.GENRE_DAILY_SQL}),
@@ -151,4 +189,13 @@ SELECT concat_ws('_', 'TRENDING', track_id, track_genre) AS id,
        kpi_type, track_id, track_genre, plays_last_24h,
        total_listening_time_minutes, unique_listeners
 FROM trending
+"""
+
+
+SERVING_BY_GENRE_DATE_SQL = f"""
+WITH items AS ({SERVING_ITEMS_SQL})
+SELECT * FROM items
+WHERE track_genre IS NOT NULL AND date IS NOT NULL
+  AND track_genre = '{GSI_GENRE}'
+  AND date BETWEEN '{GSI_DATE_FROM}' AND '{GSI_DATE_TO}'
 """

@@ -157,6 +157,33 @@ def serving_lookup(spark, serving_path: str, item_id: str, kpi_type: str | None 
     return df.filter(df["id"] == item_id)
 
 
+def write_serving_gsi_genre_date(items: DataFrame, path: str) -> None:
+    """Secondary (GSI) layout of the serving table keyed genre→date,
+    mirroring the reference's GenreDateIndex
+    (``create_dynamodb_table.py:40-48``). DynamoDB GSIs are sparse — only
+    items carrying both key attributes are indexed — so rows missing
+    ``track_genre`` or ``date`` are dropped, and the two keys become the
+    partition directories: a (genre, date-range) query prunes to one
+    ``track_genre=`` directory and the matching ``date=`` leaves instead of
+    scanning every ``kpi_type`` partition of the primary layout."""
+    items.filter(
+        items["track_genre"].isNotNull() & items["date"].isNotNull()
+    ).write.mode("overwrite").partitionBy("track_genre", "date").parquet(path)
+
+
+def serving_gsi_lookup(
+    spark, gsi_path: str, genre: str, date_from: str, date_to: str
+):
+    """Range read on the GSI layout (the reference's GenreDateIndex Query):
+    both predicates hit partition columns, so the scan is pruned to the
+    genre directory and the date sub-range — no data files outside the
+    window are opened."""
+    df = spark.read.parquet(gsi_path)
+    return df.filter(
+        (df["track_genre"] == genre) & df["date"].between(date_from, date_to)
+    )
+
+
 def read_kv_dir(out_dir: str) -> Iterable[dict[str, Any]]:
     """Read back everything a ``local_dir_backend`` run wrote."""
     for name in sorted(os.listdir(out_dir)):

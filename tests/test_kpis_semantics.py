@@ -77,3 +77,41 @@ def test_trending_window_is_range_not_rows(spark):
     ]
     out = trending_tracks(_enriched_rows(spark, rows)).collect()
     assert out[0].plays_last_24h == 1
+
+
+def test_approx_distinct_within_rsd_bound(spark):
+    """genre_daily_metrics_approx: every group's HLL++ estimate must sit
+    within 4×rsd of the exact distinct count (and the exact columns must be
+    identical), so the approx query is bounded, not merely runnable."""
+    from music_streaming_etl_glue_spark.operators.enrich import enrich_events
+    from music_streaming_etl_glue_spark.operators.kpis import (
+        genre_daily_metrics,
+        genre_daily_metrics_approx,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rsd = 0.02
+    enriched = enrich_events(
+        load_table(spark, SF_SMOKE, "events"),
+        load_table(spark, SF_SMOKE, "customer"),
+        load_table(spark, SF_SMOKE, "nation"),
+    ).cache()
+    exact = {
+        (r.date, r.track_genre): (
+            r.unique_listeners,
+            r.listen_count,
+            r.total_listening_time_minutes,
+        )
+        for r in genre_daily_metrics(enriched).collect()
+    }
+    approx = genre_daily_metrics_approx(enriched, rsd=rsd).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        ex_distinct, ex_count, ex_time = exact[(r.date, r.track_genre)]
+        tol = max(2.0, 4 * rsd * ex_distinct)
+        assert abs(r.unique_listeners - ex_distinct) <= tol, (
+            r.date, r.track_genre, r.unique_listeners, ex_distinct)
+        assert r.listen_count == ex_count
+        assert r.total_listening_time_minutes == ex_time
+    enriched.unpersist()

@@ -64,3 +64,37 @@ def test_kpi_scan_prunes_columns(spark):
     assert "event_type" not in scan
     # two-phase aggregation (partial before the exchange)
     assert plan.count("HashAggregate") >= 2
+
+def test_serving_gsi_layout_prunes_by_genre_and_date(spark, tmp_path):
+    """GenreDateIndex twin: a (genre, date-range) lookup on the GSI layout
+    must prune on BOTH partition keys, and the sparse-index filter must
+    drop item families lacking the key attributes."""
+    from music_streaming_etl_glue_spark.operators.serving import serving_items
+    from music_streaming_etl_glue_spark.sources.kv_sink import (
+        serving_gsi_lookup,
+        write_serving_gsi_genre_date,
+    )
+
+    items = serving_items(
+        enrich_events(
+            load_table(spark, SF_SMOKE, "events"),
+            load_table(spark, SF_SMOKE, "customer"),
+            load_table(spark, SF_SMOKE, "nation"),
+        )
+    )
+    gsi = str(tmp_path / "gsi")
+    write_serving_gsi_genre_date(items, gsi)
+    hit = serving_gsi_lookup(spark, gsi, "click", "2024-01-05", "2024-01-12")
+    plan = _plan(hit)
+    assert "PartitionFilters: [isnotnull(track_genre" in plan
+    assert "isnotnull(date" in plan
+    # sparse-index semantics: only families carrying (genre, date) indexed
+    kinds = {r.kpi_type for r in hit.select("kpi_type").distinct().collect()}
+    assert kinds <= {"genre_daily", "genre_top_songs", "genre_top_genres"}
+    assert hit.count() > 0
+    # and the result matches the logical (unpartitioned) predicate
+    expected = items.filter(
+        (items["track_genre"] == "click")
+        & items["date"].between("2024-01-05", "2024-01-12")
+    ).count()
+    assert hit.count() == expected
