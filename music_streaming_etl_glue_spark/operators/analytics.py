@@ -303,29 +303,62 @@ GROUP BY event_type
 # skyline (Pareto-optimal set)
 # ---------------------------------------------------------------------------
 
+def _skyline_pass(df: DataFrame, part_cols: list[str]) -> DataFrame:
+    """One sort-based 2-D skyline pass (minimize p_size, p_retailprice).
+
+    Ordered by p_size, a row is dominated iff some row at size <= its own
+    has a strictly lower price (m1, frame includes equal sizes), or some
+    row at a strictly smaller size has price <= its own (m2, frame ends at
+    size-1). Two running-min range windows — O(n log n) per partition, no
+    pairwise join. Duplicates of the same point survive (no strict edge),
+    matching the NOT-EXISTS oracle.
+    """
+    w_le = (
+        Window.partitionBy(*part_cols)
+        .orderBy("p_size")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_lt = (
+        Window.partitionBy(*part_cols)
+        .orderBy("p_size")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m1 = F.min("p_retailprice").over(w_le)
+    m2 = F.min("p_retailprice").over(w_lt)
+    dominated = (m1 < F.col("p_retailprice")) | (
+        m2.isNotNull() & (m2 <= F.col("p_retailprice"))
+    )
+    return (
+        df.withColumn("__dominated", dominated)
+        .filter(~F.col("__dominated"))
+        .drop("__dominated")
+    )
+
+
 def skyline_parts(part: DataFrame) -> DataFrame:
     """Skyline of parts minimizing (p_size, p_retailprice): rows no other
     row dominates (<= on both dims, < on at least one).
 
-    Expressed as a NOT EXISTS anti-join (the dominance test), with the
-    probe side spread across cores (non-equi join → BNLJ, parallelism =
-    stream-side partitions). Scale path per the skyline-in-Spark-SQL
-    literature: grid/angular pre-partitioning so each partition computes
-    a local skyline before the global merge — the anti-join here IS the
-    correct global semantics the fancier plans must reproduce.
+    Two-phase divide-and-conquer, no pairwise join anywhere:
+
+    1. **Local skylines, fully parallel** — each input partition computes
+       its own skyline with the sort-based window pass (partitioned by
+       ``spark_partition_id``, so every core works independently). A
+       globally non-dominated row is non-dominated in its partition, so
+       the union of local skylines contains the global skyline; dominance
+       is transitive, so anything a *discarded* row dominated is also
+       dominated by a surviving row.
+    2. **Global merge** — the same pass over the survivors (for random
+       data the local skylines are ~log-sized, so this input is tiny).
+
+    At 100× the data this stays one scan + one small-window stage; the old
+    NOT-EXISTS form compiled to an O(n²) BroadcastNestedLoopJoin.
     """
-    par = part.sparkSession.sparkContext.defaultParallelism
-    p = part.select("p_partkey", "p_size", "p_retailprice").repartition(par)
-    q = part.select(
-        F.col("p_size").alias("q_size"),
-        F.col("p_retailprice").alias("q_price"),
-    )
-    dominated = (
-        (F.col("q_size") <= F.col("p_size"))
-        & (F.col("q_price") <= F.col("p_retailprice"))
-        & ((F.col("q_size") < F.col("p_size")) | (F.col("q_price") < F.col("p_retailprice")))
-    )
-    return p.join(q, dominated, "left_anti")
+    p = part.select("p_partkey", "p_size", "p_retailprice")
+    local = _skyline_pass(
+        p.withColumn("__pid", F.spark_partition_id()), ["__pid"]
+    ).drop("__pid")
+    return _skyline_pass(local, [])
 
 
 SKYLINE_PARTS_SQL = """

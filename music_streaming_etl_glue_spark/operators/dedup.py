@@ -250,6 +250,31 @@ def ngram_jaccard_pairs(
     )
 
 
+# Documented default skew cap for pipeline (non-oracle) use: the shingle
+# join's shuffle cost is Σ df(shingle)², so one stopword-phrase shingle
+# appearing in 1M docs alone contributes 10¹² candidate pairs. Shingles
+# this frequent carry ~no near-dup signal (they are corpus boilerplate);
+# dropping them bounds every shingle group while leaving real duplicate
+# pairs intact. Sizes are recomputed after the cap, so Jaccard stays
+# internally consistent over the filtered shingle sets.
+PIPELINE_MAX_SHINGLE_DF = 10_000
+
+
+def ngram_jaccard_pairs_pipeline(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int = PIPELINE_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Production entry point for exact Jaccard pairs: identical to
+    :func:`ngram_jaccard_pairs` but the hot-shingle cap is ON by default —
+    at 100 TB an uncapped run is one hot key away from a stuck reducer.
+    The bare function keeps the cap off for bit-exact oracle parity."""
+    return ngram_jaccard_pairs(
+        documents, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+
+
 NGRAM_JACCARD_SQL = f"""
 WITH sh AS ({_shingles_cte()}),
 sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),

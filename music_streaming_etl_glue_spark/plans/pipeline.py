@@ -19,7 +19,10 @@ deliberate (SURVEY §4):
 
 from __future__ import annotations
 
+import contextlib
 import os
+import time
+import uuid
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -34,6 +37,66 @@ from music_streaming_etl_glue_spark.sources.kv_sink import (
     write_kv,
     write_serving_parquet,
 )
+
+
+# Orchestration-resilience contract of the reference DAG
+# (``/root/reference/dags/constants.py:47-49``, asserted by its own
+# ``tests/dags/test_dag_example.py:70-83``): every task retries at least
+# twice, and at most three pipeline runs execute concurrently.
+PIPELINE_RETRIES = 2
+RETRY_BACKOFF_S = 0.5
+MAX_ACTIVE_RUNS = 3
+
+
+def run_stage_with_retry(
+    stage: Callable[[], Any],
+    retries: int = PIPELINE_RETRIES,
+    backoff_s: float = RETRY_BACKOFF_S,
+) -> Any:
+    """Execute one pipeline stage with bounded retries + exponential
+    backoff. Stages here are idempotent (overwrite-mode writes, pure
+    counts), so a retried stage cannot double-apply — the precondition
+    that makes task-level retry safe."""
+    attempt = 0
+    while True:
+        try:
+            return stage()
+        except Exception:
+            if attempt >= retries:
+                raise
+            time.sleep(backoff_s * (2**attempt))
+            attempt += 1
+
+
+@contextlib.contextmanager
+def run_concurrency_guard(work_dir: str, max_active: int = MAX_ACTIVE_RUNS):
+    """Cap concurrent pipeline runs against one workspace (the reference
+    DAG's ``max_active_runs``): each active run holds a slot file; a run
+    beyond the cap fails fast instead of stacking overlapping writes.
+    Crash-leaked slots are reclaimed by their age at next acquisition."""
+    slots = os.path.join(work_dir, "_active_runs")
+    os.makedirs(slots, exist_ok=True)
+    now = time.time()
+    for name in os.listdir(slots):  # reap slots older than 1 day (crashes)
+        p = os.path.join(slots, name)
+        try:
+            if now - os.path.getmtime(p) > 86_400:
+                os.remove(p)
+        except OSError:
+            pass
+    if len(os.listdir(slots)) >= max_active:
+        raise RuntimeError(
+            f"pipeline concurrency cap reached ({max_active} active runs)"
+        )
+    token = os.path.join(slots, f"run-{uuid.uuid4().hex}.slot")
+    open(token, "w").close()
+    try:
+        yield
+    finally:
+        try:
+            os.remove(token)
+        except OSError:
+            pass
 
 
 @dataclass
@@ -81,16 +144,20 @@ def run_batch_pipeline(
         writer = df.write.mode("overwrite")
         if "date" in df.columns:
             writer = writer.partitionBy("date")
-        writer.parquet(path)
+        run_stage_with_retry(lambda w=writer, p=path: w.parquet(p))
         kpi_rows[name] = spark.read.parquet(path).count()
 
     items = serving_items(enriched, batch_ts)
-    write_serving_parquet(items, os.path.join(output_dir, "serving_items"))
+    run_stage_with_retry(
+        lambda: write_serving_parquet(
+            items, os.path.join(output_dir, "serving_items")
+        )
+    )
     serving_rows = spark.read.parquet(
         os.path.join(output_dir, "serving_items")
     ).count()
     if kv_writer_factory is not None:
-        write_kv(items, kv_writer_factory)
+        run_stage_with_retry(lambda: write_kv(items, kv_writer_factory))
 
     enriched.unpersist()
     return PipelineResult(
@@ -167,13 +234,15 @@ def run_incremental_pipeline(
         writer = df.write.mode("overwrite")
         if "date" in df.columns:
             writer = writer.partitionBy("date")
-        writer.parquet(path)
+        run_stage_with_retry(lambda w=writer, p=path: w.parquet(p))
         kpi_rows[name] = spark.read.parquet(path).count()
 
     items = _serving.serving_items(enriched, batch_ts)
     if qa_gate:
         assert_serving_quality(items)
-    write_serving_parquet(items, os.path.join(out_dir, "serving_items"))
+    run_stage_with_retry(
+        lambda: write_serving_parquet(items, os.path.join(out_dir, "serving_items"))
+    )
     serving_rows = spark.read.parquet(os.path.join(out_dir, "serving_items")).count()
     enriched.unpersist()
 

@@ -86,3 +86,28 @@ def test_multimodal_features_deterministic(docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
+
+
+def test_jaccard_pipeline_cap_drops_hot_shingles(spark):
+    """The pipeline entry point caps shingle document frequency: boilerplate
+    shingles shared by every doc must not generate candidate pairs."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_pipeline,
+    )
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the shared boilerplate shingles create pairs at low threshold
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.1)
+    assert uncapped.count() > 0
+    # capped at df<=5 the ubiquitous (df=6) shingles drop; docs share nothing
+    capped = ngram_jaccard_pairs_pipeline(docs, threshold=0.1, max_shingle_df=5)
+    assert capped.count() == 0
+    # default pipeline cap (10k) is a no-op on this tiny corpus
+    default_cap = ngram_jaccard_pairs_pipeline(docs, threshold=0.1)
+    assert default_cap.count() == uncapped.count()

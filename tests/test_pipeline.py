@@ -83,3 +83,46 @@ def test_incremental_pipeline_lifecycle(spark, tmp_path):
     assert (
         r3.kpi.kpi_rows["user_kpis"] == r1.kpi.kpi_rows["user_kpis"]
     )  # same users, doubled plays
+
+
+def test_stage_retry_recovers_from_transient_failure():
+    from music_streaming_etl_glue_spark.plans.pipeline import run_stage_with_retry
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 2:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert run_stage_with_retry(flaky, retries=2, backoff_s=0.001) == "ok"
+    assert len(calls) == 2  # failed once, succeeded on the retry
+
+
+def test_stage_retry_exhaustion_reraises():
+    import pytest
+
+    from music_streaming_etl_glue_spark.plans.pipeline import run_stage_with_retry
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        run_stage_with_retry(always_fails, retries=2, backoff_s=0.001)
+
+
+def test_concurrency_guard_caps_active_runs(tmp_path):
+    import pytest
+
+    from music_streaming_etl_glue_spark.plans.pipeline import run_concurrency_guard
+
+    wd = str(tmp_path)
+    with run_concurrency_guard(wd, max_active=2):
+        with run_concurrency_guard(wd, max_active=2):
+            with pytest.raises(RuntimeError, match="concurrency cap"):
+                with run_concurrency_guard(wd, max_active=2):
+                    pass
+    # slots released on exit → a new run acquires freely
+    with run_concurrency_guard(wd, max_active=2):
+        pass

@@ -98,3 +98,37 @@ def test_serving_gsi_layout_prunes_by_genre_and_date(spark, tmp_path):
         & items["date"].between("2024-01-05", "2024-01-12")
     ).count()
     assert hit.count() == expected
+
+
+def test_skyline_has_no_pairwise_join(spark):
+    """The skyline must be the two-phase window plan — any nested-loop or
+    cartesian join means the O(n²) dominance test crept back in."""
+    from music_streaming_etl_glue_spark.operators.analytics import skyline_parts
+
+    plan = _plan(skyline_parts(load_table(spark, SF_SMOKE, "part")))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2  # local pass + global merge
+
+
+def test_ann_ivf_probe_prunes_bucket_partitions(spark, tmp_path):
+    """The IVF probe must read only the probed bucket directories —
+    partition pruning on `bucket`, not a scan-then-filter."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        SIGN_BITS,
+        ann_topk_ivf,
+    )
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    ivf = str(tmp_path / "ivf")
+    topk = ann_topk_ivf(spark, embs, ivf)
+    plan = _plan(topk)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2, "no PartitionFilters in scan"
+    assert "bucket" in pf[1][:300]
+    # probe list = query bucket + SIGN_BITS Hamming-1 neighbors
+    rows = topk.collect()
+    assert len(rows) == 20
+    import os
+    n_dirs = len([d for d in os.listdir(ivf) if d.startswith("bucket=")])
+    assert n_dirs == 2**SIGN_BITS  # full layout exists, probe reads subset
