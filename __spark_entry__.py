@@ -102,6 +102,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda spark, sf: _text.tfidf_top_terms(
             _docs(spark, sf)
         ),
+        "repetition_metrics": lambda spark, sf: _text.repetition_metrics(
+            _docs(spark, sf)
+        ),
+        "chunk_documents": lambda spark, sf: _text.chunk_documents(
+            _docs(spark, sf)
+        ),
         "value_histogram": lambda spark, sf: _an.value_histogram(
             load_table(spark, sf, "events")
         ),
@@ -112,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_apply": lambda spark, sf: _dedup.dedup_apply(_docs(spark, sf)),
         "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
+        "stratified_sample": lambda spark, sf: _dedup.stratified_sample(
+            load_table(spark, sf, "events")
+        ),
         "ngram_jaccard_pairs": lambda spark, sf: _dedup.ngram_jaccard_pairs(
             _docs(spark, sf)
         ),
@@ -139,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_topk_ivf": _ann_ivf,
         "label_centroids": lambda spark, sf: _sim.label_centroids(
+            _embs(spark, sf)
+        ),
+        "quantize_embeddings": lambda spark, sf: _sim.quantize_embeddings(
             _embs(spark, sf)
         ),
         "cosine_pairs": lambda spark, sf: _sim.cosine_pairs(_embs(spark, sf)),
@@ -179,6 +191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "orders")
         ),
         "user_sessions": lambda spark, sf: _an.user_sessions(
+            load_table(spark, sf, "events")
+        ),
+        "user_session_windows": lambda spark, sf: _an.user_session_windows(
             load_table(spark, sf, "events")
         ),
         "value_percentiles": lambda spark, sf: _an.value_percentiles(
@@ -222,11 +237,14 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _text.LANG_ID_SQL,
         "fingerprints": _text.FINGERPRINTS_SQL,
         "tfidf_top_terms": _text.TFIDF_TOP_TERMS_SQL,
+        "repetition_metrics": _text.REPETITION_METRICS_SQL,
+        "chunk_documents": _text.CHUNK_DOCUMENTS_SQL,
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,
         "dedup_apply": _dedup.DEDUP_APPLY_SQL,
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
+        "stratified_sample": _dedup.STRATIFIED_SAMPLE_SQL,
         "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": _dedup.MINHASH_SIGNATURES_SQL,
         "minhash_dedup_pairs": _dedup.MINHASH_DEDUP_SQL,
@@ -237,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
+        "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_SQL,
         "cosine_pairs": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_blocked": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_lsh": _sim.COSINE_PAIRS_LSH_SQL,
@@ -249,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "sales_rollup": _an.SALES_ROLLUP_SQL,
         "sales_cube": _an.SALES_CUBE_SQL,
         "user_sessions": _an.USER_SESSIONS_SQL,
+        "user_session_windows": _an.USER_SESSION_WINDOWS_SQL,
         "value_percentiles": _an.VALUE_PERCENTILES_SQL,
         "skyline_parts": _an.SKYLINE_PARTS_SQL,
         "error_click_asof": _asof.ERROR_CLICK_ASOF_SQL,

@@ -446,3 +446,62 @@ SELECT user_id,
 FROM flagged
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# native session windows (F.session_window — the streaming-compatible twin
+# of the manual lag/flag sessionization in user_sessions)
+# ---------------------------------------------------------------------------
+
+def user_session_windows(
+    events: DataFrame, gap_s: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Session intervals per user via Spark's native ``session_window``
+    operator: one shuffle on user_id, merge-on-overlap state machine in
+    the aggregate — the exact code path Structured Streaming uses, so the
+    batch and streaming sessionizations cannot diverge.
+
+    Native semantics (mirrored in the oracle): an event merges into the
+    open session while ``ts <= previous end`` — a gap of exactly ``gap_s``
+    still merges; only ``> gap_s`` splits — and ``session_end`` is the
+    last event + gap. Unlike the manual ``user_sessions`` (which compares
+    second-truncated ``unix_timestamp`` values), the comparison is at full
+    microsecond precision, so events 1800.000001 s apart are two sessions
+    here and one session there."""
+    sw = F.session_window("ts", f"{gap_s} seconds")
+    return (
+        events.groupBy("user_id", sw)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+USER_SESSION_WINDOWS_SQL = f"""
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > {SESSION_GAP_SECONDS} * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+flagged AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_id
+    FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND AS session_end,
+       count(*) AS n_events
+FROM flagged
+GROUP BY user_id, session_id
+"""

@@ -557,3 +557,63 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 
 
 SIMHASH_NEAR_DUPS_SQL = _simhash_near_dups_sql()
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (per-stratum downsampling for curation)
+# ---------------------------------------------------------------------------
+
+STRATA_FRACTIONS = (
+    ("click", 0.5),
+    ("error", 1.0),
+    ("purchase", 1.0),
+    ("signup", 0.1),
+    ("view", 0.25),
+)
+
+
+def stratified_sample(
+    events: DataFrame,
+    fractions: tuple[tuple[str, float], ...] = STRATA_FRACTIONS,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a fixed fraction of each
+    event_type, selected by key hash (same md5-bucket scheme as
+    :func:`dataset_split`) — rerunning, re-partitioning, or appending rows
+    never changes which existing rows are kept, the reproducibility
+    ``DataFrame.sample`` cannot give. Strata absent from ``fractions``
+    are dropped (lookup misses filter out as null). One narrow filter on
+    the scan, no shuffle."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 10_000
+    )
+    frac_map = F.create_map(
+        *[F.lit(x) for name_frac in fractions for x in name_frac]
+    )
+    threshold = (frac_map[F.col("event_type")] * 10_000).cast("long")
+    return (
+        events.withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < threshold)
+        .select("event_id", "event_type", "sample_bucket")
+    )
+
+
+_STRATA_CASE = "\n           ".join(
+    f"WHEN '{name}' THEN {int(round(frac * 10_000))}"
+    for name, frac in STRATA_FRACTIONS
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH b AS (
+    SELECT event_id, event_type,
+           ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 10000
+               AS sample_bucket
+    FROM events
+)
+SELECT event_id, event_type, sample_bucket
+FROM b
+WHERE sample_bucket < CASE event_type
+           {_STRATA_CASE}
+           ELSE -1 END
+"""

@@ -243,3 +243,149 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher/RefinedWeb-style repetition filters)
+# ---------------------------------------------------------------------------
+
+def repetition_metrics(documents: DataFrame) -> DataFrame:
+    """Per-document repetition signals used to filter low-quality training
+    text: duplicate-token fraction, duplicate-bigram fraction, and the
+    most-frequent-token share. Array expressions for the n-gram fractions
+    (no shuffle); the top-token share is one exploded (doc_id, term)
+    hash-agg — shuffle key cardinality is tokens, never pairwise."""
+    toks = _tokens()
+    base = documents.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.get("toks", i - 1), F.get("toks", i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    metrics = base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n).alias(
+            "dup_token_frac"
+        ),
+        F.when(
+            F.size(bigrams) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(F.max("tf").alias("top_tf"))
+    )
+    return metrics.join(tf, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "dup_bigram_frac",
+        (F.col("top_tf").cast("double") / F.col("n_tokens")).alias(
+            "top_token_frac"
+        ),
+    )
+
+
+REPETITION_METRICS_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+base AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1])
+           ELSE [] END AS bigrams
+    FROM t
+),
+tf AS (
+    SELECT doc_id, max(c) AS top_tf FROM (
+        SELECT doc_id, term, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        GROUP BY doc_id, term
+    )
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n::BIGINT AS n_tokens,
+       1.0 - len(list_distinct(b.toks))::DOUBLE / b.n AS dup_token_frac,
+       CASE WHEN len(b.bigrams) > 0 THEN
+           1.0 - len(list_distinct(b.bigrams))::DOUBLE / len(b.bigrams)
+       ELSE 0.0 END AS dup_bigram_frac,
+       tf.top_tf::DOUBLE / b.n AS top_token_frac
+FROM base b JOIN tf ON b.doc_id = tf.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# fixed-window document chunking (training-sequence packing prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    documents: DataFrame,
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the chunking stage ahead of tokenize-and-pack in a training pipeline.
+    One generate-and-explode projection, no shuffle, no Python; rows out
+    ≈ rows in × (n_tokens/stride), each chunk carrying (doc_id, chunk_id)
+    so provenance survives downstream dedup/pack stages."""
+    toks = _tokens()
+    n = F.size(toks)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - window) / F.lit(float(stride))).cast("int") + 1
+    )
+    base = documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice("toks", F.col("chunk_id") * stride + 1, window)
+    return base.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+),
+c AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0,
+               CASE WHEN n <= {CHUNK_TOKENS} THEN 0
+                    ELSE CAST(ceil((n - {CHUNK_TOKENS})::DOUBLE
+                                   / {CHUNK_STRIDE}) AS BIGINT)
+               END)) AS chunk_id
+    FROM t
+)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                  chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                       ' ') AS chunk_text,
+       len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                      chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}))::BIGINT
+           AS chunk_tokens
+FROM c
+"""

@@ -81,3 +81,30 @@ def read_parquet_multi(spark: SparkSession, paths: list[str]) -> DataFrame:
     if not paths:
         raise ValueError("read_parquet_multi: empty path list")
     return spark.read.parquet(*paths)
+
+
+def read_parquet_validated(
+    spark: SparkSession, paths: list[str], require_rows: bool = True
+) -> DataFrame:
+    """Multi-path scan with the reference's per-path validation read
+    (``compute_kpis.py:109-154``: each input is opened and counted before
+    compute). Every path must exist and parse as parquet; with
+    ``require_rows`` each must hold at least one row. All failing paths are
+    reported together up front — instead of one opaque executor error
+    minutes into the job. The probe is ``limit(1).count()`` per path (one
+    row group), not a full count."""
+    if not paths:
+        raise ValueError("read_parquet_validated: empty path list")
+    bad: list[tuple[str, str]] = []
+    for p in paths:
+        try:
+            n = spark.read.parquet(p).limit(1).count()
+        except Exception as exc:  # noqa: BLE001 — collect, report together
+            bad.append((p, str(exc).splitlines()[0][:160]))
+            continue
+        if require_rows and n == 0:
+            bad.append((p, "no rows"))
+    if bad:
+        detail = "; ".join(f"{p}: {why}" for p, why in bad)
+        raise ValueError(f"read_parquet_validated: invalid inputs: {detail}")
+    return spark.read.parquet(*paths)

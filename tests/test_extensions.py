@@ -111,3 +111,83 @@ def test_jaccard_pipeline_cap_drops_hot_shingles(spark):
     # default pipeline cap (10k) is a no-op on this tiny corpus
     default_cap = ngram_jaccard_pairs_pipeline(docs, threshold=0.1)
     assert default_cap.count() == uncapped.count()
+
+
+def test_cosine_pairs_guard_blocks_large_inputs(spark):
+    import pytest
+
+    from music_streaming_etl_glue_spark.operators.similarity import cosine_pairs
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="O\\(n²\\) baseline"):
+        cosine_pairs(embs, max_rows=10)
+    # bypass restores the baseline behavior
+    assert cosine_pairs(embs.limit(30), max_rows=None).count() >= 0
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    from music_streaming_etl_glue_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(80))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, window=32, stride=24).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 80 tokens -> chunks at offsets 0/24/48 (ceil((80-32)/24)+1 = 3)
+    one = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in one] == [0, 1, 2]
+    assert one[0].chunk_tokens == 32 and one[-1].chunk_tokens == 32
+    covered = set()
+    for r in one:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == {f"t{i}" for i in range(80)}  # every token in a chunk
+    # consecutive chunks overlap by window - stride = 8 tokens
+    assert set(one[0].chunk_text.split(" ")) & set(one[1].chunk_text.split(" "))
+    # short doc: single whole-document chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b c"
+
+
+def test_session_window_native_boundary_semantics(spark):
+    """Native session_window merges an event at EXACTLY gap_s distance
+    (splits only on > gap_s) and compares at microsecond precision; the
+    manual lag-based user_sessions compares second-truncated timestamps,
+    so a 1800.000001 s gap splits natively but not manually."""
+    import datetime as dt
+
+    from music_streaming_etl_glue_spark.operators.analytics import (
+        user_session_windows,
+        user_sessions,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string,"
+            " value double, props string",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    exact = mk(
+        [
+            (1, 7, t0, "click", 0.0, "{}"),
+            (2, 7, t0 + dt.timedelta(seconds=1800), "click", 0.0, "{}"),
+        ]
+    )
+    native = user_session_windows(exact, gap_s=1800).collect()
+    assert len(native) == 1  # exact-gap event still merges
+    assert native[0].session_end == t0 + dt.timedelta(seconds=3600)
+
+    hairline = mk(
+        [
+            (1, 7, t0, "click", 0.0, "{}"),
+            (2, 7, t0 + dt.timedelta(seconds=1800, microseconds=1), "c", 0.0, "{}"),
+        ]
+    )
+    assert len(user_session_windows(hairline, gap_s=1800).collect()) == 2
+    # manual sessionization truncates to whole seconds → still one session
+    assert user_sessions(hairline, gap_s=1800).collect()[0].n_sessions == 1

@@ -66,3 +66,30 @@ def test_quarantine_corrupt_sink(spark, tmp_path):
     # empty corrupt frame → no-op (no empty dirs written)
     quarantine_corrupt(res.corrupt.limit(0), str(tmp_path / "q2"))
     assert not (tmp_path / "q2").exists()
+
+
+def test_read_parquet_validated_reports_all_bad_paths(spark, tmp_path):
+    import pytest
+
+    from music_streaming_etl_glue_spark.sources.catalog import (
+        load_table,
+        read_parquet_validated,
+    )
+    from tests.conftest import SF_SMOKE
+
+    good = str(tmp_path / "good.parquet")
+    load_table(spark, SF_SMOKE, "region").write.parquet(good)
+    empty = str(tmp_path / "empty.parquet")
+    load_table(spark, SF_SMOKE, "region").limit(0).write.parquet(empty)
+    missing = str(tmp_path / "nope.parquet")
+
+    # every failing path named in one error, not just the first
+    with pytest.raises(ValueError) as exc:
+        read_parquet_validated(spark, [good, empty, missing])
+    assert "empty.parquet" in str(exc.value) and "nope.parquet" in str(exc.value)
+
+    # all-good passes and returns the combined scan
+    df = read_parquet_validated(spark, [good])
+    assert df.count() > 0
+    # empty allowed when the rows gate is off
+    assert read_parquet_validated(spark, [good, empty], require_rows=False).count() > 0
