@@ -16,6 +16,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -63,4 +64,30 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_user_sessions(
+    events_stream: DataFrame, gap_s: int = 1800, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization with the NATIVE ``session_window``
+    aggregate: the state store keeps one mergeable interval per open
+    session; the watermark finalizes and EVICTS sessions whose end falls
+    behind it, so state is bounded by active sessions, not history.
+
+    The exact operator the batch ``analytics.user_session_windows`` uses —
+    a closed session here is bit-identical to its batch row, so backfill
+    (batch) and live (stream) paths cannot disagree. Append output mode
+    emits each session exactly once, on finalization.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
     )

@@ -55,3 +55,73 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     shutil.copy(f"{SF_SMOKE}/events.parquet", src / "b2.parquet")
     run_batch()
     assert latest_totals() == {u: 2 * n for u, n in expect.items()}
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Closed sessions emitted by the streaming session_window aggregation
+    must equal the batch user_session_windows rows for the same events.
+    Later files advance the watermark, which finalizes + emits the earlier
+    sessions (append mode emits exactly once, on finalization)."""
+    from music_streaming_etl_glue_spark.operators.analytics import (
+        user_session_windows,
+    )
+    from music_streaming_etl_glue_spark.streaming.stateful import (
+        streaming_user_sessions,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "b1.parquet")
+    ckpt = str(tmp_path / "ck_sess")
+    out = str(tmp_path / "sessions")
+
+    def run_batch():
+        q = (
+            streaming_user_sessions(stream_events(spark, str(src)))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_batch()  # batch 1: watermark still at epoch start, nothing final
+
+    # Push the watermark far past every b1 session with later-ts files.
+    # The file-stream source lists the input dir NON-recursively, so each
+    # pushed file must be a plain part file, not a Spark-written directory.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    year_ns = 365 * 86_400 * 1_000_000_000
+
+    def push_file(name: str, years: int) -> None:
+        staged = tmp_path / f"stage_{name}"
+        raw.withColumn("ts", F.col("ts") + F.lit(years * year_ns)).limit(
+            50
+        ).coalesce(1).write.parquet(str(staged))
+        part = next(staged.glob("part-*.parquet"))
+        shutil.copy(part, src / name)
+
+    push_file("b2.parquet", 1)
+    run_batch()  # batch 2: processes b2, watermark advances past b1
+    push_file("b3.parquet", 2)
+    run_batch()  # batch 3: emits every finalized b1 session
+
+    import datetime as dt
+
+    emitted = spark.read.parquet(out).filter(
+        F.col("session_start") < dt.datetime(2024, 6, 1)  # b1 sessions only
+    )
+    expected = user_session_windows(load_table(spark, SF_SMOKE, "events"))
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in emitted.collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in expected.collect()
+    }
+    assert got == want  # every batch session emitted exactly once, no extras
