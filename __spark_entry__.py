@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genre_top_songs": lambda spark, sf: _kpis.genre_top_songs(
             _enriched(spark, sf)
         ),
+        "genre_daily_moving_avg": lambda spark, sf: _kpis.genre_daily_moving_avg(
+            _enriched(spark, sf)
+        ),
         "genre_top_genres": lambda spark, sf: _kpis.genre_top_genres(
             _enriched(spark, sf)
         ),
@@ -106,6 +109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "chunk_documents": lambda spark, sf: _text.chunk_documents(
+            _docs(spark, sf)
+        ),
+        "contamination_flags": lambda spark, sf: _text.contamination_flags(
             _docs(spark, sf)
         ),
         "value_histogram": lambda spark, sf: _an.value_histogram(
@@ -184,6 +190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_pivot": lambda spark, sf: _an.order_priority_pivot(
             load_table(spark, sf, "orders")
         ),
+        "order_priority_unpivot": lambda spark, sf: _an.order_priority_unpivot(
+            load_table(spark, sf, "orders")
+        ),
         "sales_rollup": lambda spark, sf: _an.sales_rollup(
             load_table(spark, sf, "orders")
         ),
@@ -227,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "user_kpis": _kpis.USER_KPIS_SQL,
         "genre_daily_metrics": _kpis.GENRE_DAILY_SQL,
         "genre_top_songs": _kpis.GENRE_TOP_SONGS_SQL,
+        "genre_daily_moving_avg": _kpis.GENRE_DAILY_MOVING_AVG_SQL,
         "genre_top_genres": _kpis.GENRE_TOP_GENRES_SQL,
         "trending_tracks": _kpis.TRENDING_SQL,
         "trending_tracks_reference_exact": _kpis.TRENDING_REFERENCE_EXACT_SQL,
@@ -239,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _text.TFIDF_TOP_TERMS_SQL,
         "repetition_metrics": _text.REPETITION_METRICS_SQL,
         "chunk_documents": _text.CHUNK_DOCUMENTS_SQL,
+        "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,
@@ -265,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "customers_with_big_orders": _an.CUSTOMERS_WITH_BIG_ORDERS_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
+        "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,
         "sales_cube": _an.SALES_CUBE_SQL,
         "user_sessions": _an.USER_SESSIONS_SQL,

@@ -505,3 +505,40 @@ SELECT user_id,
 FROM flagged
 GROUP BY user_id, session_id
 """
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt (inverse of the pivot — completes the reshape surface)
+# ---------------------------------------------------------------------------
+
+def order_priority_unpivot(orders: DataFrame) -> DataFrame:
+    """Wide→long melt of the pivoted status counts via native
+    ``DataFrame.unpivot`` (one projection per value column, no shuffle
+    beyond the pivot's own aggregate). Zero-filled combinations survive
+    the round trip, so pivot→unpivot loses nothing."""
+    wide = order_priority_pivot(orders)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=list(ORDER_STATUSES),
+        variableColumnName="o_orderstatus",
+        valueColumnName="n_orders",
+    )
+
+
+ORDER_PRIORITY_UNPIVOT_SQL = """
+WITH combos AS (
+    SELECT p.o_orderpriority, s.o_orderstatus
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+    CROSS JOIN (VALUES ('O'), ('F'), ('P')) s(o_orderstatus)
+),
+counts AS (
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F', 'P')
+    GROUP BY 1, 2
+)
+SELECT c.o_orderpriority, c.o_orderstatus,
+       COALESCE(n, 0)::BIGINT AS n_orders
+FROM combos c
+LEFT JOIN counts USING (o_orderpriority, o_orderstatus)
+"""

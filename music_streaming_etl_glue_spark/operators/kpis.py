@@ -258,3 +258,49 @@ GROUP BY track_id, track_genre
 
 TRENDING_SQL = _trending_sql("ASC")
 TRENDING_REFERENCE_EXACT_SQL = _trending_sql("DESC")
+
+
+# ---------------------------------------------------------------------------
+# trailing moving average + day-over-day delta (rows-frame window surface)
+# ---------------------------------------------------------------------------
+
+MOVING_AVG_DAYS = 7
+
+
+def genre_daily_moving_avg(
+    enriched: DataFrame, days: int = MOVING_AVG_DAYS
+) -> DataFrame:
+    """Per genre: trailing ``days``-row moving average of daily listens and
+    the day-over-day delta. Both windows share one (genre)-keyed sort, and
+    they run over the already-aggregated daily table — the shuffle carries
+    (days × genres) rows, never raw events."""
+    daily = genre_daily_metrics(enriched).select(
+        "date", "track_genre", "listen_count"
+    )
+    w_order = Window.partitionBy("track_genre").orderBy("date")
+    w_frame = w_order.rowsBetween(-(days - 1), 0)
+    return daily.select(
+        "date",
+        "track_genre",
+        "listen_count",
+        F.round(F.avg("listen_count").over(w_frame), 6).alias(
+            f"avg_{days}d_listens"
+        ),
+        (
+            F.col("listen_count") - F.lag("listen_count").over(w_order)
+        ).alias("delta_vs_prev_day"),
+    )
+
+
+GENRE_DAILY_MOVING_AVG_SQL = f"""
+WITH daily AS ({GENRE_DAILY_SQL})
+SELECT date, track_genre, listen_count,
+       round(avg(listen_count) OVER (
+           PARTITION BY track_genre ORDER BY date
+           ROWS BETWEEN {MOVING_AVG_DAYS - 1} PRECEDING AND CURRENT ROW
+       ), 6) AS avg_{MOVING_AVG_DAYS}d_listens,
+       listen_count - lag(listen_count) OVER (
+           PARTITION BY track_genre ORDER BY date
+       ) AS delta_vs_prev_day
+FROM daily
+"""

@@ -389,3 +389,53 @@ SELECT doc_id, chunk_id,
            AS chunk_tokens
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (flag training docs matching an eval set)
+# ---------------------------------------------------------------------------
+
+def contamination_flags(documents: DataFrame, bench_mod: int = 20) -> DataFrame:
+    """Decontamination check: flag every candidate training document whose
+    normalized fingerprint (order/duplication-invariant token set) matches
+    a benchmark document. The benchmark here is the deterministic
+    ``doc_id % bench_mod == 0`` slice standing in for an eval set.
+
+    The benchmark fingerprint set is tiny relative to the corpus, so the
+    probe is a broadcast left join — at 100 TB the corpus streams past the
+    in-memory benchmark set with no shuffle."""
+    fps = fingerprints(documents).select("doc_id", "normalized_fp")
+    bench = (
+        fps.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.col("normalized_fp").alias("bench_fp"))
+        .distinct()
+    )
+    candidates = fps.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        candidates.join(
+            F.broadcast(bench),
+            candidates["normalized_fp"] == bench["bench_fp"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("bench_fp").isNotNull().alias("contaminated"),
+        )
+    )
+
+
+CONTAMINATION_FLAGS_SQL = """
+WITH fps AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                               ' ')) AS normalized_fp
+    FROM documents
+),
+bench AS (
+    SELECT DISTINCT normalized_fp AS bench_fp FROM fps WHERE doc_id % 20 = 0
+)
+SELECT f.doc_id, b.bench_fp IS NOT NULL AS contaminated
+FROM fps f
+LEFT JOIN bench b ON f.normalized_fp = b.bench_fp
+WHERE f.doc_id % 20 != 0
+"""
