@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": lambda spark, sf: _sim.quantize_embeddings(
             _embs(spark, sf)
         ),
+        "ivf_assignments": lambda spark, sf: _sim.ivf_assignments(
+            _embs(spark, sf)
+        ),
         "cosine_pairs": lambda spark, sf: _sim.cosine_pairs(_embs(spark, sf)),
         "cosine_pairs_blocked": lambda spark, sf: _sim.cosine_pairs_blocked(
             _embs(spark, sf)
@@ -267,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
         "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_SQL,
+        "ivf_assignments": _sim.IVF_ASSIGNMENTS_SQL,
         "cosine_pairs": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_blocked": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_lsh": _sim.COSINE_PAIRS_LSH_SQL,

@@ -585,3 +585,104 @@ SELECT vec_id,
        ELSE list_transform(vec, x -> 0) END AS qvec
 FROM v
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF / k-means: nearest-centroid assignment + Lloyd refinement
+# ---------------------------------------------------------------------------
+
+def _centroid_arrays(centroids_exploded: DataFrame) -> DataFrame:
+    """(label, dim, centroid_value) rows → (assigned_label, cvec array),
+    dims restored to positional order."""
+    return centroids_exploded.groupBy(
+        F.col("label").alias("assigned_label")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_value"))),
+            lambda s: s["centroid_value"],
+        ).alias("cvec")
+    )
+
+
+def _assign_to_centroids(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assignment step: each vector → nearest centroid by squared euclidean
+    (expanded as v·v − 2 v·c + c·c), deterministic tie-break on label.
+    Centroids are k rows → broadcast; the vector side streams, and the
+    argmin is a map-side ``min_by`` aggregate — no n×k shuffle."""
+    v = F.col("v")
+    c = F.col("cvec")
+    dist = F.round(_dot(v, v) - 2 * _dot(v, c) + _dot(c, c), ROUND)
+    scored = (
+        embeddings.select("vec_id", _as_double("embedding").alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "assigned_label", dist.alias("dist"))
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min_by(
+            "assigned_label", F.struct(F.col("dist"), F.col("assigned_label"))
+        ).alias("assigned_label"),
+        F.min("dist").alias("dist"),
+    )
+
+
+def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+    """IVF training assignment: vectors → nearest per-label centroid
+    (the cell each vector would be stored in). Deterministic end-to-end
+    (centroids rounded to 6 decimals, distances rounded before the argmin),
+    so the whole step is oracle-checkable."""
+    return _assign_to_centroids(
+        embeddings, _centroid_arrays(label_centroids(embeddings))
+    )
+
+
+IVF_ASSIGNMENTS_SQL = f"""
+WITH cents AS (
+    SELECT label AS assigned_label, list(centroid_value ORDER BY dim) AS cvec
+    FROM ({LABEL_CENTROIDS_SQL})
+    GROUP BY label
+),
+scored AS (
+    SELECT e.vec_id, c.assigned_label,
+           round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                 + list_dot_product(c.cvec, c.cvec), {ROUND}) AS dist
+    FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist, assigned_label
+    ) AS rn
+    FROM scored
+)
+SELECT vec_id, assigned_label, dist FROM ranked WHERE rn = 1
+"""
+
+
+def kmeans_refine(
+    embeddings: DataFrame, iters: int = 2
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's k-means seeded from the label centroids: iterate
+    assign → recompute-centroids, returning the final assignment and the
+    per-iteration inertia (sum of squared distances). The loop is
+    driver-coordinated — each iteration is a handful of distributed jobs
+    (broadcast assign + hash-agg recompute), which is how iterative
+    algorithms are legitimately expressed on Spark; no per-row driver
+    work. Inertia is monotonically non-increasing up to the 6-decimal
+    distance rounding."""
+    cents = _centroid_arrays(label_centroids(embeddings))
+    inertias: list[float] = []
+    assign = None
+    for _ in range(iters):
+        assign = _assign_to_centroids(embeddings, cents)
+        inertias.append(float(assign.agg(F.sum("dist")).head()[0]))
+        recomputed = (
+            embeddings.join(assign.select("vec_id", "assigned_label"), "vec_id")
+            .select(
+                F.col("assigned_label").alias("label"),
+                F.posexplode(_as_double("embedding")).alias("dim", "x"),
+            )
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg("x"), ROUND).alias("centroid_value"))
+        )
+        cents = _centroid_arrays(recomputed)
+    return assign, inertias

@@ -191,3 +191,20 @@ def test_session_window_native_boundary_semantics(spark):
     assert len(user_session_windows(hairline, gap_s=1800).collect()) == 2
     # manual sessionization truncates to whole seconds → still one session
     assert user_sessions(hairline, gap_s=1800).collect()[0].n_sessions == 1
+
+
+def test_kmeans_refine_inertia_non_increasing(spark):
+    """Lloyd iterations seeded from label centroids: inertia must not
+    increase (up to the 6-decimal distance rounding), and the final
+    assignment covers every vector exactly once."""
+    from music_streaming_etl_glue_spark.operators.similarity import kmeans_refine
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    assign, inertias = kmeans_refine(embs, iters=3)
+    assert len(inertias) == 3
+    for prev, nxt in zip(inertias, inertias[1:]):
+        assert nxt <= prev + 1e-3, inertias
+    assert assign.count() == embs.count()
+    assert assign.select("vec_id").distinct().count() == embs.count()
