@@ -219,6 +219,9 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(keep), "shingle")
+    # sh feeds the sizes aggregate and BOTH self-join sides — materialize
+    # once instead of recomputing the explode+split plan three times
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -333,7 +336,17 @@ def minhash_dedup_pairs(
     Jaccard. Only candidate pairs (≈ docs sharing a band) pay the
     verification join — the 100 TB path."""
     r = k // bands
-    sigs = minhash_signatures(documents, k)
+    # One materialized shingle stream feeds everything downstream (the
+    # signature aggregate, the per-doc sizes, and BOTH sides of the
+    # verification join) — without it the explode+split plan runs 4×.
+    sh = shingles(documents).localCheckpoint(eager=False)
+    sig_aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))).alias(
+            f"h{j}"
+        )
+        for j in range(k)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*sig_aggs)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -360,7 +373,6 @@ def minhash_dedup_pairs(
         )
         .distinct()
     )
-    sh = shingles(documents)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     inter = (
         candidates.join(sh.alias("sa"), F.col("doc_id_a") == F.col("sa.doc_id"))
@@ -493,7 +505,12 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash Hamming distance, LSH-bucketed on
     ``bits/band_bits`` bit-bands (a pair within ``max_hamming`` ≤ bands-1
     bit flips must collide on ≥1 band), verified with bit_count(xor)."""
-    sigs = simhash_fingerprints(documents, bits)
+    # The banded self-join is a diamond: without materialization each join
+    # side recomputes the 60-aggregate fingerprint plan (no ReusedExchange
+    # across a self-join's broadcast+stream sides). A lazy localCheckpoint
+    # computes the tiny (doc_id, simhash) table once and both sides read it
+    # — ~2× on the whole query, and the materialized set is one row per doc.
+    sigs = simhash_fingerprints(documents, bits).localCheckpoint(eager=False)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     band_structs = [

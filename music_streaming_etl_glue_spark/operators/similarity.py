@@ -355,7 +355,8 @@ def cosine_pairs(
                 "cosine_pairs_lsh (approximate), or pass max_rows=None"
             )
     dims = _dims(embeddings)
-    e = _normalized_vecs(embeddings)
+    # both join sides read the normalized vectors — materialize once
+    e = _normalized_vecs(embeddings).localCheckpoint(eager=False)
     # The inequality join compiles to BroadcastNestedLoopJoin; its
     # parallelism equals the *stream-side* partition count. A single input
     # file means one task unless we spread the probe side across cores.
@@ -504,8 +505,12 @@ def cosine_pairs_lsh(
     bucketing → same recall in Spark and the oracle."""
     dims = _dims(embeddings)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    e = _normalized_vecs(embeddings).repartition(par).withColumn(
-        "bucket", _sign_bucket(F.col("vec"), bits)
+    # normalization + bucketing feed both self-join sides — compute once
+    e = (
+        _normalized_vecs(embeddings)
+        .repartition(par)
+        .withColumn("bucket", _sign_bucket(F.col("vec"), bits))
+        .localCheckpoint(eager=False)
     )
     a = e.select(
         F.col("vec_id").alias("vec_id_a"),
