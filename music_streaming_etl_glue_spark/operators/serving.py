@@ -95,13 +95,26 @@ def trending_items(trending: DataFrame, batch_ts: str) -> DataFrame:
     )
 
 
-def serving_items(enriched: DataFrame, batch_ts: str = DEFAULT_BATCH_TS) -> DataFrame:
+def serving_items(
+    enriched: DataFrame,
+    batch_ts: str = DEFAULT_BATCH_TS,
+    materialize: bool = False,
+) -> DataFrame:
     """All five KPI item families unioned by name into the sparse serving
-    layout (U1 union; missing attributes null, as in a KV table)."""
-    # The five KPI plans branch from one enriched frame inside a single
-    # action — callers fanning out should cache/persist enriched (the
-    # pipeline does). The daily aggregate is computed once and shared by
-    # its two consumers rather than rebuilt.
+    layout (U1 union; missing attributes null, as in a KV table).
+
+    ``materialize`` computes the enriched input once via a lazy
+    ``localCheckpoint`` instead of re-running it for each of the five
+    branches. Default OFF: enriched is a shuffle-free scan + broadcast
+    join, and re-running that pipelined plan per branch measures faster
+    than a materialization barrier. Flip it on when the input plan is
+    expensive (shuffles, UDFs) or when callers haven't cached it and fact
+    I/O dominates — or better, cache/persist upstream as the batch
+    pipeline does."""
+    if materialize:
+        enriched = enriched.localCheckpoint(eager=False)
+    # The daily aggregate is computed once and shared by its two consumers
+    # rather than rebuilt.
     daily = K.genre_daily_metrics(enriched)
     frames = [
         user_items(K.user_kpis(enriched), batch_ts),

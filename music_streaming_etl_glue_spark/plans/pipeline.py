@@ -147,7 +147,7 @@ def run_batch_pipeline(
         run_stage_with_retry(lambda w=writer, p=path: w.parquet(p))
         kpi_rows[name] = spark.read.parquet(path).count()
 
-    items = serving_items(enriched, batch_ts)
+    items = serving_items(enriched, batch_ts, materialize=False)  # cached above
     run_stage_with_retry(
         lambda: write_serving_parquet(
             items, os.path.join(output_dir, "serving_items")
@@ -237,7 +237,7 @@ def run_incremental_pipeline(
         run_stage_with_retry(lambda w=writer, p=path: w.parquet(p))
         kpi_rows[name] = spark.read.parquet(path).count()
 
-    items = _serving.serving_items(enriched, batch_ts)
+    items = _serving.serving_items(enriched, batch_ts, materialize=False)
     if qa_gate:
         assert_serving_quality(items)
     run_stage_with_retry(
