@@ -43,10 +43,14 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
+    # key = source identity + bucketing config (a SIGN_BITS change must
+    # invalidate the layout); uid-scoped dir so another user's /tmp entry
+    # can neither collide with nor poison this one
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{_sim.SIGN_BITS}".encode()
     ).hexdigest()[:12]
-    ivf_path = os.path.join(tempfile.gettempdir(), f"msetl_ivf_{key}")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    ivf_path = os.path.join(tempfile.gettempdir(), f"msetl_ivf_{uid}_{key}")
     return _sim.ann_topk_ivf(spark, _embs(spark, sf_dir), ivf_path)
 
 

@@ -55,7 +55,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    prior = _latest_prior_bench()
+    prior = _latest_prior_bench(out["sf"])
     if prior is not None:
         regressions = {
             name: {"prev": prev, "now": timings[name]}
@@ -72,8 +72,10 @@ def main() -> None:
     spark.stop()
 
 
-def _latest_prior_bench() -> dict[str, float] | None:
-    """Per-query times from the newest BENCH_r*.json beside this script."""
+def _latest_prior_bench(sf) -> dict[str, float] | None:
+    """Per-query times from the newest BENCH_r*.json beside this script
+    recorded at the SAME scale factor — comparing across scales would
+    flag every query (or mask real regressions)."""
     import glob
     import re
 
@@ -88,6 +90,8 @@ def _latest_prior_bench() -> dict[str, float] | None:
         try:
             with open(path, encoding="utf-8") as fh:
                 data = json.load(fh)
+            if data.get("sf") != sf:
+                continue
             q = data.get("queries")
             if isinstance(q, dict) and q:
                 return {k: float(v) for k, v in q.items()}

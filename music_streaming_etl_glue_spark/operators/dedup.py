@@ -149,17 +149,25 @@ FROM (
 SPLIT_FRACTIONS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 
 
+def _hash_bucket(col: str, mod: int) -> F.Column:
+    """Deterministic engine-portable bucket: first 15 hex digits of
+    md5(key) (< 2^60, fits a signed 64-bit int) mod ``mod``. The ONE
+    definition shared by every sampling/splitting operator — identical to
+    DuckDB's ``('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT % mod``."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
 def dataset_split(documents: DataFrame) -> DataFrame:
     """Stable train/val/test assignment by content-independent key hash:
     bucket = md5(doc_id) mod 1000 → fraction ranges. Adding or removing
     other rows never moves an existing row between splits (the property
     random `randomSplit` lacks), and the assignment reproduces anywhere
     md5 exists."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = _hash_bucket("doc_id", 1000)
     edges = []
     acc = 0.0
     for name, frac in SPLIT_FRACTIONS:
@@ -299,10 +307,19 @@ WHERE inter::DOUBLE / (sa.set_size + sb.set_size - inter) >= {JACCARD_THRESHOLD}
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    shingle_frame: DataFrame | None = None,
+) -> DataFrame:
     """k-permutation MinHash signature per doc. Hash family = md5 seeded by
-    the row index; min over hex strings ≡ min over the 128-bit value."""
-    sh = shingles(documents)
+    the row index; min over hex strings ≡ min over the 128-bit value.
+
+    ``shingle_frame`` lets a caller pass an already-materialized
+    (doc_id, shingle) relation (see :func:`minhash_dedup_pairs`) — the
+    hash family lives HERE only, so the banded join can never drift from
+    the signatures the oracle checks."""
+    sh = shingle_frame if shingle_frame is not None else shingles(documents)
     aggs = [
         F.min(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))).alias(
             f"h{j}"
@@ -340,13 +357,7 @@ def minhash_dedup_pairs(
     # signature aggregate, the per-doc sizes, and BOTH sides of the
     # verification join) — without it the explode+split plan runs 4×.
     sh = shingles(documents).localCheckpoint(eager=False)
-    sig_aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))).alias(
-            f"h{j}"
-        )
-        for j in range(k)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*sig_aggs)
+    sigs = minhash_signatures(documents, k, shingle_frame=sh)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -594,21 +605,21 @@ def stratified_sample(
     fractions: tuple[tuple[str, float], ...] = STRATA_FRACTIONS,
 ) -> DataFrame:
     """Deterministic per-stratum sampling: keep a fixed fraction of each
-    event_type, selected by key hash (same md5-bucket scheme as
-    :func:`dataset_split`) — rerunning, re-partitioning, or appending rows
-    never changes which existing rows are kept, the reproducibility
-    ``DataFrame.sample`` cannot give. Strata absent from ``fractions``
-    are dropped (lookup misses filter out as null). One narrow filter on
-    the scan, no shuffle."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 10_000
-    )
+    event_type, selected by key hash (the :func:`_hash_bucket` scheme
+    shared with :func:`dataset_split`) — rerunning, re-partitioning, or
+    appending rows never changes which existing rows are kept, the
+    reproducibility ``DataFrame.sample`` cannot give. Strata absent from
+    ``fractions`` are dropped (lookup misses filter out as null). One
+    narrow filter on the scan, no shuffle.
+
+    Fractions are honored to 4 decimal places; the threshold is ROUNDED
+    (not truncated) on both engines so a float like 0.57*10000 =
+    5699.999… maps to 5700 in Spark and the oracle alike."""
+    bucket = _hash_bucket("event_id", 10_000)
     frac_map = F.create_map(
         *[F.lit(x) for name_frac in fractions for x in name_frac]
     )
-    threshold = (frac_map[F.col("event_type")] * 10_000).cast("long")
+    threshold = F.round(frac_map[F.col("event_type")] * 10_000, 0).cast("long")
     return (
         events.withColumn("sample_bucket", bucket)
         .filter(F.col("sample_bucket") < threshold)

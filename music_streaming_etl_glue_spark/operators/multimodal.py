@@ -109,7 +109,11 @@ def extract_features(binary_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 # mirror payload[::s].
 MULTIMODAL_FEATURES_SQL = """
 WITH b AS (
-    SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents
+    -- coalesce: a NULL payload must follow the empty-payload path
+    -- (0, -1, -1, 0) exactly as _fake_features does, not produce NULLs
+    SELECT doc_id, coalesce(text, '') AS text,
+           octet_length(CAST(coalesce(text, '') AS BLOB)) AS n
+    FROM documents
 )
 SELECT doc_id,
        n::BIGINT AS byte_len,

@@ -73,6 +73,13 @@ def run_concurrency_guard(work_dir: str, max_active: int = MAX_ACTIVE_RUNS):
     """Cap concurrent pipeline runs against one workspace (the reference
     DAG's ``max_active_runs``): each active run holds a slot file; a run
     beyond the cap fails fast instead of stacking overlapping writes.
+    Both batch pipelines acquire this around their writes.
+
+    Acquisition is create-then-rank, not check-then-create: the run FIRST
+    drops its (monotonic-timestamp-named) token, then keeps the slot only
+    if the token ranks within the first ``max_active`` by name — two
+    simultaneous arrivals at one free slot race the filename order, not a
+    stale directory count, so the cap cannot be silently exceeded.
     Crash-leaked slots are reclaimed by their age at next acquisition."""
     slots = os.path.join(work_dir, "_active_runs")
     os.makedirs(slots, exist_ok=True)
@@ -84,12 +91,18 @@ def run_concurrency_guard(work_dir: str, max_active: int = MAX_ACTIVE_RUNS):
                 os.remove(p)
         except OSError:
             pass
-    if len(os.listdir(slots)) >= max_active:
-        raise RuntimeError(
-            f"pipeline concurrency cap reached ({max_active} active runs)"
-        )
-    token = os.path.join(slots, f"run-{uuid.uuid4().hex}.slot")
+    token_name = f"{time.time_ns():020d}-{uuid.uuid4().hex}.slot"
+    token = os.path.join(slots, token_name)
     open(token, "w").close()
+    try:
+        holders = sorted(os.listdir(slots))
+        if holders.index(token_name) >= max_active:
+            raise RuntimeError(
+                f"pipeline concurrency cap reached ({max_active} active runs)"
+            )
+    except RuntimeError:
+        os.remove(token)
+        raise
     try:
         yield
     finally:
@@ -123,7 +136,22 @@ def run_batch_pipeline(
     | None = None,
 ) -> PipelineResult:
     """Full run against a testdata directory; writes parquet KPI tables +
-    the serving table (and optionally a KV backend) under ``output_dir``."""
+    the serving table (and optionally a KV backend) under ``output_dir``.
+    At most ``MAX_ACTIVE_RUNS`` concurrent runs per output dir."""
+    with run_concurrency_guard(output_dir):
+        return _run_batch_pipeline(
+            spark, sf_dir, output_dir, batch_ts, kv_writer_factory
+        )
+
+
+def _run_batch_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    output_dir: str,
+    batch_ts: str,
+    kv_writer_factory: Callable[[], Callable[[list[dict[str, Any]]], None]]
+    | None,
+) -> PipelineResult:
     events = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -183,6 +211,28 @@ def run_incremental_pipeline(
     (at-least-once on the fact table, like the reference); the streaming
     twin (``streaming/file_pipeline.py``) upgrades this to exactly-once.
     """
+    from music_streaming_etl_glue_spark.sources.catalog import (
+        _ensure_session_confs,
+    )
+
+    _ensure_session_confs(spark)  # raw batch reads hit nanos timestamps
+    os.makedirs(work_dir, exist_ok=True)
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(run_concurrency_guard(work_dir))
+        return _run_incremental(
+            spark, incoming_dir, dims_dir, work_dir, batch_ts, archive, qa_gate
+        )
+
+
+def _run_incremental(
+    spark: SparkSession,
+    incoming_dir: str,
+    dims_dir: str,
+    work_dir: str,
+    batch_ts: str,
+    archive: bool,
+    qa_gate: bool,
+) -> IncrementalResult:
     from music_streaming_etl_glue_spark.operators import serving as _serving
     from music_streaming_etl_glue_spark.plans.incremental import FileLedger
     from music_streaming_etl_glue_spark.plans.quality import (
@@ -193,12 +243,6 @@ def run_incremental_pipeline(
         list_files,
     )
 
-    from music_streaming_etl_glue_spark.sources.catalog import (
-        _ensure_session_confs,
-    )
-
-    _ensure_session_confs(spark)  # raw batch reads hit nanos timestamps
-    os.makedirs(work_dir, exist_ok=True)
     fact_dir = os.path.join(work_dir, "fact")
     out_dir = os.path.join(work_dir, "kpis")
     ledger = FileLedger(os.path.join(work_dir, "processed_files.json"))

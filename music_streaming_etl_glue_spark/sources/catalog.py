@@ -100,7 +100,8 @@ def read_parquet_validated(
         try:
             n = spark.read.parquet(p).limit(1).count()
         except Exception as exc:  # noqa: BLE001 — collect, report together
-            bad.append((p, str(exc).splitlines()[0][:160]))
+            msg = (str(exc).splitlines() or ["<no message>"])[0][:160]
+            bad.append((p, msg))
             continue
         if require_rows and n == 0:
             bad.append((p, "no rows"))

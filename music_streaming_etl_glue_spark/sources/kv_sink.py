@@ -107,23 +107,37 @@ def write_kv(
 
 
 def local_dir_backend(
-    out_dir: str,
+    out_dir: str, clean: bool = True,
 ) -> Callable[[], Callable[[list[dict[str, Any]]], None]]:
     """ndjson-per-partition stand-in backend (for tests / local serving).
 
-    Idempotent under task retry / speculative re-execution: the file is
-    named by partition id (a retried attempt truncates the same tmp file
-    instead of accumulating a second uuid-named one) and committed with an
-    atomic rename in ``finalize`` — ``read_kv_dir`` only sees fully-written
-    ``.ndjson`` files, never a failed attempt's partial output.
+    Idempotent under task retry AND speculative re-execution: each ATTEMPT
+    writes its own tmp file (suffixed with the task attempt id, so two
+    live attempts of one partition never share a file handle) and commits
+    with an atomic rename onto the partition-id-named final file —
+    whichever attempt finalizes last wins wholesale, and ``read_kv_dir``
+    only sees fully-written ``.ndjson`` files, never a partial attempt.
+
+    ``clean`` (default on) clears previously committed files when the
+    backend is constructed (driver-side, once per run): without it a rerun
+    that produces FEWER partitions would overwrite only the low-numbered
+    files and serve the stale remainder alongside the new data.
     """
+    if clean and os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.endswith(".ndjson") or ".ndjson.tmp" in name:
+                try:
+                    os.remove(os.path.join(out_dir, name))
+                except OSError:
+                    pass
 
     def factory() -> Callable[[list[dict[str, Any]]], None]:
         os.makedirs(out_dir, exist_ok=True)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         final_path = os.path.join(out_dir, f"part-{pid:05d}.ndjson")
-        tmp_path = final_path + ".tmp"
+        tmp_path = f"{final_path}.tmp-{attempt}"
         fh = open(tmp_path, "w", encoding="utf-8")
 
         def write_batch(batch: list[dict[str, Any]]) -> None:

@@ -208,3 +208,22 @@ def test_kmeans_refine_inertia_non_increasing(spark):
         assert nxt <= prev + 1e-3, inertias
     assert assign.count() == embs.count()
     assert assign.select("vec_id").distinct().count() == embs.count()
+
+
+def test_stratified_sample_threshold_rounds_not_truncates(spark):
+    """0.57 * 10000 is 5699.999… in binary; the Spark threshold must round
+    to 5700 (as the generated oracle SQL does), not truncate to 5699."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        _hash_bucket,
+        stratified_sample,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    got = stratified_sample(events, fractions=(("click", 0.57),)).count()
+    expected = (
+        events.filter("event_type = 'click'")
+        .withColumn("b", _hash_bucket("event_id", 10_000))
+        .filter("b < 5700")
+        .count()
+    )
+    assert got == expected
