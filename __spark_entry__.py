@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from music_streaming_etl_glue_spark.operators import analytics as _an
 from music_streaming_etl_glue_spark.operators import asof as _asof
+from music_streaming_etl_glue_spark.operators import clusters as _clusters
 from music_streaming_etl_glue_spark.operators import dedup as _dedup
 from music_streaming_etl_glue_spark.operators import enrich as _enrich
 from music_streaming_etl_glue_spark.operators import kpis as _kpis
@@ -130,6 +131,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
         "stratified_sample": lambda spark, sf: _dedup.stratified_sample(
             load_table(spark, sf, "events")
+        ),
+        # transitive near-dup grouping (iterative min-label propagation)
+        "dedup_clusters": lambda spark, sf: _clusters.dedup_clusters(
+            _docs(spark, sf)
+        ),
+        "near_dedup_apply": lambda spark, sf: _clusters.near_dedup_apply(
+            _docs(spark, sf)
         ),
         "ngram_jaccard_pairs": lambda spark, sf: _dedup.ngram_jaccard_pairs(
             _docs(spark, sf)
@@ -263,6 +271,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": _dedup.DEDUP_APPLY_SQL,
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
         "stratified_sample": _dedup.STRATIFIED_SAMPLE_SQL,
+        "dedup_clusters": _clusters.DEDUP_CLUSTERS_SQL,
+        "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
         "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": _dedup.MINHASH_SIGNATURES_SQL,
         "minhash_dedup_pairs": _dedup.MINHASH_DEDUP_SQL,

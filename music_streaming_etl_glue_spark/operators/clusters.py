@@ -1,0 +1,150 @@
+"""Connected-component clustering over near-duplicate edges: the step a
+real training-data pipeline runs AFTER pair mining, turning "A≈B" edges
+into transitive dedup groups so one canonical document survives per group.
+
+The reference pipeline has no graph step (its dedup surface is exact
+overwrite semantics only); this is part of the LLM-pipeline extension
+surface built on the MinHash/LSH pair miner in :mod:`.dedup`.
+
+Scale design (100 TB):
+* Edges come from the LSH-banded miner (never all-pairs), materialized
+  once with ``localCheckpoint`` — the iteration re-reads a compact edge
+  list, not the pair-mining plan.
+* Each iteration is ONE shuffle: propagate labels across edges, then
+  min-aggregate per vertex. Iterations needed = component diameter; for
+  near-dup text clusters diameters are tiny (dup groups are cliques or
+  near-cliques straight from LSH, so 2-3 rounds converge). For
+  adversarial long-chain graphs the alternating large-star/small-star
+  scheme (Kiveris et al., "Connected Components in MapReduce") drops the
+  bound to O(log n) rounds — same per-round shuffle shape, so it can be
+  swapped in without changing the contract.
+* Convergence is detected WITHOUT a join: labels only ever decrease, so
+  ``sum(cluster_id)`` (exact, decimal accumulator — no float drift, no
+  bigint overflow at 100 TB row counts) is strictly monotone and
+  unchanged iff no label moved. One cheap aggregate per round instead of
+  an old-vs-new anti-join.
+* Lineage is truncated every round with an eager ``localCheckpoint`` —
+  without it the plan doubles per iteration and the driver dies on
+  analysis long before the executors see data.
+
+Oracle: the DuckDB twin runs the same edge set through a recursive CTE
+(transitive closure + MIN per vertex) — tractable at oracle scale
+(sf0.01) where components are small; the Spark side is the one that
+scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.operators.dedup import (
+    MINHASH_DEDUP_SQL,
+    minhash_dedup_pairs,
+)
+
+MAX_ITERATIONS = 50  # safety rail; real convergence is diameter-bounded
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iterations: int = MAX_ITERATIONS,
+) -> DataFrame:
+    """Min-label propagation: every vertex ends with ``cluster_id`` = the
+    minimum vertex id reachable from it (singletons label themselves).
+
+    ``vertices``: one column ``id`` (bigint). ``edges``: columns
+    ``src``/``dst`` (undirected semantics; pass each pair once — both
+    directions are derived here).
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.localCheckpoint()  # compact edge list, mined plan runs once
+
+    labels = vertices.select(
+        F.col("id").alias("id"), F.col("id").alias("cluster_id")
+    ).localCheckpoint()
+    # labels only decrease → the exact sum is monotone; equal sums ⇔ fixpoint
+    prev_sum = labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    ).collect()[0][0]
+
+    for _ in range(max_iterations):
+        propagated = sym.join(
+            labels, sym["src"] == labels["id"], "inner"
+        ).select(F.col("dst").alias("id"), "cluster_id")
+        labels = (
+            labels.unionByName(propagated)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_clusters(documents: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for every document: cluster_id = min doc_id in
+    the document's near-duplicate connected component (LSH-verified
+    Jaccard edges from :func:`.dedup.minhash_dedup_pairs`)."""
+    edges = minhash_dedup_pairs(documents).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    vertices = documents.select(F.col("doc_id").alias("id"))
+    comp = connected_components(vertices, edges)
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def near_dedup_apply(documents: DataFrame) -> DataFrame:
+    """Materialize the near-dedup: keep each cluster's canonical document
+    (the minimum doc_id) with the full original row plus ``n_members``,
+    dropping every other near-duplicate. One broadcast-sized join back to
+    the documents scan (cluster map rows ≤ document count, heavily
+    aggregated), so the scan stays a single pass."""
+    clusters = dedup_clusters(documents)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        documents.join(
+            sizes, documents["doc_id"] == sizes["cluster_id"], "inner"
+        )
+        .select(
+            "doc_id", "text", "lang", "source", "n_chars", "n_members"
+        )
+    )
+
+
+# Recursive-CTE oracle: symmetric edge closure, then MIN over reachable ids.
+# `reach` enumerates (doc, reachable-id) pairs; UNION (distinct) bounds it
+# and guarantees termination on cyclic components.
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_DEDUP_SQL}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+NEAR_DEDUP_APPLY_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+sizes AS (
+    SELECT cluster_id, count(*) AS n_members FROM clusters GROUP BY cluster_id
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, s.n_members
+FROM documents d JOIN sizes s ON d.doc_id = s.cluster_id
+"""
