@@ -19,6 +19,7 @@ from music_streaming_etl_glue_spark.operators import dedup as _dedup
 from music_streaming_etl_glue_spark.operators import enrich as _enrich
 from music_streaming_etl_glue_spark.operators import kpis as _kpis
 from music_streaming_etl_glue_spark.operators import multimodal as _mm
+from music_streaming_etl_glue_spark.operators import relational as _rel
 from music_streaming_etl_glue_spark.operators import serving as _serving
 from music_streaming_etl_glue_spark.operators import similarity as _sim
 from music_streaming_etl_glue_spark.operators import text as _text
@@ -202,6 +203,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_big_orders": lambda spark, sf: _an.customers_with_big_orders(
             load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
         ),
+        "shipping_priority": lambda spark, sf: _rel.shipping_priority(
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        ),
+        "line_priority_counts": lambda spark, sf: _rel.line_priority_counts(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "orders"),
+        ),
+        "promo_revenue": lambda spark, sf: _rel.promo_revenue(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "part"),
+        ),
+        "brand_supplier_counts": lambda spark, sf: _rel.brand_supplier_counts(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "part"),
+            load_table(spark, sf, "supplier"),
+        ),
         "order_priority_pivot": lambda spark, sf: _an.order_priority_pivot(
             load_table(spark, sf, "orders")
         ),
@@ -293,6 +312,10 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_per_nation": _an.TOP_CUSTOMERS_SQL,
         "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "customers_with_big_orders": _an.CUSTOMERS_WITH_BIG_ORDERS_SQL,
+        "shipping_priority": _rel.SHIPPING_PRIORITY_SQL,
+        "line_priority_counts": _rel.LINE_PRIORITY_COUNTS_SQL,
+        "promo_revenue": _rel.PROMO_REVENUE_SQL,
+        "brand_supplier_counts": _rel.BRAND_SUPPLIER_COUNTS_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,

@@ -1,0 +1,214 @@
+"""Classic warehouse query shapes (TPC-H Q3/Q12/Q14/Q16 analogues) over
+the testdata star schema — the multi-join + conditional-aggregate
+patterns a reference user would expect from a general engine, each with a
+DuckDB oracle twin.
+
+Scale design (100 TB):
+* Filters sit directly on the scans (predicate pushdown into parquet),
+  dims broadcast explicitly, and the one genuinely large join
+  (lineitem ⋈ orders on orderkey) is a shuffle equi-join AQE can
+  re-plan (skew split / broadcast demotion) at runtime.
+* Top-k results go through ``orderBy().limit(k)`` —
+  TakeOrderedAndProject, a distributed partial top-k, never a global
+  sort of the full result.
+* Double sums use the decimal-accumulator discipline (see
+  ``functions/numeric.exact_sum``): partition-count-independent AND
+  oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHIPPING_CUTOFF = "1998-06-01"  # Q3: orders placed before, shipped after
+SHIPPING_SEGMENT = "BUILDING"
+SHIPPING_TOP_K = 10
+PRIORITY_SHIP_FROM = "1996-01-01"
+PRIORITY_SHIP_TO = "1997-01-01"
+PROMO_MONTH_FROM = "1997-09-01"
+PROMO_MONTH_TO = "1997-10-01"
+EXCLUDED_BRAND = "Brand#1"
+EXCLUDED_TYPE = "PROMO"
+
+
+def _revenue_sum(col=None):
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        if col is None
+        else col
+    )
+    return F.sum(rev.cast("decimal(28,4)")).cast("double")
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = SHIPPING_SEGMENT,
+    cutoff: str = SHIPPING_CUTOFF,
+    k: int = SHIPPING_TOP_K,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k unshipped orders by revenue for one market
+    segment. The segment filter prunes customers before the broadcast;
+    order/lineitem date filters push to their scans; the ordered limit is
+    a TakeOrderedAndProject partial top-k with a deterministic
+    (revenue DESC, orderkey ASC) tiebreak."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < F.lit(cutoff)).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    lines = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff)).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        lines.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_sum().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{SHIPPING_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{SHIPPING_CUTOFF} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{SHIPPING_CUTOFF} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT {SHIPPING_TOP_K}
+"""
+
+
+def line_priority_counts(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    ship_from: str = PRIORITY_SHIP_FROM,
+    ship_to: str = PRIORITY_SHIP_TO,
+) -> DataFrame:
+    """TPC-H Q12 shape: per line status, how many shipped lines belong to
+    high- vs low-priority orders (conditional CASE aggregates — one
+    shuffle join + one hash agg; the date range prunes the lineitem scan
+    first)."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(ship_from))
+            & (F.col("l_shipdate") < F.lit(ship_to))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+LINE_PRIORITY_COUNTS_SQL = f"""
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{PRIORITY_SHIP_FROM} 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '{PRIORITY_SHIP_TO} 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    month_from: str = PROMO_MONTH_FROM,
+    month_to: str = PROMO_MONTH_TO,
+) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month. Part is
+    broadcast; both sums ride one hash agg; the ratio divides the two
+    decimal-exact doubles at the end (single-row result)."""
+    in_month = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(month_from))
+        & (F.col("l_shipdate") < F.lit(month_to))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        in_month.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * _revenue_sum(promo)
+                / _revenue_sum()
+            ).alias("promo_revenue_pct"),
+            _revenue_sum().alias("total_revenue"),
+        )
+    )
+
+
+PROMO_REVENUE_SQL = f"""
+SELECT 100.0
+       * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(28,4))) AS DOUBLE) AS promo_revenue_pct,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{PROMO_MONTH_FROM} 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '{PROMO_MONTH_TO} 00:00:00'
+"""
+
+
+def brand_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excluded_brand: str = EXCLUDED_BRAND,
+    excluded_type: str = EXCLUDED_TYPE,
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers able to ship each
+    (brand, type, size) bucket, excluding one brand/type and suppliers in
+    bad standing (negative balance — the Q16 complaints anti-join). The
+    supplier exclusion is a broadcast LEFT ANTI on a tiny key set; the
+    distinct count is the only wide shuffle."""
+    bad_suppliers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = part.filter(
+        (F.col("p_brand") != excluded_brand)
+        & (F.col("p_type") != excluded_type)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+BRAND_SUPPLIER_COUNTS_SQL = f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{EXCLUDED_BRAND}'
+  AND p.p_type <> '{EXCLUDED_TYPE}'
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
