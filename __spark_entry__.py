@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from music_streaming_etl_glue_spark.operators import analytics as _an
 from music_streaming_etl_glue_spark.operators import asof as _asof
+from music_streaming_etl_glue_spark.operators import behavior as _beh
 from music_streaming_etl_glue_spark.operators import clusters as _clusters
 from music_streaming_etl_glue_spark.operators import dedup as _dedup
 from music_streaming_etl_glue_spark.operators import enrich as _enrich
@@ -119,6 +120,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "contamination_flags": lambda spark, sf: _text.contamination_flags(
             _docs(spark, sf)
+        ),
+        # behavioral analytics (events / enriched)
+        "user_retention_cohorts": lambda spark, sf: _beh.user_retention_cohorts(
+            load_table(spark, sf, "events")
+        ),
+        "conversion_funnel": lambda spark, sf: _beh.conversion_funnel(
+            load_table(spark, sf, "events")
+        ),
+        "genre_daily_anomalies": lambda spark, sf: _beh.genre_daily_anomalies(
+            _enriched(spark, sf)
+        ),
+        "events_rollup": lambda spark, sf: _beh.events_rollup(
+            load_table(spark, sf, "events")
+        ),
+        "track_cooccurrence": lambda spark, sf: _beh.track_cooccurrence(
+            _enriched(spark, sf)
+        ),
+        "sample_per_group": lambda spark, sf: _beh.sample_per_group(
+            load_table(spark, sf, "events")
         ),
         "value_histogram": lambda spark, sf: _an.value_histogram(
             load_table(spark, sf, "events")
@@ -284,6 +304,12 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _text.REPETITION_METRICS_SQL,
         "chunk_documents": _text.CHUNK_DOCUMENTS_SQL,
         "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
+        "user_retention_cohorts": _beh.USER_RETENTION_COHORTS_SQL,
+        "conversion_funnel": _beh.CONVERSION_FUNNEL_SQL,
+        "genre_daily_anomalies": _beh.GENRE_DAILY_ANOMALIES_SQL,
+        "events_rollup": _beh.EVENTS_ROLLUP_SQL,
+        "track_cooccurrence": _beh.TRACK_COOCCURRENCE_SQL,
+        "sample_per_group": _beh.SAMPLE_PER_GROUP_SQL,
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,

@@ -1,0 +1,438 @@
+"""Behavioral / time-series analytics over the event stream: retention
+cohorts, conversion funnels, anomaly scoring, hierarchical time-bucket
+rollups, co-occurrence mining, and exact per-group sampling. These are
+the product-analytics shapes a streaming-events warehouse serves daily;
+none exist in the reference (its KPI surface stops at five fixed
+aggregates) — they generalize SURVEY §2.3's aggregation family.
+
+Scale design (100 TB):
+* Retention/funnel shuffle ONLY on ``user_id`` (Spark reuses one
+  exchange for consecutive same-key windows/aggregations).
+* The rollup is a hierarchical cascade — daily re-aggregates HOURLY
+  output, weekly re-aggregates DAILY — so the raw scan is paid once and
+  each coarser resolution reads the (tiny) finer aggregate, the
+  continuous-aggregate pattern of timeseries stores. Sums stay in
+  decimal until the final projection so cascading never re-rounds.
+* Anomaly z-scores derive mean/variance from integer window sums
+  (count/sum/sum-of-squares are exact BIGINTs; the double math is the
+  same IEEE expression on both engines), not from engine-specific
+  ``stddev`` implementations whose last-ulp behavior differs.
+* Co-occurrence bounds its per-group quadratic with a deterministic
+  per-(user, day) track cap BEFORE the self-join — the cap, not the
+  join, is what survives a 100× fan-in of hot users.
+* Exact per-group top-N sampling uses a rank window partitioned by the
+  group key: right when groups are few-and-hot (5 event types); for
+  many-group fractional sampling use the shuffle-free hash-threshold
+  filter in ``dedup.stratified_sample`` instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+ANOMALY_BASELINE_DAYS = 6  # trailing days feeding the baseline stats
+ANOMALY_MIN_BASELINE = 3
+ANOMALY_Z_THRESHOLD = 2.0
+COOCCUR_MAX_TRACKS_PER_GROUP = 50
+COOCCUR_TOP_K = 100
+SAMPLE_PER_GROUP_N = 20
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+def user_retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-activity day
+    (cohort), counted on each later activity day as a day offset.
+
+    Distinct (user, day) activity first collapses the event fan-in, the
+    per-user cohort min is a second agg on the SAME user_id key (no new
+    shuffle), and only the final (cohort, offset) count moves data again.
+    """
+    activity = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+USER_RETENTION_COHORTS_SQL = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day,
+       (a.day - c.cohort_day)::BIGINT AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# conversion funnel
+# ---------------------------------------------------------------------------
+
+def conversion_funnel(events: DataFrame) -> DataFrame:
+    """Strictly-ordered view → click → purchase funnel: a user converts a
+    stage only at-or-after converting the previous one. Three conditional
+    min-windows over ONE user_id partitioning (one exchange, one sort),
+    then a global single-row rollup."""
+    w = Window.partitionBy("user_id")
+    first_view = F.min(
+        F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))
+    ).over(w)
+    df = events.withColumn("first_view", first_view)
+    df = df.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[1])
+                & (F.col("ts") >= F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[2])
+                & (F.col("ts") >= F.col("first_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.first("first_view").alias("first_view"),
+        F.first("first_click").alias("first_click"),
+        F.first("first_purchase").alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count("first_click").alias("n_clicked"),
+        F.count("first_purchase").alias("n_purchased"),
+        (
+            F.count("first_purchase").cast("double")
+            / F.count("first_view").cast("double")
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+CONVERSION_FUNNEL_SQL = f"""
+WITH v AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN ts END)
+               AS first_view
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS first_click
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts >= v.first_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS first_purchase
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts >= c.first_click
+    GROUP BY e.user_id
+),
+users AS (SELECT DISTINCT user_id FROM events)
+SELECT COUNT(*) AS n_users,
+       COUNT(v.first_view) AS n_viewed,
+       COUNT(c.first_click) AS n_clicked,
+       COUNT(p.first_purchase) AS n_purchased,
+       COUNT(p.first_purchase)::DOUBLE / COUNT(v.first_view)::DOUBLE
+           AS view_to_purchase_rate
+FROM users u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# anomaly z-scores over daily genre plays
+# ---------------------------------------------------------------------------
+
+def genre_daily_anomalies(
+    enriched: DataFrame,
+    baseline_days: int = ANOMALY_BASELINE_DAYS,
+    min_baseline: int = ANOMALY_MIN_BASELINE,
+    z_threshold: float = ANOMALY_Z_THRESHOLD,
+) -> DataFrame:
+    """Per (genre, day): z-score of the play count against the trailing
+    ``baseline_days`` days (current day EXCLUDED from its own baseline).
+
+    The baseline mean/variance are rebuilt from exact integer window sums
+    (n, Σx, Σx²) so both engines run the identical IEEE double expression
+    — no dependence on a particular ``stddev`` implementation. z is
+    rounded to 6 decimals BEFORE thresholding (the tie discipline every
+    similarity operator here uses)."""
+    daily = enriched.groupBy(
+        "track_genre", F.col("timestamp").cast("date").alias("day")
+    ).agg(F.count("*").alias("plays"))
+    w = (
+        Window.partitionBy("track_genre")
+        .orderBy("day")
+        .rowsBetween(-baseline_days, -1)
+    )
+    n = F.count("plays").over(w)
+    s = F.sum("plays").over(w)
+    ss = F.sum(F.col("plays") * F.col("plays")).over(w)
+    mean = s.cast("double") / n
+    var = (ss.cast("double") - n * mean * mean) / (n - 1)
+    z_raw = (F.col("plays") - mean) / F.sqrt(var)
+    scored = daily.select(
+        "track_genre",
+        "day",
+        "plays",
+        n.cast("long").alias("baseline_n"),
+        F.when(
+            (n >= min_baseline) & (var > 0), F.round(z_raw, 6)
+        ).alias("z"),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False)),
+    )
+
+
+GENRE_DAILY_ANOMALIES_SQL = f"""
+WITH enriched AS (
+    SELECT event_type AS track_genre, CAST(ts AS DATE) AS day
+    FROM events
+),
+daily AS (
+    SELECT track_genre, day, COUNT(*) AS plays
+    FROM enriched GROUP BY track_genre, day
+),
+stats AS (
+    SELECT track_genre, day, plays,
+           COUNT(plays) OVER w AS n,
+           SUM(plays) OVER w AS s,
+           SUM(plays * plays) OVER w AS ss
+    FROM daily
+    WINDOW w AS (PARTITION BY track_genre ORDER BY day
+                 ROWS BETWEEN {ANOMALY_BASELINE_DAYS} PRECEDING
+                          AND 1 PRECEDING)
+),
+scored AS (
+    SELECT track_genre, day, plays,
+           n::BIGINT AS baseline_n,
+           CASE WHEN n >= {ANOMALY_MIN_BASELINE}
+                     AND (ss::DOUBLE - n * (s::DOUBLE / n) * (s::DOUBLE / n))
+                         / (n - 1) > 0
+                THEN round(
+                    (plays - s::DOUBLE / n)
+                    / sqrt((ss::DOUBLE - n * (s::DOUBLE / n) * (s::DOUBLE / n))
+                           / (n - 1)),
+                    6)
+           END AS z
+    FROM stats
+)
+SELECT track_genre, day, plays, baseline_n, z,
+       COALESCE(abs(z) > {ANOMALY_Z_THRESHOLD}, FALSE) AS is_anomaly
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# hierarchical multi-resolution rollup (continuous-aggregate cascade)
+# ---------------------------------------------------------------------------
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """Hour/day/week event rollups as a cascade: hourly aggregates the raw
+    scan ONCE; daily re-aggregates hourly; weekly re-aggregates daily.
+    Each coarser resolution reads rows ≈ buckets of the finer one, so at
+    100 TB the raw-data pass is paid exactly once. Value sums stay in
+    DECIMAL through the cascade (re-aggregation is exact; one cast to
+    double at the end)."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("value_dec"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_dec").alias("value_dec"),
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("bucket_ts")).alias("bucket_ts")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_dec").alias("value_dec"),
+    )
+
+    def out(df: DataFrame, resolution: str) -> DataFrame:
+        return df.select(
+            F.lit(resolution).alias("resolution"),
+            "bucket_ts",
+            "n_events",
+            F.col("value_dec").cast("double").alias("value_sum"),
+        )
+
+    return (
+        out(hourly, "hour")
+        .unionByName(out(daily, "day"))
+        .unionByName(out(weekly, "week"))
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket_ts,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(28,6))) AS value_dec
+    FROM events GROUP BY 1
+),
+daily AS (
+    SELECT date_trunc('day', bucket_ts) AS bucket_ts,
+           SUM(n_events) AS n_events, SUM(value_dec) AS value_dec
+    FROM hourly GROUP BY 1
+),
+weekly AS (
+    SELECT date_trunc('week', bucket_ts) AS bucket_ts,
+           SUM(n_events) AS n_events, SUM(value_dec) AS value_dec
+    FROM daily GROUP BY 1
+)
+SELECT 'hour' AS resolution, bucket_ts, n_events::BIGINT AS n_events,
+       value_dec::DOUBLE AS value_sum FROM hourly
+UNION ALL
+SELECT 'day', bucket_ts, n_events::BIGINT, value_dec::DOUBLE FROM daily
+UNION ALL
+SELECT 'week', bucket_ts, n_events::BIGINT, value_dec::DOUBLE FROM weekly
+"""
+
+
+# ---------------------------------------------------------------------------
+# track co-occurrence
+# ---------------------------------------------------------------------------
+
+def track_cooccurrence(
+    enriched: DataFrame,
+    max_tracks_per_group: int = COOCCUR_MAX_TRACKS_PER_GROUP,
+    top_k: int = COOCCUR_TOP_K,
+) -> DataFrame:
+    """Top-k track pairs co-played by the same user on the same day.
+
+    The per-(user, day) quadratic is bounded FIRST: each group keeps at
+    most ``max_tracks_per_group`` distinct tracks (deterministically, the
+    lowest track ids) before the pair self-join — a hot user contributes
+    O(cap²) pairs, never O(plays²). The final top-k is an
+    ``orderBy().limit()`` partial top-k."""
+    plays = (
+        enriched.filter(F.col("track_id").isNotNull())
+        .select("user_id", F.col("timestamp").cast("date").alias("day"), "track_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("track_id")
+    capped = (
+        plays.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_tracks_per_group)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.track_id") < F.col("b.track_id")),
+    ).select(
+        F.col("a.track_id").alias("track_a"),
+        F.col("b.track_id").alias("track_b"),
+    )
+    return (
+        pairs.groupBy("track_a", "track_b")
+        .agg(F.count("*").alias("n_cooccur"))
+        .orderBy(
+            F.col("n_cooccur").desc(),
+            F.col("track_a").asc(),
+            F.col("track_b").asc(),
+        )
+        .limit(top_k)
+    )
+
+
+TRACK_COOCCURRENCE_SQL = f"""
+WITH plays AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS track_id
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+capped AS (
+    SELECT user_id, day, track_id
+    FROM (
+        SELECT user_id, day, track_id,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY track_id) AS rn
+        FROM plays
+    )
+    WHERE rn <= {COOCCUR_MAX_TRACKS_PER_GROUP}
+)
+SELECT a.track_id AS track_a, b.track_id AS track_b,
+       COUNT(*) AS n_cooccur
+FROM capped a
+JOIN capped b ON a.user_id = b.user_id AND a.day = b.day
+            AND a.track_id < b.track_id
+GROUP BY 1, 2
+ORDER BY n_cooccur DESC, track_a ASC, track_b ASC
+LIMIT {COOCCUR_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact deterministic per-group sample
+# ---------------------------------------------------------------------------
+
+def sample_per_group(
+    events: DataFrame, n_per_group: int = SAMPLE_PER_GROUP_N
+) -> DataFrame:
+    """Exactly-N-per-event-type sample, stable across reruns and
+    repartitioning: rank by md5(event_id) (a uniform deterministic
+    shuffle of each group) and keep the first N. Complements
+    ``dedup.stratified_sample`` (shuffle-free FRACTIONAL sampling): use
+    this when the contract is an exact count per group and groups are
+    few; the rank window concentrates each group on one task, so it is
+    NOT the tool for millions of groups of millions of rows."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        events.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_group)
+        .select("event_id", "user_id", "event_type", "sample_rank")
+    )
+
+
+SAMPLE_PER_GROUP_SQL = f"""
+SELECT event_id, user_id, event_type, sample_rank
+FROM (
+    SELECT event_id, user_id, event_type,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY md5(event_id::VARCHAR), event_id)
+               AS sample_rank
+    FROM events
+)
+WHERE sample_rank <= {SAMPLE_PER_GROUP_N}
+"""
