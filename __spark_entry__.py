@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_in_busy_sessions": lambda spark, sf: (
             _asof.events_in_busy_sessions(load_table(spark, sf, "events"))
         ),
+        # keyless range join, planned as a chunked equi-join (no BNLJ)
+        "events_in_error_bursts": lambda spark, sf: (
+            _asof.events_in_error_bursts(load_table(spark, sf, "events"))
+        ),
         "normalize_text": lambda spark, sf: _text.normalize_text(
             _docs(spark, sf)
         ),
@@ -352,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_parts": _an.SKYLINE_PARTS_SQL,
         "error_click_asof": _asof.ERROR_CLICK_ASOF_SQL,
         "events_in_busy_sessions": _asof.EVENTS_IN_BUSY_SESSIONS_SQL,
+        "events_in_error_bursts": _asof.EVENTS_IN_ERROR_BURSTS_SQL,
         "normalize_text": _text.NORMALIZE_TEXT_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
         # The featurizer itself is mapInPandas, but the stand-in payload is

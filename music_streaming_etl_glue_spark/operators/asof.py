@@ -249,3 +249,140 @@ FROM errors e
 ASOF LEFT JOIN clicks c
   ON e.user_id = c.user_id AND e.ts >= c.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# keyless range join via time-bucket chunking (no nested-loop join)
+# ---------------------------------------------------------------------------
+
+BURST_BUCKET_S = 900  # 15-minute grid
+BURST_MIN_ERRORS = 5
+
+
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_s: str,
+    start_s: str,
+    end_s: str,
+    bucket_s: int,
+) -> DataFrame:
+    """Range join WITHOUT a join key — the case Catalyst can only plan as
+    a BroadcastNestedLoopJoin (one task per probe partition × every
+    interval). Instead: chunk time into ``bucket_s``-second cells,
+    replicate each interval to the cells it overlaps, bucket each point
+    into its single cell, and equi-join on the cell id with the exact
+    half-open containment (``start <= p < end``) as a residual predicate.
+
+    Shuffle volume is |points| + Σ interval-spans/bucket — linear, keyed,
+    AQE-planable — and each (point, interval) match is produced exactly
+    once because a point lives in exactly one cell. Pick ``bucket_s``
+    near the median interval length: too small replicates intervals, too
+    large funnels many points per cell (both still correct).
+
+    Epoch-second BIGINT columns in, same columns out; no timestamp math
+    inside the join.
+    """
+    i = intervals.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_s) / bucket_s).cast("long"),
+                F.floor((F.col(end_s) - 1) / bucket_s).cast("long"),
+            )
+        ),
+    )
+    p = points.withColumn(
+        "__chunk", F.floor(F.col(point_s) / bucket_s).cast("long")
+    )
+    cond = (
+        (p["__chunk"] == i["__chunk"])
+        & (p[point_s] >= i[start_s])
+        & (p[point_s] < i[end_s])
+    )
+    return p.join(i, cond, "inner").drop("__chunk")
+
+
+def error_bursts(
+    events: DataFrame,
+    bucket_s: int = BURST_BUCKET_S,
+    min_errors: int = BURST_MIN_ERRORS,
+) -> DataFrame:
+    """Maximal runs of contiguous 15-min cells each holding ≥ min_errors
+    error events (gaps-and-islands with the bucket − row_number trick).
+    The island window is global-ordered but runs over the AGGREGATED busy
+    cells (one row per busy quarter-hour), never the raw events — small
+    by construction at any scale."""
+    busy = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / bucket_s)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count("*").alias("n_errors"))
+        .filter(F.col("n_errors") >= min_errors)
+    )
+    grp = F.col("bucket") - F.row_number().over(Window.orderBy("bucket"))
+    return (
+        busy.withColumn("grp", grp)
+        .groupBy("grp")
+        .agg(
+            (F.min("bucket") * bucket_s).alias("burst_start_s"),
+            ((F.max("bucket") + 1) * bucket_s).alias("burst_end_s"),
+            F.sum("n_errors").alias("n_errors"),
+        )
+        .drop("grp")
+    )
+
+
+def events_in_error_bursts(
+    events: DataFrame,
+    bucket_s: int = BURST_BUCKET_S,
+    min_errors: int = BURST_MIN_ERRORS,
+) -> DataFrame:
+    """Every event (any type) falling inside a system-wide error burst —
+    the keyless interval match, planned as a chunked equi-join via
+    :func:`interval_join_bucketed` (plan contains no
+    BroadcastNestedLoopJoin; see test_asof plan assertion)."""
+    bursts = error_bursts(events, bucket_s, min_errors)
+    points = events.select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("event_s"),
+    )
+    return interval_join_bucketed(
+        points, bursts, "event_s", "burst_start_s", "burst_end_s", bucket_s
+    ).select(
+        "event_id", "event_type", "event_s",
+        "burst_start_s", "burst_end_s", "n_errors",
+    )
+
+
+EVENTS_IN_ERROR_BURSTS_SQL = f"""
+WITH busy AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // {BURST_BUCKET_S} AS bucket,
+           COUNT(*) AS n_errors
+    FROM events WHERE event_type = 'error'
+    GROUP BY 1
+    HAVING COUNT(*) >= {BURST_MIN_ERRORS}
+),
+islands AS (
+    SELECT bucket, n_errors,
+           bucket - row_number() OVER (ORDER BY bucket) AS grp
+    FROM busy
+),
+bursts AS (
+    SELECT MIN(bucket) * {BURST_BUCKET_S} AS burst_start_s,
+           (MAX(bucket) + 1) * {BURST_BUCKET_S} AS burst_end_s,
+           SUM(n_errors)::BIGINT AS n_errors
+    FROM islands GROUP BY grp
+)
+SELECT e.event_id, e.event_type,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS event_s,
+       b.burst_start_s, b.burst_end_s, b.n_errors
+FROM events e
+JOIN bursts b
+  ON CAST(floor(epoch(e.ts)) AS BIGINT) >= b.burst_start_s
+ AND CAST(floor(epoch(e.ts)) AS BIGINT) <  b.burst_end_s
+"""

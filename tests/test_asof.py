@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 from music_streaming_etl_glue_spark.operators.asof import asof_join
+from tests.conftest import SF_SMOKE
 
 T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
@@ -64,3 +65,37 @@ def test_asof_null_value_on_matched_row_is_carried(spark):
     row = asof_join(left, right, key="user_id", right_values=["value"]).collect()[0]
     assert row.asof_ts == _ts(50)
     assert row.asof_value is None
+
+
+def test_interval_join_bucketed_matches_each_point_once(spark):
+    points = spark.createDataFrame(
+        [(1, 100), (2, 950), (3, 1799), (4, 1800), (5, 5000)],
+        "pid int, p bigint",
+    )
+    # interval spanning 2 chunks (900s grid) + a disjoint later one
+    intervals = spark.createDataFrame(
+        [(10, 900, 1800), (11, 4500, 5400)], "iid int, s bigint, e bigint"
+    )
+    from music_streaming_etl_glue_spark.operators.asof import (
+        interval_join_bucketed,
+    )
+
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join_bucketed(
+            points, intervals, "p", "s", "e", 900
+        ).collect()
+    )
+    assert got == [(2, 10), (3, 10), (5, 11)]
+
+
+def test_events_in_error_bursts_plan_has_no_nested_loop(spark):
+    from music_streaming_etl_glue_spark.operators.asof import (
+        events_in_error_bursts,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+
+    df = events_in_error_bursts(load_table(spark, SF_SMOKE, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
