@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_by_genre_date": lambda spark, sf: _serving.serving_by_genre_date(
             _enriched(spark, sf)
         ),
+        # KpiTypeIndex GSI access path: kpi_type hash key
+        "serving_by_kpi_type": lambda spark, sf: _serving.serving_by_kpi_type(
+            _enriched(spark, sf)
+        ),
         # text analysis (documents table)
         "token_counts": lambda spark, sf: _text.token_counts(_docs(spark, sf)),
         "text_quality": lambda spark, sf: _text.text_quality(_docs(spark, sf)),
@@ -139,6 +143,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sample_per_group": lambda spark, sf: _beh.sample_per_group(
             load_table(spark, sf, "events")
+        ),
+        "view_days_without_purchase": lambda spark, sf: (
+            _beh.view_days_without_purchase(load_table(spark, sf, "events"))
+        ),
+        "user_value_quartiles": lambda spark, sf: _beh.user_value_quartiles(
+            load_table(spark, sf, "events")
+        ),
+        "genre_daily_change": lambda spark, sf: _beh.genre_daily_change(
+            _enriched(spark, sf)
         ),
         "value_histogram": lambda spark, sf: _an.value_histogram(
             load_table(spark, sf, "events")
@@ -300,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_tracks_reference_exact": _kpis.TRENDING_REFERENCE_EXACT_SQL,
         "serving_items": _serving.SERVING_ITEMS_SQL,
         "serving_by_genre_date": _serving.SERVING_BY_GENRE_DATE_SQL,
+        "serving_by_kpi_type": _serving.SERVING_BY_KPI_TYPE_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,
         "text_quality": _text.TEXT_QUALITY_SQL,
         "lang_id": _text.LANG_ID_SQL,
@@ -314,6 +328,9 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _beh.EVENTS_ROLLUP_SQL,
         "track_cooccurrence": _beh.TRACK_COOCCURRENCE_SQL,
         "sample_per_group": _beh.SAMPLE_PER_GROUP_SQL,
+        "view_days_without_purchase": _beh.VIEW_DAYS_WITHOUT_PURCHASE_SQL,
+        "user_value_quartiles": _beh.USER_VALUE_QUARTILES_SQL,
+        "genre_daily_change": _beh.GENRE_DAILY_CHANGE_SQL,
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,

@@ -436,3 +436,96 @@ FROM (
 )
 WHERE sample_rank <= {SAMPLE_PER_GROUP_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# set difference / window-rank coverage
+# ---------------------------------------------------------------------------
+
+def view_days_without_purchase(events: DataFrame) -> DataFrame:
+    """(user, day) pairs with a view but no purchase — EXCEPT (set
+    difference), planned by Catalyst as a left-anti hash aggregate join:
+    two type-pruned scans, one shuffle each on the composite key."""
+    def days(event_type: str) -> DataFrame:
+        return events.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+
+    return days("view").distinct().subtract(days("purchase"))
+
+
+VIEW_DAYS_WITHOUT_PURCHASE_SQL = """
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def user_value_quartiles(events: DataFrame) -> DataFrame:
+    """Users ranked into spend quartiles by exact total value (NTILE with
+    a deterministic (total DESC, user_id) tiebreak).
+
+    NTILE is a GLOBAL-order window — all aggregated user rows pass
+    through one task. Fine for user-cardinality outputs (rows ≪ events,
+    already reduced by the groupBy); for billion-key cardinalities
+    assign buckets by comparing against percentile thresholds instead of
+    ranking (no global sort), accepting threshold-tie skew."""
+    totals = events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return totals.withColumn(
+        "quartile", F.ntile(4).over(w).cast("long")
+    )
+
+
+USER_VALUE_QUARTILES_SQL = """
+WITH totals AS (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+)
+SELECT user_id, total_value,
+       ntile(4) OVER (ORDER BY total_value DESC, user_id ASC)::BIGINT
+           AS quartile
+FROM totals
+"""
+
+
+def genre_daily_change(enriched: DataFrame) -> DataFrame:
+    """Day-over-day play change per genre (LAG over the per-genre daily
+    series — the window runs on aggregated rows, one small partition per
+    genre). pct_change rounded to 6dp before comparison-stable output."""
+    daily = enriched.groupBy(
+        "track_genre", F.col("timestamp").cast("date").alias("day")
+    ).agg(F.count("*").alias("plays"))
+    w = Window.partitionBy("track_genre").orderBy("day")
+    prev = F.lag("plays").over(w)
+    return daily.select(
+        "track_genre",
+        "day",
+        "plays",
+        prev.alias("prev_plays"),
+        F.round(
+            (F.col("plays") - prev).cast("double") / prev, 6
+        ).alias("pct_change"),
+    )
+
+
+GENRE_DAILY_CHANGE_SQL = """
+WITH daily AS (
+    SELECT event_type AS track_genre, CAST(ts AS DATE) AS day,
+           COUNT(*) AS plays
+    FROM events GROUP BY 1, 2
+)
+SELECT track_genre, day, plays,
+       lag(plays) OVER w AS prev_plays,
+       round((plays - lag(plays) OVER w)::DOUBLE / lag(plays) OVER w, 6)
+           AS pct_change
+FROM daily
+WINDOW w AS (PARTITION BY track_genre ORDER BY day)
+"""

@@ -212,3 +212,33 @@ WHERE track_genre IS NOT NULL AND date IS NOT NULL
   AND track_genre = '{GSI_GENRE}'
   AND date BETWEEN '{GSI_DATE_FROM}' AND '{GSI_DATE_TO}'
 """
+
+
+# ---------------------------------------------------------------------------
+# Secondary access path twin of the reference's KpiTypeIndex GSI
+# (create_dynamodb_table.py:27-37: kpi_type HASH, timestamp RANGE).
+# Every item carries both attributes, so this index is dense.
+# ---------------------------------------------------------------------------
+
+GSI_KPI_TYPE = "genre_top_songs"
+
+
+def serving_by_kpi_type(
+    enriched: DataFrame,
+    kpi_type: str = GSI_KPI_TYPE,
+    batch_ts: str = DEFAULT_BATCH_TS,
+) -> DataFrame:
+    """Hash lookup on the kpi_type→timestamp secondary index: one item
+    family, every batch timestamp (the reference's KpiTypeIndex Query —
+    "give me all genre_top_songs items"). Physically this predicate is
+    partition pruning on the ``kpi_type=`` directory of the serving
+    parquet written by ``kv_sink.write_serving_local`` — one directory
+    read, zero scan of the other four families."""
+    items = serving_items(enriched, batch_ts)
+    return items.filter(F.col("kpi_type") == kpi_type)
+
+
+SERVING_BY_KPI_TYPE_SQL = f"""
+WITH items AS ({SERVING_ITEMS_SQL})
+SELECT * FROM items WHERE kpi_type = '{GSI_KPI_TYPE}'
+"""
