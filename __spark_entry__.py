@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(spark, sf)
         ),
         "ann_topk_ivf": _ann_ivf,
+        "knn_join": lambda spark, sf: _sim.knn_join(_embs(spark, sf)),
         "label_centroids": lambda spark, sf: _sim.label_centroids(
             _embs(spark, sf)
         ),
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pandas": _sim.ANN_TOPK_SQL,
         "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,
+        "knn_join": _sim.KNN_JOIN_SQL,
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
         "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_SQL,
         "ivf_assignments": _sim.IVF_ASSIGNMENTS_SQL,

@@ -691,3 +691,101 @@ def kmeans_refine(
         )
         cents = _centroid_arrays(recomputed)
     return assign, inertias
+
+
+# ---------------------------------------------------------------------------
+# k-NN join: top-k neighbors for EVERY query vector (multi-query ANN)
+# ---------------------------------------------------------------------------
+
+KNN_N_QUERIES = 10
+KNN_K = 5
+
+
+def knn_join(
+    embeddings: DataFrame,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+) -> DataFrame:
+    """Top-k cosine neighbors for each of a query SET of vectors (the
+    contamination-check / near-dup-vs-held-out shape: score a corpus
+    against every benchmark vector at once), exact.
+
+    Plan: data rows are unit-normalized once (one narrow pass), the query
+    set broadcasts, and the |data| × |queries| scores are a flat
+    codegen'd expression join — linear in n·Q, never a vector shuffle.
+    Top-k is TWO-stage: rank within (query, input-partition) first — a
+    well-spread P×Q-key shuffle that cuts each partition's contribution
+    to k — then rank the surviving P·Q·k rows per query. No stage funnels
+    all scores of one query through one task at full width.
+    """
+    dims = _dims(embeddings)
+    # Norms are computed once per row but the score divides the RAW dot by
+    # the norm product — the exact arithmetic of the oracle's
+    # dot/(|a|·|b|), so rounding-boundary scores can't drift.
+    norm = F.sqrt(
+        _unrolled_dot(_as_double("embedding"), _as_double("embedding"), dims)
+    )
+    data = embeddings.select(
+        "vec_id", _as_double("embedding").alias("vec"), norm.alias("norm")
+    )
+    queries = F.broadcast(
+        data.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    scored = (
+        data.join(queries, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _unrolled_dot(F.col("vec"), F.col("qvec"), dims)
+                / (F.col("norm") * F.col("qnorm")),
+                ROUND,
+            ).alias("similarity"),
+        )
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+KNN_JOIN_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+    FROM embeddings WHERE vec_id < {KNN_N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           round(
+               list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), {ROUND}
+           ) AS similarity
+    FROM embeddings e JOIN q ON e.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, similarity,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, similarity, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
