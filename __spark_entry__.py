@@ -166,6 +166,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": lambda spark, sf: _dedup.stratified_sample(
             load_table(spark, sf, "events")
         ),
+        "weighted_sample": lambda spark, sf: _dedup.weighted_sample(
+            _docs(spark, sf)
+        ),
+        "rebalance_sources": lambda spark, sf: _dedup.rebalance_sources(
+            _docs(spark, sf)
+        ),
         # transitive near-dup grouping (iterative min-label propagation)
         "dedup_clusters": lambda spark, sf: _clusters.dedup_clusters(
             _docs(spark, sf)
@@ -338,6 +344,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": _dedup.DEDUP_APPLY_SQL,
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
         "stratified_sample": _dedup.STRATIFIED_SAMPLE_SQL,
+        "weighted_sample": _dedup.WEIGHTED_SAMPLE_SQL,
+        "rebalance_sources": _dedup.REBALANCE_SOURCES_SQL,
         "dedup_clusters": _clusters.DEDUP_CLUSTERS_SQL,
         "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
         "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,

@@ -20,7 +20,7 @@ band/row index), not for security.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SHINGLE_N = 3
@@ -122,8 +122,6 @@ def dedup_apply(documents: DataFrame) -> DataFrame:
     """Materialize the deduplicated corpus: keep each text's canonical
     (minimum-doc_id) row. Window-based keep-first — one shuffle on the
     hash, no join back to the source."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
     return (
         documents.withColumn("__rn", F.row_number().over(w))
@@ -644,4 +642,140 @@ FROM b
 WHERE sample_bucket < CASE event_type
            {_STRATA_CASE}
            ELSE -1 END
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling + source rebalancing (training-data mixture tools)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_N = 100
+#: 2^60 — the md5-derived 60-bit hash mapped into (0, 1]; an exact power
+#: of two, so the division is the same double on every engine.
+_U_DENOM = float(1 << 60)
+
+#: Target mixture shares (exact binary fractions → the share × budget
+#: products are the same doubles everywhere). Sources not listed are
+#: dropped — rebalancing is also a source filter.
+REBALANCE_TARGETS = (("src0", 0.5), ("src1", 0.25), ("src2", 0.25))
+
+
+def weighted_sample(
+    documents: DataFrame, n: int = WEIGHTED_SAMPLE_N
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic (Efraimidis–
+    Spirakis A-ES): each doc draws u = md5-uniform ∈ (0,1], gets key =
+    u^(1/weight), and the top-n keys win — inclusion probability is
+    proportional to weight (here ``n_chars``: longer docs more likely),
+    yet reruns, repartitions, and appends never reshuffle existing draws.
+
+    One narrow scan computes the keys; the top-n is orderBy+limit
+    (TakeOrderedAndProject partial top-k) — no global sort, no RNG state.
+    """
+    u = (
+        _hash_bucket("doc_id", 1 << 60) + 1
+    ).cast("double") / F.lit(_U_DENOM)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    keyed = documents.select(
+        "doc_id", "source", "n_chars", key.alias("sample_key")
+    )
+    top = keyed.orderBy(
+        F.col("sample_key").desc(), F.col("doc_id").asc()
+    ).limit(n)
+    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "n_chars", "sample_rank")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           pow(
+               ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                 % {1 << 60}) + 1)::DOUBLE / {_U_DENOM!r},
+               1.0 / n_chars
+           ) AS sample_key
+    FROM documents
+)
+SELECT doc_id, source, n_chars,
+       row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS sample_rank
+FROM keyed
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {WEIGHTED_SAMPLE_N}
+"""
+
+
+def rebalance_sources(
+    documents: DataFrame,
+    targets: tuple[tuple[str, float], ...] = REBALANCE_TARGETS,
+) -> DataFrame:
+    """Downsample sources to a target mixture (the pre-training data-mix
+    step): budget T = min over sources of count/share (the largest total
+    for which every share is satisfiable without upsampling), then each
+    source keeps its floor(share·T) lowest-md5 docs.
+
+    Two metadata aggregates (per-source counts, then the single-row min)
+    broadcast back onto the scan; the only per-row work is the hash rank
+    within each source. Unlisted sources drop out in the join.
+    """
+    shares = F.create_map(*[F.lit(x) for t in targets for x in t])
+    counts = (
+        documents.join(
+            F.broadcast(
+                documents.sparkSession.createDataFrame(
+                    list(targets), "source string, share double"
+                )
+            ),
+            "source",
+        )
+        .groupBy("source", "share")
+        .agg(F.count("*").alias("src_count"))
+    )
+    budget = counts.agg(
+        F.min(F.col("src_count").cast("double") / F.col("share")).alias("t")
+    )
+    quotas = F.broadcast(
+        counts.crossJoin(F.broadcast(budget)).select(
+            "source",
+            F.floor(F.col("share") * F.col("t")).cast("long").alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        documents.join(quotas, "source")
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("src_rank") <= F.col("quota"))
+        .select("doc_id", "source", "src_rank", "quota")
+    )
+
+
+REBALANCE_SOURCES_SQL = f"""
+WITH shares(source, share) AS (
+    VALUES {", ".join(f"('{n}', {s!r})" for n, s in REBALANCE_TARGETS)}
+),
+counts AS (
+    SELECT d.source, s.share, COUNT(*) AS src_count
+    FROM documents d JOIN shares s ON d.source = s.source
+    GROUP BY d.source, s.share
+),
+budget AS (
+    SELECT MIN(src_count::DOUBLE / share) AS t FROM counts
+),
+quotas AS (
+    SELECT source, CAST(floor(share * t) AS BIGINT) AS quota
+    FROM counts, budget
+),
+ranked AS (
+    SELECT d.doc_id, d.source, q.quota,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY md5(d.doc_id::VARCHAR), d.doc_id)
+               AS src_rank
+    FROM documents d JOIN quotas q ON d.source = q.source
+)
+SELECT doc_id, source, src_rank, quota
+FROM ranked WHERE src_rank <= quota
 """
