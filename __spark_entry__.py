@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda spark, sf: _text.tfidf_top_terms(
             _docs(spark, sf)
         ),
+        "bm25_scores": lambda spark, sf: _text.bm25_scores(_docs(spark, sf)),
         "repetition_metrics": lambda spark, sf: _text.repetition_metrics(
             _docs(spark, sf)
         ),
@@ -261,6 +262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "part"),
             load_table(spark, sf, "supplier"),
         ),
+        "small_quantity_revenue": lambda spark, sf: _rel.small_quantity_revenue(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "part"),
+        ),
         "order_priority_pivot": lambda spark, sf: _an.order_priority_pivot(
             load_table(spark, sf, "orders")
         ),
@@ -281,6 +286,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "value_percentiles": lambda spark, sf: _an.value_percentiles(
             load_table(spark, sf, "events")
+        ),
+        # KLL-sketch percentile twin — approximate, rows-only check; the
+        # pytest rank-error bound is the verification.
+        "value_percentiles_approx": lambda spark, sf: (
+            _an.value_percentiles_approx(load_table(spark, sf, "events"))
         ),
         "skyline_parts": lambda spark, sf: _an.skyline_parts(
             load_table(spark, sf, "part")
@@ -326,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _text.LANG_ID_SQL,
         "fingerprints": _text.FINGERPRINTS_SQL,
         "tfidf_top_terms": _text.TFIDF_TOP_TERMS_SQL,
+        "bm25_scores": _text.BM25_SCORES_SQL,
         "repetition_metrics": _text.REPETITION_METRICS_SQL,
         "chunk_documents": _text.CHUNK_DOCUMENTS_SQL,
         "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
@@ -373,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "line_priority_counts": _rel.LINE_PRIORITY_COUNTS_SQL,
         "promo_revenue": _rel.PROMO_REVENUE_SQL,
         "brand_supplier_counts": _rel.BRAND_SUPPLIER_COUNTS_SQL,
+        "small_quantity_revenue": _rel.SMALL_QUANTITY_REVENUE_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,

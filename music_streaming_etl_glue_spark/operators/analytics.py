@@ -542,3 +542,20 @@ SELECT c.o_orderpriority, c.o_orderstatus,
 FROM combos c
 LEFT JOIN counts USING (o_orderpriority, o_orderstatus)
 """
+
+
+def value_percentiles_approx(
+    events: DataFrame, accuracy: int = 1000
+) -> DataFrame:
+    """Sketch twin of :func:`value_percentiles`: ``percentile_approx``
+    (KLL-style quantile sketch — single pass, mergeable across partitions
+    and epochs, bounded rank error ≤ 1/accuracy). The 100 TB path;
+    approximate, so verified by a pytest rank-error bound against the
+    exact query rather than a SQL oracle."""
+    aggs = [
+        F.round(
+            F.percentile_approx("value", F.lit(p), F.lit(accuracy)), 6
+        ).alias(f"p{int(p * 100)}")
+        for p in PERCENTILES
+    ]
+    return events.groupBy("event_type").agg(*aggs)

@@ -212,3 +212,67 @@ WHERE p.p_brand <> '{EXCLUDED_BRAND}'
   )
 GROUP BY p.p_brand, p.p_type, p.p_size
 """
+
+
+SMALL_QTY_BRAND = "Brand#23"
+SMALL_QTY_FRACTION = 0.2
+SMALL_QTY_YEARS = 7.0
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = SMALL_QTY_BRAND,
+    fraction: float = SMALL_QTY_FRACTION,
+) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost to small-quantity orders of
+    one brand — the correlated "below X% of this part's average quantity"
+    subquery, decorrelated into an aggregate + self-join.
+
+    Scale order matters: the brand filter (broadcast part subset)
+    restricts lineitem FIRST, the per-part average runs over only the
+    surviving rows, and the avg joins back on the same l_partkey key —
+    Catalyst reuses one exchange for the aggregate and the join."""
+    brand_parts = F.broadcast(
+        part.filter(F.col("p_brand") == brand).select("p_partkey")
+    )
+    brand_lines = lineitem.join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = brand_lines.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    small = brand_lines.join(
+        avg_qty.withColumnRenamed("l_partkey", "ap_partkey"),
+        F.col("l_partkey") == F.col("ap_partkey"),
+    ).filter(F.col("l_quantity") < fraction * F.col("avg_qty"))
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double")
+            / SMALL_QTY_YEARS
+        ).alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = f"""
+WITH brand_lines AS (
+    SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = '{SMALL_QTY_BRAND}'
+),
+avg_qty AS (
+    SELECT l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE / COUNT(*)
+               AS avg_qty
+    FROM brand_lines GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+           / {SMALL_QTY_YEARS!r} AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM brand_lines b JOIN avg_qty a ON b.l_partkey = a.l_partkey
+WHERE b.l_quantity < {SMALL_QTY_FRACTION!r} * a.avg_qty
+"""

@@ -439,3 +439,122 @@ FROM fps f
 LEFT JOIN bench b ON f.normalized_fp = b.bench_fp
 WHERE f.doc_id % 20 != 0
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("spark", "shuffle", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 50
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Okapi BM25 of one query against every document (the retrieval
+    scorer a contamination/search pass needs).
+
+    The token explode is filtered to the query terms FIRST — the tf/df
+    aggregates shuffle only rows matching the handful of query terms,
+    not the whole token stream. Corpus stats (N, avg doc length) are one
+    broadcast scalar row; idf uses the standard
+    ln((N - df + 0.5)/(df + 0.5) + 1) form. Scores round to 6dp before
+    the deterministic (score desc, doc_id asc) top-k."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term").isin(*query_terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = F.broadcast(
+        documents.agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(F.size(F.split(F.col("text"), " ")).cast("decimal(28,0)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("avgdl"),
+        )
+    )
+    dl = documents.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("dl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    # Per-doc total as a FIXED-ORDER sum of per-term conditional aggregates
+    # (each term contributes at most one row per doc, so every aggregate
+    # sums ≤1 value) — a plain SUM over the term rows would make the 6dp
+    # rounding depend on engine-specific addition order.
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("term") == t, term_score)), F.lit(0.0)
+        )
+        for t in query_terms
+    ]
+    total = per_term[0]
+    for part in per_term[1:]:
+        total = total + part
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(F.round(total, 6).alias("bm25"))
+    )
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        top_k
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+BM25_SCORES_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+qtoks AS (SELECT * FROM toks WHERE term IN ({_BM25_TERMS_SQL})),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM qtoks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1),
+stats AS (
+    SELECT count(*) AS n_docs,
+           (SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(28,0)))::DOUBLE
+            / count(*)) AS avgdl
+    FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+scored AS (
+    SELECT tf.doc_id,
+           round({" + ".join(
+               "COALESCE(SUM(CASE WHEN tf.term = '" + t + "' THEN "
+               "ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+               " * (tf.tf * (" + repr(BM25_K1) + " + 1)"
+               " / (tf.tf + " + repr(BM25_K1)
+               + " * (1 - " + repr(BM25_B) + " + " + repr(BM25_B)
+               + " * dl.dl / stats.avgdl))) END), 0.0)"
+               for t in BM25_QUERY_TERMS
+           )}, 6) AS bm25
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25,
+       row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""

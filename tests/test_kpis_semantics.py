@@ -115,3 +115,36 @@ def test_approx_distinct_within_rsd_bound(spark):
         assert r.listen_count == ex_count
         assert r.total_listening_time_minutes == ex_time
     enriched.unpersist()
+
+
+def test_percentile_approx_within_rank_error(spark):
+    """value_percentiles_approx: each sketch estimate must be an actual
+    data value whose rank sits within the 1/accuracy rank-error bound of
+    the requested percentile (the KLL guarantee), checked per group."""
+    from music_streaming_etl_glue_spark.operators.analytics import (
+        PERCENTILES,
+        value_percentiles_approx,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    accuracy = 1000
+    events = load_table(spark, SF_CORRECT, "events")
+    approx = {
+        r["event_type"]: r
+        for r in value_percentiles_approx(events, accuracy).collect()
+    }
+    rows = events.select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for etype, values in by_type.items():
+        values.sort()
+        n = len(values)
+        for p in PERCENTILES:
+            est = approx[etype][f"p{int(p * 100)}"]
+            lo = max(0, int((p - 1.0 / accuracy) * n) - 1)
+            hi = min(n - 1, int((p + 1.0 / accuracy) * n) + 1)
+            assert values[lo] - 1e-6 <= est <= values[hi] + 1e-6, (
+                etype, p, est, values[lo], values[hi],
+            )
