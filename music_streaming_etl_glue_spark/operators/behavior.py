@@ -270,6 +270,11 @@ def events_rollup(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,6)")).alias("value_dec"),
     )
+    # Materialize the hourly aggregate once: the three union branches are
+    # separate plan trees, and Spark's exchange reuse does not fire across
+    # them — without this the raw scan (the only big input) runs 3×.
+    # Real continuous-aggregate stores persist this level anyway.
+    hourly = hourly.localCheckpoint(eager=False)
     daily = hourly.groupBy(
         F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts")
     ).agg(

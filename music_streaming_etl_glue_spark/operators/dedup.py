@@ -732,6 +732,10 @@ def rebalance_sources(
         )
         .groupBy("source", "share")
         .agg(F.count("*").alias("src_count"))
+        # tiny (one row per target source) but consumed by BOTH the budget
+        # aggregate and the quota join — materialize once or the full
+        # document scan behind it runs twice more
+        .localCheckpoint(eager=False)
     )
     budget = counts.agg(
         F.min(F.col("src_count").cast("double") / F.col("share")).alias("t")

@@ -1,0 +1,105 @@
+"""Physical-plan guards for the round-2 operators: pushdown, pruning,
+broadcast, partial top-k, and no-nested-loop promises must be visible in
+the executed plans."""
+
+from __future__ import annotations
+
+from music_streaming_etl_glue_spark.operators.behavior import (
+    events_rollup,
+    track_cooccurrence,
+)
+from music_streaming_etl_glue_spark.operators.enrich import enrich_events
+from music_streaming_etl_glue_spark.operators.relational import (
+    brand_supplier_counts,
+    shipping_priority,
+    small_quantity_revenue,
+)
+from music_streaming_etl_glue_spark.operators.similarity import knn_join
+from music_streaming_etl_glue_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _enriched(spark):
+    return enrich_events(
+        load_table(spark, SF_SMOKE, "events"),
+        load_table(spark, SF_SMOKE, "customer"),
+        load_table(spark, SF_SMOKE, "nation"),
+    )
+
+
+def test_shipping_priority_pushdown_and_partial_topk(spark):
+    plan = _plan(
+        shipping_priority(
+            load_table(spark, SF_SMOKE, "customer"),
+            load_table(spark, SF_SMOKE, "orders"),
+            load_table(spark, SF_SMOKE, "lineitem"),
+        )
+    )
+    # filters reach the parquet scans
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # lineitem scan is column-pruned to the 4 needed columns
+    assert (
+        "struct<l_orderkey:bigint,l_extendedprice:double,"
+        "l_discount:double,l_shipdate" in plan
+    )
+    # top-k is a distributed partial top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brand_supplier_counts_broadcasts_and_prunes(spark):
+    plan = _plan(
+        brand_supplier_counts(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            load_table(spark, SF_SMOKE, "part"),
+            load_table(spark, SF_SMOKE, "supplier"),
+        )
+    )
+    # anti-join against bad suppliers and the part dim both broadcast
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # lineitem reads only the two join columns
+    assert "struct<l_partkey:bigint,l_suppkey:bigint>" in plan
+
+
+def test_small_quantity_revenue_single_fact_exchange(spark):
+    plan = _plan(
+        small_quantity_revenue(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            load_table(spark, SF_SMOKE, "part"),
+        )
+    )
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_broadcasts_queries_no_vector_shuffle(spark):
+    plan = _plan(knn_join(load_table(spark, SF_SMOKE, "embeddings")))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only row movement is the compact (query_id, score) ranking —
+    # never a hash exchange carrying the embedding arrays
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "vec#" not in line and "embedding#" not in line
+
+
+def test_events_rollup_scans_raw_once(spark):
+    plan = _plan(events_rollup(load_table(spark, SF_SMOKE, "events")))
+    # the hierarchical cascade materializes the hourly aggregate and
+    # re-reads IT for the coarser resolutions: at most one parquet scan
+    # of the raw events in the whole three-resolution plan (the
+    # checkpointed hourly level shows up as ExistingRDD branches)
+    assert plan.count("FileScan parquet") <= 1
+    assert "ExistingRDD" in plan
+
+
+def test_track_cooccurrence_no_nested_loop(spark):
+    plan = _plan(track_cooccurrence(_enriched(spark)))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
