@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_cooccurrence": lambda spark, sf: _beh.track_cooccurrence(
             _enriched(spark, sf)
         ),
+        # fixed-iteration power method over the co-play graph (iterative
+        # algorithm #2 beside connected components; unrolled-CTE oracle)
+        "track_pagerank": lambda spark, sf: _clusters.track_pagerank(
+            _enriched(spark, sf)
+        ),
         "sample_per_group": lambda spark, sf: _beh.sample_per_group(
             load_table(spark, sf, "events")
         ),
@@ -153,6 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "genre_daily_change": lambda spark, sf: _beh.genre_daily_change(
             _enriched(spark, sf)
+        ),
+        "daily_activity_full": lambda spark, sf: _beh.daily_activity_full(
+            load_table(spark, sf, "events"),
+            load_table(spark, sf, "orders"),
         ),
         "value_histogram": lambda spark, sf: _an.value_histogram(
             load_table(spark, sf, "events")
@@ -207,6 +216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_topk_ivf": _ann_ivf,
         "knn_join": lambda spark, sf: _sim.knn_join(_embs(spark, sf)),
+        "embedding_stats": lambda spark, sf: _sim.embedding_stats(
+            _embs(spark, sf)
+        ),
         "label_centroids": lambda spark, sf: _sim.label_centroids(
             _embs(spark, sf)
         ),
@@ -345,10 +357,12 @@ def oracle_sql() -> dict[str, str]:
         "genre_daily_anomalies": _beh.GENRE_DAILY_ANOMALIES_SQL,
         "events_rollup": _beh.EVENTS_ROLLUP_SQL,
         "track_cooccurrence": _beh.TRACK_COOCCURRENCE_SQL,
+        "track_pagerank": _clusters.TRACK_PAGERANK_SQL,
         "sample_per_group": _beh.SAMPLE_PER_GROUP_SQL,
         "view_days_without_purchase": _beh.VIEW_DAYS_WITHOUT_PURCHASE_SQL,
         "user_value_quartiles": _beh.USER_VALUE_QUARTILES_SQL,
         "genre_daily_change": _beh.GENRE_DAILY_CHANGE_SQL,
+        "daily_activity_full": _beh.DAILY_ACTIVITY_FULL_SQL,
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,
@@ -369,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,
         "knn_join": _sim.KNN_JOIN_SQL,
+        "embedding_stats": _sim.EMBEDDING_STATS_SQL,
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
         "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_SQL,
         "ivf_assignments": _sim.IVF_ASSIGNMENTS_SQL,

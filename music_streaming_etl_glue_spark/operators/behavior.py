@@ -333,18 +333,16 @@ SELECT 'week', bucket_ts, n_events::BIGINT, value_dec::DOUBLE FROM weekly
 # track co-occurrence
 # ---------------------------------------------------------------------------
 
-def track_cooccurrence(
+def cooccurrence_pairs(
     enriched: DataFrame,
     max_tracks_per_group: int = COOCCUR_MAX_TRACKS_PER_GROUP,
-    top_k: int = COOCCUR_TOP_K,
 ) -> DataFrame:
-    """Top-k track pairs co-played by the same user on the same day.
-
-    The per-(user, day) quadratic is bounded FIRST: each group keeps at
-    most ``max_tracks_per_group`` distinct tracks (deterministically, the
-    lowest track ids) before the pair self-join — a hot user contributes
-    O(cap²) pairs, never O(plays²). The final top-k is an
-    ``orderBy().limit()`` partial top-k."""
+    """(track_a < track_b) pair INSTANCES, one per (user, day) co-play —
+    the shared candidate generator for co-occurrence counting and the
+    track graph. The per-(user, day) quadratic is bounded FIRST: each
+    group keeps at most ``max_tracks_per_group`` distinct tracks
+    (deterministically, the lowest track ids) before the pair self-join —
+    a hot user contributes O(cap²) pairs, never O(plays²)."""
     plays = (
         enriched.filter(F.col("track_id").isNotNull())
         .select("user_id", F.col("timestamp").cast("date").alias("day"), "track_id")
@@ -357,7 +355,7 @@ def track_cooccurrence(
         .drop("rn")
     )
     a, b = capped.alias("a"), capped.alias("b")
-    pairs = a.join(
+    return a.join(
         b,
         (F.col("a.user_id") == F.col("b.user_id"))
         & (F.col("a.day") == F.col("b.day"))
@@ -366,6 +364,17 @@ def track_cooccurrence(
         F.col("a.track_id").alias("track_a"),
         F.col("b.track_id").alias("track_b"),
     )
+
+
+def track_cooccurrence(
+    enriched: DataFrame,
+    max_tracks_per_group: int = COOCCUR_MAX_TRACKS_PER_GROUP,
+    top_k: int = COOCCUR_TOP_K,
+) -> DataFrame:
+    """Top-k track pairs co-played by the same user on the same day
+    (see :func:`cooccurrence_pairs` for the bounded candidate step). The
+    final top-k is an ``orderBy().limit()`` partial top-k."""
+    pairs = cooccurrence_pairs(enriched, max_tracks_per_group)
     return (
         pairs.groupBy("track_a", "track_b")
         .agg(F.count("*").alias("n_cooccur"))
@@ -378,8 +387,9 @@ def track_cooccurrence(
     )
 
 
-TRACK_COOCCURRENCE_SQL = f"""
-WITH plays AS (
+#: Shared CTE chain ending in `pairs(track_a, track_b)` pair instances —
+#: the SQL twin of :func:`cooccurrence_pairs`.
+COOCCUR_PAIRS_CTES = f"""plays AS (
     SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS track_id
     FROM events
@@ -394,12 +404,18 @@ capped AS (
         FROM plays
     )
     WHERE rn <= {COOCCUR_MAX_TRACKS_PER_GROUP}
-)
-SELECT a.track_id AS track_a, b.track_id AS track_b,
-       COUNT(*) AS n_cooccur
-FROM capped a
-JOIN capped b ON a.user_id = b.user_id AND a.day = b.day
-            AND a.track_id < b.track_id
+),
+pairs AS (
+    SELECT a.track_id AS track_a, b.track_id AS track_b
+    FROM capped a
+    JOIN capped b ON a.user_id = b.user_id AND a.day = b.day
+                AND a.track_id < b.track_id
+)"""
+
+TRACK_COOCCURRENCE_SQL = f"""
+WITH {COOCCUR_PAIRS_CTES}
+SELECT track_a, track_b, COUNT(*) AS n_cooccur
+FROM pairs
 GROUP BY 1, 2
 ORDER BY n_cooccur DESC, track_a ASC, track_b ASC
 LIMIT {COOCCUR_TOP_K}
@@ -533,4 +549,36 @@ SELECT track_genre, day, plays,
            AS pct_change
 FROM daily
 WINDOW w AS (PARTITION BY track_genre ORDER BY day)
+"""
+
+
+def daily_activity_full(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """FULL OUTER join of the two daily activity series (event stream vs
+    order book) — the reconciliation shape: days present in either side
+    survive, the other side's measures null. Both inputs are aggregated
+    to day grain BEFORE the join, so the full-outer shuffle carries one
+    row per day per side."""
+    e = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    o = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("n_orders")
+    )
+    return (
+        e.join(o, "day", "full_outer")
+        .select("day", "n_events", "n_orders")
+    )
+
+
+DAILY_ACTIVITY_FULL_SQL = """
+WITH e AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+    FROM events GROUP BY 1
+),
+o AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT COALESCE(e.day, o.day) AS day, e.n_events, o.n_orders
+FROM e FULL OUTER JOIN o ON e.day = o.day
 """

@@ -148,3 +148,137 @@ sizes AS (
 SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, s.n_members
 FROM documents d JOIN sizes s ON d.doc_id = s.cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the track co-occurrence graph (fixed-iteration power method)
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERATIONS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """Power-iteration PageRank, deterministic across engines and
+    partitionings: per-edge contributions are rounded to 12dp and summed
+    as DECIMAL(38,12) (exact, order-independent), so every iteration's
+    ranks are bit-identical no matter how the shuffle lands. Fixed
+    iteration count — the contract an unrolled SQL twin can mirror.
+
+    ``vertices``: column ``id``; ``edges``: ``src``/``dst`` (already
+    symmetric if the graph is undirected). One join + one aggregate per
+    iteration, both keyed — the edge list (with out-degrees attached) is
+    checkpointed once and re-scanned."""
+    e = edges.join(
+        edges.groupBy("src").agg(F.count("*").alias("deg")), "src"
+    ).localCheckpoint()
+    n_row = F.broadcast(
+        vertices.agg(F.count("*").cast("double").alias("n"))
+    )
+    ranks = (
+        vertices.crossJoin(n_row)
+        .select("id", (F.lit(1.0) / F.col("n")).alias("rank"))
+        .localCheckpoint()
+    )
+    base, d = 1.0 - damping, damping
+    for _ in range(iterations):
+        contribs = e.join(ranks, e["src"] == ranks["id"]).select(
+            F.col("dst"),
+            F.round(F.col("rank") / F.col("deg"), 12)
+            .cast("decimal(38,12)")
+            .alias("c"),
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            vertices.join(sums, vertices["id"] == sums["dst"], "left")
+            .crossJoin(n_row)
+            .select(
+                "id",
+                (
+                    F.lit(base) / F.col("n")
+                    + F.lit(d)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def track_pagerank(enriched: DataFrame) -> DataFrame:
+    """PageRank of tracks in the co-played-same-(user, day) graph — the
+    'centrality of a track in listening behavior' signal. Edges come from
+    the bounded co-occurrence generator; the undirected graph is the
+    symmetric closure of the distinct pairs."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        cooccurrence_pairs,
+    )
+
+    pairs = cooccurrence_pairs(enriched).distinct()
+    edges = pairs.select(
+        F.col("track_a").alias("src"), F.col("track_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("track_b").alias("src"), F.col("track_a").alias("dst")
+        )
+    )
+    verts = (
+        enriched.filter(F.col("track_id").isNotNull())
+        .select(F.col("track_id").alias("id"))
+        .distinct()
+    )
+    ranks = pagerank(verts, edges)
+    return ranks.select(
+        F.col("id").alias("track_id"), F.round("rank", 12).alias("pagerank")
+    )
+
+
+def _pagerank_sql(
+    iterations: int = PAGERANK_ITERATIONS, damping: float = PAGERANK_DAMPING
+) -> str:
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        COOCCUR_PAIRS_CTES,
+    )
+
+    base, d = 1.0 - damping, damping
+    levels = []
+    for i in range(iterations):
+        prev = f"r{i}"
+        levels.append(f"""r{i + 1} AS (
+    SELECT v.id,
+           {base!r} / (SELECT n FROM nn)
+           + {d!r} * COALESCE(s.s::DOUBLE, 0.0) AS rank
+    FROM verts v
+    LEFT JOIN (
+        SELECT e.dst, SUM(CAST(round(r.rank / o.deg, 12) AS DECIMAL(38,12)))
+               AS s
+        FROM edges e
+        JOIN {prev} r ON e.src = r.id
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ) s ON v.id = s.dst
+)""")
+    chained = ",\n".join(levels)
+    return f"""
+WITH {COOCCUR_PAIRS_CTES},
+dpairs AS (SELECT DISTINCT track_a, track_b FROM pairs),
+edges AS (
+    SELECT track_a AS src, track_b AS dst FROM dpairs
+    UNION ALL
+    SELECT track_b AS src, track_a AS dst FROM dpairs
+),
+verts AS (SELECT DISTINCT track_id AS id FROM plays),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
+{chained}
+SELECT id AS track_id, round(rank, 12) AS pagerank FROM r{iterations}
+"""
+
+
+TRACK_PAGERANK_SQL = _pagerank_sql()

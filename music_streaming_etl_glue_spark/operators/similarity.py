@@ -789,3 +789,40 @@ ranked AS (
 SELECT query_id, vec_id, similarity, rank
 FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# per-vector array statistics (higher-order-function surface)
+# ---------------------------------------------------------------------------
+
+def embedding_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-vector summary stats via array higher-order functions
+    (transform / filter / aggregate) — the HOF API surface on a LINEAR
+    scan, where interpreted evaluation is fine (the pair kernels unroll
+    instead, see ``_unrolled_dot``). Norm uses the same left-fold order
+    as DuckDB's list aggregates; doubles rounded to 6dp."""
+    v = _as_double("embedding")
+    sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        F.round(F.sqrt(sq), ROUND).alias("l2_norm"),
+        F.round(F.array_min(v), ROUND).alias("min_val"),
+        F.round(F.array_max(v), ROUND).alias("max_val"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+EMBEDDING_STATS_SQL = f"""
+SELECT vec_id,
+       len(embedding)::INTEGER AS dims,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])),
+             {ROUND}) AS l2_norm,
+       round(list_min(embedding::DOUBLE[]), {ROUND}) AS min_val,
+       round(list_max(embedding::DOUBLE[]), {ROUND}) AS max_val,
+       len(list_filter(embedding::DOUBLE[], x -> x > 0))::BIGINT
+           AS n_positive
+FROM embeddings
+"""

@@ -45,3 +45,20 @@ def test_dedup_clusters_covers_every_document(spark):
     reps = clusters.select(F.col("cluster_id").alias("doc_id")).distinct()
     missing = reps.join(clusters.select("doc_id").distinct(), "doc_id", "left_anti")
     assert missing.count() == 0
+
+
+def test_pagerank_star_graph(spark):
+    """On a 5-vertex star the hub must dominate, leaves tie exactly, and
+    (no dangling vertices) total mass stays ~1 each iteration."""
+    from music_streaming_etl_glue_spark.operators.clusters import pagerank
+
+    vertices = spark.range(5).select(F.col("id"))
+    spokes = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        spokes + [(b, a) for a, b in spokes], "src bigint, dst bigint"
+    )
+    got = {r.id: r.rank for r in pagerank(vertices, edges).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got[0] == max(got.values())
+    leaf_ranks = {round(got[i], 12) for i in range(1, 5)}
+    assert len(leaf_ranks) == 1

@@ -95,3 +95,65 @@ def test_streaming_trending_matches_batch_plan(spark, tmp_path):
 
     top = trending_top_tracks(batch)
     assert top.count() > 0
+
+
+def test_stream_stream_join_clicks_to_purchases(spark, tmp_path):
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks within the join window. Both sides carry watermarks so the
+    join state is bounded; AvailableNow drains the files and stops."""
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "a.parquet")
+
+    clicks = (
+        stream_events(spark, str(src))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, str(src))
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 15 MINUTES")),
+        "inner",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(
+            lambda df, epoch: df.write.mode("overwrite").parquet(
+                f"{out}/epoch={epoch}"
+            )
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).count()
+
+    # batch twin of the same join predicate
+    ev = load_table(spark, SF_SMOKE, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    expected = bp.join(
+        bc,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 15 MINUTES")),
+    ).count()
+    assert got == expected and expected > 0
