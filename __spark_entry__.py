@@ -327,6 +327,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": lambda spark, sf: _mm.extract_features(
             _mm.attach_binary(_docs(spark, sf))
         ),
+        # video-modality plumbing: 1 payload → N frame rows (mapInPandas)
+        "frame_sample": lambda spark, sf: _mm.frame_sample(
+            _mm.attach_binary(_docs(spark, sf))
+        ),
+        # skew-safe two-phase aggregation (plans/layout.salted_agg)
+        "genre_totals_salted": lambda spark, sf: _an.genre_totals_salted(
+            load_table(spark, sf, "events")
+        ),
     }
 
 
@@ -416,4 +424,6 @@ def oracle_sql() -> dict[str, str]:
         # The featurizer itself is mapInPandas, but the stand-in payload is
         # ASCII text, so the byte math has an exact SQL twin.
         "multimodal_features": _mm.MULTIMODAL_FEATURES_SQL,
+        "frame_sample": _mm.FRAME_SAMPLE_SQL,
+        "genre_totals_salted": _an.GENRE_TOTALS_SALTED_SQL,
     }

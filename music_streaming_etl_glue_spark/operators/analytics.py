@@ -559,3 +559,37 @@ def value_percentiles_approx(
         for p in PERCENTILES
     ]
     return events.groupBy("event_type").agg(*aggs)
+
+
+def genre_totals_salted(events: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Per-event-type totals via SALTED two-phase aggregation
+    (``plans/layout.salted_agg``): with only a handful of hot group keys,
+    a direct groupBy funnels every row of a key through one reducer —
+    salting spreads each key over ``salt_buckets`` partial groups first.
+    Exact by construction (count/sum split losslessly; the value sum is a
+    decimal accumulator), so it shares plain-GROUP-BY oracle semantics."""
+    from music_streaming_etl_glue_spark.plans.layout import salted_agg
+
+    prepared = events.select(
+        "event_type", F.col("value").cast("decimal(28,6)").alias("value_dec")
+    )
+    out = salted_agg(
+        prepared,
+        keys=["event_type"],
+        aggs={"value_dec": "sum", "event_type": "count"},
+        salt_buckets=salt_buckets,
+    )
+    return out.select(
+        "event_type",
+        F.col("count_event_type").alias("n_events"),
+        F.col("sum_value_dec").cast("double").alias("value_sum"),
+    )
+
+
+GENRE_TOTALS_SALTED_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+"""

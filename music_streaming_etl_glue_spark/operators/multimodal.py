@@ -128,3 +128,62 @@ SELECT doc_id,
         END)::BIGINT AS checksum
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# frame sampling (video-modality plumbing: one payload → N frame rows)
+# ---------------------------------------------------------------------------
+
+N_FRAMES = 8
+FRAME_SCHEMA = "doc_id long, frame_idx int, byte_offset long, frame_value int"
+
+
+def frame_sample(binary_df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Evenly-spaced frame sampling over a video-style payload: each
+    payload row fans out to ``min(n_frames, byte_len)`` frame rows at
+    deterministic offsets — the 1→N row-expanding mapInPandas shape every
+    video pipeline needs (real decoders emit frames the same way; here
+    the 'frame' is the payload byte at the offset, keeping the plumbing
+    fully testable without codec libraries).
+
+    Offsets are ``(j · n) // n_frames`` — pure integer math, so the SQL
+    twin reproduces them exactly. Payload columns stay pruned unless this
+    stage is in the plan."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "byte_offset": [],
+                "frame_value": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                n = 0 if payload is None else len(payload)
+                for j in range(min(n_frames, n)):
+                    off = (j * n) // n_frames
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(j)
+                    out["byte_offset"].append(off)
+                    out["frame_value"].append(payload[off])
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )
+
+
+# Same ASCII-payload reasoning as MULTIMODAL_FEATURES_SQL: byte at offset
+# `off` (0-based) == ascii(substr(text, off+1, 1)).
+FRAME_SAMPLE_SQL = f"""
+WITH b AS (
+    SELECT doc_id, coalesce(text, '') AS text,
+           octet_length(CAST(coalesce(text, '') AS BLOB)) AS n
+    FROM documents
+)
+SELECT doc_id,
+       j::INTEGER AS frame_idx,
+       ((j * n) // {N_FRAMES})::BIGINT AS byte_offset,
+       ascii(substr(text, ((j * n) // {N_FRAMES}) + 1, 1))::INTEGER
+           AS frame_value
+FROM b, generate_series(0, {N_FRAMES - 1}) t(j)
+WHERE n > 0 AND j < LEAST({N_FRAMES}, n)
+"""
