@@ -57,6 +57,15 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_topk_ivf(spark, _embs(spark, sf_dir), ivf_path)
 
 
+def _pricing_summary_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ANSI-SQL text the DuckDB oracle runs, executed by Spark
+    SQL over a temp view — the engine's spark.sql() surface, and a
+    one-query proof that the shared SQL dialect is genuinely portable
+    (DataFrame API, Spark SQL, and DuckDB agree on it bit-for-bit)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_an.PRICING_SUMMARY_SQL)
+
+
 def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _enrich.enrich_events(
         load_table(spark, sf_dir, "events"),
@@ -239,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": lambda spark, sf: _an.pricing_summary(
             load_table(spark, sf, "lineitem")
         ),
+        "pricing_summary_ansi": _pricing_summary_ansi,
         "revenue_by_nation": lambda spark, sf: _an.revenue_by_nation(
             load_table(spark, sf, "lineitem"),
             load_table(spark, sf, "orders"),
@@ -399,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_pairs_blocked": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_lsh": _sim.COSINE_PAIRS_LSH_SQL,
         "pricing_summary": _an.PRICING_SUMMARY_SQL,
+        "pricing_summary_ansi": _an.PRICING_SUMMARY_SQL,
         "revenue_by_nation": _an.REVENUE_BY_NATION_SQL,
         "top_customers_per_nation": _an.TOP_CUSTOMERS_SQL,
         "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_SQL,

@@ -93,3 +93,28 @@ def test_read_parquet_validated_reports_all_bad_paths(spark, tmp_path):
     assert df.count() > 0
     # empty allowed when the rows gate is off
     assert read_parquet_validated(spark, [good, empty], require_rows=False).count() > 0
+
+
+def test_orc_and_json_roundtrip(spark, tmp_path):
+    """Format coverage beyond parquet/CSV: ORC and JSON-lines sinks and
+    scans round-trip the dimension table exactly (schema fidelity on the
+    declared read; JSON read uses the written schema rather than
+    inference, the production-safe path)."""
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    dim = load_table(spark, SF_SMOKE, "nation")
+    n = dim.count()
+
+    orc_path = str(tmp_path / "nation_orc")
+    dim.write.mode("overwrite").orc(orc_path)
+    back_orc = spark.read.orc(orc_path)
+    assert back_orc.count() == n
+    assert back_orc.schema == dim.schema
+    assert back_orc.exceptAll(dim).count() == 0
+
+    json_path = str(tmp_path / "nation_json")
+    dim.write.mode("overwrite").json(json_path)
+    back_json = spark.read.schema(dim.schema).json(json_path)
+    assert back_json.count() == n
+    assert back_json.exceptAll(dim).count() == 0
