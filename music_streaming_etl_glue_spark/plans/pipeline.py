@@ -117,6 +117,9 @@ class PipelineResult:
     kpi_rows: dict[str, int]
     serving_rows: int
     output_dir: str
+    #: QA counters observed DURING the serving write (no extra scan);
+    #: keys: n_items, negative_metrics, malformed_timestamps, malformed_ids
+    serving_qa: dict[str, int] | None = None
 
 
 @dataclass
@@ -176,11 +179,19 @@ def _run_batch_pipeline(
         kpi_rows[name] = spark.read.parquet(path).count()
 
     items = serving_items(enriched, batch_ts, materialize=False)  # cached above
+    # QA counters ride the write action itself (DataFrame.observe) — the
+    # gate costs zero extra passes over the serving frame.
+    from music_streaming_etl_glue_spark.plans.quality import (
+        observed_write_metrics,
+    )
+
+    observed_items, qa_obs = observed_write_metrics(items)
     run_stage_with_retry(
         lambda: write_serving_parquet(
-            items, os.path.join(output_dir, "serving_items")
+            observed_items, os.path.join(output_dir, "serving_items")
         )
     )
+    serving_qa = {k: int(v) for k, v in qa_obs.get.items()}
     serving_rows = spark.read.parquet(
         os.path.join(output_dir, "serving_items")
     ).count()
@@ -189,7 +200,10 @@ def _run_batch_pipeline(
 
     enriched.unpersist()
     return PipelineResult(
-        kpi_rows=kpi_rows, serving_rows=serving_rows, output_dir=output_dir
+        kpi_rows=kpi_rows,
+        serving_rows=serving_rows,
+        output_dir=output_dir,
+        serving_qa=serving_qa,
     )
 
 

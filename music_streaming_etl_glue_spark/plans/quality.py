@@ -86,3 +86,45 @@ def assert_serving_quality(items: DataFrame) -> None:
     )
     if bad:
         raise ValueError(f"serving quality violations: {[r.asDict() for r in bad]}")
+
+
+def observed_write_metrics(items: DataFrame) -> tuple[DataFrame, "Observation"]:
+    """Attach free-riding QA metrics to the serving frame via
+    ``DataFrame.observe``: the counters are collected DURING whatever
+    action consumes the returned frame (the serving write), so the
+    quality gate costs ZERO extra passes — unlike :func:`qa_serving_items`,
+    which is its own scan. Use this form inside the batch pipeline; keep
+    the standalone auditor for ad-hoc checks of already-written tables.
+
+    Returns (frame_to_write, observation); read ``observation.get`` after
+    the action completes.
+    """
+    from pyspark.sql import Observation
+
+    negative_metric = F.lit(False)
+    for m in (
+        "total_songs_played",
+        "total_listening_time_minutes",
+        "listen_count",
+        "unique_listeners",
+        "play_count",
+        "plays_last_24h",
+        "rank",
+    ):
+        negative_metric = negative_metric | (F.col(m) < 0)
+
+    obs = Observation("serving_qa")
+    observed = items.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.coalesce(negative_metric, F.lit(False)).cast("long")
+        ).alias("negative_metrics"),
+        F.sum(
+            (~F.col("timestamp").rlike(_TS_RE)).cast("long")
+        ).alias("malformed_timestamps"),
+        F.sum((~F.col("id").rlike(r"^[A-Z_]+_")).cast("long")).alias(
+            "malformed_ids"
+        ),
+    )
+    return observed, obs

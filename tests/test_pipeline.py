@@ -40,6 +40,12 @@ def test_batch_pipeline_end_to_end(spark, tmp_path):
     )
     # KV backend saw every serving item exactly once
     assert len(list(read_kv_dir(kv_dir))) == res.serving_rows
+    # QA counters were observed during the serving write (no extra scan)
+    assert res.serving_qa is not None
+    assert res.serving_qa["n_items"] == res.serving_rows
+    assert res.serving_qa["negative_metrics"] == 0
+    assert res.serving_qa["malformed_timestamps"] == 0
+    assert res.serving_qa["malformed_ids"] == 0
     # date-partitioned layout on disk for partition pruning
     parts = list((tmp_path / "out" / "genre_daily_metrics").glob("date=*"))
     assert len(parts) > 1

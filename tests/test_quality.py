@@ -52,3 +52,36 @@ def test_qa_flags_injected_violations(spark, items):
     assert qa["user"].missing_attrs == 0
     with pytest.raises(ValueError, match="serving quality violations"):
         assert_serving_quality(corrupted)
+
+
+def test_observed_metrics_ride_the_write_action(spark, tmp_path):
+    """observe()-based QA: metrics must appear after the write action with
+    the same counts the standalone auditor computes — and no extra scan
+    job is needed to get them."""
+    from music_streaming_etl_glue_spark.operators.enrich import enrich_events
+    from music_streaming_etl_glue_spark.operators.serving import serving_items
+    from music_streaming_etl_glue_spark.plans.quality import (
+        observed_write_metrics,
+        qa_serving_items,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    enriched = enrich_events(
+        load_table(spark, SF_SMOKE, "events"),
+        load_table(spark, SF_SMOKE, "customer"),
+        load_table(spark, SF_SMOKE, "nation"),
+    )
+    items = serving_items(enriched)
+    observed, obs = observed_write_metrics(items)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "serving"))
+
+    got = obs.get
+    audited = qa_serving_items(items).collect()
+    assert got["n_items"] == sum(r.n_items for r in audited)
+    assert got["negative_metrics"] == sum(r.negative_metrics for r in audited)
+    assert got["malformed_timestamps"] == sum(
+        r.malformed_timestamps for r in audited
+    )
+    assert got["malformed_ids"] == sum(r.malformed_ids for r in audited)
+    assert got["n_items"] > 0
