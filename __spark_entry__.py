@@ -132,6 +132,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": lambda spark, sf: _text.chunk_documents(
             _docs(spark, sf)
         ),
+        # Python UDTF twin of the chunker (LATERAL table function) —
+        # shares the expression chunker's oracle
+        "chunk_documents_udtf": lambda spark, sf: _text.chunk_documents_udtf(
+            _docs(spark, sf)
+        ),
+        # VARIANT-typed semi-structured extraction (Spark 4 parse_json)
+        "event_props_variant": lambda spark, sf: _enrich.event_props_variant(
+            load_table(spark, sf, "events")
+        ),
         "contamination_flags": lambda spark, sf: _text.contamination_flags(
             _docs(spark, sf)
         ),
@@ -369,6 +378,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _text.BM25_SCORES_SQL,
         "repetition_metrics": _text.REPETITION_METRICS_SQL,
         "chunk_documents": _text.CHUNK_DOCUMENTS_SQL,
+        "chunk_documents_udtf": _text.CHUNK_DOCUMENTS_SQL,
+        "event_props_variant": _enrich.EVENT_PROPS_VARIANT_SQL,
         "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
         "user_retention_cohorts": _beh.USER_RETENTION_COHORTS_SQL,
         "conversion_funnel": _beh.CONVERSION_FUNNEL_SQL,

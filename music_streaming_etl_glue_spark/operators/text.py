@@ -558,3 +558,49 @@ FROM scored
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {BM25_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# UDTF chunker (Python table function twin of chunk_documents)
+# ---------------------------------------------------------------------------
+
+def make_chunk_udtf(window: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE):
+    """Python UDTF emitting the SAME chunks as :func:`chunk_documents` —
+    the table-function API surface (1 row → N rows from Python, usable in
+    SQL via LATERAL). The expression-based chunker stays the hot path
+    (JVM-side, no serialization); this twin is for chunkers that
+    genuinely need Python (real tokenizers), and shares the chunker's
+    oracle so the two can never drift."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id bigint, chunk_id bigint, chunk_text string, "
+        "chunk_tokens bigint"
+    ))
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            toks = (text or "").split(" ")
+            n = len(toks)
+            if n <= window:
+                n_chunks = 1
+            else:
+                n_chunks = -((n - window) // -stride) + 1  # ceil + 1
+            for cid in range(n_chunks):
+                chunk = toks[cid * stride : cid * stride + window]
+                yield doc_id, cid, " ".join(chunk), len(chunk)
+
+    return ChunkDoc
+
+
+def chunk_documents_udtf(documents: DataFrame) -> DataFrame:
+    """Apply the UDTF chunker via a LATERAL join (SQL-side table-function
+    call). Row-at-a-time Python — bench it against `chunk_documents`
+    before putting it in a hot path."""
+    spark = documents.sparkSession
+    chunker = make_chunk_udtf()
+    spark.udtf.register("chunk_doc", chunker)
+    documents.select("doc_id", "text").createOrReplaceTempView("__chunk_in")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.chunk_text, c.chunk_tokens "
+        "FROM __chunk_in, LATERAL chunk_doc(doc_id, text) c"
+    )
