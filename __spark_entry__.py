@@ -171,6 +171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_days_without_purchase": lambda spark, sf: (
             _beh.view_days_without_purchase(load_table(spark, sf, "events"))
         ),
+        "view_purchase_days": lambda spark, sf: _beh.view_purchase_days(
+            load_table(spark, sf, "events")
+        ),
+        "user_first_last_event": lambda spark, sf: _beh.user_first_last_event(
+            load_table(spark, sf, "events")
+        ),
         "user_value_quartiles": lambda spark, sf: _beh.user_value_quartiles(
             load_table(spark, sf, "events")
         ),
@@ -207,6 +213,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_apply": lambda spark, sf: _clusters.near_dedup_apply(
             _docs(spark, sf)
         ),
+        # embedding-space dedup ladder rung: LSH pairs → components
+        "semantic_dedup_clusters": lambda spark, sf: (
+            _clusters.semantic_dedup_clusters(_embs(spark, sf))
+        ),
+        "chunk_dedup": lambda spark, sf: _dedup.chunk_dedup(_docs(spark, sf)),
         "ngram_jaccard_pairs": lambda spark, sf: _dedup.ngram_jaccard_pairs(
             _docs(spark, sf)
         ),
@@ -389,6 +400,8 @@ def oracle_sql() -> dict[str, str]:
         "track_pagerank": _clusters.TRACK_PAGERANK_SQL,
         "sample_per_group": _beh.SAMPLE_PER_GROUP_SQL,
         "view_days_without_purchase": _beh.VIEW_DAYS_WITHOUT_PURCHASE_SQL,
+        "view_purchase_days": _beh.VIEW_PURCHASE_DAYS_SQL,
+        "user_first_last_event": _beh.USER_FIRST_LAST_EVENT_SQL,
         "user_value_quartiles": _beh.USER_VALUE_QUARTILES_SQL,
         "genre_daily_change": _beh.GENRE_DAILY_CHANGE_SQL,
         "daily_activity_full": _beh.DAILY_ACTIVITY_FULL_SQL,
@@ -402,6 +415,8 @@ def oracle_sql() -> dict[str, str]:
         "rebalance_sources": _dedup.REBALANCE_SOURCES_SQL,
         "dedup_clusters": _clusters.DEDUP_CLUSTERS_SQL,
         "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
+        "semantic_dedup_clusters": _clusters.SEMANTIC_DEDUP_CLUSTERS_SQL,
+        "chunk_dedup": _dedup.CHUNK_DEDUP_SQL,
         "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": _dedup.MINHASH_SIGNATURES_SQL,
         "minhash_dedup_pairs": _dedup.MINHASH_DEDUP_SQL,

@@ -582,3 +582,57 @@ o AS (
 SELECT COALESCE(e.day, o.day) AS day, e.n_events, o.n_orders
 FROM e FULL OUTER JOIN o ON e.day = o.day
 """
+
+
+def view_purchase_days(events: DataFrame) -> DataFrame:
+    """(user, day) pairs with BOTH a view and a purchase — INTERSECT
+    (the EXCEPT query's complement), a left-semi hash join over two
+    type-pruned distinct scans."""
+    def days(event_type: str) -> DataFrame:
+        return events.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+
+    return days("view").intersect(days("purchase"))
+
+
+VIEW_PURCHASE_DAYS_SQL = """
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def user_first_last_event(events: DataFrame) -> DataFrame:
+    """Each user's first and last event (type + value) by (ts, event_id)
+    order — first_value/last_value over one user partitioning with an
+    unbounded frame; both edges come from the SAME sort, one shuffle."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        events.select(
+            "user_id",
+            F.first_value("event_type").over(w).alias("first_type"),
+            F.first_value("value").over(w).alias("first_value"),
+            F.last_value("event_type").over(w).alias("last_type"),
+            F.last_value("value").over(w).alias("last_value"),
+        )
+        .distinct()
+    )
+
+
+USER_FIRST_LAST_EVENT_SQL = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       first_value(value) OVER w AS first_value,
+       last_value(event_type) OVER w AS last_type,
+       last_value(value) OVER w AS last_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

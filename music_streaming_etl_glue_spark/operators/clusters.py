@@ -282,3 +282,50 @@ SELECT id AS track_id, round(rank, 12) AS pagerank FROM r{iterations}
 
 
 TRACK_PAGERANK_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) near-dedup: LSH pairs → components → clusters
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_clusters(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id): connected components over embedding-cosine
+    near-duplicate edges (sign-LSH bucketed pairs ≥ threshold from
+    :func:`.similarity.cosine_pairs_lsh`) — the embedding-space
+    counterpart of the text-shingle :func:`dedup_clusters`, completing
+    the exact → n-gram → MinHash → SimHash → embedding dedup ladder.
+    Same bucketed edge mining, same one-shuffle-per-round propagation."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    edges = cosine_pairs_lsh(embeddings).select(
+        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")
+    )
+    vertices = embeddings.select(F.col("vec_id").alias("id"))
+    comp = connected_components(vertices, edges)
+    return comp.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
+def _semantic_clusters_sql() -> str:
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        COSINE_PAIRS_LSH_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS ({COSINE_PAIRS_LSH_SQL}),
+edges AS (
+    SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT vec_id_b AS src, vec_id_a AS dst FROM pairs
+),
+reach(vec_id, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT reach.vec_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id
+"""
+
+
+SEMANTIC_DEDUP_CLUSTERS_SQL = _semantic_clusters_sql()

@@ -783,3 +783,49 @@ ranked AS (
 SELECT doc_id, source, src_rank, quota
 FROM ranked WHERE src_rank <= quota
 """
+
+
+def chunk_dedup(documents: DataFrame) -> DataFrame:
+    """Chunk-level exact dedup: chunk the corpus (overlapping token
+    windows), then hash-groupBy the chunk text — the dedup granularity
+    that catches pages sharing boilerplate paragraphs whole-document
+    hashing misses. Canonical = lexicographically-first (doc_id,
+    chunk_id); provenance survives for the pack stage."""
+    from music_streaming_etl_glue_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(documents)
+    return chunks.groupBy(F.md5("chunk_text").alias("chunk_hash")).agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("c"),
+        F.count("*").alias("dup_count"),
+    ).select(
+        "chunk_hash",
+        F.col("c.doc_id").alias("canonical_doc_id"),
+        F.col("c.chunk_id").alias("canonical_chunk_id"),
+        "dup_count",
+    )
+
+
+def _chunk_dedup_sql() -> str:
+    from music_streaming_etl_glue_spark.operators.text import (
+        CHUNK_DOCUMENTS_SQL,
+    )
+
+    return f"""
+WITH chunks AS ({CHUNK_DOCUMENTS_SQL}),
+keyed AS (
+    SELECT md5(chunk_text) AS chunk_hash, doc_id, chunk_id FROM chunks
+),
+ranked AS (
+    SELECT chunk_hash, doc_id, chunk_id,
+           row_number() OVER (PARTITION BY chunk_hash
+                              ORDER BY doc_id, chunk_id) AS rn,
+           COUNT(*) OVER (PARTITION BY chunk_hash) AS dup_count
+    FROM keyed
+)
+SELECT chunk_hash, doc_id AS canonical_doc_id,
+       chunk_id AS canonical_chunk_id, dup_count
+FROM ranked WHERE rn = 1
+"""
+
+
+CHUNK_DEDUP_SQL = _chunk_dedup_sql()
