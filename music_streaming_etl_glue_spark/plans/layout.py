@@ -92,3 +92,40 @@ def salted_agg(
 
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int,
+    tmp_suffix: str = "__compact_tmp",
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files (the maintenance job every streaming/append
+    sink eventually needs — thousands of per-epoch files turn scan
+    planning and open() overhead into the bottleneck long before data
+    volume does).
+
+    Rewrites into a sibling temp dir then atomically swaps via rename, so
+    readers never observe a half-compacted table; ``coalesce`` (not
+    ``repartition``) avoids a shuffle — file boundaries just merge.
+    Returns the row count (verified equal before the swap).
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    tmp = path.rstrip("/") + tmp_suffix
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row drift: {n_before} -> {n_after}; aborted"
+        )
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_after

@@ -126,3 +126,41 @@ def test_scd2_multiple_changes_per_key_in_one_batch(spark):
     assert len(out) == 3  # no duplicated/overlapping versions
     open_rows = [r for r in out if r.valid_to == OPEN]
     assert len(open_rows) == 1
+
+
+def test_compact_parquet_merges_files_and_preserves_rows(spark, tmp_path):
+    from music_streaming_etl_glue_spark.plans.layout import compact_parquet
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(37).write.parquet(path)
+    n_parts_before = len(list((tmp_path / "frag").glob("part-*")))
+    assert n_parts_before == 37
+
+    n = compact_parquet(spark, path, target_files=4)
+    assert n == ev.count()
+    n_parts_after = len(list((tmp_path / "frag").glob("part-*")))
+    assert n_parts_after <= 4
+    assert spark.read.parquet(path).count() == n
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended data with a NEW column must be readable as one table via
+    mergeSchema, with old rows null in the new column — the additive
+    schema-evolution contract a long-lived fact table needs."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fact")
+    spark.range(10).select(F.col("id"), F.lit("a").alias("v")).write.parquet(
+        path
+    )
+    spark.range(10, 20).select(
+        F.col("id"), F.lit("b").alias("v"), F.lit(1.5).alias("extra")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "extra"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("extra").isNull()).count() == 10
