@@ -127,9 +127,11 @@ def conversion_funnel(events: DataFrame) -> DataFrame:
         F.count("first_view").alias("n_viewed"),
         F.count("first_click").alias("n_clicked"),
         F.count("first_purchase").alias("n_purchased"),
-        (
-            F.count("first_purchase").cast("double")
-            / F.count("first_view").cast("double")
+        # try_divide: null (not an ANSI error) when nobody viewed — the
+        # empty-batch shape an incremental run produces
+        F.try_divide(
+            F.count("first_purchase").cast("double"),
+            F.count("first_view").cast("double"),
         ).alias("view_to_purchase_rate"),
     )
 

@@ -72,3 +72,48 @@ def test_asof_with_empty_right_keeps_left(spark):
 def test_skyline_on_empty_part(spark):
     part = _empty(spark, "p_partkey long, p_size int, p_retailprice double")
     assert analytics.skyline_parts(part).count() == 0
+
+
+def test_round2_operators_on_empty_inputs(spark):
+    from music_streaming_etl_glue_spark.operators import behavior, relational
+    from music_streaming_etl_glue_spark.operators.asof import (
+        events_in_error_bursts,
+    )
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        connected_components,
+        pagerank,
+    )
+
+    events = _empty(spark, EVENTS_DDL)
+    assert behavior.user_retention_cohorts(events).count() == 0
+    assert behavior.events_rollup(events).count() == 0
+    assert behavior.sample_per_group(events).count() == 0
+    assert behavior.view_days_without_purchase(events).count() == 0
+    assert behavior.user_first_last_event(events).count() == 0
+    assert events_in_error_bursts(events).count() == 0
+    # funnel on empty input: one row of zero counts, rate null
+    row = behavior.conversion_funnel(events).collect()[0]
+    assert row.n_users == 0 and row.n_purchased == 0
+
+    lineitem = _empty(
+        spark,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    orders = _empty(
+        spark,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    part = _empty(
+        spark, "p_partkey long, p_brand string, p_type string, p_size int"
+    )
+    assert relational.line_priority_counts(lineitem, orders).count() == 0
+    assert relational.small_quantity_revenue(lineitem, part).count() == 1
+
+    # graph kernels on empty graphs
+    verts = _empty(spark, "id long")
+    edges = _empty(spark, "src long, dst long")
+    assert connected_components(verts, edges).count() == 0
+    assert pagerank(verts, edges).count() == 0
