@@ -308,6 +308,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "lineitem"),
             load_table(spark, sf, "part"),
         ),
+        "important_parts": lambda spark, sf: _rel.important_parts(
+            load_table(spark, sf, "lineitem")
+        ),
+        "waiting_customers": lambda spark, sf: _rel.waiting_customers(
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders"),
+        ),
         "order_priority_pivot": lambda spark, sf: _an.order_priority_pivot(
             load_table(spark, sf, "orders")
         ),
@@ -445,6 +452,8 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": _rel.PROMO_REVENUE_SQL,
         "brand_supplier_counts": _rel.BRAND_SUPPLIER_COUNTS_SQL,
         "small_quantity_revenue": _rel.SMALL_QUANTITY_REVENUE_SQL,
+        "important_parts": _rel.IMPORTANT_PARTS_SQL,
+        "waiting_customers": _rel.WAITING_CUSTOMERS_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,

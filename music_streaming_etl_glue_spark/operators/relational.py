@@ -276,3 +276,102 @@ SELECT CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
 FROM brand_lines b JOIN avg_qty a ON b.l_partkey = a.l_partkey
 WHERE b.l_quantity < {SMALL_QTY_FRACTION!r} * a.avg_qty
 """
+
+
+IMPORTANT_VALUE_MULTIPLE = 1.5
+
+
+def important_parts(
+    lineitem: DataFrame, multiple: float = IMPORTANT_VALUE_MULTIPLE
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value exceeds a multiple of
+    the AVERAGE per-part value — HAVING against a scalar subquery
+    (average instead of Q11's global fraction so selectivity is
+    scale-free: the fraction form goes empty as part cardinality grows).
+    The scalar re-aggregates the per-part totals (one extra reduce of an
+    already-tiny frame, not a second fact scan) and rides along as a
+    broadcast single-row cross join."""
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("val_dec")
+    )
+    per_part = per_part.localCheckpoint(eager=False)  # feeds both sides
+    avg_row = F.broadcast(
+        per_part.agg(
+            (
+                F.sum("val_dec").cast("double") / F.count("*")
+            ).alias("avg_val")
+        )
+    )
+    return (
+        per_part.crossJoin(avg_row)
+        .filter(
+            F.col("val_dec").cast("double")
+            > F.lit(multiple) * F.col("avg_val")
+        )
+        .select(
+            "l_partkey",
+            F.col("val_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+IMPORTANT_PARTS_SQL = f"""
+WITH per_part AS (
+    SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS val_dec
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, val_dec::DOUBLE AS part_value
+FROM per_part
+WHERE val_dec::DOUBLE > {IMPORTANT_VALUE_MULTIPLE!r}
+      * (SELECT SUM(val_dec)::DOUBLE / COUNT(*) FROM per_part)
+"""
+
+
+def waiting_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: per nation key, rich customers (balance above the
+    global positive-balance average — scalar subquery) who have NO open
+    orders (anti-join). Two metadata-light aggregates + one broadcast
+    anti-join against the open-order key set."""
+    avg_bal = F.broadcast(
+        customer.filter(F.col("c_acctbal") > 0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey"
+    )
+    return (
+        customer.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(
+            open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+
+
+WAITING_CUSTOMERS_SQL = """
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_balance
+FROM customer c
+WHERE CAST(c_acctbal AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+      )
+GROUP BY c_nationkey
+"""
