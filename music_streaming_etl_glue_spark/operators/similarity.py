@@ -728,6 +728,11 @@ def knn_join(
     data = embeddings.select(
         "vec_id", _as_double("embedding").alias("vec"), norm.alias("norm")
     )
+    # the scoring join is a broadcast nested loop whose parallelism is the
+    # STREAM side's partition count — spread a single-file scan first
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if data.rdd.getNumPartitions() < par:
+        data = data.repartition(par)
     queries = F.broadcast(
         data.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"),

@@ -1,0 +1,124 @@
+"""End-to-end LLM training-data pipeline: the composite that chains the
+extension operators into the actual 100 TB preparation flow —
+
+    normalize → quality/language filter → exact dedup → near-dedup
+    (MinHash-LSH → connected components) → decontamination →
+    deterministic split → chunk → provenance-preserving write
+
+Every stage is one of the individually-oracled operators; this module
+only COMPOSES them, so the pipeline's correctness story is the sum of
+its parts' oracle rows. What the composition adds:
+
+* **Single lineage**: each stage consumes the previous stage's frame —
+  Catalyst pipelines the narrow stages (normalize, score, filter) into
+  one pass over the corpus; only dedup/clustering shuffle.
+* **Monotone filtering**: stages only drop rows, so counts are
+  monotonically non-increasing — the invariant the stage-count audit
+  asserts (a stage that *adds* rows is a bug in a dedup pipeline).
+* **Provenance**: chunks carry (doc_id, chunk_id, split); the output is
+  partitioned by split so train/val/test reads prune.
+
+At 100 TB this shape holds: narrow stages are scan-speed, the near-dedup
+is the LSH-banded path (never all-pairs), and the write is
+partition-pruned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.operators import text as T
+from music_streaming_etl_glue_spark.operators.clusters import dedup_clusters
+from music_streaming_etl_glue_spark.operators.dedup import (
+    dataset_split,
+    dedup_apply,
+)
+from music_streaming_etl_glue_spark.sources.catalog import load_table
+
+QUALITY_MIN_SCORE = 0.5
+
+
+@dataclass
+class LlmPipelineResult:
+    stage_counts: dict[str, int]
+    chunk_counts_by_split: dict[str, int]
+    output_dir: str
+
+
+def run_llm_data_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    output_dir: str,
+    quality_min: float = QUALITY_MIN_SCORE,
+) -> LlmPipelineResult:
+    """Run the full preparation flow over the ``documents`` table and
+    write chunked, split-partitioned training data under ``output_dir``.
+    Returns per-stage surviving-document counts (the audit trail a data
+    pipeline must emit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts: dict[str, int] = {"input": docs.count()}
+
+    # 1. normalize (narrow) — canonical text becomes the working text
+    normed = T.normalize_text(docs).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    joined = docs.drop("text").join(normed, "doc_id")
+
+    # 2. quality + language gates (narrow, pipelined into one pass)
+    quality = T.text_quality(joined).select("doc_id", "quality_score")
+    lang = T.lang_id(joined).select("doc_id", "lang_pred")
+    filtered = (
+        joined.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality_score") >= quality_min)
+            & (F.col("lang_pred") == "en")
+        )
+        .drop("quality_score", "lang_pred")
+    )
+    counts["quality_lang"] = filtered.count()
+
+    # 3. exact dedup (normalized text already collapses case/punct dups)
+    exact = dedup_apply(filtered)
+    counts["exact_dedup"] = exact.count()
+
+    # 4. near-dedup: LSH pairs → components → keep cluster canonicals
+    clusters = dedup_clusters(exact)
+    near = exact.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    counts["near_dedup"] = near.count()
+
+    # 5. decontamination
+    flags = T.contamination_flags(near).select("doc_id", "contaminated")
+    clean = (
+        near.join(flags, "doc_id")
+        .filter(~F.col("contaminated"))
+        .drop("contaminated")
+    )
+    counts["decontaminated"] = clean.count()
+
+    # 6. deterministic split + 7. chunk (provenance: doc_id, chunk_id)
+    split = dataset_split(clean).select("doc_id", "split")
+    chunks = T.chunk_documents(clean).join(split, "doc_id")
+
+    chunks.write.mode("overwrite").partitionBy("split").parquet(output_dir)
+    by_split = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(output_dir)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return LlmPipelineResult(
+        stage_counts=counts,
+        chunk_counts_by_split=by_split,
+        output_dir=output_dir,
+    )

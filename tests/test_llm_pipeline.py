@@ -1,0 +1,50 @@
+"""End-to-end LLM training-data pipeline: stage audit trail, monotone
+filtering, dedup invariants, split partitioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.plans.llm_pipeline import (
+    run_llm_data_pipeline,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_llm_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "training_data")
+    res = run_llm_data_pipeline(spark, SF_SMOKE, out)
+
+    # audit trail: every stage present, counts monotonically non-increasing
+    stages = ["input", "quality_lang", "exact_dedup", "near_dedup",
+              "decontaminated"]
+    assert list(res.stage_counts) == stages
+    seq = [res.stage_counts[s] for s in stages]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
+    assert seq[-1] > 0
+
+    chunks = spark.read.parquet(out)
+    # provenance survives; one doc never lands in two splits
+    assert {"doc_id", "chunk_id", "chunk_text", "chunk_tokens", "split"} <= set(
+        chunks.columns
+    )
+    two_splits = (
+        chunks.groupBy("doc_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert two_splits == 0
+    # surviving docs all produced chunks
+    assert chunks.select("doc_id").distinct().count() == seq[-1]
+    # split-partitioned layout on disk
+    parts = {p.name for p in (tmp_path / "training_data").glob("split=*")}
+    assert "split=train" in parts
+    assert sum(res.chunk_counts_by_split.values()) == chunks.count()
+    # no exact-duplicate normalized text survived
+    dups = (
+        chunks.select("doc_id").distinct().join(
+            spark.read.parquet(out).select("doc_id").distinct(), "doc_id"
+        )
+    )
+    assert dups.count() == seq[-1]
