@@ -720,7 +720,6 @@ def rebalance_sources(
     broadcast back onto the scan; the only per-row work is the hash rank
     within each source. Unlisted sources drop out in the join.
     """
-    shares = F.create_map(*[F.lit(x) for t in targets for x in t])
     counts = (
         documents.join(
             F.broadcast(

@@ -106,17 +106,33 @@ def compact_parquet(
     planning and open() overhead into the bottleneck long before data
     volume does).
 
-    Rewrites into a sibling temp dir then atomically swaps via rename, so
-    readers never observe a half-compacted table; ``coalesce`` (not
-    ``repartition``) avoids a shuffle — file boundaries just merge.
-    Returns the row count (verified equal before the swap).
+    Rewrites into a sibling temp dir, verifies the row count, then swaps
+    via two renames. POSIX has no atomic directory exchange, so readers
+    racing the swap can see a missing path for the instant between the
+    renames — run compaction in the table's maintenance window, or use a
+    table format with snapshot commits (Delta/Iceberg) when readers are
+    truly concurrent. Crash recovery is self-healing: stale
+    ``__compact_old`` / tmp dirs from an interrupted run are restored or
+    removed on the next invocation. ``coalesce`` (not ``repartition``)
+    avoids a shuffle — file boundaries just merge. Returns the verified
+    row count.
     """
     import os
     import shutil
 
+    old = path.rstrip("/") + "__compact_old"
+    tmp = path.rstrip("/") + tmp_suffix
+    # self-heal a previous crash: mid-swap (table parked at `old`) →
+    # restore; pre-swap leftovers → discard
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+
     df = spark.read.parquet(path)
     n_before = df.count()
-    tmp = path.rstrip("/") + tmp_suffix
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
     if n_after != n_before:
@@ -124,8 +140,11 @@ def compact_parquet(
         raise RuntimeError(
             f"compaction row drift: {n_before} -> {n_after}; aborted"
         )
-    old = path.rstrip("/") + "__compact_old"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # put the table back before propagating
+        raise
     shutil.rmtree(old)
     return n_after

@@ -32,14 +32,7 @@ _TS_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$"
 def qa_serving_items(items: DataFrame) -> DataFrame:
     """One row per kpi_type with violation counts: missing required
     attributes, negative metrics, malformed item ids / timestamps."""
-    missing_attr = F.lit(False)
-    for family, attrs in REQUIRED_ATTRS.items():
-        fam_missing = F.lit(False)
-        for a in attrs:
-            fam_missing = fam_missing | F.col(a).isNull()
-        missing_attr = F.when(F.col("kpi_type") == family, fam_missing).otherwise(
-            missing_attr
-        )
+    missing_attr = _missing_attr_expr()
 
     negative_metric = F.lit(False)
     for m in (
@@ -53,8 +46,10 @@ def qa_serving_items(items: DataFrame) -> DataFrame:
     ):
         negative_metric = negative_metric | (F.col(m) < 0)
 
-    bad_ts = ~F.col("timestamp").rlike(_TS_RE)
-    bad_id = ~F.col("id").rlike(r"^[A-Z_]+_")
+    # rlike(NULL) is NULL and sum() skips NULLs — coalesce to True so a
+    # NULL timestamp/id counts as malformed instead of failing open
+    bad_ts = F.coalesce(~F.col("timestamp").rlike(_TS_RE), F.lit(True))
+    bad_id = F.coalesce(~F.col("id").rlike(r"^[A-Z_]+_"), F.lit(True))
 
     return (
         items.withColumn("v_missing", missing_attr.cast("int"))
@@ -88,6 +83,20 @@ def assert_serving_quality(items: DataFrame) -> None:
         raise ValueError(f"serving quality violations: {[r.asDict() for r in bad]}")
 
 
+def _missing_attr_expr():
+    """Per-family missing-required-attribute predicate (shared by the
+    standalone auditor and the observe()-based write-time metrics)."""
+    missing_attr = F.lit(False)
+    for family, attrs in REQUIRED_ATTRS.items():
+        fam_missing = F.lit(False)
+        for a in attrs:
+            fam_missing = fam_missing | F.col(a).isNull()
+        missing_attr = F.when(
+            F.col("kpi_type") == family, fam_missing
+        ).otherwise(missing_attr)
+    return missing_attr
+
+
 def observed_write_metrics(items: DataFrame) -> tuple[DataFrame, "Observation"]:
     """Attach free-riding QA metrics to the serving frame via
     ``DataFrame.observe``: the counters are collected DURING whatever
@@ -95,6 +104,10 @@ def observed_write_metrics(items: DataFrame) -> tuple[DataFrame, "Observation"]:
     quality gate costs ZERO extra passes — unlike :func:`qa_serving_items`,
     which is its own scan. Use this form inside the batch pipeline; keep
     the standalone auditor for ad-hoc checks of already-written tables.
+
+    Same counter semantics as the auditor: NULL timestamps/ids count as
+    malformed (rlike(NULL) fails open without the coalesce), and the
+    missing-required-attribute check is included.
 
     Returns (frame_to_write, observation); read ``observation.get`` after
     the action completes.
@@ -117,14 +130,17 @@ def observed_write_metrics(items: DataFrame) -> tuple[DataFrame, "Observation"]:
     observed = items.observe(
         obs,
         F.count(F.lit(1)).alias("n_items"),
+        F.sum(_missing_attr_expr().cast("long")).alias("missing_attrs"),
         F.sum(
             F.coalesce(negative_metric, F.lit(False)).cast("long")
         ).alias("negative_metrics"),
         F.sum(
-            (~F.col("timestamp").rlike(_TS_RE)).cast("long")
+            F.coalesce(~F.col("timestamp").rlike(_TS_RE), F.lit(True))
+            .cast("long")
         ).alias("malformed_timestamps"),
-        F.sum((~F.col("id").rlike(r"^[A-Z_]+_")).cast("long")).alias(
-            "malformed_ids"
-        ),
+        F.sum(
+            F.coalesce(~F.col("id").rlike(r"^[A-Z_]+_"), F.lit(True))
+            .cast("long")
+        ).alias("malformed_ids"),
     )
     return observed, obs

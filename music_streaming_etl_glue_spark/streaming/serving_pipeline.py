@@ -86,7 +86,19 @@ def stream_kpis_available_now(
 def compact_serving(spark: SparkSession, partials_dir: str) -> DataFrame:
     """Merge all landed partials into the serving frame: one re-aggregate
     over (genre, day) — decimal sums compose exactly, so the result equals
-    the batch KPI regardless of how the epochs split the data."""
+    the batch KPI regardless of how the epochs split the data.
+
+    A run that never saw a fact file lands no partials (the directory may
+    not exist at all) — that compacts to an EMPTY serving frame, not a
+    read error."""
+    import os
+
+    if not os.path.exists(partials_dir):
+        return spark.createDataFrame(
+            [],
+            "track_genre string, date date, plays bigint,"
+            " total_listening_time double",
+        )
     partials = spark.read.parquet(partials_dir)
     return (
         partials.groupBy("track_genre", "date")

@@ -41,10 +41,17 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
     parts = {p.name for p in (tmp_path / "training_data").glob("split=*")}
     assert "split=train" in parts
     assert sum(res.chunk_counts_by_split.values()) == chunks.count()
-    # no exact-duplicate normalized text survived
-    dups = (
-        chunks.select("doc_id").distinct().join(
-            spark.read.parquet(out).select("doc_id").distinct(), "doc_id"
-        )
+    # per-doc chunk ids are contiguous 0..n-1 and unique (pack-stage
+    # provenance contract)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("chunk_id").alias("nd"),
+        F.min("chunk_id").alias("lo"),
+        F.max("chunk_id").alias("hi"),
     )
-    assert dups.count() == seq[-1]
+    broken = per_doc.filter(
+        (F.col("n") != F.col("nd"))
+        | (F.col("lo") != 0)
+        | (F.col("hi") != F.col("n") - 1)
+    )
+    assert broken.count() == 0
