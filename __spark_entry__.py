@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genre_daily_change": lambda spark, sf: _beh.genre_daily_change(
             _enriched(spark, sf)
         ),
+        "genre_daily_gapfilled": lambda spark, sf: _beh.genre_daily_gapfilled(
+            _enriched(spark, sf)
+        ),
         "daily_activity_full": lambda spark, sf: _beh.daily_activity_full(
             load_table(spark, sf, "events"),
             load_table(spark, sf, "orders"),
@@ -347,6 +350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_click_asof": lambda spark, sf: _asof.error_click_asof(
             load_table(spark, sf, "events")
         ),
+        # forward as-of (first right row at-or-after) — same kernel reversed
+        "error_next_click": lambda spark, sf: _asof.error_next_click(
+            load_table(spark, sf, "events")
+        ),
         "events_in_busy_sessions": lambda spark, sf: (
             _asof.events_in_busy_sessions(load_table(spark, sf, "events"))
         ),
@@ -411,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "user_first_last_event": _beh.USER_FIRST_LAST_EVENT_SQL,
         "user_value_quartiles": _beh.USER_VALUE_QUARTILES_SQL,
         "genre_daily_change": _beh.GENRE_DAILY_CHANGE_SQL,
+        "genre_daily_gapfilled": _beh.GENRE_DAILY_GAPFILLED_SQL,
         "daily_activity_full": _beh.DAILY_ACTIVITY_FULL_SQL,
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
@@ -463,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _an.VALUE_PERCENTILES_SQL,
         "skyline_parts": _an.SKYLINE_PARTS_SQL,
         "error_click_asof": _asof.ERROR_CLICK_ASOF_SQL,
+        "error_next_click": _asof.ERROR_NEXT_CLICK_SQL,
         "events_in_busy_sessions": _asof.EVENTS_IN_BUSY_SESSIONS_SQL,
         "events_in_error_bursts": _asof.EVENTS_IN_ERROR_BURSTS_SQL,
         "normalize_text": _text.NORMALIZE_TEXT_SQL,

@@ -28,13 +28,19 @@ def asof_join(
     right_ts: str = "ts",
     right_values: list[str] | None = None,
     tiebreaker: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """LEFT as-of join via the union + carry-forward-window composition.
 
     ``right_values`` are the right columns to attach (prefixed
     ``asof_``); ``tiebreaker`` (a right column) resolves duplicate
     right timestamps per key deterministically (max wins).
+    ``direction``: "backward" (greatest right_ts <= left_ts, the default)
+    or "forward" (smallest right_ts >= left_ts) — same kernel, the event
+    stream is just scanned in the opposite order.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     right_values = right_values or []
     out_cols = {f"asof_{c}" for c in right_values} | {"asof_ts"}
     clash = (out_cols | {"__key", "__ts", "__side"}) & set(left.columns)
@@ -84,10 +90,15 @@ def asof_join(
     )
 
     # right rows sort before left rows at equal timestamps (side 0 < 1), so
-    # a right event exactly at left_ts IS matched ("<=" semantics).
+    # a right event exactly at left_ts IS matched ("<=" / ">=" inclusive).
+    # Backward scans time ascending (carry = greatest right_ts <= left_ts);
+    # forward scans descending (carry = smallest right_ts >= left_ts).
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = rside.unionByName(marker).withColumn(
@@ -385,4 +396,52 @@ FROM events e
 JOIN bursts b
   ON CAST(floor(epoch(e.ts)) AS BIGINT) >= b.burst_start_s
  AND CAST(floor(epoch(e.ts)) AS BIGINT) <  b.burst_end_s
+"""
+
+
+def error_next_click(events: DataFrame) -> DataFrame:
+    """Forward as-of: for every error event, the same user's FIRST click
+    at-or-after it (time-to-recovery attribution). Same union+carry
+    kernel as the backward join, scanned in reverse."""
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        key="user_id",
+        right_values=["value"],
+        tiebreaker="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("next_click_ts"),
+        F.col("asof_value").alias("next_click_value"),
+    )
+
+
+ERROR_NEXT_CLICK_SQL = """
+WITH errors AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+    SELECT user_id, ts, value
+    FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       c.ts AS next_click_ts, c.value AS next_click_value
+FROM errors e
+ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts <= c.ts
 """

@@ -638,3 +638,55 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+def genre_daily_gapfilled(enriched: DataFrame) -> DataFrame:
+    """Dense per-genre daily play series: days with no plays appear with
+    plays = 0 (the gap-filling every moving-average/anomaly consumer
+    needs before trusting a window frame). The calendar spine is
+    generated from the global [min, max] day (one broadcast scalar row →
+    sequence+explode), crossed with the distinct genre set — two tiny
+    aggregated frames, never a fact-sized join input."""
+    daily = enriched.groupBy(
+        "track_genre", F.col("timestamp").cast("date").alias("day")
+    ).agg(F.count("*").alias("plays"))
+    bounds = enriched.agg(
+        F.min(F.col("timestamp").cast("date")).alias("lo"),
+        F.max(F.col("timestamp").cast("date")).alias("hi"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    genres = enriched.select("track_genre").distinct()
+    grid = genres.crossJoin(F.broadcast(calendar))
+    return (
+        grid.join(daily, ["track_genre", "day"], "left")
+        .select(
+            "track_genre",
+            "day",
+            F.coalesce("plays", F.lit(0)).alias("plays"),
+        )
+    )
+
+
+GENRE_DAILY_GAPFILLED_SQL = """
+WITH daily AS (
+    SELECT event_type AS track_genre, CAST(ts AS DATE) AS day,
+           COUNT(*) AS plays
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+    FROM events
+),
+calendar AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        AS day
+    FROM bounds
+),
+genres AS (SELECT DISTINCT event_type AS track_genre FROM events)
+SELECT g.track_genre, c.day, COALESCE(d.plays, 0) AS plays
+FROM genres g
+CROSS JOIN calendar c
+LEFT JOIN daily d ON d.track_genre = g.track_genre AND d.day = c.day
+"""
