@@ -61,3 +61,170 @@ def test_dense_rank_partition_invariant(spark, parts):
         )
     )
     assert out == base
+
+
+# ---------------------------------------------------------------------------
+# round-2 kernels vs naive Python references on random instances
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        connected_components,
+    )
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min vertex of the component
+    expected = {}
+    for v in range(n):
+        root = find(v)
+        expected.setdefault(root, []).append(v)
+    want = {v: min(members) for members in expected.values() for v in members}
+
+    vertices = spark.range(n).select(F.col("id"))
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src bigint, dst bigint"
+    )
+    if not edges:
+        edf = edf.filter("src != src")  # empty frame, kept schema
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(vertices, edf).collect()
+    }
+    assert got == want
+
+
+interval_instances = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=20),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=480),
+            st.integers(min_value=1, max_value=120),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.sampled_from([7, 50, 128]),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(inst=interval_instances)
+def test_interval_join_bucketed_matches_naive(spark, inst):
+    """For any points, intervals, and bucket size: the chunked equi-join
+    must produce exactly the naive O(n·m) half-open containment matches,
+    each exactly once."""
+    from music_streaming_etl_glue_spark.operators.asof import (
+        interval_join_bucketed,
+    )
+
+    points, raw_intervals, bucket = inst
+    intervals = [(i, s, s + ln) for i, (s, ln) in enumerate(raw_intervals)]
+    want = sorted(
+        (pid, iid)
+        for pid, p in enumerate(points)
+        for iid, s, e in intervals
+        if s <= p < e
+    )
+    pdf = spark.createDataFrame(
+        list(enumerate(points)) or [(0, 0)], "pid int, p bigint"
+    )
+    if not points:
+        pdf = pdf.filter("pid < 0")
+    idf = spark.createDataFrame(
+        intervals or [(0, 0, 1)], "iid int, s bigint, e bigint"
+    )
+    if not intervals:
+        idf = idf.filter("iid < 0")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join_bucketed(
+            pdf, idf, "p", "s", "e", bucket
+        ).collect()
+    )
+    assert got == want
+
+
+asof_instances = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=12),
+    st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=12),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(inst=asof_instances)
+def test_asof_directions_match_sorted_reference(spark, inst):
+    """Backward picks the greatest right_ts <= left_ts, forward the
+    smallest right_ts >= left_ts — verified against bisect on the sorted
+    right list for random instances."""
+    import bisect
+    import datetime as dt
+
+    from music_streaming_etl_glue_spark.operators.asof import asof_join
+
+    left_ts, right_ts = inst
+    base = dt.datetime(2024, 1, 1)
+    to_ts = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(i, 1, to_ts(s)) for i, s in enumerate(left_ts)],
+        "lid int, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, to_ts(s), float(s)) for s in set(right_ts)] or [(1, base, 0.0)],
+        "k int, ts timestamp, value double",
+    )
+    if not right_ts:
+        right = right.filter("k < 0")
+    rs = sorted(set(right_ts))
+
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.asof_ts
+            for r in asof_join(
+                left, right, key="k", right_values=["value"],
+                direction=direction,
+            ).collect()
+        }
+        for i, s in enumerate(left_ts):
+            if direction == "backward":
+                j = bisect.bisect_right(rs, s) - 1
+                want = to_ts(rs[j]) if j >= 0 else None
+            else:
+                j = bisect.bisect_left(rs, s)
+                want = to_ts(rs[j]) if j < len(rs) else None
+            assert got[i] == want, (direction, i, s, got[i], want)
