@@ -375,6 +375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": lambda spark, sf: _mm.frame_sample(
             _mm.attach_binary(_docs(spark, sf))
         ),
+        # image-modality resize plumbing (fixed-shape payload contract)
+        "resize_payload": lambda spark, sf: _mm.resize_payload(
+            _mm.attach_binary(_docs(spark, sf))
+        ),
         # skew-safe two-phase aggregation (plans/layout.salted_agg)
         "genre_totals_salted": lambda spark, sf: _an.genre_totals_salted(
             load_table(spark, sf, "events")
@@ -480,5 +484,6 @@ def oracle_sql() -> dict[str, str]:
         # ASCII text, so the byte math has an exact SQL twin.
         "multimodal_features": _mm.MULTIMODAL_FEATURES_SQL,
         "frame_sample": _mm.FRAME_SAMPLE_SQL,
+        "resize_payload": _mm.RESIZE_PAYLOAD_SQL,
         "genre_totals_salted": _an.GENRE_TOTALS_SALTED_SQL,
     }

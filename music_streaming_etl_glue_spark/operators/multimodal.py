@@ -187,3 +187,63 @@ SELECT doc_id,
 FROM b, generate_series(0, {N_FRAMES - 1}) t(j)
 WHERE n > 0 AND j < LEAST({N_FRAMES}, n)
 """
+
+
+# ---------------------------------------------------------------------------
+# resize (image-modality transform: payload → fixed-size payload)
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET_BYTES = 64
+RESIZE_SCHEMA = (
+    "doc_id long, resized_len long, resized_sha256 string, was_padded boolean"
+)
+
+
+def resize_payload(
+    binary_df: DataFrame, target_bytes: int = RESIZE_TARGET_BYTES
+) -> DataFrame:
+    """Resize plumbing for image payloads: every payload becomes exactly
+    ``target_bytes`` (the fixed-shape contract a vision encoder needs).
+    A real deployment decodes + bilinear-resizes inside the same
+    mapInPandas stage (swap :func:`decode_image` in); the stand-in
+    transform — truncate long payloads, zero-pad short ones — keeps the
+    batch shape, output schema, and determinism fully testable without
+    codec libraries.
+
+    Returns digests + lengths rather than the raw bytes (comparable
+    across engines; the payload itself would be written to a parquet
+    sink, not returned to a driver)."""
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "resized_len": [], "resized_sha256": [],
+                "was_padded": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(payload) if payload is not None else b""
+                resized = raw[:target_bytes].ljust(target_bytes, b"\x00")
+                out["doc_id"].append(doc_id)
+                out["resized_len"].append(len(resized))
+                out["resized_sha256"].append(
+                    hashlib.sha256(resized).hexdigest()
+                )
+                out["was_padded"].append(len(raw) < target_bytes)
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )
+
+
+# ASCII payloads again: truncate = substr; pad = rpad with chr(0).
+RESIZE_PAYLOAD_SQL = f"""
+SELECT doc_id,
+       {RESIZE_TARGET_BYTES}::BIGINT AS resized_len,
+       sha256(rpad(substr(coalesce(text, ''), 1, {RESIZE_TARGET_BYTES}),
+                   {RESIZE_TARGET_BYTES}, chr(0))) AS resized_sha256,
+       octet_length(CAST(coalesce(text, '') AS BLOB)) < {RESIZE_TARGET_BYTES}
+           AS was_padded
+FROM documents
+"""
