@@ -114,22 +114,29 @@ def asof_join(
     )
 
 
-def error_click_asof(events: DataFrame) -> DataFrame:
-    """For every error event: the same user's most recent click at or
-    before it (the monitoring/attribution query shape)."""
+def _error_click_joined(events: DataFrame, direction: str) -> DataFrame:
+    """Shared error↔click as-of wiring (both directions use the same
+    filters, dedup tiebreaker, and key)."""
     errors = events.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "value", "event_id"
     )
-    out = asof_join(
+    return asof_join(
         errors,
         clicks,
         key="user_id",
         right_values=["value"],
         tiebreaker="event_id",
+        direction=direction,
     )
+
+
+def error_click_asof(events: DataFrame) -> DataFrame:
+    """For every error event: the same user's most recent click at or
+    before it (the monitoring/attribution query shape)."""
+    out = _error_click_joined(events, "backward")
     return out.select(
         "event_id",
         "user_id",
@@ -241,7 +248,10 @@ LEFT JOIN sessions s
 """
 
 
-ERROR_CLICK_ASOF_SQL = """
+def _error_click_sql(op: str, ts_alias: str, value_alias: str) -> str:
+    """One SQL template for both as-of directions — the dedup CTE and key
+    condition can never drift between them."""
+    return f"""
 WITH errors AS (
     SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
 ),
@@ -255,11 +265,14 @@ clicks AS (
     ) WHERE rn = 1
 )
 SELECT e.event_id, e.user_id, e.ts,
-       c.ts AS click_ts, c.value AS click_value
+       c.ts AS {ts_alias}, c.value AS {value_alias}
 FROM errors e
 ASOF LEFT JOIN clicks c
-  ON e.user_id = c.user_id AND e.ts >= c.ts
+  ON e.user_id = c.user_id AND e.ts {op} c.ts
 """
+
+
+ERROR_CLICK_ASOF_SQL = _error_click_sql(">=", "click_ts", "click_value")
 
 
 # ---------------------------------------------------------------------------
@@ -403,20 +416,7 @@ def error_next_click(events: DataFrame) -> DataFrame:
     """Forward as-of: for every error event, the same user's FIRST click
     at-or-after it (time-to-recovery attribution). Same union+carry
     kernel as the backward join, scanned in reverse."""
-    errors = events.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "value", "event_id"
-    )
-    out = asof_join(
-        errors,
-        clicks,
-        key="user_id",
-        right_values=["value"],
-        tiebreaker="event_id",
-        direction="forward",
-    )
+    out = _error_click_joined(events, "forward")
     return out.select(
         "event_id",
         "user_id",
@@ -426,22 +426,4 @@ def error_next_click(events: DataFrame) -> DataFrame:
     )
 
 
-ERROR_NEXT_CLICK_SQL = """
-WITH errors AS (
-    SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
-),
-clicks AS (
-    SELECT user_id, ts, value
-    FROM (
-        SELECT user_id, ts, value,
-               row_number() OVER (PARTITION BY user_id, ts
-                                  ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type = 'click'
-    ) WHERE rn = 1
-)
-SELECT e.event_id, e.user_id, e.ts,
-       c.ts AS next_click_ts, c.value AS next_click_value
-FROM errors e
-ASOF LEFT JOIN clicks c
-  ON e.user_id = c.user_id AND e.ts <= c.ts
-"""
+ERROR_NEXT_CLICK_SQL = _error_click_sql("<=", "next_click_ts", "next_click_value")

@@ -643,21 +643,32 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 def genre_daily_gapfilled(enriched: DataFrame) -> DataFrame:
     """Dense per-genre daily play series: days with no plays appear with
     plays = 0 (the gap-filling every moving-average/anomaly consumer
-    needs before trusting a window frame). The calendar spine is
-    generated from the global [min, max] day (one broadcast scalar row →
-    sequence+explode), crossed with the distinct genre set — two tiny
-    aggregated frames, never a fact-sized join input."""
-    daily = enriched.groupBy(
-        "track_genre", F.col("timestamp").cast("date").alias("day")
-    ).agg(F.count("*").alias("plays"))
-    bounds = enriched.agg(
-        F.min(F.col("timestamp").cast("date")).alias("lo"),
-        F.max(F.col("timestamp").cast("date")).alias("hi"),
+    needs before trusting a window frame).
+
+    The fact plan is scanned ONCE: bounds and the genre set both derive
+    from the aggregated ``daily`` frame (re-deriving them from
+    ``enriched`` would re-run the star join per branch). Rows with a
+    NULL genre or NULL timestamp are excluded up front — a NULL spine
+    key would never join back to its own counts (non-null-safe equality
+    on both engines), silently reporting 0 for days that had plays."""
+    daily = (
+        enriched.filter(
+            F.col("track_genre").isNotNull()
+            & F.col("timestamp").isNotNull()
+        )
+        .groupBy(
+            "track_genre", F.col("timestamp").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("plays"))
+        .localCheckpoint(eager=False)  # feeds spine, genres, AND the join
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
     )
     calendar = bounds.select(
         F.explode(F.sequence("lo", "hi")).alias("day")
     )
-    genres = enriched.select("track_genre").distinct()
+    genres = daily.select("track_genre").distinct()
     grid = genres.crossJoin(F.broadcast(calendar))
     return (
         grid.join(daily, ["track_genre", "day"], "left")
@@ -673,18 +684,17 @@ GENRE_DAILY_GAPFILLED_SQL = """
 WITH daily AS (
     SELECT event_type AS track_genre, CAST(ts AS DATE) AS day,
            COUNT(*) AS plays
-    FROM events GROUP BY 1, 2
-),
-bounds AS (
-    SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
     FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
 ),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
 calendar AS (
     SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
         AS day
     FROM bounds
 ),
-genres AS (SELECT DISTINCT event_type AS track_genre FROM events)
+genres AS (SELECT DISTINCT track_genre FROM daily)
 SELECT g.track_genre, c.day, COALESCE(d.plays, 0) AS plays
 FROM genres g
 CROSS JOIN calendar c

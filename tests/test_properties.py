@@ -109,11 +109,7 @@ def test_connected_components_matches_union_find(spark, edges):
     want = {v: min(members) for members in expected.values() for v in members}
 
     vertices = spark.range(n).select(F.col("id"))
-    edf = spark.createDataFrame(
-        edges or [(0, 0)], "src bigint, dst bigint"
-    )
-    if not edges:
-        edf = edf.filter("src != src")  # empty frame, kept schema
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {
         r.id: r.cluster_id
         for r in connected_components(vertices, edf).collect()
@@ -157,16 +153,8 @@ def test_interval_join_bucketed_matches_naive(spark, inst):
         for iid, s, e in intervals
         if s <= p < e
     )
-    pdf = spark.createDataFrame(
-        list(enumerate(points)) or [(0, 0)], "pid int, p bigint"
-    )
-    if not points:
-        pdf = pdf.filter("pid < 0")
-    idf = spark.createDataFrame(
-        intervals or [(0, 0, 1)], "iid int, s bigint, e bigint"
-    )
-    if not intervals:
-        idf = idf.filter("iid < 0")
+    pdf = spark.createDataFrame(list(enumerate(points)), "pid int, p bigint")
+    idf = spark.createDataFrame(intervals, "iid int, s bigint, e bigint")
     got = sorted(
         (r.pid, r.iid)
         for r in interval_join_bucketed(
@@ -205,11 +193,9 @@ def test_asof_directions_match_sorted_reference(spark, inst):
         "lid int, k int, ts timestamp",
     )
     right = spark.createDataFrame(
-        [(1, to_ts(s), float(s)) for s in set(right_ts)] or [(1, base, 0.0)],
+        [(1, to_ts(s), float(s)) for s in set(right_ts)],
         "k int, ts timestamp, value double",
     )
-    if not right_ts:
-        right = right.filter("k < 0")
     rs = sorted(set(right_ts))
 
     for direction in ("backward", "forward"):
