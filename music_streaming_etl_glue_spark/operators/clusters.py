@@ -65,7 +65,7 @@ def connected_components(
 
     labels = vertices.select(
         F.col("id").alias("id"), F.col("id").alias("cluster_id")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # labels only decrease → the exact sum is monotone; equal sums ⇔ fixpoint
     prev_sum = labels.agg(
         F.sum(F.col("cluster_id").cast("decimal(38,0)"))
@@ -75,11 +75,14 @@ def connected_components(
         propagated = sym.join(
             labels, sym["src"] == labels["id"], "inner"
         ).select(F.col("dst").alias("id"), "cluster_id")
+        # lazy checkpoint: the convergence aggregate below is the round's
+        # ONE action — it materializes the checkpoint as a side effect, so
+        # each iteration costs a single job instead of two
         labels = (
             labels.unionByName(propagated)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
