@@ -1,0 +1,49 @@
+"""Driver-contract guards that run in seconds: the full DuckDB parity
+gate (tools/oracle_check.py) executes everything; this file catches the
+cheap breakages — a query key without its oracle wired, or oracle SQL
+that no longer parses — without starting a single Spark job."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_SMOKE
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+#: approximate queries deliberately carry no oracle (pytest bounds instead)
+ROWS_ONLY = {"genre_daily_metrics_approx", "value_percentiles_approx"}
+
+
+def test_every_query_has_an_oracle_or_is_declared_rows_only():
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(o) <= set(q)
+    assert set(q) - set(o) == ROWS_ONLY
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    return con
+
+
+def test_every_oracle_sql_parses_and_plans(duck):
+    """EXPLAIN (bind + plan, no execution) every oracle against the real
+    table schemas — catches column typos, dialect slips, and schema
+    drift in ~seconds."""
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        try:
+            duck.sql(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001 — collect all, report once
+            bad[name] = str(exc).splitlines()[0][:120]
+    assert not bad, bad
