@@ -314,6 +314,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": lambda spark, sf: _rel.important_parts(
             load_table(spark, sf, "lineitem")
         ),
+        "nation_volume_shipping": lambda spark, sf: _rel.nation_volume_shipping(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "nation"),
+        ),
+        "returned_item_customers": lambda spark, sf: (
+            _rel.returned_item_customers(
+                load_table(spark, sf, "lineitem"),
+                load_table(spark, sf, "orders"),
+                load_table(spark, sf, "customer"),
+                load_table(spark, sf, "nation"),
+            )
+        ),
         "waiting_customers": lambda spark, sf: _rel.waiting_customers(
             load_table(spark, sf, "customer"),
             load_table(spark, sf, "orders"),
@@ -465,6 +480,8 @@ def oracle_sql() -> dict[str, str]:
         "brand_supplier_counts": _rel.BRAND_SUPPLIER_COUNTS_SQL,
         "small_quantity_revenue": _rel.SMALL_QUANTITY_REVENUE_SQL,
         "important_parts": _rel.IMPORTANT_PARTS_SQL,
+        "nation_volume_shipping": _rel.NATION_VOLUME_SHIPPING_SQL,
+        "returned_item_customers": _rel.RETURNED_ITEM_CUSTOMERS_SQL,
         "waiting_customers": _rel.WAITING_CUSTOMERS_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,

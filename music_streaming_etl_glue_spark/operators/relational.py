@@ -375,3 +375,126 @@ WHERE CAST(c_acctbal AS DOUBLE) > (
       )
 GROUP BY c_nationkey
 """
+
+
+VOLUME_NATION_A = "NATION_3"
+VOLUME_NATION_B = "NATION_7"
+VOLUME_FROM = "1996-01-01"
+VOLUME_TO = "1998-01-01"
+
+
+def nation_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = VOLUME_NATION_A,
+    nation_b: str = VOLUME_NATION_B,
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per year and
+    direction (supplier nation → customer nation). Both nation-filtered
+    dim chains broadcast; the orderkey join is the only big shuffle; the
+    (supp_nation, cust_nation) pair filter keeps exactly the two
+    directions."""
+    n = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    supp = supplier.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    lines = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(VOLUME_FROM))
+        & (F.col("l_shipdate") < F.lit(VOLUME_TO))
+    )
+    return (
+        lines.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_revenue_sum().alias("revenue"))
+    )
+
+
+NATION_VOLUME_SHIPPING_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{VOLUME_NATION_A}', '{VOLUME_NATION_B}')
+  AND cn.n_name IN ('{VOLUME_NATION_A}', '{VOLUME_NATION_B}')
+  AND sn.n_name <> cn.n_name
+  AND l.l_shipdate >= TIMESTAMP '{VOLUME_FROM} 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '{VOLUME_TO} 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+RETURNED_FROM = "1996-01-01"
+RETURNED_TO = "1996-04-01"
+RETURNED_TOP_K = 20
+
+
+def returned_item_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    k: int = RETURNED_TOP_K,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned items
+    in one quarter. The quarter prunes orders, the return flag prunes
+    lineitem, dims broadcast; the limit is a partial top-k with a
+    deterministic (revenue DESC, custkey ASC) tiebreak."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(RETURNED_FROM))
+        & (F.col("o_orderdate") < F.lit(RETURNED_TO))
+    ).select("o_orderkey", "o_custkey")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        returned.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .agg(_revenue_sum().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(k)
+    )
+
+
+RETURNED_ITEM_CUSTOMERS_SQL = f"""
+SELECT c.c_custkey AS custkey, c.c_name AS customer_name,
+       n.n_name AS nation, c.c_acctbal AS acctbal,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{RETURNED_FROM} 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '{RETURNED_TO} 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, custkey ASC
+LIMIT {RETURNED_TOP_K}
+"""
