@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": lambda spark, sf: _an.sales_cube(
             load_table(spark, sf, "orders")
         ),
+        "sales_grouping_sets": lambda spark, sf: _an.sales_grouping_sets(
+            load_table(spark, sf, "orders")
+        ),
         "user_sessions": lambda spark, sf: _an.user_sessions(
             load_table(spark, sf, "events")
         ),
@@ -487,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,
         "sales_cube": _an.SALES_CUBE_SQL,
+        "sales_grouping_sets": _an.SALES_GROUPING_SETS_SQL,
         "user_sessions": _an.USER_SESSIONS_SQL,
         "user_session_windows": _an.USER_SESSION_WINDOWS_SQL,
         "value_percentiles": _an.VALUE_PERCENTILES_SQL,

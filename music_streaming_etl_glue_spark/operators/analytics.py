@@ -593,3 +593,34 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def sales_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the mixed-set form rollup/cube can't
+    express: per-year totals, per-priority totals, and the grand total,
+    but NOT the (year, priority) cross. One pass; Catalyst expands the
+    sets into a single Expand + hash aggregate."""
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .groupingSets(
+            [[F.col("order_year")], [F.col("o_orderpriority")], []],
+            F.col("order_year"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_sales"),
+        )
+    )
+
+
+SALES_GROUPING_SETS_SQL = """
+SELECT year(o_orderdate)::BIGINT AS order_year, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+           AS total_sales
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)::BIGINT), (o_orderpriority), ())
+"""
