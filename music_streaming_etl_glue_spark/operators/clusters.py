@@ -23,8 +23,10 @@ Scale design (100 TB):
   bigint overflow at 100 TB row counts) is strictly monotone and
   unchanged iff no label moved. One cheap aggregate per round instead of
   an old-vs-new anti-join.
-* Lineage is truncated every round with an eager ``localCheckpoint`` —
-  without it the plan doubles per iteration and the driver dies on
+* Lineage is truncated every round with a LAZY ``localCheckpoint``
+  (the convergence aggregate is the round's only action and materializes
+  the checkpoint as a side effect — one job per round); without the
+  checkpoint the plan doubles per iteration and the driver dies on
   analysis long before the executors see data.
 
 Oracle: the DuckDB twin runs the same edge set through a recursive CTE

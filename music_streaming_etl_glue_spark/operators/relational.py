@@ -457,8 +457,10 @@ def returned_item_customers(
 ) -> DataFrame:
     """TPC-H Q10 shape: top-k customers by revenue lost to returned items
     in one quarter. The quarter prunes orders, the return flag prunes
-    lineitem, dims broadcast; the limit is a partial top-k with a
-    deterministic (revenue DESC, custkey ASC) tiebreak."""
+    lineitem; customer is a SHUFFLE equi-join (it is a full-width fact-
+    sized dim here — only the tiny nation table broadcasts); the limit is
+    a partial top-k with a deterministic (revenue DESC, custkey ASC)
+    tiebreak."""
     ords = orders.filter(
         (F.col("o_orderdate") >= F.lit(RETURNED_FROM))
         & (F.col("o_orderdate") < F.lit(RETURNED_TO))
@@ -468,7 +470,7 @@ def returned_item_customers(
     )
     return (
         returned.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("c_custkey").alias("custkey"),

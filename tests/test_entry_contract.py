@@ -9,12 +9,8 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry
+from music_streaming_etl_glue_spark.sources.catalog import TABLES
 from tests.conftest import SF_SMOKE
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 #: approximate queries deliberately carry no oracle (pytest bounds instead)
 ROWS_ONLY = {"genre_daily_metrics_approx", "value_percentiles_approx"}
