@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": lambda spark, sf: _dedup.minhash_dedup_pairs(
             _docs(spark, sf)
         ),
+        "fuzzy_dedup_pairs": lambda spark, sf: _dedup.fuzzy_dedup_pairs(
+            _docs(spark, sf)
+        ),
         "simhash_fingerprints": lambda spark, sf: _dedup.simhash_fingerprints(
             _docs(spark, sf)
         ),
@@ -457,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": _dedup.MINHASH_SIGNATURES_SQL,
         "minhash_dedup_pairs": _dedup.MINHASH_DEDUP_SQL,
+        "fuzzy_dedup_pairs": _dedup.FUZZY_DEDUP_SQL,
         "simhash_fingerprints": _dedup.SIMHASH_SQL,
         "simhash_near_dups": _dedup.SIMHASH_NEAR_DUPS_SQL,
         "ann_topk_bruteforce": _sim.ANN_TOPK_SQL,

@@ -828,3 +828,71 @@ FROM ranked WHERE rn = 1
 
 
 CHUNK_DEDUP_SQL = _chunk_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy dedup: LSH candidates verified by relative edit distance
+# ---------------------------------------------------------------------------
+
+EDIT_DISTANCE_MAX_REL = 0.2
+
+
+def fuzzy_dedup_pairs(
+    documents: DataFrame,
+    max_rel_distance: float = EDIT_DISTANCE_MAX_REL,
+) -> DataFrame:
+    """Character-level near-dup pairs: MinHash-LSH candidate generation,
+    verified by RELATIVE Levenshtein distance (edit distance / longer
+    length ≤ threshold) instead of shingle Jaccard — the verifier to use
+    when small in-place edits matter more than token overlap (typo-level
+    duplicates, template fills).
+
+    Only the bucketed candidates pay the O(len²) edit-distance kernel,
+    and the distance itself is an exact integer — portable across
+    engines with no rounding discipline needed. The text join-back is two
+    broadcast-friendly key lookups against the candidate set (tiny next
+    to the corpus)."""
+    pairs = minhash_dedup_pairs(documents, threshold=0.0).select(
+        "doc_id_a", "doc_id_b"
+    )
+    docs = documents.select("doc_id", "text")
+    a = docs.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b")
+    )
+    dist = F.levenshtein("text_a", "text_b")
+    longer = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            dist.cast("long").alias("edit_distance"),
+            longer.cast("long").alias("longer_len"),
+        )
+        .filter(
+            F.col("edit_distance")
+            <= F.lit(max_rel_distance) * F.col("longer_len")
+        )
+    )
+
+
+def _fuzzy_dedup_sql(max_rel: float = EDIT_DISTANCE_MAX_REL) -> str:
+    candidates = _minhash_dedup_sql(threshold=0.0)
+    return f"""
+WITH pairs AS ({candidates})
+SELECT p.doc_id_a, p.doc_id_b,
+       levenshtein(da.text, db.text)::BIGINT AS edit_distance,
+       GREATEST(length(da.text), length(db.text))::BIGINT AS longer_len
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_id_a
+JOIN documents db ON db.doc_id = p.doc_id_b
+WHERE levenshtein(da.text, db.text)
+      <= {max_rel!r} * GREATEST(length(da.text), length(db.text))
+"""
+
+
+FUZZY_DEDUP_SQL = _fuzzy_dedup_sql()
