@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": lambda spark, sf: _sim.embedding_stats(
             _embs(spark, sf)
         ),
+        # semantic decontamination (embedding twin of contamination_flags)
+        "semantic_contamination": lambda spark, sf: (
+            _sim.semantic_contamination(_embs(spark, sf))
+        ),
         "label_centroids": lambda spark, sf: _sim.label_centroids(
             _embs(spark, sf)
         ),
@@ -469,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,
         "knn_join": _sim.KNN_JOIN_SQL,
         "embedding_stats": _sim.EMBEDDING_STATS_SQL,
+        "semantic_contamination": _sim.SEMANTIC_CONTAMINATION_SQL,
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
         "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_SQL,
         "ivf_assignments": _sim.IVF_ASSIGNMENTS_SQL,

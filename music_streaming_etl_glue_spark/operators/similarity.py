@@ -831,3 +831,73 @@ SELECT vec_id,
            AS n_positive
 FROM embeddings
 """
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (embedding-space benchmark leakage check)
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 20  # vec_id % 20 == 0 → held-out benchmark slice
+#: looser than the dup-pair threshold: leakage screening wants recall
+#: (humans review flags); near-identical pairs are a subset
+CONTAMINATION_THRESHOLD = 0.3
+
+
+def semantic_contamination(
+    embeddings: DataFrame,
+    threshold: float = CONTAMINATION_THRESHOLD,
+    bits: int = SIGN_BITS,
+    bench_mod: int = BENCH_MOD,
+) -> DataFrame:
+    """Embedding-space decontamination: flag training vectors whose
+    cosine to any benchmark vector (the deterministic ``vec_id %
+    bench_mod == 0`` slice standing in for an eval set) reaches the
+    threshold — the semantic twin of the fingerprint-based
+    ``text.contamination_flags``, catching paraphrases fingerprints miss.
+
+    Same sign-LSH candidate bucketing as ``cosine_pairs_lsh``, but
+    asymmetric: the corpus side streams, the benchmark side is the small
+    bucketed slice — shuffle stays linear in corpus size."""
+    dims = _dims(embeddings)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    e = (
+        _normalized_vecs(embeddings)
+        .repartition(par)
+        .withColumn("bucket", _sign_bucket(F.col("vec"), bits))
+        .localCheckpoint(eager=False)
+    )
+    corpus = e.filter(F.col("vec_id") % bench_mod != 0).select(
+        F.col("vec_id"), F.col("vec").alias("va"), F.col("bucket").alias("ba")
+    )
+    bench = e.filter(F.col("vec_id") % bench_mod == 0).select(
+        F.col("vec_id").alias("bench_vec_id"),
+        F.col("vec").alias("vb"),
+        F.col("bucket").alias("bb"),
+    )
+    sim = F.round(_unrolled_dot(F.col("va"), F.col("vb"), dims), ROUND)
+    return (
+        corpus.join(bench, F.col("ba") == F.col("bb"))
+        .select("vec_id", "bench_vec_id", sim.alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+SEMANTIC_CONTAMINATION_SQL = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec, {_BUCKET_SQL} AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id, b.vec_id AS bench_vec_id,
+       round(
+           list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec))
+              * sqrt(list_dot_product(b.vec, b.vec))), {ROUND}
+       ) AS similarity
+FROM e a JOIN e b ON a.bucket = b.bucket
+WHERE a.vec_id % {BENCH_MOD} != 0 AND b.vec_id % {BENCH_MOD} = 0
+  AND round(
+           list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec))
+              * sqrt(list_dot_product(b.vec, b.vec))), {ROUND}
+       ) >= {CONTAMINATION_THRESHOLD}
+"""
