@@ -227,3 +227,29 @@ def test_stratified_sample_threshold_rounds_not_truncates(spark):
         .count()
     )
     assert got == expected
+
+
+def test_fuzzy_dedup_catches_planted_typo_duplicate(spark):
+    """A single-character typo copy must be flagged by the edit-distance
+    verifier (and missed by exact dedup) — the operator's reason to
+    exist."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        dedup_exact,
+        fuzzy_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "quicc")),  # one edit
+        (3, "completely different text about spark shuffles and joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in fuzzy_dedup_pairs(docs).collect()
+    }
+    assert (1, 2) in flagged
+    assert all(3 not in pair for pair in flagged)
+    # exact dedup sees three distinct texts
+    assert dedup_exact(docs).count() == 3
