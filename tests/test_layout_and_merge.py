@@ -164,3 +164,60 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "extra"}
     assert merged.count() == 20
     assert merged.filter(F.col("extra").isNull()).count() == 10
+
+
+def test_scd2_random_batches_match_python_reference(spark):
+    """Randomized SCD2: apply random change batches over random keys and
+    compare against a straightforward Python interval builder. Invariants
+    checked per key: exactly one open version, no overlapping validity,
+    chronological chaining."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    OPEN = "9999-12-31 00:00:00"
+    for _ in range(5):
+        keys = list(range(1, rng.randint(2, 5)))
+        dim_rows = [(k, f"v{k}_0", "2024-01-01", OPEN) for k in keys]
+        dim = spark.createDataFrame(
+            dim_rows, "id long, attr string, valid_from string, valid_to string"
+        )
+        # random distinct-timestamp changes per key
+        changes_rows = []
+        for k in keys:
+            n = rng.randint(0, 3)
+            days = rng.sample(range(32, 300), n)
+            for i, d in enumerate(sorted(days)):
+                ts = f"2024-01-01 00:00:{0:02d}"  # placeholder, replaced below
+                ts = f"2024-{(d // 28) + 2:02d}-{(d % 28) + 1:02d}"
+                changes_rows.append((k, f"v{k}_{i + 1}", ts))
+        if not changes_rows:
+            changes_rows = [(keys[0], f"v{keys[0]}_1", "2024-06-01")]
+        changes = spark.createDataFrame(
+            changes_rows, "id long, attr string, eff string"
+        )
+
+        out = scd2_apply(dim, changes, "id", "eff").collect()
+
+        # python reference: per key, versions chained by effective ts
+        by_key: dict[int, list] = {}
+        for k, attr, eff in changes_rows:
+            by_key.setdefault(k, []).append((eff, attr))
+        expected = {}
+        for k in keys:
+            chain = sorted(by_key.get(k, []))
+            versions = []
+            first_close = chain[0][0] if chain else OPEN
+            versions.append((f"v{k}_0", "2024-01-01", first_close))
+            for i, (eff, attr) in enumerate(chain):
+                close = chain[i + 1][0] if i + 1 < len(chain) else OPEN
+                versions.append((attr, eff, close))
+            expected[k] = sorted(versions)
+        got: dict[int, list] = {}
+        for r in out:
+            got.setdefault(r.id, []).append((r.attr, r.valid_from, r.valid_to))
+        for k in keys:
+            assert sorted(got[k]) == expected[k], (k, got[k], expected[k])
+            opens = [v for v in got[k] if v[2] == OPEN]
+            assert len(opens) == 1
