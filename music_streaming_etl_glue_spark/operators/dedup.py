@@ -719,6 +719,12 @@ def rebalance_sources(
     Two metadata aggregates (per-source counts, then the single-row min)
     broadcast back onto the scan; the only per-row work is the hash rank
     within each source. Unlisted sources drop out in the join.
+
+    EXACT quotas require a per-source rank — a total order per source,
+    i.e. one task per source at full width. Fine when sources are many
+    or small; for a handful of 100 TB sources use
+    :func:`rebalance_sources_fractional` (shuffle-free hash thresholds,
+    counts approximate within sampling noise).
     """
     counts = (
         documents.join(
@@ -896,3 +902,49 @@ WHERE levenshtein(da.text, db.text)
 
 
 FUZZY_DEDUP_SQL = _fuzzy_dedup_sql()
+
+
+def rebalance_sources_fractional(
+    documents: DataFrame,
+    targets: tuple[tuple[str, float], ...] = REBALANCE_TARGETS,
+) -> DataFrame:
+    """The 100 TB form of :func:`rebalance_sources`: same budget math,
+    but each source keeps docs whose md5 bucket falls under its keep
+    FRACTION (quota/count) instead of its exact rank — a narrow per-row
+    filter after a broadcast join, no per-source total order, no hot
+    task. Kept counts land within hash-uniformity noise of the quota;
+    membership is deterministic and append-stable like every hash
+    selection here."""
+    counts = (
+        documents.join(
+            F.broadcast(
+                documents.sparkSession.createDataFrame(
+                    list(targets), "source string, share double"
+                )
+            ),
+            "source",
+        )
+        .groupBy("source", "share")
+        .agg(F.count("*").alias("src_count"))
+        .localCheckpoint(eager=False)
+    )
+    budget = counts.agg(
+        F.min(F.col("src_count").cast("double") / F.col("share")).alias("t")
+    )
+    thresholds = F.broadcast(
+        counts.crossJoin(F.broadcast(budget)).select(
+            "source",
+            F.round(
+                F.col("share") * F.col("t")
+                / F.col("src_count") * 10_000,
+                0,
+            ).cast("long").alias("keep_threshold"),
+        )
+    )
+    bucket = _hash_bucket("doc_id", 10_000)
+    return (
+        documents.join(thresholds, "source")
+        .withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < F.col("keep_threshold"))
+        .select("doc_id", "source", "sample_bucket", "keep_threshold")
+    )

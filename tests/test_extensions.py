@@ -253,3 +253,39 @@ def test_fuzzy_dedup_catches_planted_typo_duplicate(spark):
     assert all(3 not in pair for pair in flagged)
     # exact dedup sees three distinct texts
     assert dedup_exact(docs).count() == 3
+
+
+def test_rebalance_fractional_tracks_quota_and_is_deterministic(spark):
+    """The shuffle-free fractional rebalance must land within sampling
+    noise of the exact quotas and pick an identical set on rerun."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        rebalance_sources,
+        rebalance_sources_fractional,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    exact = {
+        r.source: r.n
+        for r in rebalance_sources(docs)
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    frac = rebalance_sources_fractional(docs)
+    got = {
+        r.source: r.n
+        for r in frac.groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert set(got) == set(exact)
+    for src, quota in exact.items():
+        # 25-doc sources: allow generous hash-uniformity noise
+        assert abs(got[src] - quota) <= max(3, quota // 2), (src, got, exact)
+    ids_a = {r.doc_id for r in frac.collect()}
+    ids_b = {
+        r.doc_id for r in rebalance_sources_fractional(docs).collect()
+    }
+    assert ids_a == ids_b
