@@ -209,6 +209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_sources": lambda spark, sf: _dedup.rebalance_sources(
             _docs(spark, sf)
         ),
+        # shuffle-free 100TB form (hash-threshold fractions, no per-source sort)
+        "rebalance_sources_fractional": lambda spark, sf: (
+            _dedup.rebalance_sources_fractional(_docs(spark, sf))
+        ),
         # transitive near-dup grouping (iterative min-label propagation)
         "dedup_clusters": lambda spark, sf: _clusters.dedup_clusters(
             _docs(spark, sf)
@@ -457,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _dedup.STRATIFIED_SAMPLE_SQL,
         "weighted_sample": _dedup.WEIGHTED_SAMPLE_SQL,
         "rebalance_sources": _dedup.REBALANCE_SOURCES_SQL,
+        "rebalance_sources_fractional": _dedup.REBALANCE_FRACTIONAL_SQL,
         "dedup_clusters": _clusters.DEDUP_CLUSTERS_SQL,
         "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
         "semantic_dedup_clusters": _clusters.SEMANTIC_DEDUP_CLUSTERS_SQL,

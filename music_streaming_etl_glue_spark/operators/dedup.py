@@ -948,3 +948,31 @@ def rebalance_sources_fractional(
         .filter(F.col("sample_bucket") < F.col("keep_threshold"))
         .select("doc_id", "source", "sample_bucket", "keep_threshold")
     )
+
+
+REBALANCE_FRACTIONAL_SQL = f"""
+WITH shares(source, share) AS (
+    VALUES {", ".join(f"('{n}', {s!r})" for n, s in REBALANCE_TARGETS)}
+),
+counts AS (
+    SELECT d.source, s.share, COUNT(*) AS src_count
+    FROM documents d JOIN shares s ON d.source = s.source
+    GROUP BY d.source, s.share
+),
+budget AS (
+    SELECT MIN(src_count::DOUBLE / share) AS t FROM counts
+),
+thresholds AS (
+    SELECT source,
+           CAST(round(share * t / src_count * 10000, 0) AS BIGINT)
+               AS keep_threshold
+    FROM counts, budget
+)
+SELECT d.doc_id, d.source,
+       ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+           AS sample_bucket,
+       th.keep_threshold
+FROM documents d JOIN thresholds th ON d.source = th.source
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+      < th.keep_threshold
+"""
