@@ -289,3 +289,55 @@ def test_rebalance_fractional_tracks_quota_and_is_deterministic(spark):
         r.doc_id for r in rebalance_sources_fractional(docs).collect()
     }
     assert ids_a == ids_b
+
+
+def test_funnel_requires_stage_order(spark):
+    """A click BEFORE the first view must not count as a conversion —
+    the strict-ordering contract that separates a funnel from three
+    independent counts."""
+    import datetime as dt
+
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        conversion_funnel,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: click(1) -> view(2): click precedes view, no conversion
+        (1, t(1), 1, "click", 1.0, "{}"),
+        (2, t(2), 1, "view", 1.0, "{}"),
+        # user 2: view(1) -> click(2) -> purchase(3): full conversion
+        (3, t(1), 2, "view", 1.0, "{}"),
+        (4, t(2), 2, "click", 1.0, "{}"),
+        (5, t(3), 2, "purchase", 1.0, "{}"),
+        # user 3: view(1) -> purchase(2) with no click: purchase must NOT
+        # count (needs a click after the view first)
+        (6, t(1), 3, "view", 1.0, "{}"),
+        (7, t(2), 3, "purchase", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = conversion_funnel(events).collect()[0]
+    assert r.n_users == 3
+    assert r.n_viewed == 3
+    assert r.n_clicked == 1   # only user 2's post-view click
+    assert r.n_purchased == 1  # only user 2
+
+
+def test_sample_per_group_stable_under_repartition(spark):
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        sample_per_group,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    a = {(r.event_type, r.event_id) for r in sample_per_group(events).collect()}
+    b = {
+        (r.event_type, r.event_id)
+        for r in sample_per_group(events.repartition(17)).collect()
+    }
+    assert a == b and len(a) > 0
