@@ -258,9 +258,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": lambda spark, sf: _sim.embedding_stats(
             _embs(spark, sf)
         ),
-        # semantic decontamination (embedding twin of contamination_flags)
+        # semantic decontamination (embedding twin of contamination_flags):
+        # exact broadcast screen (recall 1.0) + banded-LSH pre-screen twin
         "semantic_contamination": lambda spark, sf: (
             _sim.semantic_contamination(_embs(spark, sf))
+        ),
+        "semantic_contamination_lsh": lambda spark, sf: (
+            _sim.semantic_contamination_lsh(_embs(spark, sf))
         ),
         "label_centroids": lambda spark, sf: _sim.label_centroids(
             _embs(spark, sf)
@@ -479,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _sim.KNN_JOIN_SQL,
         "embedding_stats": _sim.EMBEDDING_STATS_SQL,
         "semantic_contamination": _sim.SEMANTIC_CONTAMINATION_SQL,
+        "semantic_contamination_lsh": _sim.SEMANTIC_CONTAMINATION_LSH_SQL,
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
         "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_SQL,
         "ivf_assignments": _sim.IVF_ASSIGNMENTS_SQL,

@@ -295,7 +295,7 @@ TRACK_PAGERANK_SQL = _pagerank_sql()
 
 def semantic_dedup_clusters(embeddings: DataFrame) -> DataFrame:
     """(vec_id, cluster_id): connected components over embedding-cosine
-    near-duplicate edges (sign-LSH bucketed pairs ≥ threshold from
+    near-duplicate edges (banded sign-LSH pairs ≥ threshold from
     :func:`.similarity.cosine_pairs_lsh`) — the embedding-space
     counterpart of the text-shingle :func:`dedup_clusters`, completing
     the exact → n-gram → MinHash → SimHash → embedding dedup ladder.
