@@ -217,6 +217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda spark, sf: _clusters.dedup_clusters(
             _docs(spark, sf)
         ),
+        # same clustering via O(log n)-round large-star/small-star
+        "dedup_clusters_twophase": lambda spark, sf: (
+            _clusters.dedup_clusters_two_phase(_docs(spark, sf))
+        ),
         "near_dedup_apply": lambda spark, sf: _clusters.near_dedup_apply(
             _docs(spark, sf)
         ),
@@ -467,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "rebalance_sources": _dedup.REBALANCE_SOURCES_SQL,
         "rebalance_sources_fractional": _dedup.REBALANCE_FRACTIONAL_SQL,
         "dedup_clusters": _clusters.DEDUP_CLUSTERS_SQL,
+        "dedup_clusters_twophase": _clusters.DEDUP_CLUSTERS_SQL,
         "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
         "semantic_dedup_clusters": _clusters.SEMANTIC_DEDUP_CLUSTERS_SQL,
         "chunk_dedup": _dedup.CHUNK_DEDUP_SQL,

@@ -48,6 +48,12 @@ from music_streaming_etl_glue_spark.operators.dedup import (
 MAX_ITERATIONS = 50  # safety rail; real convergence is diameter-bounded
 
 
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -59,10 +65,15 @@ def connected_components(
     ``vertices``: one column ``id`` (bigint). ``edges``: columns
     ``src``/``dst`` (undirected semantics; pass each pair once — both
     directions are derived here).
+
+    Rounds needed = component diameter — right for LSH dup cliques (2-3
+    rounds); for adversarial long-chain graphs use
+    :func:`connected_components_two_phase` (O(log n) rounds). Raises if
+    the iteration cap is hit without reaching the fixpoint: returning
+    silently un-converged labels would drop/keep the wrong documents
+    downstream with no signal.
     """
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    sym = _symmetric(edges)
     sym = sym.localCheckpoint()  # compact edge list, mined plan runs once
 
     labels = vertices.select(
@@ -90,9 +101,103 @@ def connected_components(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
         if new_sum == prev_sum:
-            break
+            return labels
         prev_sum = new_sum
-    return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iterations} "
+        "rounds (component diameter exceeds the cap); use "
+        "connected_components_two_phase for long-chain graphs"
+    )
+
+
+def connected_components_two_phase(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iterations: int = MAX_ITERATIONS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — same contract
+    as :func:`connected_components` but O(log n) rounds on ANY graph
+    shape, including the adversarial long chains where min-label
+    propagation needs diameter rounds.
+
+    Each round rewires the undirected edge set toward per-component
+    stars centered at the minimum id:
+
+    * large-star: every edge's larger endpoint reconnects to the smaller
+      endpoint's min-neighborhood label m(u) = min({u} ∪ Γ(u));
+    * small-star: every smaller-or-equal neighbor (and u itself)
+      reconnects to m(u).
+
+    Both phases are one aggregate (per-vertex min) + one keyed join +
+    one distinct — the same per-round shuffle shape as min-label, just
+    O(log n) of them. Termination is edge-set stability (count equal +
+    exceptAll empty — the paper's star fixpoint, not a heuristic), with
+    lineage truncated per phase via lazy ``localCheckpoint``. Pass
+    ``stats`` to receive {"rounds": k} for convergence telemetry."""
+    e = (
+        _symmetric(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def min_nbr(cur: DataFrame) -> DataFrame:
+        return (
+            cur.groupBy("src")
+            .agg(F.min("dst").alias("mnb"))
+            .select("src", F.least("src", "mnb").alias("m"))
+        )
+
+    def canonical(directed: DataFrame) -> DataFrame:
+        # undirected dedup in canonical (lo, hi) form, self-loops dropped
+        return (
+            directed.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+
+    rounds = 0
+    for _ in range(max_iterations):
+        mn = min_nbr(e)
+        large = (
+            e.join(mn, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        e_large = _symmetric(canonical(large)).localCheckpoint(eager=False)
+
+        mn2 = min_nbr(e_large)
+        small_lower = (
+            e_large.join(mn2, "src")
+            .filter(F.col("dst") < F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        small_self = mn2.select("src", F.col("m").alias("dst"))
+        e_new = _symmetric(
+            canonical(small_lower.unionByName(small_self))
+        ).localCheckpoint(eager=False)
+        rounds += 1
+
+        # star fixpoint ⇔ the undirected edge set stopped moving
+        if e_new.count() == e.count() and e_new.exceptAll(e).isEmpty():
+            if stats is not None:
+                stats["rounds"] = rounds
+            final_mn = min_nbr(e_new)
+            return vertices.join(
+                final_mn, vertices["id"] == final_mn["src"], "left"
+            ).select(
+                "id", F.coalesce(F.col("m"), F.col("id")).alias("cluster_id")
+            )
+        e = e_new
+    raise RuntimeError(
+        f"connected_components_two_phase did not converge within "
+        f"{max_iterations} rounds"
+    )
 
 
 def dedup_clusters(documents: DataFrame) -> DataFrame:
@@ -104,6 +209,21 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
     )
     vertices = documents.select(F.col("doc_id").alias("id"))
     comp = connected_components(vertices, edges)
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def dedup_clusters_two_phase(documents: DataFrame) -> DataFrame:
+    """:func:`dedup_clusters` computed with the O(log n)-round
+    large-star/small-star kernel instead of min-label propagation —
+    identical output (same edges, same min-id labels), so it shares the
+    recursive-CTE oracle. The variant to reach for when near-dup
+    components may be chain-shaped (e.g. drifting boilerplate) rather
+    than LSH cliques."""
+    edges = minhash_dedup_pairs(documents).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    vertices = documents.select(F.col("doc_id").alias("id"))
+    comp = connected_components_two_phase(vertices, edges)
     return comp.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

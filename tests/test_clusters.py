@@ -62,3 +62,72 @@ def test_pagerank_star_graph(spark):
     assert got[0] == max(got.values())
     leaf_ranks = {round(got[i], 12) for i in range(1, 5)}
     assert len(leaf_ranks) == 1
+
+
+# ---------------------------------------------------------------------------
+# large-star / small-star (two-phase) connected components
+# ---------------------------------------------------------------------------
+
+def _components_two_phase(spark, edge_pairs, n_vertices, stats=None):
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        connected_components_two_phase,
+    )
+
+    vertices = spark.range(n_vertices).select(F.col("id"))
+    edges = spark.createDataFrame(edge_pairs, "src bigint, dst bigint")
+    rows = connected_components_two_phase(
+        vertices, edges, stats=stats
+    ).collect()
+    return {r.id: r.cluster_id for r in rows}
+
+
+def test_two_phase_matches_min_label_on_random_graph(spark):
+    """Same labels as min-label propagation on a random graph with mixed
+    components, cycles, and singletons — the contract both kernels share."""
+    import random
+
+    rng = random.Random(5)
+    n = 300
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(220)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _components_two_phase(spark, edges, n)
+    want = _components(spark, edges, n)
+    assert got == want
+
+
+def test_two_phase_chain_is_logarithmic(spark):
+    """The verdict's acceptance test: a 10k-vertex chain (diameter ≈ n,
+    the worst case for min-label) must converge in O(log n) rounds —
+    every vertex labeled 0."""
+    import math
+
+    n = 10_000
+    stats: dict = {}
+    got = _components_two_phase(
+        spark, [(i, i + 1) for i in range(n - 1)], n, stats=stats
+    )
+    assert got == {i: 0 for i in range(n)}
+    bound = 2 * math.log2(n) + 6
+    assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > {bound}"
+
+
+def test_two_phase_singletons_cycles_and_parallel_edges(spark):
+    got = _components_two_phase(
+        spark, [(0, 1), (1, 2), (2, 0), (2, 1), (4, 3)], 6
+    )
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_min_label_raises_on_iteration_cap(spark):
+    """Un-converged labels are wrong data — the cap must fail loudly,
+    not return silently (round-2 ADVICE)."""
+    import pytest
+
+    vertices = spark.range(40).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, max_iterations=3)
