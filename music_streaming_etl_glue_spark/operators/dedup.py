@@ -716,47 +716,70 @@ def rebalance_sources(
     for which every share is satisfiable without upsampling), then each
     source keeps its floor(share·T) lowest-md5 docs.
 
-    Two metadata aggregates (per-source counts, then the single-row min)
-    broadcast back onto the scan; the only per-row work is the hash rank
-    within each source. Unlisted sources drop out in the join.
+    EXACT quotas need each source's total md5 order, but NOT a single
+    full-width sort per source: the md5 key is range-bucketed by its
+    2-hex-char prefix (256 contiguous key ranges), ranks are computed
+    per (source, bucket) — sources × 256 parallel sorts of n/256 rows —
+    and the global rank is bucket offset + local rank, with offsets from
+    a tiny (sources × 256)-row cumulative count broadcast back. Buckets
+    whose offset already exceeds the quota are pruned BEFORE the sort,
+    so only ~quota rows per source are ever ordered. Same output, same
+    oracle as the round-2 per-source-window form it replaced.
 
-    EXACT quotas require a per-source rank — a total order per source,
-    i.e. one task per source at full width. Fine when sources are many
-    or small; for a handful of 100 TB sources use
-    :func:`rebalance_sources_fractional` (shuffle-free hash thresholds,
-    counts approximate within sampling noise).
+    Unlisted sources drop out in the broadcast join. For fully
+    shuffle-less approximate quotas see
+    :func:`rebalance_sources_fractional`.
     """
-    counts = (
-        documents.join(
-            F.broadcast(
-                documents.sparkSession.createDataFrame(
-                    list(targets), "source string, share double"
-                )
-            ),
-            "source",
-        )
-        .groupBy("source", "share")
-        .agg(F.count("*").alias("src_count"))
-        # tiny (one row per target source) but consumed by BOTH the budget
-        # aggregate and the quota join — materialize once or the full
-        # document scan behind it runs twice more
+    key = F.md5(F.col("doc_id").cast("string"))
+    tagged = documents.join(
+        F.broadcast(
+            documents.sparkSession.createDataFrame(
+                list(targets), "source string, share double"
+            )
+        ),
+        "source",
+    ).withColumn("__b", F.substring(key, 1, 2))
+    # ONE metadata aggregate feeds everything: per-(source, bucket) counts
+    # roll up to per-source counts (budget/quota) and prefix-sum to bucket
+    # offsets. Tiny (≤ sources × 256 rows) but consumed three ways —
+    # materialize once or the document scan behind it reruns.
+    bcounts = (
+        tagged.groupBy("source", "share", "__b")
+        .agg(F.count("*").alias("bc"))
         .localCheckpoint(eager=False)
+    )
+    counts = bcounts.groupBy("source", "share").agg(
+        F.sum("bc").alias("src_count")
     )
     budget = counts.agg(
         F.min(F.col("src_count").cast("double") / F.col("share")).alias("t")
     )
-    quotas = F.broadcast(
-        counts.crossJoin(F.broadcast(budget)).select(
-            "source",
-            F.floor(F.col("share") * F.col("t")).cast("long").alias("quota"),
-        )
+    quotas = counts.crossJoin(F.broadcast(budget)).select(
+        "source",
+        F.floor(F.col("share") * F.col("t")).cast("long").alias("quota"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    # cumulative rows before each bucket in md5-prefix order (the window
+    # runs over ≤ 256 rows per source — metadata, not data)
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    offsets = (
+        bcounts.withColumn("off", F.coalesce(F.sum("bc").over(w_off), F.lit(0)))
+        .join(quotas, "source")
+        .select("source", "__b", "off", "quota")
+    )
+    w = Window.partitionBy("source", "__b").orderBy(key, F.col("doc_id"))
     return (
-        documents.join(quotas, "source")
-        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        tagged.join(F.broadcast(offsets), ["source", "__b"])
+        # bucket-level pruning: a bucket starting at or past the quota
+        # cannot contribute — drop it before paying its sort
+        .filter(F.col("off") < F.col("quota"))
+        .withColumn(
+            "src_rank",
+            (F.col("off") + F.row_number().over(w)).cast("long"),
+        )
         .filter(F.col("src_rank") <= F.col("quota"))
         .select("doc_id", "source", "src_rank", "quota")
     )

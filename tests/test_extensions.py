@@ -341,3 +341,33 @@ def test_sample_per_group_stable_under_repartition(spark):
         for r in sample_per_group(events.repartition(17)).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_rebalance_exact_rank_is_two_level(spark):
+    """The exact rebalance must NOT sort each source in one full-width
+    task: its data-level row_number window has to partition on
+    (source, md5-prefix bucket), with only the tiny per-bucket count
+    aggregate windowing on source alone (round-2 verdict item #3)."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        rebalance_sources,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = (
+        rebalance_sources(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "row_number" in line:
+            # the rank window is keyed by source AND the range bucket
+            assert "__b" in line, line
+    # and ranks are still the dense global per-source sequence 1..quota
+    rows = rebalance_sources(docs).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r.src_rank)
+    for source, ranks in by_source.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), source
