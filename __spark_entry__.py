@@ -37,24 +37,53 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe against a cached on-disk layout keyed by the source file
-    (path + mtime), so repeat queries pay only the pruned read — the
-    build-once/probe-many contract of a real vector index."""
+def _ivf_cache_path(sf_dir: str, kind: str, config: str) -> str:
+    """Cache path for an on-disk ANN layout, keyed by source identity
+    (path + mtime + SIZE — mtime alone has 1 s granularity on many
+    filesystems, so a same-second rewrite must still miss) plus the
+    layout config (a parameter change must invalidate). uid-scoped so
+    another user's /tmp entry can neither collide with nor poison this
+    one; builds themselves are atomic-rename (see
+    similarity._build_layout_atomic)."""
     import hashlib
     import os
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    # key = source identity + bucketing config (a SIGN_BITS change must
-    # invalidate the layout); uid-scoped dir so another user's /tmp entry
-    # can neither collide with nor poison this one
+    if os.path.isdir(src):
+        sizes = sum(
+            e.stat().st_size for e in os.scandir(src) if e.is_file()
+        )
+        mtime = max(
+            (e.stat().st_mtime for e in os.scandir(src) if e.is_file()),
+            default=os.path.getmtime(src),
+        )
+    else:
+        st = os.stat(src)
+        sizes, mtime = st.st_size, st.st_mtime
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{_sim.SIGN_BITS}".encode()
+        f"{os.path.abspath(src)}:{mtime}:{sizes}:{config}".encode()
     ).hexdigest()[:12]
     uid = os.getuid() if hasattr(os, "getuid") else 0
-    ivf_path = os.path.join(tempfile.gettempdir(), f"msetl_ivf_{uid}_{key}")
-    return _sim.ann_topk_ivf(spark, _embs(spark, sf_dir), ivf_path)
+    return os.path.join(
+        tempfile.gettempdir(), f"msetl_{kind}_{uid}_{key}"
+    )
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket IVF probe against a cached on-disk layout — repeat
+    queries pay only the pruned read (build-once/probe-many)."""
+    path = _ivf_cache_path(sf_dir, "ivf", f"sign{_sim.SIGN_BITS}")
+    return _sim.ann_topk_ivf(spark, _embs(spark, sf_dir), path)
+
+
+def _ann_ivf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF probe (k-means cells from ivf_assignments),
+    partition-pruned to the nprobe nearest cells."""
+    path = _ivf_cache_path(
+        sf_dir, "ivfc", f"nprobe{_sim.IVF_NPROBE}"
+    )
+    return _sim.ann_topk_ivf_centroid(spark, _embs(spark, sf_dir), path)
 
 
 def _pricing_summary_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,6 +287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(spark, sf)
         ),
         "ann_topk_ivf": _ann_ivf,
+        # IVF over learned k-means cells (ivf_assignments) with
+        # nprobe-nearest-cell partition pruning
+        "ann_topk_ivf_centroid": _ann_ivf_centroid,
         "knn_join": lambda spark, sf: _sim.knn_join(_embs(spark, sf)),
         "embedding_stats": lambda spark, sf: _sim.embedding_stats(
             _embs(spark, sf)
@@ -485,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pandas": _sim.ANN_TOPK_SQL,
         "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,
+        "ann_topk_ivf_centroid": _sim.ANN_TOPK_IVF_CENTROID_SQL,
         "knn_join": _sim.KNN_JOIN_SQL,
         "embedding_stats": _sim.EMBEDDING_STATS_SQL,
         "semantic_contamination": _sim.SEMANTIC_CONTAMINATION_SQL,

@@ -327,7 +327,9 @@ def ann_topk_ivf(
     import os
 
     if not os.path.exists(os.path.join(ivf_path, "_SUCCESS")):
-        write_ivf_layout(embeddings, ivf_path, bits)
+        _build_layout_atomic(
+            lambda tmp: write_ivf_layout(embeddings, tmp, bits), ivf_path
+        )
 
     qrow = (
         embeddings.filter(F.col("vec_id") == query_vec_id)
@@ -350,6 +352,111 @@ def ann_topk_ivf(
         dot = dot + F.element_at("vec", i + 1) * float(qv[i])
     scored = probed.select(
         "vec_id", F.round(dot, ROUND).alias("similarity")
+    )
+    return _ranked_topk(scored, k)
+
+
+def _build_layout_atomic(build_fn, path: str) -> None:
+    """Build an on-disk index layout exactly once, concurrency-safe:
+    write into a unique temp dir, then atomically rename into place. If
+    another process won the race (rename target exists), its committed
+    layout is used and ours is discarded — no process ever reads a
+    half-written index (round-2 ADVICE item)."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    tmp = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    build_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: cells to probe in the learned-centroid IVF (of ~10 k-means cells in
+#: the testdata) — the recall/read-fraction knob
+IVF_NPROBE = 3
+
+
+def write_ivf_centroid_layout(embeddings: DataFrame, path: str) -> None:
+    """Persist the LEARNED inverted-file layout: raw vectors (+ norm)
+    partitioned on disk by their nearest k-means centroid
+    (:func:`ivf_assignments` — deterministic, so the layout is
+    oracle-reproducible). Probing reads only the ``assigned_label=``
+    directories of the nprobe nearest cells — true IVF partition
+    pruning from data-adaptive cells, vs. the data-oblivious sign
+    buckets of :func:`write_ivf_layout`."""
+    dims = _dims(embeddings)
+    assign = ivf_assignments(embeddings).select("vec_id", "assigned_label")
+    v = _vecs_with_norm(embeddings, dims)
+    v.join(assign, "vec_id").write.mode("overwrite").partitionBy(
+        "assigned_label"
+    ).parquet(path)
+
+
+def ann_topk_ivf_centroid(
+    spark,
+    embeddings: DataFrame,
+    ivf_path: str,
+    k: int = TOP_K,
+    query_vec_id: int = QUERY_VEC_ID,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate top-k against the learned-centroid IVF layout: rank
+    the k-means cells by (rounded) squared distance to the query with
+    the SAME fold arithmetic as the assignment step, probe the
+    ``nprobe`` nearest cells' partition directories only, score with
+    the exact cosine, take top-k. Cell ranking is a ~#cells-row
+    aggregate (legitimate driver coordination, like fetching the query
+    vector); the corpus-side read is partition-pruned to the probed
+    cells. Builds the layout atomically on first use."""
+    import os
+
+    if not os.path.exists(os.path.join(ivf_path, "_SUCCESS")):
+        _build_layout_atomic(
+            lambda tmp: write_ivf_centroid_layout(embeddings, tmp), ivf_path
+        )
+
+    qrow = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .head()
+    )
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qnorm = float(np.sqrt(qv @ qv))
+
+    # rank cells with the oracle's exact arithmetic: sequential-fold dots
+    # against the rounded centroids, distance rounded before the ordering
+    cents = _centroid_arrays(label_centroids(embeddings))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    c = F.col("cvec")
+    dist = F.round(
+        F.lit(float(qv @ qv)) - 2 * _dot(qlit, c) + _dot(c, c), ROUND
+    )
+    probe_rows = (
+        cents.select("assigned_label", dist.alias("dist"))
+        .orderBy("dist", "assigned_label")
+        .limit(nprobe)
+        .collect()
+    )
+    probes = [r["assigned_label"] for r in probe_rows]
+
+    vecs = spark.read.parquet(ivf_path)
+    probed = vecs.filter(
+        F.col("assigned_label").isin(probes)
+        & (F.col("vec_id") != query_vec_id)
+    )
+    dot: Column = F.element_at("vec", 1) * float(qv[0])
+    for i in range(1, len(qv)):
+        dot = dot + F.element_at("vec", i + 1) * float(qv[i])
+    scored = probed.select(
+        "vec_id",
+        F.round(dot / (F.col("norm") * F.lit(qnorm)), ROUND).alias(
+            "similarity"
+        ),
     )
     return _ranked_topk(scored, k)
 
@@ -861,6 +968,51 @@ ranked AS (
     FROM scored
 )
 SELECT vec_id, assigned_label, dist FROM ranked WHERE rn = 1
+"""
+
+
+ANN_TOPK_IVF_CENTROID_SQL = f"""
+WITH cents AS (
+    SELECT label AS assigned_label, list(centroid_value ORDER BY dim) AS cvec
+    FROM ({LABEL_CENTROIDS_SQL})
+    GROUP BY label
+),
+q AS (
+    SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+    WHERE vec_id = {QUERY_VEC_ID}
+),
+cell_dist AS (
+    SELECT c.assigned_label,
+           round(list_dot_product(q.qvec, q.qvec)
+                 - 2 * list_dot_product(q.qvec, c.cvec)
+                 + list_dot_product(c.cvec, c.cvec), {ROUND}) AS dist
+    FROM cents c, q
+),
+probe AS (
+    SELECT assigned_label FROM cell_dist
+    ORDER BY dist, assigned_label LIMIT {IVF_NPROBE}
+),
+assign AS ({IVF_ASSIGNMENTS_SQL}),
+scored AS (
+    SELECT e.vec_id,
+           round(
+               list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), {ROUND}
+           ) AS similarity
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN probe p ON a.assigned_label = p.assigned_label
+    CROSS JOIN q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+),
+ranked AS (
+    SELECT vec_id, similarity,
+           row_number() OVER (ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT vec_id, similarity, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
