@@ -180,7 +180,12 @@ def genre_daily_anomalies(
     z_threshold: float = ANOMALY_Z_THRESHOLD,
 ) -> DataFrame:
     """Per (genre, day): z-score of the play count against the trailing
-    ``baseline_days`` days (current day EXCLUDED from its own baseline).
+    ``baseline_days`` OBSERVED days for that genre (current day EXCLUDED
+    from its own baseline). The frame is ROWS-based over the genre's
+    per-day series, so calendar gaps don't shrink the sample — a genre
+    with sparse activity is scored against its last N active days, which
+    may span more than N calendar days. For a strict-calendar baseline
+    feed this from ``genre_daily_gapfilled`` (dense day spine) instead.
 
     The baseline mean/variance are rebuilt from exact integer window sums
     (n, Σx, Σx²) so both engines run the identical IEEE double expression

@@ -56,7 +56,16 @@ def run_stage_with_retry(
     """Execute one pipeline stage with bounded retries + exponential
     backoff. Stages here are idempotent (overwrite-mode writes, pure
     counts), so a retried stage cannot double-apply — the precondition
-    that makes task-level retry safe."""
+    that makes task-level retry safe.
+
+    CONTRACT for kv-sink stages: a retried ``write_kv`` replays the
+    whole ``foreachPartition``, re-sending batches that already
+    committed before the failure — safe ONLY against idempotent/upsert
+    backends (DynamoDB put-item overwrites by key; the local dir backend
+    commits whole partition files by rename). Wrapping a non-idempotent
+    writer_factory (e.g. an append-only log) in this retry double-writes;
+    give such a backend its own exactly-once dedup keyed on
+    (id, timestamp) instead."""
     attempt = 0
     while True:
         try:

@@ -122,6 +122,15 @@ def local_dir_backend(
     backend is constructed (driver-side, once per run): without it a rerun
     that produces FEWER partitions would overwrite only the low-numbered
     files and serve the stale remainder alongside the new data.
+
+    SINGLE-WRITER contract: one pipeline run owns ``out_dir``. The
+    pipeline's concurrency slots bound how many runs execute, not which
+    directories they write — two concurrent runs sharing an ``out_dir``
+    would clean/commit over each other's partition files. Concurrent
+    runs must target distinct ``out_dir``s (e.g. a per-run subdirectory
+    the caller promotes on success); a shared-prefix multi-writer
+    serving store is the real KV backend's job (DynamoDB puts are
+    per-item upserts), not this local stand-in's.
     """
     if clean and os.path.isdir(out_dir):
         for name in os.listdir(out_dir):
