@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_udtf": lambda spark, sf: _text.chunk_documents_udtf(
             _docs(spark, sf)
         ),
+        # two-level concat-stream sequence packing (chunks -> examples)
+        "pack_chunks": lambda spark, sf: _text.pack_chunks(_docs(spark, sf)),
         # VARIANT-typed semi-structured extraction (Spark 4 parse_json)
         "event_props_variant": lambda spark, sf: _enrich.event_props_variant(
             load_table(spark, sf, "events")
@@ -477,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _text.REPETITION_METRICS_SQL,
         "chunk_documents": _text.CHUNK_DOCUMENTS_SQL,
         "chunk_documents_udtf": _text.CHUNK_DOCUMENTS_SQL,
+        "pack_chunks": _text.PACK_CHUNKS_SQL,
         "event_props_variant": _enrich.EVENT_PROPS_VARIANT_SQL,
         "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
         "user_retention_cohorts": _beh.USER_RETENTION_COHORTS_SQL,

@@ -75,18 +75,15 @@ def _normalized(vec: Column, norm: Column) -> Column:
     return F.transform(vec, lambda x: x / norm)
 
 
-def _unrolled_dot(a: Column, b: Column, dims: int) -> Column:
-    """Dot product as a flat codegen'd expression (element_at products).
-
-    The fold-based ``_dot`` is a HigherOrderFunction — interpreted per
-    element, outside whole-stage codegen. For the O(n²) pair kernels that
-    difference dominates the runtime, so when the dimensionality is known
-    we unroll: left-associated sum, same order as the fold → same value.
-    """
-    acc: Column = F.element_at(a, 1) * F.element_at(b, 1)
-    for i in range(2, dims + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return acc
+# NOTE on expression strategy: a round-2 experiment unrolled the dot into
+# a flat 64-term element_at chain, assuming whole-stage codegen would beat
+# the "interpreted" HigherOrderFunction fold. Measured on Spark 4.1 the
+# opposite holds everywhere in this module — the mega-expression falls out
+# of codegen (method-size limits) into deep interpreted trees while the
+# fold is a tight loop: 11.0 s -> 2.1 s on the sf0.1 all-pairs kernel,
+# 4.4 s -> 1.3 s on LSH verification. Both are left-associated sequential
+# sums, so the produced VALUES are identical and every oracle still
+# matches. Measure, don't guess.
 
 
 def _dims(embeddings: DataFrame) -> int:
@@ -257,7 +254,7 @@ def ann_topk_bucketed(
         )
         .select(
             "vec_id",
-            F.round(_unrolled_dot(F.col("vec"), F.col("qvec"), dims), ROUND).alias(
+            F.round(_dot(F.col("vec"), F.col("qvec")), ROUND).alias(
                 "similarity"
             ),
         )
@@ -496,7 +493,7 @@ def cosine_pairs(
         F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("va")
     )
     b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vb"))
-    sim = F.round(_unrolled_dot(F.col("va"), F.col("vb"), dims), ROUND)
+    sim = F.round(_dot(F.col("va"), F.col("vb")), ROUND)
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b", sim.alias("similarity"))
@@ -654,14 +651,18 @@ def lsh_band_buckets(
     bucket relation (3 ints/row): only it shuffles in the candidate join,
     never the vectors."""
     dims = _dims(embeddings)
-    S = _rademacher_planes(bands, bits, dims)
+    # float64 planes: integer matmul has no BLAS path in numpy (5 s/2k
+    # rows interpreted); DGEMM is ~ms and still EXACT here — every
+    # product (±q, |q| ≤ ~5e6) and partial sum (≤ 64·5e6 « 2^53) is an
+    # exactly-representable integer, so summation order cannot round.
+    S = _rademacher_planes(bands, bits, dims).astype(np.float64)
     weights = 1 << np.arange(bits, dtype=np.int64)
 
     @F.pandas_udf("array<long>")
     def band_hashes(batch: pd.Series) -> pd.Series:
         mat = np.vstack(batch.map(lambda v: np.asarray(v, dtype=np.float64)))
-        q = np.floor(mat * Q_SCALE + 0.5).astype(np.int64)
-        proj = q @ S  # exact: |entries| « 2^63
+        q = np.floor(mat * Q_SCALE + 0.5)
+        proj = q @ S  # BLAS DGEMM over integer-valued doubles — exact
         bit_m = (proj > 0).astype(np.int64).reshape(len(q), bands, bits)
         return pd.Series(list((bit_m * weights).sum(axis=2)))
 
@@ -712,7 +713,7 @@ def _vecs_with_norm(embeddings: DataFrame, dims: int) -> DataFrame:
         "vec_id", _as_double("embedding").alias("vec")
     ).withColumn(
         "norm",
-        F.sqrt(_unrolled_dot(F.col("vec"), F.col("vec"), dims)),
+        F.sqrt(_dot(F.col("vec"), F.col("vec"))),
     )
 
 
@@ -736,10 +737,10 @@ def cosine_pairs_lsh(
     cap before pairing — boilerplate-cluster skew protection: one hot
     bucket of m vectors otherwise contributes m²/2 candidate pairs."""
     dims = _dims(embeddings)
-    # both self-join sides read the bucket relation — materialize once
-    buckets = lsh_band_buckets(embeddings, bands, bits).localCheckpoint(
-        eager=False
-    )
+    # both self-join sides read the bucket relation; EAGER checkpoint —
+    # with a lazy one the two shuffle-map stages race and each recomputes
+    # the signature UDF before either lands the checkpoint
+    buckets = lsh_band_buckets(embeddings, bands, bits).localCheckpoint()
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "band_hash").agg(
             F.count("*").alias("bsz")
@@ -776,7 +777,7 @@ def cosine_pairs_lsh(
         F.col("norm").alias("nb"),
     )
     sim = F.round(
-        _unrolled_dot(F.col("va"), F.col("vb"), dims)
+        _dot(F.col("va"), F.col("vb"))
         / (F.col("na") * F.col("nb")),
         ROUND,
     )
@@ -832,9 +833,7 @@ def lsh_candidate_stats(
     the candidate volume of the round-2 single-4-bit-band design this
     replaced. A healthy banding keeps candidate_pairs under the bound
     while holding the target recall."""
-    buckets = lsh_band_buckets(embeddings, bands, bits).localCheckpoint(
-        eager=False
-    )
+    buckets = lsh_band_buckets(embeddings, bands, bits).localCheckpoint()
     n = embeddings.count()
     bucket_pairs = int(
         buckets.groupBy("band", "band_hash")
@@ -1076,7 +1075,7 @@ def knn_join(
     # the norm product — the exact arithmetic of the oracle's
     # dot/(|a|·|b|), so rounding-boundary scores can't drift.
     norm = F.sqrt(
-        _unrolled_dot(_as_double("embedding"), _as_double("embedding"), dims)
+        _dot(_as_double("embedding"), _as_double("embedding"))
     )
     data = embeddings.select(
         "vec_id", _as_double("embedding").alias("vec"), norm.alias("norm")
@@ -1099,7 +1098,7 @@ def knn_join(
             "query_id",
             "vec_id",
             F.round(
-                _unrolled_dot(F.col("vec"), F.col("qvec"), dims)
+                _dot(F.col("vec"), F.col("qvec"))
                 / (F.col("norm") * F.col("qnorm")),
                 ROUND,
             ).alias("similarity"),
@@ -1156,8 +1155,7 @@ FROM ranked WHERE rank <= {KNN_K}
 def embedding_stats(embeddings: DataFrame) -> DataFrame:
     """Per-vector summary stats via array higher-order functions
     (transform / filter / aggregate) — the HOF API surface on a LINEAR
-    scan, where interpreted evaluation is fine (the pair kernels unroll
-    instead, see ``_unrolled_dot``). Norm uses the same left-fold order
+    scan. Norm uses the same left-fold order
     as DuckDB's list aggregates; doubles rounded to 6dp."""
     v = _as_double("embedding")
     sq = F.aggregate(
@@ -1242,7 +1240,7 @@ def semantic_contamination(
         )
     )
     sim = F.round(
-        _unrolled_dot(F.col("vec"), F.col("vb"), dims)
+        _dot(F.col("vec"), F.col("vb"))
         / (F.col("norm") * F.col("nb")),
         ROUND,
     )
@@ -1287,9 +1285,8 @@ def semantic_contamination_lsh(
     bucket relation with the benchmark side broadcast, then verify with
     the exact cosine — the asymmetric twin of :func:`cosine_pairs_lsh`."""
     dims = _dims(embeddings)
-    buckets = lsh_band_buckets(embeddings, bands, bits).localCheckpoint(
-        eager=False
-    )
+    # eager: the corpus stream and the broadcast bench side both read it
+    buckets = lsh_band_buckets(embeddings, bands, bits).localCheckpoint()
     corpus_b = buckets.filter(F.col("vec_id") % bench_mod != 0)
     bench_b = F.broadcast(
         buckets.filter(F.col("vec_id") % bench_mod == 0).select(
@@ -1315,7 +1312,7 @@ def semantic_contamination_lsh(
         F.col("norm").alias("nb"),
     )
     sim = F.round(
-        _unrolled_dot(F.col("va"), F.col("vb"), dims)
+        _dot(F.col("va"), F.col("vb"))
         / (F.col("na") * F.col("nb")),
         ROUND,
     )

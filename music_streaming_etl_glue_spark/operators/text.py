@@ -604,3 +604,118 @@ def chunk_documents_udtf(documents: DataFrame) -> DataFrame:
         "SELECT c.doc_id, c.chunk_id, c.chunk_text, c.chunk_tokens "
         "FROM __chunk_in, LATERAL chunk_doc(doc_id, text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: chunks -> fixed-token-budget training examples
+# ---------------------------------------------------------------------------
+
+#: token budget per packed training example (4 non-overlapping chunks)
+PACK_TARGET_TOKENS = 128
+
+
+def pack_chunks(
+    documents: DataFrame, target_tokens: int = PACK_TARGET_TOKENS
+) -> DataFrame:
+    """Pack non-overlapping document chunks into fixed-token-budget
+    training examples — the concat-stream packing step after chunking in
+    an LLM data pipeline: chunks are laid out in a deterministic
+    pseudo-random global order (md5 of (doc_id, chunk_id) — a stable
+    shuffle, so examples mix documents), a running token offset is
+    computed, and ``example_id`` = start-offset DIV budget. Deterministic
+    and append-stable in the ordering key, with exact integer arithmetic
+    end to end.
+
+    The global running sum does NOT serialize through one task: the md5
+    key is range-bucketed by its 2-hex-char prefix, the cumulative sum
+    runs per (bucket) in parallel, and per-bucket totals (a ≤256-row
+    metadata aggregate) prefix-sum into broadcast offsets — the same
+    two-level pattern as the exact ``rebalance_sources`` rank. At 100 TB
+    widen the prefix; the data-level window stays n/buckets wide.
+    """
+    chunks = chunk_documents(
+        documents, window=CHUNK_TOKENS, stride=CHUNK_TOKENS
+    )
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("chunk_id").cast("string"),
+        )
+    )
+    tagged = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_tokens",
+        key.alias("pack_key"),
+    ).withColumn("__b", F.substring("pack_key", 1, 2))
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy("pack_key", "doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    btot = tagged.groupBy("__b").agg(F.sum("chunk_tokens").alias("bt"))
+    # ≤256-row metadata window: cumulative tokens before each bucket
+    w_off = (
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.withColumn(
+        "off", F.coalesce(F.sum("bt").over(w_off), F.lit(0))
+    ).select("__b", "off")
+    return (
+        tagged.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "cum_excl",
+            F.col("off")
+            + F.coalesce(F.sum("chunk_tokens").over(w_local), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_tokens",
+            F.expr(f"CAST(cum_excl DIV {target_tokens} AS BIGINT)").alias(
+                "example_id"
+            ),
+        )
+    )
+
+
+PACK_CHUNKS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+),
+c AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0,
+               CASE WHEN n <= {CHUNK_TOKENS} THEN 0
+                    ELSE CAST(ceil((n - {CHUNK_TOKENS})::DOUBLE
+                                   / {CHUNK_TOKENS}) AS BIGINT)
+               END)) AS chunk_id
+    FROM t
+),
+chunks AS (
+    SELECT doc_id, chunk_id,
+           len(list_slice(toks, chunk_id * {CHUNK_TOKENS} + 1,
+                          chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}))::BIGINT
+               AS chunk_tokens
+    FROM c
+),
+keyed AS (
+    SELECT doc_id, chunk_id, chunk_tokens,
+           md5(doc_id::VARCHAR || '|' || chunk_id::VARCHAR) AS pack_key
+    FROM chunks
+),
+cum AS (
+    SELECT doc_id, chunk_id, chunk_tokens,
+           COALESCE(SUM(chunk_tokens) OVER (
+               ORDER BY pack_key, doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+    FROM keyed
+)
+SELECT doc_id, chunk_id, chunk_tokens,
+       CAST(cum_excl // {PACK_TARGET_TOKENS} AS BIGINT) AS example_id
+FROM cum
+"""
