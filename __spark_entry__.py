@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _enriched(spark, sf)
         ),
         # KpiTypeIndex GSI access path: kpi_type hash key
+        # primary-key point lookup (DynamoDB GetItem/Query analog)
+        "serving_lookup": lambda spark, sf: _serving.serving_lookup(
+            _enriched(spark, sf)
+        ),
         "serving_by_kpi_type": lambda spark, sf: _serving.serving_by_kpi_type(
             _enriched(spark, sf)
         ),
@@ -469,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_tracks_reference_exact": _kpis.TRENDING_REFERENCE_EXACT_SQL,
         "serving_items": _serving.SERVING_ITEMS_SQL,
         "serving_by_genre_date": _serving.SERVING_BY_GENRE_DATE_SQL,
+        "serving_lookup": _serving.SERVING_LOOKUP_SQL,
         "serving_by_kpi_type": _serving.SERVING_BY_KPI_TYPE_SQL,
         "token_counts": _text.TOKEN_COUNTS_SQL,
         "text_quality": _text.TEXT_QUALITY_SQL,

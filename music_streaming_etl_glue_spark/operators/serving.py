@@ -242,3 +242,45 @@ SERVING_BY_KPI_TYPE_SQL = f"""
 WITH items AS ({SERVING_ITEMS_SQL})
 SELECT * FROM items WHERE kpi_type = '{GSI_KPI_TYPE}'
 """
+
+
+# ---------------------------------------------------------------------------
+# Primary-key point lookup — the serving twin of DynamoDB GetItem/Query on
+# (id HASH, timestamp RANGE), the access path the reference's manual QA
+# examples exercise (docs/dynamodb-queries.md:103-185).
+# ---------------------------------------------------------------------------
+
+def serving_lookup(
+    enriched: DataFrame,
+    item_id: str | None = None,
+    batch_ts: str = DEFAULT_BATCH_TS,
+) -> DataFrame:
+    """Point lookup by primary key: the item rows for one ``id`` (all
+    ``timestamp`` versions — DynamoDB Query on the hash key; add a
+    timestamp filter for GetItem). With ``item_id=None`` the key is the
+    lexicographically first 'user' item — a deterministic probe both
+    engines can derive, so the lookup itself is oracle-checkable.
+
+    Against the physically laid-out serving store this is the
+    ``read_kv_dir`` + key-filter path; here the logical form documents
+    the predicate: an equality on ``id`` that a partitioned/point-indexed
+    backend serves without a scan."""
+    items = serving_items(enriched, batch_ts)
+    if item_id is not None:
+        return items.filter(F.col("id") == item_id)
+    probe = F.broadcast(
+        items.filter(F.col("kpi_type") == "user")
+        .agg(F.min("id").alias("probe_id"))
+    )
+    return (
+        items.crossJoin(probe)
+        .filter(F.col("id") == F.col("probe_id"))
+        .drop("probe_id")
+    )
+
+
+SERVING_LOOKUP_SQL = f"""
+WITH items AS ({SERVING_ITEMS_SQL}),
+probe AS (SELECT min(id) AS probe_id FROM items WHERE kpi_type = 'user')
+SELECT items.* FROM items, probe WHERE id = probe_id
+"""

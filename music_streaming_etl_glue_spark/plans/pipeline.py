@@ -208,6 +208,9 @@ def _run_batch_pipeline(
         run_stage_with_retry(lambda: write_kv(items, kv_writer_factory))
 
     enriched.unpersist()
+    # provenance stamp: which engine code produced these outputs
+    # (verify_engine_fingerprint checks it before serving/extending)
+    record_engine_fingerprint(output_dir)
     return PipelineResult(
         kpi_rows=kpi_rows,
         serving_rows=serving_rows,
@@ -325,3 +328,72 @@ def _run_incremental(
         kpi=PipelineResult(kpi_rows, serving_rows, out_dir),
         archived=archived,
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-code fingerprint: the analog of the reference DAG's deployed-script
+# equality verification (dags/music_streaming_pipeline.py:220-299, which
+# byte-compares uploaded Glue scripts against local sources before running).
+# Here the pipeline records a content fingerprint of the engine package next
+# to its outputs; a consumer verifies the running code matches what produced
+# the data before serving or re-deriving from it.
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_FILE = "_ENGINE_FINGERPRINT.json"
+
+
+def engine_fingerprint() -> dict[str, str]:
+    """md5 per source module of the engine package (repo-relative path ->
+    hex digest), deterministic across hosts: sorted walk, bytes hashed."""
+    import hashlib
+
+    import music_streaming_etl_glue_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    out: dict[str, str] = {}
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        if "__pycache__" in dirpath:
+            continue
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, os.path.dirname(root))
+            with open(full, "rb") as fh:
+                out[rel.replace(os.sep, "/")] = hashlib.md5(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def record_engine_fingerprint(output_dir: str) -> str:
+    """Write the current engine fingerprint beside pipeline outputs."""
+    import json
+
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, FINGERPRINT_FILE)
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(engine_fingerprint(), fh, indent=1, sort_keys=True)
+    return path
+
+
+def verify_engine_fingerprint(output_dir: str) -> None:
+    """Raise if the running engine code differs from the code that
+    produced ``output_dir`` (lists the drifted/added/removed modules) —
+    run before serving from or incrementally extending old outputs."""
+    import json
+
+    path = os.path.join(output_dir, FINGERPRINT_FILE)
+    with open(path, encoding="utf-8") as fh:
+        recorded = json.load(fh)
+    current = engine_fingerprint()
+    drift = sorted(
+        set(recorded) ^ set(current)
+        | {m for m in set(recorded) & set(current) if recorded[m] != current[m]}
+    )
+    if drift:
+        raise RuntimeError(
+            "engine code differs from the code that produced "
+            f"{output_dir}: {', '.join(drift)}"
+        )

@@ -132,3 +132,31 @@ def test_concurrency_guard_caps_active_runs(tmp_path):
     # slots released on exit → a new run acquires freely
     with run_concurrency_guard(wd, max_active=2):
         pass
+
+
+def test_engine_fingerprint_roundtrip(tmp_path):
+    """The pipeline's provenance stamp verifies clean and detects drift
+    — the engine-side analog of the reference DAG's deployed-script
+    equality check (dags/music_streaming_pipeline.py:220-299)."""
+    import json
+
+    import pytest
+
+    from music_streaming_etl_glue_spark.plans.pipeline import (
+        FINGERPRINT_FILE,
+        record_engine_fingerprint,
+        verify_engine_fingerprint,
+    )
+
+    out = str(tmp_path / "out")
+    path = record_engine_fingerprint(out)
+    assert path.endswith(FINGERPRINT_FILE)
+    verify_engine_fingerprint(out)  # same code -> clean
+
+    stamped = json.load(open(path))
+    assert any(m.endswith("operators/kpis.py") for m in stamped)
+    victim = next(iter(sorted(stamped)))
+    stamped[victim] = "0" * 32
+    json.dump(stamped, open(path, "w"))
+    with pytest.raises(RuntimeError, match=victim):
+        verify_engine_fingerprint(out)
