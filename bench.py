@@ -114,17 +114,21 @@ def _next_round(here: str) -> int:
 
 
 def _latest_prior_bench(sf) -> dict[str, float] | None:
-    """Per-query times from the newest BENCH_r*.json beside this script
-    recorded at the SAME scale factor — comparing across scales would
-    flag every query (or mask real regressions)."""
+    """Per-query times from the newest BENCH_r*.json (driver-stamped) or
+    BENCH_LOCAL_r*.json (written by this script — always parseable even
+    when the driver's tail capture truncated its copy) beside this
+    script, recorded at the SAME scale factor — comparing across scales
+    would flag every query (or mask real regressions)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = glob.glob(os.path.join(here, "BENCH_r*.json"))
+    benches = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
+        os.path.join(here, "BENCH_LOCAL_r*.json")
+    )
 
     def round_no(p: str) -> int:
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        m = re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
     for path in sorted(benches, key=round_no, reverse=True):
