@@ -142,11 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_by_genre_date": lambda spark, sf: _serving.serving_by_genre_date(
             _enriched(spark, sf)
         ),
-        # KpiTypeIndex GSI access path: kpi_type hash key
         # primary-key point lookup (DynamoDB GetItem/Query analog)
         "serving_lookup": lambda spark, sf: _serving.serving_lookup(
             _enriched(spark, sf)
         ),
+        # KpiTypeIndex GSI access path: kpi_type hash key
         "serving_by_kpi_type": lambda spark, sf: _serving.serving_by_kpi_type(
             _enriched(spark, sf)
         ),
@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "contamination_flags": lambda spark, sf: _text.contamination_flags(
             _docs(spark, sf)
+        ),
+        # partial-overlap screen: shared n-grams with the benchmark slice
+        "ngram_decontamination": lambda spark, sf: (
+            _text.ngram_decontamination(_docs(spark, sf))
         ),
         # behavioral analytics (events / enriched)
         "user_retention_cohorts": lambda spark, sf: _beh.user_retention_cohorts(
@@ -487,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _text.PACK_CHUNKS_SQL,
         "event_props_variant": _enrich.EVENT_PROPS_VARIANT_SQL,
         "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
+        "ngram_decontamination": _text.NGRAM_DECONTAMINATION_SQL,
         "user_retention_cohorts": _beh.USER_RETENTION_COHORTS_SQL,
         "conversion_funnel": _beh.CONVERSION_FUNNEL_SQL,
         "genre_daily_anomalies": _beh.GENRE_DAILY_ANOMALIES_SQL,

@@ -719,3 +719,85 @@ SELECT doc_id, chunk_id, chunk_tokens,
        CAST(cum_excl // {PACK_TARGET_TOKENS} AS BIGINT) AS example_id
 FROM cum
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram decontamination: partial-overlap benchmark leakage screen
+# ---------------------------------------------------------------------------
+
+#: shingle width for the n-gram decontamination screen — wide enough that
+#: incidental phrase reuse doesn't flag, narrow enough that a quoted
+#: benchmark fragment inside a larger document still does
+DECONTAM_NGRAM = 5
+
+
+def ngram_decontamination(
+    documents: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    bench_mod: int = 20,
+) -> DataFrame:
+    """Per corpus document: how many distinct word ``n``-grams it shares
+    with ANY benchmark document (the ``doc_id % bench_mod == 0`` slice),
+    and a contamination flag. This is the C4/GPT-style partial-overlap
+    screen — :func:`contamination_flags` only catches whole-document
+    fingerprint matches; a benchmark answer quoted inside a longer
+    training document is exactly what this one catches.
+
+    Scale shape: the benchmark's distinct shingle set is tiny next to
+    the corpus, so it broadcasts and the corpus shingle stream probes it
+    with no shuffle of corpus data; the per-doc count is one hash
+    aggregate keyed by doc_id."""
+    from music_streaming_etl_glue_spark.operators.dedup import shingles
+
+    sh = shingles(documents, n)
+    bench_sh = (
+        sh.filter(F.col("doc_id") % bench_mod == 0)
+        .select("shingle")
+        .distinct()
+    )
+    shared = (
+        sh.filter(F.col("doc_id") % bench_mod != 0)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+    corpus = documents.filter(F.col("doc_id") % bench_mod != 0).select(
+        "doc_id"
+    )
+    return corpus.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("shared_ngrams"), F.lit(0))
+        .cast("long")
+        .alias("shared_ngrams"),
+        (F.coalesce(F.col("shared_ngrams"), F.lit(0)) > 0).alias(
+            "contaminated"
+        ),
+    )
+
+
+def _ngram_decontamination_sql(
+    n: int = DECONTAM_NGRAM, bench_mod: int = 20
+) -> str:
+    from music_streaming_etl_glue_spark.operators.dedup import _shingles_cte
+
+    return f"""
+WITH sh AS ({_shingles_cte(n)}),
+bench_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = 0
+),
+shared AS (
+    SELECT s.doc_id, count(*) AS shared_ngrams
+    FROM sh s JOIN bench_sh b ON s.shingle = b.shingle
+    WHERE s.doc_id % {bench_mod} != 0
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(sh2.shared_ngrams, 0)::BIGINT AS shared_ngrams,
+       COALESCE(sh2.shared_ngrams, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN shared sh2 ON d.doc_id = sh2.doc_id
+WHERE d.doc_id % {bench_mod} != 0
+"""
+
+
+NGRAM_DECONTAMINATION_SQL = _ngram_decontamination_sql()
