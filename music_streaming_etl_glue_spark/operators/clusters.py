@@ -302,6 +302,10 @@ def pagerank(
     e = edges.join(
         edges.groupBy("src").agg(F.count("*").alias("deg")), "src"
     ).localCheckpoint()
+    # vertices feed every iteration's rank rebuild AND the count below —
+    # pin them once or the (possibly join-heavy) vertex plan reruns per
+    # checkpoint action
+    vertices = vertices.localCheckpoint()
     n_row = F.broadcast(
         vertices.agg(F.count("*").cast("double").alias("n"))
     )

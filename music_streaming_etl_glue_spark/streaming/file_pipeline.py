@@ -16,29 +16,51 @@ from pyspark.sql import types as T
 
 from music_streaming_etl_glue_spark.sources.catalog import convert_nanos_ts
 
-#: Parquet-on-disk schema of the events table (ts is TIMESTAMP(NANOS),
-#: read as long nanoseconds — see sources/catalog.py).
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_file_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+#: Declared schema for events files whose ``ts`` is parquet
+#: TIMESTAMP(NANOS) — surfaced as long nanoseconds under ``nanosAsLong``
+#: (see sources/catalog.py). Kept for callers with known-nanos inputs.
+EVENTS_FILE_SCHEMA = _events_file_schema(T.LongType())
 
 
 def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
-    """File-source stream of listen events (nanos → timestamp applied)."""
+    """File-source stream of listen events.
+
+    A stream needs a DECLARED schema, and the right declaration for
+    ``ts`` depends on how the files were written: TIMESTAMP(NANOS) must
+    be declared long (``nanosAsLong``) and divided down, while
+    TIMESTAMP(MICROS) files must be declared timestamp — declaring long
+    over a micros file makes Spark silently cast and every event lands
+    in 1970. So the schema is taken from a one-time driver-side footer
+    peek of the files already in ``input_dir`` (empty dir → timestamp,
+    today's writer layout); batch reads infer per-file and never hit
+    this."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        inferred = spark.read.parquet(input_dir).schema["ts"].dataType
+    except Exception:
+        inferred = T.TimestampNTZType()
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(_events_file_schema(inferred))
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
-    return convert_nanos_ts(raw, "ts")
+    raw = convert_nanos_ts(raw, "ts")
+    # watermarks demand TIMESTAMP (not NTZ); the session runs UTC, so the
+    # cast is value-preserving and batch twins compare equal
+    return raw.withColumn("ts", raw["ts"].cast("timestamp"))
 
 
 def _idempotent_epoch_writer(output_dir: str):

@@ -96,10 +96,21 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     year_ns = 365 * 86_400 * 1_000_000_000
+    # ts is long nanos for TIMESTAMP(NANOS) testdata, a timestamp for
+    # TIMESTAMP(MICROS) testdata — shift in the file's own domain so the
+    # pushed file keeps the source layout
+    from pyspark.sql import types as T
+
+    ts_is_long = isinstance(raw.schema["ts"].dataType, T.LongType)
+
+    def _shift(years: int) -> F.Column:
+        if ts_is_long:
+            return F.col("ts") + F.lit(years * year_ns)
+        return F.col("ts") + F.expr(f"INTERVAL {years * 365} DAYS")
 
     def push_file(name: str, years: int) -> None:
         staged = tmp_path / f"stage_{name}"
-        raw.withColumn("ts", F.col("ts") + F.lit(years * year_ns)).limit(
+        raw.withColumn("ts", _shift(years)).limit(
             50
         ).coalesce(1).write.parquet(str(staged))
         part = next(staged.glob("part-*.parquet"))
