@@ -394,6 +394,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "customer"),
             load_table(spark, sf, "orders"),
         ),
+        # Q15 shape: group-wise max via broadcast scalar
+        "top_supplier_revenue": lambda spark, sf: _rel.top_supplier_revenue(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "supplier"),
+        ),
+        # Q18 shape: HAVING aggregate drives broadcast join-back
+        "large_orders": lambda spark, sf: _rel.large_orders(
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        ),
+        # Q2 shape: correlated per-part argmin
+        "min_cost_supplier": lambda spark, sf: _rel.min_cost_supplier(
+            load_table(spark, sf, "part"),
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "lineitem"),
+        ),
         "order_priority_pivot": lambda spark, sf: _an.order_priority_pivot(
             load_table(spark, sf, "orders")
         ),
@@ -556,6 +573,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_volume_shipping": _rel.NATION_VOLUME_SHIPPING_SQL,
         "returned_item_customers": _rel.RETURNED_ITEM_CUSTOMERS_SQL,
         "waiting_customers": _rel.WAITING_CUSTOMERS_SQL,
+        "top_supplier_revenue": _rel.TOP_SUPPLIER_REVENUE_SQL,
+        "large_orders": _rel.LARGE_ORDERS_SQL,
+        "min_cost_supplier": _rel.MIN_COST_SUPPLIER_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,

@@ -500,3 +500,193 @@ GROUP BY 1, 2, 3, 4
 ORDER BY revenue DESC, custkey ASC
 LIMIT {RETURNED_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: group-wise maximum (top supplier by windowed revenue)
+# ---------------------------------------------------------------------------
+
+TOP_SUPPLIER_FROM = "1996-01-01"
+TOP_SUPPLIER_TO = "1996-04-01"
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = TOP_SUPPLIER_FROM,
+    date_to: str = TOP_SUPPLIER_TO,
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose shipped revenue over one
+    quarter equals the maximum — the correlated-scalar-subquery pattern,
+    planned as one hash aggregate plus a broadcast single-row max (no
+    second scan of lineitem, no window over the full aggregate). Exact
+    decimal revenue sums make the equality comparison engine-stable."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from))
+            & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .groupBy("l_suppkey")
+        .agg(_revenue_sum().alias("total_revenue"))
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("mx")))
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supplier), rev["l_suppkey"] == supplier["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_FROM} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{TOP_SUPPLIER_TO} 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-quantity orders (HAVING filter + join back)
+# ---------------------------------------------------------------------------
+
+LARGE_ORDER_QTY = 250.0
+LARGE_ORDER_TOP_K = 50
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = LARGE_ORDER_QTY,
+    k: int = LARGE_ORDER_TOP_K,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with customer context, top-k by price. The HAVING
+    aggregate runs FIRST and keeps only qualifying orderkeys (a tiny
+    set), which then drive broadcast joins back to orders/customer —
+    the fact table is scanned once and nothing re-aggregates after the
+    join. Quantities are integer-valued doubles, so the sum is exact in
+    any order."""
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(
+            F.broadcast(qty), orders["o_orderkey"] == qty["l_orderkey"]
+        )
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+LARGE_ORDERS_SQL = f"""
+WITH qty AS (
+    SELECT l_orderkey, SUM(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > {LARGE_ORDER_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, q.total_qty
+FROM orders o
+JOIN qty q ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT {LARGE_ORDER_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: per-part minimum-cost supplier (correlated argmin)
+# ---------------------------------------------------------------------------
+
+MIN_COST_PART_SIZE = 25
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    size: int = MIN_COST_PART_SIZE,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one size class, the supplier
+    offering it at the lowest observed unit price (lineitem standing in
+    for partsupp; unit price = extendedprice/quantity rounded to 6dp).
+    The correlated min-subquery is planned as a per-(part, supplier)
+    aggregate followed by a per-part rank window — both keyed by
+    partkey, so one shuffle partitioning serves the aggregate and the
+    argmin; deterministic (cost, suppkey) tie-break."""
+    parts = part.filter(F.col("p_size") == size).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    costs = (
+        lineitem.join(
+            F.broadcast(parts),
+            lineitem["l_partkey"] == parts["p_partkey"],
+        )
+        .groupBy("p_partkey", "p_name", "p_brand", "l_suppkey")
+        .agg(F.min(unit).alias("unit_cost"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        costs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(
+            F.broadcast(supplier), best["l_suppkey"] == supplier["s_suppkey"]
+        )
+        .select(
+            "p_partkey", "p_name", "p_brand", "s_suppkey", "s_name", "unit_cost"
+        )
+        .orderBy("p_partkey")
+    )
+
+
+MIN_COST_SUPPLIER_SQL = f"""
+WITH costs AS (
+    SELECT p.p_partkey, p.p_name, p.p_brand, l.l_suppkey,
+           MIN(round(l.l_extendedprice / l.l_quantity, 6)) AS unit_cost
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = {MIN_COST_PART_SIZE}
+    GROUP BY p.p_partkey, p.p_name, p.p_brand, l.l_suppkey
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY p_partkey ORDER BY unit_cost ASC, l_suppkey ASC
+    ) AS rn
+    FROM costs
+)
+SELECT r.p_partkey, r.p_name, r.p_brand, s.s_suppkey, s.s_name, r.unit_cost
+FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rn = 1
+ORDER BY r.p_partkey
+"""
