@@ -387,11 +387,21 @@ def write_ivf_centroid_layout(embeddings: DataFrame, path: str) -> None:
     pruning from data-adaptive cells, vs. the data-oblivious sign
     buckets of :func:`write_ivf_layout`."""
     dims = _dims(embeddings)
-    assign = ivf_assignments(embeddings).select("vec_id", "assigned_label")
+    cents = _centroid_arrays(label_centroids(embeddings)).localCheckpoint()
+    assign = _assign_to_centroids(embeddings, cents).select(
+        "vec_id", "assigned_label"
+    )
     v = _vecs_with_norm(embeddings, dims)
     v.join(assign, "vec_id").write.mode("overwrite").partitionBy(
         "assigned_label"
     ).parquet(path)
+    # persist the trained centroids INSIDE the layout (underscore prefix →
+    # invisible to the main parquet listing, like _SUCCESS): the probe
+    # ranks cells from this k-row table instead of re-deriving centroids
+    # with a full corpus pass at query time
+    import os
+
+    cents.write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
 
 
 def ann_topk_ivf_centroid(
@@ -426,8 +436,9 @@ def ann_topk_ivf_centroid(
     qnorm = float(np.sqrt(qv @ qv))
 
     # rank cells with the oracle's exact arithmetic: sequential-fold dots
-    # against the rounded centroids, distance rounded before the ordering
-    cents = _centroid_arrays(label_centroids(embeddings))
+    # against the rounded centroids persisted in the layout, distance
+    # rounded before the ordering — a k-row read, not a corpus pass
+    cents = spark.read.parquet(os.path.join(ivf_path, "_centroids"))
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     c = F.col("cvec")
     dist = F.round(
