@@ -371,3 +371,34 @@ def test_rebalance_exact_rank_is_two_level(spark):
         by_source.setdefault(r.source, []).append(r.src_rank)
     for source, ranks in by_source.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), source
+
+
+def test_pack_chunks_fills_examples_to_budget(spark):
+    """Concat-stream packing invariants: example ids are contiguous from
+    0, and every example except the last fills to the token budget
+    within one chunk of slack (a chunk straddling the boundary belongs
+    to the bin its start offset falls in)."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        CHUNK_TOKENS,
+        PACK_TARGET_TOKENS,
+        pack_chunks,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rows = pack_chunks(docs).collect()
+    per_example: dict[int, int] = {}
+    for r in rows:
+        per_example[r.example_id] = (
+            per_example.get(r.example_id, 0) + r.chunk_tokens
+        )
+    ids = sorted(per_example)
+    assert ids == list(range(len(ids)))
+    last = ids[-1]
+    for eid, total in per_example.items():
+        if eid != last:
+            assert (
+                PACK_TARGET_TOKENS - CHUNK_TOKENS
+                < total
+                <= PACK_TARGET_TOKENS + CHUNK_TOKENS - 1
+            ), (eid, total)
