@@ -88,6 +88,11 @@ def _normalized(vec: Column, norm: Column) -> Column:
 
 def _dims(embeddings: DataFrame) -> int:
     row = embeddings.select(F.size("embedding").alias("d")).head()
+    if row is None:
+        raise ValueError(
+            "embeddings table is empty — vector dimensionality unknown; "
+            "similarity operators need at least one row"
+        )
     return int(row["d"])
 
 

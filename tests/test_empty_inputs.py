@@ -117,3 +117,44 @@ def test_round2_operators_on_empty_inputs(spark):
     edges = _empty(spark, "src long, dst long")
     assert connected_components(verts, edges).count() == 0
     assert pagerank(verts, edges).count() == 0
+
+
+def test_round3_operators_on_empty_inputs(spark):
+    import pytest
+
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        connected_components_two_phase,
+    )
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        rebalance_sources,
+    )
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+    from music_streaming_etl_glue_spark.operators.text import (
+        ngram_decontamination,
+        pack_chunks,
+    )
+
+    docs = _empty(
+        spark,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert pack_chunks(docs).count() == 0
+    assert ngram_decontamination(docs).count() == 0
+    assert rebalance_sources(docs).count() == 0
+
+    # two-phase CC with no edges: every vertex is its own cluster
+    verts = spark.range(4).select(F.col("id"))
+    edges = _empty(spark, "src long, dst long")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components_two_phase(verts, edges).collect()
+    }
+    assert got == {i: i for i in range(4)}
+
+    # similarity ops need a known dimensionality — clear error, not a
+    # NoneType crash
+    embs = _empty(spark, "vec_id long, embedding array<float>, label int")
+    with pytest.raises(ValueError, match="empty"):
+        cosine_pairs_lsh(embs)
