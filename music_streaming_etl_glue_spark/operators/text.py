@@ -133,17 +133,22 @@ FROM t
 """
 
 
+def normalized_fingerprint(col: str = "text") -> F.Column:
+    """md5 of the sorted distinct token set — order/duplication
+    invariant, the classic near-dup canonical form. A plain column
+    expression so batch fingerprints and the streaming near-dedup share
+    one definition."""
+    toks = _tokens(col)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Document fingerprints: exact (md5 of raw text) and normalized
-    (md5 of the sorted distinct token set — order/duplication invariant,
-    the classic near-dup canonical form)."""
-    toks = _tokens()
+    (see :func:`normalized_fingerprint`)."""
     return documents.select(
         "doc_id",
         F.md5("text").alias("exact_fp"),
-        F.md5(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
-        ).alias("normalized_fp"),
+        normalized_fingerprint().alias("normalized_fp"),
     )
 
 

@@ -133,3 +133,69 @@ def ingest_available_now(
     )
     q.awaitTermination()
     return batches
+
+
+DOCUMENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of documents (the training-data landing zone):
+    each micro-batch is a set of newly-landed parquet files. An
+    ``ingest_ts`` processing-time column is attached at read — documents
+    carry no event time, and the near-dedup state bound needs one."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema(DOCUMENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    return raw.withColumn("ingest_ts", F.current_timestamp())
+
+
+def ingest_near_deduplicated(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Streaming NEAR-duplicate dedup — the dedup ladder's streaming
+    rung: documents whose normalized token-set fingerprint
+    (``text.fingerprints``: order- and duplication-invariant, the
+    ladder's 'normalized' tier) was already admitted within the
+    watermark horizon are dropped in-stream; only the fingerprint (not
+    the document) is held in state, and
+    ``dropDuplicatesWithinWatermark`` expires it past the horizon —
+    bounded state at any throughput. Batch twins
+    (``dedup.dedup_normalized`` …) dedup the corpus at rest; this keeps
+    an APPEND-ONLY landing zone clean as files arrive, with the same
+    epoch-idempotent exactly-once sink as ``ingest_deduplicated``.
+    Cross-horizon duplicates are out of contract (re-run the batch
+    ladder for full-history dedup)."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        normalized_fingerprint,
+    )
+
+    stream = (
+        stream_documents(spark, input_dir)
+        .withColumn("normalized_fp", normalized_fingerprint())
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["normalized_fp"])
+        .drop("ingest_ts")
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_idempotent_epoch_writer(output_dir))
+        .start()
+    )
+    q.awaitTermination()

@@ -157,3 +157,34 @@ def test_stream_stream_join_clicks_to_purchases(spark, tmp_path):
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 15 MINUTES")),
     ).count()
     assert got == expected and expected > 0
+
+
+def test_streaming_near_dedup_drops_normalized_dups(spark, tmp_path):
+    """The dedup ladder's streaming rung: documents that are token-set
+    near-duplicates (shuffled/duplicated words) of already-admitted ones
+    are dropped in-stream; the survivors match the batch normalized
+    dedup of the same corpus."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        dedup_normalized,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        ingest_near_deduplicated,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", src / "b1.parquet")
+    out, ckpt = str(tmp_path / "clean"), str(tmp_path / "ck")
+    ingest_near_deduplicated(spark, str(src), out, ckpt)
+
+    got = spark.read.parquet(out)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # one survivor per normalized fingerprint, same count as the batch rung
+    assert got.count() == dedup_normalized(docs).count()
+    assert (
+        got.select("normalized_fp").distinct().count() == got.count()
+    )
+    # replaying the same file is a no-op (checkpointed file tracking)
+    ingest_near_deduplicated(spark, str(src), out, ckpt)
+    assert spark.read.parquet(out).count() == dedup_normalized(docs).count()
