@@ -232,6 +232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": lambda spark, sf: _an.value_histogram(
             load_table(spark, sf, "events")
         ),
+        # single-pass column profiling (data-quality staple)
+        "profile_events": lambda spark, sf: _an.profile_events(
+            load_table(spark, sf, "events")
+        ),
         # dedup (documents table)
         "dedup_exact": lambda spark, sf: _dedup.dedup_exact(_docs(spark, sf)),
         "dedup_normalized": lambda spark, sf: _dedup.dedup_normalized(
@@ -524,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "genre_daily_gapfilled": _beh.GENRE_DAILY_GAPFILLED_SQL,
         "daily_activity_full": _beh.DAILY_ACTIVITY_FULL_SQL,
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
+        "profile_events": _an.PROFILE_EVENTS_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,
         "dedup_apply": _dedup.DEDUP_APPLY_SQL,

@@ -624,3 +624,65 @@ SELECT year(o_orderdate)::BIGINT AS order_year, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate)::BIGINT), (o_orderpriority), ())
 """
+
+
+# ---------------------------------------------------------------------------
+# single-pass table profiling (the data-quality staple before any pipeline)
+# ---------------------------------------------------------------------------
+
+PROFILE_COLUMNS = ("event_id", "user_id", "event_type", "value")
+
+
+def profile_events(events: DataFrame) -> DataFrame:
+    """Column profile of the events table in ONE scan: per column the
+    row count, null count, exact distinct count, and min/max rendered as
+    strings (one schema for every column type). All counts ride a single
+    wide aggregate — count_distinct columns expand into one multi-count
+    hash aggregate, not one job per column — then unpivot to the
+    long (column, metric...) presentation shape driver-side-free.
+
+    At 100 TB swap the exact distincts for approx_count_distinct; exact
+    is kept here because the oracle checks exact values."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = events.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in PROFILE_COLUMNS
+        ]
+    )
+    return (
+        wide.select(F.explode(structs).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )
+
+
+_PROFILE_BRANCHES = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN({c})::VARCHAR AS min_value, MAX({c})::VARCHAR AS max_value
+FROM events"""
+    for c in PROFILE_COLUMNS
+)
+
+PROFILE_EVENTS_SQL = f"""
+SELECT * FROM (
+{_PROFILE_BRANCHES}
+) ORDER BY "column"
+"""
