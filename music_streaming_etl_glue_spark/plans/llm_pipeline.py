@@ -2,8 +2,9 @@
 extension operators into the actual 100 TB preparation flow —
 
     normalize → quality/language filter → exact dedup → near-dedup
-    (MinHash-LSH → connected components) → decontamination →
-    deterministic split → chunk → provenance-preserving write
+    (MinHash-LSH → connected components) → decontamination (fingerprint
+    + n-gram partial overlap) → deterministic split → chunk →
+    provenance-preserving write → per-split sequence packing
 
 Every stage is one of the individually-oracled operators; this module
 only COMPOSES them, so the pipeline's correctness story is the sum of
@@ -46,6 +47,9 @@ class LlmPipelineResult:
     stage_counts: dict[str, int]
     chunk_counts_by_split: dict[str, int]
     output_dir: str
+    #: distinct packed training examples per split (written beside the
+    #: chunk output under ``<output_dir>_packed``)
+    packed_examples_by_split: dict[str, int] | None = None
 
 
 def run_llm_data_pipeline(
@@ -96,7 +100,7 @@ def run_llm_data_pipeline(
     )
     counts["near_dedup"] = near.count()
 
-    # 5. decontamination
+    # 5. decontamination — whole-document fingerprint matches first…
     flags = T.contamination_flags(near).select("doc_id", "contaminated")
     clean = (
         near.join(flags, "doc_id")
@@ -104,6 +108,17 @@ def run_llm_data_pipeline(
         .drop("contaminated")
     )
     counts["decontaminated"] = clean.count()
+
+    # 5b. …then partial-overlap screening: drop docs sharing any word
+    # n-gram with the benchmark slice (catches quoted fragments the
+    # whole-document fingerprint misses)
+    ngram = T.ngram_decontamination(clean).select("doc_id", "contaminated")
+    clean = (
+        clean.join(ngram, "doc_id", "left")
+        .filter(~F.coalesce(F.col("contaminated"), F.lit(False)))
+        .drop("contaminated")
+    )
+    counts["ngram_decontaminated"] = clean.count()
 
     # 6. deterministic split + 7. chunk (provenance: doc_id, chunk_id)
     split = dataset_split(clean).select("doc_id", "split")
@@ -117,8 +132,28 @@ def run_llm_data_pipeline(
         .agg(F.count("*").alias("n"))
         .collect()
     }
+
+    # 8. sequence packing: non-overlapping chunks concat-stream-packed
+    # into fixed-token-budget examples — PER SPLIT, never across (an
+    # example mixing train and test chunks is leakage by construction)
+    split_docs = clean.join(split, "doc_id")
+    packed: DataFrame | None = None
+    for s in [r["split"] for r in split.select("split").distinct().collect()]:
+        sub = split_docs.filter(F.col("split") == s).drop("split")
+        p = T.pack_chunks(sub).withColumn("split", F.lit(s))
+        packed = p if packed is None else packed.unionByName(p)
+    packed_dir = output_dir.rstrip("/") + "_packed"
+    packed.write.mode("overwrite").partitionBy("split").parquet(packed_dir)
+    examples_by_split = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(packed_dir)
+        .groupBy("split")
+        .agg(F.count_distinct("example_id").alias("n"))
+        .collect()
+    }
     return LlmPipelineResult(
         stage_counts=counts,
         chunk_counts_by_split=by_split,
         output_dir=output_dir,
+        packed_examples_by_split=examples_by_split,
     )

@@ -17,7 +17,7 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
 
     # audit trail: every stage present, counts monotonically non-increasing
     stages = ["input", "quality_lang", "exact_dedup", "near_dedup",
-              "decontaminated"]
+              "decontaminated", "ngram_decontaminated"]
     assert list(res.stage_counts) == stages
     seq = [res.stage_counts[s] for s in stages]
     assert all(a >= b for a, b in zip(seq, seq[1:]))
@@ -55,3 +55,24 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
         | (F.col("hi") != F.col("n") - 1)
     )
     assert broken.count() == 0
+
+
+def test_llm_pipeline_packs_within_splits(spark, tmp_path):
+    """The packed-example output never mixes splits inside one example
+    (train/test leakage by construction) and covers every surviving
+    document's chunks."""
+    out = str(tmp_path / "td")
+    res = run_llm_data_pipeline(spark, SF_SMOKE, out)
+    packed = spark.read.parquet(out + "_packed")
+    assert {"doc_id", "chunk_id", "chunk_tokens", "example_id", "split"} <= set(
+        packed.columns
+    )
+    # example_id is per-split (packing runs within each split), so the
+    # (split, example_id) pair is the example key
+    by_pair = packed.select("split", "example_id").distinct().count()
+    assert res.packed_examples_by_split is not None
+    assert sum(res.packed_examples_by_split.values()) == by_pair
+    # packed chunks = the non-overlapping chunking of surviving docs
+    assert packed.select("doc_id").distinct().count() == res.stage_counts[
+        "ngram_decontaminated"
+    ]
