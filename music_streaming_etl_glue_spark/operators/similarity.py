@@ -671,14 +671,19 @@ def lsh_band_buckets(
     # rows interpreted); DGEMM is ~ms and still EXACT here — every
     # product (±q, |q| ≤ ~5e6) and partial sum (≤ 64·5e6 « 2^53) is an
     # exactly-representable integer, so summation order cannot round.
+    # The plane matrix rides a Spark broadcast (one copy per executor),
+    # not the UDF closure (one copy per task) — at wide banding it is
+    # ~bands·bits·dims·8 bytes and tasks are many.
     S = _rademacher_planes(bands, bits, dims).astype(np.float64)
+    bc_planes = embeddings.sparkSession.sparkContext.broadcast(S)
     weights = 1 << np.arange(bits, dtype=np.int64)
 
     @F.pandas_udf("array<long>")
     def band_hashes(batch: pd.Series) -> pd.Series:
         mat = np.vstack(batch.map(lambda v: np.asarray(v, dtype=np.float64)))
         q = np.floor(mat * Q_SCALE + 0.5)
-        proj = q @ S  # BLAS DGEMM over integer-valued doubles — exact
+        # BLAS DGEMM over integer-valued doubles — exact
+        proj = q @ bc_planes.value
         bit_m = (proj > 0).astype(np.int64).reshape(len(q), bands, bits)
         return pd.Series(list((bit_m * weights).sum(axis=2)))
 
