@@ -214,3 +214,56 @@ def test_asof_directions_match_sorted_reference(spark, inst):
                 j = bisect.bisect_left(rs, s)
                 want = to_ts(rs[j]) if j < len(rs) else None
             assert got[i] == want, (direction, i, s, got[i], want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),
+            st.integers(min_value=0, max_value=39),
+        ),
+        max_size=60,
+    )
+)
+def test_two_phase_cc_matches_union_find(spark, edges):
+    """Both CC kernels must label every vertex with its component's
+    minimum id on arbitrary random graphs (self-loops, parallel edges,
+    cycles included) — checked against a Python union-find."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        connected_components_two_phase,
+    )
+
+    n = 40
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in range(n)}
+    # canonicalize: label = min id in component
+    comp_min: dict[int, int] = {}
+    for v, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in range(n)}
+
+    verts = spark.range(n).select(F.col("id"))
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src bigint, dst bigint"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components_two_phase(verts, edf).collect()
+    }
+    assert got == expected
