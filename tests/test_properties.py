@@ -267,3 +267,21 @@ def test_two_phase_cc_matches_union_find(spark, edges):
         for r in connected_components_two_phase(verts, edf).collect()
     }
     assert got == expected
+
+
+def test_two_level_operators_are_partition_invariant(spark):
+    """The two-level running-sum/rank operators must produce identical
+    assignments regardless of physical partitioning — their order is the
+    md5 key, never the shuffle layout."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        rebalance_sources,
+    )
+    from music_streaming_etl_glue_spark.operators.text import pack_chunks
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for fn in (pack_chunks, rebalance_sources):
+        a = {tuple(r) for r in fn(docs.coalesce(1)).collect()}
+        b = {tuple(r) for r in fn(docs.repartition(7)).collect()}
+        assert a == b, fn.__name__
