@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # two-level concat-stream sequence packing (chunks -> examples)
         "pack_chunks": lambda spark, sf: _text.pack_chunks(_docs(spark, sf)),
+        # materialized examples (ordered concat of member chunks)
+        "pack_examples": lambda spark, sf: _text.pack_examples(
+            _docs(spark, sf)
+        ),
         # VARIANT-typed semi-structured extraction (Spark 4 parse_json)
         "event_props_variant": lambda spark, sf: _enrich.event_props_variant(
             load_table(spark, sf, "events")
@@ -510,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _text.CHUNK_DOCUMENTS_SQL,
         "chunk_documents_udtf": _text.CHUNK_DOCUMENTS_SQL,
         "pack_chunks": _text.PACK_CHUNKS_SQL,
+        "pack_examples": _text.PACK_EXAMPLES_SQL,
         "event_props_variant": _enrich.EVENT_PROPS_VARIANT_SQL,
         "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
         "ngram_decontamination": _text.NGRAM_DECONTAMINATION_SQL,

@@ -806,3 +806,80 @@ WHERE d.doc_id % {bench_mod} != 0
 
 
 NGRAM_DECONTAMINATION_SQL = _ngram_decontamination_sql()
+
+
+def pack_examples(
+    documents: DataFrame, target_tokens: int = PACK_TARGET_TOKENS
+) -> DataFrame:
+    """Materialized packed training examples: for each example of
+    :func:`pack_chunks`, the member chunks concatenated in stream order
+    into one text plus token/member counts — the frame a trainer
+    actually reads. One groupBy over the packing assignment; the
+    in-example order is reconstructed by sorting the collected
+    (pack_key, doc_id, chunk_id) structs, so the result is independent
+    of shuffle layout."""
+    chunks = chunk_documents(
+        documents, window=CHUNK_TOKENS, stride=CHUNK_TOKENS
+    )
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("chunk_id").cast("string"),
+        )
+    )
+    assigned = pack_chunks(documents, target_tokens).join(
+        chunks.select("doc_id", "chunk_id", "chunk_text"),
+        ["doc_id", "chunk_id"],
+    ).withColumn("pack_key", key)
+    members = F.array_sort(
+        F.collect_list(
+            F.struct("pack_key", "doc_id", "chunk_id", "chunk_text")
+        )
+    )
+    return (
+        assigned.groupBy("example_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("example_tokens"),
+            F.concat_ws(
+                " ", F.transform(members, lambda s: s["chunk_text"])
+            ).alias("example_text"),
+        )
+        .select("example_id", "n_chunks", "example_tokens", "example_text")
+    )
+
+
+PACK_EXAMPLES_SQL = f"""
+WITH assigned AS ({PACK_CHUNKS_SQL}),
+t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+),
+c AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0,
+               CASE WHEN n <= {CHUNK_TOKENS} THEN 0
+                    ELSE CAST(ceil((n - {CHUNK_TOKENS})::DOUBLE
+                                   / {CHUNK_TOKENS}) AS BIGINT)
+               END)) AS chunk_id
+    FROM t
+),
+chunks AS (
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(toks, chunk_id * {CHUNK_TOKENS} + 1,
+                                      chunk_id * {CHUNK_TOKENS}
+                                      + {CHUNK_TOKENS}), ' ') AS chunk_text
+    FROM c
+)
+SELECT a.example_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       SUM(a.chunk_tokens)::BIGINT AS example_tokens,
+       string_agg(ch.chunk_text, ' ' ORDER BY
+                  md5(a.doc_id::VARCHAR || '|' || a.chunk_id::VARCHAR),
+                  a.doc_id, a.chunk_id) AS example_text
+FROM assigned a
+JOIN chunks ch ON ch.doc_id = a.doc_id AND ch.chunk_id = a.chunk_id
+GROUP BY a.example_id
+"""
