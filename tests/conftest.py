@@ -16,6 +16,13 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     from music_streaming_etl_glue_spark.session import get_spark
 
-    spark = get_spark("tests", shuffle_partitions=8)
+    # One JVM hosts driver + executors for the WHOLE suite, and eager
+    # localCheckpoint blocks accumulate until their RDDs are GC'd — the
+    # 1 GiB default heap OOMs once the suite grows past ~200 tests.
+    spark = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     yield spark
     spark.stop()
