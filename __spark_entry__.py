@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda spark, sf: _text.tfidf_top_terms(
             _docs(spark, sf)
         ),
+        # corpus vocabulary heavy hitters (tokenizer-training feed)
+        "vocab_top_terms": lambda spark, sf: _text.vocab_top_terms(
+            _docs(spark, sf)
+        ),
         "bm25_scores": lambda spark, sf: _text.bm25_scores(_docs(spark, sf)),
         "repetition_metrics": lambda spark, sf: _text.repetition_metrics(
             _docs(spark, sf)
@@ -509,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _text.LANG_ID_SQL,
         "fingerprints": _text.FINGERPRINTS_SQL,
         "tfidf_top_terms": _text.TFIDF_TOP_TERMS_SQL,
+        "vocab_top_terms": _text.VOCAB_TOP_TERMS_SQL,
         "bm25_scores": _text.BM25_SCORES_SQL,
         "repetition_metrics": _text.REPETITION_METRICS_SQL,
         "chunk_documents": _text.CHUNK_DOCUMENTS_SQL,

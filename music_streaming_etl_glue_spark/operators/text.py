@@ -883,3 +883,49 @@ FROM assigned a
 JOIN chunks ch ON ch.doc_id = a.doc_id AND ch.chunk_id = a.chunk_id
 GROUP BY a.example_id
 """
+
+
+VOCAB_TOP_K = 50
+
+
+def vocab_top_terms(documents: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the k most frequent tokens with
+    total and document frequencies — the vocabulary/tokenizer-training
+    feed. One explode + one hash aggregate keyed by token (map-side
+    partial counts absorb the skew of common words before the shuffle);
+    the top-k is orderBy+limit → TakeOrderedAndProject, never a global
+    sort. Deterministic (count desc, term asc) tiebreak."""
+    toks = documents.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.count("*").alias("term_count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    top = counts.orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("term_count").desc(), F.col("term").asc())
+    return top.withColumn(
+        "vocab_rank", F.row_number().over(w).cast("long")
+    )
+
+
+VOCAB_TOP_TERMS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (
+    SELECT term, COUNT(*) AS term_count,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM toks GROUP BY term
+),
+ranked AS (
+    SELECT term, term_count, doc_freq,
+           row_number() OVER (ORDER BY term_count DESC, term ASC)
+               AS vocab_rank
+    FROM counts
+)
+SELECT term, term_count, doc_freq, vocab_rank
+FROM ranked WHERE vocab_rank <= {VOCAB_TOP_K}
+"""
