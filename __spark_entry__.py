@@ -280,6 +280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _clusters.semantic_dedup_clusters(_embs(spark, sf))
         ),
         "chunk_dedup": lambda spark, sf: _dedup.chunk_dedup(_docs(spark, sf)),
+        # the whole ladder as one auditable monotone funnel
+        "dedup_funnel": lambda spark, sf: _dedup.dedup_funnel(
+            _docs(spark, sf)
+        ),
         "ngram_jaccard_pairs": lambda spark, sf: _dedup.ngram_jaccard_pairs(
             _docs(spark, sf)
         ),
@@ -552,6 +556,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
         "semantic_dedup_clusters": _clusters.SEMANTIC_DEDUP_CLUSTERS_SQL,
         "chunk_dedup": _dedup.CHUNK_DEDUP_SQL,
+        "dedup_funnel": _dedup.DEDUP_FUNNEL_SQL.format(
+            DEDUP_CLUSTERS_SQL=_clusters.DEDUP_CLUSTERS_SQL
+        ),
         "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": _dedup.MINHASH_SIGNATURES_SQL,
         "minhash_dedup_pairs": _dedup.MINHASH_DEDUP_SQL,

@@ -999,3 +999,53 @@ FROM documents d JOIN thresholds th ON d.source = th.source
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
       < th.keep_threshold
 """
+
+
+def dedup_funnel(documents: DataFrame) -> DataFrame:
+    """The dedup ladder as one auditable funnel: surviving-document
+    count per rung (input → exact → normalized → near-dup clusters),
+    each rung re-derived from its individually-oracled operator.
+    Monotone by construction — every rung only merges groups — so the
+    funnel doubles as a ladder-coherence check the driver stamps in one
+    row set. Four scalar aggregates unioned; the document scan backs
+    all of them and nothing else shuffles."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        dedup_clusters,
+    )
+
+    def one(order: int, stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(order).cast("long").alias("stage_order"),
+            F.lit(stage).alias("stage"),
+            F.count("*").cast("long").alias("n_surviving"),
+        )
+
+    rungs = [
+        one(0, "input", documents),
+        one(1, "exact", dedup_exact(documents)),
+        one(2, "normalized", dedup_normalized(documents)),
+        one(
+            3,
+            "near_dup_clusters",
+            dedup_clusters(documents)
+            .select("cluster_id")
+            .distinct(),
+        ),
+    ]
+    out = rungs[0]
+    for r in rungs[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+DEDUP_FUNNEL_SQL = f"""
+SELECT 0::BIGINT AS stage_order, 'input' AS stage,
+       COUNT(*)::BIGINT AS n_surviving FROM documents
+UNION ALL
+SELECT 1, 'exact', COUNT(*)::BIGINT FROM ({DEDUP_EXACT_SQL})
+UNION ALL
+SELECT 2, 'normalized', COUNT(*)::BIGINT FROM ({DEDUP_NORMALIZED_SQL})
+UNION ALL
+SELECT 3, 'near_dup_clusters', COUNT(DISTINCT cluster_id)::BIGINT
+FROM ({{DEDUP_CLUSTERS_SQL}})
+"""
