@@ -674,7 +674,7 @@ def profile_events(events: DataFrame) -> DataFrame:
 
 _PROFILE_BRANCHES = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        MIN({c})::VARCHAR AS min_value, MAX({c})::VARCHAR AS max_value
 FROM events"""

@@ -228,7 +228,7 @@ flagged AS (
            SUM(new_session)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               ::BIGINT AS session_id
     FROM gaps
 ),
 sessions AS (
