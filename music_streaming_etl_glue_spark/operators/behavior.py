@@ -491,23 +491,72 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
-def user_value_quartiles(events: DataFrame) -> DataFrame:
-    """Users ranked into spend quartiles by exact total value (NTILE with
-    a deterministic (total DESC, user_id) tiebreak).
+def user_value_quartiles(
+    events: DataFrame, buckets: int = 32
+) -> DataFrame:
+    """Users ranked into spend quartiles by exact total value — NTILE(4)
+    semantics with a deterministic (total DESC, user_id) tiebreak, but
+    WITHOUT the unpartitioned NTILE window (which funnels every user row
+    through one task — a driver-scale bottleneck at 10^8 users).
 
-    NTILE is a GLOBAL-order window — all aggregated user rows pass
-    through one task. Fine for user-cardinality outputs (rows ≪ events,
-    already reduced by the groupBy); for billion-key cardinalities
-    assign buckets by comparing against percentile thresholds instead of
-    ranking (no global sort), accepting threshold-tie skew."""
+    Two-level exact rank (same trick as
+    :func:`~..dedup.rebalance_sources`): approx-percentile cutoffs split
+    the value range into ``buckets`` monotone ranges (cutoffs stay in
+    the plan via a broadcast crossJoin — no driver collect; ties share a
+    bucket because bucketing compares values only), each bucket sorts
+    its own slice in parallel, and the global rank is the broadcast
+    cumulative bucket offset plus the local row_number. NTILE(4) is then
+    pure arithmetic on (rank, n): the first n%4 quartiles take
+    ceil(n/4) rows, the rest floor(n/4) — bit-identical to the window
+    function, so the oracle keeps its ntile() form. Cutoff accuracy
+    only affects bucket BALANCE, never the result. Scale knob: buckets
+    ≈ total rows / target partition rows."""
     totals = events.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(28,6)"))
         .cast("double")
         .alias("total_value")
     )
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-    return totals.withColumn(
-        "quartile", F.ntile(4).over(w).cast("long")
+    cuts = totals.agg(
+        F.percentile_approx(
+            "total_value",
+            [i / buckets for i in range(1, buckets)],
+            10_000,
+        ).alias("__cuts")
+    )
+    bucketed = (
+        totals.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "__b",
+            F.size(
+                F.filter("__cuts", lambda c: c > F.col("total_value"))
+            ),
+        )
+        .drop("__cuts")
+    )
+    # metadata aggregate: ≤ `buckets` rows → offsets + total, broadcast back
+    bcounts = bucketed.groupBy("__b").agg(F.count("*").alias("bc"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bcounts.withColumn(
+            "off", F.coalesce(F.sum("bc").over(w_off), F.lit(0))
+        )
+        .withColumn("n", F.sum("bc").over(Window.partitionBy()))
+        .select("__b", "off", "n")
+    )
+    w_local = Window.partitionBy("__b").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    r = F.col("off") + F.row_number().over(w_local)
+    base = F.floor(F.col("n") / 4).cast("long")
+    rem = (F.col("n") % 4).cast("long")
+    head = rem * (base + 1)  # rows covered by the ceil-sized quartiles
+    quartile = F.when(
+        r <= head, F.floor((r + base) / (base + 1))
+    ).otherwise(rem + F.floor((r - head + base - 1) / base))
+    return (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn("quartile", quartile.cast("long"))
+        .select("user_id", "total_value", "quartile")
     )
 
 

@@ -402,3 +402,51 @@ def test_pack_chunks_fills_examples_to_budget(spark):
                 < total
                 <= PACK_TARGET_TOKENS + CHUNK_TOKENS - 1
             ), (eid, total)
+
+
+def test_user_value_quartiles_matches_ntile(spark):
+    """The two-level-rank quartile assignment must be bit-identical to
+    NTILE(4) OVER (ORDER BY total DESC, user_id) for every n mod 4 and
+    for heavy value ties spanning bucket cutoffs, including n < 4 and
+    few distinct values (empty buckets)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        user_value_quartiles,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    for n in (1, 2, 3, 4, 5, 6, 7, 8, 11, 37):
+        rows = [
+            # values repeat mod 3 → heavy total ties, and with buckets=4
+            # the approx cutoffs land ON tied values
+            (i, t0, i, "play", float(i % 3), "{}")
+            for i in range(1, n + 1)
+        ]
+        events = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        got = {
+            r.user_id: r.quartile
+            for r in user_value_quartiles(events, buckets=4).collect()
+        }
+        totals = events.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
+        w = Window.orderBy(
+            F.col("total_value").desc(), F.col("user_id").asc()
+        )
+        want = {
+            r.user_id: r.quartile
+            for r in totals.withColumn(
+                "quartile", F.ntile(4).over(w).cast("long")
+            ).collect()
+        }
+        assert got == want, f"n={n}: {got} != {want}"
