@@ -54,6 +54,13 @@ Q_SCALE = 1_000_000
 LSH_BANDS = 128
 LSH_BITS = 11
 
+#: Vector width the MODULE-LEVEL oracle SQL strings band on. The Spark
+#: side derives dims from the data (:func:`_dims`); the DuckDB twins are
+#: compile-time strings, so they pin this constant — if the embeddings
+#: table ever changes width, the parity tests fail loudly instead of the
+#: two engines silently banding on different hyperplane matrices.
+EMBED_DIMS = 64
+
 
 def _as_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -347,13 +354,14 @@ def ann_topk_ivf(
     probed = vecs.filter(
         F.col("bucket").isin(probes) & (F.col("vec_id") != query_vec_id)
     )
-    # dot of the stored unit vector against the literal query — a flat
-    # 64-term codegen'd expression, no Python boundary
-    dot: Column = F.element_at("vec", 1) * float(qv[0])
-    for i in range(1, len(qv)):
-        dot = dot + F.element_at("vec", i + 1) * float(qv[i])
+    # dot of the stored unit vector against a literal query array via the
+    # sequential fold (module NOTE: the unrolled element_at chain falls
+    # out of codegen and runs 3-5x slower; values identical — both are
+    # left-associated sums and 0.0 + x == x)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
     scored = probed.select(
-        "vec_id", F.round(dot, ROUND).alias("similarity")
+        "vec_id",
+        F.round(_dot(F.col("vec"), qlit), ROUND).alias("similarity"),
     )
     return _ranked_topk(scored, k)
 
@@ -462,14 +470,13 @@ def ann_topk_ivf_centroid(
         F.col("assigned_label").isin(probes)
         & (F.col("vec_id") != query_vec_id)
     )
-    dot: Column = F.element_at("vec", 1) * float(qv[0])
-    for i in range(1, len(qv)):
-        dot = dot + F.element_at("vec", i + 1) * float(qv[i])
+    # fold-form dot against the literal query (module NOTE; same
+    # left-associated value as the unrolled chain it replaces)
     scored = probed.select(
         "vec_id",
-        F.round(dot / (F.col("norm") * F.lit(qnorm)), ROUND).alias(
-            "similarity"
-        ),
+        F.round(
+            _dot(F.col("vec"), qlit) / (F.col("norm") * F.lit(qnorm)), ROUND
+        ).alias("similarity"),
     )
     return _ranked_topk(scored, k)
 
@@ -692,17 +699,19 @@ def lsh_band_buckets(
     ).select("vec_id", F.posexplode("bh").alias("band", "band_hash"))
 
 
-def _lsh_buckets_ctes(bands: int, bits: int) -> str:
+def _lsh_buckets_ctes(bands: int, bits: int, dims: int = EMBED_DIMS) -> str:
     """DuckDB CTE chain ending in ``buckets(vec_id, band, band_hash)`` —
     the SQL twin of :func:`lsh_band_buckets`: same md5-derived planes, same
     fixed-point quantization, same exact integer dots (integer-valued
-    doubles stay exact under list_dot_product: |dot| « 2^53)."""
+    doubles stay exact under list_dot_product: |dot| « 2^53). ``dims``
+    must match the banded table's vector width (default: the testdata's
+    :data:`EMBED_DIMS`)."""
     return f"""planes AS (
     SELECT b.band, i.bit, d.dim,
            CASE WHEN ('0x' || substr(md5('plane|' || b.band || '|' || i.bit
                                      || '|' || d.dim), 32, 1))::INT % 2 = 1
                 THEN 1.0 ELSE -1.0 END AS s
-    FROM range({bands}) b(band), range({bits}) i(bit), range(64) d(dim)
+    FROM range({bands}) b(band), range({bits}) i(bit), range({dims}) d(dim)
 ),
 plane_vecs AS (
     SELECT band, bit, list(s ORDER BY dim) AS pl FROM planes GROUP BY band, bit
