@@ -125,13 +125,18 @@ def run_llm_data_pipeline(
     chunks = T.chunk_documents(clean).join(split, "doc_id")
 
     chunks.write.mode("overwrite").partitionBy("split").parquet(output_dir)
-    by_split = {
-        r["split"]: r["n"]
-        for r in spark.read.parquet(output_dir)
-        .groupBy("split")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    if counts["ngram_decontaminated"] == 0:
+        # an empty partitioned write leaves no schema-bearing files, so
+        # the read-back audit below cannot infer a schema — short-circuit
+        by_split: dict[str, int] = {}
+    else:
+        by_split = {
+            r["split"]: r["n"]
+            for r in spark.read.parquet(output_dir)
+            .groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
 
     # 8. sequence packing: non-overlapping chunks concat-stream-packed
     # into fixed-token-budget examples — PER SPLIT, never across (an
@@ -143,14 +148,21 @@ def run_llm_data_pipeline(
         p = T.pack_chunks(sub).withColumn("split", F.lit(s))
         packed = p if packed is None else packed.unionByName(p)
     packed_dir = output_dir.rstrip("/") + "_packed"
-    packed.write.mode("overwrite").partitionBy("split").parquet(packed_dir)
-    examples_by_split = {
-        r["split"]: r["n"]
-        for r in spark.read.parquet(packed_dir)
-        .groupBy("split")
-        .agg(F.count_distinct("example_id").alias("n"))
-        .collect()
-    }
+    if packed is None:
+        # fully-filtered corpus: no splits, nothing to pack — still
+        # produce an (empty) result instead of crashing on packed.write
+        examples_by_split: dict[str, int] = {}
+    else:
+        packed.write.mode("overwrite").partitionBy("split").parquet(
+            packed_dir
+        )
+        examples_by_split = {
+            r["split"]: r["n"]
+            for r in spark.read.parquet(packed_dir)
+            .groupBy("split")
+            .agg(F.count_distinct("example_id").alias("n"))
+            .collect()
+        }
     return LlmPipelineResult(
         stage_counts=counts,
         chunk_counts_by_split=by_split,

@@ -76,3 +76,14 @@ def test_llm_pipeline_packs_within_splits(spark, tmp_path):
     assert packed.select("doc_id").distinct().count() == res.stage_counts[
         "ngram_decontaminated"
     ]
+
+
+def test_llm_pipeline_fully_filtered_corpus(spark, tmp_path):
+    """A quality gate nothing survives must yield empty outputs, not an
+    AttributeError at the packing write (packed is None when there are
+    no splits to pack)."""
+    out = str(tmp_path / "empty_run")
+    res = run_llm_data_pipeline(spark, SF_SMOKE, out, quality_min=1e9)
+    assert res.stage_counts["quality_lang"] == 0
+    assert res.chunk_counts_by_split == {}
+    assert res.packed_examples_by_split == {}
