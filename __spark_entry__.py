@@ -154,6 +154,7 @@ _STAMP_PRIORITY = (
     "avg_quantity_part_filter",
     "suppliers_who_kept_waiting",
     "idle_rich_customers",
+    "customer_order_distribution",
     "order_priority_unpivot",
     "sales_grouping_sets",
     "user_session_windows",
@@ -497,6 +498,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "supplier"),
             load_table(spark, sf, "lineitem"),
         ),
+        # Q21 shape: EXISTS/NOT EXISTS decorrelated to one per-order agg
+        "suppliers_who_kept_waiting": lambda spark, sf: (
+            _rel.suppliers_who_kept_waiting(
+                load_table(spark, sf, "supplier"),
+                load_table(spark, sf, "orders"),
+                load_table(spark, sf, "lineitem"),
+            )
+        ),
+        # Q13 shape: zero-preserving left join + count-of-counts
+        "customer_order_distribution": lambda spark, sf: (
+            _rel.customer_order_distribution(
+                load_table(spark, sf, "customer"),
+                load_table(spark, sf, "orders"),
+            )
+        ),
+        # Q17 detail: per-part correlated small-quantity profile
+        "avg_quantity_part_filter": lambda spark, sf: (
+            _rel.avg_quantity_part_filter(load_table(spark, sf, "lineitem"))
+        ),
+        # Q22 detail: scalar subquery + anti-join, customer-level rows
+        "idle_rich_customers": lambda spark, sf: _rel.idle_rich_customers(
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders"),
+        ),
         "order_priority_pivot": lambda spark, sf: _an.order_priority_pivot(
             load_table(spark, sf, "orders")
         ),
@@ -668,6 +693,12 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier_revenue": _rel.TOP_SUPPLIER_REVENUE_SQL,
         "large_orders": _rel.LARGE_ORDERS_SQL,
         "min_cost_supplier": _rel.MIN_COST_SUPPLIER_SQL,
+        "suppliers_who_kept_waiting": _rel.SUPPLIERS_WHO_KEPT_WAITING_SQL,
+        "customer_order_distribution": (
+            _rel.CUSTOMER_ORDER_DISTRIBUTION_SQL
+        ),
+        "avg_quantity_part_filter": _rel.AVG_QUANTITY_PART_FILTER_SQL,
+        "idle_rich_customers": _rel.IDLE_RICH_CUSTOMERS_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,

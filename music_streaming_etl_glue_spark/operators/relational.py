@@ -690,3 +690,276 @@ FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
 WHERE r.rn = 1
 ORDER BY r.p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: the multi-EXISTS waiting-supplier hunt
+# ---------------------------------------------------------------------------
+
+WAIT_LATE_DAYS = 60
+WAIT_TOP_N = 100
+
+
+def suppliers_who_kept_waiting(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = WAIT_LATE_DAYS,
+    top_n: int = WAIT_TOP_N,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    finished multi-supplier orders ("late" = shipped more than
+    ``late_days`` after the order date — the testdata carries no
+    commit/receipt dates).
+
+    Q21's EXISTS (another supplier participated) + NOT EXISTS (no OTHER
+    supplier was late) pair is decorrelated into ONE per-order aggregate:
+    n_suppliers ≥ 2 ∧ n_late_suppliers = 1 is exactly the same predicate,
+    computed with a single shuffle on l_orderkey instead of two extra
+    self-joins of lineitem — on a 100 TB lineitem that's the difference
+    between one exchange and three. The late-supplier set then re-joins
+    the qualifying orders (exchange reuse: same key), counts per
+    supplier, and takes the top-``top_n`` via TakeOrderedAndProject.
+    Counting unit = distinct (order, supplier), so a supplier with two
+    late lines in one order waits once."""
+    f_lines = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate").cast("date")
+                > F.date_add(F.col("o_orderdate").cast("date"), late_days)
+            ).alias("late"),
+        )
+    )
+    per_order = f_lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        f_lines.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    counted = sole_late.groupBy("l_suppkey").agg(
+        F.count("*").alias("numwait")
+    )
+    return (
+        counted.join(
+            F.broadcast(supplier),
+            counted["l_suppkey"] == supplier["s_suppkey"],
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(top_n)
+    )
+
+
+SUPPLIERS_WHO_KEPT_WAITING_SQL = f"""
+WITH waits AS (
+    SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+               AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate::DATE > o.o_orderdate::DATE + {WAIT_LATE_DAYS}
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate::DATE > o.o_orderdate::DATE + {WAIT_LATE_DAYS}
+          )
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM waits w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey ASC
+LIMIT {WAIT_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution
+# ---------------------------------------------------------------------------
+
+DIST_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    excluded_priority: str = DIST_EXCLUDED_PRIORITY,
+) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, … qualifying
+    orders (priority filter standing in for Q13's comment filter). The
+    LEFT join keeps zero-order customers — COUNT(o_orderkey) counts only
+    matched rows, so they land in the 0 bucket; a plain inner join would
+    silently drop the most interesting bar of the histogram. Two
+    aggregations: per-customer (shuffle on custkey) then the tiny
+    count-of-counts."""
+    qualifying = orders.filter(
+        F.col("o_orderpriority") != excluded_priority
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            qualifying,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = f"""
+WITH per_cust AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                      AND o.o_orderpriority <> '{DIST_EXCLUDED_PRIORITY}'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 detail: per-part small-quantity profile (all brands)
+# ---------------------------------------------------------------------------
+
+SMALL_QTY_DETAIL_FRACTION = 0.5
+
+
+def avg_quantity_part_filter(
+    lineitem: DataFrame, fraction: float = SMALL_QTY_DETAIL_FRACTION
+) -> DataFrame:
+    """Per-part detail of the Q17 correlated filter, across ALL parts:
+    for each part with at least one line below ``fraction`` of its own
+    average quantity, the average, the small-line count, and the revenue
+    those lines carry. Decorrelated the same way as
+    :func:`small_quantity_revenue` — per-part aggregate joined back on
+    the SAME key, so Catalyst reuses one exchange for the aggregate and
+    the join (no second lineitem scan, no correlated per-row subquery)."""
+    lines = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = lines.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        lines.join(
+            avg_qty.withColumnRenamed("l_partkey", "ap_partkey"),
+            F.col("l_partkey") == F.col("ap_partkey"),
+        )
+        .filter(F.col("l_quantity") < fraction * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.first("avg_qty").alias("avg_qty"),
+            F.count("*").alias("n_small_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("small_revenue"),
+        )
+    )
+
+
+AVG_QUANTITY_PART_FILTER_SQL = f"""
+WITH avg_qty AS (
+    SELECT l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE / COUNT(*)
+               AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey,
+       a.avg_qty,
+       COUNT(*) AS n_small_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+           AS small_revenue
+FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < {SMALL_QTY_DETAIL_FRACTION!r} * a.avg_qty
+GROUP BY l.l_partkey, a.avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 detail: the idle rich customers themselves
+# ---------------------------------------------------------------------------
+
+IDLE_SINCE = "2000-01-01"
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, idle_since: str = IDLE_SINCE
+) -> DataFrame:
+    """Detail twin of :func:`waiting_customers` (Q22): the individual
+    customers whose balance beats the positive-balance average (scalar
+    subquery riding a broadcast single-row cross join) and who have
+    placed no order since ``idle_since`` — an anti-join against the
+    date-filtered order custkeys, not a NOT IN over the full order
+    book. The date predicate pushes into the orders scan, so the
+    anti-join's build side is the (small) recent slice."""
+    avg_bal = F.broadcast(
+        customer.filter(F.col("c_acctbal") > 0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(idle_since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{IDLE_SINCE} 00:00:00'
+      )
+ORDER BY c_custkey
+"""
