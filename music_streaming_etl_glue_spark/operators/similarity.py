@@ -20,6 +20,7 @@ Scale design (100 TB of vectors):
 from __future__ import annotations
 
 import hashlib
+import math
 from functools import lru_cache
 
 import numpy as np
@@ -53,6 +54,56 @@ Q_SCALE = 1_000_000
 #: (16 buckets, n²/16 candidates at ~31% recall).
 LSH_BANDS = 128
 LSH_BITS = 11
+
+#: Recall the banding derivation targets at the reference cosine
+#: (threshold + 0.05) — the operating point the committed 128×11 default
+#: was tuned to at n = 2,000 (recall ≈ 0.77 at cosine 0.5 for τ = 0.45).
+LSH_TARGET_RECALL = 0.77
+
+
+def derive_banding(
+    n: int,
+    threshold: float = PAIR_THRESHOLD,
+    target_recall: float = LSH_TARGET_RECALL,
+    c_ref: float | None = None,
+    min_bands: int = LSH_BANDS,
+    min_bits: int = LSH_BITS,
+    max_bands: int = 4096,
+) -> tuple[int, int]:
+    """(bands, bits) for a corpus of ``n`` vectors from the sign-LSH
+    s-curve — the measured scaling rule (SCALE.md /
+    tools/lsh_scaling_experiment.py): ``bits ≈ log₂ n`` keeps the
+    expected random-collision count per bucket constant as the corpus
+    grows, and ``bands`` is the smallest power of two whose OR-union
+    reaches ``target_recall`` at the reference cosine
+    (``threshold + 0.05``), via recall = 1 − (1 − p^bits)^bands with
+    p(c) = 1 − arccos(c)/π. Total work is then n^(1+ρ) (ρ ≈ 0.63 at
+    τ = 0.45) instead of the n² a fixed banding degrades to — measured
+    at 10× rows: candidate fraction 0.65 → 0.40 of n²/16 with recall
+    0.70 → 0.83.
+
+    Clamped at the tuned (``min_bands`` × ``min_bits``) floor: below
+    n ≈ 2k extra selectivity is free, and every test corpus therefore
+    bands exactly as the static DuckDB oracle SQL does. Experiment
+    anchors: derive_banding(2_000) == (128, 11),
+    derive_banding(20_000) == (512, 14).
+
+    ``max_bands`` bounds the broadcast plane matrix (dims·bands·bits
+    doubles — 4096 bands ≈ 40 MB at 64 dims): past the cap (n ≳ 2×10⁵
+    at the defaults) recall at c_ref degrades gracefully rather than the
+    broadcast exploding; if the recall target MUST hold at that scale,
+    run additional band groups as separate passes and union the pair
+    sets (the OR across bands distributes over passes)."""
+    c = threshold + 0.05 if c_ref is None else c_ref
+    p = 1.0 - math.acos(c) / math.pi
+    bits = max(min_bits, round(math.log2(max(n, 2))))
+    p_band = p**bits
+    raw = math.ceil(
+        math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+    )
+    bands = max(min_bands, 1 << math.ceil(math.log2(max(raw, 1))))
+    return min(bands, max_bands), bits
+
 
 #: Vector width the MODULE-LEVEL oracle SQL strings band on. The Spark
 #: side derives dims from the data (:func:`_dims`); the DuckDB twins are
@@ -750,22 +801,33 @@ def _vecs_with_norm(embeddings: DataFrame, dims: int) -> DataFrame:
 def cosine_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = PAIR_THRESHOLD,
-    bands: int = LSH_BANDS,
-    bits: int = LSH_BITS,
+    bands: int | None = None,
+    bits: int | None = None,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs cosine ≥ threshold via banded multi-bit
     sign-LSH: a pair is a candidate iff it collides in ANY of ``bands``
     independent ``bits``-bit hyperplane signatures (OR across bands —
     the MinHash-banding shape), then candidates are verified with the
-    exact cosine. See :data:`LSH_BANDS` for the s-curve the defaults
-    come from.
+    exact cosine.
+
+    ``bands``/``bits`` default to :func:`derive_banding` on the corpus
+    size — the measured scaling rule (SCALE.md): fixed banding keeps the
+    candidate FRACTION of n² constant, so production callers on a 10×
+    corpus were silently quadratic. The count feeding the derivation is
+    parquet-metadata-cheap and clamps at the tuned (128×11) floor, so
+    every corpus ≤ 2k rows (all test scale factors) keeps the exact
+    banding the static oracle SQL encodes.
 
     Shuffle carries the slim (vec_id, band, band_hash) relation — never
     vectors; candidate ids join back to vectors once for verification.
     ``max_bucket_size`` (pipeline variant) drops buckets larger than the
     cap before pairing — boilerplate-cluster skew protection: one hot
     bucket of m vectors otherwise contributes m²/2 candidate pairs."""
+    if bands is None or bits is None:
+        d_bands, d_bits = derive_banding(embeddings.count(), threshold)
+        bands = d_bands if bands is None else bands
+        bits = d_bits if bits is None else bits
     dims = _dims(embeddings)
     # both self-join sides read the bucket relation; EAGER checkpoint —
     # with a lazy one the two shuffle-map stages race and each recomputes

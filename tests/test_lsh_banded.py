@@ -195,3 +195,60 @@ def test_defaults_match_docstring_scurve():
     assert recall(0.7, LSH_BANDS, LSH_BITS) > 0.95
     # expected random-pair candidate fraction stays under the old n²/16
     assert LSH_BANDS / 2**LSH_BITS / 2 < 1 / 16
+
+
+def test_derive_banding_matches_scaling_experiment():
+    """derive_banding must reproduce the measured scaling-experiment
+    anchors (SCALE.md table): the committed default at n=2k and the
+    re-derived banding that beat it at 10x rows — plus the clamp (small
+    corpora keep the oracle's banding) and the broadcast cap."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        derive_banding,
+    )
+
+    assert derive_banding(2_000) == (128, 11)
+    assert derive_banding(20_000) == (512, 14)
+    # clamp: every sub-2k corpus (all test sfs) bands like the oracle SQL
+    for n in (1, 50, 500, 2_000):
+        assert derive_banding(n) == (LSH_BANDS, LSH_BITS)
+    # monotone growth, bounded broadcast
+    b1, _ = derive_banding(200_000)
+    b2, _ = derive_banding(10**9)
+    assert 512 <= b1 <= 4096 and b1 <= b2 <= 4096
+
+
+def test_hot_cone_cap_keeps_far_pair_recall(spark):
+    """Adversarial skew at 30%: 300 of 1000 vectors sit in one tight
+    cone (every band hashes the cone to one bucket → ~45k clique pairs
+    uncapped). With the cap ON, total candidate volume must stay near
+    the background level AND every planted far pair — well outside the
+    cone — must still be found: the cap may only drop oversized
+    buckets, never the selective ones that carry real signal."""
+    rng = np.random.RandomState(23)
+    apex = _unit(rng.randn(DIMS))
+    vecs = [apex + 3e-4 * rng.randn(DIMS) for _ in range(300)]
+    vecs += [rng.randn(DIMS) for _ in range(680)]
+    planted = []
+    for _ in range(10):
+        a = _unit(rng.randn(DIMS))
+        # keep plants away from the cone so cap-drops can't mask a miss
+        while abs(a @ apex) > 0.2:
+            a = _unit(rng.randn(DIMS))
+        w = rng.randn(DIMS)
+        w = _unit(w - (w @ a) * a)
+        b = 0.9 * a + np.sqrt(1 - 0.9**2) * w
+        ia, ib = len(vecs), len(vecs) + 1
+        vecs += [a, b]
+        planted.append((ia, ib))
+    df = _make_df(
+        spark, [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    ).repartition(8)
+
+    capped = cosine_pairs_lsh(df, threshold=0.45, max_bucket_size=30)
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in capped.collect()}
+    for pair in planted:
+        assert pair in got, f"cap dropped planted far pair {pair}"
+    # the cone's ~45k-pair clique must NOT dominate the output: without
+    # the cap every band emits the full clique; with it the survivors
+    # are background-scale
+    assert len(got) < 2_000, len(got)
