@@ -155,6 +155,10 @@ _STAMP_PRIORITY = (
     "suppliers_who_kept_waiting",
     "idle_rich_customers",
     "customer_order_distribution",
+    "order_priority_checking",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "disjunctive_revenue",
     "order_priority_unpivot",
     "sales_grouping_sets",
     "user_session_windows",
@@ -522,6 +526,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "customer"),
             load_table(spark, sf, "orders"),
         ),
+        # Q4 shape: EXISTS decorrelated to a left-semi join
+        "order_priority_checking": lambda spark, sf: (
+            _rel.order_priority_checking(
+                load_table(spark, sf, "orders"),
+                load_table(spark, sf, "lineitem"),
+            )
+        ),
+        # Q6 shape: pure pushdown scan-aggregate
+        "forecast_revenue_change": lambda spark, sf: (
+            _rel.forecast_revenue_change(load_table(spark, sf, "lineitem"))
+        ),
+        # Q8 shape: conditional-aggregate market share over broadcast dims
+        "nation_market_share": lambda spark, sf: _rel.nation_market_share(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "nation"),
+            load_table(spark, sf, "region"),
+        ),
+        # Q19 shape: OR-of-ANDs evaluated inside one broadcast join
+        "disjunctive_revenue": lambda spark, sf: _rel.disjunctive_revenue(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "part"),
+        ),
         "order_priority_pivot": lambda spark, sf: _an.order_priority_pivot(
             load_table(spark, sf, "orders")
         ),
@@ -699,6 +728,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "avg_quantity_part_filter": _rel.AVG_QUANTITY_PART_FILTER_SQL,
         "idle_rich_customers": _rel.IDLE_RICH_CUSTOMERS_SQL,
+        "order_priority_checking": _rel.ORDER_PRIORITY_CHECKING_SQL,
+        "forecast_revenue_change": _rel.FORECAST_REVENUE_CHANGE_SQL,
+        "nation_market_share": _rel.NATION_MARKET_SHARE_SQL,
+        "disjunctive_revenue": _rel.DISJUNCTIVE_REVENUE_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,

@@ -963,3 +963,263 @@ WHERE CAST(c_acctbal AS DOUBLE) > (
       )
 ORDER BY c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS-driven priority count
+# ---------------------------------------------------------------------------
+
+Q4_FROM = "1997-01-01"
+Q4_TO = "1997-04-01"
+Q4_LATE_DAYS = 30
+
+
+def order_priority_checking(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = Q4_LATE_DAYS
+) -> DataFrame:
+    """TPC-H Q4 shape: per priority, how many orders in one quarter had
+    at least one line shipped more than ``late_days`` after the order
+    date (the testdata's stand-in for commitdate < receiptdate). The
+    EXISTS is a LEFT SEMI join — Spark's native decorrelation: the
+    probe side is the quarter's (small, date-pruned) order slice, and
+    the semi join short-circuits on first match instead of counting
+    duplicates; the lineitem scan carries only (orderkey, shipdate)."""
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q4_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        quarter.join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate").cast("date")
+                > F.date_add(F.col("o_orderdate").cast("date"), late_days)
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_CHECKING_SQL = f"""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_FROM} 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_TO} 00:00:00'
+  AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate::DATE > o.o_orderdate::DATE + {Q4_LATE_DAYS}
+      )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: forecast revenue change (pure scan-aggregate)
+# ---------------------------------------------------------------------------
+
+Q6_FROM = "1997-01-01"
+Q6_TO = "1998-01-01"
+Q6_DISCOUNT_LO = 0.05
+Q6_DISCOUNT_HI = 0.07
+Q6_MAX_QTY = 24
+
+
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: revenue a promotion would have forfeited — one
+    filtered scan, one scalar aggregate, zero joins. The engine value
+    is all in the plan: every predicate (date range, discount band,
+    quantity cap) pushes into the parquet scan as a row-group filter,
+    and the aggregate is a two-stage partial sum. If this query's plan
+    shows anything but PushedFilters + partial_sum, something broke."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_TO).cast("timestamp"))
+            & (F.col("l_discount") >= Q6_DISCOUNT_LO)
+            & (F.col("l_discount") <= Q6_DISCOUNT_HI)
+            & (F.col("l_quantity") < Q6_MAX_QTY)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(28,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_TO} 00:00:00'
+  AND l_discount BETWEEN {Q6_DISCOUNT_LO!r} AND {Q6_DISCOUNT_HI!r}
+  AND l_quantity < {Q6_MAX_QTY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: national market share within a region
+# ---------------------------------------------------------------------------
+
+MARKET_REGION = "ASIA"
+MARKET_NATION = "NATION_7"
+
+
+def nation_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's yearly
+    order revenue — conditional aggregation (share = sum(if) / sum)
+    over a star of broadcast dims. Join order: lineitem ⋈ orders
+    (the only fact-fact shuffle) with customer/supplier/nation/region
+    all broadcast; the share division happens on the per-year
+    aggregate, not per row."""
+    cust_region = (
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == region["r_regionkey"],
+        )
+        .filter(F.col("r_name") == MARKET_REGION)
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    detail = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust_region),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supp_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            rev.cast("decimal(28,4)").alias("volume"),
+            (F.col("supp_nation") == MARKET_NATION).alias("is_target"),
+        )
+    )
+    return (
+        detail.groupBy("order_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("is_target"), F.col("volume"))).cast(
+                    "double"
+                )
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share"),
+            F.sum("volume").cast("double").alias("total_volume"),
+        )
+        .orderBy("order_year")
+    )
+
+
+NATION_MARKET_SHARE_SQL = f"""
+WITH detail AS (
+    SELECT year(o.o_orderdate)::BIGINT AS order_year,
+           CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))
+               AS volume,
+           (sn.n_name = '{MARKET_NATION}') AS is_target
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = '{MARKET_REGION}'
+)
+SELECT order_year,
+       SUM(CASE WHEN is_target THEN volume END)::DOUBLE
+           / SUM(volume)::DOUBLE AS mkt_share,
+       SUM(volume)::DOUBLE AS total_volume
+FROM detail
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive brand/size/quantity predicate
+# ---------------------------------------------------------------------------
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    bands. The OR-of-ANDs sits in ONE join condition, so Catalyst can
+    (a) derive the common `p_size BETWEEN 1 AND 30` superset predicate
+    for scan pushdown and (b) evaluate the disjunction inside the
+    broadcast hash join instead of unioning three scans of lineitem."""
+    j = (
+        (F.col("l_partkey") == F.col("p_partkey"))
+        & (
+            (
+                (F.col("p_brand") == "Brand#12")
+                & F.col("p_size").between(1, 10)
+                & F.col("l_quantity").between(1, 11)
+            )
+            | (
+                (F.col("p_brand") == "Brand#23")
+                & F.col("p_size").between(1, 20)
+                & F.col("l_quantity").between(10, 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#34")
+                & F.col("p_size").between(1, 30)
+                & F.col("l_quantity").between(20, 30)
+            )
+        )
+    )
+    return lineitem.join(F.broadcast(part), j).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
