@@ -159,6 +159,7 @@ _STAMP_PRIORITY = (
     "forecast_revenue_change",
     "nation_market_share",
     "disjunctive_revenue",
+    "pii_scrub",
     "order_priority_unpivot",
     "sales_grouping_sets",
     "user_session_windows",
@@ -600,6 +601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": lambda spark, sf: _text.normalize_text(
             _docs(spark, sf)
         ),
+        # privacy scrub: inject deterministic PII spans, then redact +
+        # per-category audit counts (multi-pattern JVM regex, no shuffle)
+        "pii_scrub": lambda spark, sf: _text.pii_scrub(_docs(spark, sf)),
         # multimodal binary-column plumbing (documents as stand-in payloads)
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)
@@ -746,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "events_in_busy_sessions": _asof.EVENTS_IN_BUSY_SESSIONS_SQL,
         "events_in_error_bursts": _asof.EVENTS_IN_ERROR_BURSTS_SQL,
         "normalize_text": _text.NORMALIZE_TEXT_SQL,
+        "pii_scrub": _text.PII_SCRUB_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
         # The featurizer itself is mapInPandas, but the stand-in payload is
         # ASCII text, so the byte math has an exact SQL twin.

@@ -450,3 +450,23 @@ def test_user_value_quartiles_matches_ntile(spark):
             ).collect()
         }
         assert got == want, f"n={n}: {got} != {want}"
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    """Every PII category is replaced by its tag and counted from the
+    ORIGINAL text; clean text passes through byte-identical."""
+    from music_streaming_etl_glue_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk and x@y.org end"),
+        (2, "ip 10.0.3.1 ssn 123-45-6789 ph 555-123-4567 or 555.123.4567"),
+        (3, "nothing sensitive here 12345"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].redacted_text == "mail [EMAIL] and [EMAIL] end"
+    assert got[1].n_email == 2 and got[1].n_ipv4 == 0
+    assert got[2].redacted_text == "ip [IPV4] ssn [SSN] ph [PHONE] or [PHONE]"
+    assert (got[2].n_ipv4, got[2].n_ssn, got[2].n_phone) == (1, 1, 2)
+    assert got[3].redacted_text == rows[2][1]
+    assert got[3].n_email == got[3].n_phone == 0
