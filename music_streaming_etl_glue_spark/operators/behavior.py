@@ -533,15 +533,18 @@ def user_value_quartiles(
         )
         .drop("__cuts")
     )
-    # metadata aggregate: ≤ `buckets` rows → offsets + total, broadcast back
+    # metadata aggregate: ≤ `buckets` rows → cumulative offsets + total,
+    # broadcast back. The prefix sum is a triangular self-join (≤
+    # buckets² metadata rows), not an unpartitioned window — nothing
+    # here ever funnels data rows through one task.
     bcounts = bucketed.groupBy("__b").agg(F.count("*").alias("bc"))
-    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    total = F.broadcast(bcounts.agg(F.sum("bc").alias("n")))
+    a, b = bcounts.alias("a"), bcounts.alias("b")
     offsets = (
-        bcounts.withColumn(
-            "off", F.coalesce(F.sum("bc").over(w_off), F.lit(0))
-        )
-        .withColumn("n", F.sum("bc").over(Window.partitionBy()))
-        .select("__b", "off", "n")
+        a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
+        .groupBy(F.col("a.__b").alias("__b"))
+        .agg(F.coalesce(F.sum("b.bc"), F.lit(0)).alias("off"))
+        .crossJoin(total)
     )
     w_local = Window.partitionBy("__b").orderBy(
         F.col("total_value").desc(), F.col("user_id").asc()
