@@ -50,6 +50,9 @@ class LlmPipelineResult:
     #: distinct packed training examples per split (written beside the
     #: chunk output under ``<output_dir>_packed``)
     packed_examples_by_split: dict[str, int] | None = None
+    #: spans redacted per PII category (privacy-scrub audit; redaction
+    #: rewrites text, never drops rows, so stage_counts stays monotone)
+    pii_redactions: dict[str, int] | None = None
 
 
 def run_llm_data_pipeline(
@@ -64,6 +67,22 @@ def run_llm_data_pipeline(
     pipeline must emit)."""
     docs = load_table(spark, sf_dir, "documents")
     counts: dict[str, int] = {"input": docs.count()}
+
+    # 0. privacy scrub — BEFORE normalization (normalize lowercases and
+    # strips the @/punctuation the PII patterns anchor on). Rewrites
+    # text in place; the per-category totals are the audit record.
+    scrubbed = T.redact_pii(docs)
+    pii_row = scrubbed.agg(
+        *[
+            F.sum(f"n_{tag.lower()}").alias(tag.lower())
+            for tag, _ in T.PII_PATTERNS
+        ]
+    ).first()
+    pii_redactions = {k: int(v or 0) for k, v in pii_row.asDict().items()}
+    docs = docs.drop("text").join(
+        scrubbed.select("doc_id", F.col("redacted_text").alias("text")),
+        "doc_id",
+    )
 
     # 1. normalize (narrow) — canonical text becomes the working text
     normed = T.normalize_text(docs).select(
@@ -168,4 +187,5 @@ def run_llm_data_pipeline(
         chunk_counts_by_split=by_split,
         output_dir=output_dir,
         packed_examples_by_split=examples_by_split,
+        pii_redactions=pii_redactions,
     )

@@ -87,3 +87,11 @@ def test_llm_pipeline_fully_filtered_corpus(spark, tmp_path):
     assert res.stage_counts["quality_lang"] == 0
     assert res.chunk_counts_by_split == {}
     assert res.packed_examples_by_split == {}
+
+
+def test_llm_pipeline_reports_pii_audit(spark, tmp_path):
+    res = run_llm_data_pipeline(spark, SF_SMOKE, str(tmp_path / "o"))
+    # synthetic corpus carries no PII: audit present, all-zero, and the
+    # scrub provably didn't drop rows (input count unchanged upstream)
+    assert set(res.pii_redactions) == {"email", "ipv4", "ssn", "phone"}
+    assert all(v == 0 for v in res.pii_redactions.values())
