@@ -103,3 +103,63 @@ def test_track_cooccurrence_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_forecast_revenue_change_full_pushdown(spark):
+    """Q6 is the pushdown litmus: every predicate must reach the parquet
+    scan, the projection must prune to the 4 referenced columns, and the
+    aggregate must be a two-stage partial sum (no shuffle before the
+    partial)."""
+    from music_streaming_etl_glue_spark.operators.relational import (
+        forecast_revenue_change,
+    )
+
+    plan = _plan(forecast_revenue_change(load_table(spark, SF_SMOKE, "lineitem")))
+    # predicates reach the scan (the printed PushedFilters list is
+    # truncated, so assert on its head + the full Filter node)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "(l_shipdate" in plan and "(l_quantity" in plan
+    # column pruning: the read schema carries exactly the 4 referenced cols
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate" in plan
+    )
+    assert "partial_" in plan  # map-side partial aggregation
+    assert "Exchange hashpartitioning" not in plan  # scalar agg: single exchange
+
+
+def test_order_priority_checking_semi_join(spark):
+    """The Q4 EXISTS must plan as a semi join (no count-inflating inner
+    join), with the quarter filter pushed to the orders scan."""
+    from music_streaming_etl_glue_spark.operators.relational import (
+        order_priority_checking,
+    )
+
+    plan = _plan(
+        order_priority_checking(
+            load_table(spark, SF_SMOKE, "orders"),
+            load_table(spark, SF_SMOKE, "lineitem"),
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # lineitem pruned to the two columns the semi-join condition needs
+    assert "l_shipdate" in plan and "l_extendedprice" not in plan
+
+
+def test_disjunctive_revenue_single_scan_broadcast(spark):
+    """Q19's OR-of-ANDs must stay one broadcast hash join over ONE
+    lineitem scan — not a union of three scans, not a nested loop."""
+    from music_streaming_etl_glue_spark.operators.relational import (
+        disjunctive_revenue,
+    )
+
+    plan = _plan(
+        disjunctive_revenue(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            load_table(spark, SF_SMOKE, "part"),
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 2  # one lineitem + one part
