@@ -160,6 +160,7 @@ _STAMP_PRIORITY = (
     "nation_market_share",
     "disjunctive_revenue",
     "pii_scrub",
+    "unigram_surprisal",
     "order_priority_unpivot",
     "sales_grouping_sets",
     "user_session_windows",
@@ -604,6 +605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # privacy scrub: inject deterministic PII spans, then redact +
         # per-category audit counts (multi-pattern JVM regex, no shuffle)
         "pii_scrub": lambda spark, sf: _text.pii_scrub(_docs(spark, sf)),
+        # model-free perplexity proxy: corpus-unigram -ln p(token) stats
+        "unigram_surprisal": lambda spark, sf: _text.unigram_surprisal(
+            _docs(spark, sf)
+        ),
         # multimodal binary-column plumbing (documents as stand-in payloads)
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)
@@ -751,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         "events_in_error_bursts": _asof.EVENTS_IN_ERROR_BURSTS_SQL,
         "normalize_text": _text.NORMALIZE_TEXT_SQL,
         "pii_scrub": _text.PII_SCRUB_SQL,
+        "unigram_surprisal": _text.UNIGRAM_SURPRISAL_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
         # The featurizer itself is mapInPandas, but the stand-in payload is
         # ASCII text, so the byte math has an exact SQL twin.

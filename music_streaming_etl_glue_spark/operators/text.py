@@ -1033,3 +1033,56 @@ SELECT doc_id,
        {REDACT_PII_COUNT_COLS}
 FROM injected
 """
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal (model-free perplexity proxy for quality filtering)
+# ---------------------------------------------------------------------------
+
+def unigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Per-document mean/max unigram surprisal −ln p(token) under the
+    corpus's own unigram distribution — the model-free stand-in for a
+    perplexity quality filter: gibberish and boilerplate both stand out
+    (high mean; low mean respectively) without shipping a language
+    model. Two hash aggregates keyed by token (the same explode the
+    vocabulary feed uses) plus one token-keyed join back; the corpus
+    token total rides along as a broadcast scalar. No vocabulary cap is
+    needed: the frequency relation is (distinct tokens)-sized and joins
+    on its own key — at 100 TB that's a shuffle join on term, never a
+    driver-side table. Scores round to 6dp (ln/avg precedent: TF-IDF,
+    BM25)."""
+    toks = documents.select("doc_id", F.explode(_tokens()).alias("term"))
+    freqs = toks.groupBy("term").agg(F.count("*").alias("tc"))
+    total = F.broadcast(
+        freqs.agg(F.sum("tc").cast("double").alias("total"))
+    )
+    surprisal = -F.log(F.col("tc").cast("double") / F.col("total"))
+    return (
+        toks.join(freqs, "term")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
+            F.round(F.max(surprisal), 6).alias("max_surprisal"),
+        )
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freqs AS (
+    SELECT term, COUNT(*) AS tc FROM toks GROUP BY term
+),
+total AS (
+    SELECT SUM(tc)::DOUBLE AS total FROM freqs
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       round(AVG(-ln(f.tc::DOUBLE / total.total)), 6) AS avg_surprisal,
+       round(MAX(-ln(f.tc::DOUBLE / total.total)), 6) AS max_surprisal
+FROM toks t JOIN freqs f ON t.term = f.term, total
+GROUP BY t.doc_id
+"""
