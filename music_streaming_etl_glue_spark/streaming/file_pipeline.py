@@ -199,3 +199,26 @@ def ingest_near_deduplicated(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_enriched(
+    spark: SparkSession,
+    input_dir: str,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Stream-static enrichment: the flagship star join
+    (:func:`..operators.enrich.enrich_events`) applied to the event
+    STREAM — each micro-batch left-joins the static dimension frames,
+    which Spark re-resolves per batch (so a dim refresh is picked up on
+    the next trigger without restarting the query). The dims ride the
+    same explicit ``broadcast()`` as the batch twin: a stream-static
+    broadcast join keeps the stream side shuffle-free, which is the
+    whole latency story at production rates. The batch and stream
+    plans share ONE implementation, so enrichment semantics cannot
+    drift between the nightly job and the live path."""
+    from music_streaming_etl_glue_spark.operators.enrich import (
+        enrich_events,
+    )
+
+    return enrich_events(stream_events(spark, input_dir), customer, nation)

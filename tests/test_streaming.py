@@ -188,3 +188,41 @@ def test_streaming_near_dedup_drops_normalized_dups(spark, tmp_path):
     # replaying the same file is a no-op (checkpointed file tracking)
     ingest_near_deduplicated(spark, str(src), out, ckpt)
     assert spark.read.parquet(out).count() == dedup_normalized(docs).count()
+
+
+def test_stream_enriched_matches_batch(spark, tmp_path):
+    """Stream-static enrichment over availableNow must produce exactly
+    the batch enrichment of the same file — same rows, same nulls for
+    unmatched dims (one shared implementation, so this is a harness
+    check that the stream side declares schemas/timestamps right)."""
+    from music_streaming_etl_glue_spark.operators.enrich import enrich_events
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        stream_enriched,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events.parquet")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+
+    q = (
+        stream_enriched(spark, str(src), customer, nation)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enr_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM enr_out")
+    want = enrich_events(
+        load_table(spark, SF_SMOKE, "events"), customer, nation
+    )
+    assert got.count() == want.count()
+    key = lambda r: (r.user_id, r.track_id, r.timestamp, r.track_genre)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # dim enrichment really happened on the stream side
+    assert got.filter(F.col("user_name").isNotNull()).count() > 0
