@@ -161,6 +161,8 @@ _STAMP_PRIORITY = (
     "disjunctive_revenue",
     "pii_scrub",
     "unigram_surprisal",
+    "product_profit_by_nation",
+    "dominant_part_suppliers",
     "order_priority_unpivot",
     "sales_grouping_sets",
     "user_session_windows",
@@ -553,6 +555,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "lineitem"),
             load_table(spark, sf, "part"),
         ),
+        # Q9 shape: profit by supplier nation x year over broadcast dims
+        "product_profit_by_nation": lambda spark, sf: (
+            _rel.product_profit_by_nation(
+                load_table(spark, sf, "lineitem"),
+                load_table(spark, sf, "orders"),
+                load_table(spark, sf, "supplier"),
+                load_table(spark, sf, "part"),
+                load_table(spark, sf, "nation"),
+            )
+        ),
+        # Q20 shape: nested-aggregate dominant-supplier correlation
+        "dominant_part_suppliers": lambda spark, sf: (
+            _rel.dominant_part_suppliers(
+                load_table(spark, sf, "lineitem"),
+                load_table(spark, sf, "supplier"),
+                load_table(spark, sf, "part"),
+            )
+        ),
         "order_priority_pivot": lambda spark, sf: _an.order_priority_pivot(
             load_table(spark, sf, "orders")
         ),
@@ -741,6 +761,8 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue_change": _rel.FORECAST_REVENUE_CHANGE_SQL,
         "nation_market_share": _rel.NATION_MARKET_SHARE_SQL,
         "disjunctive_revenue": _rel.DISJUNCTIVE_REVENUE_SQL,
+        "product_profit_by_nation": _rel.PRODUCT_PROFIT_SQL,
+        "dominant_part_suppliers": _rel.DOMINANT_PART_SUPPLIERS_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,
         "sales_rollup": _an.SALES_ROLLUP_SQL,

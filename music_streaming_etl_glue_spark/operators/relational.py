@@ -1223,3 +1223,159 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 30
        AND l.l_quantity BETWEEN 20 AND 30)
 """
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-line profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+PROFIT_PART_TOKEN = "gear"
+
+
+def product_profit_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    part_token: str = PROFIT_PART_TOKEN,
+) -> DataFrame:
+    """TPC-H Q9 shape: per (supplier nation, order year), profit on a
+    part-name family — revenue minus cost, with ``p_retailprice`` as
+    the unit-cost stand-in (the testdata has no partsupp supplycost).
+    The name filter prunes part BEFORE it broadcasts; lineitem joins
+    orders on the shuffle key and every dimension rides a broadcast —
+    the Q9 plan is one fact shuffle plus a hash aggregate, whatever the
+    dimension count."""
+    parts = F.broadcast(
+        part.filter(F.col("p_name").contains(part_token)).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    supp_nation = F.broadcast(
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "supp_nation",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.sum(profit.cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+PRODUCT_PROFIT_SQL = f"""
+SELECT n.n_name AS supp_nation,
+       year(o.o_orderdate)::BIGINT AS order_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1
+                     AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%{PROFIT_PART_TOKEN}%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: dominant suppliers of a part family (semi-join chain over a
+# nested aggregate)
+# ---------------------------------------------------------------------------
+
+DOMINANT_SHARE = 0.15
+
+
+def dominant_part_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    part_token: str = PROFIT_PART_TOKEN,
+    share: float = DOMINANT_SHARE,
+) -> DataFrame:
+    """TPC-H Q20 shape (partsupp-free adaptation): suppliers who shipped
+    MORE than ``share`` of some family part's total shipped quantity
+    (threshold set where the synthetic uniform supplier mix still yields
+    dominant outliers at every test sf) —
+    Q20's nested "availqty > half the demand" correlation re-expressed
+    over shipment history. Two aggregates over the SAME
+    (l_partkey ⨝ family) slice — per (part, supplier) and per part —
+    joined back on the part key (exchange reuse), then a final semi-join
+    shape reduces to the distinct supplier list with their dominant-part
+    count."""
+    family = F.broadcast(
+        part.filter(F.col("p_name").contains(part_token)).select("p_partkey")
+    )
+    fam_lines = lineitem.join(
+        family, F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_ps = fam_lines.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("sq")
+    )
+    per_p = fam_lines.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("tq")
+    )
+    dominant = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(
+            F.col("sq").cast("double") > F.lit(share) * F.col("tq").cast("double")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )
+    return (
+        dominant.join(
+            F.broadcast(supplier),
+            dominant["l_suppkey"] == supplier["s_suppkey"],
+        )
+        .select("s_suppkey", "s_name", "n_dominant_parts")
+        .orderBy("s_suppkey")
+    )
+
+
+DOMINANT_PART_SUPPLIERS_SQL = f"""
+WITH fam_lines AS (
+    SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%{PROFIT_PART_TOKEN}%'
+),
+per_ps AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(28,2))) AS sq
+    FROM fam_lines GROUP BY l_partkey, l_suppkey
+),
+per_p AS (
+    SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(28,2))) AS tq
+    FROM fam_lines GROUP BY l_partkey
+),
+dominant AS (
+    SELECT ps.l_suppkey, COUNT(*) AS n_dominant_parts
+    FROM per_ps ps JOIN per_p p ON ps.l_partkey = p.l_partkey
+    WHERE ps.sq::DOUBLE > {DOMINANT_SHARE!r} * p.tq::DOUBLE
+    GROUP BY ps.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, d.n_dominant_parts
+FROM dominant d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+ORDER BY s.s_suppkey
+"""
