@@ -470,3 +470,53 @@ def test_redact_pii_patterns_and_counts(spark):
     assert (got[2].n_ipv4, got[2].n_ssn, got[2].n_phone) == (1, 1, 2)
     assert got[3].redacted_text == rows[2][1]
     assert got[3].n_email == got[3].n_phone == 0
+
+
+def test_suppliers_who_kept_waiting_semantics(spark):
+    """Q21 decorrelation contract: count only (order, supplier) where the
+    order is finished, multi-supplier, the supplier shipped late, and NO
+    other supplier did — and count each order once even with several
+    late lines from the same supplier."""
+    import datetime as dt
+
+    from music_streaming_etl_glue_spark.operators.relational import (
+        suppliers_who_kept_waiting,
+    )
+
+    d0 = dt.datetime(1995, 1, 1)
+    late = dt.datetime(1995, 6, 1)   # > 60 days after order date
+    ontime = dt.datetime(1995, 1, 15)
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "F", 1.0, d0, "1-URGENT"),  # A late, B ok  -> A waits
+            (2, 1, "F", 1.0, d0, "1-URGENT"),  # A late, B late -> nobody
+            (3, 1, "F", 1.0, d0, "1-URGENT"),  # only A, late   -> nobody
+            (4, 1, "O", 1.0, d0, "1-URGENT"),  # open order     -> excluded
+            (5, 1, "F", 1.0, d0, "1-URGENT"),  # A late twice, B ok -> A once
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    L = lambda ok, sk, ship: (ok, 1, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship)  # noqa: E731
+    lineitem = spark.createDataFrame(
+        [
+            L(1, 10, late), L(1, 20, ontime),
+            L(2, 10, late), L(2, 20, late),
+            L(3, 10, late),
+            L(4, 10, late), L(4, 20, ontime),
+            L(5, 10, late), L(5, 10, late), L(5, 20, ontime),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "Supp A", 0, 0.0), (20, "Supp B", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    got = {
+        r.s_suppkey: r.numwait
+        for r in suppliers_who_kept_waiting(supplier, orders, lineitem).collect()
+    }
+    assert got == {10: 2}
