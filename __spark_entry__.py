@@ -629,6 +629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": lambda spark, sf: _text.unigram_surprisal(
             _docs(spark, sf)
         ),
+        # BPE merge-rule training (iterative distributed argmax+fold;
+        # rows-only driver check — pytest pins exact rule-sequence parity
+        # with a single-machine reference BPE)
+        "bpe_merges": lambda spark, sf: _text.train_bpe_merges(
+            _docs(spark, sf)
+        ),
         # multimodal binary-column plumbing (documents as stand-in payloads)
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)

@@ -1086,3 +1086,135 @@ SELECT t.doc_id,
 FROM toks t JOIN freqs f ON t.term = f.term, total
 GROUP BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (the tokenizer-training step itself)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def _merge_pair(symbols: Column, left: Column, right: Column) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) symbol pairs
+    — one sequential fold, entirely JVM-side. The accumulator carries
+    (emitted prefix, one pending symbol); a pending `left` followed by
+    `right` emits the merged symbol and clears, anything else flushes
+    the pending symbol. Greedy-left matches the reference BPE behavior
+    on runs ("aaa" + merge(a,a) -> ["aa", "a"])."""
+    empty = F.array().cast("array<string>")
+    step = lambda acc, s: F.when(  # noqa: E731
+        acc["pending"].isNotNull()
+        & (acc["pending"] == left)
+        & (s == right),
+        F.struct(
+            F.concat(
+                acc["out"], F.array(F.concat(left, right))
+            ).alias("out"),
+            F.lit(None).cast("string").alias("pending"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.when(
+                acc["pending"].isNotNull(),
+                F.concat(acc["out"], F.array(acc["pending"])),
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+            s.alias("pending"),
+        )
+    )
+    done = F.aggregate(
+        symbols,
+        F.struct(
+            empty.alias("out"), F.lit(None).cast("string").alias("pending")
+        ),
+        step,
+    )
+    return F.when(
+        done["pending"].isNotNull(),
+        F.concat(done["out"], F.array(done["pending"])),
+    ).otherwise(done["out"])
+
+
+def train_bpe_merges(
+    documents: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Learn ``n_merges`` byte-pair-encoding merge rules from the corpus
+    — the tokenizer-training step itself, distributed: BPE trains on
+    the WORD-FREQUENCY table (explode + hash agg — vocabulary-sized,
+    orders of magnitude smaller than the corpus), so each iteration is
+    (1) explode adjacent symbol pairs weighted by word count, (2) one
+    tiny top-1 aggregate with a deterministic (count desc, pair asc)
+    tiebreak, (3) apply the merge with a JVM fold (no Python). The
+    per-iteration driver touch is ONE row (the argmax pair — same
+    legitimate coordination as the k-means/pagerank loops);
+    ``localCheckpoint`` truncates the growing lineage.
+
+    Returns (step, left, right, merged, pair_count). No SQL oracle —
+    iterative argmax with list-rebuild isn't expressible in one DuckDB
+    statement; correctness is pinned by pytest against a pure-Python
+    reference BPE on the same corpus (exact rule-sequence equality).
+
+    100 TB: the corpus pass is the one explode+agg; iterations run on
+    the vocab table, whose size is corpus-independent (≈ millions of
+    words), partitioned by word hash."""
+    words = (
+        documents.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+        .select("syms", "wc")
+        .localCheckpoint()
+    )
+    merges = []
+    for step_no in range(n_merges):
+        pairs = words.select(
+            "wc",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.slice(
+                            F.col("syms"), 1, F.size("syms") - 1
+                        ),
+                        lambda s, i: F.struct(
+                            s.alias("left"),
+                            F.element_at(
+                                F.col("syms"), i + 2
+                            ).alias("right"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<left:string,right:string>>"
+                ))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("p.left").asc(),
+                F.col("p.right").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["p"]["left"], top[0]["p"]["right"]
+        merges.append(
+            (step_no, left, right, left + right, int(top[0]["pair_count"]))
+        )
+        words = words.select(
+            _merge_pair(
+                F.col("syms"), F.lit(left), F.lit(right)
+            ).alias("syms"),
+            "wc",
+        ).localCheckpoint()
+    return documents.sparkSession.createDataFrame(
+        merges,
+        "step long, left string, right string, merged string,"
+        " pair_count long",
+    )

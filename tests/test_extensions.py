@@ -520,3 +520,65 @@ def test_suppliers_who_kept_waiting_semantics(spark):
         for r in suppliers_who_kept_waiting(supplier, orders, lineitem).collect()
     }
     assert got == {10: 2}
+
+
+def test_train_bpe_merges_matches_reference_bpe(spark):
+    """The distributed trainer must reproduce the exact merge-rule
+    sequence of a straightforward single-machine BPE (greedy-left
+    application, (count desc, pair asc) tiebreak) on the same corpus."""
+    from collections import Counter
+
+    from music_streaming_etl_glue_spark.operators.text import (
+        train_bpe_merges,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest",
+        "low new low new",
+    ]
+
+    def reference_bpe(texts, n):
+        words = Counter(w for t in texts for w in t.split(" "))
+        vocab = {tuple(w): c for w, c in words.items()}
+        rules = []
+        for step in range(n):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += c
+            if not pc:
+                break
+            (a, b), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            rules.append((step, a, b, a + b, cnt))
+            new_vocab = {}
+            for syms, c in vocab.items():
+                out, pending = [], None
+                for s in syms:
+                    if pending == a and s == b:
+                        out.append(a + b)
+                        pending = None
+                    else:
+                        if pending is not None:
+                            out.append(pending)
+                        pending = s
+                if pending is not None:
+                    out.append(pending)
+                key = tuple(out)
+                new_vocab[key] = new_vocab.get(key, 0) + c
+            vocab = new_vocab
+        return rules
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in train_bpe_merges(docs, n_merges=6)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == reference_bpe(texts, 6)
