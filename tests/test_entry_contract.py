@@ -12,8 +12,14 @@ import __spark_entry__ as entry
 from music_streaming_etl_glue_spark.sources.catalog import TABLES
 from tests.conftest import SF_SMOKE
 
-#: approximate queries deliberately carry no oracle (pytest bounds instead)
-ROWS_ONLY = {"genre_daily_metrics_approx", "value_percentiles_approx"}
+#: queries deliberately carrying no oracle: approximate sketches (pytest
+#: error bounds instead) and the iterative BPE trainer (pytest pins exact
+#: rule-sequence parity with a reference implementation)
+ROWS_ONLY = {
+    "genre_daily_metrics_approx",
+    "value_percentiles_approx",
+    "bpe_merges",
+}
 
 
 def test_every_query_has_an_oracle_or_is_declared_rows_only():
