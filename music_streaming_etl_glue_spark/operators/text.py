@@ -1218,3 +1218,29 @@ def train_bpe_merges(
         "step long, left string, right string, merged string,"
         " pair_count long",
     )
+
+
+def apply_bpe(
+    documents: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Encode each document's tokens with an ordered list of learned
+    (left, right) BPE merge rules (:func:`train_bpe_merges` output).
+    Rules apply in training order, each as the same greedy-left JVM
+    fold the trainer uses — k rules become k chained expressions over
+    the symbol arrays, still one narrow projection per document row
+    (no shuffle, no Python). Emits the per-token symbol arrays plus
+    before/after symbol counts (the compression-ratio audit)."""
+    toks = documents.select(
+        "doc_id", F.explode(_tokens()).alias("w")
+    )
+    syms = F.split(F.col("w"), "")
+    n_chars = F.size(syms).cast("long")
+    for left, right in merges:
+        syms = _merge_pair(syms, F.lit(left), F.lit(right))
+    return toks.select(
+        "doc_id",
+        F.col("w").alias("token"),
+        syms.alias("symbols"),
+        n_chars.alias("n_chars"),
+        F.size(syms).cast("long").alias("n_symbols"),
+    )

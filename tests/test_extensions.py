@@ -582,3 +582,28 @@ def test_train_bpe_merges_matches_reference_bpe(spark):
         .collect()
     ]
     assert got == reference_bpe(texts, 6)
+
+
+def test_apply_bpe_roundtrip_and_compression(spark):
+    """Encoding with learned rules must (a) concatenate back to the
+    original token (lossless), (b) never increase symbol count, and
+    (c) actually merge something the rules cover."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        apply_bpe,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newest low")],
+        "doc_id long, text string",
+    )
+    rules = [
+        (r.left, r.right)
+        for r in train_bpe_merges(docs, n_merges=4).orderBy("step").collect()
+    ]
+    enc = apply_bpe(docs, rules).collect()
+    assert enc
+    for r in enc:
+        assert "".join(r.symbols) == r.token
+        assert r.n_symbols <= r.n_chars
+    assert any(r.n_symbols < r.n_chars for r in enc)
