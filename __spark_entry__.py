@@ -163,6 +163,7 @@ _STAMP_PRIORITY = (
     "unigram_surprisal",
     "product_profit_by_nation",
     "dominant_part_suppliers",
+    "cluster_topics",
     "order_priority_unpivot",
     "sales_grouping_sets",
     "user_session_windows",
@@ -415,6 +416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ivf_assignments": lambda spark, sf: _sim.ivf_assignments(
             _embs(spark, sf)
+        ),
+        # cluster labeling: embedding cells x top non-stopword doc terms
+        "cluster_topics": lambda spark, sf: _sim.cluster_topics(
+            _docs(spark, sf), _embs(spark, sf)
         ),
         "cosine_pairs": lambda spark, sf: _sim.cosine_pairs(_embs(spark, sf)),
         "cosine_pairs_blocked": lambda spark, sf: _sim.cosine_pairs_blocked(
@@ -736,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
         "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_SQL,
         "ivf_assignments": _sim.IVF_ASSIGNMENTS_SQL,
+        "cluster_topics": _sim.CLUSTER_TOPICS_SQL,
         "cosine_pairs": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_blocked": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_lsh": _sim.COSINE_PAIRS_LSH_SQL,

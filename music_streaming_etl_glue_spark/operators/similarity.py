@@ -1441,3 +1441,101 @@ scored AS (
 SELECT vec_id, bench_vec_id, similarity
 FROM scored WHERE similarity >= {CONTAMINATION_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# cluster topic labeling (embedding cells x document terms)
+# ---------------------------------------------------------------------------
+
+TOPIC_TOP_TERMS = 5
+
+
+def cluster_topics(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k_terms: int = TOPIC_TOP_TERMS,
+) -> DataFrame:
+    """Label each embedding cluster with its most frequent non-stopword
+    terms — the corpus-exploration join of the two extension families:
+    vectors are assigned to their :func:`ivf_assignments` cell, cell
+    membership joins the documents table on the shared id, and one
+    (label, term) hash aggregate feeds a per-label top-k rank (the
+    window runs over per-label term counts — aggregated rows, never
+    documents). Emits (assigned_label, term, term_count, term_rank,
+    n_docs). At 100 TB: assignment is the broadcast-centroid argmin,
+    the join shuffles on the id, and the term aggregate is
+    vocabulary-x-cells sized."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        STOPWORDS,
+        _tokens,
+    )
+
+    member_docs = documents.join(
+        ivf_assignments(embeddings).select(
+            F.col("vec_id").alias("doc_id"), "assigned_label"
+        ),
+        "doc_id",
+    )
+    n_docs = member_docs.groupBy("assigned_label").agg(
+        F.count("*").alias("n_docs")
+    )
+    terms = (
+        member_docs.select(
+            "assigned_label", F.explode(_tokens()).alias("term")
+        )
+        .filter(~F.col("term").isin(*STOPWORDS))
+        .groupBy("assigned_label", "term")
+        .agg(F.count("*").alias("term_count"))
+    )
+    w = Window.partitionBy("assigned_label").orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    )
+    return (
+        terms.withColumn(
+            "term_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("term_rank") <= k_terms)
+        .join(F.broadcast(n_docs), "assigned_label")
+        .select(
+            "assigned_label", "term", "term_count", "term_rank", "n_docs"
+        )
+    )
+
+
+def _cluster_topics_sql() -> str:
+    from music_streaming_etl_glue_spark.operators.text import _STOP_SQL
+
+    return f"""
+WITH assigns AS ({IVF_ASSIGNMENTS_SQL}),
+member_docs AS (
+    SELECT a.assigned_label, d.doc_id, d.text
+    FROM documents d JOIN assigns a ON d.doc_id = a.vec_id
+),
+n_docs AS (
+    SELECT assigned_label, COUNT(*) AS n_docs
+    FROM member_docs GROUP BY assigned_label
+),
+terms AS (
+    SELECT assigned_label, t.term, COUNT(*) AS term_count
+    FROM (
+        SELECT assigned_label,
+               unnest(string_split(text, ' ')) AS term
+        FROM member_docs
+    ) t
+    WHERE t.term NOT IN ({_STOP_SQL})
+    GROUP BY assigned_label, t.term
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY assigned_label
+        ORDER BY term_count DESC, term ASC
+    ) AS term_rank
+    FROM terms
+)
+SELECT r.assigned_label, r.term, r.term_count, r.term_rank, n.n_docs
+FROM ranked r JOIN n_docs n ON r.assigned_label = n.assigned_label
+WHERE r.term_rank <= {TOPIC_TOP_TERMS}
+"""
+
+
+CLUSTER_TOPICS_SQL = _cluster_topics_sql()
