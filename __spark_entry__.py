@@ -167,12 +167,14 @@ _STAMP_PRIORITY = (
     "order_priority_unpivot",
     "sales_grouping_sets",
     "user_session_windows",
-    "value_percentiles_approx",
     "error_next_click",
     "events_in_error_bursts",
     "frame_sample",
     "resize_payload",
     "genre_totals_salted",
+    # rows-only checks sit after the hash-checked entries — a driver
+    # stamp on them carries less signal per slot
+    "value_percentiles_approx",
     # rotation picks: stamped only in an early round, worth re-stamping
     "cosine_pairs_lsh",
     "rebalance_sources",
