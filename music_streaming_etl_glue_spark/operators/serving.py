@@ -272,8 +272,14 @@ def serving_lookup(
         items.filter(F.col("kpi_type") == "user")
         .agg(F.min("id").alias("probe_id"))
     )
+    # the probe id is a 'user' item BY CONSTRUCTION, so the lookup also
+    # carries kpi_type = 'user': Catalyst constant-folds that equality
+    # into each union branch and eliminates the four non-user branches
+    # (each of which would otherwise re-aggregate the enriched frame) —
+    # same rows, one branch evaluated instead of five
     return (
-        items.crossJoin(probe)
+        items.filter(F.col("kpi_type") == "user")
+        .crossJoin(probe)
         .filter(F.col("id") == F.col("probe_id"))
         .drop("probe_id")
     )
