@@ -126,6 +126,9 @@ _STAMP_PRIORITY = (
     "profile_events",
     "events_in_busy_sessions",
     "user_value_quartiles",
+    # new this round — need their first driver stamp
+    "track_triangles",
+    "customer_status_history",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -292,6 +295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-iteration power method over the co-play graph (iterative
         # algorithm #2 beside connected components; unrolled-CTE oracle)
         "track_pagerank": lambda spark, sf: _clusters.track_pagerank(
+            _enriched(spark, sf)
+        ),
+        # triangle census + transitivity of the same co-play graph
+        "track_triangles": lambda spark, sf: _clusters.track_triangles(
             _enriched(spark, sf)
         ),
         "sample_per_group": lambda spark, sf: _beh.sample_per_group(
@@ -572,6 +579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 load_table(spark, sf, "nation"),
             )
         ),
+        # SCD2 build: CDC changelog -> versioned [valid_from, valid_to)
+        # dimension history (gaps-and-islands collapse)
+        "customer_status_history": lambda spark, sf: (
+            _rel.customer_status_history(load_table(spark, sf, "orders"))
+        ),
         # Q20 shape: nested-aggregate dominant-supplier correlation
         "dominant_part_suppliers": lambda spark, sf: (
             _rel.dominant_part_suppliers(
@@ -699,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _beh.EVENTS_ROLLUP_SQL,
         "track_cooccurrence": _beh.TRACK_COOCCURRENCE_SQL,
         "track_pagerank": _clusters.TRACK_PAGERANK_SQL,
+        "track_triangles": _clusters.TRACK_TRIANGLES_SQL,
         "sample_per_group": _beh.SAMPLE_PER_GROUP_SQL,
         "view_days_without_purchase": _beh.VIEW_DAYS_WITHOUT_PURCHASE_SQL,
         "view_purchase_days": _beh.VIEW_PURCHASE_DAYS_SQL,
@@ -776,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_market_share": _rel.NATION_MARKET_SHARE_SQL,
         "disjunctive_revenue": _rel.DISJUNCTIVE_REVENUE_SQL,
         "product_profit_by_nation": _rel.PRODUCT_PROFIT_SQL,
+        "customer_status_history": _rel.CUSTOMER_STATUS_HISTORY_SQL,
         "dominant_part_suppliers": _rel.DOMINANT_PART_SUPPLIERS_SQL,
         "order_priority_pivot": _an.ORDER_PRIORITY_PIVOT_SQL,
         "order_priority_unpivot": _an.ORDER_PRIORITY_UNPIVOT_SQL,

@@ -458,3 +458,129 @@ SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id
 
 
 SEMANTIC_DEDUP_CLUSTERS_SQL = _semantic_clusters_sql()
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row graph summary over an undirected edge list: node/edge
+    counts, triangle count, wedge (open-path) count, and the global
+    clustering coefficient (transitivity = 3·triangles / wedges) — the
+    standard "how clique-like are the dedup/co-play clusters" health
+    metric run after pair mining.
+
+    ``edges``: columns ``src``/``dst``, one row per undirected edge in
+    either orientation (duplicates and self-loops are dropped here).
+
+    Scale design: the classic two-join enumeration on CANONICALIZED
+    edges (src < dst) counts each triangle exactly once as
+    a < b < c — two shuffle joins on single-key columns over a slim
+    2-column relation, never a cross product. At 100 TB the known
+    refinement is degree-ordering (orient each edge low-degree →
+    high-degree before joining) which bounds the join fan-out by
+    O(m^1.5) regardless of hub nodes; the canonical a<b<c form here is
+    that algorithm's id-ordered special case. Wedges need only the
+    degree distribution (sum deg·(deg−1)/2) — one aggregate, no join."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        _symmetric(canon.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+    )
+    e1, e2, e3 = canon.alias("e1"), canon.alias("e2"), canon.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(
+            (F.col("deg") * (F.col("deg") - F.lit(1)) / F.lit(2)).cast("long")
+        ).alias("n_wedges"),
+    )
+    n_edges = canon.agg(F.count("*").alias("n_edges"))
+    return (
+        nodes.crossJoin(n_edges)
+        .crossJoin(triangles)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+
+
+def track_triangles(enriched: DataFrame) -> DataFrame:
+    """Triangle census of the co-played-same-(user, day) track graph —
+    same bounded edge generator as :func:`track_pagerank`, so the two
+    centrality/cohesion signals describe one graph."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        cooccurrence_pairs,
+    )
+
+    pairs = cooccurrence_pairs(enriched).distinct()
+    return triangle_stats(
+        pairs.select(F.col("track_a").alias("src"), F.col("track_b").alias("dst"))
+    )
+
+
+def _track_triangles_sql() -> str:
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        COOCCUR_PAIRS_CTES,
+    )
+
+    return f"""
+WITH {COOCCUR_PAIRS_CTES},
+canon AS (
+    SELECT DISTINCT least(track_a, track_b) AS a,
+                    greatest(track_a, track_b) AS b
+    FROM pairs
+    WHERE track_a <> track_b
+),
+deg AS (
+    SELECT src, COUNT(*) AS deg FROM (
+        SELECT a AS src FROM canon UNION ALL SELECT b AS src FROM canon
+    ) GROUP BY src
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM canon e1
+    JOIN canon e2 ON e1.b = e2.a
+    JOIN canon e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+nodes AS (
+    SELECT COUNT(*) AS n_nodes,
+           SUM((deg * (deg - 1) / 2)::BIGINT)::BIGINT AS n_wedges
+    FROM deg
+),
+ne AS (SELECT COUNT(*) AS n_edges FROM canon)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END,
+             6) AS transitivity
+FROM nodes, ne, tri
+"""
+
+
+TRACK_TRIANGLES_SQL = _track_triangles_sql()

@@ -1379,3 +1379,85 @@ SELECT s.s_suppkey, s.s_name, d.n_dominant_parts
 FROM dominant d JOIN supplier s ON d.l_suppkey = s.s_suppkey
 ORDER BY s.s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 / change-data-capture collapse: order-status history per customer
+# ---------------------------------------------------------------------------
+
+def customer_status_history(orders: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log: per
+    customer, collapse the order-status sequence (ordered by
+    ``o_orderdate``, ``o_orderkey``) into consecutive-run intervals
+    ``[valid_from, valid_to)`` with a version number — the standard
+    CDC-changelog → dimension-history transform every warehouse runs
+    for audit/as-of queries (the as-of probe itself is
+    :mod:`.asof`).
+
+    Gaps-and-islands: a run starts where the status differs from
+    ``lag(status)``; ``sum(flag)`` numbers the runs; one group-by
+    collapses each run; ``lead(valid_from)`` closes the interval (open
+    runs keep ``valid_to`` NULL). All three windows and the aggregate
+    share the o_custkey partitioning — ONE shuffle end to end, and at
+    100 TB the per-customer history is small, so no task-skew risk."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    ).withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("version", F.sum("chg").over(w).cast("long"))
+    runs = flagged.groupBy("o_custkey", "version").agg(
+        F.min("o_orderstatus").alias("status"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    return runs.select(
+        "o_custkey",
+        "version",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_orders",
+    )
+
+
+CUSTOMER_STATUS_HISTORY_SQL = """
+WITH flagged AS (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                     OR lag(o_orderstatus) OVER w <> o_orderstatus
+                THEN 1 ELSE 0 END AS chg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+    SELECT o_custkey,
+           SUM(chg) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         )::BIGINT AS version,
+           o_orderstatus, o_orderdate
+    FROM flagged
+),
+collapsed AS (
+    SELECT o_custkey, version,
+           min(o_orderstatus) AS status,
+           min(o_orderdate) AS valid_from,
+           COUNT(*) AS n_orders
+    FROM runs
+    GROUP BY o_custkey, version
+)
+SELECT o_custkey, version, status, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+           AS valid_to,
+       n_orders
+FROM collapsed
+"""

@@ -131,3 +131,38 @@ def test_min_label_raises_on_iteration_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(vertices, edges, max_iterations=3)
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 plus a pendant vertex: 4 triangles, wedges = sum deg(deg-1)/2
+    = 3*3 + 6 + 0... computed explicitly below; transitivity checks the
+    3T/wedges formula end to end."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        triangle_stats,
+    )
+
+    # K4 on {0,1,2,3} + pendant edge (3,4); duplicate + reversed edges
+    # must not change the census
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (1, 0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    row = triangle_stats(df).collect()[0]
+    assert row.n_nodes == 5
+    assert row.n_edges == 7
+    assert row.n_triangles == 4
+    # degrees: 0,1,2 -> 3; 3 -> 4; 4 -> 1  => wedges = 3*3 + 6 + 0 = 15
+    assert row.n_wedges == 15
+    assert abs(row.transitivity - 3 * 4 / 15) < 1e-9
+
+
+def test_triangle_stats_triangle_free(spark):
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        triangle_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    row = triangle_stats(df).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_wedges == 2
+    assert row.transitivity == 0.0

@@ -607,3 +607,30 @@ def test_apply_bpe_roundtrip_and_compression(spark):
         assert "".join(r.symbols) == r.token
         assert r.n_symbols <= r.n_chars
     assert any(r.n_symbols < r.n_chars for r in enc)
+
+
+def test_customer_status_history_intervals(spark):
+    """SCD2 collapse: versions partition each customer's timeline —
+    intervals chain (valid_to == next valid_from), runs alternate status,
+    and n_orders sums back to the customer's order count."""
+    from music_streaming_etl_glue_spark.operators.relational import (
+        customer_status_history,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    hist = customer_status_history(orders).collect()
+    by_cust = {}
+    for r in hist:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    n_orders = orders.count()
+    assert sum(r.n_orders for r in hist) == n_orders
+    for runs in by_cust.values():
+        runs.sort(key=lambda r: r.version)
+        assert [r.version for r in runs] == list(range(1, len(runs) + 1))
+        for prev, nxt in zip(runs, runs[1:]):
+            # consecutive runs differ in status and chain exactly
+            assert prev.status != nxt.status
+            assert prev.valid_to == nxt.valid_from
+        assert runs[-1].valid_to is None
