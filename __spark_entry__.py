@@ -129,6 +129,10 @@ _STAMP_PRIORITY = (
     # new this round — need their first driver stamp
     "track_triangles",
     "customer_status_history",
+    "pq_codebooks",
+    "pq_codes",
+    "ann_topk_pq",
+    "ann_topk_pq_rerank",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -406,6 +410,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nprobe-nearest-cell partition pruning
         "ann_topk_ivf_centroid": _ann_ivf_centroid,
         "knn_join": lambda spark, sf: _sim.knn_join(_embs(spark, sf)),
+        # product quantization: train codebooks / encode / ADC top-k —
+        # the 64x-compression scale path for 100TB ANN
+        "pq_codebooks": lambda spark, sf: _sim.pq_codebooks(_embs(spark, sf)),
+        "pq_codes": lambda spark, sf: _sim.pq_codes(_embs(spark, sf)),
+        "ann_topk_pq": lambda spark, sf: _sim.ann_topk_pq(_embs(spark, sf)),
+        "ann_topk_pq_rerank": lambda spark, sf: (
+            _sim.ann_topk_pq_rerank(_embs(spark, sf))
+        ),
         "embedding_stats": lambda spark, sf: _sim.embedding_stats(
             _embs(spark, sf)
         ),
@@ -750,6 +762,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,
         "ann_topk_ivf_centroid": _sim.ANN_TOPK_IVF_CENTROID_SQL,
         "knn_join": _sim.KNN_JOIN_SQL,
+        "pq_codebooks": _sim.PQ_CODEBOOKS_SQL,
+        "pq_codes": _sim.PQ_CODES_SQL,
+        "ann_topk_pq": _sim.ANN_TOPK_PQ_SQL,
+        "ann_topk_pq_rerank": _sim.ANN_TOPK_PQ_RERANK_SQL,
         "embedding_stats": _sim.EMBEDDING_STATS_SQL,
         "semantic_contamination": _sim.SEMANTIC_CONTAMINATION_SQL,
         "semantic_contamination_lsh": _sim.SEMANTIC_CONTAMINATION_LSH_SQL,

@@ -1,0 +1,46 @@
+"""Product quantization: encoding validity and recall bounds."""
+
+from __future__ import annotations
+
+from music_streaming_etl_glue_spark.operators import similarity as sim
+from music_streaming_etl_glue_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_pq_codes_shape_and_range(spark):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    rows = sim.pq_codes(embs).collect()
+    assert len(rows) == embs.count()
+    for r in rows:
+        assert len(r.codes) == sim.PQ_SUBSPACES
+        assert all(0 <= c < sim.PQ_CODES for c in r.codes)
+
+
+def test_pq_codebook_is_complete(spark):
+    """Every (subspace, code) cell exists with a full-width vector —
+    including cells no vector mapped to (seed fallback)."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    rows = sim.pq_codebooks(embs).collect()
+    assert len(rows) == sim.PQ_SUBSPACES * sim.PQ_CODES * sim.PQ_SUBDIM
+    cells = {(r.s, r.code) for r in rows}
+    assert len(cells) == sim.PQ_SUBSPACES * sim.PQ_CODES
+
+
+def test_pq_adc_recall(spark):
+    """ADC alone finds a plurality of the exact top-20 on the isotropic
+    test corpus (worst case for PQ — neighbors barely separated); the
+    shortlist+rerank path must recover most of it. Measured: 0.45 / 0.90
+    at sf0.01, similar at smoke scale; bounds are set loose."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {r.vec_id for r in sim.ann_topk_bruteforce(embs).collect()}
+    adc = {r.vec_id for r in sim.ann_topk_pq(embs).collect()}
+    rerank = {r.vec_id for r in sim.ann_topk_pq_rerank(embs).collect()}
+    assert len(exact & adc) / len(exact) >= 0.25
+    assert len(exact & rerank) / len(exact) >= 0.6
+    # rerank similarities are exact cosines -> subset agrees with brute
+    brute = {
+        r.vec_id: r.similarity for r in sim.ann_topk_bruteforce(embs, k=200).collect()
+    }
+    for r in sim.ann_topk_pq_rerank(embs).collect():
+        if r.vec_id in brute:
+            assert abs(r.similarity - brute[r.vec_id]) < 1e-9
