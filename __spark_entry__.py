@@ -133,6 +133,7 @@ _STAMP_PRIORITY = (
     "pq_codes",
     "ann_topk_pq",
     "ann_topk_pq_rerank",
+    "cms_track_estimates",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -331,6 +332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "orders"),
         ),
         "value_histogram": lambda spark, sf: _an.value_histogram(
+            load_table(spark, sf, "events")
+        ),
+        # count-min sketch (relational form) with exact-twin error audit
+        "cms_track_estimates": lambda spark, sf: _an.cms_track_estimates(
             load_table(spark, sf, "events")
         ),
         # single-pass column profiling (data-quality staple)
@@ -733,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "genre_daily_gapfilled": _beh.GENRE_DAILY_GAPFILLED_SQL,
         "daily_activity_full": _beh.DAILY_ACTIVITY_FULL_SQL,
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
+        "cms_track_estimates": _an.CMS_TRACK_ESTIMATES_SQL,
         "profile_events": _an.PROFILE_EVENTS_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,

@@ -686,3 +686,117 @@ SELECT * FROM (
 {_PROFILE_BRANCHES}
 ) ORDER BY "column"
 """
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch expressed relationally (deterministic md5 hash rows)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP_K = 20
+
+
+def cms_track_estimates(
+    events: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    top_k: int = CMS_TOP_K,
+) -> DataFrame:
+    """Top-k tracks by count-min-sketch play-count estimate, with the
+    exact count and the sketch's overestimate alongside (the CMS
+    guarantee: ``est >= exact``, excess < εN w.h.p.) — the audit query
+    for the sketch path.
+
+    The sketch is the relational form of CMS: ``depth`` hash rows ×
+    ``width`` buckets, bucket = md5(row ‖ key) mod width (the engine's
+    one portable hash — bit-identical in DuckDB), counts grouped per
+    (row, bucket). An estimate is the MIN over rows of the key's bucket
+    counts. At 100 TB the d×w sketch table is ~2k rows REGARDLESS of key
+    cardinality — it pre-aggregates map-side, broadcasts anywhere, and
+    merges across days/partitions by adding cell-wise, which is why a
+    sketch beats exact counting when keys number in the billions; the
+    exact twin here exists to measure the error, not to scale."""
+    plays = events.select(
+        F.get_json_object("props", "$.k").alias("key")
+    ).filter(F.col("key").isNotNull())
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
+    hashed = plays.select("key", rows).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), "key")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    sketch = hashed.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    exact = plays.groupBy("key").agg(F.count("*").alias("exact_plays"))
+    probes = exact.select("key", rows).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), "key")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    est = (
+        probes.join(sketch, ["row", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est_plays"))
+    )
+    return (
+        est.join(exact, "key")
+        .select(
+            F.col("key").alias("track_key"),
+            "est_plays",
+            "exact_plays",
+            (F.col("est_plays") - F.col("exact_plays")).alias("overestimate"),
+        )
+        .orderBy(F.col("est_plays").desc(), F.col("track_key").asc())
+        .limit(top_k)
+    )
+
+
+CMS_TRACK_ESTIMATES_SQL = f"""
+WITH plays AS (
+    SELECT json_extract_string(props, '$.k') AS key
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+hashed AS (
+    SELECT key, t.r AS row,
+           ('0x' || substr(md5(t.r::VARCHAR || ':' || key), 1, 15))::BIGINT
+               % {CMS_WIDTH} AS bucket
+    FROM plays, range(0, {CMS_DEPTH}) t(r)
+),
+sketch AS (
+    SELECT row, bucket, COUNT(*) AS cnt FROM hashed GROUP BY row, bucket
+),
+exact AS (SELECT key, COUNT(*) AS exact_plays FROM plays GROUP BY key),
+probes AS (
+    SELECT key, t.r AS row,
+           ('0x' || substr(md5(t.r::VARCHAR || ':' || key), 1, 15))::BIGINT
+               % {CMS_WIDTH} AS bucket
+    FROM exact, range(0, {CMS_DEPTH}) t(r)
+),
+est AS (
+    SELECT p.key, MIN(s.cnt) AS est_plays
+    FROM probes p JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+    GROUP BY p.key
+)
+SELECT e.key AS track_key, e.est_plays, x.exact_plays,
+       e.est_plays - x.exact_plays AS overestimate
+FROM est e JOIN exact x ON e.key = x.key
+ORDER BY e.est_plays DESC, track_key ASC
+LIMIT {CMS_TOP_K}
+"""

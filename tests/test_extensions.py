@@ -634,3 +634,23 @@ def test_customer_status_history_intervals(spark):
             assert prev.status != nxt.status
             assert prev.valid_to == nxt.valid_from
         assert runs[-1].valid_to is None
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee: every estimate >= the exact count, and on
+    a sketch much wider than the key cardinality the overestimate is 0
+    for virtually all keys (collision probability ~ n_keys/width)."""
+    from music_streaming_etl_glue_spark.operators.analytics import (
+        cms_track_estimates,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = cms_track_estimates(
+        load_table(spark, SF_SMOKE, "events"), top_k=10_000
+    ).collect()
+    assert rows, "expected at least one tracked key"
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.est_plays >= r.exact_plays for r in rows)
+    clean = sum(1 for r in rows if r.overestimate == 0)
+    assert clean / len(rows) >= 0.9
