@@ -148,3 +148,74 @@ def compact_parquet(
         raise
     shutil.rmtree(old)
     return n_after
+
+
+ZORDER_BITS = 8  # 8 bits/dim -> 65,536 z-cells for a 2-column key
+
+
+def zorder_key(
+    cols: list[Column | str],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = ZORDER_BITS,
+) -> Column:
+    """Morton (Z-order) interleave of N quantized columns — the
+    multi-dimensional clustering key for data skipping: sort/range-
+    partition a table by this key and every column of the key gets tight
+    per-file min/max ranges, so parquet footer pruning works for
+    predicates on ANY of them (a single-column sort gives this for one
+    column and destroys it for the rest).
+
+    ``mins``/``maxs`` are the per-column domain bounds used for
+    quantization — at 100 TB these come from one tiny agg over the
+    incoming batch (or table stats) and are baked into the write plan as
+    literals; nothing here shuffles beyond the write's own range
+    partitioning. Pure integer expressions, no UDF."""
+    if not (len(cols) == len(mins) == len(maxs)):
+        raise ValueError("cols, mins, maxs must align")
+    n = len(cols)
+    quantized = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        col = F.col(c) if isinstance(c, str) else c
+        span = (hi - lo) or 1.0
+        q = F.floor(
+            (col.cast("double") - F.lit(float(lo)))
+            / F.lit(float(span))
+            * F.lit((1 << bits) - 1)
+        ).cast("long")
+        quantized.append(F.greatest(F.lit(0), F.least(q, F.lit((1 << bits) - 1))))
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i).cast("long"))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols``: one metadata
+    agg for the domain bounds, then range-partition + sort by the Morton
+    key so file boundaries follow the space-filling curve. Readers
+    filtering on any clustered column skip most files via parquet
+    row-group stats — no index structure to maintain."""
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    mins = [bounds[f"lo_{c}"] for c in cols]
+    maxs = [bounds[f"hi_{c}"] for c in cols]
+    keyed = df.withColumn("__z", zorder_key(list(cols), mins, maxs, bits))
+    parted = (
+        keyed.repartitionByRange(n_files, "__z")
+        if n_files
+        else keyed.repartitionByRange("__z")
+    )
+    parted.sortWithinPartitions("__z").drop("__z").write.mode(
+        "overwrite"
+    ).parquet(path)
