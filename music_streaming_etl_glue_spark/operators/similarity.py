@@ -1892,3 +1892,120 @@ ranked AS (
 )
 SELECT vec_id, similarity, rank FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+def write_pq_layout(embeddings: DataFrame, path: str) -> None:
+    """Persist the PQ index: packed per-vector codes (the 8-byte column a
+    100 TB ANN scan actually reads) at ``path``, trained codebook at
+    ``path/_codebook`` (underscore prefix → invisible to the main
+    parquet listing). Training runs exactly once here; every probe
+    afterwards is codes-only."""
+    import os
+
+    cb = _pq_codebook(embeddings).localCheckpoint()
+    packed = (
+        _pq_assign(_pq_subvectors(embeddings), cb)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "code"))),
+                lambda t: t["code"],
+            ).alias("codes")
+        )
+    )
+    packed.write.mode("overwrite").parquet(path)
+    cb.write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
+
+
+def _pq_layout(spark, embeddings: DataFrame, path: str):
+    """(codes, codebook) DataFrames from the on-disk PQ index, building
+    it atomically on first use (same contract as the IVF layouts)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _build_layout_atomic(lambda tmp: write_pq_layout(embeddings, tmp), path)
+    codes = spark.read.parquet(path)
+    codebook = spark.read.parquet(os.path.join(path, "_codebook"))
+    return codes, codebook
+
+
+def pq_codebooks_cached(spark, embeddings: DataFrame, path: str) -> DataFrame:
+    """:func:`pq_codebooks` served from the persisted layout — identical
+    rows (training is deterministic), one 256-row read instead of a
+    training pass."""
+    _, cb = _pq_layout(spark, embeddings, path)
+    return cb.select(
+        "s", "code", F.posexplode("cvec").alias("d", "value")
+    ).withColumn("d", F.col("d").cast("long"))
+
+
+def pq_codes_cached(spark, embeddings: DataFrame, path: str) -> DataFrame:
+    """:func:`pq_codes` served from the persisted layout."""
+    codes, _ = _pq_layout(spark, embeddings, path)
+    return codes
+
+
+def ann_topk_pq_cached(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    k: int = TOP_K,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
+    """ADC top-k against the persisted PQ index: the only corpus data
+    touched is the packed code column; the query's M·K LUT comes from
+    the stored codebook + one point-lookup of the query vector. Same
+    scores as :func:`ann_topk_pq`, same oracle."""
+    packed, cb = _pq_layout(spark, embeddings, path)
+    codes = packed.select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    ).withColumn("s", F.col("s").cast("long"))
+    qsub = _pq_subvectors(
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+    ).select("s", F.col("subvec").alias("qvec"))
+    lut = cb.join(qsub, "s").select(
+        "s",
+        "code",
+        F.round(_dot(F.col("cvec"), F.col("qvec")), PQ_DIST_ROUND).alias(
+            "partial"
+        ),
+    )
+    scored = (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("partial"), ROUND).alias("similarity"))
+    )
+    return _ranked_topk(scored, k)
+
+
+def ann_topk_pq_rerank_cached(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    k: int = TOP_K,
+    query_vec_id: int = QUERY_VEC_ID,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Shortlist from the cached ADC scan, exact rerank fetching raw
+    vectors for the shortlist only (broadcast semi-join on vec_id)."""
+    short = ann_topk_pq_cached(
+        spark, embeddings, path, k=shortlist, query_vec_id=query_vec_id
+    )
+    nv = _normalized_vecs(embeddings)
+    q = F.broadcast(
+        nv.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("vec").alias("qvec")
+        )
+    )
+    rescored = (
+        nv.join(F.broadcast(short.select("vec_id")), "vec_id")
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("vec"), F.col("qvec")), ROUND).alias(
+                "similarity"
+            ),
+        )
+    )
+    return _ranked_topk(rescored, k)

@@ -44,3 +44,31 @@ def test_pq_adc_recall(spark):
     for r in sim.ann_topk_pq_rerank(embs).collect():
         if r.vec_id in brute:
             assert abs(r.similarity - brute[r.vec_id]) < 1e-9
+
+
+def test_pq_cached_layout_matches_pure_forms(spark, tmp_path):
+    """The persisted PQ index must serve byte-identical results to the
+    training-inline forms (training is deterministic)."""
+    path = str(tmp_path / "pq_layout")
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    pure = {(r.s, r.code, r.d): r.value for r in sim.pq_codebooks(embs).collect()}
+    cached = {
+        (r.s, r.code, r.d): r.value
+        for r in sim.pq_codebooks_cached(spark, embs, path).collect()
+    }
+    assert pure == cached
+    pure_codes = {r.vec_id: list(r.codes) for r in sim.pq_codes(embs).collect()}
+    cached_codes = {
+        r.vec_id: list(r.codes)
+        for r in sim.pq_codes_cached(spark, embs, path).collect()
+    }
+    assert pure_codes == cached_codes
+    a = [tuple(r) for r in sim.ann_topk_pq(embs).collect()]
+    b = [tuple(r) for r in sim.ann_topk_pq_cached(spark, embs, path).collect()]
+    assert a == b
+    ar = [tuple(r) for r in sim.ann_topk_pq_rerank(embs).collect()]
+    br = [
+        tuple(r)
+        for r in sim.ann_topk_pq_rerank_cached(spark, embs, path).collect()
+    ]
+    assert ar == br
