@@ -238,6 +238,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genre_daily_metrics_approx": lambda spark, sf: (
             _kpis.genre_daily_metrics_approx(_enriched(spark, sf))
         ),
+        # mergeable HLL partials (persist per-day sketches, merge any
+        # range without rescanning) — engine-specific binary, rows-only
+        "genre_distinct_sketch_rollup": lambda spark, sf: (
+            _kpis.genre_distinct_sketch_rollup(_enriched(spark, sf))
+        ),
         "genre_top_songs": lambda spark, sf: _kpis.genre_top_songs(
             _enriched(spark, sf)
         ),

