@@ -91,3 +91,61 @@ def streaming_user_sessions(
             "n_events",
         )
     )
+
+
+try:  # Spark 4 typed-state API; absent on older runtimes
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """``transformWithState`` processor: same per-user running totals as
+    :func:`running_user_totals`, on the Spark 4 typed-state API. State
+    lives in a named ``ValueState`` inside the operator's state store —
+    composable with other state variables (lists, maps, timers, TTL) in
+    one processor, which is what the legacy single-tuple
+    ``applyInPandasWithState`` cannot do. Module-level class: processor
+    instances are pickled to the Python state workers, so the class must
+    be importable by reference."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = (
+            tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events_total": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
+    """:func:`running_user_totals` on ``transformWithStateInPandas`` —
+    output rows are identical (same keys, same totals per micro-batch),
+    so the two state APIs are interchangeable for this contract and the
+    test asserts exactly that. Runtime needs: RocksDB state store
+    provider + google.protobuf in the Python workers (standard on real
+    clusters; the test skips where the container lacks protobuf)."""
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -136,3 +136,50 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
         for r in expected.collect()
     }
     assert got == want  # every batch session emitted exactly once, no extras
+
+
+def test_tws_totals_match_legacy_state_api(spark, tmp_path):
+    """transformWithStateInPandas (typed state store) and
+    applyInPandasWithState (legacy tuple state) must produce identical
+    running totals for the same input — the migration contract.
+
+    The TWS state-server protocol needs google.protobuf in the Python
+    workers; skip where the container lacks it (the operator itself is
+    plain Spark 4 API and runs on any standard cluster)."""
+    import shutil as _sh
+
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from music_streaming_etl_glue_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    src = tmp_path / "in_tws"
+    src.mkdir()
+    _sh.copy(f"{SF_SMOKE}/events.parquet", src / "b1.parquet")
+    out = str(tmp_path / "tws_out")
+    q = (
+        running_user_totals_tws(stream_events(spark, str(src)))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ck"))
+        .foreachBatch(
+            lambda df, epoch: df.write.mode("append").parquet(out)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.n_events_total, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    expect = {
+        (r.user_id, r.n, round(r.t, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == expect
