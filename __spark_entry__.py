@@ -162,6 +162,7 @@ _STAMP_PRIORITY = (
     "ann_topk_pq",
     "ann_topk_pq_rerank",
     "cms_track_estimates",
+    "geomean_value_by_type",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -369,6 +370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # count-min sketch (relational form) with exact-twin error audit
         "cms_track_estimates": lambda spark, sf: _an.cms_track_estimates(
+            load_table(spark, sf, "events")
+        ),
+        # GROUPED_AGG pandas UDF (Arrow UDAF) with expression-twin oracle
+        "geomean_value_by_type": lambda spark, sf: _an.geomean_value_by_type(
             load_table(spark, sf, "events")
         ),
         # single-pass column profiling (data-quality staple)
@@ -773,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_activity_full": _beh.DAILY_ACTIVITY_FULL_SQL,
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
         "cms_track_estimates": _an.CMS_TRACK_ESTIMATES_SQL,
+        "geomean_value_by_type": _an.GEOMEAN_VALUE_SQL,
         "profile_events": _an.PROFILE_EVENTS_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,

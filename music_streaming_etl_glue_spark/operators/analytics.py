@@ -11,6 +11,7 @@ events stream table.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -799,4 +800,52 @@ SELECT e.key AS track_key, e.est_plays, x.exact_plays,
 FROM est e JOIN exact x ON e.key = x.key
 ORDER BY e.est_plays DESC, track_key ASC
 LIMIT {CMS_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped-aggregate pandas UDF (Arrow UDAF escape hatch)
+# ---------------------------------------------------------------------------
+
+def geomean_value_by_type(events: DataFrame) -> DataFrame:
+    """Per-event-type geometric mean of positive event values via a
+    GROUPED_AGG pandas UDF — the Arrow-batched custom-aggregator escape
+    hatch, completing the UDF surface next to the scalar pandas UDF
+    (ann_topk_pandas), grouped-map (cosine_pairs_blocked), mapInPandas
+    (multimodal_features), and UDTF (chunk_documents_udtf) twins.
+
+    Geometric mean is chosen BECAUSE it has an exact expression twin
+    (exp(avg(ln x))) the oracle runs — the UDAF's correctness is
+    hash-checked, not trusted. Each group's values arrive as one pandas
+    Series per partition-group; partial aggregation does NOT apply to
+    grouped-agg UDFs (the group's rows all shuffle to one task), which
+    is the documented trade vs built-in algebraic aggregates — use this
+    path only for aggregations Spark cannot express. Rounded to 6dp (log
+    summation order differs between numpy pairwise and the oracle's
+    sequential sum at ~1e-16)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        pos = v[v > 0]
+        if pos.empty:
+            return None
+        return float(np.exp(np.log(pos.to_numpy(dtype="float64")).mean()))
+
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(geomean("value"), 6).alias("geomean_value"))
+    )
+
+
+GEOMEAN_VALUE_SQL = """
+SELECT event_type,
+       round(exp(avg(CASE WHEN value > 0 THEN ln(value) END)), 6)
+           AS geomean_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
 """
