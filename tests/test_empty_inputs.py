@@ -158,3 +158,35 @@ def test_round3_operators_on_empty_inputs(spark):
     embs = _empty(spark, "vec_id long, embedding array<float>, label int")
     with pytest.raises(ValueError, match="empty"):
         cosine_pairs_lsh(embs)
+
+
+def test_round4_second_wave_on_empty_inputs(spark):
+    """Triangles, SCD2 collapse, CMS, geomean UDAF, and PQ training must
+    survive 0-row inputs (PQ trains an empty codebook and encodes zero
+    vectors — subspace slicing uses static dims, so nothing dereferences
+    a first row)."""
+    from music_streaming_etl_glue_spark.operators import (
+        clusters,
+        relational,
+        similarity,
+    )
+
+    events = _empty(spark, EVENTS_DDL)
+    assert analytics.cms_track_estimates(events).count() == 0
+    assert analytics.geomean_value_by_type(events).count() == 0
+
+    edges = _empty(spark, "src long, dst long")
+    row = clusters.triangle_stats(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (0, 0, 0)
+    assert row.transitivity == 0.0
+
+    orders = _empty(
+        spark,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_orderdate date",
+    )
+    assert relational.customer_status_history(orders).count() == 0
+
+    embs = _empty(spark, "vec_id long, embedding array<float>, label string")
+    assert similarity.pq_codes(embs).count() == 0
+    assert similarity.pq_codebooks(embs).count() == 0
