@@ -474,15 +474,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     ``edges``: columns ``src``/``dst``, one row per undirected edge in
     either orientation (duplicates and self-loops are dropped here).
 
-    Scale design: the classic two-join enumeration on CANONICALIZED
-    edges (src < dst) counts each triangle exactly once as
-    a < b < c — two shuffle joins on single-key columns over a slim
-    2-column relation, never a cross product. At 100 TB the known
-    refinement is degree-ordering (orient each edge low-degree →
-    high-degree before joining) which bounds the join fan-out by
-    O(m^1.5) regardless of hub nodes; the canonical a<b<c form here is
-    that algorithm's id-ordered special case. Wedges need only the
-    degree distribution (sum deg·(deg−1)/2) — one aggregate, no join."""
+    Scale design: two-join enumeration over DEGREE-ORDERED edges — each
+    edge is oriented from its (degree, id)-smaller endpoint to the
+    larger, a total order under which every triangle has exactly one
+    apex pattern (u→v, u→w, v→w), so it is counted once. Orienting by
+    degree (not id) bounds every out-neighborhood by O(√m), which
+    bounds the join fan-out by O(m^1.5) REGARDLESS of hub skew (the
+    classic Schank/Latapy result; an id-ordered orientation lets one
+    hub with degree d contribute d² join candidates). The edge relation
+    stays 2 slim columns; wedges need only the degree distribution
+    (sum deg·(deg−1)/2) — one aggregate, no join. The oracle twin keeps
+    the id-ordered form: the COUNT is orientation-invariant, so both
+    derivations must (and do) agree value-for-value."""
     canon = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -496,12 +499,26 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .groupBy("src")
         .agg(F.count("*").alias("deg"))
     )
-    e1, e2, e3 = canon.alias("e1"), canon.alias("e2"), canon.alias("e3")
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     triangles = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
         .join(
             e3,
-            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
         )
         .agg(F.count("*").alias("n_triangles"))
     )

@@ -166,3 +166,33 @@ def test_triangle_stats_triangle_free(spark):
     assert row.n_triangles == 0
     assert row.n_wedges == 2
     assert row.transitivity == 0.0
+
+
+def test_triangle_stats_random_graph_vs_reference(spark):
+    """Degree-ordered enumeration equals a brute-force reference count on
+    a deterministic pseudo-random graph with a planted hub (the skew
+    shape the orientation exists for: the hub's edges all point INTO it,
+    so its quadratic wedge set never enters the join)."""
+    import hashlib
+    from itertools import combinations
+
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        triangle_stats,
+    )
+
+    n = 24
+    edges = {
+        (a, b)
+        for a, b in combinations(range(n), 2)
+        if int(hashlib.md5(f"{a}:{b}".encode()).hexdigest(), 16) % 5 == 0
+    }
+    edges |= {(0, i) for i in range(1, n)}  # hub: node 0 touches everyone
+    expect = sum(
+        1
+        for a, b, c in combinations(range(n), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    df = spark.createDataFrame(sorted(edges), "src bigint, dst bigint")
+    row = triangle_stats(df).collect()[0]
+    assert row.n_triangles == expect
+    assert row.n_edges == len(edges)
