@@ -163,6 +163,7 @@ _STAMP_PRIORITY = (
     "ann_topk_pq_rerank",
     "cms_track_estimates",
     "geomean_value_by_type",
+    "error_click_asof_cogroup",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -683,6 +684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_click_asof": lambda spark, sf: _asof.error_click_asof(
             load_table(spark, sf, "events")
         ),
+        # cogrouped-pandas twin of the as-of kernel (shares its oracle)
+        "error_click_asof_cogroup": lambda spark, sf: (
+            _asof.error_click_asof_cogroup(load_table(spark, sf, "events"))
+        ),
         # forward as-of (first right row at-or-after) — same kernel reversed
         "error_next_click": lambda spark, sf: _asof.error_next_click(
             load_table(spark, sf, "events")
@@ -863,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _an.VALUE_PERCENTILES_SQL,
         "skyline_parts": _an.SKYLINE_PARTS_SQL,
         "error_click_asof": _asof.ERROR_CLICK_ASOF_SQL,
+        "error_click_asof_cogroup": _asof.ERROR_CLICK_ASOF_SQL,
         "error_next_click": _asof.ERROR_NEXT_CLICK_SQL,
         "events_in_busy_sessions": _asof.EVENTS_IN_BUSY_SESSIONS_SQL,
         "events_in_error_bursts": _asof.EVENTS_IN_ERROR_BURSTS_SQL,

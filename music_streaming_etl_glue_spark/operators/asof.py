@@ -427,3 +427,65 @@ def error_next_click(events: DataFrame) -> DataFrame:
 
 
 ERROR_NEXT_CLICK_SQL = _error_click_sql("<=", "next_click_ts", "next_click_value")
+
+
+def error_click_asof_cogroup(events: DataFrame) -> DataFrame:
+    """:func:`error_click_asof` on the COGROUPED pandas API
+    (``groupBy().cogroup().applyInPandas``): both sides shuffle on
+    user_id once, and each co-group becomes a pair of pandas frames
+    merged with ``pd.merge_asof`` — the Arrow escape hatch for per-key
+    two-sided logic the expression kernel can't express. Here it CAN
+    (the union + carry-forward window in :func:`asof_join`), which is
+    the point: identical output, shared oracle, so the cogroup path is
+    hash-verified rather than trusted. State per task is one co-group,
+    so memory scales with the largest key, not the table."""
+    import pandas as pd
+
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "click_ts", "click_value"]
+            )
+        left = left.sort_values(["ts", "event_id"])
+        if right.empty:
+            out = left.copy()
+            out["click_ts"] = pd.NaT
+            out["click_value"] = None
+            return out[["event_id", "user_id", "ts", "click_ts", "click_value"]]
+        # tiebreak duplicate click timestamps: max event_id wins (same
+        # contract as asof_join(tiebreaker="event_id"))
+        right = (
+            right.sort_values(["ts", "event_id"])
+            .groupby("ts", as_index=False)
+            .last()
+        )
+        out = pd.merge_asof(
+            left,
+            right[["ts", "value"]].rename(
+                columns={"ts": "click_ts", "value": "click_value"}
+            ),
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "user_id", "ts", "click_ts", "click_value"]]
+
+    return (
+        errors.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            lambda left, right: merge(left, right),
+            schema=(
+                "event_id long, user_id long, ts timestamp,"
+                " click_ts timestamp, click_value double"
+            ),
+        )
+    )
