@@ -164,6 +164,7 @@ _STAMP_PRIORITY = (
     "cms_track_estimates",
     "geomean_value_by_type",
     "error_click_asof_cogroup",
+    "favorite_track_per_user",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -340,6 +341,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # triangle census + transitivity of the same co-play graph
         "track_triangles": lambda spark, sf: _clusters.track_triangles(
             _enriched(spark, sf)
+        ),
+        # grouped MODE with deterministic tiebreak (built-in mode() is
+        # tie-nondeterministic in both engines)
+        "favorite_track_per_user": lambda spark, sf: (
+            _beh.favorite_track_per_user(_enriched(spark, sf))
         ),
         "sample_per_group": lambda spark, sf: _beh.sample_per_group(
             load_table(spark, sf, "events")
@@ -773,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "track_cooccurrence": _beh.TRACK_COOCCURRENCE_SQL,
         "track_pagerank": _clusters.TRACK_PAGERANK_SQL,
         "track_triangles": _clusters.TRACK_TRIANGLES_SQL,
+        "favorite_track_per_user": _beh.FAVORITE_TRACK_SQL,
         "sample_per_group": _beh.SAMPLE_PER_GROUP_SQL,
         "view_days_without_purchase": _beh.VIEW_DAYS_WITHOUT_PURCHASE_SQL,
         "view_purchase_days": _beh.VIEW_PURCHASE_DAYS_SQL,

@@ -757,3 +757,51 @@ FROM genres g
 CROSS JOIN calendar c
 LEFT JOIN daily d ON d.track_genre = g.track_genre AND d.day = c.day
 """
+
+
+# ---------------------------------------------------------------------------
+# per-group mode (deterministic tiebreak)
+# ---------------------------------------------------------------------------
+
+def favorite_track_per_user(enriched: DataFrame) -> DataFrame:
+    """Per-user modal track (most-played; ties broken by smaller
+    track_id) with its play count — the grouped MODE shape. Built-in
+    ``mode()`` is tie-nondeterministic in both engines, so the portable
+    form is count + one rank window sharing the count shuffle's
+    partitioning; the window partition is one user's distinct tracks,
+    never raw plays."""
+    counts = (
+        enriched.filter(F.col("track_id").isNotNull())
+        .groupBy("user_id", "track_id")
+        .agg(F.count("*").alias("n_plays"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_plays").desc(), F.col("track_id").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "track_id", "n_plays")
+    )
+
+
+FAVORITE_TRACK_SQL = """
+WITH plays AS (
+    SELECT user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS track_id
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+counts AS (
+    SELECT user_id, track_id, COUNT(*) AS n_plays
+    FROM plays GROUP BY user_id, track_id
+)
+SELECT user_id, track_id, n_plays
+FROM (
+    SELECT user_id, track_id, n_plays,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_plays DESC, track_id ASC) AS rn
+    FROM counts
+)
+WHERE rn = 1
+"""
