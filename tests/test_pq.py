@@ -72,3 +72,18 @@ def test_pq_cached_layout_matches_pure_forms(spark, tmp_path):
         for r in sim.ann_topk_pq_rerank_cached(spark, embs, path).collect()
     ]
     assert ar == br
+
+
+def test_pq_codes_partition_invariant(spark):
+    """Training + encoding decisions are md5/rounding-deterministic, so
+    repartitioning the corpus must not move a single code."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    a = {
+        r.vec_id: list(r.codes)
+        for r in sim.pq_codes(embs.repartition(7)).collect()
+    }
+    b = {
+        r.vec_id: list(r.codes)
+        for r in sim.pq_codes(embs.repartition(3, "label")).collect()
+    }
+    assert a == b
