@@ -165,6 +165,7 @@ _STAMP_PRIORITY = (
     "geomean_value_by_type",
     "error_click_asof_cogroup",
     "favorite_track_per_user",
+    "track_decay_scores",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -346,6 +347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie-nondeterministic in both engines)
         "favorite_track_per_user": lambda spark, sf: (
             _beh.favorite_track_per_user(_enriched(spark, sf))
+        ),
+        # exponential time-decay popularity (stateless decayed-sum kernel)
+        "track_decay_scores": lambda spark, sf: (
+            _beh.track_decay_scores(_enriched(spark, sf))
         ),
         "sample_per_group": lambda spark, sf: _beh.sample_per_group(
             load_table(spark, sf, "events")
@@ -780,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         "track_pagerank": _clusters.TRACK_PAGERANK_SQL,
         "track_triangles": _clusters.TRACK_TRIANGLES_SQL,
         "favorite_track_per_user": _beh.FAVORITE_TRACK_SQL,
+        "track_decay_scores": _beh.TRACK_DECAY_SCORES_SQL,
         "sample_per_group": _beh.SAMPLE_PER_GROUP_SQL,
         "view_days_without_purchase": _beh.VIEW_DAYS_WITHOUT_PURCHASE_SQL,
         "view_purchase_days": _beh.VIEW_PURCHASE_DAYS_SQL,

@@ -805,3 +805,80 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# exponential time-decay popularity
+# ---------------------------------------------------------------------------
+
+DECAY_HALF_LIFE_H = 24.0
+DECAY_TOP_K = 50
+
+
+def track_decay_scores(
+    enriched: DataFrame,
+    half_life_h: float = DECAY_HALF_LIFE_H,
+    top_k: int = DECAY_TOP_K,
+) -> DataFrame:
+    """Top-k tracks by exponentially time-decayed play score: each play
+    contributes 2^(−age_hours/half_life), aged against the corpus'
+    latest event (a deterministic "now", so the query replays
+    identically). One aggregate — decayed sums are algebraic, so the
+    map-side combine does most of the work and the shuffle carries one
+    partial per (track, partition); the decay kernel beats sliding
+    windows at 100 TB because NO per-play state or window frame exists.
+    Scores round to 6dp (summation order) before ranking."""
+    latest = F.broadcast(enriched.agg(F.max("timestamp").alias("__latest")))
+    plays = (
+        enriched.filter(F.col("track_id").isNotNull())
+        .crossJoin(latest)
+        .withColumn(
+            "age_h",
+            (
+                F.unix_timestamp("__latest") - F.unix_timestamp("timestamp")
+            ).cast("double")
+            / 3600.0,
+        )
+    )
+    # per-play contributions snapped to 12dp and summed as exact decimal
+    # (the pagerank discipline): partition-count-independent AND
+    # bit-identical to the oracle's sequential sum
+    contrib = F.round(
+        F.pow(F.lit(2.0), -F.col("age_h") / half_life_h), 12
+    ).cast("decimal(38,12)")
+    return (
+        plays.groupBy("track_id")
+        .agg(
+            F.round(F.sum(contrib).cast("double"), 6).alias("decay_score"),
+            F.count("*").alias("n_plays"),
+        )
+        .orderBy(F.col("decay_score").desc(), F.col("track_id").asc())
+        .limit(top_k)
+    )
+
+
+TRACK_DECAY_SCORES_SQL = f"""
+WITH latest AS (
+    SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS latest_s FROM events
+),
+plays AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS track_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+scored AS (
+    SELECT track_id,
+           round(CAST(SUM(CAST(round(
+               pow(2.0, -(((latest_s - ts_s)::DOUBLE) / 3600.0)
+                            / {DECAY_HALF_LIFE_H}),
+               12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS decay_score,
+           COUNT(*) AS n_plays
+    FROM plays, latest
+    GROUP BY track_id
+)
+SELECT track_id, decay_score, n_plays
+FROM scored
+ORDER BY decay_score DESC, track_id ASC
+LIMIT {DECAY_TOP_K}
+"""
