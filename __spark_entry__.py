@@ -166,6 +166,7 @@ _STAMP_PRIORITY = (
     "error_click_asof_cogroup",
     "favorite_track_per_user",
     "track_decay_scores",
+    "dedup_incremental",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -398,6 +399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "dedup_apply": lambda spark, sf: _dedup.dedup_apply(_docs(spark, sf)),
+        # append-only ingestion: new batch flagged against the existing
+        # corpus (asymmetric exact + minhash rungs)
+        "dedup_incremental": lambda spark, sf: _dedup.dedup_incremental(
+            _docs(spark, sf)
+        ),
         "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
         "stratified_sample": lambda spark, sf: _dedup.stratified_sample(
             load_table(spark, sf, "events")
@@ -801,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,
         "dedup_apply": _dedup.DEDUP_APPLY_SQL,
+        "dedup_incremental": _dedup.DEDUP_INCREMENTAL_SQL,
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
         "stratified_sample": _dedup.STRATIFIED_SAMPLE_SQL,
         "weighted_sample": _dedup.WEIGHTED_SAMPLE_SQL,

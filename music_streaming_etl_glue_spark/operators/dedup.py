@@ -1049,3 +1049,184 @@ UNION ALL
 SELECT 3, 'near_dup_clusters', COUNT(DISTINCT cluster_id)::BIGINT
 FROM ({{DEDUP_CLUSTERS_SQL}})
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch against the already-ingested corpus
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_CORPUS_MOD = 5  # doc_id % mod == 0 -> "already ingested"
+
+
+def dedup_incremental(
+    documents: DataFrame,
+    corpus_mod: int = INCREMENTAL_CORPUS_MOD,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Append-only ingestion dedup: flag each NEW document against the
+    EXISTING corpus — exact (md5 of text seen before) and near
+    (MinHash-band collision with a corpus doc, verified by exact shingle
+    Jaccard ≥ threshold). ``keep`` is the admit decision. The testdata
+    split is deterministic (doc_id % corpus_mod == 0 plays the corpus);
+    production passes two relations.
+
+    This is the ASYMMETRIC form of :func:`minhash_dedup_pairs`: the
+    bucket join is batch-side × corpus-side only, so no batch-batch or
+    corpus-corpus candidates are ever generated — at 100 TB the corpus
+    side of the join is the persisted (band, band_hash, doc_id) index
+    maintained across ingests (plus the md5 fingerprint index for the
+    exact rung), and each ingest touches only its own buckets. The
+    streaming twin of the same contract is
+    ``dropDuplicatesWithinWatermark`` in streaming/file_pipeline."""
+    is_corpus = (F.col("doc_id") % corpus_mod) == 0
+    sh = shingles(documents).localCheckpoint(eager=False)
+    sigs = minhash_signatures(documents, k, shingle_frame=sh)
+    r = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)])
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    bx = buckets.filter(~((F.col("doc_id") % corpus_mod) == 0)).alias("x")
+    by = buckets.filter((F.col("doc_id") % corpus_mod) == 0).alias("y")
+    candidates = (
+        bx.join(
+            by,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash")),
+        )
+        .select(
+            F.col("x.doc_id").alias("new_doc"),
+            F.col("y.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    inter = (
+        candidates.join(sh.alias("sa"), F.col("new_doc") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("corpus_doc") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    )
+    near = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("new_doc"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "new_doc",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "corpus_doc",
+        )
+        .filter(jaccard >= threshold)
+        .select("new_doc")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    corpus_hashes = (
+        documents.filter(is_corpus)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+        .withColumn("exact_dup", F.lit(True))
+    )
+    batch = documents.filter(~is_corpus).withColumn(
+        "text_hash", F.md5("text")
+    )
+    return (
+        batch.join(corpus_hashes, "text_hash", "left")
+        .join(near, batch["doc_id"] == near["new_doc"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            (
+                F.coalesce("exact_dup", F.lit(False))
+                | F.coalesce("near_dup", F.lit(False))
+            ).alias("dup"),
+        )
+        .select(
+            "doc_id",
+            "exact_dup",
+            "near_dup",
+            (~F.col("dup")).alias("keep"),
+        )
+    )
+
+
+def _dedup_incremental_sql(
+    corpus_mod: int = INCREMENTAL_CORPUS_MOD,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> str:
+    r = k // bands
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{b * r + i}" for i in range(r))
+        + ")) AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({_shingles_cte()}),
+sigs AS ({_minhash_sig_cte(k)}),
+buckets AS (
+{band_selects}
+),
+candidates AS (
+    SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+    FROM buckets x JOIN buckets y
+      ON x.band = y.band AND x.band_hash = y.band_hash
+    WHERE x.doc_id % {corpus_mod} != 0 AND y.doc_id % {corpus_mod} = 0
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.new_doc, c.corpus_doc, count(*) AS inter
+    FROM candidates c
+    JOIN sh sa ON sa.doc_id = c.new_doc
+    JOIN sh sb ON sb.doc_id = c.corpus_doc AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT DISTINCT new_doc
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = new_doc
+    JOIN sizes sb ON sb.doc_id = corpus_doc
+    WHERE inter::DOUBLE / (sa.set_size + sb.set_size - inter) >= {threshold}
+),
+corpus_hashes AS (
+    SELECT DISTINCT md5(text) AS text_hash FROM documents
+    WHERE doc_id % {corpus_mod} = 0
+)
+SELECT d.doc_id,
+       ch.text_hash IS NOT NULL AS exact_dup,
+       n.new_doc IS NOT NULL AS near_dup,
+       NOT (ch.text_hash IS NOT NULL OR n.new_doc IS NOT NULL) AS keep
+FROM documents d
+LEFT JOIN corpus_hashes ch ON ch.text_hash = md5(d.text)
+LEFT JOIN near n ON n.new_doc = d.doc_id
+WHERE d.doc_id % {corpus_mod} != 0
+"""
+
+
+DEDUP_INCREMENTAL_SQL = _dedup_incremental_sql()

@@ -654,3 +654,30 @@ def test_cms_never_underestimates(spark):
     assert all(r.est_plays >= r.exact_plays for r in rows)
     clean = sum(1 for r in rows if r.overestimate == 0)
     assert clean / len(rows) >= 0.9
+
+
+def test_dedup_incremental_flags_planted_dups(spark):
+    """A new doc that copies a corpus doc exactly -> exact_dup; a new doc
+    with one token changed -> near_dup (minhash rung); a fresh doc ->
+    keep."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    corpus_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, corpus_text, "en", "s0", len(corpus_text)),  # corpus (id%5==0)
+        (5, "one two three four five six seven eight nine ten", "en", "s0", 49),
+        (1, corpus_text, "en", "s1", len(corpus_text)),  # exact copy
+        (2, corpus_text.replace("kappa", "lambda"), "en", "s1", 59),  # near
+        (3, "completely different text with no overlap at all here now",
+         "en", "s1", 57),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.doc_id: r for r in dedup_incremental(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].exact_dup and not got[1].keep
+    assert got[2].near_dup and not got[2].exact_dup and not got[2].keep
+    assert got[3].keep and not got[3].exact_dup and not got[3].near_dup
