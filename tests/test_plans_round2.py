@@ -163,3 +163,46 @@ def test_disjunctive_revenue_single_scan_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") == 2  # one lineitem + one part
+
+
+def test_pq_adc_scans_codes_only(spark, tmp_path):
+    """The cached ADC probe must read the packed code column from the PQ
+    index and touch the raw embeddings table ONLY for the pushed-down
+    query-vector point lookup."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        ann_topk_pq_cached,
+    )
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(ann_topk_pq_cached(spark, embs, str(tmp_path / "pq")))
+    # the index scan reads (vec_id, codes) — never the embedding column
+    assert "codes:array<bigint>" in plan
+    # the only embeddings-table access is the query point lookup
+    assert plan.count("EqualTo(vec_id,0)") >= 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_census_no_cartesian(spark):
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        triangle_stats,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src bigint, dst bigint"
+    )
+    plan = _plan(triangle_stats(edges))
+    # both triangle joins are keyed shuffles, not nested loops
+    assert "CartesianProduct" not in plan
+
+
+def test_decay_scores_single_aggregate_no_window(spark):
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        track_decay_scores,
+    )
+
+    plan = _plan(track_decay_scores(_enriched(spark)))
+    # stateless decayed sum: partial-agg before the exchange, no Window
+    # over raw plays, top-k via TakeOrderedAndProject
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
