@@ -167,6 +167,7 @@ _STAMP_PRIORITY = (
     "favorite_track_per_user",
     "track_decay_scores",
     "dedup_incremental",
+    "track_similarity",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -352,6 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exponential time-decay popularity (stateless decayed-sum kernel)
         "track_decay_scores": lambda spark, sf: (
             _beh.track_decay_scores(_enriched(spark, sf))
+        ),
+        # item-item cosine-normalized co-occurrence (recsys shape)
+        "track_similarity": lambda spark, sf: (
+            _beh.track_similarity(_enriched(spark, sf))
         ),
         "sample_per_group": lambda spark, sf: _beh.sample_per_group(
             load_table(spark, sf, "events")
@@ -792,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "track_triangles": _clusters.TRACK_TRIANGLES_SQL,
         "favorite_track_per_user": _beh.FAVORITE_TRACK_SQL,
         "track_decay_scores": _beh.TRACK_DECAY_SCORES_SQL,
+        "track_similarity": _beh.TRACK_SIMILARITY_SQL,
         "sample_per_group": _beh.SAMPLE_PER_GROUP_SQL,
         "view_days_without_purchase": _beh.VIEW_DAYS_WITHOUT_PURCHASE_SQL,
         "view_purchase_days": _beh.VIEW_PURCHASE_DAYS_SQL,

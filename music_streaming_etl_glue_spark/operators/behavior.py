@@ -882,3 +882,101 @@ FROM scored
 ORDER BY decay_score DESC, track_id ASC
 LIMIT {DECAY_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# item-item similarity (cosine-normalized co-occurrence)
+# ---------------------------------------------------------------------------
+
+def track_similarity(
+    enriched: DataFrame,
+    max_tracks_per_group: int = COOCCUR_MAX_TRACKS_PER_GROUP,
+    top_k: int = COOCCUR_TOP_K,
+) -> DataFrame:
+    """Top-k "users who played X also played Y" pairs, cosine-normalized:
+    sim(a,b) = cooccur(a,b) / √(n_a·n_b) over (user, day) play groups —
+    raw co-occurrence counts rank hub tracks first; the normalization is
+    what makes the score a similarity. Same bounded pair generator as
+    :func:`track_cooccurrence` (the cap, not the join, bounds hot
+    groups); per-track group counts are one extra slim aggregate
+    broadcast into the pair counts. Rounded to 6dp before ranking."""
+    plays = (
+        enriched.filter(F.col("track_id").isNotNull())
+        .select(
+            "user_id", F.col("timestamp").cast("date").alias("day"), "track_id"
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("track_id")
+    capped = (
+        plays.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_tracks_per_group)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.track_id") < F.col("b.track_id")),
+        )
+        .groupBy(
+            F.col("a.track_id").alias("track_a"),
+            F.col("b.track_id").alias("track_b"),
+        )
+        .agg(F.count("*").alias("n_cooccur"))
+    )
+    deg = capped.groupBy("track_id").agg(F.count("*").alias("n_groups"))
+    sim = F.round(
+        F.col("n_cooccur")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        6,
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(
+                deg.select(
+                    F.col("track_id").alias("track_a"),
+                    F.col("n_groups").alias("na"),
+                )
+            ),
+            "track_a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("track_id").alias("track_b"),
+                    F.col("n_groups").alias("nb"),
+                )
+            ),
+            "track_b",
+        )
+        .select("track_a", "track_b", sim.alias("similarity"), "n_cooccur")
+        .orderBy(
+            F.col("similarity").desc(),
+            F.col("track_a").asc(),
+            F.col("track_b").asc(),
+        )
+        .limit(top_k)
+    )
+
+
+TRACK_SIMILARITY_SQL = f"""
+WITH {COOCCUR_PAIRS_CTES},
+pair_counts AS (
+    SELECT track_a, track_b, COUNT(*) AS n_cooccur
+    FROM pairs GROUP BY 1, 2
+),
+deg AS (SELECT track_id, COUNT(*) AS n_groups FROM capped GROUP BY track_id)
+SELECT p.track_a, p.track_b,
+       round(p.n_cooccur / sqrt(da.n_groups::DOUBLE * db.n_groups::DOUBLE), 6)
+           AS similarity,
+       p.n_cooccur
+FROM pair_counts p
+JOIN deg da ON da.track_id = p.track_a
+JOIN deg db ON db.track_id = p.track_b
+ORDER BY similarity DESC, p.track_a ASC, p.track_b ASC
+LIMIT {COOCCUR_TOP_K}
+"""
