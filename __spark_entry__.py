@@ -114,6 +114,15 @@ def _ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ivf_cache_path(
+        sf_dir,
+        "ivfpq",
+        f"m{_sim.PQ_SUBSPACES}k{_sim.PQ_CODES}np{_sim.IVF_NPROBE}",
+    )
+    return _sim.ann_topk_ivfpq(spark, _embs(spark, sf_dir), path)
+
+
 def _pricing_summary_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME ANSI-SQL text the DuckDB oracle runs, executed by Spark
     SQL over a temp view — the engine's spark.sql() surface, and a
@@ -168,6 +177,7 @@ _STAMP_PRIORITY = (
     "track_decay_scores",
     "dedup_incremental",
     "track_similarity",
+    "ann_topk_ivfpq",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -485,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _pq_codes,
         "ann_topk_pq": _ann_pq,
         "ann_topk_pq_rerank": _ann_pq_rerank,
+        # combined IVF-PQ: cell pruning + compressed ADC scan + rerank
+        "ann_topk_ivfpq": _ann_ivfpq,
         "embedding_stats": lambda spark, sf: _sim.embedding_stats(
             _embs(spark, sf)
         ),
@@ -843,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _sim.PQ_CODES_SQL,
         "ann_topk_pq": _sim.ANN_TOPK_PQ_SQL,
         "ann_topk_pq_rerank": _sim.ANN_TOPK_PQ_RERANK_SQL,
+        "ann_topk_ivfpq": _sim.ANN_TOPK_IVFPQ_SQL,
         "embedding_stats": _sim.EMBEDDING_STATS_SQL,
         "semantic_contamination": _sim.SEMANTIC_CONTAMINATION_SQL,
         "semantic_contamination_lsh": _sim.SEMANTIC_CONTAMINATION_LSH_SQL,

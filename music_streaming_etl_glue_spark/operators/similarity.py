@@ -2009,3 +2009,186 @@ def ann_topk_pq_rerank_cached(
         )
     )
     return _ranked_topk(rescored, k)
+
+
+def write_ivfpq_layout(embeddings: DataFrame, path: str) -> None:
+    """Persist the combined IVF-PQ index: packed PQ codes partitioned on
+    disk by their k-means cell (``assigned_label=`` directories), the
+    trained centroids at ``_centroids``, and the PQ codebook at
+    ``_codebook``. The full 100 TB ANN layout: partition pruning picks
+    the cells, the pruned read is 8-byte codes, and only the rerank
+    shortlist ever touches raw vectors."""
+    import os
+
+    cents = _centroid_arrays(label_centroids(embeddings)).localCheckpoint()
+    assign = _assign_to_centroids(embeddings, cents).select(
+        "vec_id", "assigned_label"
+    )
+    cb = _pq_codebook(embeddings).localCheckpoint()
+    packed = (
+        _pq_assign(_pq_subvectors(embeddings), cb)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "code"))),
+                lambda t: t["code"],
+            ).alias("codes")
+        )
+    )
+    packed.join(assign, "vec_id").write.mode("overwrite").partitionBy(
+        "assigned_label"
+    ).parquet(path)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
+
+
+def ann_topk_ivfpq(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    k: int = TOP_K,
+    query_vec_id: int = QUERY_VEC_ID,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Approximate top-k against the IVF-PQ index: rank cells from the
+    persisted centroids (a ~#cells-row read), read ONLY the nprobe
+    nearest cells' code partitions, ADC-score them against the broadcast
+    LUT, then exact-rerank the shortlist. Every stage of the production
+    funnel — prune, compressed scan, rerank — in one deterministic,
+    oracle-checked plan."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _build_layout_atomic(lambda tmp: write_ivfpq_layout(embeddings, tmp), path)
+
+    qrow = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .head()
+    )
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    c = F.col("cvec")
+    dist = F.round(
+        F.lit(float(qv @ qv)) - 2 * _dot(qlit, c) + _dot(c, c), ROUND
+    )
+    probes = [
+        r["assigned_label"]
+        for r in cents.select("assigned_label", dist.alias("dist"))
+        .orderBy("dist", "assigned_label")
+        .limit(nprobe)
+        .collect()
+    ]
+
+    packed = spark.read.parquet(path).filter(
+        F.col("assigned_label").isin(probes)
+        & (F.col("vec_id") != query_vec_id)
+    )
+    codes = packed.select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    ).withColumn("s", F.col("s").cast("long"))
+    cb = spark.read.parquet(os.path.join(path, "_codebook"))
+    qsub = _pq_subvectors(
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+    ).select("s", F.col("subvec").alias("qvec"))
+    lut = cb.join(qsub, "s").select(
+        "s",
+        "code",
+        F.round(_dot(F.col("cvec"), F.col("qvec")), PQ_DIST_ROUND).alias(
+            "partial"
+        ),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("partial"), ROUND).alias("adc_sim"))
+    )
+    short = (
+        adc.orderBy(F.col("adc_sim").desc(), F.col("vec_id").asc())
+        .limit(shortlist)
+        .select("vec_id")
+    )
+    nv = _normalized_vecs(embeddings)
+    q = F.broadcast(
+        nv.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("vec").alias("qnorm")
+        )
+    )
+    rescored = (
+        nv.join(F.broadcast(short), "vec_id")
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("vec"), F.col("qnorm")), ROUND).alias(
+                "similarity"
+            ),
+        )
+    )
+    return _ranked_topk(rescored, k)
+
+
+ANN_TOPK_IVFPQ_SQL = f"""
+WITH {_pq_ctes()},
+cents AS (
+    SELECT label AS assigned_label, list(centroid_value ORDER BY dim) AS cvec
+    FROM ({LABEL_CENTROIDS_SQL})
+    GROUP BY label
+),
+q AS (
+    SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+    WHERE vec_id = {QUERY_VEC_ID}
+),
+cell_dist AS (
+    SELECT c.assigned_label,
+           round(list_dot_product(q.qvec, q.qvec)
+                 - 2 * list_dot_product(q.qvec, c.cvec)
+                 + list_dot_product(c.cvec, c.cvec), {ROUND}) AS dist
+    FROM cents c, q
+),
+probe AS (
+    SELECT assigned_label FROM cell_dist
+    ORDER BY dist, assigned_label LIMIT {IVF_NPROBE}
+),
+assign AS ({IVF_ASSIGNMENTS_SQL}),
+pcodes AS (
+    SELECT c.vec_id, c.s, c.code
+    FROM codes c
+    JOIN assign a ON a.vec_id = c.vec_id
+    JOIN probe p ON a.assigned_label = p.assigned_label
+    WHERE c.vec_id != {QUERY_VEC_ID}
+),
+qsub AS (SELECT s, subvec AS qvec FROM subs WHERE vec_id = {QUERY_VEC_ID}),
+lut AS (
+    SELECT cb.s, cb.code,
+           round(list_dot_product(cb.cvec, q.qvec), {PQ_DIST_ROUND})
+               AS partial
+    FROM codebook cb JOIN qsub q ON cb.s = q.s
+),
+adc AS (
+    SELECT c.vec_id, round(SUM(l.partial), {ROUND}) AS adc_sim
+    FROM pcodes c
+    JOIN lut l ON l.s = c.s AND l.code = c.code
+    GROUP BY c.vec_id
+),
+short AS (
+    SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY adc_sim DESC, vec_id ASC) AS rn
+        FROM adc
+    ) WHERE rn <= {PQ_SHORTLIST}
+),
+qn AS (SELECT vec AS qvec FROM nv WHERE vec_id = {QUERY_VEC_ID}),
+rescored AS (
+    SELECT nv.vec_id,
+           round(list_dot_product(nv.vec, qn.qvec), {ROUND}) AS similarity
+    FROM nv JOIN short USING (vec_id), qn
+),
+ranked AS (
+    SELECT vec_id, similarity,
+           row_number() OVER (ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM rescored
+)
+SELECT vec_id, similarity, rank FROM ranked WHERE rank <= {TOP_K}
+"""

@@ -19,6 +19,8 @@ ROWS_ONLY = {
     "genre_daily_metrics_approx",
     "value_percentiles_approx",
     "bpe_merges",
+    # engine-specific HLL sketch binaries (estimate bounded by pytest)
+    "genre_distinct_sketch_rollup",
 }
 
 

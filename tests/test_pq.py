@@ -87,3 +87,22 @@ def test_pq_codes_partition_invariant(spark):
         for r in sim.pq_codes(embs.repartition(3, "label")).collect()
     }
     assert a == b
+
+
+def test_ivfpq_recall_and_exact_rerank(spark, tmp_path):
+    """IVF-PQ = cell pruning ON TOP of PQ: recall drops vs the full-scan
+    rerank (unprobed cells lose their true neighbors — on the isotropic
+    test corpus, PQ's worst case, measured 0.45-0.55 @ nprobe=3) but
+    every returned similarity is an exact cosine (rerank contract)."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        r.vec_id: r.similarity
+        for r in sim.ann_topk_bruteforce(embs, k=500).collect()
+    }
+    got = sim.ann_topk_ivfpq(spark, embs, str(tmp_path / "idx")).collect()
+    assert len(got) == sim.TOP_K
+    hits = sum(1 for r in got if r.vec_id in set(list(exact)[: sim.TOP_K]))
+    assert hits / sim.TOP_K >= 0.3
+    for r in got:
+        if r.vec_id in exact:
+            assert abs(r.similarity - exact[r.vec_id]) < 1e-9
