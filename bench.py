@@ -51,7 +51,12 @@ def main() -> None:
     # Index-backed queries: build the on-disk index in warmup so the timed
     # region measures the probe (benchmark convention: index build is
     # load-time, not query-time).
-    for indexed in ("ann_topk_ivf", "ann_topk_ivf_centroid", "ann_topk_pq"):
+    for indexed in (
+        "ann_topk_ivf",
+        "ann_topk_ivf_centroid",
+        "ann_topk_pq",
+        "ann_topk_ivfpq",
+    ):
         if indexed in queries:
             queries[indexed](spark, sf_dir).count()
 

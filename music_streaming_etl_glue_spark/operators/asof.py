@@ -444,8 +444,16 @@ def error_click_asof_cogroup(events: DataFrame) -> DataFrame:
     errors = events.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
+    # Both co-group sides derive from the SAME events scan; the right
+    # side's columns are re-aliased to fresh attributes or Catalyst's
+    # attribute deduplication prunes the shared (ts, event_id) out of the
+    # right frame entirely (self-cogroup pitfall — the pandas function
+    # would receive only [user_id, value]).
     clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "value", "event_id"
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.col("event_id").alias("c_event_id"),
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -462,14 +470,14 @@ def error_click_asof_cogroup(events: DataFrame) -> DataFrame:
         # tiebreak duplicate click timestamps: max event_id wins (same
         # contract as asof_join(tiebreaker="event_id"))
         right = (
-            right.sort_values(["ts", "event_id"])
-            .groupby("ts", as_index=False)
+            right.sort_values(["c_ts", "c_event_id"])
+            .groupby("c_ts", as_index=False)
             .last()
         )
         out = pd.merge_asof(
             left,
-            right[["ts", "value"]].rename(
-                columns={"ts": "click_ts", "value": "click_value"}
+            right[["c_ts", "c_value"]].rename(
+                columns={"c_ts": "click_ts", "c_value": "click_value"}
             ),
             left_on="ts",
             right_on="click_ts",
