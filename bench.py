@@ -35,7 +35,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: correctness baselines / API demos benched out of the headline group
-BASELINE_QUERIES = ("cosine_pairs", "chunk_documents_udtf")
+#: (error_click_asof_cogroup is the pandas-API twin of the expression
+#: as-of kernel that IS in the headline group — same contract, same
+#: oracle; per-group pandas overhead is the documented price)
+BASELINE_QUERIES = (
+    "cosine_pairs",
+    "chunk_documents_udtf",
+    "error_click_asof_cogroup",
+)
 
 
 def main() -> None:
