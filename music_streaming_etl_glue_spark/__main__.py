@@ -1,0 +1,103 @@
+"""Command-line entrypoint — the operational surface a reference user
+drives through job scripts / the orchestrator
+(/root/reference/dags/music_streaming_pipeline.py:670-679 submits three
+Glue jobs; here each is a subcommand on one local SparkSession):
+
+    python -m music_streaming_etl_glue_spark kpis  --sf-dir D --out DIR
+    python -m music_streaming_etl_glue_spark llm   --sf-dir D --out DIR
+    python -m music_streaming_etl_glue_spark query --sf-dir D NAME [NAME…]
+    python -m music_streaming_etl_glue_spark list
+
+`kpis` runs the full batch pipeline (validate → enrich → 5 KPI tables →
+serving layout + QA + engine fingerprint); `llm` runs the training-data
+preparation flow (scrub → normalize → dedup ladder → decontaminate →
+split → chunk → pack); `query` materializes any catalog query and prints
+a sample + row count; `list` prints the catalog.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="music_streaming_etl_glue_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("kpis", "llm"):
+        s = sub.add_parser(name)
+        s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        s.add_argument("--out", required=True)
+    q = sub.add_parser("query")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=10)
+    q.add_argument("names", nargs="+")
+    sub.add_parser("list")
+    args = p.parse_args(argv)
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    if args.cmd == "list":
+        for name in entry_mod.queries():
+            print(name)
+        return 0
+
+    from music_streaming_etl_glue_spark.session import get_spark
+
+    spark = get_spark(f"cli-{args.cmd}")
+    if args.cmd == "kpis":
+        from music_streaming_etl_glue_spark.plans.pipeline import (
+            run_batch_pipeline,
+        )
+
+        res = run_batch_pipeline(spark, args.sf_dir, args.out)
+        print(
+            json.dumps(
+                {
+                    "kpi_rows": res.kpi_rows,
+                    "serving_rows": res.serving_rows,
+                    "serving_qa": res.serving_qa,
+                    "output_dir": res.output_dir,
+                }
+            )
+        )
+        return 0
+    if args.cmd == "llm":
+        from music_streaming_etl_glue_spark.plans.llm_pipeline import (
+            run_llm_data_pipeline,
+        )
+
+        res = run_llm_data_pipeline(spark, args.sf_dir, args.out)
+        print(
+            json.dumps(
+                {
+                    "stage_counts": res.stage_counts,
+                    "chunk_counts_by_split": res.chunk_counts_by_split,
+                    "packed_examples_by_split": res.packed_examples_by_split,
+                    "pii_redactions": res.pii_redactions,
+                    "output_dir": res.output_dir,
+                }
+            )
+        )
+        return 0
+    # query
+    catalog = entry_mod.queries()
+    unknown = [n for n in args.names if n not in catalog]
+    if unknown:
+        print(f"unknown queries: {unknown} (see `list`)", file=sys.stderr)
+        return 2
+    for name in args.names:
+        df = catalog[name](spark, args.sf_dir)
+        n = df.count()
+        print(f"== {name} ({n} rows)")
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:  # `| head` closing stdout is not an error
+        raise SystemExit(0)

@@ -51,3 +51,17 @@ def test_every_oracle_sql_parses_and_plans(duck):
         except Exception as exc:  # noqa: BLE001 — collect all, report once
             bad[name] = str(exc).splitlines()[0][:120]
     assert not bad, bad
+
+
+def test_cli_list_and_query(spark, capsys):
+    """python -m music_streaming_etl_glue_spark: `list` prints the
+    catalog; `query` materializes one and reports rows."""
+    from music_streaming_etl_glue_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "enriched" in out and "ann_topk_ivfpq" in out
+    assert main(["query", "--sf-dir", SF_SMOKE, "--limit", "2", "user_kpis"]) == 0
+    out = capsys.readouterr().out
+    assert "user_kpis (" in out
+    assert main(["query", "--sf-dir", SF_SMOKE, "nope"]) == 2
