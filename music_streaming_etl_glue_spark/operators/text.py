@@ -581,7 +581,7 @@ def make_chunk_udtf(window: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE):
     @udtf(returnType=(
         "doc_id bigint, chunk_id bigint, chunk_text string, "
         "chunk_tokens bigint"
-    ))
+    ), useArrow=True)
     class ChunkDoc:
         def eval(self, doc_id: int, text: str):  # noqa: ANN001
             toks = (text or "").split(" ")

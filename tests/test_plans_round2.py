@@ -206,3 +206,30 @@ def test_decay_scores_single_aggregate_no_window(spark):
     # over raw plays, top-k via TakeOrderedAndProject
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_catalog_wide_plan_invariants(spark):
+    """Sweep EVERY catalog query's physical plan for the two engine-wide
+    bans: CartesianProduct (an unkeyed join that went quadratic) and
+    BatchEvalPython (a row-at-a-time Python UDF in the plan — Python is
+    allowed only Arrow-batched: ArrowEvalPython / FlatMapGroupsInPandas /
+    MapInPandas / FlatMapCoGroupsInPandas). Catches a regression in ANY
+    query the moment it is introduced, not when its runtime blows up.
+
+    cosine_pairs is exempt from the Cartesian ban: it is the guarded
+    O(n²) correctness baseline and its pair join is deliberately
+    unkeyed (a<b only)."""
+    import __spark_entry__ as entry_mod
+
+    cartesian_ok = {"cosine_pairs"}
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        plan = _plan(fn(spark, SF_SMOKE))
+        bad = []
+        if "CartesianProduct" in plan and name not in cartesian_ok:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
