@@ -178,6 +178,7 @@ _STAMP_PRIORITY = (
     "dedup_incremental",
     "track_similarity",
     "ann_topk_ivfpq",
+    "genre_series_similarity",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -367,6 +368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # item-item cosine-normalized co-occurrence (recsys shape)
         "track_similarity": lambda spark, sf: (
             _beh.track_similarity(_enriched(spark, sf))
+        ),
+        # time-series similarity: z-normalized correlation of daily series
+        "genre_series_similarity": lambda spark, sf: (
+            _beh.genre_series_similarity(load_table(spark, sf, "events"))
         ),
         "sample_per_group": lambda spark, sf: _beh.sample_per_group(
             load_table(spark, sf, "events")
@@ -810,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "favorite_track_per_user": _beh.FAVORITE_TRACK_SQL,
         "track_decay_scores": _beh.TRACK_DECAY_SCORES_SQL,
         "track_similarity": _beh.TRACK_SIMILARITY_SQL,
+        "genre_series_similarity": _beh.GENRE_SERIES_SIMILARITY_SQL,
         "sample_per_group": _beh.SAMPLE_PER_GROUP_SQL,
         "view_days_without_purchase": _beh.VIEW_DAYS_WITHOUT_PURCHASE_SQL,
         "view_purchase_days": _beh.VIEW_PURCHASE_DAYS_SQL,

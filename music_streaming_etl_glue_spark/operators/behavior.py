@@ -980,3 +980,134 @@ JOIN deg db ON db.track_id = p.track_b
 ORDER BY similarity DESC, p.track_a ASC, p.track_b ASC
 LIMIT {COOCCUR_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# time-series similarity (z-normalized correlation between daily series)
+# ---------------------------------------------------------------------------
+
+def genre_series_similarity(events: DataFrame) -> DataFrame:
+    """Pearson correlation between genres' daily play-count series over
+    the dense shared calendar (gap days count 0) — the time-series
+    similarity-search primitive ("which genres trend together"),
+    pairwise over the genre dimension. Series are built as ordered
+    arrays per genre (one row per KEY, length = #days — bounded by the
+    calendar, not the data volume), so the pairwise join is dimension ×
+    dimension, never event-scale; the z-normalization and dot are array
+    folds. Correlations round to 6dp.
+
+    At 100 TB the daily pre-aggregate is the only event-scale pass; for
+    a HIGH-cardinality key (tracks, not genres) the quadratic pair join
+    needs the same LSH-style screening as the embedding operators —
+    which is exactly what treating each series array as an embedding
+    row in ``cosine_pairs_lsh`` gives."""
+    daily = (
+        events.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("genre"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("plays"))
+    )
+    bounds = F.broadcast(
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    genres = daily.select("genre").distinct()
+    dense = (
+        genres.crossJoin(calendar)
+        .join(daily, ["genre", "day"], "left")
+        .select("genre", "day", F.coalesce("plays", F.lit(0)).alias("plays"))
+    )
+    series = dense.groupBy("genre").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "plays"))),
+            lambda t: t["plays"].cast("double"),
+        ).alias("xs")
+    )
+    n = F.size("xs").cast("double")
+    mean = F.aggregate("xs", F.lit(0.0), lambda a, x: a + x) / n
+    a, b = series.alias("a"), series.alias("b")
+    paired = a.join(b, F.col("a.genre") < F.col("b.genre")).select(
+        F.col("a.genre").alias("genre_a"),
+        F.col("b.genre").alias("genre_b"),
+        F.col("a.xs").alias("xs"),
+        F.col("b.xs").alias("ys"),
+    )
+    nn = F.size("xs").cast("double")
+    mx = F.aggregate("xs", F.lit(0.0), lambda acc, x: acc + x) / nn
+    my = F.aggregate("ys", F.lit(0.0), lambda acc, x: acc + x) / nn
+    sxx = F.aggregate(
+        F.transform("xs", lambda x: (x - mx) * (x - mx)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    syy = F.aggregate(
+        F.transform("ys", lambda y: (y - my) * (y - my)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sxy = F.aggregate(
+        F.zip_with("xs", "ys", lambda x, y: (x - mx) * (y - my)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    corr = F.when(
+        (sxx > 0) & (syy > 0), F.round(sxy / F.sqrt(sxx * syy), 6)
+    ).otherwise(F.lit(None).cast("double"))
+    return paired.select(
+        "genre_a", "genre_b", corr.alias("correlation")
+    ).orderBy("genre_a", "genre_b")
+
+
+GENRE_SERIES_SIMILARITY_SQL = """
+WITH daily AS (
+    SELECT event_type AS genre, CAST(ts AS DATE) AS day, COUNT(*) AS plays
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+calendar AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        AS day
+    FROM bounds
+),
+genres AS (SELECT DISTINCT genre FROM daily),
+dense AS (
+    SELECT g.genre, c.day, COALESCE(d.plays, 0)::DOUBLE AS plays
+    FROM genres g
+    CROSS JOIN calendar c
+    LEFT JOIN daily d ON d.genre = g.genre AND d.day = c.day
+),
+series AS (
+    SELECT genre, list(plays ORDER BY day) AS xs FROM dense GROUP BY genre
+),
+paired AS (
+    SELECT a.genre AS genre_a, b.genre AS genre_b, a.xs AS xs, b.xs AS ys
+    FROM series a JOIN series b ON a.genre < b.genre
+),
+stats AS (
+    SELECT genre_a, genre_b, xs, ys,
+           len(xs)::DOUBLE AS n,
+           list_sum(xs) / len(xs)::DOUBLE AS mx,
+           list_sum(ys) / len(ys)::DOUBLE AS my
+    FROM paired
+),
+moments AS (
+    SELECT genre_a, genre_b,
+           list_sum(list_transform(xs, x -> (x - mx) * (x - mx))) AS sxx,
+           list_sum(list_transform(ys, y -> (y - my) * (y - my))) AS syy,
+           list_sum(list_transform(list_zip(xs, ys),
+                                   p -> (p[1] - mx) * (p[2] - my)))
+               AS sxy
+    FROM stats
+)
+SELECT genre_a, genre_b,
+       CASE WHEN sxx > 0 AND syy > 0
+            THEN round(sxy / sqrt(sxx * syy), 6) END AS correlation
+FROM moments
+ORDER BY genre_a, genre_b
+"""
