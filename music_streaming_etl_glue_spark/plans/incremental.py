@@ -79,3 +79,79 @@ class DimensionState:
         state = self._load()
         state[name] = content_hash(file_path)
         _atomic_write(self.path, state)
+
+
+# ---------------------------------------------------------------------------
+# incremental KPI maintenance: additive merge with mergeable sketches
+# ---------------------------------------------------------------------------
+
+def genre_daily_partials(enriched) -> "DataFrame":  # noqa: F821
+    """Mergeable per-(date, genre) KPI partials for ONE batch of events:
+    listen_count (additive), total listening time as exact DECIMAL
+    (additive), and the distinct-listener HLL sketch (register-max
+    mergeable). This is the stored representation that makes the daily
+    KPI table maintainable by MERGE instead of recompute — COUNT
+    DISTINCT is the one non-additive metric in the reference's KPI set,
+    and the sketch is what makes it mergeable."""
+    from pyspark.sql import functions as F
+
+    return (
+        enriched.withColumn("date", F.col("timestamp").cast("date"))
+        .groupBy("date", "track_genre")
+        .agg(
+            F.count("track_id").alias("listen_count"),
+            F.hll_sketch_agg("user_id").alias("listeners_sketch"),
+            F.sum(
+                F.col("listening_time").cast("decimal(18,2)")
+            ).alias("listening_time_dec"),
+        )
+    )
+
+
+def merge_genre_daily(spark, partials, state_path: str) -> "DataFrame":  # noqa: F821
+    """MERGE one batch's partials into the persisted KPI partial table
+    (additive counters summed, sketches unioned) and atomically replace
+    the state. Cost per batch is O(batch + touched keys) — the
+    accumulated fact history is never rescanned, which is the point:
+    the recompute path in ``plans.pipeline._run_incremental`` re-reads
+    the whole fact dir every run. Returns the merged readable view
+    (date, track_genre, listen_count, unique_listeners_est,
+    total_listening_time_minutes)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        existing = spark.read.parquet(state_path)
+        merged = (
+            existing.unionByName(partials)
+            .groupBy("date", "track_genre")
+            .agg(
+                F.sum("listen_count").alias("listen_count"),
+                F.hll_union_agg("listeners_sketch").alias("listeners_sketch"),
+                F.sum("listening_time_dec").alias("listening_time_dec"),
+            )
+        )
+    else:
+        merged = partials
+    tmp = state_path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = state_path.rstrip("/") + "__merge_old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(tmp, state_path)
+    shutil.rmtree(old, ignore_errors=True)
+    out = spark.read.parquet(state_path)
+    return out.select(
+        "date",
+        "track_genre",
+        "listen_count",
+        F.hll_sketch_estimate("listeners_sketch").alias(
+            "unique_listeners_est"
+        ),
+        F.col("listening_time_dec")
+        .cast("double")
+        .alias("total_listening_time_minutes"),
+    )

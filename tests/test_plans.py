@@ -194,3 +194,49 @@ def test_layout_build_is_atomic(spark, tmp_path):
     open(marker, "w").close()
     _build_layout_atomic(good, final)
     assert os.path.exists(marker)
+
+
+def test_incremental_genre_daily_merge_matches_recompute(spark, tmp_path):
+    """Two batches merged additively (counts/sums exact, HLL sketches
+    unioned) must equal the single-shot recompute over both batches:
+    additive metrics bit-exact, distinct-listener estimate within the
+    sketch's error bound. The state path is replaced atomically and the
+    fact history is never rescanned."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.operators.kpis import (
+        genre_daily_metrics,
+    )
+    from music_streaming_etl_glue_spark.plans.incremental import (
+        genre_daily_partials,
+        merge_genre_daily,
+    )
+    from tests.conftest import SF_SMOKE
+
+    enriched = entry_mod._enriched(spark, SF_SMOKE).cache()
+    b1 = enriched.filter(F.col("user_id") % 2 == 0)
+    b2 = enriched.filter(F.col("user_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    merge_genre_daily(spark, genre_daily_partials(b1), state)
+    merged = {
+        (r.date, r.track_genre): r
+        for r in merge_genre_daily(
+            spark, genre_daily_partials(b2), state
+        ).collect()
+    }
+    full = {
+        (r.date, r.track_genre): r
+        for r in genre_daily_metrics(enriched).collect()
+    }
+    assert set(merged) == set(full)
+    for k, m in merged.items():
+        f = full[k]
+        assert m.listen_count == f.listen_count
+        assert abs(
+            m.total_listening_time_minutes - f.total_listening_time_minutes
+        ) < 1e-9
+        assert (
+            abs(m.unique_listeners_est - f.unique_listeners) <= max(1, 0.05 * f.unique_listeners)
+        )
+    enriched.unpersist()
