@@ -373,6 +373,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genre_series_similarity": lambda spark, sf: (
             _beh.genre_series_similarity(load_table(spark, sf, "events"))
         ),
+        # elastic series distance (banded DTW) — recursive DP, not
+        # SQL-expressible: rows-only check; pytest pins a pure-Python
+        # reference implementation exactly
+        "genre_series_dtw": lambda spark, sf: (
+            _beh.genre_series_dtw(load_table(spark, sf, "events"))
+        ),
         "sample_per_group": lambda spark, sf: _beh.sample_per_group(
             load_table(spark, sf, "events")
         ),

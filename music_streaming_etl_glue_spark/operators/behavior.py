@@ -986,6 +986,37 @@ LIMIT {COOCCUR_TOP_K}
 # time-series similarity (z-normalized correlation between daily series)
 # ---------------------------------------------------------------------------
 
+def _genre_daily_series(events: DataFrame) -> DataFrame:
+    """(genre, xs): each genre's daily play counts as an ordered double
+    array over the dense shared calendar (gap days 0) — one row per KEY,
+    array length bounded by the calendar span. Shared by the correlation
+    and DTW series operators."""
+    daily = (
+        events.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("genre"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("plays"))
+    )
+    bounds = F.broadcast(
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    )
+    calendar = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    genres = daily.select("genre").distinct()
+    dense = (
+        genres.crossJoin(calendar)
+        .join(daily, ["genre", "day"], "left")
+        .select("genre", "day", F.coalesce("plays", F.lit(0)).alias("plays"))
+    )
+    return dense.groupBy("genre").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "plays"))),
+            lambda t: t["plays"].cast("double"),
+        ).alias("xs")
+    )
+
+
 def genre_series_similarity(events: DataFrame) -> DataFrame:
     """Pearson correlation between genres' daily play-count series over
     the dense shared calendar (gap days count 0) — the time-series
@@ -1001,34 +1032,7 @@ def genre_series_similarity(events: DataFrame) -> DataFrame:
     needs the same LSH-style screening as the embedding operators —
     which is exactly what treating each series array as an embedding
     row in ``cosine_pairs_lsh`` gives."""
-    daily = (
-        events.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
-        .groupBy(
-            F.col("event_type").alias("genre"),
-            F.col("ts").cast("date").alias("day"),
-        )
-        .agg(F.count("*").alias("plays"))
-    )
-    bounds = F.broadcast(
-        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    )
-    calendar = bounds.select(
-        F.explode(F.sequence("lo", "hi")).alias("day")
-    )
-    genres = daily.select("genre").distinct()
-    dense = (
-        genres.crossJoin(calendar)
-        .join(daily, ["genre", "day"], "left")
-        .select("genre", "day", F.coalesce("plays", F.lit(0)).alias("plays"))
-    )
-    series = dense.groupBy("genre").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("day", "plays"))),
-            lambda t: t["plays"].cast("double"),
-        ).alias("xs")
-    )
-    n = F.size("xs").cast("double")
-    mean = F.aggregate("xs", F.lit(0.0), lambda a, x: a + x) / n
+    series = _genre_daily_series(events)
     a, b = series.alias("a"), series.alias("b")
     paired = a.join(b, F.col("a.genre") < F.col("b.genre")).select(
         F.col("a.genre").alias("genre_a"),
@@ -1111,3 +1115,69 @@ SELECT genre_a, genre_b,
 FROM moments
 ORDER BY genre_a, genre_b
 """
+
+
+# ---------------------------------------------------------------------------
+# dynamic time warping (elastic series distance — Python DP territory)
+# ---------------------------------------------------------------------------
+
+DTW_BAND = 7  # Sakoe-Chiba band half-width (days)
+
+
+def genre_series_dtw(events: DataFrame, band: int = DTW_BAND) -> DataFrame:
+    """DTW distance between genres' z-normalized daily play series — the
+    elastic-alignment complement of :func:`genre_series_similarity`
+    (correlation is rigid in time; DTW matches shifted/warped shapes).
+    The quadratic DP with a Sakoe-Chiba band is genuinely inexpressible
+    as SQL/DataFrame expressions, so this is the one place in the
+    time-series family that drops to Python — Arrow-batched
+    ``mapInPandas`` over the (dimension × dimension) pair relation, one
+    O(n·band) DP per pair, never per event. No SQL oracle (recursive
+    DP); the pytest pins it to a pure-Python reference implementation
+    exactly."""
+    import math
+
+    import pandas as pd
+
+    series = _genre_daily_series(events)
+    a, b = series.alias("a"), series.alias("b")
+    paired = a.join(b, F.col("a.genre") < F.col("b.genre")).select(
+        F.col("a.genre").alias("genre_a"),
+        F.col("b.genre").alias("genre_b"),
+        F.col("a.xs").alias("xs"),
+        F.col("b.xs").alias("ys"),
+    )
+
+    def znorm(v):
+        n = len(v)
+        m = sum(v) / n
+        var = sum((x - m) ** 2 for x in v) / n
+        s = math.sqrt(var)
+        return [(x - m) / s for x in v] if s > 0 else [0.0] * n
+
+    def dtw(x, y, w):
+        n = len(x)
+        inf = float("inf")
+        prev = [inf] * (n + 1)
+        prev[0] = 0.0
+        for i in range(1, n + 1):
+            cur = [inf] * (n + 1)
+            lo, hi = max(1, i - w), min(n, i + w)
+            for j in range(lo, hi + 1):
+                c = (x[i - 1] - y[j - 1]) ** 2
+                cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return math.sqrt(prev[n])
+
+    def compute(batches):
+        for pdf in batches:
+            out = pdf[["genre_a", "genre_b"]].copy()
+            out["dtw_distance"] = [
+                round(dtw(znorm(list(x)), znorm(list(y)), band), 6)
+                for x, y in zip(pdf["xs"], pdf["ys"])
+            ]
+            yield out
+
+    return paired.mapInPandas(
+        compute, "genre_a string, genre_b string, dtw_distance double"
+    ).orderBy("genre_a", "genre_b")

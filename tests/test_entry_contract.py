@@ -21,6 +21,8 @@ ROWS_ONLY = {
     "bpe_merges",
     # engine-specific HLL sketch binaries (estimate bounded by pytest)
     "genre_distinct_sketch_rollup",
+    # recursive DP (banded DTW) — pytest pins a pure-Python reference
+    "genre_series_dtw",
 }
 
 

@@ -681,3 +681,48 @@ def test_dedup_incremental_flags_planted_dups(spark):
     assert got[1].exact_dup and not got[1].keep
     assert got[2].near_dup and not got[2].exact_dup and not got[2].keep
     assert got[3].keep and not got[3].exact_dup and not got[3].near_dup
+
+
+def test_genre_series_dtw_matches_reference(spark):
+    """The mapInPandas DTW must equal a pure-Python reference DP on the
+    same dense series, and DTW of a series with itself is 0."""
+    import math
+
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        DTW_BAND,
+        _genre_daily_series,
+        genre_series_dtw,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    series = {r.genre: list(r.xs) for r in _genre_daily_series(events).collect()}
+
+    def znorm(v):
+        n = len(v)
+        m = sum(v) / n
+        s = math.sqrt(sum((x - m) ** 2 for x in v) / n)
+        return [(x - m) / s for x in v] if s > 0 else [0.0] * n
+
+    def ref_dtw(x, y, w):
+        n, inf = len(x), float("inf")
+        d = [[inf] * (n + 1) for _ in range(n + 1)]
+        d[0][0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(max(1, i - w), min(n, i + w) + 1):
+                c = (x[i - 1] - y[j - 1]) ** 2
+                d[i][j] = c + min(d[i - 1][j], d[i][j - 1], d[i - 1][j - 1])
+        return math.sqrt(d[n][n])
+
+    got = {
+        (r.genre_a, r.genre_b): r.dtw_distance
+        for r in genre_series_dtw(events).collect()
+    }
+    assert len(got) == len(series) * (len(series) - 1) // 2
+    for (ga, gb), dist in got.items():
+        expect = ref_dtw(znorm(series[ga]), znorm(series[gb]), DTW_BAND)
+        assert abs(dist - round(expect, 6)) < 1e-9, (ga, gb)
+        # self-distance sanity on one side
+    g0 = next(iter(series))
+    assert ref_dtw(znorm(series[g0]), znorm(series[g0]), DTW_BAND) == 0.0
