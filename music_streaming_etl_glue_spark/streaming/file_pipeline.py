@@ -222,3 +222,60 @@ def stream_enriched(
     )
 
     return enrich_events(stream_events(spark, input_dir), customer, nation)
+
+
+def stream_kpi_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    customer: DataFrame,
+    nation: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming incremental KPI maintenance: each micro-batch of events
+    is enriched (stream-static broadcast join), reduced to mergeable
+    (date, genre) partials, and MERGED into the persisted KPI partial
+    table (``plans.incremental.merge_genre_daily`` — additive counters +
+    HLL sketch union). The lambda-architecture collapse: the nightly
+    recompute, the incremental batch merge, and the live stream all run
+    the SAME partial/merge code, so they cannot disagree. State on disk
+    is O(date × genre), never event-scale; the checkpoint makes
+    reprocessing resume-safe (an epoch replay re-merges the same batch —
+    counts would double, so the writer records applied epoch ids next to
+    the state and skips replays, the foreachBatch idempotence contract).
+
+    Returns the started StreamingQuery (AvailableNow trigger)."""
+    import json
+    import os
+
+    from music_streaming_etl_glue_spark.operators.enrich import enrich_events
+    from music_streaming_etl_glue_spark.plans.incremental import (
+        genre_daily_partials,
+        merge_genre_daily,
+    )
+
+    applied_path = os.path.join(checkpoint_dir, "applied_epochs.json")
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        applied = set()
+        if os.path.exists(applied_path):
+            with open(applied_path) as fh:
+                applied = set(json.load(fh))
+        if epoch_id in applied:
+            return
+        enriched = enrich_events(batch_df, customer, nation)
+        merge_genre_daily(spark, genre_daily_partials(enriched), state_path)
+        applied.add(epoch_id)
+        tmp = applied_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(applied), fh)
+        os.replace(tmp, applied_path)
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    return (
+        stream_events(spark, input_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -226,3 +226,71 @@ def test_stream_enriched_matches_batch(spark, tmp_path):
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     # dim enrichment really happened on the stream side
     assert got.filter(F.col("user_name").isNotNull()).count() > 0
+
+
+def test_stream_kpi_maintenance_matches_batch_recompute(spark, tmp_path):
+    """Streaming partial-merge KPI maintenance over two landed files must
+    equal the one-shot batch recompute: additive metrics exact, the
+    distinct-listener sketch estimate within bound; and a second
+    AvailableNow run over the same (already-processed) input must change
+    NOTHING (checkpoint + epoch idempotence)."""
+    import shutil
+
+    import __spark_entry__ as entry_mod
+    from music_streaming_etl_glue_spark.operators.kpis import (
+        genre_daily_metrics,
+    )
+    from music_streaming_etl_glue_spark.plans.incremental import (
+        merge_genre_daily,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        stream_kpi_maintenance,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "b1.parquet")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = stream_kpi_maintenance(spark, str(src), customer, nation, state, ck)
+        q.awaitTermination()
+
+    run()
+    # view via a no-op merge of empty partials? read state directly:
+    from pyspark.sql import functions as F
+
+    def snapshot():
+        return {
+            (r.date, r.track_genre): (r.listen_count, r.unique_listeners_est)
+            for r in spark.read.parquet(state)
+            .select(
+                "date",
+                "track_genre",
+                "listen_count",
+                F.hll_sketch_estimate("listeners_sketch").alias(
+                    "unique_listeners_est"
+                ),
+            )
+            .collect()
+        }
+
+    first = snapshot()
+    full = {
+        (r.date, r.track_genre): r
+        for r in genre_daily_metrics(entry_mod._enriched(spark, SF_SMOKE)).collect()
+    }
+    assert set(first) == set(full)
+    for k, (cnt, est) in first.items():
+        assert cnt == full[k].listen_count
+        exact = full[k].unique_listeners
+        assert abs(est - exact) <= max(1, 0.05 * exact)
+
+    # replay with no new files: nothing may change
+    run()
+    assert snapshot() == first
