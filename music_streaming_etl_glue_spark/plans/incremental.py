@@ -110,20 +110,35 @@ def genre_daily_partials(enriched) -> "DataFrame":  # noqa: F821
 
 def merge_genre_daily(spark, partials, state_path: str) -> "DataFrame":  # noqa: F821
     """MERGE one batch's partials into the persisted KPI partial table
-    (additive counters summed, sketches unioned) and atomically replace
-    the state. Cost per batch is O(batch + touched keys) — the
-    accumulated fact history is never rescanned, which is the point:
-    the recompute path in ``plans.pipeline._run_incremental`` re-reads
-    the whole fact dir every run. Returns the merged readable view
-    (date, track_genre, listen_count, unique_listeners_est,
+    (additive counters summed, sketches unioned). The state is
+    partitioned by ``date`` and the merge runs with DYNAMIC partition
+    overwrite: only the dates present in the batch are read back
+    (partition-pruned scan of the state) and only those date partitions
+    are rewritten — cost per batch is O(batch + touched dates' keys),
+    untouched history is never read OR rewritten, and the accumulated
+    fact table is never rescanned (the recompute path in
+    ``plans.pipeline._run_incremental`` re-reads the whole fact dir
+    every run). A failed write leaves untouched partitions intact;
+    replay safety is the caller's epoch ledger
+    (``streaming.file_pipeline.stream_kpi_maintenance``). Returns the
+    merged readable view for the touched dates plus the rest of the
+    state (date, track_genre, listen_count, unique_listeners_est,
     total_listening_time_minutes)."""
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(state_path, "_SUCCESS")):
-        existing = spark.read.parquet(state_path)
+    partials = partials.localCheckpoint()  # batch partials: touched-keys-sized
+    # the dynamic-partition committer writes NO root _SUCCESS marker —
+    # state existence = any date= partition directory present
+    has_state = os.path.isdir(state_path) and any(
+        e.startswith("date=") for e in os.listdir(state_path)
+    )
+    if has_state:
+        touched = [r["date"] for r in partials.select("date").distinct().collect()]
+        existing = spark.read.parquet(state_path).filter(
+            F.col("date").isin(touched)
+        )
         merged = (
             existing.unionByName(partials)
             .groupBy("date", "track_genre")
@@ -132,17 +147,19 @@ def merge_genre_daily(spark, partials, state_path: str) -> "DataFrame":  # noqa:
                 F.hll_union_agg("listeners_sketch").alias("listeners_sketch"),
                 F.sum("listening_time_dec").alias("listening_time_dec"),
             )
+            # materialize before the write: the merged slice READS the
+            # same path the dynamic overwrite rewrites (self-overwrite);
+            # it is touched-keys-sized, so pinning it is O(touched)
+            .localCheckpoint()
         )
     else:
         merged = partials
-    tmp = state_path.rstrip("/") + "__merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = state_path.rstrip("/") + "__merge_old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(state_path):
-        os.rename(state_path, old)
-    os.rename(tmp, state_path)
-    shutil.rmtree(old, ignore_errors=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(state_path)
+    )
     out = spark.read.parquet(state_path)
     return out.select(
         "date",
