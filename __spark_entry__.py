@@ -179,6 +179,7 @@ _STAMP_PRIORITY = (
     "track_similarity",
     "ann_topk_ivfpq",
     "genre_series_similarity",
+    "rolling_active_users",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -334,6 +335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # behavioral analytics (events / enriched)
         "user_retention_cohorts": lambda spark, sf: _beh.user_retention_cohorts(
             load_table(spark, sf, "events")
+        ),
+        # DAU / trailing-7-day WAU over the dense calendar spine
+        "rolling_active_users": lambda spark, sf: (
+            _beh.rolling_active_users(load_table(spark, sf, "events"))
         ),
         "conversion_funnel": lambda spark, sf: _beh.conversion_funnel(
             load_table(spark, sf, "events")
@@ -811,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "event_props_variant": _enrich.EVENT_PROPS_VARIANT_SQL,
         "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
         "ngram_decontamination": _text.NGRAM_DECONTAMINATION_SQL,
+        "rolling_active_users": _beh.ROLLING_ACTIVE_USERS_SQL,
         "user_retention_cohorts": _beh.USER_RETENTION_COHORTS_SQL,
         "conversion_funnel": _beh.CONVERSION_FUNNEL_SQL,
         "genre_daily_anomalies": _beh.GENRE_DAILY_ANOMALIES_SQL,

@@ -1181,3 +1181,97 @@ def genre_series_dtw(events: DataFrame, band: int = DTW_BAND) -> DataFrame:
     return paired.mapInPandas(
         compute, "genre_a string, genre_b string, dtw_distance double"
     ).orderBy("genre_a", "genre_b")
+
+
+# ---------------------------------------------------------------------------
+# rolling active users (DAU / trailing-window WAU)
+# ---------------------------------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def rolling_active_users(
+    events: DataFrame, window_days: int = WAU_WINDOW_DAYS
+) -> DataFrame:
+    """Per calendar day: distinct active users that day (DAU) and over
+    the trailing ``window_days`` (WAU) — the engagement staple. Exact
+    form: the slim distinct (user, day) activity relation fans out to
+    the ≤``window_days`` later spine days it contributes to (a
+    generate+join, ×7 on a 2-column relation), then one distinct-count
+    per day. Day gaps inside the observed range still get a row (the
+    spine is the dense calendar); trailing windows at the range start
+    simply cover fewer days.
+
+    At 100 TB the exact fan-out is still fine (it scales with DISTINCT
+    (user, day), not events) — but the mergeable path is better: keep
+    one HLL sketch per day (genre_distinct_sketch_rollup pattern) and
+    union any trailing window without touching activity again."""
+    activity = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    bounds = F.broadcast(
+        activity.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    dau = activity.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    contrib = activity.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("day"),
+    )
+    wau = (
+        contrib.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        spine.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+        )
+        .orderBy("day")
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = f"""
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM activity),
+spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        AS day
+    FROM bounds
+),
+dau AS (
+    SELECT day, COUNT(DISTINCT user_id) AS dau FROM activity GROUP BY day
+),
+contrib AS (
+    SELECT a.user_id,
+           CAST(unnest(generate_series(
+               a.day, a.day + INTERVAL {WAU_WINDOW_DAYS - 1} DAY,
+               INTERVAL 1 DAY)) AS DATE) AS day
+    FROM activity a
+),
+wau AS (
+    SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY day
+)
+SELECT s.day,
+       COALESCE(d.dau, 0)::BIGINT AS dau,
+       COALESCE(w.wau, 0)::BIGINT AS wau
+FROM spine s
+LEFT JOIN dau d ON d.day = s.day
+LEFT JOIN wau w ON w.day = s.day
+ORDER BY s.day
+"""
