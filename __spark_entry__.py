@@ -180,6 +180,7 @@ _STAMP_PRIORITY = (
     "ann_topk_ivfpq",
     "genre_series_similarity",
     "rolling_active_users",
+    "power_user_curve",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -339,6 +340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DAU / trailing-7-day WAU over the dense calendar spine
         "rolling_active_users": lambda spark, sf: (
             _beh.rolling_active_users(load_table(spark, sf, "events"))
+        ),
+        # engagement distribution: users by distinct active days
+        "power_user_curve": lambda spark, sf: (
+            _beh.power_user_curve(load_table(spark, sf, "events"))
         ),
         "conversion_funnel": lambda spark, sf: _beh.conversion_funnel(
             load_table(spark, sf, "events")
@@ -817,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
         "ngram_decontamination": _text.NGRAM_DECONTAMINATION_SQL,
         "rolling_active_users": _beh.ROLLING_ACTIVE_USERS_SQL,
+        "power_user_curve": _beh.POWER_USER_CURVE_SQL,
         "user_retention_cohorts": _beh.USER_RETENTION_COHORTS_SQL,
         "conversion_funnel": _beh.CONVERSION_FUNNEL_SQL,
         "genre_daily_anomalies": _beh.GENRE_DAILY_ANOMALIES_SQL,

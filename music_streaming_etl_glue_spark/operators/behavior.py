@@ -1275,3 +1275,40 @@ LEFT JOIN dau d ON d.day = s.day
 LEFT JOIN wau w ON w.day = s.day
 ORDER BY s.day
 """
+
+
+def power_user_curve(events: DataFrame) -> DataFrame:
+    """Engagement distribution ("L30 curve"): for n = 1..max, how many
+    users were active exactly n distinct days in the observed range. Two
+    chained aggregates on slim keys — (user, day) distinct, per-user day
+    count, then the count-of-counts — classic retention health check
+    read together with :func:`rolling_active_users`."""
+    activity = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    per_user = activity.groupBy("user_id").agg(
+        F.count("*").alias("days_active")
+    )
+    return (
+        per_user.groupBy("days_active")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("days_active")
+    )
+
+
+POWER_USER_CURVE_SQL = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+per_user AS (
+    SELECT user_id, COUNT(*) AS days_active FROM activity GROUP BY user_id
+)
+SELECT days_active, COUNT(*) AS n_users
+FROM per_user
+GROUP BY days_active
+ORDER BY days_active
+"""
