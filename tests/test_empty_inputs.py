@@ -190,3 +190,18 @@ def test_round4_second_wave_on_empty_inputs(spark):
     embs = _empty(spark, "vec_id long, embedding array<float>, label string")
     assert similarity.pq_codes(embs).count() == 0
     assert similarity.pq_codebooks(embs).count() == 0
+
+
+def test_third_wave_on_empty_inputs(spark):
+    """Series similarity/DTW, DAU/WAU, power curve, incremental dedup,
+    and decay scoring on 0-row inputs: empty results, no crashes (the
+    null min/max calendar bounds must collapse to an empty spine)."""
+    from music_streaming_etl_glue_spark.operators import behavior, dedup
+
+    events = _empty(spark, EVENTS_DDL)
+    assert behavior.rolling_active_users(events).count() == 0
+    assert behavior.power_user_curve(events).count() == 0
+    assert behavior.genre_series_similarity(events).count() == 0
+    assert behavior.genre_series_dtw(events).count() == 0
+    docs = _empty(spark, "doc_id long, text string, lang string, source string, n_chars long")
+    assert dedup.dedup_incremental(docs).count() == 0
