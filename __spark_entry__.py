@@ -181,6 +181,7 @@ _STAMP_PRIORITY = (
     "genre_series_similarity",
     "rolling_active_users",
     "power_user_curve",
+    "track_association_rules",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -378,6 +379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # item-item cosine-normalized co-occurrence (recsys shape)
         "track_similarity": lambda spark, sf: (
             _beh.track_similarity(_enriched(spark, sf))
+        ),
+        # market-basket rules: support/confidence/lift, both directions
+        "track_association_rules": lambda spark, sf: (
+            _beh.track_association_rules(_enriched(spark, sf))
         ),
         # time-series similarity: z-normalized correlation of daily series
         "genre_series_similarity": lambda spark, sf: (
@@ -833,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "favorite_track_per_user": _beh.FAVORITE_TRACK_SQL,
         "track_decay_scores": _beh.TRACK_DECAY_SCORES_SQL,
         "track_similarity": _beh.TRACK_SIMILARITY_SQL,
+        "track_association_rules": _beh.TRACK_ASSOCIATION_RULES_SQL,
         "genre_series_similarity": _beh.GENRE_SERIES_SIMILARITY_SQL,
         "sample_per_group": _beh.SAMPLE_PER_GROUP_SQL,
         "view_days_without_purchase": _beh.VIEW_DAYS_WITHOUT_PURCHASE_SQL,

@@ -1312,3 +1312,143 @@ FROM per_user
 GROUP BY days_active
 ORDER BY days_active
 """
+
+
+# ---------------------------------------------------------------------------
+# association rules (support / confidence / lift over co-play baskets)
+# ---------------------------------------------------------------------------
+
+RULES_MIN_COOCCUR = 3
+RULES_TOP_K = 100
+
+
+def track_association_rules(
+    enriched: DataFrame,
+    max_tracks_per_group: int = COOCCUR_MAX_TRACKS_PER_GROUP,
+    min_cooccur: int = RULES_MIN_COOCCUR,
+    top_k: int = RULES_TOP_K,
+) -> DataFrame:
+    """Directed association rules a→b over (user, day) co-play baskets:
+    support = P(a,b), confidence = P(b|a), lift = P(a,b)/(P(a)·P(b)) —
+    the market-basket classic, on the same bounded pair generator as
+    :func:`track_cooccurrence` (both rule directions come from one
+    canonical a<b pair count — no second join). Baskets are (user, day)
+    groups; item frequencies are one slim aggregate broadcast into the
+    pair counts. Ratios round to 6dp; min-support pruning keeps the
+    rule set honest (singleton pairs produce lift noise)."""
+    plays = (
+        enriched.filter(F.col("track_id").isNotNull())
+        .select(
+            "user_id", F.col("timestamp").cast("date").alias("day"), "track_id"
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("track_id")
+    capped = (
+        plays.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_tracks_per_group)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = F.broadcast(
+        capped.select("user_id", "day").distinct().agg(
+            F.count("*").alias("n_baskets")
+        )
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.track_id") < F.col("b.track_id")),
+        )
+        .groupBy(
+            F.col("a.track_id").alias("track_a"),
+            F.col("b.track_id").alias("track_b"),
+        )
+        .agg(F.count("*").alias("n_cooccur"))
+        .filter(F.col("n_cooccur") >= min_cooccur)
+    )
+    freq = capped.groupBy("track_id").agg(F.count("*").alias("n_item"))
+    fa = F.broadcast(
+        freq.select(F.col("track_id").alias("track_a"), F.col("n_item").alias("na"))
+    )
+    fb = F.broadcast(
+        freq.select(F.col("track_id").alias("track_b"), F.col("n_item").alias("nb"))
+    )
+    joined = pair_counts.join(fa, "track_a").join(fb, "track_b").crossJoin(
+        n_baskets
+    )
+    # both rule directions from the single canonical pair relation
+    ab = joined.select(
+        F.col("track_a").alias("antecedent"),
+        F.col("track_b").alias("consequent"),
+        "n_cooccur",
+        F.col("na").alias("n_ante"),
+        F.col("nb").alias("n_cons"),
+        "n_baskets",
+    )
+    ba = joined.select(
+        F.col("track_b").alias("antecedent"),
+        F.col("track_a").alias("consequent"),
+        "n_cooccur",
+        F.col("nb").alias("n_ante"),
+        F.col("na").alias("n_cons"),
+        "n_baskets",
+    )
+    rules = ab.unionByName(ba).select(
+        "antecedent",
+        "consequent",
+        "n_cooccur",
+        F.round(F.col("n_cooccur") / F.col("n_baskets"), 6).alias("support"),
+        F.round(F.col("n_cooccur") / F.col("n_ante"), 6).alias("confidence"),
+        F.round(
+            F.col("n_cooccur").cast("double")
+            * F.col("n_baskets")
+            / (F.col("n_ante").cast("double") * F.col("n_cons")),
+            6,
+        ).alias("lift"),
+    )
+    return rules.orderBy(
+        F.col("lift").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(top_k)
+
+
+TRACK_ASSOCIATION_RULES_SQL = f"""
+WITH {COOCCUR_PAIRS_CTES},
+n_baskets AS (
+    SELECT COUNT(*) AS n_baskets
+    FROM (SELECT DISTINCT user_id, day FROM capped)
+),
+pair_counts AS (
+    SELECT track_a, track_b, COUNT(*) AS n_cooccur
+    FROM pairs GROUP BY 1, 2
+    HAVING COUNT(*) >= {RULES_MIN_COOCCUR}
+),
+freq AS (SELECT track_id, COUNT(*) AS n_item FROM capped GROUP BY track_id),
+joined AS (
+    SELECT p.track_a, p.track_b, p.n_cooccur,
+           fa.n_item AS na, fb.n_item AS nb, n.n_baskets
+    FROM pair_counts p
+    JOIN freq fa ON fa.track_id = p.track_a
+    JOIN freq fb ON fb.track_id = p.track_b
+    CROSS JOIN n_baskets n
+),
+rules AS (
+    SELECT track_a AS antecedent, track_b AS consequent, n_cooccur,
+           na AS n_ante, nb AS n_cons, n_baskets FROM joined
+    UNION ALL
+    SELECT track_b, track_a, n_cooccur, nb, na, n_baskets FROM joined
+)
+SELECT antecedent, consequent, n_cooccur,
+       round(n_cooccur / n_baskets, 6) AS support,
+       round(n_cooccur / n_ante, 6) AS confidence,
+       round(n_cooccur::DOUBLE * n_baskets / (n_ante::DOUBLE * n_cons), 6)
+           AS lift
+FROM rules
+ORDER BY lift DESC, antecedent ASC, consequent ASC
+LIMIT {RULES_TOP_K}
+"""
