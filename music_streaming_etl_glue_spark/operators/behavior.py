@@ -898,8 +898,9 @@ def track_similarity(
     raw co-occurrence counts rank hub tracks first; the normalization is
     what makes the score a similarity. Same bounded pair generator as
     :func:`track_cooccurrence` (the cap, not the join, bounds hot
-    groups); per-track group counts are one extra slim aggregate
-    broadcast into the pair counts. Rounded to 6dp before ranking."""
+    groups); per-track group counts are one extra slim aggregate joined
+    into the pair counts (no broadcast hint — the item catalog scales,
+    AQE picks the strategy). Rounded to 6dp before ranking."""
     plays = (
         enriched.filter(F.col("track_id").isNotNull())
         .select(
@@ -928,6 +929,9 @@ def track_similarity(
         )
         .agg(F.count("*").alias("n_cooccur"))
     )
+    # per-item group counts: scales with the ITEM CATALOG, not a bounded
+    # dimension — no broadcast hint; AQE broadcasts while it fits and
+    # falls back to a keyed shuffle join when the catalog outgrows it
     deg = capped.groupBy("track_id").agg(F.count("*").alias("n_groups"))
     sim = F.round(
         F.col("n_cooccur")
@@ -936,20 +940,16 @@ def track_similarity(
     )
     return (
         pair_counts.join(
-            F.broadcast(
-                deg.select(
-                    F.col("track_id").alias("track_a"),
-                    F.col("n_groups").alias("na"),
-                )
+            deg.select(
+                F.col("track_id").alias("track_a"),
+                F.col("n_groups").alias("na"),
             ),
             "track_a",
         )
         .join(
-            F.broadcast(
-                deg.select(
-                    F.col("track_id").alias("track_b"),
-                    F.col("n_groups").alias("nb"),
-                )
+            deg.select(
+                F.col("track_id").alias("track_b"),
+                F.col("n_groups").alias("nb"),
             ),
             "track_b",
         )
@@ -1370,12 +1370,14 @@ def track_association_rules(
         .agg(F.count("*").alias("n_cooccur"))
         .filter(F.col("n_cooccur") >= min_cooccur)
     )
+    # item frequencies scale with the catalog — no broadcast hint (AQE
+    # decides); see track_similarity's deg join for the same reasoning
     freq = capped.groupBy("track_id").agg(F.count("*").alias("n_item"))
-    fa = F.broadcast(
-        freq.select(F.col("track_id").alias("track_a"), F.col("n_item").alias("na"))
+    fa = freq.select(
+        F.col("track_id").alias("track_a"), F.col("n_item").alias("na")
     )
-    fb = F.broadcast(
-        freq.select(F.col("track_id").alias("track_b"), F.col("n_item").alias("nb"))
+    fb = freq.select(
+        F.col("track_id").alias("track_b"), F.col("n_item").alias("nb")
     )
     joined = pair_counts.join(fa, "track_a").join(fb, "track_b").crossJoin(
         n_baskets
