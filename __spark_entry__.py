@@ -182,6 +182,10 @@ _STAMP_PRIORITY = (
     "rolling_active_users",
     "power_user_curve",
     "track_association_rules",
+    "quality_filter_rules",
+    "boilerplate_shingles",
+    "remove_boilerplate",
+    "temperature_mix",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -333,6 +337,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partial-overlap screen: shared n-grams with the benchmark slice
         "ngram_decontamination": lambda spark, sf: (
             _text.ngram_decontamination(_docs(spark, sf))
+        ),
+        # Gopher-style hard quality gates (per-rule flags + keep)
+        "quality_filter_rules": lambda spark, sf: (
+            _text.quality_filter_rules(_docs(spark, sf))
+        ),
+        # corpus-frequent token n-grams (the boilerplate span set)
+        "boilerplate_shingles": lambda spark, sf: (
+            _text.boilerplate_shingles(_docs(spark, sf))
+        ),
+        # exact-substring dedup at token-window grain (Lee et al. 2022)
+        "remove_boilerplate": lambda spark, sf: (
+            _text.remove_boilerplate(_docs(spark, sf))
+        ),
+        # temperature-based source mixing (count^alpha quotas)
+        "temperature_mix": lambda spark, sf: (
+            _dedup.temperature_mix(_docs(spark, sf))
         ),
         # behavioral analytics (events / enriched)
         "user_retention_cohorts": lambda spark, sf: _beh.user_retention_cohorts(
@@ -826,6 +846,10 @@ def oracle_sql() -> dict[str, str]:
         "event_props_variant": _enrich.EVENT_PROPS_VARIANT_SQL,
         "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
         "ngram_decontamination": _text.NGRAM_DECONTAMINATION_SQL,
+        "quality_filter_rules": _text.QUALITY_FILTER_RULES_SQL,
+        "boilerplate_shingles": _text.BOILERPLATE_SHINGLES_SQL,
+        "remove_boilerplate": _text.REMOVE_BOILERPLATE_SQL,
+        "temperature_mix": _dedup.TEMPERATURE_MIX_SQL,
         "rolling_active_users": _beh.ROLLING_ACTIVE_USERS_SQL,
         "power_user_curve": _beh.POWER_USER_CURVE_SQL,
         "user_retention_cohorts": _beh.USER_RETENTION_COHORTS_SQL,

@@ -1230,3 +1230,112 @@ WHERE d.doc_id % {corpus_mod} != 0
 
 
 DEDUP_INCREMENTAL_SQL = _dedup_incremental_sql()
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing
+# ---------------------------------------------------------------------------
+
+#: Default mixing temperature (alpha) and corpus sample fraction. alpha=1
+#: reproduces the natural distribution; alpha->0 flattens toward uniform
+#: (the multilingual-sampling rule of mT5/XLM-R, applied to sources).
+TEMPERATURE_ALPHA = 0.5
+TEMPERATURE_SAMPLE_FRAC = 0.5
+
+
+def temperature_mix(
+    documents: DataFrame,
+    alpha: float = TEMPERATURE_ALPHA,
+    sample_frac: float = TEMPERATURE_SAMPLE_FRAC,
+) -> DataFrame:
+    """Temperature-based source mixing: sample ``sample_frac`` of the
+    corpus with per-source quotas proportional to count^alpha —
+    upweighting small sources relative to their natural share (alpha<1),
+    without replacement (quotas cap at the source's size).
+
+    Unlike :func:`rebalance_sources` (static target shares), the mixture
+    here is DERIVED from the observed counts, so the quota math rides the
+    same single metadata aggregate that feeds the rank machinery: per-
+    (source, md5-prefix-bucket) counts roll up to per-source counts ->
+    weights -> quotas, and prefix-sum to bucket offsets for the two-level
+    exact rank (256 parallel sorts per source; quota-pruned pre-sort —
+    no one-task-per-source bound at 100 TB). Selection key is
+    (md5(doc_id), doc_id): stable under append, partitioning-invariant.
+
+    The 1e-9 inside floor() is applied identically in the oracle: quota
+    boundaries hit exact-integer doubles when counts are perfect squares,
+    and both engines must round the same ulp the same way.
+    """
+    key = F.md5(F.col("doc_id").cast("string"))
+    tagged = documents.withColumn("__b", F.substring(key, 1, 2))
+    bcounts = (
+        tagged.groupBy("source", "__b")
+        .agg(F.count("*").alias("bc"))
+        .localCheckpoint(eager=False)
+    )
+    counts = bcounts.groupBy("source").agg(F.sum("bc").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total_n"),
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(alpha))).alias("sum_wt"),
+    )
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.col("n"),
+            F.floor(
+                F.lit(sample_frac)
+                * F.col("total_n")
+                * F.pow(F.col("n").cast("double"), F.lit(alpha))
+                / F.col("sum_wt")
+                + F.lit(1e-9)
+            ).cast("long"),
+        ).alias("quota"),
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bcounts.withColumn("off", F.coalesce(F.sum("bc").over(w_off), F.lit(0)))
+        .join(quotas, "source")
+        .select("source", "__b", "off", "quota")
+    )
+    w = Window.partitionBy("source", "__b").orderBy(key, F.col("doc_id"))
+    return (
+        tagged.join(F.broadcast(offsets), ["source", "__b"])
+        .filter(F.col("off") < F.col("quota"))
+        .withColumn(
+            "src_rank", (F.col("off") + F.row_number().over(w)).cast("long")
+        )
+        .filter(F.col("src_rank") <= F.col("quota"))
+        .select("doc_id", "source", "src_rank", "quota")
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (
+    SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+tot AS (
+    SELECT sum(n) AS total_n,
+           sum(pow(n, {TEMPERATURE_ALPHA})) AS sum_wt
+    FROM counts
+),
+quotas AS (
+    SELECT source,
+           least(n, CAST(floor({TEMPERATURE_SAMPLE_FRAC} * total_n
+                              * pow(n, {TEMPERATURE_ALPHA}) / sum_wt
+                              + 1e-9) AS BIGINT)) AS quota
+    FROM counts, tot
+),
+ranked AS (
+    SELECT d.doc_id, d.source, q.quota,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY md5(d.doc_id::VARCHAR), d.doc_id)
+               AS src_rank
+    FROM documents d JOIN quotas q USING (source)
+)
+SELECT doc_id, source, src_rank, quota
+FROM ranked WHERE src_rank <= quota
+"""

@@ -1244,3 +1244,248 @@ def apply_bpe(
         n_chars.alias("n_chars"),
         F.size(syms).cast("long").alias("n_symbols"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-filter rules
+# ---------------------------------------------------------------------------
+
+#: Rule thresholds, Gopher-flavored (Rae et al. 2021 §A1.1) but tuned so
+#: the synthetic corpus exercises both branches of each rule.
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 1_000
+QF_MIN_AVG_TOKEN_LEN = 3.0
+QF_MAX_AVG_TOKEN_LEN = 10.0
+QF_MAX_SYMBOL_RATIO = 0.1
+QF_MIN_DISTINCT_STOPWORDS = 2
+QF_MAX_TOP_TOKEN_RATIO = 0.2
+
+#: Non-alphanumeric, non-space marks ("symbols" in the Gopher sense).
+_SYMBOL_RE = "[^A-Za-z0-9 ]"
+
+
+def quality_filter_rules(documents: DataFrame) -> DataFrame:
+    """Per-document boolean quality rules + the AND'd keep decision — the
+    rule-based document filter every pre-training pipeline runs before
+    dedup (Gopher-style: word-count bounds, mean-word-length bounds,
+    symbol ratio, stopword evidence, single-token repetition cap).
+
+    Unlike :func:`text_quality` (a soft score for ranking), these are the
+    hard gates: each rule is its own column so the pipeline can audit
+    WHICH rule killed a document (per-rule kill counts roll up with one
+    agg over this output). Pure column math over the token array — no
+    shuffle, no Python; scales as a narrow map at 100 TB.
+
+    The repetition rule's inner loop is O(distinct x tokens) per doc —
+    bounded by document length, not corpus size, so it stays a per-row
+    constant in whole-stage codegen.
+    """
+    toks = _tokens()
+    nt = F.size(toks).cast("long")
+    avg_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / nt
+    sym_ratio = (
+        F.regexp_count(F.col("text"), F.lit(_SYMBOL_RE)).cast("double") / nt
+    )
+    n_stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS])
+        )
+    ).cast("long")
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    top_ratio = top_tok.cast("double") / nt
+    r_count = (nt >= QF_MIN_TOKENS) & (nt <= QF_MAX_TOKENS)
+    r_len = (avg_len >= QF_MIN_AVG_TOKEN_LEN) & (avg_len <= QF_MAX_AVG_TOKEN_LEN)
+    r_sym = sym_ratio <= QF_MAX_SYMBOL_RATIO
+    r_stop = n_stop_distinct >= QF_MIN_DISTINCT_STOPWORDS
+    r_rep = top_ratio <= QF_MAX_TOP_TOKEN_RATIO
+    return documents.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        r_count.alias("rule_word_count"),
+        r_len.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_stop.alias("rule_stopwords"),
+        r_rep.alias("rule_repetition"),
+        (r_count & r_len & r_sym & r_stop & r_rep).alias("keep"),
+    )
+
+
+QUALITY_FILTER_RULES_SQL = f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(text, ' ') AS toks,
+           len(string_split(text, ' '))::BIGINT AS nt
+    FROM documents
+), m AS (
+    SELECT doc_id, nt,
+           length(replace(text, ' ', ''))::DOUBLE / nt AS avg_len,
+           len(regexp_extract_all(text, '{_SYMBOL_RE}'))::DOUBLE / nt
+               AS sym_ratio,
+           len(list_intersect(list_distinct(toks),
+                              [{_STOP_SQL}]))::BIGINT AS n_stop,
+           list_max(list_transform(list_distinct(toks),
+               t2 -> len(list_filter(toks, x -> x = t2))))::DOUBLE / nt
+               AS top_ratio
+    FROM t
+)
+SELECT doc_id, nt AS n_tokens,
+       (nt >= {QF_MIN_TOKENS} AND nt <= {QF_MAX_TOKENS}) AS rule_word_count,
+       (avg_len >= {QF_MIN_AVG_TOKEN_LEN} AND avg_len <= {QF_MAX_AVG_TOKEN_LEN})
+           AS rule_mean_word_len,
+       sym_ratio <= {QF_MAX_SYMBOL_RATIO} AS rule_symbol_ratio,
+       n_stop >= {QF_MIN_DISTINCT_STOPWORDS} AS rule_stopwords,
+       top_ratio <= {QF_MAX_TOP_TOKEN_RATIO} AS rule_repetition,
+       ((nt >= {QF_MIN_TOKENS} AND nt <= {QF_MAX_TOKENS})
+        AND (avg_len >= {QF_MIN_AVG_TOKEN_LEN} AND avg_len <= {QF_MAX_AVG_TOKEN_LEN})
+        AND sym_ratio <= {QF_MAX_SYMBOL_RATIO}
+        AND n_stop >= {QF_MIN_DISTINCT_STOPWORDS}
+        AND top_ratio <= {QF_MAX_TOP_TOKEN_RATIO}) AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate spans (substring-dedup at token-window grain)
+# ---------------------------------------------------------------------------
+
+#: Window width (tokens) and min document frequency for a span to count
+#: as corpus boilerplate. 3-grams at df>=5 mark real repeats at every
+#: test scale factor while staying sparse (<2% of distinct shingles).
+BOILERPLATE_N = 3
+BOILERPLATE_MIN_DF = 5
+
+
+def _positional_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, start, shingle) for every token window of width n —
+    positional (NOT distinct): removal needs every occurrence."""
+    toks = _tokens()
+    nt = F.size(toks)
+    starts = F.when(nt >= n, F.sequence(F.lit(0), nt - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, n))
+            )
+        ).alias("start", "shingle"),
+    )
+
+
+def boilerplate_shingles(
+    documents: DataFrame,
+    n: int = BOILERPLATE_N,
+    min_df: int = BOILERPLATE_MIN_DF,
+) -> DataFrame:
+    """Corpus boilerplate spans: token n-grams whose document frequency
+    reaches ``min_df`` (the repeated headers/footers/license blocks of a
+    web corpus). One hash-agg shuffle on the shingle key; df is distinct
+    docs, so a span repeating inside one page doesn't qualify."""
+    return (
+        _positional_shingles(documents, n)
+        .groupBy("shingle")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+BOILERPLATE_SHINGLES_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id, u.i AS start,
+           array_to_string(toks[u.i + 1 : u.i + {BOILERPLATE_N}], ' ')
+               AS shingle
+    FROM t, unnest(range(0, greatest(len(toks) - {BOILERPLATE_N} + 1, 0)))
+        AS u(i)
+)
+SELECT shingle, count(DISTINCT doc_id)::BIGINT AS df
+FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DF}
+"""
+
+
+def remove_boilerplate(
+    documents: DataFrame,
+    n: int = BOILERPLATE_N,
+    min_df: int = BOILERPLATE_MIN_DF,
+) -> DataFrame:
+    """Exact-substring dedup at token-window grain (the ExactSubstr pass
+    of Lee et al. 2022, re-expressed relationally): every token covered
+    by ANY occurrence of a corpus-frequent n-gram is dropped, and the
+    cleaned text is rebuilt from the survivors in order.
+
+    Plan shape at 100 TB: one shingle-key hash agg finds the hot set
+    (small — boilerplate is by definition a tiny distinct set, so it
+    broadcasts); occurrences join it broadcast-side and collapse to a
+    per-doc start list; the rebuild is then a narrow array projection
+    per document (filter-with-index over the token array) — no second
+    wide shuffle, no Python. Docs shorter than n tokens pass through
+    untouched via the left join.
+    """
+    toks = _tokens()
+    nt = F.size(toks).cast("long")
+    hot = boilerplate_shingles(documents, n, min_df).select("shingle")
+    hot_starts = (
+        _positional_shingles(documents, n)
+        .join(F.broadcast(hot), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("starts"))
+    )
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            starts, lambda s: (i >= s) & (i < s + F.lit(n))
+        ),
+    )
+    return (
+        documents.join(hot_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            nt.alias("n_tokens"),
+            (nt - F.size(kept).cast("long")).alias("n_removed"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+    )
+
+
+REMOVE_BOILERPLATE_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id, u.i AS start,
+           array_to_string(toks[u.i + 1 : u.i + {BOILERPLATE_N}], ' ')
+               AS shingle
+    FROM t, unnest(range(0, greatest(len(toks) - {BOILERPLATE_N} + 1, 0)))
+        AS u(i)
+),
+hot AS (
+    SELECT shingle FROM sh
+    GROUP BY shingle HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DF}
+),
+pos AS (
+    SELECT doc_id, u.i AS pos, toks[u.i + 1] AS tok
+    FROM t, unnest(range(0, len(toks))) AS u(i)
+),
+covered AS (
+    SELECT DISTINCT s.doc_id, p.pos
+    FROM sh s JOIN hot USING (shingle)
+    JOIN pos p ON p.doc_id = s.doc_id
+              AND p.pos BETWEEN s.start AND s.start + {BOILERPLATE_N - 1}
+),
+kept AS (
+    SELECT p.doc_id, count(*)::BIGINT AS n_kept,
+           string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text
+    FROM pos p
+    LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.pos = p.pos
+    WHERE c.pos IS NULL
+    GROUP BY p.doc_id
+)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+       (len(t.toks) - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM t LEFT JOIN kept k USING (doc_id)
+"""

@@ -726,3 +726,139 @@ def test_genre_series_dtw_matches_reference(spark):
         # self-distance sanity on one side
     g0 = next(iter(series))
     assert ref_dtw(znorm(series[g0]), znorm(series[g0]), DTW_BAND) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+def test_quality_filter_rules_flags_each_rule(spark):
+    from music_streaming_etl_glue_spark.operators.text import (
+        quality_filter_rules,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog near " + " ".join(
+        f"word{i}" for i in range(21)
+    )  # 31 tokens, stopwords {the, a}, varied
+    short = "the a tiny"  # fails word count
+    repeated = "the a " + " ".join(["zz"] * 28)  # top ratio 28/30
+    symbols = "the a " + " ".join(["w!!"] * 28)  # 56 symbols / 30 tokens
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, repeated), (4, symbols)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in quality_filter_rules(docs).collect()}
+    assert got[1]["keep"] is True
+    assert all(
+        got[1][k]
+        for k in (
+            "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+            "rule_stopwords", "rule_repetition",
+        )
+    )
+    assert got[2]["rule_word_count"] is False and got[2]["keep"] is False
+    assert got[3]["rule_repetition"] is False and got[3]["keep"] is False
+    assert got[4]["rule_symbol_ratio"] is False and got[4]["keep"] is False
+    # the symbol doc passes the unrelated rules, so the kill is attributable
+    assert got[4]["rule_word_count"] is True
+    assert got[4]["rule_stopwords"] is True
+
+
+# ---------------------------------------------------------------------------
+# boilerplate span removal
+# ---------------------------------------------------------------------------
+
+def test_remove_boilerplate_strips_hot_spans_only(spark):
+    from music_streaming_etl_glue_spark.operators.text import (
+        boilerplate_shingles,
+        remove_boilerplate,
+    )
+
+    rows = [
+        (i, f"u{i}a u{i}b alpha beta gamma u{i}c u{i}d") for i in range(6)
+    ]
+    rows.append((100, "solo doc"))  # shorter than the 3-token window
+    rows.append((101, "only unique tokens here nothing repeats at all"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = {r.shingle: r.df for r in boilerplate_shingles(docs).collect()}
+    assert hot == {"alpha beta gamma": 6}
+    got = {r.doc_id: r for r in remove_boilerplate(docs).collect()}
+    for i in range(6):
+        assert got[i].n_removed == 3
+        assert got[i].clean_text == f"u{i}a u{i}b u{i}c u{i}d"
+    assert got[100].n_removed == 0 and got[100].clean_text == "solo doc"
+    assert got[101].n_removed == 0
+    assert got[101].clean_text == "only unique tokens here nothing repeats at all"
+
+
+def test_remove_boilerplate_masks_overlapping_spans(spark):
+    from music_streaming_etl_glue_spark.operators.text import (
+        remove_boilerplate,
+    )
+
+    # "a b c d" repeated in 5 docs: hot 3-grams "a b c" AND "b c d"
+    # overlap; the union of covered positions is all four tokens, not six.
+    rows = [(i, f"x{i} a b c d y{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_boilerplate(docs, min_df=5).collect()}
+    for i in range(5):
+        assert got[i].n_removed == 4
+        assert got[i].clean_text == f"x{i} y{i}"
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing
+# ---------------------------------------------------------------------------
+
+def test_temperature_mix_quotas_follow_sqrt_counts(spark):
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        temperature_mix,
+    )
+
+    rows = []
+    did = 0
+    for src, n in (("a", 4), ("b", 16), ("c", 64), ("d", 100)):
+        for _ in range(n):
+            rows.append((did, f"t{did}", "en", src, 1))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = temperature_mix(docs, alpha=0.5, sample_frac=0.5)
+    quotas = {
+        r.source: r.quota for r in out.select("source", "quota").distinct().collect()
+    }
+    # total=184, weights sqrt(n)=2/4/8/10 (sum 24), T=92:
+    # raw quotas floor(92*w/24) = 7/15/30/38; source a caps at its size 4.
+    assert quotas == {"a": 4, "b": 15, "c": 30, "d": 38}
+    # without replacement: kept counts equal quotas
+    from pyspark.sql import functions as F
+
+    kept = {
+        r.source: r.cnt
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert kept == quotas
+    # alpha=1 reproduces the natural share: quotas = floor(n/2)
+    nat = temperature_mix(docs, alpha=1.0, sample_frac=0.5)
+    quotas_nat = {
+        r.source: r.quota
+        for r in nat.select("source", "quota").distinct().collect()
+    }
+    assert quotas_nat == {"a": 2, "b": 8, "c": 32, "d": 50}
+
+
+def test_temperature_mix_partition_invariant(spark):
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        temperature_mix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(
+        (r.doc_id, r.src_rank) for r in temperature_mix(docs).collect()
+    )
+    shuffled = sorted(
+        (r.doc_id, r.src_rank)
+        for r in temperature_mix(docs.repartition(7)).collect()
+    )
+    assert base == shuffled and len(base) > 0
