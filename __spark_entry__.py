@@ -186,6 +186,9 @@ _STAMP_PRIORITY = (
     "boilerplate_shingles",
     "remove_boilerplate",
     "temperature_mix",
+    "source_divergence",
+    "packing_efficiency",
+    "track_communities",
     # never driver-stamped through r3 (CORRECTNESS_r01..r03 union)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -354,6 +357,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": lambda spark, sf: (
             _dedup.temperature_mix(_docs(spark, sf))
         ),
+        # data-mix diagnostic: per-source unigram KL vs the corpus blend
+        "source_divergence": lambda spark, sf: (
+            _text.source_divergence(_docs(spark, sf))
+        ),
+        # sequence-packer fill audit (padding waste per example)
+        "packing_efficiency": lambda spark, sf: (
+            _text.packing_efficiency(_docs(spark, sf))
+        ),
         # behavioral analytics (events / enriched)
         "user_retention_cohorts": lambda spark, sf: _beh.user_retention_cohorts(
             load_table(spark, sf, "events")
@@ -385,6 +396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # triangle census + transitivity of the same co-play graph
         "track_triangles": lambda spark, sf: _clusters.track_triangles(
+            _enriched(spark, sf)
+        ),
+        # label-propagation communities (iterative algorithm #3: finer
+        # than connected components, deterministic min-label tie-break)
+        "track_communities": lambda spark, sf: _clusters.track_communities(
             _enriched(spark, sf)
         ),
         # grouped MODE with deterministic tiebreak (built-in mode() is
@@ -850,6 +866,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_shingles": _text.BOILERPLATE_SHINGLES_SQL,
         "remove_boilerplate": _text.REMOVE_BOILERPLATE_SQL,
         "temperature_mix": _dedup.TEMPERATURE_MIX_SQL,
+        "source_divergence": _text.SOURCE_DIVERGENCE_SQL,
+        "packing_efficiency": _text.PACKING_EFFICIENCY_SQL,
         "rolling_active_users": _beh.ROLLING_ACTIVE_USERS_SQL,
         "power_user_curve": _beh.POWER_USER_CURVE_SQL,
         "user_retention_cohorts": _beh.USER_RETENTION_COHORTS_SQL,
@@ -858,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _beh.EVENTS_ROLLUP_SQL,
         "track_cooccurrence": _beh.TRACK_COOCCURRENCE_SQL,
         "track_pagerank": _clusters.TRACK_PAGERANK_SQL,
+        "track_communities": _clusters.TRACK_COMMUNITIES_SQL,
         "track_triangles": _clusters.TRACK_TRIANGLES_SQL,
         "favorite_track_per_user": _beh.FAVORITE_TRACK_SQL,
         "track_decay_scores": _beh.TRACK_DECAY_SCORES_SQL,

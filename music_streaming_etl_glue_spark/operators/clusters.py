@@ -37,7 +37,7 @@ scales.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from music_streaming_etl_glue_spark.operators.dedup import (
@@ -601,3 +601,123 @@ FROM nodes, ne, tri
 
 
 TRACK_TRIANGLES_SQL = _track_triangles_sql()
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities over the track co-occurrence graph
+# ---------------------------------------------------------------------------
+
+LABELPROP_ITERATIONS = 3
+
+
+def label_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = LABELPROP_ITERATIONS,
+) -> DataFrame:
+    """Synchronous label propagation: every vertex starts labeled with
+    its own id; each round it adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label (the determinism rule —
+    vanilla LP tie-breaks randomly and never replays). Isolated vertices
+    keep their label via the left join. Fixed iteration count, mirrored
+    by an unrolled SQL twin (same contract as :func:`pagerank`).
+
+    One edge-label join + one (dst,label) hash agg + one dst-keyed
+    row_number per round — all shuffles on graph keys, nothing
+    driver-side; per-round ``localCheckpoint`` truncates the iterative
+    lineage exactly like PageRank's. Communities are what the
+    min-label connected components CANNOT give you: CC merges everything
+    reachable, LP splits dense regions joined by thin bridges.
+    """
+    vertices = vertices.localCheckpoint()
+    edges = edges.localCheckpoint()
+    labels = vertices.select("id", F.col("id").alias("label"))
+    w = Window.partitionBy("dst").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        picks = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("pid"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(picks, labels["id"] == picks["pid"], "left")
+            .select(
+                "id", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+def track_communities(enriched: DataFrame) -> DataFrame:
+    """(track_id, community): label-propagation communities in the
+    co-played-same-(user, day) graph — groups of tracks that share
+    listeners, at finer grain than connected components (which collapse
+    on any bridge). Same edge generator as :func:`track_pagerank`."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        cooccurrence_pairs,
+    )
+
+    pairs = cooccurrence_pairs(enriched).distinct()
+    edges = pairs.select(
+        F.col("track_a").alias("src"), F.col("track_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("track_b").alias("src"), F.col("track_a").alias("dst")
+        )
+    )
+    verts = (
+        enriched.filter(F.col("track_id").isNotNull())
+        .select(F.col("track_id").alias("id"))
+        .distinct()
+    )
+    return label_propagation(verts, edges).select(
+        F.col("id").alias("track_id"), F.col("label").alias("community")
+    )
+
+
+def _labelprop_sql(iterations: int = LABELPROP_ITERATIONS) -> str:
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        COOCCUR_PAIRS_CTES,
+    )
+
+    levels = []
+    for i in range(iterations):
+        levels.append(f"""l{i + 1} AS (
+    SELECT l.id, COALESCE(p.new_label, l.label) AS label
+    FROM l{i} l
+    LEFT JOIN (
+        SELECT dst AS pid, label AS new_label FROM (
+            SELECT e.dst, r.label, COUNT(*) AS c,
+                   row_number() OVER (PARTITION BY e.dst
+                                      ORDER BY COUNT(*) DESC, r.label ASC)
+                       AS rn
+            FROM edges e JOIN l{i} r ON e.src = r.id
+            GROUP BY e.dst, r.label
+        ) WHERE rn = 1
+    ) p ON p.pid = l.id
+)""")
+    chained = ",\n".join(levels)
+    return f"""
+WITH {COOCCUR_PAIRS_CTES},
+dpairs AS (SELECT DISTINCT track_a, track_b FROM pairs),
+edges AS (
+    SELECT track_a AS src, track_b AS dst FROM dpairs
+    UNION ALL
+    SELECT track_b AS src, track_a AS dst FROM dpairs
+),
+verts AS (SELECT DISTINCT track_id AS id FROM plays),
+l0 AS (SELECT id, id AS label FROM verts),
+{chained}
+SELECT id AS track_id, label AS community FROM l{iterations}
+"""
+
+
+TRACK_COMMUNITIES_SQL = _labelprop_sql()

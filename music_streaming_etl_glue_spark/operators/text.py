@@ -1489,3 +1489,108 @@ SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
        coalesce(k.clean_text, '') AS clean_text
 FROM t LEFT JOIN kept k USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# data-mix diagnostics: per-source unigram divergence
+# ---------------------------------------------------------------------------
+
+def source_divergence(documents: DataFrame) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution
+    from the whole-corpus distribution — the data-mix diagnostic that
+    tells you which sources are lexically "far" from the blend (a
+    divergent source is either valuable diversity or contamination;
+    either way you want the number before setting mix weights).
+
+    KL(q_s || p) = Σ_t q_s(t)·ln(q_s(t)/p(t)), q_s the source's term
+    frequencies, p the corpus's. Finite by construction (every source
+    term exists in the corpus). Two token-keyed hash aggregates + one
+    term join — the same shuffle family as TF-IDF; nothing driver-side.
+    Per-term contributions snap to 12 decimals and sum as DECIMAL
+    (order-independent — the cross-engine double-sum discipline), then
+    the result rounds to 6.
+    """
+    toks = documents.select("source", F.explode(_tokens()).alias("term"))
+    stc = toks.groupBy("source", "term").agg(F.count("*").alias("stc"))
+    tc = toks.groupBy("term").agg(F.count("*").alias("tc"))
+    totals = stc.groupBy("source").agg(F.sum("stc").alias("total_s"))
+    total = F.broadcast(tc.agg(F.sum("tc").cast("double").alias("total")))
+    q = F.col("stc").cast("double") / F.col("total_s")
+    p = F.col("tc").cast("double") / F.col("total")
+    contrib = F.round(q * F.log(q / p), 12).cast("decimal(28,12)")
+    return (
+        stc.join(tc, "term")
+        .join(totals, "source")
+        .crossJoin(total)
+        .groupBy("source")
+        .agg(
+            F.max("total_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct_terms"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
+SOURCE_DIVERGENCE_SQL = """
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+stc AS (
+    SELECT source, term, COUNT(*) AS stc FROM toks GROUP BY source, term
+),
+tc AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY term),
+totals AS (SELECT source, SUM(stc) AS total_s FROM stc GROUP BY source),
+total AS (SELECT SUM(tc)::DOUBLE AS total FROM tc)
+SELECT s.source,
+       MAX(t.total_s)::BIGINT AS n_tokens,
+       COUNT(*)::BIGINT AS n_distinct_terms,
+       round(SUM(CAST(round(
+           (s.stc::DOUBLE / t.total_s)
+           * ln((s.stc::DOUBLE / t.total_s) / (c.tc::DOUBLE / total.total)),
+           12) AS DECIMAL(28,12)))::DOUBLE, 6) AS kl_vs_corpus
+FROM stc s
+JOIN tc c ON s.term = c.term
+JOIN totals t ON s.source = t.source, total
+GROUP BY s.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# packing-efficiency audit
+# ---------------------------------------------------------------------------
+
+def packing_efficiency(
+    documents: DataFrame, target_tokens: int = PACK_TARGET_TOKENS
+) -> DataFrame:
+    """Per-example fill audit of the sequence packer: member/token
+    counts, fill ratio against the token budget, and the signed padding
+    tail. ``padding_tokens`` > 0 is the pad a trainer adds; < 0 is
+    overflow — :func:`pack_chunks` assigns a chunk by its START offset,
+    so a chunk straddling an example boundary overflows the earlier
+    example by up to chunk_tokens - 1 (the audit is where that shows).
+    One agg over the packing assignment — never recomputed per metric."""
+    assigned = pack_chunks(documents, target_tokens)
+    return assigned.groupBy("example_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("example_tokens"),
+        F.round(
+            F.sum("chunk_tokens").cast("double") / F.lit(float(target_tokens)),
+            6,
+        ).alias("fill_ratio"),
+        (F.lit(target_tokens) - F.sum("chunk_tokens"))
+        .cast("long")
+        .alias("padding_tokens"),
+    )
+
+
+PACKING_EFFICIENCY_SQL = f"""
+WITH assigned AS ({PACK_CHUNKS_SQL})
+SELECT example_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       SUM(chunk_tokens)::BIGINT AS example_tokens,
+       round(SUM(chunk_tokens)::DOUBLE / {PACK_TARGET_TOKENS}, 6)
+           AS fill_ratio,
+       ({PACK_TARGET_TOKENS} - SUM(chunk_tokens))::BIGINT AS padding_tokens
+FROM assigned
+GROUP BY example_id
+"""

@@ -1,10 +1,12 @@
 """End-to-end LLM training-data pipeline: the composite that chains the
 extension operators into the actual 100 TB preparation flow —
 
-    normalize → quality/language filter → exact dedup → near-dedup
+    normalize → quality/language filter → hard rule gates (Gopher-style)
+    → exact dedup → boilerplate-span removal → near-dedup
     (MinHash-LSH → connected components) → decontamination (fingerprint
-    + n-gram partial overlap) → deterministic split → chunk →
-    provenance-preserving write → per-split sequence packing
+    + n-gram partial overlap) → temperature source mixing →
+    deterministic split → chunk → provenance-preserving write →
+    per-split sequence packing
 
 Every stage is one of the individually-oracled operators; this module
 only COMPOSES them, so the pipeline's correctness story is the sum of
@@ -36,6 +38,7 @@ from music_streaming_etl_glue_spark.operators.clusters import dedup_clusters
 from music_streaming_etl_glue_spark.operators.dedup import (
     dataset_split,
     dedup_apply,
+    temperature_mix,
 )
 from music_streaming_etl_glue_spark.sources.catalog import load_table
 
@@ -104,9 +107,36 @@ def run_llm_data_pipeline(
     )
     counts["quality_lang"] = filtered.count()
 
+    # 2b. hard rule gates (Gopher-style): the per-rule boolean filter —
+    # unlike the soft score above, each kill is attributable to a rule
+    rules = T.quality_filter_rules(filtered).select("doc_id", "keep")
+    filtered = filtered.join(rules, "doc_id").filter(F.col("keep")).drop(
+        "keep"
+    )
+    counts["hard_rules"] = filtered.count()
+
     # 3. exact dedup (normalized text already collapses case/punct dups)
     exact = dedup_apply(filtered)
     counts["exact_dedup"] = exact.count()
+
+    # 3b. boilerplate-span removal: corpus-frequent n-grams are cut out
+    # of every document BEFORE near-dedup (shared boilerplate inflates
+    # Jaccard between unrelated pages); docs reduced to nothing drop
+    bp = T.remove_boilerplate(exact).select("doc_id", "clean_text")
+    exact = (
+        exact.drop("text")
+        .join(
+            bp.filter(F.length("clean_text") > 0).withColumnRenamed(
+                "clean_text", "text"
+            ),
+            "doc_id",
+        )
+        # every downstream stage (LSH clustering, decontamination, split,
+        # chunk, pack) re-executes its lineage on each count() audit —
+        # truncate here so the shingle-agg rebuild runs once, not 10×
+        .localCheckpoint()
+    )
+    counts["boilerplate"] = exact.count()
 
     # 4. near-dedup: LSH pairs → components → keep cluster canonicals
     clusters = dedup_clusters(exact)
@@ -139,12 +169,19 @@ def run_llm_data_pipeline(
     )
     counts["ngram_decontaminated"] = clean.count()
 
+    # 5c. temperature source mixing: the final training mix samples each
+    # source ∝ count^alpha (upweights small sources; without
+    # replacement, so it only drops rows — monotonicity holds)
+    mix = temperature_mix(clean).select("doc_id")
+    clean = clean.join(mix, "doc_id", "left_semi").localCheckpoint()
+    counts["temperature_mix"] = clean.count()
+
     # 6. deterministic split + 7. chunk (provenance: doc_id, chunk_id)
     split = dataset_split(clean).select("doc_id", "split")
     chunks = T.chunk_documents(clean).join(split, "doc_id")
 
     chunks.write.mode("overwrite").partitionBy("split").parquet(output_dir)
-    if counts["ngram_decontaminated"] == 0:
+    if counts["temperature_mix"] == 0:
         # an empty partitioned write leaves no schema-bearing files, so
         # the read-back audit below cannot infer a schema — short-circuit
         by_split: dict[str, int] = {}

@@ -196,3 +196,46 @@ def test_triangle_stats_random_graph_vs_reference(spark):
     row = triangle_stats(df).collect()[0]
     assert row.n_triangles == expect
     assert row.n_edges == len(edges)
+
+
+def test_label_propagation_matches_reference_sim(spark):
+    """Two 4-cliques joined by one bridge edge: connected components
+    would merge everything; LP must keep two communities. The expected
+    labels come from an exact local simulation of the same rule
+    (most-frequent neighbor label, ties to the smallest)."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        LABELPROP_ITERATIONS,
+        label_propagation,
+    )
+
+    cliq_a = [1, 2, 3, 4]
+    cliq_b = [10, 11, 12, 13]
+    und = [(a, b) for i, a in enumerate(cliq_a) for b in cliq_a[i + 1:]]
+    und += [(a, b) for i, a in enumerate(cliq_b) for b in cliq_b[i + 1:]]
+    und.append((4, 10))  # bridge
+    sym = und + [(b, a) for a, b in und]
+    verts = spark.createDataFrame([(v,) for v in cliq_a + cliq_b], "id long")
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    # exact reference simulation
+    labels = {v: v for v in cliq_a + cliq_b}
+    neigh = {}
+    for s, d in sym:
+        neigh.setdefault(d, []).append(s)
+    for _ in range(LABELPROP_ITERATIONS):
+        new = {}
+        for v in labels:
+            votes = {}
+            for u in neigh.get(v, []):
+                votes[labels[u]] = votes.get(labels[u], 0) + 1
+            if votes:
+                best = max(votes.values())
+                new[v] = min(l for l, c in votes.items() if c == best)
+            else:
+                new[v] = labels[v]
+        labels = new
+
+    got = {r.id: r.label for r in label_propagation(verts, edges).collect()}
+    assert got == labels
+    # the bridge did not merge the cliques
+    assert {labels[v] for v in cliq_a}.isdisjoint({labels[v] for v in cliq_b})

@@ -205,3 +205,14 @@ def test_third_wave_on_empty_inputs(spark):
     assert behavior.genre_series_dtw(events).count() == 0
     docs = _empty(spark, "doc_id long, text string, lang string, source string, n_chars long")
     assert dedup.dedup_incremental(docs).count() == 0
+
+
+def test_fourth_wave_on_empty_inputs(spark):
+    docs = _empty(
+        spark,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert text.quality_filter_rules(docs).count() == 0
+    assert text.boilerplate_shingles(docs).count() == 0
+    assert text.remove_boilerplate(docs).count() == 0
+    assert dedup.temperature_mix(docs).count() == 0

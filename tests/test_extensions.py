@@ -862,3 +862,52 @@ def test_temperature_mix_partition_invariant(spark):
         for r in temperature_mix(docs.repartition(7)).collect()
     )
     assert base == shuffled and len(base) > 0
+
+
+def test_source_divergence_zero_for_identical_distribution(spark):
+    from music_streaming_etl_glue_spark.operators.text import (
+        source_divergence,
+    )
+
+    # two sources with IDENTICAL token multisets: each q_s equals the
+    # corpus p exactly, so both KLs are 0; a third skewed source is > 0
+    rows = [
+        (1, "a b c d", "en", "s1", 1),
+        (2, "a b c d", "en", "s2", 1),
+        (3, "a a a a", "en", "s3", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r for r in source_divergence(docs).collect()}
+    assert got["s1"].kl_vs_corpus == got["s2"].kl_vs_corpus
+    assert got["s3"].kl_vs_corpus > 0
+    assert all(r.kl_vs_corpus >= 0 for r in got.values())
+    assert got["s3"].n_distinct_terms == 1 and got["s3"].n_tokens == 4
+
+
+def test_packing_efficiency_audit_consistent_with_packer(spark):
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.operators.text import (
+        PACK_TARGET_TOKENS,
+        packing_efficiency,
+        pack_chunks,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eff = packing_efficiency(docs)
+    rows = eff.collect()
+    # start-offset assignment: overflow is bounded by one chunk's tokens
+    from music_streaming_etl_glue_spark.operators.text import CHUNK_TOKENS
+
+    assert all(r.padding_tokens > -CHUNK_TOKENS for r in rows)
+    assert all(
+        0 < r.fill_ratio < 1 + CHUNK_TOKENS / PACK_TARGET_TOKENS for r in rows
+    )
+    assert all(
+        r.example_tokens + r.padding_tokens == PACK_TARGET_TOKENS for r in rows
+    )
+    # audit totals reconcile with the raw packing assignment
+    total = pack_chunks(docs).agg(F.sum("chunk_tokens")).first()[0]
+    assert sum(r.example_tokens for r in rows) == total

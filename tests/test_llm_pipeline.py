@@ -16,8 +16,9 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
     res = run_llm_data_pipeline(spark, SF_SMOKE, out)
 
     # audit trail: every stage present, counts monotonically non-increasing
-    stages = ["input", "quality_lang", "exact_dedup", "near_dedup",
-              "decontaminated", "ngram_decontaminated"]
+    stages = ["input", "quality_lang", "hard_rules", "exact_dedup",
+              "boilerplate", "near_dedup", "decontaminated",
+              "ngram_decontaminated", "temperature_mix"]
     assert list(res.stage_counts) == stages
     seq = [res.stage_counts[s] for s in stages]
     assert all(a >= b for a, b in zip(seq, seq[1:]))
@@ -74,7 +75,7 @@ def test_llm_pipeline_packs_within_splits(spark, tmp_path):
     assert sum(res.packed_examples_by_split.values()) == by_pair
     # packed chunks = the non-overlapping chunking of surviving docs
     assert packed.select("doc_id").distinct().count() == res.stage_counts[
-        "ngram_decontaminated"
+        "temperature_mix"
     ]
 
 
