@@ -164,6 +164,7 @@ _STAMP_PRIORITY = (
     "events_in_busy_sessions",
     "user_value_quartiles",
     # new this round — need their first driver stamp
+    "error_recovery_clicks",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -785,6 +786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _asof.error_click_asof_cogroup(load_table(spark, sf, "events"))
         ),
         # forward as-of (first right row at-or-after) — same kernel reversed
+        "error_recovery_clicks": lambda spark, sf: (
+            _asof.error_recovery_clicks(load_table(spark, sf, "events"))
+        ),
         "error_next_click": lambda spark, sf: _asof.error_next_click(
             load_table(spark, sf, "events")
         ),
@@ -982,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "error_click_asof": _asof.ERROR_CLICK_ASOF_SQL,
         "error_click_asof_cogroup": _asof.ERROR_CLICK_ASOF_SQL,
         "error_next_click": _asof.ERROR_NEXT_CLICK_SQL,
+        "error_recovery_clicks": _asof.ERROR_RECOVERY_CLICKS_SQL,
         "events_in_busy_sessions": _asof.EVENTS_IN_BUSY_SESSIONS_SQL,
         "events_in_error_bursts": _asof.EVENTS_IN_ERROR_BURSTS_SQL,
         "normalize_text": _text.NORMALIZE_TEXT_SQL,

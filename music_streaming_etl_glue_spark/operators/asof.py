@@ -510,3 +510,59 @@ def error_click_asof_cogroup(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded-window recovery join (the batch twin of the stream-stream join)
+# ---------------------------------------------------------------------------
+
+#: 6 hours: the testdata's click cadence is hours apart per user, so a
+#: literal 60 s "recovery" window matches nothing at any sf; the shape
+#: (equi-key + bounded time range) is what's under test, not the knob.
+RECOVERY_WINDOW_S = 21_600
+
+
+def error_recovery_clicks(
+    events: DataFrame, window_s: int = RECOVERY_WINDOW_S
+) -> DataFrame:
+    """Every (error, click) pair where the same user clicked within
+    ``window_s`` seconds AFTER the error — the attribution query whose
+    live form is :func:`~..streaming.joins.stream_error_recovery`.
+    Unlike the as-of join (first click only) this keeps EVERY recovery
+    click in the window, so it is a plain inner equi-join with a range
+    residual.
+
+    Scale: Catalyst plans the ``user_id`` equality as the join key (one
+    hash shuffle per side, no cross product) and evaluates the time-range
+    residual post-match. The time bound is the same predicate that lets
+    the streaming twin evict state, so batch backfill and live output
+    agree row-for-row.
+    """
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("ts") + F.expr(f"INTERVAL {window_s} SECONDS")
+        ),
+        "inner",
+    ).select("event_id", "user_id", "ts", "click_ts", "click_value")
+
+
+ERROR_RECOVERY_CLICKS_SQL = f"""
+SELECT e.event_id, e.user_id, e.ts, c.ts AS click_ts, c.value AS click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts
+ AND c.ts <= e.ts + INTERVAL {RECOVERY_WINDOW_S} SECOND
+"""
