@@ -24,6 +24,7 @@ from music_streaming_etl_glue_spark.operators import relational as _rel
 from music_streaming_etl_glue_spark.operators import serving as _serving
 from music_streaming_etl_glue_spark.operators import similarity as _sim
 from music_streaming_etl_glue_spark.operators import text as _text
+from music_streaming_etl_glue_spark.sources import pydatasource as _pds
 from music_streaming_etl_glue_spark.sources.catalog import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -165,6 +166,7 @@ _STAMP_PRIORITY = (
     "user_value_quartiles",
     # new this round — need their first driver stamp
     "error_recovery_clicks",
+    "synthetic_events_source",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -831,6 +833,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _mm.attach_binary(_docs(spark, sf))
         ),
         # skew-safe two-phase aggregation (plans/layout.salted_agg)
+        # custom Python DataSource connector (ignores sf: the relation is
+        # generated by the connector itself and hash-checked against a
+        # generate_series twin)
+        "synthetic_events_source": lambda spark, sf: _pds.synthetic_events(
+            spark
+        ),
         "genre_totals_salted": lambda spark, sf: _an.genre_totals_salted(
             load_table(spark, sf, "events")
         ),
@@ -999,4 +1007,5 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _mm.FRAME_SAMPLE_SQL,
         "resize_payload": _mm.RESIZE_PAYLOAD_SQL,
         "genre_totals_salted": _an.GENRE_TOTALS_SALTED_SQL,
+        "synthetic_events_source": _pds.SYNTHETIC_EVENTS_SQL,
     }
