@@ -167,6 +167,7 @@ _STAMP_PRIORITY = (
     # new this round — need their first driver stamp
     "error_recovery_clicks",
     "synthetic_events_source",
+    "track_reach",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -395,6 +396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-iteration power method over the co-play graph (iterative
         # algorithm #2 beside connected components; unrolled-CTE oracle)
         "track_pagerank": lambda spark, sf: _clusters.track_pagerank(
+            _enriched(spark, sf)
+        ),
+        # bounded BFS over degree-capped strongest-neighbor edges — the
+        # engine's WITH RECURSIVE surface (Catalyst UnionLoop execution)
+        "track_reach": lambda spark, sf: _clusters.track_reach(
             _enriched(spark, sf)
         ),
         # triangle census + transitivity of the same co-play graph
@@ -888,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _beh.EVENTS_ROLLUP_SQL,
         "track_cooccurrence": _beh.TRACK_COOCCURRENCE_SQL,
         "track_pagerank": _clusters.TRACK_PAGERANK_SQL,
+        "track_reach": _clusters.TRACK_REACH_SQL,
         "track_communities": _clusters.TRACK_COMMUNITIES_SQL,
         "track_triangles": _clusters.TRACK_TRIANGLES_SQL,
         "favorite_track_per_user": _beh.FAVORITE_TRACK_SQL,

@@ -721,3 +721,125 @@ SELECT id AS track_id, label AS community FROM l{iterations}
 
 
 TRACK_COMMUNITIES_SQL = _labelprop_sql()
+
+
+# ---------------------------------------------------------------------------
+# bounded BFS reachability via Spark 4 recursive CTE
+# ---------------------------------------------------------------------------
+
+#: Per-node out-degree cap for the reachability graph. This is what makes
+#: UNION ALL recursion safe at any corpus size: Spark's recursive CTE has
+#: no cross-iteration dedup (UNION inside WITH RECURSIVE is unsupported,
+#: checked 4.1), so the frontier is PATH-counted — with cap d and depth k
+#: the work is ≤ d^k rows per seed regardless of how dense the raw
+#: co-play graph gets. The cap also mirrors what a recommender actually
+#: ships (top-few strongest neighbors), so the pruned graph is the
+#: meaningful one, not just the cheap one.
+REACH_DEGREE_CAP = 3
+REACH_MAX_DEPTH = 4
+
+
+def strongest_neighbor_edges(
+    enriched: DataFrame, cap: int = REACH_DEGREE_CAP
+) -> DataFrame:
+    """(src, dst): each track's ``cap`` strongest co-play neighbors
+    (by co-occurrence count, dst ascending on ties — deterministic).
+    Built from the bounded pair generator, symmetrized BEFORE capping so
+    in/out asymmetry can't drop a strong edge."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        cooccurrence_pairs,
+    )
+
+    counts = (
+        cooccurrence_pairs(enriched)
+        .groupBy("track_a", "track_b")
+        .agg(F.count("*").alias("n"))
+    )
+    directed = counts.select(
+        F.col("track_a").alias("src"), F.col("track_b").alias("dst"), "n"
+    ).unionByName(
+        counts.select(
+            F.col("track_b").alias("src"), F.col("track_a").alias("dst"), "n"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("dst").asc())
+    return (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("src", "dst")
+    )
+
+
+def track_reach(
+    enriched: DataFrame,
+    max_depth: int = REACH_MAX_DEPTH,
+    cap: int = REACH_DEGREE_CAP,
+) -> DataFrame:
+    """(track_id, min_depth): every track reachable within ``max_depth``
+    hops of the seed (the lowest track id) along strongest-neighbor
+    edges, with its BFS distance — the 'how far does taste spread from
+    here' query, and the engine's recursive-CTE surface
+    (``WITH RECURSIVE`` executes as Catalyst's UnionLoop; each iteration
+    is one distributed join of the previous frontier against the edge
+    relation).
+
+    Spark's recursion is UNION ALL (paths, not visited-set), so
+    ``min_depth`` is taken by a GROUP BY afterwards; the degree cap
+    bounds path blowup (see :data:`REACH_DEGREE_CAP`)."""
+    spark = enriched.sparkSession
+    strongest_neighbor_edges(enriched, cap).createOrReplaceTempView(
+        "__reach_edges"
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(track_id, depth) AS (
+            SELECT MIN(src) AS track_id, 0 AS depth FROM __reach_edges
+            UNION ALL
+            SELECT e.dst, r.depth + 1
+            FROM reach r JOIN __reach_edges e ON e.src = r.track_id
+            WHERE r.depth < {max_depth}
+        )
+        SELECT track_id, CAST(MIN(depth) AS BIGINT) AS min_depth
+        FROM reach GROUP BY track_id
+        ORDER BY min_depth, track_id
+        """
+    )
+
+
+def _track_reach_sql() -> str:
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        COOCCUR_PAIRS_CTES,
+    )
+
+    return f"""
+WITH RECURSIVE {COOCCUR_PAIRS_CTES},
+counts AS (
+    SELECT track_a, track_b, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+),
+directed AS (
+    SELECT track_a AS src, track_b AS dst, n FROM counts
+    UNION ALL
+    SELECT track_b AS src, track_a AS dst, n FROM counts
+),
+capped_edges AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY n DESC, dst ASC) AS rn
+        FROM directed
+    ) WHERE rn <= {REACH_DEGREE_CAP}
+),
+reach(track_id, depth) AS (
+    SELECT MIN(src), 0 FROM capped_edges
+    UNION ALL
+    SELECT e.dst, r.depth + 1
+    FROM reach r JOIN capped_edges e ON e.src = r.track_id
+    WHERE r.depth < {REACH_MAX_DEPTH}
+)
+SELECT track_id, MIN(depth)::BIGINT AS min_depth
+FROM reach GROUP BY track_id
+ORDER BY min_depth, track_id
+"""
+
+
+TRACK_REACH_SQL = _track_reach_sql()

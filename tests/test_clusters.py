@@ -239,3 +239,36 @@ def test_label_propagation_matches_reference_sim(spark):
     assert got == labels
     # the bridge did not merge the cliques
     assert {labels[v] for v in cliq_a}.isdisjoint({labels[v] for v in cliq_b})
+
+
+def test_track_reach_bfs_contract(spark):
+    """Recursive-CTE BFS: seed at depth 0, every depth-(d+1) node has a
+    depth-d in-neighbor, and no node exceeds the depth bound or the
+    reachable set of the capped graph."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        REACH_MAX_DEPTH,
+        strongest_neighbor_edges,
+        track_reach,
+    )
+
+    import __spark_entry__ as entry_mod
+
+    enriched = entry_mod.queries()["enriched"](spark, SF_SMOKE)
+    reach = {
+        r.track_id: r.min_depth for r in track_reach(enriched).collect()
+    }
+    edges = {
+        (r.src, r.dst)
+        for r in strongest_neighbor_edges(enriched).collect()
+    }
+    seed = min(s for s, _ in edges)
+    assert reach[seed] == 0
+    assert max(reach.values()) <= REACH_MAX_DEPTH
+    # BFS invariant: a node at depth d+1 has a predecessor at depth d
+    for node, d in reach.items():
+        if d == 0:
+            continue
+        assert any(
+            (src, node) in edges and reach.get(src) == d - 1
+            for src in reach
+        ), (node, d)
