@@ -800,7 +800,8 @@ def track_reach(
             WHERE r.depth < {max_depth}
         )
         SELECT track_id, CAST(MIN(depth) AS BIGINT) AS min_depth
-        FROM reach GROUP BY track_id
+        FROM reach WHERE track_id IS NOT NULL
+        GROUP BY track_id
         ORDER BY min_depth, track_id
         """
     )
@@ -837,7 +838,8 @@ reach(track_id, depth) AS (
     WHERE r.depth < {REACH_MAX_DEPTH}
 )
 SELECT track_id, MIN(depth)::BIGINT AS min_depth
-FROM reach GROUP BY track_id
+FROM reach WHERE track_id IS NOT NULL
+GROUP BY track_id
 ORDER BY min_depth, track_id
 """
 

@@ -216,3 +216,23 @@ def test_fourth_wave_on_empty_inputs(spark):
     assert text.boilerplate_shingles(docs).count() == 0
     assert text.remove_boilerplate(docs).count() == 0
     assert dedup.temperature_mix(docs).count() == 0
+
+
+def test_fifth_wave_on_empty_inputs(spark):
+    """Recovery join, strongest-neighbor edges, and recursive-CTE reach
+    on 0-row inputs: the BFS anchor (MIN over an empty edge set) must
+    yield an empty reachability relation, not a null seed row."""
+    from music_streaming_etl_glue_spark.operators import clusters
+    from music_streaming_etl_glue_spark.operators.asof import (
+        error_recovery_clicks,
+    )
+    from music_streaming_etl_glue_spark.operators.enrich import enrich_events
+
+    events = _empty(spark, EVENTS_DDL)
+    assert error_recovery_clicks(events).count() == 0
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    enriched = enrich_events(events, customer, nation)
+    assert clusters.strongest_neighbor_edges(enriched).count() == 0
+    assert clusters.track_reach(enriched).count() == 0
