@@ -168,6 +168,7 @@ _STAMP_PRIORITY = (
     "error_recovery_clicks",
     "synthetic_events_source",
     "track_reach",
+    "jaccard_pairs_prefix",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -525,6 +526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "ngram_jaccard_pairs": lambda spark, sf: _dedup.ngram_jaccard_pairs(
+            _docs(spark, sf)
+        ),
+        # AllPairs/PPJoin prefix filtering — exact result (shared oracle),
+        # candidate volume driven by rare shingles instead of boilerplate
+        "jaccard_pairs_prefix": lambda spark, sf: _dedup.jaccard_pairs_prefix(
             _docs(spark, sf)
         ),
         "minhash_signatures": lambda spark, sf: _dedup.minhash_signatures(
@@ -932,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
             DEDUP_CLUSTERS_SQL=_clusters.DEDUP_CLUSTERS_SQL
         ),
         "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,
+        "jaccard_pairs_prefix": _dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": _dedup.MINHASH_SIGNATURES_SQL,
         "minhash_dedup_pairs": _dedup.MINHASH_DEDUP_SQL,
         "fuzzy_dedup_pairs": _dedup.FUZZY_DEDUP_SQL,

@@ -284,6 +284,107 @@ def ngram_jaccard_pairs_pipeline(
     )
 
 
+def jaccard_pairs_prefix(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+    candidate_stats: dict | None = None,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` with AllPairs/PPJoin-style PREFIX
+    FILTERING (Bayardo et al., "Scaling Up All Pairs Similarity Search";
+    Xiao et al., PPJoin) — same exact output, different candidate set.
+
+    The exact join's shuffle cost is Σ df(shingle)² over EVERY shingle.
+    Prefix filtering orders each doc's shingles by ascending global
+    document frequency (rarest first, shingle text as tie-break) and
+    keeps only the first ``|x| − ⌈τ·|x|⌉ + 1`` as join keys: any pair
+    with Jaccard ≥ τ must share at least one PREFIX shingle under a
+    common total order, so joining prefixes loses nothing — but frequent
+    (boilerplate) shingles sit at the END of the order and mostly drop
+    out of the join. A length filter (τ·|x| ≤ |y|) prunes cross-size
+    candidates the threshold already excludes. Survivors are verified
+    with an exact intersection count over the FULL shingle sets, so the
+    result is bit-identical to the naive join (shared oracle) while the
+    candidate volume falls from Σ df² to Σ df_prefix² — at 100 TB this
+    is the difference between the join being driven by corpus
+    boilerplate and being driven by rare content.
+
+    Pass ``candidate_stats`` to receive {"candidates": k} — the measured
+    candidate-pair count (used by the reduction test/bench audit).
+    """
+    sh = shingles(documents, n).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+
+    ranked = sh.join(dfreq, "shingle").join(sizes, "doc_id")
+    pos_w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size"))
+        + F.lit(1)
+    )
+    prefixes = (
+        ranked.withColumn("pos", F.row_number().over(pos_w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "shingle", "set_size")
+    )
+
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: τ·|x| ≤ |y| in both directions
+            & (
+                F.col("b.set_size")
+                >= F.lit(threshold) * F.col("a.set_size")
+            )
+            & (
+                F.col("a.set_size")
+                >= F.lit(threshold) * F.col("b.set_size")
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if candidate_stats is not None:
+        candidate_stats["candidates"] = cand.count()
+
+    # exact verification over the full sets, restricted to candidates
+    sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_id_a")
+        # composite-key equi-join: Catalyst hashes on (doc_id_b, shingle),
+        # so the probe cost is Σ|candidate sets|, never a per-pair scan
+        .join(shb, ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("set_size").alias("size_b")
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 NGRAM_JACCARD_SQL = f"""
 WITH sh AS ({_shingles_cte()}),
 sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),

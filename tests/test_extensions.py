@@ -911,3 +911,30 @@ def test_packing_efficiency_audit_consistent_with_packer(spark):
     # audit totals reconcile with the raw packing assignment
     total = pack_chunks(docs).agg(F.sum("chunk_tokens")).first()[0]
     assert sum(r.example_tokens for r in rows) == total
+
+
+def test_prefix_filter_exact_and_reduces_candidates(docs):
+    """PPJoin prefix filtering must (a) return exactly the naive join's
+    pairs and (b) generate FEWER candidate pairs than the naive shingle
+    join's Σ df·(df−1)/2 — losslessness and the point of the filter."""
+    from pyspark.sql import functions as F
+
+    naive = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    stats: dict = {}
+    pref = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in dedup.jaccard_pairs_prefix(docs, candidate_stats=stats).collect()
+    }
+    assert pref == naive
+    naive_candidates = (
+        dedup.shingles(docs)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert stats["candidates"] < naive_candidates
