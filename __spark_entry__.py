@@ -317,6 +317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": lambda spark, sf: _text.vocab_top_terms(
             _docs(spark, sf)
         ),
+        # native approx_top_k sketch twin (rows-only: boundary-tie order
+        # is sketch-internal; pytest bounds it against the exact twin)
+        "vocab_top_terms_approx": lambda spark, sf: (
+            _text.vocab_top_terms_approx(_docs(spark, sf))
+        ),
         "bm25_scores": lambda spark, sf: _text.bm25_scores(_docs(spark, sf)),
         "repetition_metrics": lambda spark, sf: _text.repetition_metrics(
             _docs(spark, sf)

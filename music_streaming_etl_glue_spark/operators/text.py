@@ -931,6 +931,41 @@ FROM ranked WHERE vocab_rank <= {VOCAB_TOP_K}
 """
 
 
+#: Sketch capacity for the approx heavy-hitters twin. When capacity ≥
+#: distinct-token count the sketch degenerates to exact counting; below
+#: it, returned counts over-estimate by at most the evicted mass (the
+#: standard space-saving bound).
+VOCAB_SKETCH_CAPACITY = 10_000
+
+
+def vocab_top_terms_approx(
+    documents: DataFrame,
+    k: int = VOCAB_TOP_K,
+    capacity: int = VOCAB_SKETCH_CAPACITY,
+) -> DataFrame:
+    """:func:`vocab_top_terms` on the NATIVE ``approx_top_k`` sketch
+    (Spark 4.1): one pass, mergeable per-partition sketches, O(capacity)
+    state instead of a full vocabulary aggregate — the shape that wins
+    when the vocabulary itself is too hot to shuffle (URLs, ids, OCR
+    noise make real 100 TB corpora's "vocabulary" enormous; the sketch
+    bounds memory where the exact groupBy cannot). Tie order at the k
+    boundary is sketch-internal, so the contract is set-level (pytest
+    bounds vs the exact twin), not a hash oracle — ranks within the
+    result are re-sorted deterministically for stable output."""
+    toks = documents.select(F.explode(_tokens()).alias("term"))
+    sk = toks.agg(
+        F.expr(f"approx_top_k(term, {k}, {capacity})").alias("tk")
+    )
+    out = sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("term"),
+        F.col("e.count").alias("term_count"),
+    )
+    w = Window.orderBy(F.col("term_count").desc(), F.col("term").asc())
+    return out.withColumn(
+        "vocab_rank", F.row_number().over(w).cast("long")
+    ).orderBy("vocab_rank")
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (the privacy-scrub stage of a training-data pipeline)
 # ---------------------------------------------------------------------------

@@ -938,3 +938,30 @@ def test_prefix_filter_exact_and_reduces_candidates(docs):
         .c
     )
     assert stats["candidates"] < naive_candidates
+
+
+def test_vocab_approx_matches_exact_within_tie_boundary(docs):
+    """approx_top_k with capacity ≥ vocabulary: every returned count is
+    the exact count, and the returned set contains every term strictly
+    above the k-th count (only boundary ties may differ)."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        vocab_top_terms,
+        vocab_top_terms_approx,
+    )
+
+    full = {
+        r.term: r.term_count
+        for r in vocab_top_terms(docs, k=1_000_000).collect()
+    }
+    exact = dict(sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+    approx = {
+        r.term: r.term_count
+        for r in vocab_top_terms_approx(docs, k=50).collect()
+    }
+    assert len(approx) == len(exact)
+    # capacity >> vocabulary ⇒ every sketch count is the exact count
+    for term, cnt in approx.items():
+        assert full[term] == cnt
+    kth = min(exact.values())
+    must_have = {t for t, c in exact.items() if c > kth}
+    assert must_have <= set(approx)
