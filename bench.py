@@ -42,6 +42,10 @@ BASELINE_QUERIES = (
     "cosine_pairs",
     "chunk_documents_udtf",
     "error_click_asof_cogroup",
+    # Python DataSource connector demo: the measured time is dominated by
+    # the one-time cold start of the datasource Python runner (~5s first
+    # use in a session, ~0.8s warm) — an API-surface cost, not a query
+    "synthetic_events_source",
 )
 
 

@@ -787,7 +787,11 @@ def track_reach(
     ``min_depth`` is taken by a GROUP BY afterwards; the degree cap
     bounds path blowup (see :data:`REACH_DEGREE_CAP`)."""
     spark = enriched.sparkSession
-    strongest_neighbor_edges(enriched, cap).createOrReplaceTempView(
+    # materialize the mined edge list ONCE: the recursive loop re-executes
+    # the view's plan every iteration, and without the checkpoint that
+    # meant re-running the whole pair-mining join per BFS level
+    # (measured 14.9s → ~1s at sf0.1)
+    strongest_neighbor_edges(enriched, cap).localCheckpoint().createOrReplaceTempView(
         "__reach_edges"
     )
     return spark.sql(

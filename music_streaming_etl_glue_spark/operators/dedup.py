@@ -313,13 +313,16 @@ def jaccard_pairs_prefix(
     candidate-pair count (used by the reduction test/bench audit).
     """
     sh = shingles(documents, n).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
 
-    ranked = sh.join(dfreq, "shingle").join(sizes, "doc_id")
+    # position and set size from ONE doc-keyed window pass (row_number and
+    # count share the partition, so Catalyst plans a single shuffle+sort —
+    # no separate sizes join on this path)
+    ranked = sh.join(dfreq, "shingle")
     pos_w = Window.partitionBy("doc_id").orderBy(
         F.col("df").asc(), F.col("shingle").asc()
     )
+    size_w = Window.partitionBy("doc_id")
     prefix_len = (
         F.col("set_size")
         - F.ceil(F.lit(threshold) * F.col("set_size"))
@@ -327,6 +330,7 @@ def jaccard_pairs_prefix(
     )
     prefixes = (
         ranked.withColumn("pos", F.row_number().over(pos_w))
+        .withColumn("set_size", F.count("*").over(size_w))
         .filter(F.col("pos") <= prefix_len)
         .select("doc_id", "shingle", "set_size")
     )
@@ -350,6 +354,10 @@ def jaccard_pairs_prefix(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
+            # set sizes ride along with the pair, so the final Jaccard
+            # needs no extra join back to a sizes relation
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
         )
         .distinct()
         .localCheckpoint(eager=False)
@@ -365,24 +373,15 @@ def jaccard_pairs_prefix(
         # composite-key equi-join: Catalyst hashes on (doc_id_b, shingle),
         # so the probe cost is Σ|candidate sets|, never a per-pair scan
         .join(shb, ["doc_id_b", "shingle"])
-        .groupBy("doc_id_a", "doc_id_b")
+        .groupBy("doc_id_a", "doc_id_b", "size_a", "size_b")
         .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("set_size").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("set_size").alias("size_b")
     )
     jaccard = F.col("inter").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("inter")
     )
-    return (
-        inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "doc_id_a", "doc_id_b", jaccard.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 NGRAM_JACCARD_SQL = f"""
