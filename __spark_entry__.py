@@ -24,6 +24,7 @@ from music_streaming_etl_glue_spark.operators import relational as _rel
 from music_streaming_etl_glue_spark.operators import serving as _serving
 from music_streaming_etl_glue_spark.operators import similarity as _sim
 from music_streaming_etl_glue_spark.operators import text as _text
+from music_streaming_etl_glue_spark.plans import snapshot_diff as _sdiff
 from music_streaming_etl_glue_spark.sources import pydatasource as _pds
 from music_streaming_etl_glue_spark.sources.catalog import load_table
 
@@ -169,6 +170,7 @@ _STAMP_PRIORITY = (
     "synthetic_events_source",
     "track_reach",
     "jaccard_pairs_prefix",
+    "documents_diff_summary",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -850,6 +852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _mm.attach_binary(_docs(spark, sf))
         ),
         # skew-safe two-phase aggregation (plans/layout.salted_agg)
+        # snapshot diff audit: documents vs a deterministic next-snapshot
+        # twin — keyed full-outer hash compare, status rollup
+        "documents_diff_summary": lambda spark, sf: (
+            _sdiff.documents_diff_summary(_docs(spark, sf))
+        ),
         # custom Python DataSource connector (ignores sf: the relation is
         # generated by the connector itself and hash-checked against a
         # generate_series twin)
@@ -1027,4 +1034,5 @@ def oracle_sql() -> dict[str, str]:
         "resize_payload": _mm.RESIZE_PAYLOAD_SQL,
         "genre_totals_salted": _an.GENRE_TOTALS_SALTED_SQL,
         "synthetic_events_source": _pds.SYNTHETIC_EVENTS_SQL,
+        "documents_diff_summary": _sdiff.DOCUMENTS_DIFF_SUMMARY_SQL,
     }

@@ -1,0 +1,129 @@
+"""Snapshot diff: audit what changed between two versions of a table.
+
+The reference overwrites its serving data blindly (full-refresh Glue
+jobs); when a refresh produces surprising numbers there is no way to ask
+"what actually changed since yesterday". This operator is that answer as
+one relational pass: a keyed full-outer join of two snapshots comparing
+a content hash, classifying every key as ``added`` / ``removed`` /
+``changed`` / ``unchanged``.
+
+Scale: one shuffle per side on the key, then a single full-outer hash
+join — no row comparison beyond the md5 of the compared columns, so the
+shuffled payload is (key, hash), never the row body. At 100 TB both
+sides prune to (key, hash) projections at the scan. ``unchanged`` rows
+are usually the overwhelming majority; downstream consumers filter them
+out early, and Catalyst pushes that filter into the join's output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """(key, status) for every key in either snapshot, with the compared
+    columns' md5 on each side. ``concat_ws`` with a unit separator keeps
+    the hash injective for typical text (no column collision), and NULLs
+    hash as the empty segment on BOTH sides — a NULL→NULL column is
+    ``unchanged``, NULL→value is ``changed``."""
+    sep = "\x1f"  # unit separator: keeps multi-column hashes injective
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in compare_cols]
+        return df.select(
+            F.col(key),
+            F.md5(F.concat_ws(sep, *cols)).alias(f"{alias}_hash"),
+        )
+
+    o = hashed(old, "old")
+    n = hashed(new, "new")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, key, "full_outer").select(
+        key, status.alias("status"), "old_hash", "new_hash"
+    )
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """status → count rollup of a :func:`dataset_diff` — the one-line
+    audit a refresh job logs before promoting a snapshot."""
+    return diff.groupBy("status").agg(F.count("*").alias("n")).orderBy("status")
+
+
+# ---------------------------------------------------------------------------
+# catalog wiring: diff the documents table against a deterministic
+# "next snapshot" twin (drop every 97th doc, rewrite every 89th) so the
+# operator is exercised — and oracle-checked — from one sf directory.
+# ---------------------------------------------------------------------------
+
+DIFF_DROP_MOD = 97
+DIFF_EDIT_MOD = 89
+
+
+def perturbed_documents(documents: DataFrame) -> DataFrame:
+    """The synthetic 'new snapshot': doc_id % 97 == 0 rows deleted,
+    doc_id % 89 == 0 rows text-rewritten (uppercased), plus a shifted
+    copy of the lowest doc_id appended as id max+1 (one guaranteed
+    ``added`` row)."""
+    kept = documents.filter(F.col("doc_id") % DIFF_DROP_MOD != 0)
+    edited = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % DIFF_EDIT_MOD == 0, F.upper(F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    mx = documents.agg(F.max("doc_id").alias("mx"))
+    added = (
+        documents.orderBy("doc_id")
+        .limit(1)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("mx") + 1).alias("doc_id"),
+            *[c for c in documents.columns if c != "doc_id"],
+        )
+    )
+    return edited.unionByName(added)
+
+
+def documents_diff_summary(documents: DataFrame) -> DataFrame:
+    d = dataset_diff(
+        documents, perturbed_documents(documents), "doc_id", ["text"]
+    )
+    return diff_summary(d)
+
+
+DOCUMENTS_DIFF_SUMMARY_SQL = f"""
+WITH old_h AS (
+    SELECT doc_id, md5(COALESCE(text, '')) AS old_hash FROM documents
+),
+new_snap AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0 THEN upper(text)
+                ELSE text END AS text
+    FROM documents WHERE doc_id % {DIFF_DROP_MOD} != 0
+    UNION ALL
+    (SELECT (SELECT MAX(doc_id) FROM documents) + 1, text
+     FROM documents ORDER BY doc_id LIMIT 1)
+),
+new_h AS (
+    SELECT doc_id, md5(COALESCE(text, '')) AS new_hash FROM new_snap
+),
+d AS (
+    SELECT CASE
+        WHEN o.old_hash IS NULL THEN 'added'
+        WHEN n.new_hash IS NULL THEN 'removed'
+        WHEN o.old_hash = n.new_hash THEN 'unchanged'
+        ELSE 'changed' END AS status
+    FROM old_h o FULL OUTER JOIN new_h n USING (doc_id)
+)
+SELECT status, COUNT(*)::BIGINT AS n FROM d GROUP BY status ORDER BY status
+"""
