@@ -171,6 +171,8 @@ _STAMP_PRIORITY = (
     "track_reach",
     "jaccard_pairs_prefix",
     "documents_diff_summary",
+    "corpus_shuffle",
+    "token_budget_sample",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -499,6 +501,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
+        # stable pseudorandom training order (shard + in-shard rank)
+        "corpus_shuffle": lambda spark, sf: _dedup.corpus_shuffle(
+            _docs(spark, sf)
+        ),
+        # per-source token-budget cap in md5-lottery order
+        "token_budget_sample": lambda spark, sf: _dedup.token_budget_sample(
+            _docs(spark, sf)
+        ),
         "stratified_sample": lambda spark, sf: _dedup.stratified_sample(
             load_table(spark, sf, "events")
         ),
@@ -937,6 +947,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": _dedup.DEDUP_APPLY_SQL,
         "dedup_incremental": _dedup.DEDUP_INCREMENTAL_SQL,
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
+        "corpus_shuffle": _dedup.CORPUS_SHUFFLE_SQL,
+        "token_budget_sample": _dedup.TOKEN_BUDGET_SAMPLE_SQL,
         "stratified_sample": _dedup.STRATIFIED_SAMPLE_SQL,
         "weighted_sample": _dedup.WEIGHTED_SAMPLE_SQL,
         "rebalance_sources": _dedup.REBALANCE_SOURCES_SQL,

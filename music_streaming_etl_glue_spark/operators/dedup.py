@@ -1439,3 +1439,111 @@ ranked AS (
 SELECT doc_id, source, src_rank, quota
 FROM ranked WHERE src_rank <= quota
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle (training-order randomization)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 16
+
+
+def corpus_shuffle(
+    documents: DataFrame, shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """(doc_id, shard, pos): a STABLE pseudorandom training order.
+    Training wants documents decorrelated from ingest order (source runs,
+    crawl batches); ``orderBy(rand())`` re-rolls every run and needs a
+    global sort. Instead: shard = md5-bucket (the write fan-out — one
+    shuffle, no global sort), pos = rank of the full md5 key within the
+    shard (each shard sorts independently in parallel — the same sort a
+    sharded writer pays anyway). Rerunning, appending, or re-reading
+    never changes an existing document's (shard, pos) prefix order, so
+    an interrupted epoch can resume mid-shard deterministically."""
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        documents.select(
+            "doc_id",
+            _hash_bucket("doc_id", shards).alias("shard"),
+            key.alias("shuffle_key"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+CORPUS_SHUFFLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               % {SHUFFLE_SHARDS} AS shard,
+           md5(doc_id::VARCHAR) AS shuffle_key
+    FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY shuffle_key, doc_id) AS pos
+FROM keyed
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget subsampling (cap each source's token contribution)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_PER_SOURCE = 600
+
+
+def token_budget_sample(
+    documents: DataFrame, budget: int = TOKEN_BUDGET_PER_SOURCE
+) -> DataFrame:
+    """Keep a stable pseudorandom subset of each source whose cumulative
+    whitespace-token count stays within ``budget`` — the mixture knob
+    expressed in TOKENS (what the training run actually consumes) rather
+    than documents (what :func:`rebalance_sources` counts). Docs enter
+    in md5-lottery order, so the kept set is append-stable: new corpus
+    rows only ever compete for the tail of the budget, never evict an
+    earlier winner. One window pass per source (running sum), no joins.
+
+    Greedy-prefix semantics: a document is kept iff the running total
+    INCLUDING it fits the budget; the first overflowing doc is dropped
+    but later smaller docs may still fit (knapsack-free, deterministic,
+    and what sampling-by-token implementations actually ship)."""
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("lottery", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            key.alias("lottery"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           md5(doc_id::VARCHAR) AS lottery
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source
+                               ORDER BY lottery, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM keyed
+)
+SELECT doc_id, source, n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM cum WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+"""

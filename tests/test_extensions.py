@@ -965,3 +965,46 @@ def test_vocab_approx_matches_exact_within_tie_boundary(docs):
     kth = min(exact.values())
     must_have = {t for t, c in exact.items() if c > kth}
     assert must_have <= set(approx)
+
+
+def test_corpus_shuffle_is_append_stable(docs):
+    """Adding documents must not move any existing doc's relative order
+    within its shard (stable lottery: md5 keys don't change, new rows
+    only insert between existing ones)."""
+    full = dedup.corpus_shuffle(docs)
+    half = dedup.corpus_shuffle(docs.limit(docs.count() // 2))
+    # relative order of surviving docs per shard is preserved
+    def order(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.shard, []).append((r.pos, r.doc_id))
+        return {s: [d for _, d in sorted(v)] for s, v in out.items()}
+
+    half_ids = {r.doc_id for r in half.select("doc_id").collect()}
+    full_o, half_o = order(full), order(half)
+    for shard, seq in half_o.items():
+        projected = [d for d in full_o.get(shard, []) if d in half_ids]
+        assert projected == seq
+
+
+def test_token_budget_sample_respects_budget_and_stability(docs):
+    from pyspark.sql import functions as F
+
+    budget = 80
+    kept = dedup.token_budget_sample(docs, budget=budget)
+    rows = kept.collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+    for src, rs in per_source.items():
+        assert max(r.cum_tokens for r in rs) <= budget
+    # append stability: the kept set of a subset corpus is a superset
+    # restricted to surviving docs — an earlier winner is never evicted
+    # by REMOVING other docs (dropping rows only frees budget)
+    sub = docs.filter(F.col("doc_id") % 3 != 0)
+    kept_sub = {
+        r.doc_id for r in dedup.token_budget_sample(sub, budget=budget).collect()
+    }
+    kept_full = {r.doc_id for r in rows}
+    surviving_winners = {d for d in kept_full if d % 3 != 0}
+    assert surviving_winners <= kept_sub
