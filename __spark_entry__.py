@@ -173,6 +173,7 @@ _STAMP_PRIORITY = (
     "documents_diff_summary",
     "corpus_shuffle",
     "token_budget_sample",
+    "interleave_sources",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -503,6 +504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
         # stable pseudorandom training order (shard + in-shard rank)
         "corpus_shuffle": lambda spark, sf: _dedup.corpus_shuffle(
+            _docs(spark, sf)
+        ),
+        # proportional stride-schedule interleave (closed-form global
+        # rank — no global sort)
+        "interleave_sources": lambda spark, sf: _dedup.interleave_sources(
             _docs(spark, sf)
         ),
         # per-source token-budget cap in md5-lottery order
@@ -949,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
         "corpus_shuffle": _dedup.CORPUS_SHUFFLE_SQL,
         "token_budget_sample": _dedup.TOKEN_BUDGET_SAMPLE_SQL,
+        "interleave_sources": _dedup.INTERLEAVE_SOURCES_SQL,
         "stratified_sample": _dedup.STRATIFIED_SAMPLE_SQL,
         "weighted_sample": _dedup.WEIGHTED_SAMPLE_SQL,
         "rebalance_sources": _dedup.REBALANCE_SOURCES_SQL,

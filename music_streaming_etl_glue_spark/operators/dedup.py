@@ -1547,3 +1547,104 @@ cum AS (
 SELECT doc_id, source, n_tokens, cum_tokens::BIGINT AS cum_tokens
 FROM cum WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
 """
+
+
+# ---------------------------------------------------------------------------
+# proportional source interleaving (deterministic epoch schedule)
+# ---------------------------------------------------------------------------
+
+INTERLEAVE_BATCH_SIZE = 32
+
+
+def interleave_sources(
+    documents: DataFrame, batch_size: int = INTERLEAVE_BATCH_SIZE
+) -> DataFrame:
+    """(doc_id, source, global_rank, batch_id): a deterministic epoch
+    schedule that consumes every source at a PROPORTIONAL pace — item p
+    of a source with n docs sits at key p/n (fraction of the source
+    consumed), so all sources finish together and every training-batch
+    prefix holds each source ∝ its size (stride scheduling).
+
+    The scale trick: the global rank of key p/n is COMPUTED, not sorted.
+    For each other source (n' docs), the count of its items with
+    strictly smaller key is ``min(n', (p·n'−1) div n)`` — integer
+    arithmetic (cross-multiplied comparison, no float keys, no float
+    ties), summed over the ~|sources| broadcast count list with one
+    ``aggregate`` HOF; key ties break by source name (same closed form).
+    So the schedule costs one per-source window (the md5-lottery local
+    order) plus a narrow map — NO global sort, NO single-partition
+    window, at any corpus size. int64-exact while p·n' < 2^63.
+    """
+    counts = documents.groupBy("source").agg(F.count("*").alias("n"))
+    arr_df = counts.agg(
+        F.collect_list(
+            F.struct(F.col("source").alias("s"), F.col("n").alias("n2"))
+        ).alias("__sources")
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
+    pos = (
+        documents.select("doc_id", "source")
+        .withColumn("p", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(arr_df))
+    )
+
+    def idiv(a, b):
+        # exact integer floor-div for non-negative a: (a - a % b) / b
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    smaller = F.aggregate(
+        F.col("__sources"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.least(x["n2"], idiv(F.col("p") * x["n2"] - 1, F.col("n"))),
+    )
+    ties_before = F.aggregate(
+        F.col("__sources"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(
+            (x["s"] < F.col("source"))
+            & (F.pmod(F.col("p") * x["n2"], F.col("n")) == 0)
+            & (idiv(F.col("p") * x["n2"], F.col("n")) >= 1)
+            & (idiv(F.col("p") * x["n2"], F.col("n")) <= x["n2"]),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    rank = (smaller + ties_before + F.lit(1)).alias("global_rank")
+    return (
+        pos.select("doc_id", "source", rank)
+        .withColumn(
+            "batch_id",
+            ((F.col("global_rank") - 1) / batch_size).cast("long"),
+        )
+        .orderBy("global_rank")
+    )
+
+
+INTERLEAVE_SOURCES_SQL = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+pos AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(doc_id::VARCHAR), doc_id) AS p
+    FROM documents
+),
+pj AS (SELECT doc_id, pos.source, p, n FROM pos JOIN counts USING (source)),
+ranked AS (
+    SELECT pj.doc_id, pj.source,
+           (SUM(LEAST(c2.n, (pj.p * c2.n - 1) // pj.n))
+            + SUM(CASE WHEN c2.source < pj.source
+                        AND (pj.p * c2.n) % pj.n = 0
+                        AND (pj.p * c2.n) // pj.n BETWEEN 1 AND c2.n
+                       THEN 1 ELSE 0 END)
+            + 1)::BIGINT AS global_rank
+    FROM pj CROSS JOIN counts c2
+    GROUP BY pj.doc_id, pj.source
+)
+SELECT doc_id, source, global_rank,
+       ((global_rank - 1) // {INTERLEAVE_BATCH_SIZE})::BIGINT AS batch_id
+FROM ranked
+ORDER BY global_rank
+"""

@@ -1008,3 +1008,24 @@ def test_token_budget_sample_respects_budget_and_stability(docs):
     kept_full = {r.doc_id for r in rows}
     surviving_winners = {d for d in kept_full if d % 3 != 0}
     assert surviving_winners <= kept_sub
+
+
+def test_interleave_sources_is_proportional_permutation(docs):
+    """Closed-form stride ranks must form an exact permutation 1..N, and
+    every rank-prefix must hold each source within 1 item of its
+    proportional share (the stride-scheduling guarantee)."""
+    rows = dedup.interleave_sources(docs).collect()
+    n = len(rows)
+    ranks = sorted(r.global_rank for r in rows)
+    assert ranks == list(range(1, n + 1))
+    counts: dict = {}
+    for r in rows:
+        counts[r.source] = counts.get(r.source, 0) + 1
+    seen: dict = {}
+    for r in sorted(rows, key=lambda r: r.global_rank):
+        seen[r.source] = seen.get(r.source, 0) + 1
+        k = r.global_rank
+        for s, tot in counts.items():
+            expected = k * tot / n
+            assert abs(seen.get(s, 0) - expected) <= 1.0 + 1e-9, (
+                k, s, seen.get(s, 0), expected)
