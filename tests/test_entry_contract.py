@@ -23,6 +23,9 @@ ROWS_ONLY = {
     "genre_distinct_sketch_rollup",
     # recursive DP (banded DTW) — pytest pins a pure-Python reference
     "genre_series_dtw",
+    # approx_top_k sketch: boundary-tie order is sketch-internal; pytest
+    # bounds it against the exact vocab_top_terms twin
+    "vocab_top_terms_approx",
 }
 
 
