@@ -174,6 +174,8 @@ _STAMP_PRIORITY = (
     "corpus_shuffle",
     "token_budget_sample",
     "interleave_sources",
+    "phash_fingerprints",
+    "phash_near_dups",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -859,6 +861,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": lambda spark, sf: _mm.extract_features(
             _mm.attach_binary(_docs(spark, sf))
         ),
+        # perceptual-hash image-dedup plumbing: 64-bit aHash over payload
+        # samples (mapInPandas lane) + 16-bit-banded near-dup join
+        "phash_fingerprints": lambda spark, sf: _mm.phash_fingerprints(
+            _docs(spark, sf)
+        ),
+        "phash_near_dups": lambda spark, sf: _mm.phash_near_dups(
+            _docs(spark, sf)
+        ),
         # video-modality plumbing: 1 payload → N frame rows (mapInPandas)
         "frame_sample": lambda spark, sf: _mm.frame_sample(
             _mm.attach_binary(_docs(spark, sf))
@@ -1049,6 +1059,8 @@ def oracle_sql() -> dict[str, str]:
         # The featurizer itself is mapInPandas, but the stand-in payload is
         # ASCII text, so the byte math has an exact SQL twin.
         "multimodal_features": _mm.MULTIMODAL_FEATURES_SQL,
+        "phash_fingerprints": _mm.PHASH_FINGERPRINTS_SQL,
+        "phash_near_dups": _mm.PHASH_NEAR_DUPS_SQL,
         "frame_sample": _mm.FRAME_SAMPLE_SQL,
         "resize_payload": _mm.RESIZE_PAYLOAD_SQL,
         "genre_totals_salted": _an.GENRE_TOTALS_SALTED_SQL,

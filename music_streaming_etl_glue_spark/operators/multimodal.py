@@ -247,3 +247,172 @@ SELECT doc_id,
            AS was_padded
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup for binary payloads (image-dedup plumbing)
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+PHASH_BANDS = 4          # 4 × 16-bit bands → candidate buckets
+PHASH_MAX_HAMMING = 6
+
+
+def _phash_from_bytes(payload: bytes) -> int:
+    """Average-hash over a deterministic 64-point stride sample of the
+    payload: bit i = sample_i·64 > Σ samples (integer compare — no float
+    mean). With a real decoder the samples would be the 8×8 downscaled
+    luma grid; the sampling stand-in keeps every byte of plumbing (and
+    the DuckDB twin) exact while the codec is stubbed. Wraps for
+    payloads shorter than 64 bytes; empty/None hashes to 0."""
+    if not payload:
+        return 0
+    n = len(payload)
+    s = max(1, n // PHASH_BITS)
+    samples = [payload[(i * s) % n] for i in range(PHASH_BITS)]
+    total = sum(samples)
+    h = 0
+    for i, b in enumerate(samples):
+        if b * PHASH_BITS > total:
+            h |= 1 << i
+    # interpret as signed int64 (Spark/DuckDB BIGINT)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def phash_fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, phash): 64-bit perceptual hash per payload via the same
+    Arrow-batched ``mapInPandas`` lane as :func:`extract_features` —
+    swap :func:`_phash_from_bytes`'s sampling for a real decode+resize
+    and nothing else changes. One pass, no shuffle."""
+    binary_df = attach_binary(documents)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["content"].map(_phash_from_bytes),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        hash_batches, schema="doc_id long, phash long"
+    )
+
+
+def phash_near_dups(
+    documents: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming): payload pairs within ``max_hamming``
+    bits — banded exactly like the SimHash text rung: 4 × 16-bit bands,
+    a pair within Hamming 6 must agree on ≥1 whole band (pigeonhole over
+    4 bands ⇔ ≤ 3 differing bands... any 6 flipped bits hit ≤ 6 < 4·2
+    bands, so at least one band is untouched only when flips cluster;
+    formally ≤ max_hamming < PHASH_BANDS·(max_hamming//PHASH_BANDS+1) —
+    with 6 flips over 4 bands one band MUST hold ≤ 1 flip, and a
+    0-flip band exists whenever flips ≤ 3·band_count/... the standard
+    guarantee holds for ≤ 3 flips per the strict pigeonhole; wider
+    radii trade recall, as with SimHash). Join key is (band, value) —
+    the slim fingerprint relation shuffles, payloads never do."""
+    fp = phash_fingerprints(documents).localCheckpoint(eager=False)
+    band_width = PHASH_BITS // PHASH_BANDS
+    mask = (1 << band_width) - 1
+    bands = fp.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(phash >> {b * band_width}) & {mask}"
+                        ).alias("val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ph_a ^ ph_b)").cast("long")
+    return (
+        cand.select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _phash_sql_cte() -> str:
+    """DuckDB phash over the ASCII stand-in payload (text): identical
+    sampling arithmetic, list-comprehension instead of pandas."""
+    return f"""
+ph AS (
+    WITH b AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               octet_length(CAST(coalesce(text, '') AS BLOB)) AS n
+        FROM documents
+    ),
+    sampled AS (
+        SELECT doc_id, n,
+               CASE WHEN n = 0 THEN []
+                    ELSE list_transform(range(0, {PHASH_BITS}),
+                        i -> ascii(substr(t,
+                             1 + (i * greatest(1, n // {PHASH_BITS})) % n,
+                             1)))
+               END AS s
+        FROM b
+    )
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 0
+                ELSE list_sum(list_transform(range(0, {PHASH_BITS}),
+                     i -> CASE WHEN s[i + 1] * {PHASH_BITS} >
+                                    list_sum(s)
+                               -- bit 63 is the int64 sign bit: its two's-
+                               -- complement weight is -2^63 (1<<63 would
+                               -- overflow BIGINT)
+                               THEN CASE WHEN i = 63
+                                         THEN (-9223372036854775807 - 1)::BIGINT
+                                         ELSE (1::BIGINT << i) END
+                               ELSE 0 END))::BIGINT
+           END AS phash
+    FROM sampled
+)"""
+
+
+PHASH_FINGERPRINTS_SQL = f"""
+WITH {_phash_sql_cte()}
+SELECT doc_id, phash FROM ph
+"""
+
+PHASH_NEAR_DUPS_SQL = f"""
+WITH {_phash_sql_cte()},
+bands AS (
+    SELECT doc_id, phash, b AS band,
+           (phash >> (b * {PHASH_BITS // PHASH_BANDS}))
+               & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS val
+    FROM ph, range(0, {PHASH_BANDS}) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           a.phash AS ph_a, b.phash AS ph_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
+"""

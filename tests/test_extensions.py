@@ -1029,3 +1029,36 @@ def test_interleave_sources_is_proportional_permutation(docs):
             expected = k * tot / n
             assert abs(seen.get(s, 0) - expected) <= 1.0 + 1e-9, (
                 k, s, seen.get(s, 0), expected)
+
+
+def test_phash_exact_dups_collide_and_perturbation_stays_close(spark, docs):
+    """Identical payloads hash identically and surface as hamming-0
+    near-dups; a single-byte change moves few sample points, so the
+    planted variant stays within the banded near-dup radius."""
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        phash_fingerprints,
+        phash_near_dups,
+    )
+
+    base = docs.orderBy("doc_id").limit(3).collect()
+    planted = spark.createDataFrame(
+        [
+            (1, base[0].text),
+            (2, base[0].text),          # exact duplicate of 1
+            (3, "x" + base[0].text[1:]),  # 1-byte variant of 1
+            (4, base[1].text),
+            (5, base[2].text),
+        ],
+        "doc_id long, text string",
+    )
+    near = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in phash_near_dups(planted).collect()
+    }
+    assert near.get((1, 2)) == 0
+    h = {
+        r.doc_id: r.phash for r in phash_fingerprints(planted).collect()
+    }
+    assert h[1] == h[2]
+    assert bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1") <= PHASH_MAX_HAMMING
