@@ -53,6 +53,8 @@ class LlmPipelineResult:
     #: distinct packed training examples per split (written beside the
     #: chunk output under ``<output_dir>_packed``)
     packed_examples_by_split: dict[str, int] | None = None
+    #: train docs in the deterministic epoch schedule (step 9)
+    scheduled_train_docs: int | None = None
     #: spans redacted per PII category (privacy-scrub audit; redaction
     #: rewrites text, never drops rows, so stage_counts stays monotone)
     pii_redactions: dict[str, int] | None = None
@@ -219,10 +221,31 @@ def run_llm_data_pipeline(
             .agg(F.count_distinct("example_id").alias("n"))
             .collect()
         }
+    # 9. training-order schedule: a stable pseudorandom (shard, pos)
+    # epoch order for the train docs — written beside the chunk output so
+    # the trainer streams shards directly; append-stable (see
+    # operators.dedup.corpus_shuffle), so resuming or extending the
+    # corpus never reorders what an interrupted epoch already consumed
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        corpus_shuffle,
+    )
+
+    train_docs = clean.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    schedule = corpus_shuffle(train_docs)
+    schedule_dir = output_dir.rstrip("/") + "_schedule"
+    scheduled = schedule.count()
+    if scheduled:
+        schedule.write.mode("overwrite").partitionBy("shard").parquet(
+            schedule_dir
+        )
+
     return LlmPipelineResult(
         stage_counts=counts,
         chunk_counts_by_split=by_split,
         output_dir=output_dir,
         packed_examples_by_split=examples_by_split,
         pii_redactions=pii_redactions,
+        scheduled_train_docs=scheduled,
     )

@@ -96,3 +96,22 @@ def test_llm_pipeline_reports_pii_audit(spark, tmp_path):
     # scrub provably didn't drop rows (input count unchanged upstream)
     assert set(res.pii_redactions) == {"email", "ipv4", "ssn", "phone"}
     assert all(v == 0 for v in res.pii_redactions.values())
+
+
+def test_pipeline_schedule_covers_train_split(spark, tmp_path):
+    """Step 9: every surviving train doc appears exactly once in the
+    written (shard, pos) schedule, and positions are dense per shard."""
+    from music_streaming_etl_glue_spark.plans.llm_pipeline import (
+        run_llm_data_pipeline,
+    )
+    out = str(tmp_path / "chunks")
+    res = run_llm_data_pipeline(spark, SF_SMOKE, out)
+    assert res.scheduled_train_docs and res.scheduled_train_docs > 0
+    sched = spark.read.parquet(out + "_schedule")
+    assert sched.count() == res.scheduled_train_docs
+    assert sched.select("doc_id").distinct().count() == res.scheduled_train_docs
+    for shard_rows in (
+        sched.groupBy("shard").agg(F.collect_list("pos").alias("ps")).collect()
+    ):
+        ps = sorted(shard_rows.ps)
+        assert ps == list(range(1, len(ps) + 1))
