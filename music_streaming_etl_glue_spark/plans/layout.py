@@ -219,3 +219,55 @@ def write_zordered(
     parted.sortWithinPartitions("__z").drop("__z").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# row-group skipping audit (measure what the layout actually buys)
+# ---------------------------------------------------------------------------
+
+def row_group_stats(path: str, column: str) -> list[dict]:
+    """Per-row-group (min, max, rows) of ``column`` across every parquet
+    file under ``path`` — read from footers only (pyarrow, driver-side,
+    bytes-of-metadata not data). The ground truth behind "clustered
+    writes enable data skipping"."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for root, _dirs, files in os.walk(path):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(root, fname)).metadata
+            names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            ci = names[column]
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                out.append(
+                    {
+                        "file": fname,
+                        "row_group": rg,
+                        "rows": meta.row_group(rg).num_rows,
+                        "min": None if st is None else st.min,
+                        "max": None if st is None else st.max,
+                    }
+                )
+    return out
+
+
+def skipping_fraction(
+    stats: list[dict], lo, hi
+) -> float:
+    """Fraction of rows whose row-group [min, max] does NOT intersect
+    [lo, hi] — exactly the rows a stats-pruning reader never touches for
+    that predicate. 0.0 when footers carry no stats (nothing provable)."""
+    total = sum(s["rows"] for s in stats)
+    if not total:
+        return 0.0
+    skipped = sum(
+        s["rows"]
+        for s in stats
+        if s["min"] is not None and (s["min"] > hi or s["max"] < lo)
+    )
+    return skipped / total

@@ -277,3 +277,42 @@ def test_zorder_clusters_both_columns(spark, tmp_path):
     z_span, s_span = mean_y_range(zpath), mean_y_range(spath)
     # z-order: y ranges shrink materially; x-sort leaves them ~full-domain
     assert z_span < 0.7 * s_span, (z_span, s_span)
+
+
+def test_row_group_stats_prove_skipping_on_zordered_write(spark, tmp_path):
+    """The footer-level audit must agree with the layout claim: a point
+    range predicate on a z-ordered column provably skips most rows via
+    row-group min/max, while a randomly-ordered write skips ~none."""
+    from music_streaming_etl_glue_spark.plans.layout import (
+        row_group_stats,
+        skipping_fraction,
+        write_zordered,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            F.col("user_id").cast("double").alias("x"),
+            F.col("value").alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(events, zpath, ["x", "y"], n_files=16)
+    events.repartition(16).write.parquet(rpath)
+
+    zstats = row_group_stats(zpath, "x")
+    rstats = row_group_stats(rpath, "x")
+    assert sum(s["rows"] for s in zstats) == sum(s["rows"] for s in rstats)
+
+    lo = events.agg(F.min("x")).collect()[0][0]
+    hi = events.agg(F.max("x")).collect()[0][0]
+    width = (hi - lo) / 10
+    z_skip = skipping_fraction(zstats, lo, lo + width)
+    r_skip = skipping_fraction(rstats, lo, lo + width)
+    # clustered layout: most rows provably skippable for a 10% x-range;
+    # random layout: every row group straddles the domain, nothing skips
+    assert z_skip > 0.5, z_skip
+    assert r_skip < 0.1, r_skip
