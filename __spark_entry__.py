@@ -599,6 +599,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq_rerank": _ann_pq_rerank,
         # combined IVF-PQ: cell pruning + compressed ADC scan + rerank
         "ann_topk_ivfpq": _ann_ivfpq,
+        # deterministic PCA variance audit (exact integer Gram; rows-only
+        # — no SQL engine eigendecomposes; pytest pins the linear algebra)
+        "pca_explained_variance": lambda spark, sf: (
+            _sim.pca_explained_variance(_embs(spark, sf))
+        ),
         "embedding_stats": lambda spark, sf: _sim.embedding_stats(
             _embs(spark, sf)
         ),

@@ -2192,3 +2192,141 @@ ranked AS (
 )
 SELECT vec_id, similarity, rank FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic PCA (dimensionality reduction for the embedding toolkit)
+# ---------------------------------------------------------------------------
+
+PCA_COMPONENTS = 8
+
+
+def _exact_gram(embeddings: DataFrame, dims: int):
+    """(Gram matrix ΣxᵀX as int64 numpy, count, mean vector as int64
+    sums): vectors are fixed-point quantized (``Q_SCALE``, the module's
+    standard trick) so every partial Gram is INTEGER — partition order,
+    retries, and merge order cannot change a bit (float summation
+    would). mapInPandas emits one d×d partial per batch; the driver sums
+    a handful of 64×64 int matrices — aggregates, never rows."""
+    import numpy as np
+
+    def partials(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy())
+            q = np.floor(mat.astype("float64") * Q_SCALE + 0.5).astype("int64")
+            gram = q.T @ q  # exact: |q| ≤ 5e6 → products ≤ 2.5e13, sums « 2^63
+            yield pd.DataFrame(
+                {
+                    "n": [len(pdf)],
+                    "gram": [gram.reshape(-1).tolist()],
+                    "colsum": [q.sum(axis=0).tolist()],
+                }
+            )
+
+    agg = (
+        embeddings.select("embedding")
+        .mapInPandas(
+            partials,
+            schema="n long, gram array<long>, colsum array<long>",
+        )
+        .groupBy()
+        .agg(
+            F.sum("n").alias("n"),
+            *[
+                F.sum(F.element_at("gram", i + 1)).alias(f"g{i}")
+                for i in range(dims * dims)
+            ],
+            *[
+                F.sum(F.element_at("colsum", i + 1)).alias(f"c{i}")
+                for i in range(dims)
+            ],
+        )
+        .collect()[0]
+    )
+    n = agg["n"]
+    gram = np.array(
+        [agg[f"g{i}"] for i in range(dims * dims)], dtype="int64"
+    ).reshape(dims, dims)
+    colsum = np.array([agg[f"c{i}"] for i in range(dims)], dtype="int64")
+    return gram, n, colsum
+
+
+def pca_train(embeddings: DataFrame, k: int = PCA_COMPONENTS):
+    """(components [k×d float64], eigenvalues [k], mean [d]): top-k
+    principal axes of the embedding cloud from the EXACT integer Gram —
+    covariance = (G/Q² − n·μμᵀ)/(n−1) assembled on the driver, then one
+    64×64 ``eigh``. Deterministic end-to-end: the Gram is bit-stable
+    (integer), eigh is deterministic on a fixed matrix, and each
+    eigenvector's sign is fixed by making its largest-|coefficient|
+    entry positive."""
+    import numpy as np
+
+    dims = _dims(embeddings)
+    gram, n, colsum = _exact_gram(embeddings, dims)
+    mean = colsum.astype("float64") / (n * Q_SCALE)
+    cov = (
+        gram.astype("float64") / (Q_SCALE * Q_SCALE)
+        - n * np.outer(mean, mean)
+    ) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T.copy()
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    return comps, w[order], mean
+
+
+def pca_explained_variance(
+    embeddings: DataFrame, k: int = PCA_COMPONENTS
+) -> DataFrame:
+    """(component, eigenvalue, explained_fraction): the variance audit
+    of :func:`pca_train` as a relation (rows-only entry: no SQL engine
+    eigendecomposes; pytest pins orthonormality, ordering, and
+    reconstruction error instead)."""
+    import numpy as np
+
+    dims = _dims(embeddings)
+    gram, n, colsum = _exact_gram(embeddings, dims)
+    mean = colsum.astype("float64") / (n * Q_SCALE)
+    cov = (
+        gram.astype("float64") / (Q_SCALE * Q_SCALE)
+        - n * np.outer(mean, mean)
+    ) / (n - 1)
+    w = np.linalg.eigvalsh(cov)[::-1]
+    total = float(w.sum())
+    spark = embeddings.sparkSession
+    rows = [
+        (int(i), float(round(w[i], 9)), float(round(w[i] / total, 9)))
+        for i in range(k)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_fraction double"
+    )
+
+
+def pca_project(
+    embeddings: DataFrame, components, mean
+) -> DataFrame:
+    """(vec_id, proj array<double>): center and project every vector
+    onto the trained axes — one Arrow-batched GEMM per batch (the same
+    vectorized lane as the LSH signatures), no shuffle."""
+    import numpy as np
+
+    comps = np.asarray(components, dtype="float64")
+    mu = np.asarray(mean, dtype="float64")
+
+    def project(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            proj = (mat - mu) @ comps.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "proj": [r.tolist() for r in np.round(proj, 9)],
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        project, schema="vec_id long, proj array<double>"
+    )

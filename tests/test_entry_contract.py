@@ -26,6 +26,9 @@ ROWS_ONLY = {
     # approx_top_k sketch: boundary-tie order is sketch-internal; pytest
     # bounds it against the exact vocab_top_terms twin
     "vocab_top_terms_approx",
+    # eigendecomposition has no SQL twin; pytest pins orthonormality,
+    # eigenvalue ordering, determinism, and reconstruction error
+    "pca_explained_variance",
 }
 
 

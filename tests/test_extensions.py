@@ -1062,3 +1062,41 @@ def test_phash_exact_dups_collide_and_perturbation_stays_close(spark, docs):
     }
     assert h[1] == h[2]
     assert bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1") <= PHASH_MAX_HAMMING
+
+
+def test_pca_is_deterministic_orthonormal_and_reconstructive(embs):
+    """Exact-Gram PCA: repeated training is bit-identical, components are
+    orthonormal, eigenvalues descend, and a full-rank projection
+    reconstructs every centered vector."""
+    import numpy as np
+
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        pca_explained_variance,
+        pca_project,
+        pca_train,
+    )
+
+    c1, w1, m1 = pca_train(embs, k=8)
+    c2, w2, m2 = pca_train(embs, k=8)
+    assert np.array_equal(c1, c2) and np.array_equal(w1, w2)
+    assert np.array_equal(m1, m2)
+
+    assert np.allclose(c1 @ c1.T, np.eye(8), atol=1e-9)
+    assert all(w1[i] >= w1[i + 1] - 1e-12 for i in range(7))
+
+    ev = pca_explained_variance(embs, k=8).collect()
+    fr = [r.explained_fraction for r in sorted(ev, key=lambda r: r.component)]
+    assert all(f > 0 for f in fr) and sum(fr) <= 1.0 + 1e-9
+
+    # full-rank reconstruction on a sample
+    dims = len(m1)
+    cfull, _, mu = pca_train(embs, k=dims)
+    sample = embs.limit(20).collect()
+    proj = {
+        r.vec_id: np.array(r.proj)
+        for r in pca_project(embs.limit(20), cfull, mu).collect()
+    }
+    for r in sample:
+        x = np.array(r.embedding, dtype="float64") - mu
+        back = proj[r.vec_id] @ cfull
+        assert np.allclose(back, x, atol=1e-6)
