@@ -1100,3 +1100,28 @@ def test_pca_is_deterministic_orthonormal_and_reconstructive(embs):
         x = np.array(r.embedding, dtype="float64") - mu
         back = proj[r.vec_id] @ cfull
         assert np.allclose(back, x, atol=1e-6)
+
+
+def test_gram_partials_are_additive_for_incremental_pca(embs):
+    """The exact integer Gram is additive: Gram(A ∪ B) = Gram(A) +
+    Gram(B) bit-for-bit — so PCA state maintains incrementally with the
+    same merge shape as the KPI partials (no full-corpus rescan to
+    refresh components after an append)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        _dims,
+        _exact_gram,
+    )
+
+    dims = _dims(embs)
+    half_a = embs.filter(F.col("vec_id") % 2 == 0)
+    half_b = embs.filter(F.col("vec_id") % 2 == 1)
+    g, n, c = _exact_gram(embs, dims)
+    ga, na, ca = _exact_gram(half_a, dims)
+    gb, nb, cb = _exact_gram(half_b, dims)
+    assert n == na + nb
+    assert np.array_equal(g, ga + gb)
+    assert np.array_equal(c, ca + cb)
