@@ -176,6 +176,7 @@ _STAMP_PRIORITY = (
     "interleave_sources",
     "phash_fingerprints",
     "phash_near_dups",
+    "bigram_surprisal",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -850,6 +851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-category audit counts (multi-pattern JVM regex, no shuffle)
         "pii_scrub": lambda spark, sf: _text.pii_scrub(_docs(spark, sf)),
         # model-free perplexity proxy: corpus-unigram -ln p(token) stats
+        "bigram_surprisal": lambda spark, sf: _text.bigram_surprisal(
+            _docs(spark, sf)
+        ),
         "unigram_surprisal": lambda spark, sf: _text.unigram_surprisal(
             _docs(spark, sf)
         ),
@@ -1060,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": _text.NORMALIZE_TEXT_SQL,
         "pii_scrub": _text.PII_SCRUB_SQL,
         "unigram_surprisal": _text.UNIGRAM_SURPRISAL_SQL,
+        "bigram_surprisal": _text.BIGRAM_SURPRISAL_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
         # The featurizer itself is mapInPandas, but the stand-in payload is
         # ASCII text, so the byte math has an exact SQL twin.

@@ -1629,3 +1629,93 @@ SELECT example_id,
 FROM assigned
 GROUP BY example_id
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram surprisal (context-aware perplexity proxy)
+# ---------------------------------------------------------------------------
+
+BIGRAM_ALPHA = 0.5
+
+
+def bigram_surprisal(
+    documents: DataFrame, alpha: float = BIGRAM_ALPHA
+) -> DataFrame:
+    """Per-document mean/max bigram surprisal −ln p(w₂|w₁) under the
+    corpus's own add-α-smoothed bigram model — the context-aware rung
+    above :func:`unigram_surprisal`: a document of individually-common
+    words in an improbable ORDER (shuffled text, spam keyword salads)
+    scores high here while the unigram proxy waves it through.
+
+    p(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·V), with c(w₁·) the count of
+    bigram instances starting with w₁ and V the unigram vocabulary.
+    Bigrams come from one array-expression zip (no positional
+    self-join); the model is two hash aggregates on bigram/left keys
+    joined back on their own keys — the same shuffle economics as the
+    unigram scorer at any corpus size. Docs under 2 tokens carry no
+    bigram and drop out. Scores round to 6dp (ln/avg precedent)."""
+    toks_arr = F.split(F.col("text"), " ")
+    n = F.size(toks_arr)
+    bigr = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(toks_arr, F.lit(1), n - 1),
+                    F.slice(toks_arr, F.lit(2), n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c2 = bigr.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bigr.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = F.broadcast(
+        documents.select(F.explode(_tokens()).alias("term"))
+        .agg(F.countDistinct("term").cast("double").alias("v"))
+    )
+    p = (F.col("c2") + F.lit(alpha)) / (
+        F.col("c1") + F.lit(alpha) * F.col("v")
+    )
+    return (
+        bigr.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(vocab)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_surprisal"),
+            F.round(F.max(-F.log(p)), 6).alias("max_surprisal"),
+        )
+    )
+
+
+BIGRAM_SURPRISAL_SQL = f"""
+WITH parts AS (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+),
+bigr AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM parts, LATERAL unnest(generate_series(1, n - 1)) u(i)
+    WHERE n >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bigr GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigr GROUP BY 1),
+vocab AS (
+    SELECT COUNT(DISTINCT term)::DOUBLE AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       round(AVG(-ln((c2.c2 + {BIGRAM_ALPHA}) / (c1.c1 + {BIGRAM_ALPHA} * v))), 6)
+           AS avg_surprisal,
+       round(MAX(-ln((c2.c2 + {BIGRAM_ALPHA}) / (c1.c1 + {BIGRAM_ALPHA} * v))), 6)
+           AS max_surprisal
+FROM bigr b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN c1 ON b.w1 = c1.w1, vocab
+GROUP BY b.doc_id
+"""

@@ -1125,3 +1125,20 @@ def test_gram_partials_are_additive_for_incremental_pca(embs):
     assert n == na + nb
     assert np.array_equal(g, ga + gb)
     assert np.array_equal(c, ca + cb)
+
+
+def test_bigram_surprisal_flags_shuffled_word_order(spark):
+    """A document whose words are common but whose ORDER is novel must
+    out-score the same words in their corpus-typical order — the signal
+    bigram surprisal adds over the unigram proxy."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        bigram_surprisal,
+    )
+
+    normal = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, normal) for i in range(20)]
+    rows.append((100, "dog the over fox lazy brown jumps quick the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r.doc_id: r.avg_surprisal for r in bigram_surprisal(docs).collect()}
+    typical = sum(v for k, v in s.items() if k != 100) / 20
+    assert s[100] > 2 * typical, (s[100], typical)
