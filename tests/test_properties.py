@@ -285,3 +285,54 @@ def test_two_level_operators_are_partition_invariant(spark):
         a = {tuple(r) for r in fn(docs.coalesce(1)).collect()}
         b = {tuple(r) for r in fn(docs.repartition(7)).collect()}
         assert a == b, fn.__name__
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=12), min_size=1, max_size=5
+    )
+)
+def test_interleave_closed_form_matches_naive_sort(spark, sizes):
+    """The pointwise stride-rank formula must equal the rank a naive
+    global sort by (p/n as exact fraction, source, doc_id) produces, for
+    arbitrary source-size mixes — including the all-equal-counts case
+    where every key ties across sources."""
+    from fractions import Fraction
+
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        interleave_sources,
+    )
+
+    rows, doc_id = [], 0
+    for si, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((doc_id, f"s{si}"))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r.doc_id: r.global_rank
+        for r in interleave_sources(docs.withColumn("text", F.lit("x"))).collect()
+    }
+
+    # naive reference: per-source md5 order -> exact-fraction keys -> sort
+    import hashlib
+
+    per_source: dict = {}
+    for d, s in rows:
+        per_source.setdefault(s, []).append(d)
+    keyed = []
+    for s, ids in per_source.items():
+        ordered = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        n = len(ordered)
+        for p, d in enumerate(ordered, start=1):
+            keyed.append((Fraction(p, n), s, d))
+    expected = {
+        d: i + 1
+        for i, (_, _, d) in enumerate(sorted(keyed))
+    }
+    assert got == expected
