@@ -177,6 +177,7 @@ _STAMP_PRIORITY = (
     "phash_fingerprints",
     "phash_near_dups",
     "bigram_surprisal",
+    "nested_order_lines",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -889,6 +890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew-safe two-phase aggregation (plans/layout.salted_agg)
         # snapshot diff audit: documents vs a deterministic next-snapshot
         # twin — keyed full-outer hash compare, status rollup
+        # array-of-struct nested modeling + higher-order functions
+        "nested_order_lines": lambda spark, sf: _rel.nested_order_lines(
+            load_table(spark, sf, "lineitem")
+        ),
         "documents_diff_summary": lambda spark, sf: (
             _sdiff.documents_diff_summary(_docs(spark, sf))
         ),
@@ -1076,4 +1081,5 @@ def oracle_sql() -> dict[str, str]:
         "genre_totals_salted": _an.GENRE_TOTALS_SALTED_SQL,
         "synthetic_events_source": _pds.SYNTHETIC_EVENTS_SQL,
         "documents_diff_summary": _sdiff.DOCUMENTS_DIFF_SUMMARY_SQL,
+        "nested_order_lines": _rel.NESTED_ORDER_LINES_SQL,
     }

@@ -1461,3 +1461,73 @@ SELECT o_custkey, version, status, valid_from,
        n_orders
 FROM collapsed
 """
+
+
+# ---------------------------------------------------------------------------
+# nested order lines (array-of-struct modeling + higher-order functions)
+# ---------------------------------------------------------------------------
+
+HEAVY_LINE_QTY = 25.0
+
+
+def nested_order_lines(lineitem: DataFrame) -> DataFrame:
+    """Per-order analytics computed THROUGH a nested representation:
+    lines collect into a linenumber-sorted ``array<struct>`` column, and
+    every metric is a higher-order function over that array (aggregate /
+    transform / filter / element_at) — the document-shaped data model
+    (order + embedded lines) the flat reference schema never exercises.
+
+    The nested column is built and consumed in ONE aggregation pass: at
+    100 TB this is the same single shuffle as a flat groupBy, but the
+    array form also serves as the write layout for document stores /
+    denormalized parquet (one row per order, lines embedded) where
+    downstream readers pay no join. Sequential array folds make the sums
+    order-fixed (the array is sorted), so results are partition-count
+    independent without decimal accumulators; the 2dp round absorbs the
+    oracle's arbitrary-order float sum."""
+    lines = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_partkey").alias("partkey"),
+                F.col("l_quantity").alias("qty"),
+                F.col("l_extendedprice").alias("price"),
+            )
+        )
+    )
+    nested = lineitem.groupBy("l_orderkey").agg(lines.alias("lines"))
+    total_qty = F.aggregate(
+        F.col("lines"), F.lit(0.0), lambda acc, x: acc + x["qty"]
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.round(total_qty, 2).alias("total_qty"),
+        F.array_max(
+            F.transform(F.col("lines"), lambda x: x["price"])
+        ).alias("max_line_price"),
+        F.size(
+            F.filter(
+                F.col("lines"), lambda x: x["qty"] > HEAVY_LINE_QTY
+            )
+        ).cast("long").alias("heavy_lines"),
+        F.element_at(F.col("lines"), 1)["partkey"].alias("first_part"),
+    )
+
+
+NESTED_ORDER_LINES_SQL = f"""
+SELECT l_orderkey,
+       COUNT(*)::BIGINT AS n_lines,
+       round(SUM(l_quantity), 2) AS total_qty,
+       MAX(l_extendedprice) AS max_line_price,
+       (COUNT(*) FILTER (WHERE l_quantity > {HEAVY_LINE_QTY}))::BIGINT
+           AS heavy_lines,
+       -- struct-min tiebreak: the synthetic data repeats linenumbers, so
+       -- "first line" means the lexicographic (ln, partkey, qty, price)
+       -- minimum — exactly what Spark's array_sort puts at element 1
+       MIN(struct_pack(ln := l_linenumber, partkey := l_partkey,
+                       qty := l_quantity, price := l_extendedprice)).partkey
+           AS first_part
+FROM lineitem
+GROUP BY l_orderkey
+"""
