@@ -24,6 +24,7 @@ from music_streaming_etl_glue_spark.operators import relational as _rel
 from music_streaming_etl_glue_spark.operators import serving as _serving
 from music_streaming_etl_glue_spark.operators import similarity as _sim
 from music_streaming_etl_glue_spark.operators import text as _text
+from music_streaming_etl_glue_spark.plans import quality as _quality
 from music_streaming_etl_glue_spark.plans import snapshot_diff as _sdiff
 from music_streaming_etl_glue_spark.sources import pydatasource as _pds
 from music_streaming_etl_glue_spark.sources.catalog import load_table
@@ -178,6 +179,7 @@ _STAMP_PRIORITY = (
     "phash_near_dups",
     "bigram_surprisal",
     "nested_order_lines",
+    "events_value_drift",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -891,6 +893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot diff audit: documents vs a deterministic next-snapshot
         # twin — keyed full-outer hash compare, status rollup
         # array-of-struct nested modeling + higher-order functions
+        # PSI distribution drift between timeline halves (refresh gate)
+        "events_value_drift": lambda spark, sf: _quality.events_value_drift(
+            load_table(spark, sf, "events")
+        ),
         "nested_order_lines": lambda spark, sf: _rel.nested_order_lines(
             load_table(spark, sf, "lineitem")
         ),
@@ -1082,4 +1088,5 @@ def oracle_sql() -> dict[str, str]:
         "synthetic_events_source": _pds.SYNTHETIC_EVENTS_SQL,
         "documents_diff_summary": _sdiff.DOCUMENTS_DIFF_SUMMARY_SQL,
         "nested_order_lines": _rel.NESTED_ORDER_LINES_SQL,
+        "events_value_drift": _quality.EVENTS_VALUE_DRIFT_SQL,
     }

@@ -144,3 +144,137 @@ def observed_write_metrics(items: DataFrame) -> tuple[DataFrame, "Observation"]:
         ).alias("malformed_ids"),
     )
     return observed, obs
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (PSI) between two snapshots of a numeric column
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+#: conventional PSI reading: < 0.1 stable, 0.1–0.25 moderate shift,
+#: > 0.25 significant — the alerting threshold a refresh gate uses
+PSI_ALERT = 0.25
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    column: str,
+    bins: int = PSI_BINS,
+) -> DataFrame:
+    """Population Stability Index of ``column`` between two snapshots:
+    equal-width bins over the OLD snapshot's [min, max] (the baseline
+    defines the grid; new values outside it clamp into the edge bins),
+    per-bin population shares compared as Σ (p_new − p_old)·ln(p_new /
+    p_old) with add-half-count smoothing so an empty bin cannot produce
+    ±∞. One aggregate per side + a bins-sized join — the audit costs two
+    column-pruned scans at any snapshot size.
+
+    Returns one row per bin (bin, share_old, share_new, psi_term) plus
+    the caller sums ``psi_term`` for the scalar; keeping the per-bin
+    relation makes the drift attributable (WHICH part of the
+    distribution moved), not just detectable."""
+    stats = old.agg(
+        F.min(F.col(column).cast("double")).alias("lo"),
+        F.max(F.col(column).cast("double")).alias("hi"),
+    )
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        width = (F.col("hi") - F.col("lo")) / bins
+        raw = F.floor((F.col(column).cast("double") - F.col("lo")) / width)
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
+        return (
+            df.filter(F.col(column).isNotNull())
+            .crossJoin(F.broadcast(stats))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(f"n_{alias}"))
+        )
+
+    o, n = binned(old, "old"), binned(new, "new")
+    grid = old.sparkSession.range(bins).select(
+        F.col("id").cast("long").alias("bin")
+    )
+    # smoothing: add 0.5 count to every bin on both sides
+    joined = (
+        grid.join(o, "bin", "left")
+        .join(n, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_old").cast("double").alias("t_old"),
+        F.sum("n_new").cast("double").alias("t_new"),
+    )
+    p = (F.col("n_old") + 0.5) / (F.col("t_old") + 0.5 * bins)
+    q = (F.col("n_new") + 0.5) / (F.col("t_new") + 0.5 * bins)
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.round(p, 9).alias("share_old"),
+            F.round(q, 9).alias("share_new"),
+            F.round((q - p) * F.log(q / p), 9).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def events_value_drift(events: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+    """Catalog wiring: PSI of ``value`` between the first and second half
+    of the events timeline (median-ts split — a deterministic 'yesterday
+    vs today' stand-in)."""
+    # epoch seconds incl. microseconds, matching DuckDB's epoch(ts):
+    # unix_micros needs TIMESTAMP (session is UTC, so the NTZ cast is
+    # value-preserving — repo-wide precedent)
+    secs = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    mid = events.agg(F.expr(
+        "percentile(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6, 0.5)"
+    ).alias("mid"))
+    tagged = events.crossJoin(F.broadcast(mid))
+    old = tagged.filter(secs <= F.col("mid"))
+    new = tagged.filter(secs > F.col("mid"))
+    return psi_drift(old, new, "value", bins)
+
+
+EVENTS_VALUE_DRIFT_SQL = f"""
+WITH mid AS (
+    SELECT quantile_cont(epoch(ts), 0.5) AS mid FROM events
+),
+old_side AS (
+    SELECT value FROM events, mid WHERE epoch(ts) <= mid AND value IS NOT NULL
+),
+new_side AS (
+    SELECT value FROM events, mid WHERE epoch(ts) > mid AND value IS NOT NULL
+),
+stats AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM old_side),
+grid AS (SELECT i AS bin FROM generate_series(0, {PSI_BINS - 1}) t(i)),
+ob AS (
+    SELECT LEAST(GREATEST(FLOOR((value - lo) / ((hi - lo) / {PSI_BINS})), 0),
+                 {PSI_BINS - 1})::BIGINT AS bin, COUNT(*) AS n_old
+    FROM old_side, stats GROUP BY 1
+),
+nb AS (
+    SELECT LEAST(GREATEST(FLOOR((value - lo) / ((hi - lo) / {PSI_BINS})), 0),
+                 {PSI_BINS - 1})::BIGINT AS bin, COUNT(*) AS n_new
+    FROM new_side, stats GROUP BY 1
+),
+j AS (
+    SELECT g.bin, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+    FROM grid g LEFT JOIN ob ON g.bin = ob.bin LEFT JOIN nb ON g.bin = nb.bin
+),
+t AS (SELECT SUM(n_old)::DOUBLE AS t_old, SUM(n_new)::DOUBLE AS t_new FROM j)
+SELECT bin,
+       round((n_old + 0.5) / (t_old + 0.5 * {PSI_BINS}), 9) AS share_old,
+       round((n_new + 0.5) / (t_new + 0.5 * {PSI_BINS}), 9) AS share_new,
+       round(((n_new + 0.5) / (t_new + 0.5 * {PSI_BINS})
+              - (n_old + 0.5) / (t_old + 0.5 * {PSI_BINS}))
+             * ln(((n_new + 0.5) / (t_new + 0.5 * {PSI_BINS}))
+                  / ((n_old + 0.5) / (t_old + 0.5 * {PSI_BINS}))), 9)
+           AS psi_term
+FROM j, t
+ORDER BY bin
+"""

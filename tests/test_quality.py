@@ -85,3 +85,29 @@ def test_observed_metrics_ride_the_write_action(spark, tmp_path):
     )
     assert got["malformed_ids"] == sum(r.malformed_ids for r in audited)
     assert got["n_items"] > 0
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """PSI ≈ 0 when the two snapshots share a distribution; a planted
+    mean shift pushes the summed PSI past the 0.25 alert line, and every
+    psi_term is finite even for bins one side leaves empty."""
+    import math
+
+    from music_streaming_etl_glue_spark.plans.quality import (
+        PSI_ALERT,
+        psi_drift,
+    )
+
+    base = [(i, (i * 37 % 100) / 10.0) for i in range(400)]
+    same = spark.createDataFrame(base, "id long, v double")
+    psi_same = sum(
+        r.psi_term for r in psi_drift(same, same, "v").collect()
+    )
+    assert abs(psi_same) < 1e-9
+
+    shifted = spark.createDataFrame(
+        [(i, v + 8.0) for i, v in base], "id long, v double"
+    )
+    terms = psi_drift(same, shifted, "v").collect()
+    assert all(math.isfinite(r.psi_term) for r in terms)
+    assert sum(r.psi_term for r in terms) > PSI_ALERT
