@@ -1158,9 +1158,8 @@ FROM ({{DEDUP_CLUSTERS_SQL}})
 INCREMENTAL_CORPUS_MOD = 5  # doc_id % mod == 0 -> "already ingested"
 
 
-def dedup_incremental(
+def _incremental_flags(
     documents: DataFrame,
-    corpus_mod: int = INCREMENTAL_CORPUS_MOD,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     threshold: float = JACCARD_THRESHOLD,
@@ -1168,9 +1167,10 @@ def dedup_incremental(
     """Append-only ingestion dedup: flag each NEW document against the
     EXISTING corpus — exact (md5 of text seen before) and near
     (MinHash-band collision with a corpus doc, verified by exact shingle
-    Jaccard ≥ threshold). ``keep`` is the admit decision. The testdata
-    split is deterministic (doc_id % corpus_mod == 0 plays the corpus);
-    production passes two relations.
+    Jaccard ≥ threshold). ``keep`` is the admit decision. Kernel form:
+    ``documents`` carries a boolean ``__corpus`` tag and UNIQUE doc_ids;
+    the public wrappers (:func:`dedup_incremental`,
+    :func:`dedup_against_corpus`) provide the tagging.
 
     This is the ASYMMETRIC form of :func:`minhash_dedup_pairs`: the
     bucket join is batch-side × corpus-side only, so no batch-batch or
@@ -1180,7 +1180,7 @@ def dedup_incremental(
     exact rung), and each ingest touches only its own buckets. The
     streaming twin of the same contract is
     ``dropDuplicatesWithinWatermark`` in streaming/file_pipeline."""
-    is_corpus = (F.col("doc_id") % corpus_mod) == 0
+    is_corpus = F.col("__corpus")
     sh = shingles(documents).localCheckpoint(eager=False)
     sigs = minhash_signatures(documents, k, shingle_frame=sh)
     r = k // bands
@@ -1196,8 +1196,10 @@ def dedup_incremental(
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_hash")
-    bx = buckets.filter(~((F.col("doc_id") % corpus_mod) == 0)).alias("x")
-    by = buckets.filter((F.col("doc_id") % corpus_mod) == 0).alias("y")
+    tags = documents.select("doc_id", is_corpus.alias("__c"))
+    buckets = buckets.join(tags, "doc_id")
+    bx = buckets.filter(~F.col("__c")).alias("x")
+    by = buckets.filter(F.col("__c")).alias("y")
     candidates = (
         bx.join(
             by,
@@ -1271,6 +1273,57 @@ def dedup_incremental(
             "near_dup",
             (~F.col("dup")).alias("keep"),
         )
+    )
+
+
+def dedup_incremental(
+    documents: DataFrame,
+    corpus_mod: int = INCREMENTAL_CORPUS_MOD,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Catalog form of the asymmetric ingest dedup: the deterministic
+    testdata split (doc_id % corpus_mod == 0 plays the already-ingested
+    corpus) feeds :func:`_incremental_flags`. Production callers with
+    two real relations use :func:`dedup_against_corpus`."""
+    tagged = documents.withColumn(
+        "__corpus", (F.col("doc_id") % corpus_mod) == 0
+    )
+    return _incremental_flags(tagged, k, bands, threshold)
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Two-relation form: flag each ``batch`` doc against ``corpus``
+    (exact md5 + banded-MinHash near rungs, batch×corpus candidates
+    only). doc_ids may overlap between the relations (a changed doc
+    keeps its id across snapshots): batch ids are offset into a disjoint
+    uid space for the kernel and mapped back on output."""
+    offset = (
+        corpus.agg(F.coalesce(F.max("doc_id"), F.lit(0)).alias("m"))
+        .collect()[0]
+        .m
+        + 1
+    )
+    tagged = corpus.select("doc_id", "text").withColumn(
+        "__corpus", F.lit(True)
+    ).unionByName(
+        batch.select(
+            (F.col("doc_id") + offset).alias("doc_id"), "text"
+        ).withColumn("__corpus", F.lit(False))
+    )
+    out = _incremental_flags(tagged, k, bands, threshold)
+    return out.select(
+        (F.col("doc_id") - offset).alias("doc_id"),
+        "exact_dup",
+        "near_dup",
+        "keep",
     )
 
 

@@ -127,3 +127,51 @@ d AS (
 )
 SELECT status, COUNT(*)::BIGINT AS n FROM d GROUP BY status ORDER BY status
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus update (diff → asymmetric dedup → admitted set)
+# ---------------------------------------------------------------------------
+
+def incremental_corpus_update(
+    old: DataFrame, new: DataFrame
+) -> tuple[DataFrame, dict]:
+    """The composite an append-only training corpus actually runs per
+    refresh: snapshot-diff the incoming crawl against the current corpus,
+    push ONLY added/changed docs through the asymmetric dedup (exact +
+    MinHash-banded, batch×corpus candidates only), and return
+    (next_corpus, audit) where next_corpus = carried-over docs + admitted
+    fresh docs and audit counts every decision.
+
+    Scale: the diff shuffles (key, hash) projections; the dedup touches
+    only the fresh slice against the corpus index — a refresh costs
+    O(diff + fresh×bucket), never a full re-dedup of the corpus.
+    """
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    d = dataset_diff(old, new, "doc_id", ["text"]).localCheckpoint(
+        eager=False
+    )
+    fresh_ids = d.filter(
+        F.col("status").isin("added", "changed")
+    ).select("doc_id")
+    carried = old.join(
+        d.filter(F.col("status") == "unchanged").select("doc_id"), "doc_id"
+    )
+    fresh = new.join(fresh_ids, "doc_id")
+    flags = dedup_against_corpus(fresh, carried)
+    admitted = fresh.join(
+        flags.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    audit = {
+        s: n
+        for s, n in (
+            (r.status, r.n) for r in diff_summary(d).collect()
+        )
+    }
+    audit["fresh"] = fresh.count()
+    audit["admitted"] = admitted.count()
+    audit["rejected_dup"] = audit["fresh"] - audit["admitted"]
+    return carried.unionByName(admitted), audit

@@ -44,3 +44,35 @@ def test_documents_diff_summary_accounts_for_every_key(spark):
     assert s.get("added", 0) + s.get("changed", 0) + s.get("unchanged", 0) == n_new
     assert s.get("added", 0) >= 1 and s.get("removed", 0) >= 1
     assert s.get("changed", 0) >= 1
+
+
+def test_incremental_corpus_update_admits_and_rejects(spark):
+    """Composite refresh: unchanged docs carry over untouched, a novel
+    doc is admitted, and a fresh doc that exactly duplicates a carried
+    corpus doc is rejected by the asymmetric dedup."""
+    from music_streaming_etl_glue_spark.plans.snapshot_diff import (
+        incremental_corpus_update,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"stable document number {i} alpha beta gamma delta")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    new_rows = (
+        # 0..8 unchanged; 9 dropped; 20 = novel; 21 = copy of doc 3
+        [(i, f"stable document number {i} alpha beta gamma delta")
+         for i in range(9)]
+        + [(20, "a genuinely novel document with fresh words entirely")]
+        + [(21, "stable document number 3 alpha beta gamma delta")]
+    )
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    corpus, audit = incremental_corpus_update(old, new)
+    ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert ids == set(range(9)) | {20}
+    assert audit["unchanged"] == 9
+    assert audit["added"] == 2
+    assert audit["fresh"] == 2
+    assert audit["admitted"] == 1
+    assert audit["rejected_dup"] == 1
