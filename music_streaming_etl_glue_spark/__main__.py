@@ -6,6 +6,7 @@ Glue jobs; here each is a subcommand on one local SparkSession):
     python -m music_streaming_etl_glue_spark kpis  --sf-dir D --out DIR
     python -m music_streaming_etl_glue_spark llm   --sf-dir D --out DIR
     python -m music_streaming_etl_glue_spark query --sf-dir D NAME [NAME…]
+    python -m music_streaming_etl_glue_spark refresh --old P --new P --out DIR
     python -m music_streaming_etl_glue_spark list
 
 `kpis` runs the full batch pipeline (validate → enrich → 5 KPI tables →
@@ -29,6 +30,10 @@ def main(argv: list[str] | None = None) -> int:
         s = sub.add_parser(name)
         s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
         s.add_argument("--out", required=True)
+    r = sub.add_parser("refresh")
+    r.add_argument("--old", required=True, help="current corpus parquet")
+    r.add_argument("--new", required=True, help="incoming snapshot parquet")
+    r.add_argument("--out", required=True)
     q = sub.add_parser("query")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=10)
@@ -81,6 +86,18 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+    if args.cmd == "refresh":
+        from music_streaming_etl_glue_spark.plans.snapshot_diff import (
+            incremental_corpus_update,
+        )
+
+        old_df = spark.read.parquet(args.old)
+        new_df = spark.read.parquet(args.new)
+        corpus, audit = incremental_corpus_update(old_df, new_df)
+        corpus.write.mode("overwrite").parquet(args.out)
+        audit["corpus_rows"] = spark.read.parquet(args.out).count()
+        print(json.dumps(audit))
         return 0
     # query
     catalog = entry_mod.queries()

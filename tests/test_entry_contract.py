@@ -73,3 +73,30 @@ def test_cli_list_and_query(spark, capsys):
     out = capsys.readouterr().out
     assert "user_kpis (" in out
     assert main(["query", "--sf-dir", SF_SMOKE, "nope"]) == 2
+
+
+def test_cli_refresh_roundtrip(spark, tmp_path, capsys):
+    """`refresh --old --new --out` writes the next corpus and prints a
+    JSON audit with consistent arithmetic."""
+    import json
+
+    from music_streaming_etl_glue_spark.__main__ import main
+
+    old_p, new_p, out_p = (
+        str(tmp_path / "old"), str(tmp_path / "new"), str(tmp_path / "next")
+    )
+    spark.createDataFrame(
+        [(i, f"doc {i} alpha beta gamma") for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(old_p)
+    spark.createDataFrame(
+        [(i, f"doc {i} alpha beta gamma") for i in range(8)]
+        + [(50, "a brand new never seen document body")],
+        "doc_id long, text string",
+    ).write.parquet(new_p)
+
+    assert main(["refresh", "--old", old_p, "--new", new_p, "--out", out_p]) == 0
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["unchanged"] == 8 and audit["added"] == 1
+    assert audit["corpus_rows"] == audit["unchanged"] + audit["admitted"]
+    assert spark.read.parquet(out_p).count() == audit["corpus_rows"]
