@@ -1666,13 +1666,12 @@ def interleave_sources(
         ).otherwise(F.lit(0).cast("long")),
     )
     rank = (smaller + ties_before + F.lit(1)).alias("global_rank")
-    return (
-        pos.select("doc_id", "source", rank)
-        .withColumn(
-            "batch_id",
-            ((F.col("global_rank") - 1) / batch_size).cast("long"),
-        )
-        .orderBy("global_rank")
+    # NOTE: no orderBy — the rank COLUMN is the schedule; materializing
+    # rows in rank order would reintroduce the global sort the closed
+    # form exists to avoid (write partitioned by batch_id instead)
+    return pos.select("doc_id", "source", rank).withColumn(
+        "batch_id",
+        ((F.col("global_rank") - 1) / batch_size).cast("long"),
     )
 
 
@@ -1699,5 +1698,4 @@ ranked AS (
 SELECT doc_id, source, global_rank,
        ((global_rank - 1) // {INTERLEAVE_BATCH_SIZE})::BIGINT AS batch_id
 FROM ranked
-ORDER BY global_rank
 """

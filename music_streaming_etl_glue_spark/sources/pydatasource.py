@@ -114,6 +114,14 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
     def initialOffset(self):
         return {"index": 0}
 
+    # NOTE on restart: latestOffset's advance counter is in-memory, so a
+    # restarted query re-advances from 0 while the checkpoint may sit
+    # higher; batches only resume once the counter passes it (rows are
+    # always derived from the checkpointed (start, end), so no data is
+    # wrong — the connector just idles a few triggers). A production
+    # connector would consult the external system's high watermark here
+    # instead of a counter.
+
     def latestOffset(self):
         # advance one batch per trigger; a real connector would consult
         # the external system's high watermark here
