@@ -82,3 +82,42 @@ def scd2_apply(
         .unionByName(untouched_open)
         .unionByName(new_versions)
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """CDC apply: fold a Debezium-shaped changelog (``op`` ∈ I/U/D with a
+    monotone ``seq`` per key) into ``base`` — the full-fidelity upgrade
+    of :func:`upsert` (which cannot delete and cannot arbitrate
+    same-batch writes).
+
+    Per key, only the HIGHEST-``seq`` change decides: I/U → that row's
+    payload replaces (or inserts) the key; D → the key disappears, even
+    if it was inserted earlier in the same batch. Rows of ``base``
+    untouched by the changelog carry over. One window over the changelog
+    (keyed, so no global sort) + one anti-join + one union — the same
+    shuffle shape as plain upsert, at any table size. Ties on ``seq``
+    break by preferring the delete (the conservative read of a torn
+    sequence), then arbitrarily — give changes distinct sequence numbers.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        # tie: delete wins (op 'd' sorts before 'i'/'u' ascending)
+        F.when(F.lower(F.col(op_col)) == "d", 0).otherwise(1).asc(),
+    )
+    last = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = base.join(last.select(*keys).distinct(), keys, "left_anti")
+    upserts = (
+        last.filter(F.lower(F.col(op_col)) != "d")
+        .drop(op_col, seq_col)
+    )
+    return survivors.unionByName(upserts)

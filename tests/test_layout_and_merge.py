@@ -316,3 +316,29 @@ def test_row_group_stats_prove_skipping_on_zordered_write(spark, tmp_path):
     # random layout: every row group straddles the domain, nothing skips
     assert z_skip > 0.5, z_skip
     assert r_skip < 0.1, r_skip
+
+
+def test_apply_changelog_cdc_semantics(spark):
+    """Inserts, updates, deletes, same-batch insert-then-delete, and
+    delete-then-reinsert all resolve by highest seq per key; untouched
+    base rows carry over."""
+    from music_streaming_etl_glue_spark.plans.merge import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (2, "b2", "u", 1),      # update 2
+            (3, None, "d", 1),      # delete 3
+            (4, "d1", "i", 1),      # insert then delete 4 -> gone
+            (4, None, "d", 2),
+            (5, None, "d", 1),      # delete then reinsert 5 -> present
+            (5, "e2", "i", 2),
+        ],
+        "id long, v string, op string, seq long",
+    )
+    got = {
+        r.id: r.v for r in apply_changelog(base, log, ["id"]).collect()
+    }
+    assert got == {1: "a", 2: "b2", 5: "e2"}
