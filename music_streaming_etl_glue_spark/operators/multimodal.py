@@ -303,17 +303,17 @@ def phash_fingerprints(documents: DataFrame) -> DataFrame:
 def phash_near_dups(
     documents: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
 ) -> DataFrame:
-    """(doc_id_a, doc_id_b, hamming): payload pairs within ``max_hamming``
-    bits — banded exactly like the SimHash text rung: 4 × 16-bit bands,
-    a pair within Hamming 6 must agree on ≥1 whole band (pigeonhole over
-    4 bands ⇔ ≤ 3 differing bands... any 6 flipped bits hit ≤ 6 < 4·2
-    bands, so at least one band is untouched only when flips cluster;
-    formally ≤ max_hamming < PHASH_BANDS·(max_hamming//PHASH_BANDS+1) —
-    with 6 flips over 4 bands one band MUST hold ≤ 1 flip, and a
-    0-flip band exists whenever flips ≤ 3·band_count/... the standard
-    guarantee holds for ≤ 3 flips per the strict pigeonhole; wider
-    radii trade recall, as with SimHash). Join key is (band, value) —
-    the slim fingerprint relation shuffles, payloads never do."""
+    """(doc_id_a, doc_id_b, hamming): candidate payload pairs within
+    ``max_hamming`` bits, banded like the SimHash text rung: 4 × 16-bit
+    bands, candidates = pairs agreeing on ≥ 1 whole band. Pigeonhole
+    guarantee: ≤ 3 flipped bits cannot touch all 4 bands, so recall is
+    EXACT up to Hamming 3; pairs at distance 4-6 are found only when
+    their flips cluster into ≤ 3 bands (near-dup images perturb locally
+    — crops, borders, re-encodes — so they usually do; an adversarial
+    4-bit spread can hide). For guaranteed radius r, use r+1 bands —
+    the same bands/recall dial as SimHash. Join key is (band, value):
+    the slim fingerprint relation shuffles, payloads never do, and the
+    DuckDB twin bands identically so the contract stays hash-checked."""
     fp = phash_fingerprints(documents).localCheckpoint(eager=False)
     band_width = PHASH_BITS // PHASH_BANDS
     mask = (1 << band_width) - 1
