@@ -1626,7 +1626,7 @@ def interleave_sources(
     ``aggregate`` HOF; key ties break by source name (same closed form).
     So the schedule costs one per-source window (the md5-lottery local
     order) plus a narrow map — NO global sort, NO single-partition
-    window, at any corpus size. int64-exact while p·n' < 2^63.
+    window, at any corpus size. int64-exact while p·n' < 2^63 (remainder-subtracted decimal division, not double).
     """
     counts = documents.groupBy("source").agg(F.count("*").alias("n"))
     arr_df = counts.agg(
@@ -1644,8 +1644,11 @@ def interleave_sources(
     )
 
     def idiv(a, b):
-        # exact integer floor-div for non-negative a: (a - a % b) / b
-        return ((a - F.pmod(a, b)) / b).cast("long")
+        # exact integer floor-div for non-negative a over the FULL int64
+        # range: subtract the remainder, then divide as decimal(38,0)
+        # (a double division is only exact below 2^53)
+        num = (a - F.pmod(a, b)).cast("decimal(38,0)")
+        return (num / b.cast("decimal(38,0)")).cast("long")
 
     smaller = F.aggregate(
         F.col("__sources"),
