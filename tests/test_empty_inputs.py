@@ -236,3 +236,43 @@ def test_fifth_wave_on_empty_inputs(spark):
     enriched = enrich_events(events, customer, nation)
     assert clusters.strongest_neighbor_edges(enriched).count() == 0
     assert clusters.track_reach(enriched).count() == 0
+
+
+def test_sixth_wave_on_empty_inputs(spark):
+    """Bigram scorer, schedule/shuffle/budget samplers, phash rungs,
+    nested aggregation, diff, and PSI on 0-row inputs: empty (or
+    all-smoothing) results, no crashes."""
+    from music_streaming_etl_glue_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+    )
+    from music_streaming_etl_glue_spark.operators.text import bigram_surprisal
+    from music_streaming_etl_glue_spark.plans.quality import psi_drift
+    from music_streaming_etl_glue_spark.plans.snapshot_diff import dataset_diff
+
+    docs = _empty(
+        spark,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert bigram_surprisal(docs).count() == 0
+    assert dedup.corpus_shuffle(docs).count() == 0
+    assert dedup.token_budget_sample(docs).count() == 0
+    assert dedup.interleave_sources(docs).count() == 0
+    assert multimodal.phash_fingerprints(docs).count() == 0
+    assert multimodal.phash_near_dups(docs).count() == 0
+
+    li = _empty(
+        spark,
+        "l_orderkey long, l_partkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double",
+    )
+    assert relational.nested_order_lines(li).count() == 0
+
+    assert dataset_diff(docs, docs, "doc_id", ["text"]).count() == 0
+    # degenerate PSI: both sides empty -> smoothing-only bins, zero drift
+    drift = psi_drift(docs.selectExpr("doc_id", "n_chars as v"),
+                      docs.selectExpr("doc_id", "n_chars as v"), "v")
+    rows = drift.collect()
+    assert len(rows) == 10
+    assert all(abs(r.psi_term) < 1e-12 for r in rows)
