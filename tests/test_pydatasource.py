@@ -64,3 +64,52 @@ def test_stream_reader_emits_exact_prefix(spark):
     # offsets advance in disjoint (start, end] steps, so the union of all
     # micro-batches is the exact 200-row prefix — no gaps, no duplicates
     assert got == sorted(pds.synth_row(i) for i in range(200))
+
+
+def test_stream_reader_composes_with_stateful_aggregation(spark):
+    """The connector's micro-batches drive a standard stateful streaming
+    aggregation; the converged state equals the batch aggregate of the
+    same prefix — connector and engine operators compose."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    pds.register(spark)
+    s = (
+        spark.readStream.format(pds.SOURCE_NAME)
+        .option("batch_rows", "100")
+        .option("max_rows", "400")
+        .load()
+    )
+    q = (
+        s.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .writeStream.format("memory")
+        .queryName("synth_agg")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            total = (
+                spark.sql("SELECT coalesce(sum(n), 0) t FROM synth_agg")
+                .first()
+                .t
+            )
+            if total >= 400:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {
+        r.event_type: (r.n, r.sv)
+        for r in spark.sql("SELECT * FROM synth_agg").collect()
+    }
+    expect: dict = {}
+    for i in range(400):
+        _, _, et, v, _ = pds.synth_row(i)
+        n, sv = expect.get(et, (0, 0.0))
+        expect[et] = (n + 1, sv + v)
+    expect = {k: (n, round(sv, 2)) for k, (n, sv) in expect.items()}
+    assert got == expect
