@@ -1511,8 +1511,11 @@ def corpus_shuffle(
     shuffle, no global sort), pos = rank of the full md5 key within the
     shard (each shard sorts independently in parallel — the same sort a
     sharded writer pays anyway). Rerunning, appending, or re-reading
-    never changes an existing document's (shard, pos) prefix order, so
-    an interrupted epoch can resume mid-shard deterministically."""
+    never moves a document between shards or reorders existing
+    documents RELATIVE to each other (absolute positions shift as new
+    rows interleave — the test pins the relative-order contract), so an
+    interrupted epoch resumes mid-shard deterministically against the
+    same snapshot."""
     key = F.md5(F.col("doc_id").cast("string"))
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return (
