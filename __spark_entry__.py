@@ -180,6 +180,7 @@ _STAMP_PRIORITY = (
     "bigram_surprisal",
     "nested_order_lines",
     "events_value_drift",
+    "corpus_card",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -854,6 +855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-category audit counts (multi-pattern JVM regex, no shuffle)
         "pii_scrub": lambda spark, sf: _text.pii_scrub(_docs(spark, sf)),
         # model-free perplexity proxy: corpus-unigram -ln p(token) stats
+        "corpus_card": lambda spark, sf: _text.corpus_card(
+            _docs(spark, sf)
+        ),
         "bigram_surprisal": lambda spark, sf: _text.bigram_surprisal(
             _docs(spark, sf)
         ),
@@ -1076,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _text.PII_SCRUB_SQL,
         "unigram_surprisal": _text.UNIGRAM_SURPRISAL_SQL,
         "bigram_surprisal": _text.BIGRAM_SURPRISAL_SQL,
+        "corpus_card": _text.CORPUS_CARD_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
         # The featurizer itself is mapInPandas, but the stand-in payload is
         # ASCII text, so the byte math has an exact SQL twin.

@@ -1719,3 +1719,46 @@ JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
 JOIN c1 ON b.w1 = c1.w1, vocab
 GROUP BY b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus card (dataset-documentation summary per source)
+# ---------------------------------------------------------------------------
+
+SHORT_DOC_TOKENS = 20
+
+
+def corpus_card(documents: DataFrame) -> DataFrame:
+    """Per-source dataset-card row: the summary table a dataset README
+    publishes (docs, token volume, length profile, short-doc and
+    language mix) — one hash aggregate over the corpus, all metrics
+    exact. Pairs with :func:`source_divergence` (distributional view)
+    and the dedup funnel (processing view) for the full card."""
+    n_tokens = F.size(_tokens())
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tokens).alias("n_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum(
+                F.when(n_tokens < SHORT_DOC_TOKENS, 1).otherwise(0)
+            ).alias("short_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_CARD_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+       round(AVG(n_chars), 2) AS avg_chars,
+       SUM(CASE WHEN len(string_split(text, ' ')) < {SHORT_DOC_TOKENS}
+                THEN 1 ELSE 0 END)::BIGINT AS short_docs,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
