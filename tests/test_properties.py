@@ -336,3 +336,29 @@ def test_interleave_closed_form_matches_naive_sort(spark, sizes):
         for i, (_, _, d) in enumerate(sorted(keyed))
     }
     assert got == expected
+
+
+def test_sampling_family_is_partition_invariant(spark):
+    """corpus_shuffle, token_budget_sample, and interleave_sources must
+    be bit-identical under different partitionings — the determinism
+    contract that makes reruns and repartitions free."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        corpus_shuffle,
+        interleave_sources,
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(10 + i % 5)),
+         f"s{i % 3}")
+        for i in range(120)
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for fn in (
+        corpus_shuffle,
+        lambda d: token_budget_sample(d, budget=60),
+        interleave_sources,
+    ):
+        a = sorted(map(tuple, fn(base.repartition(1)).collect()))
+        b = sorted(map(tuple, fn(base.repartition(13)).collect()))
+        assert a == b
