@@ -181,6 +181,7 @@ _STAMP_PRIORITY = (
     "nested_order_lines",
     "events_value_drift",
     "corpus_card",
+    "track_ppr",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -418,6 +419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # bounded BFS over degree-capped strongest-neighbor edges — the
         # engine's WITH RECURSIVE surface (Catalyst UnionLoop execution)
+        # personalized PageRank from the lowest track (per-anchor walk)
+        "track_ppr": lambda spark, sf: (
+            _clusters.track_personalized_pagerank(_enriched(spark, sf))
+        ),
         "track_reach": lambda spark, sf: _clusters.track_reach(
             _enriched(spark, sf)
         ),
@@ -963,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "track_cooccurrence": _beh.TRACK_COOCCURRENCE_SQL,
         "track_pagerank": _clusters.TRACK_PAGERANK_SQL,
         "track_reach": _clusters.TRACK_REACH_SQL,
+        "track_ppr": _clusters.TRACK_PPR_SQL,
         "track_communities": _clusters.TRACK_COMMUNITIES_SQL,
         "track_triangles": _clusters.TRACK_TRIANGLES_SQL,
         "favorite_track_per_user": _beh.FAVORITE_TRACK_SQL,

@@ -849,3 +849,136 @@ ORDER BY min_depth, track_id
 
 
 TRACK_REACH_SQL = _track_reach_sql()
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (seed-teleport variant of the same kernel)
+# ---------------------------------------------------------------------------
+
+def personalized_pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seed_id: int,
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """PageRank with ALL teleport mass returned to one seed vertex — the
+    'similarity to this node' random walk recommenders run per anchor
+    item. Identical iteration shape (and determinism discipline: 12dp
+    rounding + DECIMAL sums) to :func:`pagerank`; only the base term
+    changes from (1−d)/n everywhere to (1−d) at the seed."""
+    e = edges.join(
+        edges.groupBy("src").agg(F.count("*").alias("deg")), "src"
+    ).localCheckpoint()
+    vertices = vertices.localCheckpoint()
+    base, d = 1.0 - damping, damping
+    seed_base = F.when(F.col("id") == seed_id, F.lit(base)).otherwise(
+        F.lit(0.0)
+    )
+    ranks = vertices.select(
+        "id",
+        F.when(F.col("id") == seed_id, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contribs = e.join(ranks, e["src"] == ranks["id"]).select(
+            F.col("dst"),
+            F.round(F.col("rank") / F.col("deg"), 12)
+            .cast("decimal(38,12)")
+            .alias("c"),
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            vertices.join(sums, vertices["id"] == sums["dst"], "left")
+            .select(
+                "id",
+                (
+                    seed_base
+                    + F.lit(d)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def track_personalized_pagerank(enriched: DataFrame) -> DataFrame:
+    """Personalized PageRank from the LOWEST track id in the co-play
+    graph — 'tracks in this track's taste neighborhood', the per-anchor
+    recommender query."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        cooccurrence_pairs,
+    )
+
+    pairs = cooccurrence_pairs(enriched).distinct().localCheckpoint()
+    edges = pairs.select(
+        F.col("track_a").alias("src"), F.col("track_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("track_b").alias("src"), F.col("track_a").alias("dst")
+        )
+    )
+    verts = (
+        enriched.filter(F.col("track_id").isNotNull())
+        .select(F.col("track_id").alias("id"))
+        .distinct()
+    )
+    seed = pairs.agg(F.min("track_a").alias("m")).collect()[0].m
+    ranks = personalized_pagerank(verts, edges, int(seed))
+    return ranks.select(
+        F.col("id").alias("track_id"),
+        F.round("rank", 12).alias("ppr"),
+    )
+
+
+def _ppr_sql(
+    iterations: int = PAGERANK_ITERATIONS, damping: float = PAGERANK_DAMPING
+) -> str:
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        COOCCUR_PAIRS_CTES,
+    )
+
+    base, d = 1.0 - damping, damping
+    levels = []
+    for i in range(iterations):
+        prev = f"r{i}"
+        levels.append(f"""r{i + 1} AS (
+    SELECT v.id,
+           CASE WHEN v.id = (SELECT s FROM seed) THEN {base!r}
+                ELSE 0.0 END
+           + {d!r} * COALESCE(s.s::DOUBLE, 0.0) AS rank
+    FROM verts v
+    LEFT JOIN (
+        SELECT e.dst, SUM(CAST(round(r.rank / o.deg, 12) AS DECIMAL(38,12)))
+               AS s
+        FROM edges e
+        JOIN {prev} r ON e.src = r.id
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ) s ON v.id = s.dst
+)""")
+    chained = ",\n".join(levels)
+    return f"""
+WITH {COOCCUR_PAIRS_CTES},
+dpairs AS (SELECT DISTINCT track_a, track_b FROM pairs),
+edges AS (
+    SELECT track_a AS src, track_b AS dst FROM dpairs
+    UNION ALL
+    SELECT track_b AS src, track_a AS dst FROM dpairs
+),
+verts AS (SELECT DISTINCT track_id AS id FROM plays),
+seed AS (SELECT MIN(track_a) AS s FROM dpairs),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (
+    SELECT id, CASE WHEN id = (SELECT s FROM seed) THEN 1.0 ELSE 0.0 END
+           AS rank
+    FROM verts
+),
+{chained}
+SELECT id AS track_id, round(rank, 12) AS ppr FROM r{iterations}
+"""
+
+
+TRACK_PPR_SQL = _ppr_sql()

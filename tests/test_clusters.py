@@ -272,3 +272,22 @@ def test_track_reach_bfs_contract(spark):
             (src, node) in edges and reach.get(src) == d - 1
             for src in reach
         ), (node, d)
+
+
+def test_personalized_pagerank_concentrates_mass_at_seed(spark):
+    """PPR on a star graph: the seed (center) holds the most mass, all
+    teleport mass returns to it, and a disconnected vertex scores 0."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        personalized_pagerank,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    # star centered at 0 over 1..4; vertex 5 disconnected
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)],
+        "src long, dst long",
+    )
+    r = {row.id: row.rank for row in personalized_pagerank(verts, edges, 0).collect()}
+    assert r[5] == 0.0
+    assert r[0] == max(r.values())
+    assert all(abs(r[i] - r[1]) < 1e-12 for i in range(2, 5))
