@@ -24,6 +24,7 @@ from music_streaming_etl_glue_spark.operators import relational as _rel
 from music_streaming_etl_glue_spark.operators import serving as _serving
 from music_streaming_etl_glue_spark.operators import similarity as _sim
 from music_streaming_etl_glue_spark.operators import text as _text
+from music_streaming_etl_glue_spark.plans import merge as _merge
 from music_streaming_etl_glue_spark.plans import quality as _quality
 from music_streaming_etl_glue_spark.plans import snapshot_diff as _sdiff
 from music_streaming_etl_glue_spark.sources import pydatasource as _pds
@@ -182,6 +183,7 @@ _STAMP_PRIORITY = (
     "events_value_drift",
     "corpus_card",
     "track_ppr",
+    "orders_changelog_applied",
     "track_triangles",
     "customer_status_history",
     "pq_codebooks",
@@ -902,6 +904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot diff audit: documents vs a deterministic next-snapshot
         # twin — keyed full-outer hash compare, status rollup
         # array-of-struct nested modeling + higher-order functions
+        # CDC changelog fold (I/U/D, highest-seq wins per key)
+        "orders_changelog_applied": lambda spark, sf: (
+            _merge.orders_changelog_applied(load_table(spark, sf, "orders"))
+        ),
         # PSI distribution drift between timeline halves (refresh gate)
         "events_value_drift": lambda spark, sf: _quality.events_value_drift(
             load_table(spark, sf, "events")
@@ -1100,4 +1106,5 @@ def oracle_sql() -> dict[str, str]:
         "documents_diff_summary": _sdiff.DOCUMENTS_DIFF_SUMMARY_SQL,
         "nested_order_lines": _rel.NESTED_ORDER_LINES_SQL,
         "events_value_drift": _quality.EVENTS_VALUE_DRIFT_SQL,
+        "orders_changelog_applied": _merge.ORDERS_CHANGELOG_SQL,
     }

@@ -121,3 +121,72 @@ def apply_changelog(
         .drop(op_col, seq_col)
     )
     return survivors.unionByName(upserts)
+
+
+# ---------------------------------------------------------------------------
+# catalog wiring: CDC apply over a deterministic synthetic changelog
+# ---------------------------------------------------------------------------
+
+def orders_changelog_applied(orders: DataFrame) -> DataFrame:
+    """:func:`apply_changelog` exercised end-to-end from one table: base
+    = orders with key % 3 != 0; the changelog inserts the % 3 == 0 keys
+    (seq 1), uprices the % 7 == 0 keys (seq 2), and deletes the % 5 == 0
+    keys (seq 3) — so keys hit by several ops resolve by highest seq
+    (e.g. % 15 == 0 keys end deleted even when freshly inserted). Output
+    is the folded (o_orderkey, o_orderstatus, o_totalprice) relation,
+    hash-checked against a window-SQL twin."""
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(*cols)
+    inserts = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("i").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+        F.lit("u").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit("d").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    log = inserts.unionByName(updates).unionByName(deletes)
+    return apply_changelog(base, log, ["o_orderkey"])
+
+
+ORDERS_CHANGELOG_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 != 0
+),
+log AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'i' AS op, 1 AS seq
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, 'U', round(o_totalprice * 2, 2), 'u', 2
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, NULL, NULL, 'd', 3
+    FROM orders WHERE o_orderkey % 5 = 0
+),
+last AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, op
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM log
+    ) WHERE rn = 1
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM log)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM last WHERE op != 'd'
+"""
