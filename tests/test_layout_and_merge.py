@@ -342,3 +342,34 @@ def test_apply_changelog_cdc_semantics(spark):
         r.id: r.v for r in apply_changelog(base, log, ["id"]).collect()
     }
     assert got == {1: "a", 2: "b2", 5: "e2"}
+
+
+def test_nested_order_layout_roundtrip(spark, tmp_path):
+    """Denormalized write path: orders with embedded line arrays written
+    to parquet, read back, and exploded — the flat relation is recovered
+    exactly (the array-of-struct column is a faithful physical layout,
+    not just a query-time convenience)."""
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_partkey", "l_quantity")
+            )
+        ).alias("lines")
+    )
+    path = str(tmp_path / "orders_nested")
+    nested.write.parquet(path)
+
+    back = (
+        spark.read.parquet(path)
+        .select("l_orderkey", F.explode("lines").alias("ln"))
+        .select("l_orderkey", "ln.*")
+    )
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, li.collect()))
+    assert a == b
