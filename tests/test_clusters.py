@@ -291,3 +291,30 @@ def test_personalized_pagerank_concentrates_mass_at_seed(spark):
     assert r[5] == 0.0
     assert r[0] == max(r.values())
     assert all(abs(r[i] - r[1]) < 1e-12 for i in range(2, 5))
+
+
+def test_multi_seed_ppr_matches_per_seed_runs(spark):
+    """The batched (seed, id) iteration must be bit-identical to running
+    each personalized walk separately — batching changes shuffle count,
+    never values."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        personalized_pagerank,
+        personalized_pagerank_multi,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 5), (5, 6)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    batched = {
+        (r.seed, r.id): r.rank
+        for r in personalized_pagerank_multi(verts, edges, [0, 5]).collect()
+    }
+    for seed in (0, 5):
+        single = {
+            r.id: r.rank
+            for r in personalized_pagerank(verts, edges, seed).collect()
+        }
+        for vid, rank in single.items():
+            assert batched[(seed, vid)] == rank, (seed, vid)
