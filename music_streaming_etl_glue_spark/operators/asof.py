@@ -347,9 +347,14 @@ def error_bursts(
         .agg(F.count("*").alias("n_errors"))
         .filter(F.col("n_errors") >= min_errors)
     )
-    grp = F.col("bucket") - F.row_number().over(Window.orderBy("bucket"))
+    # the islands window is inherently global; the relation is one row
+    # per busy quarter-hour (small by construction), so declare the
+    # single partition explicitly instead of warning into the gate log
+    grp = F.col("bucket") - F.row_number().over(
+        Window.partitionBy(F.spark_partition_id()).orderBy("bucket")
+    )
     return (
-        busy.withColumn("grp", grp)
+        busy.coalesce(1).withColumn("grp", grp)
         .groupBy("grp")
         .agg(
             (F.min("bucket") * bucket_s).alias("burst_start_s"),

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from music_streaming_etl_glue_spark.functions.ranks import rank_post_limit
+
 SHINGLE_N = 3
 MINHASH_K = 6
 MINHASH_BANDS = 3  # rows-per-band r = K / BANDS = 2 → s-curve @ ~0.58
@@ -323,9 +325,15 @@ def jaccard_pairs_prefix(
         F.col("df").asc(), F.col("shingle").asc()
     )
     size_w = Window.partitionBy("doc_id")
+    # round τ·|x| to 9 decimals before ceiling: the float product can
+    # land an ulp ABOVE the exact rational (0.07·100 → 7.000000000000001,
+    # ceil 8 not 7), silently shortening the prefix and dropping
+    # qualifying pairs — which would break the bit-identical-to-naive
+    # guarantee. 9 decimals is far below any real τ granularity and far
+    # above double error at any feasible set size.
     prefix_len = (
         F.col("set_size")
-        - F.ceil(F.lit(threshold) * F.col("set_size"))
+        - F.ceil(F.round(F.lit(threshold) * F.col("set_size"), 9))
         + F.lit(1)
     )
     prefixes = (
@@ -341,14 +349,16 @@ def jaccard_pairs_prefix(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: τ·|x| ≤ |y| in both directions
+            # length filter: τ·|x| ≤ |y| in both directions (products
+            # rounded like prefix_len — an ulp-high float τ·|x| would
+            # falsely exclude the |y| = ⌈τ·|x|⌉ boundary case)
             & (
                 F.col("b.set_size")
-                >= F.lit(threshold) * F.col("a.set_size")
+                >= F.round(F.lit(threshold) * F.col("a.set_size"), 9)
             )
             & (
                 F.col("a.set_size")
-                >= F.lit(threshold) * F.col("b.set_size")
+                >= F.round(F.lit(threshold) * F.col("b.set_size"), 9)
             ),
         )
         .select(
@@ -782,11 +792,9 @@ def weighted_sample(
     top = keyed.orderBy(
         F.col("sample_key").desc(), F.col("doc_id").asc()
     ).limit(n)
-    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
-    return (
-        top.withColumn("sample_rank", F.row_number().over(w).cast("long"))
-        .select("doc_id", "source", "n_chars", "sample_rank")
-    )
+    return rank_post_limit(
+        top, "sample_rank", F.col("sample_key").desc(), F.col("doc_id").asc()
+    ).select("doc_id", "source", "n_chars", "sample_rank")
 
 
 WEIGHTED_SAMPLE_SQL = f"""
@@ -1645,19 +1653,37 @@ def interleave_sources(
         .join(F.broadcast(counts), "source")
         .crossJoin(F.broadcast(arr_df))
     )
+    rank = interleave_rank_expr().alias("global_rank")
+    # NOTE: no orderBy — the rank COLUMN is the schedule; materializing
+    # rows in rank order would reintroduce the global sort the closed
+    # form exists to avoid (write partitioned by batch_id instead)
+    return pos.select("doc_id", "source", rank).withColumn(
+        "batch_id",
+        ((F.col("global_rank") - 1) / batch_size).cast("long"),
+    )
 
-    def idiv(a, b):
-        # exact integer floor-div for non-negative a over the FULL int64
-        # range: subtract the remainder, then divide as decimal(38,0)
-        # (a double division is only exact below 2^53)
-        num = (a - F.pmod(a, b)).cast("decimal(38,0)")
-        return (num / b.cast("decimal(38,0)")).cast("long")
 
+def _interleave_idiv(a: Column, b: Column) -> Column:
+    # exact integer floor-div for non-negative a over the FULL int64
+    # range: subtract the remainder, then divide as decimal(38,0)
+    # (a double division is only exact below 2^53)
+    num = (a - F.pmod(a, b)).cast("decimal(38,0)")
+    return (num / b.cast("decimal(38,0)")).cast("long")
+
+
+def interleave_rank_expr() -> Column:
+    """The closed-form stride-schedule rank as a pure column expression
+    over (p, n, source, __sources[(s, n2)...]) — factored out of
+    :func:`interleave_sources` so the int64-boundary arithmetic is
+    directly property-testable on crafted rows (real 2^63-adjacent
+    counts can't be materialized as actual corpora)."""
     smaller = F.aggregate(
         F.col("__sources"),
         F.lit(0).cast("long"),
         lambda acc, x: acc
-        + F.least(x["n2"], idiv(F.col("p") * x["n2"] - 1, F.col("n"))),
+        + F.least(
+            x["n2"], _interleave_idiv(F.col("p") * x["n2"] - 1, F.col("n"))
+        ),
     )
     ties_before = F.aggregate(
         F.col("__sources"),
@@ -1666,19 +1692,12 @@ def interleave_sources(
         + F.when(
             (x["s"] < F.col("source"))
             & (F.pmod(F.col("p") * x["n2"], F.col("n")) == 0)
-            & (idiv(F.col("p") * x["n2"], F.col("n")) >= 1)
-            & (idiv(F.col("p") * x["n2"], F.col("n")) <= x["n2"]),
+            & (_interleave_idiv(F.col("p") * x["n2"], F.col("n")) >= 1)
+            & (_interleave_idiv(F.col("p") * x["n2"], F.col("n")) <= x["n2"]),
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
-    rank = (smaller + ties_before + F.lit(1)).alias("global_rank")
-    # NOTE: no orderBy — the rank COLUMN is the schedule; materializing
-    # rows in rank order would reintroduce the global sort the closed
-    # form exists to avoid (write partitioned by batch_id instead)
-    return pos.select("doc_id", "source", rank).withColumn(
-        "batch_id",
-        ((F.col("global_rank") - 1) / batch_size).cast("long"),
-    )
+    return smaller + ties_before + F.lit(1)
 
 
 INTERLEAVE_SOURCES_SQL = f"""

@@ -244,13 +244,18 @@ def row_group_stats(path: str, column: str) -> list[dict]:
             ci = names[column]
             for rg in range(meta.num_row_groups):
                 st = meta.row_group(rg).column(ci).statistics
+                # a footer can carry a statistics object WITHOUT min/max
+                # (writers may drop them for huge binary values or
+                # unordered types) — st.min would then raise, so gate on
+                # has_min_max and report "no stats" the same as st=None
+                has = st is not None and st.has_min_max
                 out.append(
                     {
                         "file": fname,
                         "row_group": rg,
                         "rows": meta.row_group(rg).num_rows,
-                        "min": None if st is None else st.min,
-                        "max": None if st is None else st.max,
+                        "min": st.min if has else None,
+                        "max": st.max if has else None,
                     }
                 )
     return out

@@ -181,7 +181,21 @@ def psi_drift(
 
     def binned(df: DataFrame, alias: str) -> DataFrame:
         width = (F.col("hi") - F.col("lo")) / bins
-        raw = F.floor((F.col(column).cast("double") - F.col("lo")) / width)
+        v = F.col(column).cast("double")
+        # degenerate one-point baseline (hi == lo): the grid has no
+        # width, and (v − lo)/0 is NaN → floor → NULL → every bin drops
+        # and the gate reports ~0 drift — a silent false negative. Bin
+        # by side instead: below the point → 0, at it → middle bin,
+        # above → top bin, so drift in either direction is detected and
+        # an unchanged snapshot still scores 0.
+        point_bin = (
+            F.when(v > F.col("hi"), F.lit(bins - 1))
+            .when(v < F.col("lo"), F.lit(0))
+            .otherwise(F.lit(bins // 2))
+        )
+        raw = F.when(F.col("hi") == F.col("lo"), point_bin).otherwise(
+            F.floor((v - F.col("lo")) / width)
+        )
         b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
         return (
             df.filter(F.col(column).isNotNull())

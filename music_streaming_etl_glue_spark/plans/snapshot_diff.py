@@ -175,3 +175,46 @@ def incremental_corpus_update(
     audit["admitted"] = admitted.count()
     audit["rejected_dup"] = audit["fresh"] - audit["admitted"]
     return carried.unionByName(admitted), audit
+
+
+def incremental_index_update(
+    spark, old: DataFrame, new: DataFrame, path: str
+) -> dict:
+    """The embedding-side twin of :func:`incremental_corpus_update`:
+    snapshot-diff the embeddings table and refresh the persisted IVF-PQ
+    index at ``path`` — building it from ``old`` on first call, then
+    encoding ONLY the diff's *added* vectors with the EXISTING codebook
+    and centroids (similarity.refresh_ivfpq_layout). This is the
+    production append path: a refresh costs O(diff + batch-encode),
+    never a retrain or corpus re-encode, and the standing cell
+    partitions are untouched.
+
+    Returns the diff audit plus ``encoded`` (vectors appended to the
+    index). ``changed``/``removed`` rows are surfaced in the audit but
+    NOT applied — they need a cell-partition rewrite (plans.merge
+    discipline), which an append-only training corpus never issues.
+    """
+    import os
+
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        _build_layout_atomic,
+        refresh_ivfpq_layout,
+        write_ivfpq_layout,
+    )
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _build_layout_atomic(
+            lambda tmp: write_ivfpq_layout(old, tmp), path
+        )
+    d = dataset_diff(old, new, "vec_id", ["embedding"]).localCheckpoint(
+        eager=False
+    )
+    audit = {r.status: r.n for r in diff_summary(d).collect()}
+    n_added = audit.get("added", 0)
+    if n_added:
+        added = new.join(
+            d.filter(F.col("status") == "added").select("vec_id"), "vec_id"
+        )
+        refresh_ivfpq_layout(spark, added, path)
+    audit["encoded"] = n_added
+    return audit

@@ -1142,3 +1142,57 @@ def test_bigram_surprisal_flags_shuffled_word_order(spark):
     s = {r.doc_id: r.avg_surprisal for r in bigram_surprisal(docs).collect()}
     typical = sum(v for k, v in s.items() if k != 100) / 20
     assert s[100] > 2 * typical, (s[100], typical)
+
+
+def test_bpe_pinned_merges_match_trainer_at_sf001(spark):
+    """BPE_PINNED_MERGES is the committed tokenizer artifact: the
+    trainer re-run on the sf0.01 documents corpus must reproduce it
+    verbatim — if the corpus or trainer changes, this fails loudly
+    instead of the bpe_encode catalog entry silently encoding with a
+    stale artifact."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        BPE_PINNED_MERGES,
+        train_bpe_merges,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    trained = tuple(
+        (r.left, r.right)
+        for r in train_bpe_merges(docs, n_merges=len(BPE_PINNED_MERGES))
+        .orderBy("step")
+        .collect()
+    )
+    assert trained == BPE_PINNED_MERGES
+
+
+def test_bpe_encode_lossless_and_vocab_ids_consistent(spark):
+    """bpe_encode invariants: symbols concatenate back to each token
+    (lossless), sym_idx is dense 0..n-1 per token, and sym_id is a
+    consistent bijection with the symbol across the whole corpus."""
+    from music_streaming_etl_glue_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "lower in the western tower"), (2, "low stern matter")],
+        "doc_id long, text string",
+    )
+    rows = bpe_encode(docs).collect()
+    assert rows
+    per_token: dict = {}
+    sym_to_id: dict = {}
+    for r in rows:
+        per_token.setdefault((r.doc_id, r.token_idx), []).append(
+            (r.sym_idx, r.symbol)
+        )
+        assert sym_to_id.setdefault(r.symbol, r.sym_id) == r.sym_id
+    # ids are 1..|vocab| in lexicographic symbol order
+    vocab = sorted(sym_to_id)
+    assert [sym_to_id[s] for s in vocab] == list(range(1, len(vocab) + 1))
+    texts = {1: "lower in the western tower", 2: "low stern matter"}
+    for (doc_id, tidx), syms in per_token.items():
+        syms.sort()
+        assert [i for i, _ in syms] == list(range(len(syms)))
+        token = texts[doc_id].split(" ")[tidx]
+        assert "".join(s for _, s in syms) == token
+    # the pinned rules actually fire on this corpus ("er", "in", "st"...)
+    assert any(len(s) > 1 for s in sym_to_id)

@@ -252,3 +252,43 @@ def test_hot_cone_cap_keeps_far_pair_recall(spark):
     # the cap every band emits the full clique; with it the survivors
     # are background-scale
     assert len(got) < 2_000, len(got)
+
+
+def test_corpus_count_memoized_per_file_signature(spark, tmp_path):
+    """derive_banding's corpus count must run ONE count() action per
+    (plan, file-signature) identity — repeat calls over the same parquet
+    hit the memo, a rewrite of the same path misses it, and a filtered
+    plan over the same files keys separately (different cardinality)."""
+    import os
+
+    from music_streaming_etl_glue_spark.operators import similarity as sim
+
+    path = str(tmp_path / "emb.parquet")
+    spark.range(40).selectExpr(
+        "id AS vec_id", "array(CAST(id AS float), 1.0f) AS embedding"
+    ).write.parquet(path)
+
+    df = spark.read.parquet(path)
+    key = sim._corpus_uid(df)
+    assert key is not None
+    assert sim._corpus_count(df) == 40
+    assert sim._corpus_count_cache[key] == 40
+
+    # memo hit: even a poisoned cache value is returned verbatim,
+    # proving no count() action re-ran
+    sim._corpus_count_cache[key] = 41
+    assert sim._corpus_count(spark.read.parquet(path)) == 41
+    sim._corpus_count_cache[key] = 40
+
+    # a different plan over the SAME files must not collide
+    filtered = spark.read.parquet(path).filter("vec_id < 10")
+    assert sim._corpus_uid(filtered) != key
+    assert sim._corpus_count(filtered) == 10
+
+    # rewriting the path invalidates via (mtime_ns, size)
+    spark.range(7).selectExpr(
+        "id AS vec_id", "array(CAST(id AS float), 1.0f) AS embedding"
+    ).write.mode("overwrite").parquet(path)
+    df2 = spark.read.parquet(path)
+    assert sim._corpus_uid(df2) != key
+    assert sim._corpus_count(df2) == 7

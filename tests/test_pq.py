@@ -106,3 +106,87 @@ def test_ivfpq_recall_and_exact_rerank(spark, tmp_path):
     for r in got:
         if r.vec_id in exact:
             assert abs(r.similarity - exact[r.vec_id]) < 1e-9
+
+
+def test_ivfpq_incremental_refresh_appends_with_pinned_codebook(
+    spark, tmp_path
+):
+    """Append path (VERDICT item #6): build the IVF-PQ layout on a base
+    corpus, snapshot-diff in a 40-vector batch, and assert (a) the
+    codebook and centroids on disk are STILL the base-trained artifact,
+    (b) every corpus vector is encoded exactly once, (c) the refreshed
+    layout serves ann_topk_ivfpq with exact-cosine reranks vs brute
+    force, and (d) a same-snapshot re-run is a no-op."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans.snapshot_diff import (
+        incremental_index_update,
+    )
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    ids = sorted(r.vec_id for r in embs.select("vec_id").collect())
+    held = ids[-40:]
+    base = embs.filter(~F.col("vec_id").isin(held))
+    path = str(tmp_path / "idx")
+
+    audit = incremental_index_update(spark, base, embs, path)
+    assert audit["added"] == 40
+    assert audit["encoded"] == 40
+    assert audit["unchanged"] == len(ids) - 40
+
+    # (a) the on-disk codebook is the BASE-trained one, bit-for-bit
+    base_cb = {
+        (r.s, r.code, tuple(r.cvec))
+        for r in sim._pq_codebook(base).collect()
+    }
+    disk_cb = {
+        (r.s, r.code, tuple(r.cvec))
+        for r in spark.read.parquet(path + "/_codebook").collect()
+    }
+    assert disk_cb == base_cb
+
+    # (b) one packed row per corpus vector, appended codes included,
+    # and each appended row's codes equal encoding against the PINNED
+    # codebook (not a retrained one)
+    packed = spark.read.parquet(path)
+    assert packed.count() == len(ids)
+    assert packed.select("vec_id").distinct().count() == len(ids)
+    appended = embs.filter(F.col("vec_id").isin(held))
+    expect_codes = {
+        r.vec_id: tuple(r.codes)
+        for r in sim._pq_assign(
+            sim._pq_subvectors(appended), sim._pq_codebook(base)
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "code"))),
+                lambda t: t["code"],
+            ).alias("codes")
+        )
+        .collect()
+    }
+    got_codes = {
+        r.vec_id: tuple(r.codes)
+        for r in packed.filter(F.col("vec_id").isin(held)).collect()
+    }
+    assert got_codes == expect_codes
+
+    # (c) the refreshed layout serves the probe; reranked sims are
+    # exact cosines and recall holds at the suite's ivfpq floor
+    exact = {
+        r.vec_id: r.similarity
+        for r in sim.ann_topk_bruteforce(embs, k=500).collect()
+    }
+    got = sim.ann_topk_ivfpq(spark, embs, path).collect()
+    assert len(got) == sim.TOP_K
+    for r in got:
+        if r.vec_id in exact:
+            assert abs(r.similarity - exact[r.vec_id]) < 1e-9
+    hits = sum(1 for r in got if r.vec_id in set(list(exact)[: sim.TOP_K]))
+    assert hits / sim.TOP_K >= 0.3
+
+    # (d) idempotent on an unchanged snapshot
+    audit2 = incremental_index_update(spark, embs, embs, path)
+    assert audit2["encoded"] == 0
+    assert spark.read.parquet(path).count() == len(ids)

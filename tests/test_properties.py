@@ -362,3 +362,114 @@ def test_sampling_family_is_partition_invariant(spark):
         a = sorted(map(tuple, fn(base.repartition(1)).collect()))
         b = sorted(map(tuple, fn(base.repartition(13)).collect()))
         assert a == b
+
+
+def test_interleave_all_equal_counts_is_exact_permutation(spark):
+    """The maximal-tie pattern: every source has the SAME count, so every
+    key p/n collides across all sources and the rank leans entirely on
+    the tie-break arm. The closed form must still emit a permutation of
+    1..N that matches the exact-fraction sort oracle."""
+    from fractions import Fraction
+    import hashlib
+
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        interleave_sources,
+    )
+
+    n_sources, per = 6, 8
+    rows = [
+        (si * per + j, f"src{si}")
+        for si in range(n_sources)
+        for j in range(per)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string"
+    ).withColumn("text", F.lit("x"))
+    got = {r.doc_id: r.global_rank for r in interleave_sources(docs).collect()}
+    assert sorted(got.values()) == list(range(1, n_sources * per + 1))
+
+    per_source: dict = {}
+    for d, s in rows:
+        per_source.setdefault(s, []).append(d)
+    keyed = []
+    for s, ids in per_source.items():
+        ordered = sorted(
+            ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+        for p, d in enumerate(ordered, start=1):
+            keyed.append((Fraction(p, per), s, d))
+    expected = {d: i + 1 for i, (_, _, d) in enumerate(sorted(keyed))}
+    assert got == expected
+
+
+def test_interleave_rank_expr_exact_at_int64_boundaries(spark):
+    """The closed-form rank's integer arithmetic (remainder-subtracted
+    decimal division) must stay EXACT for products p·n2 right up against
+    2^63 — the regime where a double-based floor-div silently rounds.
+    Ground truth is Python bigint: #smaller = Σ min(n2, (p·n2−1)//n),
+    plus the divisibility tie arm, computed with unbounded integers."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        interleave_rank_expr,
+    )
+
+    M = 2**63 - 1
+    # (p, n, source, [(s, n2), ...]) — own source included, as in the
+    # production __sources array
+    cases = [
+        # max product p·n2 = 2^63−1 (rank stays in-domain: a corpus of
+        # 2^63 rows would make the RANK itself overflow legitimately)
+        (1, 2, "b", [("a", M), ("b", 2)]),
+        # product = 3·((2^63−1)//3) — one below the largest multiple of 3
+        (3, 7, "b", [("a", (M // 3)), ("b", 7)]),
+        # divisibility-tie arm at scale: 4·n2 ≡ 0 (mod 4), s < source
+        (4, 4, "z", [("a", M // 4), ("z", 4)]),
+        # all-equal huge counts: every key ties, p small
+        (2, 2**61, "b", [("a", 2**61), ("b", 2**61)]),
+        # off-by-one sweep around an exact multiple of n
+        (5, 9, "b", [("a", (M // 5) - 1), ("b", 9)]),
+        (5, 9, "b", [("a", M // 5), ("b", 9)]),
+        # small, brute-force verifiable control
+        (4, 6, "b", [("a", 10), ("b", 6), ("c", 7)]),
+    ]
+
+    def expected(p, n, source, sources):
+        smaller = sum(min(n2, (p * n2 - 1) // n) for _s, n2 in sources)
+        ties = sum(
+            1
+            for s, n2 in sources
+            if s < source
+            and (p * n2) % n == 0
+            and 1 <= (p * n2) // n <= n2
+        )
+        return smaller + ties + 1
+
+    # independent brute force for the small control row
+    p, n, src, srcs = cases[-1]
+    brute_smaller = sum(
+        sum(1 for pp in range(1, n2 + 1) if pp * n < p * n2)
+        for _s, n2 in srcs
+    )
+    brute_ties = sum(
+        sum(1 for pp in range(1, n2 + 1) if s < src and pp * n == p * n2)
+        for s, n2 in srcs
+    )
+    assert expected(p, n, src, srcs) == brute_smaller + brute_ties + 1
+
+    df = spark.createDataFrame(
+        [
+            (i, p, n, source, [{"s": s, "n2": n2} for s, n2 in sources])
+            for i, (p, n, source, sources) in enumerate(cases)
+        ],
+        "case int, p long, n long, source string, "
+        "__sources array<struct<s string, n2 long>>",
+    )
+    got = {
+        r.case: r.rank
+        for r in df.select(
+            "case", interleave_rank_expr().alias("rank")
+        ).collect()
+    }
+    want = {
+        i: expected(*case) for i, case in enumerate(cases)
+    }
+    assert got == want
