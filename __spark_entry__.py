@@ -170,6 +170,7 @@ _STAMP_PRIORITY = (
     "pq_codes",
     # new this round — first driver stamp
     "bpe_encode",
+    "pq_reconstruction_error",
     # never driver-stamped through r5, hash-checkable (45)
     "dedup_clusters_twophase",
     "dedup_funnel",
@@ -574,6 +575,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pq_codebooks/pq_codes/ann_topk_pq forms the oracle mirrors).
         "pq_codebooks": _pq_codebooks,
         "pq_codes": _pq_codes,
+        # compression-quality audit / codebook drift gate primitive,
+        # served from the build-once layout (same rows as the pure form)
+        "pq_reconstruction_error": lambda spark, sf: (
+            _sim.pq_reconstruction_error_cached(
+                spark, _embs(spark, sf), _pq_path(sf)
+            )
+        ),
         "ann_topk_pq": _ann_pq,
         "ann_topk_pq_rerank": _ann_pq_rerank,
         # combined IVF-PQ: cell pruning + compressed ADC scan + rerank
@@ -1000,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _sim.KNN_JOIN_SQL,
         "pq_codebooks": _sim.PQ_CODEBOOKS_SQL,
         "pq_codes": _sim.PQ_CODES_PACKED_SQL,
+        "pq_reconstruction_error": _sim.PQ_RECONSTRUCTION_ERROR_SQL,
         "ann_topk_pq": _sim.ANN_TOPK_PQ_SQL,
         "ann_topk_pq_rerank": _sim.ANN_TOPK_PQ_RERANK_SQL,
         "ann_topk_ivfpq": _sim.ANN_TOPK_IVFPQ_SQL,

@@ -1737,6 +1737,37 @@ def pq_codes_packed(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def pq_reconstruction_error(
+    embeddings: DataFrame, codebook: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, sq_err): exact squared L2 between each normalized vector
+    and its PQ reconstruction (sum of per-subspace assignment distances)
+    — the compression-quality audit behind the append path's codebook
+    drift gate: encode an appended batch with the PINNED codebook
+    (pass the layout's ``_codebook`` as ``codebook``) and compare the
+    batch's mean ``sq_err`` against the corpus baseline; a sustained
+    rise means the data moved away from the trained cells and the
+    O(corpus) retrain is actually warranted. Same join shape as ADC
+    scoring: codes ⋈ broadcast codebook, one agg — no all-pairs, no
+    Python."""
+    cb = _pq_codebook(embeddings) if codebook is None else codebook
+    subs = _pq_subvectors(embeddings)
+    codes = _pq_assign(subs, cb)
+    d2 = (
+        _dot(F.col("subvec"), F.col("subvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+        - 2 * _dot(F.col("subvec"), F.col("cvec"))
+    )
+    per_sub = (
+        codes.join(subs, ["vec_id", "s"])
+        .join(F.broadcast(cb), ["s", "code"])
+        .select("vec_id", F.round(d2, PQ_DIST_ROUND).alias("d2"))
+    )
+    return per_sub.groupBy("vec_id").agg(
+        F.round(F.sum("d2"), ROUND).alias("sq_err")
+    )
+
+
 def ann_topk_pq(
     embeddings: DataFrame, k: int = TOP_K, query_vec_id: int = QUERY_VEC_ID
 ) -> DataFrame:
@@ -1864,6 +1895,20 @@ WITH {_pq_ctes()}
 SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY s) AS codes
 FROM codes
 GROUP BY vec_id
+"""
+
+PQ_RECONSTRUCTION_ERROR_SQL = f"""
+WITH {_pq_ctes()}
+SELECT c.vec_id,
+       round(SUM(round(
+           list_dot_product(su.subvec, su.subvec)
+           + list_dot_product(cb.cvec, cb.cvec)
+           - 2 * list_dot_product(su.subvec, cb.cvec),
+           {PQ_DIST_ROUND})), {ROUND}) AS sq_err
+FROM codes c
+JOIN subs su ON su.vec_id = c.vec_id AND su.s = c.s
+JOIN codebook cb ON cb.s = c.s AND cb.code = c.code
+GROUP BY c.vec_id
 """
 
 ANN_TOPK_PQ_SQL = f"""
@@ -2011,6 +2056,34 @@ def pq_codes_cached(spark, embeddings: DataFrame, path: str) -> DataFrame:
     """:func:`pq_codes` served from the persisted layout."""
     codes, _ = _pq_layout(spark, embeddings, path)
     return codes
+
+
+def pq_reconstruction_error_cached(
+    spark, embeddings: DataFrame, path: str
+) -> DataFrame:
+    """:func:`pq_reconstruction_error` served from the persisted PQ
+    layout: codes and codebook are read, not retrained/reassigned, so
+    the audit costs one subvector projection + a broadcast-LUT join —
+    the form the append path's drift gate actually runs (identical
+    rows: training is deterministic)."""
+    packed, cb = _pq_layout(spark, embeddings, path)
+    codes = packed.select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    ).withColumn("s", F.col("s").cast("long"))
+    subs = _pq_subvectors(embeddings)
+    d2 = (
+        _dot(F.col("subvec"), F.col("subvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+        - 2 * _dot(F.col("subvec"), F.col("cvec"))
+    )
+    per_sub = (
+        codes.join(subs, ["vec_id", "s"])
+        .join(F.broadcast(cb), ["s", "code"])
+        .select("vec_id", F.round(d2, PQ_DIST_ROUND).alias("d2"))
+    )
+    return per_sub.groupBy("vec_id").agg(
+        F.round(F.sum("d2"), ROUND).alias("sq_err")
+    )
 
 
 def pq_codes_packed_cached(

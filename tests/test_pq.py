@@ -190,3 +190,45 @@ def test_ivfpq_incremental_refresh_appends_with_pinned_codebook(
     audit2 = incremental_index_update(spark, embs, embs, path)
     assert audit2["encoded"] == 0
     assert spark.read.parquet(path).count() == len(ids)
+
+
+def test_pq_reconstruction_error_nonneg_and_matches_numpy(spark):
+    """sq_err is the exact per-vector quantization error: non-negative,
+    and equal (to rounding) to a numpy recomputation — reconstruct each
+    normalized vector from its assigned codebook entries and measure
+    squared L2. Also exercises the drift-gate form (explicit pinned
+    codebook arg)."""
+    import numpy as np
+
+    embs = load_table(spark, SF_SMOKE, "embeddings").limit(60)
+    cb_df = sim._pq_codebook(embs)
+    errs = {
+        r.vec_id: r.sq_err
+        for r in sim.pq_reconstruction_error(embs, codebook=cb_df).collect()
+    }
+    assert errs and all(e >= 0 for e in errs.values())
+
+    cb = {
+        (r.s, r.code): np.asarray(r.cvec, dtype=np.float64)
+        for r in cb_df.collect()
+    }
+    codes = {
+        (r.vec_id, r.s): r.code
+        for r in sim._pq_assign(sim._pq_subvectors(embs), cb_df).collect()
+    }
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in embs.collect()
+    }
+    sub = sim.PQ_SUBDIM
+    for vec_id, v in vecs.items():
+        nv = v / np.sqrt(v @ v)
+        total = 0.0
+        for s in range(sim.PQ_SUBSPACES):
+            seg = nv[s * sub : (s + 1) * sub]
+            c = cb[(s, codes[(vec_id, s)])]
+            # mirror the engine's rounded per-subspace distances
+            total += round(
+                float(seg @ seg + c @ c - 2 * (seg @ c)), sim.PQ_DIST_ROUND
+            )
+        assert abs(errs[vec_id] - round(total, 6)) < 1e-6
