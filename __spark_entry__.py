@@ -605,8 +605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": lambda spark, sf: _sim.label_centroids(
             _embs(spark, sf)
         ),
-        "quantize_embeddings": lambda spark, sf: _sim.quantize_embeddings(
-            _embs(spark, sf)
+        # stamped as the packed scalar form (catalog rule: stamped
+        # entries emit scalar columns only); array form stays for
+        # internal consumers
+        "quantize_embeddings": lambda spark, sf: (
+            _sim.quantize_embeddings_packed(_embs(spark, sf))
         ),
         "ivf_assignments": lambda spark, sf: _sim.ivf_assignments(
             _embs(spark, sf)
@@ -1016,7 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_contamination": _sim.SEMANTIC_CONTAMINATION_SQL,
         "semantic_contamination_lsh": _sim.SEMANTIC_CONTAMINATION_LSH_SQL,
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
-        "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_SQL,
+        "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_PACKED_SQL,
         "ivf_assignments": _sim.IVF_ASSIGNMENTS_SQL,
         "cluster_topics": _sim.CLUSTER_TOPICS_SQL,
         "cosine_pairs": _sim.COSINE_PAIRS_SQL,

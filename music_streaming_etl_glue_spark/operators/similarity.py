@@ -1045,6 +1045,38 @@ FROM v
 """
 
 
+def quantize_embeddings_packed(embeddings: DataFrame) -> DataFrame:
+    """Stamped form of :func:`quantize_embeddings`: the int8 codes
+    joined to one comma-separated string (catalog rule: stamped entries
+    emit scalar columns only — the driver's pandas canonicalizer can't
+    sort list cells). Internal consumers keep the array form."""
+    q = quantize_embeddings(embeddings)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias(
+            "qvec"
+        ),
+    )
+
+
+QUANTIZE_EMBEDDINGS_PACKED_SQL = """
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+    FROM embeddings
+)
+SELECT vec_id,
+       maxabs / 127.0 AS scale,
+       array_to_string(
+           CASE WHEN maxabs > 0 THEN
+               list_transform(vec,
+                   x -> CAST(floor(x / (maxabs / 127.0) + 0.5) AS INTEGER))
+           ELSE list_transform(vec, x -> 0) END, ',') AS qvec
+FROM v
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF / k-means: nearest-centroid assignment + Lloyd refinement
 # ---------------------------------------------------------------------------

@@ -100,3 +100,30 @@ def test_cli_refresh_roundtrip(spark, tmp_path, capsys):
     assert audit["unchanged"] == 8 and audit["added"] == 1
     assert audit["corpus_rows"] == audit["unchanged"] + audit["admitted"]
     assert spark.read.parquet(out_p).count() == audit["corpus_rows"]
+
+
+def test_oracled_queries_emit_scalar_columns_only(spark):
+    """Catalog rule (the pq_codes lesson, rounds 4-5): every queries()
+    entry with an oracle_sql twin is hash-compared by the driver, whose
+    pandas canonicalizer sorts every column — list/struct/map cells are
+    unhashable there and turn a correct query into a red ERR row. Guard
+    at schema level (analysis only, no jobs) so a future entry can't
+    reintroduce the failure mode."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as m
+
+    offenders = {}
+    oracled = set(m.oracle_sql())
+    for name, fn in m.queries().items():
+        if name not in oracled:
+            continue  # rows-only entries may keep arrays (never hashed)
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
