@@ -24,6 +24,7 @@ from music_streaming_etl_glue_spark.operators import relational as _rel
 from music_streaming_etl_glue_spark.operators import serving as _serving
 from music_streaming_etl_glue_spark.operators import similarity as _sim
 from music_streaming_etl_glue_spark.operators import text as _text
+from music_streaming_etl_glue_spark.plans import layout as _layout
 from music_streaming_etl_glue_spark.plans import merge as _merge
 from music_streaming_etl_glue_spark.plans import quality as _quality
 from music_streaming_etl_glue_spark.plans import snapshot_diff as _sdiff
@@ -217,6 +218,14 @@ _STAMP_PRIORITY = (
     "frame_sample",
     "resize_payload",
     "genre_totals_salted",
+    # new this round (round 6): LSH-pruned multi-query knn + recall audit,
+    # quality-aware near-dedup representative, SoftDeDup reweighting
+    "knn_recall_audit",
+    "near_dedup_apply_best",
+    "knn_join_lsh",
+    "soft_dedup_weights",
+    "join_skew_report",
+    "bpe_roundtrip",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -478,6 +487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "dedup_apply": lambda spark, sf: _dedup.dedup_apply(_docs(spark, sf)),
+        # SoftDeDup: keep every row, weight = 1/dup_count (mass-preserving)
+        "soft_dedup_weights": lambda spark, sf: _dedup.soft_dedup_weights(
+            _docs(spark, sf)
+        ),
         # append-only ingestion: new batch flagged against the existing
         # corpus (asymmetric exact + minhash rungs)
         "dedup_incremental": lambda spark, sf: _dedup.dedup_incremental(
@@ -520,6 +533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "near_dedup_apply": lambda spark, sf: _clusters.near_dedup_apply(
             _docs(spark, sf)
+        ),
+        # quality-aware representative: best-scoring doc per near-dup cluster
+        "near_dedup_apply_best": lambda spark, sf: (
+            _clusters.near_dedup_apply_best(_docs(spark, sf))
         ),
         # embedding-space dedup ladder rung: LSH pairs → components
         "semantic_dedup_clusters": lambda spark, sf: (
@@ -568,6 +585,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nprobe-nearest-cell partition pruning
         "ann_topk_ivf_centroid": _ann_ivf_centroid,
         "knn_join": lambda spark, sf: _sim.knn_join(_embs(spark, sf)),
+        # LSH-pruned multi-query knn (serving shape) + its recall audit
+        "knn_join_lsh": lambda spark, sf: _sim.knn_join_lsh(_embs(spark, sf)),
+        "knn_recall_audit": lambda spark, sf: _sim.knn_recall_audit(
+            _embs(spark, sf)
+        ),
         # product quantization: train codebooks / encode / ADC top-k —
         # the 32x-compression scale path for 100TB ANN. All four serve
         # from the build-once on-disk PQ index (training is
@@ -859,6 +881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer story: rules -> (doc, token, symbol, vocab id));
         # hash-checked against a DuckDB twin replaying the same folds
         "bpe_encode": lambda spark, sf: _text.bpe_encode(_docs(spark, sf)),
+        # tokenizer losslessness gate: decode(encode(doc)) == normalized doc
+        "bpe_roundtrip": lambda spark, sf: _text.bpe_roundtrip(
+            _docs(spark, sf)
+        ),
         # multimodal binary-column plumbing (documents as stand-in payloads)
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)
@@ -908,6 +934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "genre_totals_salted": lambda spark, sf: _an.genre_totals_salted(
             load_table(spark, sf, "events")
+        ),
+        # skew measurement that feeds salted_agg's bucket count
+        "join_skew_report": lambda spark, sf: _layout.join_skew_report(
+            load_table(spark, sf, "events"), "user_id"
         ),
     })
 
@@ -979,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,
         "dedup_apply": _dedup.DEDUP_APPLY_SQL,
+        "soft_dedup_weights": _dedup.SOFT_DEDUP_WEIGHTS_SQL,
         "dedup_incremental": _dedup.DEDUP_INCREMENTAL_SQL,
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
         "corpus_shuffle": _dedup.CORPUS_SHUFFLE_SQL,
@@ -991,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _clusters.DEDUP_CLUSTERS_SQL,
         "dedup_clusters_twophase": _clusters.DEDUP_CLUSTERS_SQL,
         "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
+        "near_dedup_apply_best": _clusters.NEAR_DEDUP_APPLY_BEST_SQL,
         "semantic_dedup_clusters": _clusters.SEMANTIC_DEDUP_CLUSTERS_SQL,
         "chunk_dedup": _dedup.CHUNK_DEDUP_SQL,
         "dedup_funnel": _dedup.DEDUP_FUNNEL_SQL.format(
@@ -1009,6 +1041,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,
         "ann_topk_ivf_centroid": _sim.ANN_TOPK_IVF_CENTROID_SQL,
         "knn_join": _sim.KNN_JOIN_SQL,
+        "knn_join_lsh": _sim.KNN_JOIN_LSH_SQL,
+        "knn_recall_audit": _sim.KNN_RECALL_AUDIT_SQL,
         "pq_codebooks": _sim.PQ_CODEBOOKS_SQL,
         "pq_codes": _sim.PQ_CODES_PACKED_SQL,
         "pq_reconstruction_error": _sim.PQ_RECONSTRUCTION_ERROR_SQL,
@@ -1075,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _text.PII_SCRUB_SQL,
         "unigram_surprisal": _text.UNIGRAM_SURPRISAL_SQL,
         "bpe_encode": _text.BPE_ENCODE_SQL,
+        "bpe_roundtrip": _text.BPE_ROUNDTRIP_SQL,
         "bigram_surprisal": _text.BIGRAM_SURPRISAL_SQL,
         "corpus_card": _text.CORPUS_CARD_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,
@@ -1086,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _mm.FRAME_SAMPLE_SQL,
         "resize_payload": _mm.RESIZE_PAYLOAD_SQL,
         "genre_totals_salted": _an.GENRE_TOTALS_SALTED_SQL,
+        "join_skew_report": _layout.JOIN_SKEW_REPORT_SQL,
         "synthetic_events_source": _pds.SYNTHETIC_EVENTS_SQL,
         "documents_diff_summary": _sdiff.DOCUMENTS_DIFF_SUMMARY_SQL,
         "nested_order_lines": _rel.NESTED_ORDER_LINES_SQL,

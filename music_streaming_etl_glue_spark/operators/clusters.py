@@ -44,6 +44,7 @@ from music_streaming_etl_glue_spark.operators.dedup import (
     MINHASH_DEDUP_SQL,
     minhash_dedup_pairs,
 )
+from music_streaming_etl_glue_spark.operators.text import TEXT_QUALITY_SQL
 
 MAX_ITERATIONS = 50  # safety rail; real convergence is diameter-bounded
 
@@ -272,6 +273,74 @@ sizes AS (
 )
 SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, s.n_members
 FROM documents d JOIN sizes s ON d.doc_id = s.cluster_id
+"""
+
+
+def near_dedup_apply_best(documents: DataFrame) -> DataFrame:
+    """Near-dedup keeping the BEST document per cluster, not the smallest
+    id: rank cluster members by the heuristic quality score
+    (:func:`..text.text_quality`) and keep the top row (ties broken by
+    doc_id). This is how production pipelines actually resolve near-dup
+    groups — boilerplate-laden or truncated variants lose to the cleanest
+    copy, which min-id selection picks only by accident.
+
+    Plan: the cluster map (doc_id, cluster_id) joins the quality frame
+    (both slim, already keyed by doc_id), then ONE window shuffle on
+    cluster_id picks the representative. The document texts never ride
+    the window — the winning ids join back to the scan once at the end.
+    Quality ordering uses the 9dp-ROUNDED score so the cross-engine
+    representative choice can't flip on sub-rounding float drift."""
+    from music_streaming_etl_glue_spark.operators.text import text_quality
+
+    clusters = dedup_clusters(documents)
+    quality = text_quality(documents).select(
+        "doc_id", F.round("quality_score", 9).alias("q")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    best = (
+        clusters.join(quality, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("q").alias("quality_score"),
+        )
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        best.join(sizes, "cluster_id")
+        .join(documents.select("doc_id", "source", "n_chars"), "doc_id")
+        .select(
+            "doc_id", "cluster_id", "n_members", "quality_score",
+            "source", "n_chars",
+        )
+    )
+
+
+NEAR_DEDUP_APPLY_BEST_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+quality AS (
+    SELECT doc_id, round(quality_score, 9) AS q
+    FROM ({TEXT_QUALITY_SQL})
+),
+ranked AS (
+    SELECT c.doc_id, c.cluster_id, q.q,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.q DESC, c.doc_id ASC) AS rn
+    FROM clusters c JOIN quality q USING (doc_id)
+),
+sizes AS (
+    SELECT cluster_id, count(*) AS n_members FROM clusters GROUP BY cluster_id
+)
+SELECT r.doc_id, r.cluster_id, s.n_members, r.q AS quality_score,
+       d.source, d.n_chars
+FROM ranked r
+JOIN sizes s USING (cluster_id)
+JOIN documents d USING (doc_id)
+WHERE r.rn = 1
 """
 
 

@@ -142,6 +142,44 @@ FROM (
 """
 
 
+def soft_dedup_weights(documents: DataFrame) -> DataFrame:
+    """Soft deduplication: keep EVERY row, downweight duplicates instead
+    of dropping them (the SoftDeDup idea — reweighting preserves the
+    n-gram distribution hard removal distorts). Per-document sampling
+    weight = 1 / dup_count of its exact text hash, so each distinct text
+    contributes total mass 1 regardless of multiplicity; ``weighted_chars``
+    is the document's effective size under that weight (the number a
+    token-budget planner sums instead of raw ``n_chars``).
+
+    Plan: one window count over the md5(text) hash — the same single
+    hash-shuffle as :func:`dedup_apply`, no join back, no second pass.
+    At 100 TB this is exact-dedup cost with none of exact dedup's
+    distribution shift."""
+    w = Window.partitionBy(F.md5("text"))
+    dup = F.count("*").over(w)
+    weight = F.round(F.lit(1.0) / dup.cast("double"), 9)
+    return documents.select(
+        "doc_id",
+        "source",
+        dup.alias("dup_count"),
+        weight.alias("weight"),
+        F.round(F.col("n_chars").cast("double") / dup.cast("double"), 9).alias(
+            "weighted_chars"
+        ),
+    )
+
+
+SOFT_DEDUP_WEIGHTS_SQL = """
+SELECT doc_id,
+       source,
+       count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+       round(1.0::DOUBLE / count(*) OVER (PARTITION BY md5(text)), 9) AS weight,
+       round(n_chars::DOUBLE / count(*) OVER (PARTITION BY md5(text)), 9)
+           AS weighted_chars
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic dataset split (train/val/test)
 # ---------------------------------------------------------------------------

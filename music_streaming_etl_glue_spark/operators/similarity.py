@@ -1326,6 +1326,196 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def knn_join_lsh(
+    embeddings: DataFrame,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Approximate multi-query k-NN: the banded sign-LSH bucket relation
+    prunes each query's candidate set to its bucket collisions (any of
+    ``bands`` independent ``bits``-bit signatures), then only candidates
+    pay the exact cosine and the per-query top-k. The serving-shape twin
+    of :func:`knn_join` — same output contract, but the scored set is the
+    collision fraction of the corpus instead of all n·Q pairs, which is
+    what makes a standing query workload affordable when n is 10^9+.
+
+    Queries are corpus rows with vec_id < ``n_queries`` (as in
+    :func:`knn_join`); a query's neighbor list may be SHORTER than k when
+    its buckets hold fewer than k collisions — that loss is exactly what
+    :func:`knn_recall_audit` measures. Banding is the static tuned floor
+    (128×11) rather than :func:`derive_banding` so the oracle SQL stays
+    closed-form; production callers pass re-derived bands/bits.
+
+    Shuffle story: the slim (vec_id, band, band_hash) relation is built
+    once (one Arrow GEMM pass), the query side of the collision self-join
+    is ``n_queries``·bands rows — broadcastable — so candidate mining is
+    a map-side join against the bucket relation; vectors join back once
+    for scoring. Top-k reuses :func:`knn_join`'s two-stage rank (partial
+    per-partition top-k first), so no query funnels its full candidate
+    list through one task."""
+    buckets = lsh_band_buckets(embeddings, bands, bits).localCheckpoint()
+    qb = F.broadcast(
+        buckets.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), "band", "band_hash"
+        )
+    )
+    candidates = (
+        buckets.join(
+            qb,
+            (buckets["band"] == qb["band"])
+            & (buckets["band_hash"] == qb["band_hash"])
+            & (buckets["vec_id"] != qb["query_id"]),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    v = _vecs_with_norm(embeddings, _dims(embeddings)).localCheckpoint(
+        eager=False
+    )
+    qv = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        candidates.join(v, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm")),
+                ROUND,
+            ).alias("similarity"),
+        )
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    return survivors.withColumn(
+        "rank", F.row_number().over(w_global).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def _knn_join_lsh_sql(
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+) -> str:
+    return f"""
+WITH {_lsh_buckets_ctes(bands, bits)},
+qb AS (
+    SELECT vec_id AS query_id, band, band_hash
+    FROM buckets WHERE vec_id < {n_queries}
+),
+candidates AS (
+    SELECT DISTINCT qb.query_id, b.vec_id
+    FROM qb JOIN buckets b
+      ON qb.band = b.band AND qb.band_hash = b.band_hash
+     AND b.vec_id != qb.query_id
+),
+v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           round(list_dot_product(b.vec, a.vec) / (b.nrm * a.nrm), {ROUND})
+               AS similarity
+    FROM candidates c
+    JOIN v a ON a.vec_id = c.query_id
+    JOIN v b ON b.vec_id = c.vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id, similarity,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, similarity, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+KNN_JOIN_LSH_SQL = _knn_join_lsh_sql()
+
+
+def knn_recall_audit(
+    embeddings: DataFrame,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+) -> DataFrame:
+    """Per-query recall@k of the LSH-pruned k-NN (:func:`knn_join_lsh`)
+    against the exact :func:`knn_join` ground truth — the index-quality
+    number an ANN deployment is tuned by. One row per query:
+    (query_id, n_exact, n_hits, recall_at_k). Both rankings share the
+    rounded-similarity + vec_id tie-break, so the audit is deterministic
+    across engines and partitionings.
+
+    At 100 TB the exact side is the expensive one — production runs it on
+    a SAMPLE of queries (the shape here: n_queries « corpus) and trusts
+    the audited recall for the standing workload."""
+    exact = knn_join(embeddings, n_queries, k).select("query_id", "vec_id")
+    approx = knn_join_lsh(embeddings, n_queries, k).select(
+        "query_id", "vec_id"
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count("*").alias("n_exact")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        n_exact.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                ROUND,
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+KNN_RECALL_AUDIT_SQL = f"""
+WITH exact AS ({KNN_JOIN_SQL}),
+approx AS ({KNN_JOIN_LSH_SQL}),
+ex AS (
+    SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id
+),
+hits AS (
+    SELECT e.query_id, count(*) AS n_hits
+    FROM exact e JOIN approx a USING (query_id, vec_id)
+    GROUP BY e.query_id
+)
+SELECT ex.query_id, ex.n_exact,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / ex.n_exact, {ROUND})
+           AS recall_at_k
+FROM ex LEFT JOIN hits h USING (query_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # per-vector array statistics (higher-order-function surface)
 # ---------------------------------------------------------------------------

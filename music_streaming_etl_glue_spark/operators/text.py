@@ -1442,6 +1442,88 @@ FROM flat f JOIN vocab v USING (symbol)
 BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+def bpe_roundtrip(
+    documents: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_PINNED_MERGES,
+) -> DataFrame:
+    """Losslessness audit for the pinned tokenizer: decode
+    :func:`bpe_encode`'s symbol stream back to text (symbols concatenated
+    per token in sym_idx order, tokens joined in token_idx order) and
+    compare against the whitespace-normalized original. BPE merges only
+    ever concatenate adjacent symbols, so decode must be the identity —
+    a row with ``roundtrip_ok = false`` means the merge fold corrupted a
+    token, the gate a production pipeline runs before shipping token ids
+    to training.
+
+    Plan: two ordered grouped aggregates over the encode output
+    (sort_array over (idx, symbol) structs — no global sort, group state
+    is one document) plus a broadcast-sized join back to the normalized
+    originals."""
+    enc = bpe_encode(documents, merges)
+    tok = enc.groupBy("doc_id", "token_idx").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sym_idx", "symbol"))
+                ),
+                lambda s: s["symbol"],
+            ),
+        ).alias("tok"),
+        F.count("*").alias("n_syms"),
+    )
+    decoded = tok.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token_idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("decoded"),
+        F.count("*").alias("n_tokens"),
+        F.sum("n_syms").alias("n_symbols"),
+    )
+    normalized = documents.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.filter(_tokens(), lambda t: t != F.lit(""))
+        ).alias("norm_text"),
+    )
+    return decoded.join(normalized, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_symbols",
+        (F.col("decoded") == F.col("norm_text")).alias("roundtrip_ok"),
+    )
+
+
+BPE_ROUNDTRIP_SQL = f"""
+WITH enc AS ({BPE_ENCODE_SQL}),
+tok AS (
+    SELECT doc_id, token_idx,
+           string_agg(symbol, '' ORDER BY sym_idx) AS tok,
+           count(*) AS n_syms
+    FROM enc GROUP BY doc_id, token_idx
+),
+decoded AS (
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY token_idx) AS decoded,
+           count(*)::BIGINT AS n_tokens,
+           sum(n_syms)::BIGINT AS n_symbols
+    FROM tok GROUP BY doc_id
+),
+normalized AS (
+    SELECT doc_id,
+           array_to_string(list_filter(string_split(text, ' '),
+                                       x -> x <> ''), ' ') AS norm_text
+    FROM documents
+)
+SELECT d.doc_id, d.n_tokens, d.n_symbols,
+       d.decoded = n.norm_text AS roundtrip_ok
+FROM decoded d JOIN normalized n USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style quality-filter rules
 # ---------------------------------------------------------------------------

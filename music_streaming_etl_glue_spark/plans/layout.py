@@ -94,6 +94,92 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+SKEW_TOP_N = 5
+SKEW_SALT_CAP = 64
+
+
+def join_skew_report(
+    df: DataFrame, key: str, top_n: int = SKEW_TOP_N
+) -> DataFrame:
+    """Skew diagnostic for a prospective join/agg key: the ``top_n``
+    heaviest keys with their row share, plus the global skew ratio
+    (max key count / mean key count) and the salt-bucket factor
+    :func:`salted_agg` should be called with —
+    ``ceil(skew_ratio)`` clamped to [1, 64] (beyond ~64 partials the
+    second-phase reduction dominates). This is the measurement step that
+    decides between a plain shuffle, a salted two-phase agg, and an AQE
+    skew-join hint BEFORE the 100 TB shuffle runs — on a key histogram
+    (one hash-agg over the slim key column), not the full fact table.
+
+    Ceil runs on the 9dp-ROUNDED ratio so the recommendation can't flip
+    across engines on 1-ulp float drift (the dedup.py prefix-ceil
+    lesson)."""
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count("*").alias("key_rows")
+    )
+    stats = F.broadcast(
+        counts.agg(
+            F.max("key_rows").alias("__max"),
+            F.sum("key_rows").alias("__total"),
+            F.count("*").alias("__nkeys"),
+        )
+    )
+    skew = F.round(
+        F.col("__max").cast("double")
+        / (F.col("__total").cast("double") / F.col("__nkeys").cast("double")),
+        9,
+    )
+    salt = F.least(
+        F.greatest(F.ceil(F.round(skew, 9)), F.lit(1)),
+        F.lit(SKEW_SALT_CAP),
+    ).cast("long")
+    top = (
+        counts.crossJoin(stats)
+        .orderBy(F.col("key_rows").desc(), F.col("key").asc())
+        .limit(top_n)
+    )
+    from music_streaming_etl_glue_spark.functions.ranks import rank_post_limit
+
+    ranked = rank_post_limit(
+        top, "hot_rank", F.col("key_rows").desc(), F.col("key").asc()
+    )
+    return ranked.select(
+        "hot_rank",
+        F.col("key").cast("string").alias("key"),
+        "key_rows",
+        F.round(
+            F.col("key_rows").cast("double") / F.col("__total").cast("double"), 9
+        ).alias("row_share"),
+        skew.alias("skew_ratio"),
+        salt.alias("recommended_salt"),
+    )
+
+
+JOIN_SKEW_REPORT_SQL = f"""
+WITH counts AS (
+    SELECT user_id AS key, count(*) AS key_rows FROM events GROUP BY 1
+),
+stats AS (
+    SELECT max(key_rows) AS mx, sum(key_rows) AS total, count(*) AS nkeys
+    FROM counts
+),
+ranked AS (
+    SELECT c.key, c.key_rows, s.mx, s.total, s.nkeys,
+           row_number() OVER (ORDER BY c.key_rows DESC, c.key ASC) AS hot_rank
+    FROM counts c CROSS JOIN stats s
+)
+SELECT hot_rank,
+       key::VARCHAR AS key,
+       key_rows,
+       round(key_rows::DOUBLE / total, 9) AS row_share,
+       round(mx::DOUBLE / (total::DOUBLE / nkeys), 9) AS skew_ratio,
+       least(greatest(ceil(round(mx::DOUBLE / (total::DOUBLE / nkeys), 9)),
+                      1), {SKEW_SALT_CAP})::BIGINT AS recommended_salt
+FROM ranked
+WHERE hot_rank <= {SKEW_TOP_N}
+"""
+
+
 def compact_parquet(
     spark,
     path: str,

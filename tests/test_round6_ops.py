@@ -1,0 +1,212 @@
+"""Round-6 operators: SoftDeDup reweighting, quality-aware near-dedup
+representative selection, LSH-pruned multi-query knn + its recall audit.
+Each op gets a semantic property test plus the DuckDB-oracle parity check
+(the same compare the driver's correctness gate runs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.operators import clusters as C
+from music_streaming_etl_glue_spark.operators import dedup as D
+from music_streaming_etl_glue_spark.operators import similarity as S
+from music_streaming_etl_glue_spark.operators.text import text_quality
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_util import duckdb_con, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_con(SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# soft_dedup_weights
+# ---------------------------------------------------------------------------
+
+def test_soft_dedup_mass_preservation(spark, docs):
+    """Every distinct text contributes total weight 1 — the defining
+    SoftDeDup invariant — and every source row survives."""
+    out = D.soft_dedup_weights(docs)
+    n_rows = docs.count()
+    assert out.count() == n_rows
+    total_w = out.agg(F.round(F.sum("weight"), 6).alias("w")).head()[0]
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert total_w == pytest.approx(n_distinct, abs=1e-4)
+
+
+def test_soft_dedup_duplicated_text_downweighted(spark):
+    rows = [(1, "alpha beta", "en", "s0", 10),
+            (2, "alpha beta", "en", "s0", 10),
+            (3, "gamma", "en", "s1", 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: r for r in D.soft_dedup_weights(df).collect()}
+    assert got[1]["dup_count"] == 2 and got[1]["weight"] == 0.5
+    assert got[2]["weighted_chars"] == 5.0
+    assert got[3]["dup_count"] == 1 and got[3]["weight"] == 1.0
+
+
+def test_soft_dedup_oracle(docs, con):
+    assert_matches_oracle(
+        D.soft_dedup_weights(docs), con, D.SOFT_DEDUP_WEIGHTS_SQL
+    )
+
+
+# ---------------------------------------------------------------------------
+# near_dedup_apply_best
+# ---------------------------------------------------------------------------
+
+def test_near_dedup_best_picks_max_quality(spark, docs):
+    """The kept doc_id per cluster is the argmax of rounded quality_score
+    (ties → min doc_id), verified against an independent join."""
+    best = C.near_dedup_apply_best(docs)
+    clusters = C.dedup_clusters(docs)
+    q = text_quality(docs).select(
+        "doc_id", F.round("quality_score", 9).alias("q")
+    )
+    members = clusters.join(q, "doc_id")
+    expected = (
+        members.groupBy("cluster_id")
+        .agg(F.max_by("doc_id", F.struct(F.col("q"), -F.col("doc_id"))).alias(
+            "want_doc"
+        ))
+    )
+    joined = best.join(expected, "cluster_id")
+    assert joined.filter(F.col("doc_id") != F.col("want_doc")).count() == 0
+    # exactly one representative per cluster
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert best.count() == n_clusters
+
+
+def test_near_dedup_best_oracle(docs, con):
+    assert_matches_oracle(
+        C.near_dedup_apply_best(docs), con, C.NEAR_DEDUP_APPLY_BEST_SQL
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_join_lsh + knn_recall_audit
+# ---------------------------------------------------------------------------
+
+def test_knn_lsh_is_subset_with_exact_scores(spark, embs):
+    """Every LSH-knn hit scores identically to the exact scorer (the LSH
+    stage prunes candidates, never perturbs similarities), per-query
+    result size is ≤ k, and ranks are 1..n without gaps."""
+    lsh = S.knn_join_lsh(embs).collect()
+    per_q: dict[int, list] = {}
+    for r in lsh:
+        per_q.setdefault(r["query_id"], []).append(r)
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["similarity"]
+        for r in S.knn_join(embs, k=10**6).collect()
+    }
+    for qid, rows in per_q.items():
+        assert len(rows) <= S.KNN_K
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert r["similarity"] == exact_scores[(qid, r["vec_id"])]
+
+
+def test_knn_recall_audit_consistency(spark, embs):
+    """n_hits equals the independently computed overlap of the exact and
+    approximate id sets; recall is n_hits/n_exact in [0, 1]."""
+    audit = {r["query_id"]: r for r in S.knn_recall_audit(embs).collect()}
+    exact = S.knn_join(embs).collect()
+    approx = S.knn_join_lsh(embs).collect()
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    overlap: dict[int, int] = {}
+    for r in exact:
+        if (r["query_id"], r["vec_id"]) in ap:
+            overlap[r["query_id"]] = overlap.get(r["query_id"], 0) + 1
+    assert len(audit) == S.KNN_N_QUERIES
+    for qid, row in audit.items():
+        assert row["n_hits"] == overlap.get(qid, 0)
+        assert 0.0 <= row["recall_at_k"] <= 1.0
+        assert row["n_hits"] <= row["n_exact"]
+
+
+def test_knn_lsh_oracle(embs, con):
+    assert_matches_oracle(S.knn_join_lsh(embs), con, S.KNN_JOIN_LSH_SQL)
+
+
+def test_knn_recall_audit_oracle(embs, con):
+    assert_matches_oracle(
+        S.knn_recall_audit(embs), con, S.KNN_RECALL_AUDIT_SQL
+    )
+
+# ---------------------------------------------------------------------------
+# join_skew_report
+# ---------------------------------------------------------------------------
+
+def test_join_skew_report_semantics(spark):
+    from music_streaming_etl_glue_spark.plans.layout import join_skew_report
+
+    rows = [(i, "hot" if i < 80 else f"k{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string")
+    out = join_skew_report(df, "user_id", top_n=3).collect()
+    assert len(out) == 3
+    top = out[0]
+    assert top["key"] == "hot" and top["key_rows"] == 80
+    assert top["row_share"] == pytest.approx(0.8)
+    # 21 keys, mean 100/21 ≈ 4.76, skew = 80/4.76 = 16.8 → salt 17
+    assert top["skew_ratio"] == pytest.approx(16.8)
+    assert top["recommended_salt"] == 17
+    # the ratio columns repeat identically on every row
+    assert {r["recommended_salt"] for r in out} == {17}
+
+
+def test_join_skew_report_oracle(spark, con):
+    from music_streaming_etl_glue_spark.plans.layout import (
+        JOIN_SKEW_REPORT_SQL,
+        join_skew_report,
+    )
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert_matches_oracle(
+        join_skew_report(events, "user_id"), con, JOIN_SKEW_REPORT_SQL
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_roundtrip
+# ---------------------------------------------------------------------------
+
+def test_bpe_roundtrip_all_ok(spark, docs):
+    """BPE merges only concatenate adjacent symbols — decode must be the
+    identity on every document."""
+    from music_streaming_etl_glue_spark.operators.text import bpe_roundtrip
+
+    out = bpe_roundtrip(docs)
+    assert out.filter(~F.col("roundtrip_ok")).count() == 0
+    assert out.count() == docs.count()
+    # merged symbols mean strictly fewer symbols than characters for at
+    # least some docs (the merges fire), never more
+    bad = out.join(
+        docs.select("doc_id", F.length("text").alias("n_chars_t")), "doc_id"
+    ).filter(F.col("n_symbols") > F.col("n_chars_t"))
+    assert bad.count() == 0
+
+
+def test_bpe_roundtrip_oracle(docs, con):
+    from music_streaming_etl_glue_spark.operators.text import (
+        BPE_ROUNDTRIP_SQL,
+        bpe_roundtrip,
+    )
+
+    assert_matches_oracle(bpe_roundtrip(docs), con, BPE_ROUNDTRIP_SQL)
