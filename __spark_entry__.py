@@ -226,6 +226,7 @@ _STAMP_PRIORITY = (
     "soft_dedup_weights",
     "join_skew_report",
     "bpe_roundtrip",
+    "nb_source_classifier",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -885,6 +886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip": lambda spark, sf: _text.bpe_roundtrip(
             _docs(spark, sf)
         ),
+        # distributed multinomial NB domain tagger (train + score + audit)
+        "nb_source_classifier": lambda spark, sf: (
+            _text.nb_source_classifier(_docs(spark, sf))
+        ),
         # multimodal binary-column plumbing (documents as stand-in payloads)
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)
@@ -1110,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": _text.UNIGRAM_SURPRISAL_SQL,
         "bpe_encode": _text.BPE_ENCODE_SQL,
         "bpe_roundtrip": _text.BPE_ROUNDTRIP_SQL,
+        "nb_source_classifier": _text.NB_SOURCE_CLASSIFIER_SQL,
         "bigram_surprisal": _text.BIGRAM_SURPRISAL_SQL,
         "corpus_card": _text.CORPUS_CARD_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,

@@ -210,3 +210,61 @@ def test_bpe_roundtrip_oracle(docs, con):
     )
 
     assert_matches_oracle(bpe_roundtrip(docs), con, BPE_ROUNDTRIP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# nb_source_classifier
+# ---------------------------------------------------------------------------
+
+def test_nb_classifier_matches_sklearn_style_reference(spark):
+    """Hand-computable corpus: NB must assign each training doc to the
+    source whose token distribution it matches, and the smoothed
+    log-likelihood must equal the closed-form value."""
+    import math
+
+    rows = [
+        (1, "cat cat dog", "en", "pets", 11),
+        (2, "cat cat cat", "en", "pets", 11),
+        (3, "stock bond stock", "en", "finance", 16),
+        (4, "bond bond yield", "en", "finance", 15),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from music_streaming_etl_glue_spark.operators.text import (
+        nb_source_classifier,
+    )
+
+    got = {r["doc_id"]: r for r in nb_source_classifier(df).collect()}
+    assert got[1]["predicted_source"] == "pets" and got[1]["correct"]
+    assert got[3]["predicted_source"] == "finance" and got[3]["correct"]
+    # closed form for doc 1 under 'pets': V=5, tot=6;
+    # ln(P) = 2*ln((5+1)/(6+5)) + ln((1+1)/(6+5)) + ln(2/4)
+    want = round(
+        2 * round(math.log(6 / 11), 12)
+        + round(math.log(2 / 11), 12)
+        + round(math.log(2 / 4), 12),
+        6,
+    )
+    assert got[1]["score"] == pytest.approx(want, abs=1e-6)
+
+
+def test_nb_classifier_all_docs_classified_once(spark, docs):
+    from music_streaming_etl_glue_spark.operators.text import (
+        nb_source_classifier,
+    )
+
+    out = nb_source_classifier(docs)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_nb_classifier_oracle(docs, con):
+    from music_streaming_etl_glue_spark.operators.text import (
+        NB_SOURCE_CLASSIFIER_SQL,
+        nb_source_classifier,
+    )
+
+    assert_matches_oracle(
+        nb_source_classifier(docs), con, NB_SOURCE_CLASSIFIER_SQL
+    )
