@@ -1356,17 +1356,22 @@ def knn_join_lsh(
     per-partition top-k first), so no query funnels its full candidate
     list through one task."""
     buckets = lsh_band_buckets(embeddings, bands, bits).localCheckpoint()
+    # rename the query side's columns outright: a ref-based self-join
+    # condition on a checkpointed relation resolves both sides to the
+    # same attributes (trivially-true predicate warning)
     qb = F.broadcast(
         buckets.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), "band", "band_hash"
+            F.col("vec_id").alias("query_id"),
+            F.col("band").alias("qband"),
+            F.col("band_hash").alias("qhash"),
         )
     )
     candidates = (
         buckets.join(
             qb,
-            (buckets["band"] == qb["band"])
-            & (buckets["band_hash"] == qb["band_hash"])
-            & (buckets["vec_id"] != qb["query_id"]),
+            (F.col("band") == F.col("qband"))
+            & (F.col("band_hash") == F.col("qhash"))
+            & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id")
         .distinct()
