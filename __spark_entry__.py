@@ -227,6 +227,7 @@ _STAMP_PRIORITY = (
     "join_skew_report",
     "bpe_roundtrip",
     "nb_source_classifier",
+    "split_leakage_audit",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -498,6 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
+        # train->eval content-leakage audit over the hash split
+        "split_leakage_audit": lambda spark, sf: _dedup.split_leakage_audit(
+            _docs(spark, sf)
+        ),
         # stable pseudorandom training order (shard + in-shard rank)
         "corpus_shuffle": lambda spark, sf: _dedup.corpus_shuffle(
             _docs(spark, sf)
@@ -1017,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "soft_dedup_weights": _dedup.SOFT_DEDUP_WEIGHTS_SQL,
         "dedup_incremental": _dedup.DEDUP_INCREMENTAL_SQL,
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
+        "split_leakage_audit": _dedup.SPLIT_LEAKAGE_AUDIT_SQL,
         "corpus_shuffle": _dedup.CORPUS_SHUFFLE_SQL,
         "token_budget_sample": _dedup.TOKEN_BUDGET_SAMPLE_SQL,
         "interleave_sources": _dedup.INTERLEAVE_SOURCES_SQL,

@@ -238,6 +238,106 @@ FROM b
 """
 
 
+def split_leakage_audit(
+    documents: DataFrame, n: int = SHINGLE_N
+) -> DataFrame:
+    """Train→eval leakage audit over :func:`dataset_split`: for every
+    val/test document, whether its exact text appears in the train split
+    (``exact_leak``) and how many of its distinct word ``n``-shingles the
+    train split contains anywhere (``shared_shingles``). Hash-based
+    splitting prevents doc_id leakage but NOT content leakage — exact and
+    near-duplicates of a training document landing in eval silently
+    inflate every metric computed on it; this is the audit a pipeline
+    runs between splitting and publishing an eval set.
+
+    Scale shape: the eval side is the small one (~20% of the corpus), so
+    its shingle and hash relations broadcast and the train-side streams
+    probe them — the train corpus is never shuffled. Per-eval-doc counts
+    are one hash aggregate keyed by doc_id."""
+    split = dataset_split(documents).select("doc_id", "split")
+    docs = documents.join(split, "doc_id")
+    train = docs.filter(F.col("split") == "train")
+    eval_docs = docs.filter(F.col("split") != "train")
+
+    eval_hashes = eval_docs.select(
+        "doc_id", "split", F.md5("text").alias("text_hash")
+    )
+    train_hashes = train.select(F.md5("text").alias("text_hash")).distinct()
+    exact = (
+        train_hashes.join(F.broadcast(eval_hashes), "text_hash")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_leak", F.lit(True))
+    )
+
+    eval_sh = shingles(eval_docs.select("doc_id", "text"), n)
+    train_sh = shingles(train.select("doc_id", "text"), n).select(
+        "shingle"
+    ).distinct()
+    shared = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+
+    return (
+        eval_hashes.select("doc_id", "split")
+        .join(exact, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("exact_leak", F.lit(False)).alias("exact_leak"),
+            F.coalesce("shared_shingles", F.lit(0))
+            .cast("long")
+            .alias("shared_shingles"),
+            (
+                F.coalesce("exact_leak", F.lit(False))
+                | (F.coalesce("shared_shingles", F.lit(0)) > 0)
+            ).alias("leaky"),
+        )
+    )
+
+
+SPLIT_LEAKAGE_AUDIT_SQL = f"""
+WITH split AS ({DATASET_SPLIT_SQL}),
+docs AS (
+    SELECT d.doc_id, d.text, s.split
+    FROM documents d JOIN split s USING (doc_id)
+),
+train_hashes AS (
+    SELECT DISTINCT md5(text) AS text_hash FROM docs WHERE split = 'train'
+),
+eval_docs AS (SELECT * FROM docs WHERE split != 'train'),
+exact AS (
+    SELECT DISTINCT e.doc_id
+    FROM eval_docs e JOIN train_hashes t ON md5(e.text) = t.text_hash
+),
+sh AS ({_shingles_cte(SHINGLE_N)}),
+train_sh AS (
+    SELECT DISTINCT sh.shingle
+    FROM sh JOIN docs USING (doc_id) WHERE docs.split = 'train'
+),
+shared AS (
+    SELECT sh.doc_id, count(*) AS shared_shingles
+    FROM sh
+    JOIN docs USING (doc_id)
+    JOIN train_sh t ON sh.shingle = t.shingle
+    WHERE docs.split != 'train'
+    GROUP BY sh.doc_id
+),
+base AS (
+    SELECT e.doc_id, e.split,
+           e.doc_id IN (SELECT doc_id FROM exact) AS exact_leak,
+           COALESCE(s.shared_shingles, 0)::BIGINT AS shared_shingles
+    FROM eval_docs e LEFT JOIN shared s USING (doc_id)
+)
+SELECT doc_id, split, exact_leak, shared_shingles,
+       exact_leak OR shared_shingles > 0 AS leaky
+FROM base
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (exact, shingle-join based)
 # ---------------------------------------------------------------------------

@@ -268,3 +268,54 @@ def test_nb_classifier_oracle(docs, con):
     assert_matches_oracle(
         nb_source_classifier(docs), con, NB_SOURCE_CLASSIFIER_SQL
     )
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_audit
+# ---------------------------------------------------------------------------
+
+def test_split_leakage_detects_planted_dup(spark):
+    """A doc whose text duplicates a train-split doc must flag
+    exact_leak; a fully novel-vocabulary eval doc must not."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        dataset_split,
+        split_leakage_audit,
+    )
+
+    # find ids landing in train vs eval under the hash split
+    base = [(i, f"w{i}a w{i}b w{i}c w{i}d", "en", "s", 20) for i in range(40)]
+    df0 = spark.createDataFrame(
+        base, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    splits = {r["doc_id"]: r["split"] for r in dataset_split(df0).collect()}
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    eval_ids = [i for i, s in splits.items() if s != "train"]
+    assert train_ids and len(eval_ids) >= 2
+    # plant: eval_ids[0] copies a train doc's text; eval_ids[1] keeps
+    # its unique vocabulary
+    rows = []
+    for i, text, lang, src, nc in base:
+        if i == eval_ids[0]:
+            text = base[train_ids[0]][1]
+        rows.append((i, text, lang, src, nc))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: r for r in split_leakage_audit(df).collect()}
+    assert set(got) == set(eval_ids)
+    assert got[eval_ids[0]]["exact_leak"] and got[eval_ids[0]]["leaky"]
+    assert got[eval_ids[0]]["shared_shingles"] > 0
+    clean = got[eval_ids[1]]
+    assert not clean["exact_leak"] and clean["shared_shingles"] == 0
+    assert not clean["leaky"]
+
+
+def test_split_leakage_oracle(docs, con):
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        SPLIT_LEAKAGE_AUDIT_SQL,
+        split_leakage_audit,
+    )
+
+    assert_matches_oracle(
+        split_leakage_audit(docs), con, SPLIT_LEAKAGE_AUDIT_SQL
+    )
