@@ -228,6 +228,7 @@ _STAMP_PRIORITY = (
     "bpe_roundtrip",
     "nb_source_classifier",
     "split_leakage_audit",
+    "bpe_fertility",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -891,6 +892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip": lambda spark, sf: _text.bpe_roundtrip(
             _docs(spark, sf)
         ),
+        # per-source tokenizer fit: symbols/word + chars/symbol
+        "bpe_fertility": lambda spark, sf: _text.bpe_fertility(
+            _docs(spark, sf)
+        ),
         # distributed multinomial NB domain tagger (train + score + audit)
         "nb_source_classifier": lambda spark, sf: (
             _text.nb_source_classifier(_docs(spark, sf))
@@ -1122,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _text.BPE_ENCODE_SQL,
         "bpe_roundtrip": _text.BPE_ROUNDTRIP_SQL,
         "nb_source_classifier": _text.NB_SOURCE_CLASSIFIER_SQL,
+        "bpe_fertility": _text.BPE_FERTILITY_SQL,
         "bigram_surprisal": _text.BIGRAM_SURPRISAL_SQL,
         "corpus_card": _text.CORPUS_CARD_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,

@@ -1442,6 +1442,66 @@ FROM flat f JOIN vocab v USING (symbol)
 BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+def bpe_fertility(
+    documents: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_PINNED_MERGES,
+) -> DataFrame:
+    """Per-source tokenizer-efficiency audit over :func:`bpe_encode`:
+    fertility (symbols per word — the standard tokenizer-fit metric) and
+    chars per symbol. A source whose fertility stays near character
+    count is one the merge table serves poorly — it pays more sequence
+    length per byte of text, which is exactly the signal that drives
+    domain-weighted tokenizer retraining.
+
+    One aggregate keyed by source over the encode stream; word counts
+    come from distinct (doc_id, token_idx), never a re-tokenization."""
+    enc = bpe_encode(documents, merges)
+    j = enc.join(documents.select("doc_id", "source"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count_distinct(F.col("doc_id"), F.col("token_idx")).alias(
+                "n_words"
+            ),
+            F.count("*").alias("n_symbols"),
+            F.sum(F.length("symbol")).alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_symbols",
+            "n_chars",
+            F.round(
+                F.col("n_symbols").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_symbols").cast("double"),
+                6,
+            ).alias("chars_per_symbol"),
+        )
+    )
+
+
+BPE_FERTILITY_SQL = f"""
+WITH enc AS ({BPE_ENCODE_SQL}),
+j AS (
+    SELECT e.doc_id, e.token_idx, e.symbol, d.source
+    FROM enc e JOIN documents d USING (doc_id)
+)
+SELECT source,
+       count(DISTINCT (doc_id, token_idx))::BIGINT AS n_words,
+       count(*)::BIGINT AS n_symbols,
+       sum(length(symbol))::BIGINT AS n_chars,
+       round(count(*)::DOUBLE / count(DISTINCT (doc_id, token_idx)), 6)
+           AS fertility,
+       round(sum(length(symbol))::DOUBLE / count(*), 6) AS chars_per_symbol
+FROM j GROUP BY source
+"""
+
+
 def bpe_roundtrip(
     documents: DataFrame,
     merges: tuple[tuple[str, str], ...] = BPE_PINNED_MERGES,

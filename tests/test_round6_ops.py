@@ -319,3 +319,33 @@ def test_split_leakage_oracle(docs, con):
     assert_matches_oracle(
         split_leakage_audit(docs), con, SPLIT_LEAKAGE_AUDIT_SQL
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_fertility
+# ---------------------------------------------------------------------------
+
+def test_bpe_fertility_semantics(spark):
+    """Closed-form corpus: with no applicable merges fertility equals
+    chars per word; with a full-word merge it drops to 1 symbol/word."""
+    from music_streaming_etl_glue_spark.operators.text import bpe_fertility
+
+    rows = [(1, "ab ab", "en", "s0", 5), (2, "cd", "en", "s1", 2)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in bpe_fertility(df, merges=(("a", "b"),)).collect()}
+    # 'ab' merges to one symbol -> fertility 1.0; 'cd' stays 2 chars
+    assert got["s0"]["n_words"] == 2 and got["s0"]["fertility"] == 1.0
+    assert got["s0"]["chars_per_symbol"] == 2.0
+    assert got["s1"]["n_words"] == 1 and got["s1"]["fertility"] == 2.0
+    assert got["s1"]["chars_per_symbol"] == 1.0
+
+
+def test_bpe_fertility_oracle(docs, con):
+    from music_streaming_etl_glue_spark.operators.text import (
+        BPE_FERTILITY_SQL,
+        bpe_fertility,
+    )
+
+    assert_matches_oracle(bpe_fertility(docs), con, BPE_FERTILITY_SQL)
