@@ -229,6 +229,7 @@ _STAMP_PRIORITY = (
     "nb_source_classifier",
     "split_leakage_audit",
     "bpe_fertility",
+    "containment_pairs",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -500,6 +501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
+        # doc-in-doc duplication: directional shingle containment
+        "containment_pairs": lambda spark, sf: _dedup.containment_pairs(
+            _docs(spark, sf)
+        ),
         # train->eval content-leakage audit over the hash split
         "split_leakage_audit": lambda spark, sf: _dedup.split_leakage_audit(
             _docs(spark, sf)
@@ -1028,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _dedup.DEDUP_INCREMENTAL_SQL,
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
         "split_leakage_audit": _dedup.SPLIT_LEAKAGE_AUDIT_SQL,
+        "containment_pairs": _dedup.CONTAINMENT_PAIRS_SQL,
         "corpus_shuffle": _dedup.CORPUS_SHUFFLE_SQL,
         "token_budget_sample": _dedup.TOKEN_BUDGET_SAMPLE_SQL,
         "interleave_sources": _dedup.INTERLEAVE_SOURCES_SQL,

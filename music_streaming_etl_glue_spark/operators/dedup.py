@@ -399,6 +399,101 @@ def ngram_jaccard_pairs(
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = CONTAINMENT_THRESHOLD,
+) -> DataFrame:
+    """Directional shingle containment C(A→B) = |A∩B| / |A|: every
+    ordered pair where at least ``threshold`` of the contained document's
+    shingles appear in the container. This is the doc-in-doc rung
+    symmetric Jaccard structurally misses — a tweet quoted inside a long
+    article has J ≈ |tweet|/|article| ≈ 0 but containment ≈ 1, and
+    quote-amplified duplication is a major real-corpus dup mode.
+
+    Same exact co-group shape as :func:`ngram_jaccard_pairs` (shingle-key
+    shuffle, Σ df² bounded by the same skew-cap option in the pipeline
+    variant); the unordered intersection relation fans into the two
+    ordered containments with pure column math, so directionality costs
+    nothing extra."""
+    sh = shingles(documents, n).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    base = inter.join(
+        sizes.select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.col("set_size").alias("size_a"),
+        ),
+        "doc_id_a",
+    ).join(
+        sizes.select(
+            F.col("doc_id").alias("doc_id_b"),
+            F.col("set_size").alias("size_b"),
+        ),
+        "doc_id_b",
+    )
+    c_ab = base.select(
+        F.col("doc_id_a").alias("contained_doc"),
+        F.col("doc_id_b").alias("container_doc"),
+        (F.col("inter").cast("double") / F.col("size_a")).alias(
+            "containment"
+        ),
+    )
+    c_ba = base.select(
+        F.col("doc_id_b").alias("contained_doc"),
+        F.col("doc_id_a").alias("container_doc"),
+        (F.col("inter").cast("double") / F.col("size_b")).alias(
+            "containment"
+        ),
+    )
+    return c_ab.unionByName(c_ba).filter(
+        F.col("containment") >= threshold
+    )
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH sh AS ({_shingles_cte(SHINGLE_N)}),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+base AS (
+    SELECT i.doc_id_a, i.doc_id_b, i.inter,
+           sa.set_size AS size_a, sb.set_size AS size_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_id_a
+    JOIN sizes sb ON sb.doc_id = i.doc_id_b
+),
+directed AS (
+    SELECT doc_id_a AS contained_doc, doc_id_b AS container_doc,
+           inter::DOUBLE / size_a AS containment
+    FROM base
+    UNION ALL
+    SELECT doc_id_b, doc_id_a, inter::DOUBLE / size_b FROM base
+)
+SELECT contained_doc, container_doc, containment
+FROM directed WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # Documented default skew cap for pipeline (non-oracle) use: the shingle
 # join's shuffle cost is Σ df(shingle)², so one stopword-phrase shingle
 # appearing in 1M docs alone contributes 10¹² candidate pairs. Shingles

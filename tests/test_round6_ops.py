@@ -349,3 +349,47 @@ def test_bpe_fertility_oracle(docs, con):
     )
 
     assert_matches_oracle(bpe_fertility(docs), con, BPE_FERTILITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_doc_in_doc(spark):
+    """A short doc quoted inside a long one has near-zero Jaccard but
+    containment 1.0 — the directional metric must flag it, in the
+    contained->container direction only."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, short, "en", "s", 22),
+        (2, f"{filler} {short}", "en", "s", 200),
+        (3, "x1 x2 x3 x4 x5", "en", "s", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = containment_pairs(df).collect()
+    pairs = {(r["contained_doc"], r["container_doc"]): r["containment"] for r in got}
+    assert pairs[(1, 2)] == 1.0            # every shingle of 1 is in 2
+    assert (2, 1) not in pairs             # the long doc is not contained
+    assert (3, 1) not in pairs and (1, 3) not in pairs
+    # symmetric Jaccard misses the same pair at its default threshold
+    j = ngram_jaccard_pairs(df).collect()
+    assert not any({r["doc_id_a"], r["doc_id_b"]} == {1, 2} for r in j)
+
+
+def test_containment_oracle(docs, con):
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        CONTAINMENT_PAIRS_SQL,
+        containment_pairs,
+    )
+
+    assert_matches_oracle(
+        containment_pairs(docs), con, CONTAINMENT_PAIRS_SQL
+    )
