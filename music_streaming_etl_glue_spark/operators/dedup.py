@@ -406,6 +406,7 @@ def containment_pairs(
     documents: DataFrame,
     n: int = SHINGLE_N,
     threshold: float = CONTAINMENT_THRESHOLD,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Directional shingle containment C(A→B) = |A∩B| / |A|: every
     ordered pair where at least ``threshold`` of the contained document's
@@ -415,11 +416,23 @@ def containment_pairs(
     quote-amplified duplication is a major real-corpus dup mode.
 
     Same exact co-group shape as :func:`ngram_jaccard_pairs` (shingle-key
-    shuffle, Σ df² bounded by the same skew-cap option in the pipeline
-    variant); the unordered intersection relation fans into the two
-    ordered containments with pure column math, so directionality costs
-    nothing extra."""
-    sh = shingles(documents, n).localCheckpoint(eager=False)
+    shuffle, Σ df² — ``max_shingle_df`` is the identical hot-shingle skew
+    cap, off by default for oracle parity, ON via
+    :data:`PIPELINE_MAX_SHINGLE_DF` in production); the unordered
+    intersection relation fans into the two ordered containments with
+    pure column math, so directionality costs nothing extra. Sizes are
+    computed after the cap, keeping containment internally consistent
+    over the filtered shingle sets."""
+    sh = shingles(documents, n)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(keep), "shingle")
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

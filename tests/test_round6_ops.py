@@ -393,3 +393,22 @@ def test_containment_oracle(docs, con):
     assert_matches_oracle(
         containment_pairs(docs), con, CONTAINMENT_PAIRS_SQL
     )
+
+
+def test_containment_shingle_df_cap(spark):
+    """The hot-shingle cap drops corpus-boilerplate shingles before the
+    pair join; capped containment is computed over the FILTERED sets."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    hot = "the quick brown"  # one shared 3-shingle across every doc
+    rows = [(i, f"{hot} u{i}a u{i}b", "en", "s", 30) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # uncapped: every pair shares the hot shingle -> containment 1/3 < 0.8,
+    # no pairs pass; with threshold 0.3 all ordered pairs appear
+    assert containment_pairs(df, threshold=0.3).count() == 30
+    # cap df at 5: the 6-doc hot shingle is dropped, no candidates remain
+    assert containment_pairs(df, threshold=0.3, max_shingle_df=5).count() == 0
