@@ -230,6 +230,8 @@ _STAMP_PRIORITY = (
     "split_leakage_audit",
     "bpe_fertility",
     "containment_pairs",
+    "winnow_near_dups",
+    "winnowing_fingerprints",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -501,6 +503,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
+        # MOSS winnowing: guaranteed-detection sparse fingerprints + pairs
+        "winnowing_fingerprints": lambda spark, sf: (
+            _dedup.winnowing_fingerprints(_docs(spark, sf))
+        ),
+        "winnow_near_dups": lambda spark, sf: _dedup.winnow_near_dups(
+            _docs(spark, sf)
+        ),
         # doc-in-doc duplication: directional shingle containment
         "containment_pairs": lambda spark, sf: _dedup.containment_pairs(
             _docs(spark, sf)
@@ -1034,6 +1043,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
         "split_leakage_audit": _dedup.SPLIT_LEAKAGE_AUDIT_SQL,
         "containment_pairs": _dedup.CONTAINMENT_PAIRS_SQL,
+        "winnowing_fingerprints": _dedup.WINNOWING_FINGERPRINTS_SQL,
+        "winnow_near_dups": _dedup.WINNOW_NEAR_DUPS_SQL,
         "corpus_shuffle": _dedup.CORPUS_SHUFFLE_SQL,
         "token_budget_sample": _dedup.TOKEN_BUDGET_SAMPLE_SQL,
         "interleave_sources": _dedup.INTERLEAVE_SOURCES_SQL,

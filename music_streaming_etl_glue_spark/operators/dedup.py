@@ -399,6 +399,151 @@ def ngram_jaccard_pairs(
     )
 
 
+WINNOW_K = 8   # char k-gram width
+WINNOW_W = 4   # winnowing window (guarantee length = w + k - 1 = 11 chars)
+WINNOW_OVERLAP_THRESHOLD = 0.5
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowed character-k-gram fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS scheme): hash every k-char gram, keep the MINIMUM hash of
+    each w-wide window. Guarantees: any substring two documents share of
+    length ≥ w+k−1 contributes at least one shared fingerprint, while the
+    expected fingerprint density is only 2/(w+1) — a ~2.5× sparser
+    relation than word shingles with a detection guarantee shingles don't
+    give for partial overlaps.
+
+    Pure array expressions (transform/sequence/slice/array_min) over a
+    narrow scan — no shuffle, no Python; the output is the slim
+    (doc_id, fp) relation that pair mining joins on."""
+    txt = F.col("text")
+    n_kgrams = F.greatest(
+        F.length(txt) - (k - 1), F.lit(0)
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_kgrams),
+        lambda i: F.conv(
+            F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    winnowed = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(0))
+            ),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        )
+    )
+    return _spread(documents).select(
+        "doc_id", F.explode(winnowed).alias("fp")
+    )
+
+
+def _winnow_fp_cte(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    return f"""kg AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(length(text) - {k - 1}, 0)),
+               i -> ('0x' || substr(md5(substr(text, i, {k})), 1, 15))::BIGINT
+           ) AS hashes
+    FROM documents
+),
+winnow AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(hashes) - {w - 1}, 0)),
+               j -> list_min(hashes[j:j + {w - 1}])
+           ))) AS fp
+    FROM kg
+)"""
+
+
+WINNOWING_FINGERPRINTS_SQL = f"""
+WITH {_winnow_fp_cte()}
+SELECT doc_id, fp FROM winnow
+"""
+
+
+def winnow_near_dups(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    threshold: float = WINNOW_OVERLAP_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs by winnowed-fingerprint overlap, normalized by the
+    SMALLER document's fingerprint count (containment-style, so
+    doc-in-doc cases surface too): the sparse-relation twin of the
+    shingle pair miners — same co-group join shape, but on a fingerprint
+    stream that is 2/(w+1) the density of the k-gram stream, so the
+    Σ df² join cost drops quadratically in the density while the w+k−1
+    guarantee bounds what sparsification can miss. A raw shared count is
+    NOT the measure (on boilerplate-heavy corpora nearly all pairs share
+    a few fingerprints — measured p50 0.09 / p99 0.24 / near-dups ≥ 0.5
+    on the synthetic corpus): the overlap fraction is what separates."""
+    fps = winnowing_fingerprints(documents, k, w).localCheckpoint(
+        eager=False
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    overlap = F.col("shared_fps").cast("double") / F.least(
+        F.col("na"), F.col("nb")
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("n_fps").alias("na"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("n_fps").alias("nb"),
+            ),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a", "doc_id_b", "shared_fps", overlap.alias("overlap")
+        )
+        .filter(F.col("overlap") >= threshold)
+    )
+
+
+WINNOW_NEAR_DUPS_SQL = f"""
+WITH {_winnow_fp_cte()},
+sizes AS (SELECT doc_id, count(*) AS n_fps FROM winnow GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           count(*) AS shared_fps
+    FROM winnow a JOIN winnow b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_id_a, s.doc_id_b, s.shared_fps,
+       s.shared_fps::DOUBLE / least(sa.n_fps, sb.n_fps) AS overlap
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_id_a
+JOIN sizes sb ON sb.doc_id = s.doc_id_b
+WHERE s.shared_fps::DOUBLE / least(sa.n_fps, sb.n_fps)
+      >= {WINNOW_OVERLAP_THRESHOLD}
+"""
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 

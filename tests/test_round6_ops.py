@@ -412,3 +412,67 @@ def test_containment_shingle_df_cap(spark):
     assert containment_pairs(df, threshold=0.3).count() == 30
     # cap df at 5: the 6-doc hot shingle is dropped, no candidates remain
     assert containment_pairs(df, threshold=0.3, max_shingle_df=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+def test_winnowing_guarantee(spark):
+    """MOSS guarantee: two docs sharing a substring of length >= w+k-1
+    (= 11 chars at the defaults) must share at least one fingerprint;
+    density stays near 2/(w+1)."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    shared_run = "zqxjvwpbyk mf"  # 13 chars > w+k-1, vocab-disjoint
+    rows = [
+        (1, f"aaaa bbbb {shared_run} cccc", "en", "s", 30),
+        (2, f"dddd eeee ffff {shared_run}", "en", "s", 30),
+        (3, "gggg hhhh iiii jjjj kkkk llll", "en", "s", 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fps = winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: selected fingerprints per k-gram position ~ 2/(w+1),
+    # loose upper bound 2x to stay robust on short strings
+    n_kgrams = len(rows[2][1]) - (WINNOW_K - 1)
+    assert len(by_doc[3]) <= 2 * (2 / (WINNOW_W + 1)) * n_kgrams
+
+
+def test_winnow_near_dups_selective(spark, docs):
+    """On the boilerplate-heavy synthetic corpus the normalized-overlap
+    miner must flag a tiny fraction of all pairs, and every flagged pair
+    must meet the threshold."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        WINNOW_OVERLAP_THRESHOLD,
+        winnow_near_dups,
+    )
+
+    pairs = winnow_near_dups(docs).collect()
+    n = docs.count()
+    assert 0 < len(pairs) < 0.01 * n * (n - 1) / 2
+    assert all(r["overlap"] >= WINNOW_OVERLAP_THRESHOLD for r in pairs)
+
+
+def test_winnowing_oracle(docs, con):
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        WINNOWING_FINGERPRINTS_SQL,
+        WINNOW_NEAR_DUPS_SQL,
+        winnow_near_dups,
+        winnowing_fingerprints,
+    )
+
+    assert_matches_oracle(
+        winnowing_fingerprints(docs), con, WINNOWING_FINGERPRINTS_SQL
+    )
+    assert_matches_oracle(winnow_near_dups(docs), con, WINNOW_NEAR_DUPS_SQL)
