@@ -418,23 +418,30 @@ def winnowing_fingerprints(
     Pure array expressions (transform/sequence/slice/array_min) over a
     narrow scan — no shuffle, no Python; the output is the slim
     (doc_id, fp) relation that pair mining joins on."""
+    # NB: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
+    # every range here is guarded or the short-doc case walks off the
+    # string (and slice(…, 0, w) throws)
     txt = F.col("text")
-    n_kgrams = F.greatest(
-        F.length(txt) - (k - 1), F.lit(0)
-    )
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_kgrams),
-        lambda i: F.conv(
-            F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 15), 16, 10
-        ).cast("long"),
-    )
-    winnowed = F.array_distinct(
+    n_kgrams = F.length(txt) - (k - 1)
+    empty = F.array().cast("array<bigint>")
+    hashes = F.when(
+        n_kgrams >= 1,
         F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(0))
+            F.sequence(F.lit(1), F.greatest(n_kgrams, F.lit(1))),
+            lambda i: F.conv(
+                F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(empty)
+    n_windows = F.size(hashes) - (w - 1)
+    winnowed = F.array_distinct(
+        F.when(
+            n_windows >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+                lambda j: F.array_min(F.slice(hashes, j, w)),
             ),
-            lambda j: F.array_min(F.slice(hashes, j, w)),
-        )
+        ).otherwise(empty)
     )
     return _spread(documents).select(
         "doc_id", F.explode(winnowed).alias("fp")

@@ -476,3 +476,54 @@ def test_winnowing_oracle(docs, con):
         winnowing_fingerprints(docs), con, WINNOWING_FINGERPRINTS_SQL
     )
     assert_matches_oracle(winnow_near_dups(docs), con, WINNOW_NEAR_DUPS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hostile inputs for the round-6 ops (empty relations, degenerate docs)
+# ---------------------------------------------------------------------------
+
+FULL_DOCS_DDL = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def test_round6_ops_on_empty_docs(spark):
+    from music_streaming_etl_glue_spark.operators.text import (
+        bpe_fertility,
+        bpe_roundtrip,
+        nb_source_classifier,
+    )
+    from music_streaming_etl_glue_spark.plans.layout import join_skew_report
+
+    empty = spark.createDataFrame([], FULL_DOCS_DDL)
+    assert D.soft_dedup_weights(empty).count() == 0
+    assert D.containment_pairs(empty).count() == 0
+    assert D.winnowing_fingerprints(empty).count() == 0
+    assert D.winnow_near_dups(empty).count() == 0
+    assert D.split_leakage_audit(empty).count() == 0
+    assert bpe_roundtrip(empty).count() == 0
+    assert bpe_fertility(empty).count() == 0
+    assert nb_source_classifier(empty).count() == 0
+    assert join_skew_report(empty, "source").count() == 0
+
+
+def test_round6_ops_on_degenerate_docs(spark):
+    """Single doc, text shorter than the k-gram/shingle widths: every op
+    must return a sane (usually empty-pairs) result, never crash."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        bpe_fertility,
+        bpe_roundtrip,
+    )
+
+    tiny = spark.createDataFrame(
+        [(1, "ab", "en", "s0", 2)], FULL_DOCS_DDL
+    )
+    assert D.winnowing_fingerprints(tiny).count() == 0  # < k chars
+    assert D.winnow_near_dups(tiny).count() == 0
+    assert D.containment_pairs(tiny).count() == 0       # < n tokens
+    w = D.soft_dedup_weights(tiny).head()
+    assert w["dup_count"] == 1 and w["weight"] == 1.0
+    rt = bpe_roundtrip(tiny).head()
+    assert rt["roundtrip_ok"]
+    f = bpe_fertility(tiny).head()
+    assert f["n_words"] == 1
