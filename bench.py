@@ -54,7 +54,11 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from music_streaming_etl_glue_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # One JVM hosts driver + executors for the WHOLE 190-query run, and
+    # eager localCheckpoint blocks accumulate until their RDDs are GC'd —
+    # the same heap math as the test suite (tests/conftest.py): the 1 GiB
+    # default driver heap OOM'd once the catalog passed ~185 queries.
+    spark = get_spark("bench", extra_conf={"spark.driver.memory": "16g"})
     queries = entry_mod.queries()
 
     # Warm the JVM + parquet footers once with the cheapest query.

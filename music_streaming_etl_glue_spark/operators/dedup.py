@@ -433,19 +433,26 @@ def winnowing_fingerprints(
             ).cast("long"),
         ),
     ).otherwise(empty)
-    n_windows = F.size(hashes) - (w - 1)
+    # the hash array MUST land as a bound column between two projections:
+    # referencing the expression object directly from the window lambda
+    # inlines the whole ~|text| md5 chain into every window's slice, and
+    # the per-row cost goes |text|² (measured 47 s → 1.7 s at sf0.1).
+    # CollapseProject keeps the split (non-cheap expr, multiple refs).
+    with_hashes = _spread(documents).select(
+        "doc_id", hashes.alias("__hashes")
+    )
+    h = F.col("__hashes")
+    n_windows = F.size(h) - (w - 1)
     winnowed = F.array_distinct(
         F.when(
             n_windows >= 1,
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
-                lambda j: F.array_min(F.slice(hashes, j, w)),
+                lambda j: F.array_min(F.slice(h, j, w)),
             ),
         ).otherwise(empty)
     )
-    return _spread(documents).select(
-        "doc_id", F.explode(winnowed).alias("fp")
-    )
+    return with_hashes.select("doc_id", F.explode(winnowed).alias("fp"))
 
 
 def _winnow_fp_cte(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
