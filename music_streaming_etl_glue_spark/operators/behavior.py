@@ -1043,25 +1043,33 @@ def genre_series_similarity(events: DataFrame) -> DataFrame:
     nn = F.size("xs").cast("double")
     mx = F.aggregate("xs", F.lit(0.0), lambda acc, x: acc + x) / nn
     my = F.aggregate("ys", F.lit(0.0), lambda acc, x: acc + x) / nn
+    # the means land as bound columns before the deviation lambdas:
+    # referencing the O(T) mean fold from inside transform/zip_with
+    # re-evaluates it per element — O(T²) per pair (the winnowing lesson)
+    pre = paired.select(
+        "genre_a", "genre_b", "xs", "ys",
+        mx.alias("__mx"), my.alias("__my"),
+    )
+    mxc, myc = F.col("__mx"), F.col("__my")
     sxx = F.aggregate(
-        F.transform("xs", lambda x: (x - mx) * (x - mx)),
+        F.transform("xs", lambda x: (x - mxc) * (x - mxc)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     syy = F.aggregate(
-        F.transform("ys", lambda y: (y - my) * (y - my)),
+        F.transform("ys", lambda y: (y - myc) * (y - myc)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     sxy = F.aggregate(
-        F.zip_with("xs", "ys", lambda x, y: (x - mx) * (y - my)),
+        F.zip_with("xs", "ys", lambda x, y: (x - mxc) * (y - myc)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     corr = F.when(
         (sxx > 0) & (syy > 0), F.round(sxy / F.sqrt(sxx * syy), 6)
     ).otherwise(F.lit(None).cast("double"))
-    return paired.select(
+    return pre.select(
         "genre_a", "genre_b", corr.alias("correlation")
     ).orderBy("genre_a", "genre_b")
 

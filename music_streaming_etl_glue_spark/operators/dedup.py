@@ -38,9 +38,16 @@ SIMHASH_MAX_HAMMING = 2
 # word shingles (shared by jaccard + minhash)
 # ---------------------------------------------------------------------------
 
-def _shingle_array(n: int = SHINGLE_N) -> Column:
-    """Distinct word n-shingles of ``text`` (empty for docs < n tokens)."""
-    toks = F.split(F.col("text"), " ")
+def _shingle_array(n: int = SHINGLE_N, toks: Column | None = None) -> Column:
+    """Distinct word n-shingles of ``text`` (empty for docs < n tokens).
+
+    Pass a BOUND column as ``toks`` whenever the caller can project the
+    token array first: referencing the split expression from the
+    per-position slice lambda inlines the whole O(|text|) split into
+    every shingle's evaluation — O(|text|²) per row (the winnowing
+    lesson; measured 13.6 s → 1.1 s on 200 × 4k-token docs)."""
+    if toks is None:
+        toks = F.split(F.col("text"), " ")
     sh = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -59,9 +66,15 @@ def _spread(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) exploded distinct shingle sets."""
-    return _spread(documents).select(
-        "doc_id", F.explode(_shingle_array(n)).alias("shingle")
+    """(doc_id, shingle) exploded distinct shingle sets. The token array
+    lands as a bound column between two projections so the per-position
+    lambda never re-evaluates the split (see :func:`_shingle_array`)."""
+    with_toks = _spread(documents).select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    )
+    return with_toks.select(
+        "doc_id",
+        F.explode(_shingle_array(n, F.col("__toks"))).alias("shingle"),
     )
 
 

@@ -1019,14 +1019,17 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     the 4× storage/IO cut before ANN indexing."""
     vec = _as_double("embedding")
     maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
-    scale = maxabs / F.lit(127.0)
-    qvec = F.when(
-        maxabs > 0,
-        F.transform(vec, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
-    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
-    return embeddings.select(
-        "vec_id", scale.alias("scale"), qvec.alias("qvec")
+    # bind scale before the quantize lambda — referencing the O(d)
+    # array_max expression per element is O(d²) per row
+    pre = embeddings.select(
+        "vec_id", vec.alias("__vec"), (maxabs / F.lit(127.0)).alias("scale")
     )
+    v, scale = F.col("__vec"), F.col("scale")
+    qvec = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return pre.select("vec_id", "scale", qvec.alias("qvec"))
 
 
 QUANTIZE_EMBEDDINGS_SQL = """
