@@ -135,6 +135,24 @@ def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_topk_ivfpq(spark, _embs(spark, sf_dir), path)
 
 
+def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ivf_cache_path(
+        sf_dir,
+        "ivfpq",
+        f"m{_sim.PQ_SUBSPACES}k{_sim.PQ_CODES}np{_sim.IVF_NPROBE}",
+    )
+    return _sim.knn_join_ivfpq(spark, _embs(spark, sf_dir), path)
+
+
+def _knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ivf_cache_path(
+        sf_dir,
+        "ivfpq",
+        f"m{_sim.PQ_SUBSPACES}k{_sim.PQ_CODES}np{_sim.IVF_NPROBE}",
+    )
+    return _sim.knn_ivfpq_recall_audit(spark, _embs(spark, sf_dir), path)
+
+
 def _pricing_summary_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME ANSI-SQL text the DuckDB oracle runs, executed by Spark
     SQL over a temp view — the engine's spark.sql() surface, and a
@@ -232,6 +250,8 @@ _STAMP_PRIORITY = (
     "containment_pairs",
     "winnow_near_dups",
     "winnowing_fingerprints",
+    "knn_ivfpq_recall_audit",
+    "knn_join_ivfpq",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -629,6 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq_rerank": _ann_pq_rerank,
         # combined IVF-PQ: cell pruning + compressed ADC scan + rerank
         "ann_topk_ivfpq": _ann_ivfpq,
+        # batched serving against the compressed index + its recall audit
+        "knn_join_ivfpq": _knn_ivfpq,
+        "knn_ivfpq_recall_audit": _knn_ivfpq_recall,
         # deterministic PCA variance audit (exact integer Gram; rows-only
         # — no SQL engine eigendecomposes; pytest pins the linear algebra)
         "pca_explained_variance": lambda spark, sf: (
@@ -1082,6 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pq": _sim.ANN_TOPK_PQ_SQL,
         "ann_topk_pq_rerank": _sim.ANN_TOPK_PQ_RERANK_SQL,
         "ann_topk_ivfpq": _sim.ANN_TOPK_IVFPQ_SQL,
+        "knn_join_ivfpq": _sim.KNN_JOIN_IVFPQ_SQL,
+        "knn_ivfpq_recall_audit": _sim.KNN_IVFPQ_RECALL_AUDIT_SQL,
         "embedding_stats": _sim.EMBEDDING_STATS_SQL,
         "semantic_contamination": _sim.SEMANTIC_CONTAMINATION_SQL,
         "semantic_contamination_lsh": _sim.SEMANTIC_CONTAMINATION_LSH_SQL,

@@ -2616,6 +2616,271 @@ SELECT vec_id, similarity, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def knn_join_ivfpq(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Multi-query top-k against the IVF-PQ index — the standing-workload
+    serving shape for the COMPRESSED index (:func:`knn_join_lsh` serves
+    raw vectors; this serves 8-byte codes). The whole funnel is one plan
+    for all queries, no per-query driver loop:
+
+    1. cell ranking: queries × persisted centroids (Q·cells rows), one
+       per-query window picks the nprobe nearest cells;
+    2. pruned scan: only the UNION of probed cells' code partitions is
+       read (label list is the one ~Q·nprobe-row driver collect — the
+       same legitimate coordination as the single-query form);
+    3. ADC: each code row fans only to the queries probing its cell,
+       scores against the broadcast per-query LUT (Q·M·K rows);
+    4. per-query shortlist window, then exact rerank of shortlist·Q
+       rows against the raw vectors.
+
+    Read volume ≈ (distinct probed cells / cells) · 8 bytes/vector —
+    amortized across the query batch, which is the economics that make
+    a standing workload affordable: queries probing overlapping cells
+    share one scan."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _build_layout_atomic(
+            lambda tmp: write_ivfpq_layout(embeddings, tmp), path
+        )
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    qvecs = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("qvec"),
+    )
+    c = F.col("cvec")
+    dist = F.round(
+        _dot(F.col("qvec"), F.col("qvec"))
+        - 2 * _dot(F.col("qvec"), c)
+        + _dot(c, c),
+        ROUND,
+    )
+    cell_w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("assigned_label").asc()
+    )
+    probe = (
+        qvecs.crossJoin(F.broadcast(cents))
+        .select("query_id", "assigned_label", dist.alias("dist"))
+        .withColumn("__rn", F.row_number().over(cell_w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "assigned_label")
+        .localCheckpoint()
+    )
+    labels = [
+        r["assigned_label"]
+        for r in probe.select("assigned_label").distinct().collect()
+    ]
+    packed = spark.read.parquet(path).filter(
+        F.col("assigned_label").isin(labels)
+    )
+    codes = packed.select(
+        "vec_id", "assigned_label", F.posexplode("codes").alias("s", "code")
+    ).withColumn("s", F.col("s").cast("long"))
+    cb = spark.read.parquet(os.path.join(path, "_codebook"))
+    qsub = _pq_subvectors(
+        embeddings.filter(F.col("vec_id") < n_queries)
+    ).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("subvec").alias("qvec")
+    )
+    lut = cb.join(qsub, "s").select(
+        "query_id",
+        "s",
+        "code",
+        F.round(_dot(F.col("cvec"), F.col("qvec")), PQ_DIST_ROUND).alias(
+            "partial"
+        ),
+    )
+    adc = (
+        codes.join(F.broadcast(probe), "assigned_label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("partial"), ROUND).alias("adc_sim"))
+    )
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("vec_id").asc()
+    )
+    short = (
+        adc.withColumn("__rn", F.row_number().over(short_w))
+        .filter(F.col("__rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    nv = _normalized_vecs(embeddings)
+    qn = F.broadcast(
+        nv.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("qnvec")
+        )
+    )
+    rescored = (
+        short.join(nv, "vec_id")
+        .join(qn, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("vec"), F.col("qnvec")), ROUND).alias(
+                "similarity"
+            ),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(rank_w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+KNN_JOIN_IVFPQ_SQL = f"""
+WITH {{pq_ctes}},
+cents AS (
+    SELECT label AS assigned_label, list(centroid_value ORDER BY dim) AS cvec
+    FROM ({{label_centroids}})
+    GROUP BY label
+),
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+    FROM embeddings WHERE vec_id < {KNN_N_QUERIES}
+),
+cell_dist AS (
+    SELECT q.query_id, c.assigned_label,
+           round(list_dot_product(q.qvec, q.qvec)
+                 - 2 * list_dot_product(q.qvec, c.cvec)
+                 + list_dot_product(c.cvec, c.cvec), {ROUND}) AS dist
+    FROM cents c, q
+),
+probe AS (
+    SELECT query_id, assigned_label FROM (
+        SELECT query_id, assigned_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, assigned_label) AS rn
+        FROM cell_dist
+    ) WHERE rn <= {IVF_NPROBE}
+),
+assign AS ({{ivf_assignments}}),
+pcodes AS (
+    SELECT p.query_id, c.vec_id, c.s, c.code
+    FROM codes c
+    JOIN assign a ON a.vec_id = c.vec_id
+    JOIN probe p ON a.assigned_label = p.assigned_label
+    WHERE c.vec_id != p.query_id
+),
+qsub AS (
+    SELECT vec_id AS query_id, s, subvec AS qvec
+    FROM subs WHERE vec_id < {KNN_N_QUERIES}
+),
+lut AS (
+    SELECT q.query_id, cb.s, cb.code,
+           round(list_dot_product(cb.cvec, q.qvec), {PQ_DIST_ROUND})
+               AS partial
+    FROM codebook cb JOIN qsub q ON cb.s = q.s
+),
+adc AS (
+    SELECT c.query_id, c.vec_id, round(SUM(l.partial), {ROUND}) AS adc_sim
+    FROM pcodes c
+    JOIN lut l ON l.query_id = c.query_id AND l.s = c.s AND l.code = c.code
+    GROUP BY c.query_id, c.vec_id
+),
+short AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_sim DESC, vec_id ASC) AS rn
+        FROM adc
+    ) WHERE rn <= {PQ_SHORTLIST}
+),
+qn AS (
+    SELECT vec_id AS query_id, vec AS qnvec FROM nv
+    WHERE vec_id < {KNN_N_QUERIES}
+),
+rescored AS (
+    SELECT s.query_id, s.vec_id,
+           round(list_dot_product(nv.vec, qn.qnvec), {ROUND}) AS similarity
+    FROM short s
+    JOIN nv ON nv.vec_id = s.vec_id
+    JOIN qn ON qn.query_id = s.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, similarity,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM rescored
+)
+SELECT query_id, vec_id, similarity, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def knn_ivfpq_recall_audit(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+) -> DataFrame:
+    """Per-query recall@k of the batched IVF-PQ funnel
+    (:func:`knn_join_ivfpq`) against the exact :func:`knn_join` — the
+    compressed-index twin of :func:`knn_recall_audit`, closing the audit
+    pair: LSH serving and PQ serving are tuned by the same measured
+    number against the same ground truth."""
+    exact = knn_join(embeddings, n_queries, k).select("query_id", "vec_id")
+    approx = knn_join_ivfpq(spark, embeddings, path, n_queries, k).select(
+        "query_id", "vec_id"
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return n_exact.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double"),
+            ROUND,
+        ).alias("recall_at_k"),
+    )
+
+
+KNN_IVFPQ_RECALL_AUDIT_SQL = f"""
+WITH exact AS ({KNN_JOIN_SQL}),
+approx AS ({{knn_ivfpq}}),
+ex AS (
+    SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id
+),
+hits AS (
+    SELECT e.query_id, count(*) AS n_hits
+    FROM exact e JOIN approx a USING (query_id, vec_id)
+    GROUP BY e.query_id
+)
+SELECT ex.query_id, ex.n_exact,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / ex.n_exact, {ROUND})
+           AS recall_at_k
+FROM ex LEFT JOIN hits h USING (query_id)
+"""
+
+# resolve the composition placeholders with .replace (the fragments may
+# themselves contain braces, so str.format is off the table)
+KNN_JOIN_IVFPQ_SQL = (
+    KNN_JOIN_IVFPQ_SQL.replace("{pq_ctes}", _pq_ctes())
+    .replace("{label_centroids}", LABEL_CENTROIDS_SQL)
+    .replace("{ivf_assignments}", IVF_ASSIGNMENTS_SQL)
+)
+KNN_IVFPQ_RECALL_AUDIT_SQL = KNN_IVFPQ_RECALL_AUDIT_SQL.replace(
+    "{knn_ivfpq}", KNN_JOIN_IVFPQ_SQL
+)
+
+
 # ---------------------------------------------------------------------------
 # deterministic PCA (dimensionality reduction for the embedding toolkit)
 # ---------------------------------------------------------------------------

@@ -527,3 +527,57 @@ def test_round6_ops_on_degenerate_docs(spark):
     assert rt["roundtrip_ok"]
     f = bpe_fertility(tiny).head()
     assert f["n_words"] == 1
+
+
+# ---------------------------------------------------------------------------
+# knn_join_ivfpq + knn_ivfpq_recall_audit
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ivfpq_path(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ivfpq_knn") / "layout")
+
+
+def test_knn_ivfpq_contract(spark, embs, ivfpq_path):
+    """Per-query result size <= k, gapless ranks, rescored similarities
+    equal the exact scorer's (the funnel prunes, never perturbs the
+    final scores)."""
+    out = S.knn_join_ivfpq(spark, embs, ivfpq_path).collect()
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["similarity"]
+        for r in S.knn_join(embs, k=10**6).collect()
+    }
+    for qid, rows in per_q.items():
+        assert len(rows) <= S.KNN_K
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        for r in rows:
+            assert r["similarity"] == exact_scores[(qid, r["vec_id"])]
+
+
+def test_knn_ivfpq_recall_consistency(spark, embs, ivfpq_path):
+    audit = {
+        r["query_id"]: r
+        for r in S.knn_ivfpq_recall_audit(spark, embs, ivfpq_path).collect()
+    }
+    assert len(audit) == S.KNN_N_QUERIES
+    for row in audit.values():
+        assert 0.0 <= row["recall_at_k"] <= 1.0
+        assert row["n_hits"] <= row["n_exact"]
+
+
+def test_knn_ivfpq_oracle(spark, embs, ivfpq_path, con):
+    assert_matches_oracle(
+        S.knn_join_ivfpq(spark, embs, ivfpq_path),
+        con,
+        S.KNN_JOIN_IVFPQ_SQL,
+    )
+    assert_matches_oracle(
+        S.knn_ivfpq_recall_audit(spark, embs, ivfpq_path),
+        con,
+        S.KNN_IVFPQ_RECALL_AUDIT_SQL,
+    )
