@@ -58,6 +58,10 @@ class LlmPipelineResult:
     #: spans redacted per PII category (privacy-scrub audit; redaction
     #: rewrites text, never drops rows, so stage_counts stays monotone)
     pii_redactions: dict[str, int] | None = None
+    #: eval-split docs whose content leaks from the train split
+    #: (shingle-level — exact dups are gone by the time the split runs);
+    #: the number a release gate compares against its leakage budget
+    leaky_eval_docs: int | None = None
 
 
 def run_llm_data_pipeline(
@@ -241,6 +245,19 @@ def run_llm_data_pipeline(
             schedule_dir
         )
 
+    # 10. split-hygiene audit: eval docs whose content leaks from the
+    # train split (exact hits are already gone — dedup ran upstream —
+    # so what remains is shingle-level overlap). A REPORT, not a drop:
+    # the number a release gate compares against its leakage budget
+    # before publishing the eval set.
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        split_leakage_audit,
+    )
+
+    leaky_eval_docs = (
+        split_leakage_audit(clean).filter(F.col("leaky")).count()
+    )
+
     return LlmPipelineResult(
         stage_counts=counts,
         chunk_counts_by_split=by_split,
@@ -248,4 +265,5 @@ def run_llm_data_pipeline(
         packed_examples_by_split=examples_by_split,
         pii_redactions=pii_redactions,
         scheduled_train_docs=scheduled,
+        leaky_eval_docs=leaky_eval_docs,
     )

@@ -56,6 +56,22 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
         | (F.col("hi") != F.col("n") - 1)
     )
     assert broken.count() == 0
+    # split-hygiene audit reported: exact leaks are impossible (dedup
+    # ran before the split), so the count is shingle-level and bounded
+    # by the eval-split size
+    assert res.leaky_eval_docs is not None
+    n_eval = sum(
+        v for k, v in res.chunk_counts_by_split.items() if k != "train"
+    )
+    assert 0 <= res.leaky_eval_docs
+    eval_docs = (
+        spark.read.parquet(res.output_dir)
+        .filter(F.col("split") != "train")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert res.leaky_eval_docs <= eval_docs
 
 
 def test_llm_pipeline_packs_within_splits(spark, tmp_path):
