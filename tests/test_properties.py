@@ -473,3 +473,134 @@ def test_interleave_rank_expr_exact_at_int64_boundaries(spark):
         i: expected(*case) for i, case in enumerate(cases)
     }
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abcdefgh XY",  # small alphabet forces collisions
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_winnowing_matches_python_reference(spark, texts):
+    """The winnowed fingerprint SET must equal a from-scratch Python
+    replication of the scheme (same md5-derived hashes, same window-min
+    selection) on arbitrary corpora, including sub-k-gram strings."""
+    import hashlib
+
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    def ref(text: str) -> set[int]:
+        k, w = WINNOW_K, WINNOW_W
+        hs = [
+            int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(text) - k + 1)
+        ]
+        return {
+            min(hs[j : j + w]) for j in range(len(hs) - w + 1)
+        }
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == ref(t), f"doc {i}: {t!r}"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_containment_matches_python_reference(spark, texts):
+    """Directional containment must equal the brute-force set arithmetic
+    on arbitrary tiny-vocab corpora (maximal collision pressure)."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        SHINGLE_N,
+        containment_pairs,
+    )
+
+    def sh(text: str) -> set[str]:
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + SHINGLE_N])
+            for i in range(len(toks) - SHINGLE_N + 1)
+        } if len(toks) >= SHINGLE_N else set()
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    expect = set()
+    for a in sets:
+        for b in sets:
+            if a != b and sets[a] and len(sets[a] & sets[b]) / len(sets[a]) >= 0.8:
+                expect.add((a, b))
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["contained_doc"], r["container_doc"])
+        for r in containment_pairs(df).collect()
+    }
+    assert got == expect
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    dups=st.lists(st.integers(min_value=1, max_value=5), min_size=1, max_size=6)
+)
+def test_soft_dedup_weights_exact(spark, dups):
+    """weight is exactly 1/multiplicity and total mass equals the number
+    of distinct texts, for arbitrary planted multiplicities."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    rows, did = [], 0
+    for g, mult in enumerate(dups):
+        for _ in range(mult):
+            rows.append((did, f"text number {g}", "en", "s", 10))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = soft_dedup_weights(df).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    did = 0
+    for g, mult in enumerate(dups):
+        for _ in range(mult):
+            assert by_doc[did]["dup_count"] == mult
+            assert by_doc[did]["weight"] == round(1.0 / mult, 9)
+            did += 1
+    total = sum(r["weight"] for r in out)
+    assert abs(total - len(dups)) < 1e-6
