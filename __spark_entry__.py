@@ -252,6 +252,7 @@ _STAMP_PRIORITY = (
     "winnowing_fingerprints",
     "knn_ivfpq_recall_audit",
     "knn_join_ivfpq",
+    "nb_holdout_accuracy",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -937,6 +938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_source_classifier": lambda spark, sf: (
             _text.nb_source_classifier(_docs(spark, sf))
         ),
+        # the honest twin: train on the train split, score the holdout
+        "nb_holdout_accuracy": lambda spark, sf: (
+            _text.nb_holdout_accuracy(_docs(spark, sf))
+        ),
         # multimodal binary-column plumbing (documents as stand-in payloads)
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)
@@ -1169,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _text.BPE_ENCODE_SQL,
         "bpe_roundtrip": _text.BPE_ROUNDTRIP_SQL,
         "nb_source_classifier": _text.NB_SOURCE_CLASSIFIER_SQL,
+        "nb_holdout_accuracy": _text.NB_HOLDOUT_ACCURACY_SQL,
         "bpe_fertility": _text.BPE_FERTILITY_SQL,
         "bigram_surprisal": _text.BIGRAM_SURPRISAL_SQL,
         "corpus_card": _text.CORPUS_CARD_SQL,

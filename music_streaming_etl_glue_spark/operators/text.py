@@ -2077,45 +2077,37 @@ NB_TERM_ROUND = 12
 _NB_DEC = "decimal(38,12)"
 
 
-def nb_source_classifier(documents: DataFrame) -> DataFrame:
-    """Multinomial naive Bayes over whitespace tokens, trained and applied
-    distributed — the domain-tagging step of a training-data pipeline
-    (classify scraped text into source domains), run here as a
-    resubstitution audit against the ground-truth ``source`` column.
+def _nb_predictions(
+    train_docs: DataFrame, score_docs: DataFrame
+) -> DataFrame:
+    """Shared NB core: train per-(source, token) statistics on
+    ``train_docs``, score ``score_docs`` against every candidate source.
+    Vocabulary, totals and priors come from the TRAIN side only, so the
+    holdout form sees eval tokens exactly as unseen-token smoothing
+    (coalesce(c,0)+1). Both relations need (doc_id, text, source)."""
+    train_toks = train_docs.select(
+        F.col("source").alias("src"),
+        F.explode(F.filter(_tokens(), lambda t: t != F.lit(""))).alias(
+            "token"
+        ),
+    )
+    model = train_toks.groupBy("src", "token").agg(F.count("*").alias("c"))
+    totals = model.groupBy("src").agg(F.sum("c").alias("tot"))
+    vocab_n = F.broadcast(
+        train_toks.agg(F.count_distinct("token").alias("v_size"))
+    )
+    priors = train_docs.groupBy(F.col("source").alias("src")).agg(
+        F.count("*").alias("n_docs")
+    )
+    n_total = F.broadcast(train_docs.agg(F.count("*").alias("n_total")))
 
-    Train: per-(source, token) counts, per-source totals, vocabulary size
-    and per-source doc priors — three hash aggregates over the exploded
-    token stream, all model relations broadcast-sized (|sources|·|vocab|).
-    Score: each token instance joins the model once per candidate source
-    (the scoring relation is tokens × |sources| — linear in the corpus,
-    |sources| is small and bounded), add-1 smoothed log-likelihood
-    ``ln((c+1)/(tot+V))`` plus the ``ln(n_docs/N)`` prior. Each term is
-    rounded to 12dp and summed as DECIMAL(38,12), so per-(doc, source)
-    scores are bit-stable under partition order and retries; argmax
-    breaks ties by source name. The ~1e-10 worst-case rounding drift
-    sits 3 orders of magnitude under the 6dp output rounding.
-
-    Output: (doc_id, predicted_source, actual_source, correct, score).
-    """
-    toks = documents.select(
+    score_toks = score_docs.select(
         "doc_id",
         F.col("source").alias("actual_source"),
         F.explode(F.filter(_tokens(), lambda t: t != F.lit(""))).alias(
             "token"
         ),
     )
-    model = toks.groupBy(
-        F.col("actual_source").alias("src"), "token"
-    ).agg(F.count("*").alias("c"))
-    totals = model.groupBy("src").agg(F.sum("c").alias("tot"))
-    vocab_n = F.broadcast(
-        toks.agg(F.count_distinct("token").alias("v_size"))
-    )
-    priors = documents.groupBy(F.col("source").alias("src")).agg(
-        F.count("*").alias("n_docs")
-    )
-    n_total = F.broadcast(documents.agg(F.count("*").alias("n_total")))
-
     term = F.round(
         F.log(
             (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
@@ -2124,7 +2116,7 @@ def nb_source_classifier(documents: DataFrame) -> DataFrame:
         NB_TERM_ROUND,
     ).cast(_NB_DEC)
     scored_terms = (
-        toks.crossJoin(F.broadcast(priors.select("src")))
+        score_toks.crossJoin(F.broadcast(priors.select("src")))
         .join(model, ["src", "token"], "left")
         .join(F.broadcast(totals), "src")
         .crossJoin(vocab_n)
@@ -2164,25 +2156,102 @@ def nb_source_classifier(documents: DataFrame) -> DataFrame:
     )
 
 
-NB_SOURCE_CLASSIFIER_SQL = f"""
-WITH toks AS (
-    SELECT doc_id, source AS actual_source,
-           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+def nb_source_classifier(documents: DataFrame) -> DataFrame:
+    """Multinomial naive Bayes over whitespace tokens, trained and applied
+    distributed — the domain-tagging step of a training-data pipeline
+    (classify scraped text into source domains), run here as a
+    resubstitution audit against the ground-truth ``source`` column.
+
+    Train: per-(source, token) counts, per-source totals, vocabulary size
+    and per-source doc priors — three hash aggregates over the exploded
+    token stream, all model relations broadcast-sized (|sources|·|vocab|).
+    Score: each token instance joins the model once per candidate source
+    (the scoring relation is tokens × |sources| — linear in the corpus,
+    |sources| is small and bounded), add-1 smoothed log-likelihood
+    ``ln((c+1)/(tot+V))`` plus the ``ln(n_docs/N)`` prior. Each term is
+    rounded to 12dp and summed as DECIMAL(38,12), so per-(doc, source)
+    scores are bit-stable under partition order and retries; argmax
+    breaks ties by source name. The ~1e-10 worst-case rounding drift
+    sits 3 orders of magnitude under the 6dp output rounding.
+
+    Output: (doc_id, predicted_source, actual_source, correct, score).
+    For the honest train/serve separation see
+    :func:`nb_holdout_accuracy`."""
+    return _nb_predictions(documents, documents)
+
+
+def nb_holdout_accuracy(documents: DataFrame) -> DataFrame:
+    """Held-out NB evaluation — the resubstitution audit's honest twin:
+    the model trains ONLY on the deterministic train split
+    (:func:`..dedup.dataset_split`) and scores the val/test documents it
+    never saw; eval-only tokens hit the unseen-token smoothing path.
+    One row per actual source: (actual_source, n_docs, n_correct,
+    accuracy) — the generalization number a domain-tagger deployment is
+    judged by, not the training-set fit."""
+    from music_streaming_etl_glue_spark.operators.dedup import dataset_split
+
+    split = dataset_split(documents).select("doc_id", "split")
+    joined = documents.join(split, "doc_id")
+    train = joined.filter(F.col("split") == "train").drop("split")
+    held = joined.filter(F.col("split") != "train").drop("split")
+    preds = _nb_predictions(train, held)
+    return preds.groupBy("actual_source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("correct"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def _nb_predictions_sql(train_where: str, score_where: str) -> str:
+    """DuckDB twin of :func:`_nb_predictions`: ``train_where`` /
+    ``score_where`` are boolean SQL predicates over the ``docs`` CTE
+    (doc_id, text, source, split)."""
+    return f"""
+WITH split AS (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 1000 < 800
+                THEN 'train'
+                WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 1000 < 900
+                THEN 'val' ELSE 'test' END AS split
     FROM documents
 ),
+docs AS (
+    SELECT d.doc_id, d.text, d.source, s.split
+    FROM documents d JOIN split s USING (doc_id)
+),
+train_toks AS (
+    SELECT source AS src,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+    FROM docs WHERE {train_where}
+),
 model AS (
-    SELECT actual_source AS src, token, count(*) AS c
-    FROM toks GROUP BY 1, 2
+    SELECT src, token, count(*) AS c FROM train_toks GROUP BY 1, 2
 ),
 totals AS (SELECT src, sum(c) AS tot FROM model GROUP BY 1),
-v AS (SELECT count(DISTINCT token) AS v_size FROM toks),
-priors AS (SELECT source AS src, count(*) AS n_docs FROM documents GROUP BY 1),
-n AS (SELECT count(*) AS n_total FROM documents),
+v AS (SELECT count(DISTINCT token) AS v_size FROM train_toks),
+priors AS (
+    SELECT source AS src, count(*) AS n_docs
+    FROM docs WHERE {train_where} GROUP BY 1
+),
+n AS (SELECT count(*) AS n_total FROM docs WHERE {train_where}),
+score_toks AS (
+    SELECT doc_id, source AS actual_source,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+    FROM docs WHERE {score_where}
+),
 terms AS (
     SELECT t.doc_id, t.actual_source, s.src,
            round(ln((coalesce(m.c, 0) + 1)::DOUBLE / (tt.tot + v.v_size)),
                  {NB_TERM_ROUND})::DECIMAL(38,12) AS term
-    FROM toks t
+    FROM score_toks t
     CROSS JOIN (SELECT src FROM priors) s
     LEFT JOIN model m ON m.src = s.src AND m.token = t.token
     JOIN totals tt ON tt.src = s.src
@@ -2207,4 +2276,17 @@ SELECT doc_id, src AS predicted_source, actual_source,
        src = actual_source AS correct,
        round(score::DOUBLE, 6) AS score
 FROM ranked WHERE rn = 1
+"""
+
+
+NB_SOURCE_CLASSIFIER_SQL = _nb_predictions_sql("TRUE", "TRUE")
+
+NB_HOLDOUT_ACCURACY_SQL = f"""
+WITH preds AS ({_nb_predictions_sql("split = 'train'", "split != 'train'")})
+SELECT actual_source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       round(sum(CASE WHEN correct THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS accuracy
+FROM preds GROUP BY actual_source
 """

@@ -581,3 +581,59 @@ def test_knn_ivfpq_oracle(spark, embs, ivfpq_path, con):
         con,
         S.KNN_IVFPQ_RECALL_AUDIT_SQL,
     )
+
+
+def test_round6_ops_tolerate_null_text(spark):
+    """A NULL text row must degrade gracefully (drop out of token and
+    shingle streams), never crash a round-6 op."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        bpe_fertility,
+        bpe_roundtrip,
+        nb_source_classifier,
+    )
+
+    rows = [(1, None, "en", "s0", 0),
+            (2, "alpha beta gamma delta", "en", "s0", 22)]
+    df = spark.createDataFrame(rows, FULL_DOCS_DDL)
+    assert D.soft_dedup_weights(df).count() == 2
+    assert D.containment_pairs(df).count() == 0
+    assert D.winnow_near_dups(df).count() == 0
+    # the NULL doc has no tokens: it vanishes from token-stream ops
+    assert bpe_roundtrip(df).count() == 1
+    assert bpe_fertility(df).count() == 1
+    assert nb_source_classifier(df).count() == 1
+    assert D.split_leakage_audit(df).count() <= 2
+
+
+def test_nb_holdout_trains_only_on_train_split(spark, docs):
+    """The holdout accuracy must come from a model that never saw the
+    eval docs: totals are over eval docs only, accuracy in [0,1], and
+    every eval-split source appears exactly once."""
+    from music_streaming_etl_glue_spark.operators.dedup import dataset_split
+    from music_streaming_etl_glue_spark.operators.text import (
+        nb_holdout_accuracy,
+    )
+
+    out = nb_holdout_accuracy(docs).collect()
+    split = dataset_split(docs).select("doc_id", "split")
+    eval_docs = docs.join(split, "doc_id").filter(F.col("split") != "train")
+    eval_by_source = {
+        r["source"]: r["n"]
+        for r in eval_docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["actual_source"] for r in out} == set(eval_by_source)
+    for r in out:
+        assert r["n_docs"] == eval_by_source[r["actual_source"]]
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+        assert abs(r["accuracy"] - r["n_correct"] / r["n_docs"]) < 1e-6
+
+
+def test_nb_holdout_oracle(docs, con):
+    from music_streaming_etl_glue_spark.operators.text import (
+        NB_HOLDOUT_ACCURACY_SQL,
+        nb_holdout_accuracy,
+    )
+
+    assert_matches_oracle(
+        nb_holdout_accuracy(docs), con, NB_HOLDOUT_ACCURACY_SQL
+    )
