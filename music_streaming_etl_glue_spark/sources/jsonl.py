@@ -99,3 +99,68 @@ def jsonl_to_documents_table(
     if quarantine_dir is not None:
         quarantine_corrupt(res.corrupt, quarantine_dir)
     return {"clean": clean.count(), "corrupt": n_corrupt}
+
+
+def stream_jsonl_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl_documents`: a file-source
+    stream over a JSONL landing zone with the SAME declared schema and
+    corrupt-record channel — each micro-batch is the set of newly-landed
+    files, malformed lines surface as ``_corrupt_record`` rows the
+    foreachBatch sink routes to quarantine (the split itself runs
+    per-batch; a streaming filter cannot fork two sinks from one read).
+    Pair with ``streaming.file_pipeline``'s epoch-idempotent writer for
+    the exactly-once parquet conversion."""
+    read_schema = T.StructType(
+        list(DOCUMENTS_SCHEMA.fields)
+        + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    return (
+        spark.readStream.schema(read_schema)
+        .options(mode="PERMISSIVE", columnNameOfCorruptRecord=CORRUPT_COL)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+
+
+def ingest_jsonl_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """AvailableNow JSONL ingestion: drains the landing zone once,
+    writing clean rows to parquet and corrupt lines to the JSON
+    quarantine per micro-batch, then stops. Restart-safe via the
+    checkpoint (a re-run re-reads nothing already committed)."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.cache()
+        try:
+            (
+                batch.filter(F.col(CORRUPT_COL).isNull())
+                .select(
+                    *[
+                        F.col(f.name).cast(f.dataType)
+                        for f in DOCUMENTS_SCHEMA.fields
+                    ]
+                )
+                .write.mode("append")
+                .parquet(output_dir)
+            )
+            corrupt = batch.filter(F.col(CORRUPT_COL).isNotNull()).select(
+                CORRUPT_COL
+            )
+            if not corrupt.isEmpty():
+                corrupt.write.mode("append").json(quarantine_dir)
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_jsonl_documents(spark, input_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.awaitTermination()

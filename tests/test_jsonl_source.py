@@ -61,3 +61,31 @@ def test_jsonl_empty_input(spark, tmp_path):
     path = _write_jsonl(tmp_path, "empty.jsonl", [""])
     res = read_jsonl_documents(spark, [path])
     assert res.clean.count() == 0
+
+
+def test_jsonl_streaming_ingestion(spark, tmp_path):
+    """AvailableNow drain of a JSONL landing zone: clean rows land in
+    parquet, corrupt lines in the quarantine, and a checkpointed re-run
+    ingests nothing twice."""
+    from music_streaming_etl_glue_spark.sources.jsonl import (
+        ingest_jsonl_stream,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    good = [
+        json.dumps({"doc_id": i, "text": "t", "lang": "en",
+                    "source": "web", "n_chars": 1})
+        for i in range(3)
+    ]
+    (land / "a.jsonl").write_text("\n".join(good[:2]) + "\nbroken {\n")
+    (land / "b.jsonl").write_text(good[2] + "\n")
+    out = str(tmp_path / "out")
+    quar = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    ingest_jsonl_stream(spark, str(land), out, quar, ckpt)
+    assert spark.read.parquet(out).count() == 3
+    assert spark.read.json(quar).count() == 1
+    # idempotent restart: nothing new, nothing re-ingested
+    ingest_jsonl_stream(spark, str(land), out, quar, ckpt)
+    assert spark.read.parquet(out).count() == 3
