@@ -237,7 +237,15 @@ _STAMP_PRIORITY = (
     "resize_payload",
     "genre_totals_salted",
     # new this round (round 6): LSH-pruned multi-query knn + recall audit,
-    # quality-aware near-dedup representative, SoftDeDup reweighting
+    # quality-aware near-dedup representative, SoftDeDup reweighting.
+    # ROUND-7 ROTATION NOTE: entries below position ~50 will not receive a
+    # driver stamp this round — lead the r7 window with whatever
+    # CORRECTNESS_r06 left unstamped from: knn_join_lsh,
+    # soft_dedup_weights, join_skew_report, bpe_roundtrip,
+    # nb_source_classifier, split_leakage_audit, bpe_fertility,
+    # containment_pairs, winnow_near_dups, winnowing_fingerprints,
+    # knn_ivfpq_recall_audit, knn_join_ivfpq, nb_holdout_accuracy
+    # (all gate- and vanilla-green at sf0.01 this round).
     "knn_recall_audit",
     "near_dedup_apply_best",
     "knn_join_lsh",
