@@ -42,7 +42,13 @@ def _rowset(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle_check")
+    # one JVM hosts driver + executors for all ~190 queries and lazy
+    # localCheckpoint blocks accumulate; at sf0.1 the 1 GiB default heap
+    # evicts them mid-gate ("Block rdd_N does not exist") — same sizing
+    # as bench.py / tests/conftest.py
+    spark = get_spark(
+        "oracle_check", extra_conf={"spark.driver.memory": "16g"}
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
