@@ -261,6 +261,8 @@ _STAMP_PRIORITY = (
     "knn_ivfpq_recall_audit",
     "knn_join_ivfpq",
     "nb_holdout_accuracy",
+    "hashed_doc_vectors",
+    "text_ann_topk",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -938,6 +940,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip": lambda spark, sf: _text.bpe_roundtrip(
             _docs(spark, sf)
         ),
+        # text->embedding bridge: feature-hashed doc vectors (no model)
+        "hashed_doc_vectors": lambda spark, sf: (
+            _text.hashed_doc_vectors_packed(_docs(spark, sf))
+        ),
+        # most-similar-docs query over the hashed vectors (exact cosine)
+        "text_ann_topk": lambda spark, sf: _text.text_ann_topk(
+            _docs(spark, sf)
+        ),
         # per-source tokenizer fit: symbols/word + chars/symbol
         "bpe_fertility": lambda spark, sf: _text.bpe_fertility(
             _docs(spark, sf)
@@ -1184,6 +1194,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_source_classifier": _text.NB_SOURCE_CLASSIFIER_SQL,
         "nb_holdout_accuracy": _text.NB_HOLDOUT_ACCURACY_SQL,
         "bpe_fertility": _text.BPE_FERTILITY_SQL,
+        "hashed_doc_vectors": _text.HASHED_DOC_VECTORS_SQL,
+        "text_ann_topk": _text.TEXT_ANN_TOPK_SQL,
         "bigram_surprisal": _text.BIGRAM_SURPRISAL_SQL,
         "corpus_card": _text.CORPUS_CARD_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,

@@ -2290,3 +2290,203 @@ SELECT actual_source,
              / count(*), 6) AS accuracy
 FROM preds GROUP BY actual_source
 """
+
+# ---------------------------------------------------------------------------
+# feature-hashed document vectors (text -> embedding bridge, no model)
+# ---------------------------------------------------------------------------
+
+HASH_VEC_DIMS = 64
+TEXT_ANN_QUERY_DOC = 0
+TEXT_ANN_K = 10
+
+
+def hashed_doc_vectors(
+    documents: DataFrame, dims: int = HASH_VEC_DIMS
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors: each token maps
+    to dimension ``md5(token) % dims`` with sign ``md5 parity``, summed
+    per document — a deterministic, engine-portable, INTEGER-valued
+    embedding that needs no external model. This is the bridge that lets
+    a raw text corpus ride the entire embedding toolkit (cosine top-k,
+    LSH pair mining, k-means, PQ) before a learned encoder exists:
+    signed hashing preserves inner products in expectation (the
+    count-sketch guarantee), and integer components keep every
+    downstream dot product exact across engines.
+
+    One explode + one (doc, dim) hash aggregate; the dense array is
+    rebuilt from a map lookup per dimension — dims is a compile-time
+    constant so the projection stays one codegen'd expression."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.filter(_tokens(), lambda t: t != F.lit(""))).alias(
+            "token"
+        ),
+    )
+    idx = (
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+        % dims
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5("token"), 32, 1), 16, 10).cast("long") % 2
+        == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    cells = (
+        toks.select("doc_id", idx.alias("d"), sign.alias("s"))
+        .groupBy("doc_id", "d")
+        .agg(F.sum("s").cast("long").alias("v"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("int")), F.lit(0).cast("long")
+        ).cast("double"),
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("d").cast("int"), F.col("v")))
+            ).alias("__m")
+        )
+        .select("doc_id", dense.alias("embedding"))
+    )
+
+
+def _hashed_vectors_cte(dims: int = HASH_VEC_DIMS) -> str:
+    """DuckDB CTE chain ending in ``hvecs(doc_id, embedding)`` — the SQL
+    twin: same md5-derived index and sign, same integer sums."""
+    return f"""htoks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+    FROM documents
+),
+hcells AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(token), 1, 15))::BIGINT % {dims} AS d,
+           sum(CASE WHEN ('0x' || substr(md5(token), 32, 1))::BIGINT % 2 = 1
+                    THEN 1 ELSE -1 END)::BIGINT AS v
+    FROM htoks GROUP BY 1, 2
+),
+hmaps AS (
+    SELECT doc_id, map_from_entries(list((d, v))) AS m FROM hcells
+    GROUP BY doc_id
+),
+hvecs AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(0, {dims - 1}),
+               i -> coalesce(m[i][1], 0)::DOUBLE
+           ) AS embedding
+    FROM hmaps
+)"""
+
+
+HASHED_DOC_VECTORS_SQL = f"""
+WITH {_hashed_vectors_cte()}
+SELECT doc_id,
+       array_to_string(list_transform(embedding, x -> x::BIGINT::VARCHAR),
+                       ',') AS vec
+FROM hvecs
+"""
+
+
+def hashed_doc_vectors_packed(
+    documents: DataFrame, dims: int = HASH_VEC_DIMS
+) -> DataFrame:
+    """Stamped scalar form of :func:`hashed_doc_vectors` (catalog rule:
+    stamped entries emit atomic columns only). Internal consumers keep
+    the array form."""
+    return hashed_doc_vectors(documents, dims).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("long").cast("string")
+            ),
+            ",",
+        ).alias("vec"),
+    )
+
+
+def text_ann_topk(
+    documents: DataFrame,
+    query_doc: int = TEXT_ANN_QUERY_DOC,
+    k: int = TEXT_ANN_K,
+    dims: int = HASH_VEC_DIMS,
+) -> DataFrame:
+    """Exact cosine top-k over the hashed document vectors: 'documents
+    most similar to this one' with zero model dependencies — the query
+    shape a corpus-exploration UI runs, and the proof that the text
+    corpus rides the embedding toolkit unmodified. Integer-valued
+    vectors make every dot product exact; ranks tie-break on doc_id."""
+    from music_streaming_etl_glue_spark.functions.ranks import (
+        rank_post_limit,
+    )
+
+    vecs = hashed_doc_vectors(documents, dims)
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    q = F.broadcast(
+        vecs.filter(F.col("doc_id") == query_doc).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    scored = (
+        vecs.filter(F.col("doc_id") != query_doc)
+        .crossJoin(q)
+        .select(
+            "doc_id",
+            F.when((nrm > 0) & (qn > 0), F.round(dot / (nrm * qn), 6))
+            .otherwise(F.lit(0.0))
+            .alias("similarity"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("similarity").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    return rank_post_limit(
+        top, "rank", F.col("similarity").desc(), F.col("doc_id").asc()
+    )
+
+
+TEXT_ANN_TOPK_SQL = f"""
+WITH {_hashed_vectors_cte()},
+q AS (
+    SELECT embedding AS qvec FROM hvecs WHERE doc_id = {TEXT_ANN_QUERY_DOC}
+),
+scored AS (
+    SELECT h.doc_id,
+           CASE WHEN list_dot_product(h.embedding, h.embedding) > 0
+                 AND list_dot_product(q.qvec, q.qvec) > 0
+                THEN round(
+                    list_dot_product(h.embedding, q.qvec)
+                    / (sqrt(list_dot_product(h.embedding, h.embedding))
+                       * sqrt(list_dot_product(q.qvec, q.qvec))), 6)
+                ELSE 0.0 END AS similarity
+    FROM hvecs h, q
+    WHERE h.doc_id != {TEXT_ANN_QUERY_DOC}
+),
+ranked AS (
+    SELECT doc_id, similarity,
+           row_number() OVER (ORDER BY similarity DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, similarity, rank FROM ranked WHERE rank <= {TEXT_ANN_K}
+"""

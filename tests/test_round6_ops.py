@@ -637,3 +637,70 @@ def test_nb_holdout_oracle(docs, con):
     assert_matches_oracle(
         nb_holdout_accuracy(docs), con, NB_HOLDOUT_ACCURACY_SQL
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed_doc_vectors + text_ann_topk
+# ---------------------------------------------------------------------------
+
+def test_hashed_vectors_match_python_reference(spark):
+    """The hashed vector must equal the hand-computed count-sketch on a
+    closed corpus, and identical texts must collide exactly."""
+    import hashlib
+
+    from music_streaming_etl_glue_spark.operators.text import (
+        HASH_VEC_DIMS,
+        hashed_doc_vectors,
+    )
+
+    rows = [(1, "apple banana apple", "en", "s", 18),
+            (2, "apple banana apple", "en", "s", 18),
+            (3, "cherry", "en", "s", 6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def ref(text):
+        v = [0.0] * HASH_VEC_DIMS
+        for tok in text.split(" "):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            d = int(h[:15], 16) % HASH_VEC_DIMS
+            v[d] += 1 if int(h[31], 16) % 2 == 1 else -1
+        return v
+
+    got = {r["doc_id"]: list(r["embedding"])
+           for r in hashed_doc_vectors(df).collect()}
+    assert got[1] == ref("apple banana apple")
+    assert got[1] == got[2]
+    assert got[3] == ref("cherry")
+
+
+def test_text_ann_finds_near_duplicate_first(spark):
+    """A near-identical document must rank 1 with similarity ~1."""
+    from music_streaming_etl_glue_spark.operators.text import text_ann_topk
+
+    filler = [(i, " ".join(f"z{i}w{j}" for j in range(10)), "en", "s", 50)
+              for i in range(3, 10)]
+    rows = [(0, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (2, "alpha beta something else here", "en", "s", 30)] + filler
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = text_ann_topk(df, query_doc=0, k=3).collect()
+    assert out[0]["doc_id"] == 1 and out[0]["similarity"] == 1.0
+    assert out[0]["rank"] == 1
+
+
+def test_hashed_vectors_oracle(docs, con):
+    from music_streaming_etl_glue_spark.operators.text import (
+        HASHED_DOC_VECTORS_SQL,
+        TEXT_ANN_TOPK_SQL,
+        hashed_doc_vectors_packed,
+        text_ann_topk,
+    )
+
+    assert_matches_oracle(
+        hashed_doc_vectors_packed(docs), con, HASHED_DOC_VECTORS_SQL
+    )
+    assert_matches_oracle(text_ann_topk(docs), con, TEXT_ANN_TOPK_SQL)
