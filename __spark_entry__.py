@@ -263,6 +263,7 @@ _STAMP_PRIORITY = (
     "nb_holdout_accuracy",
     "hashed_doc_vectors",
     "text_ann_topk",
+    "text_semantic_pairs",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -948,6 +949,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ann_topk": lambda spark, sf: _text.text_ann_topk(
             _docs(spark, sf)
         ),
+        # the full banded-LSH pair miner running on TEXT via the bridge
+        "text_semantic_pairs": lambda spark, sf: _text.text_semantic_pairs(
+            _docs(spark, sf)
+        ),
         # per-source tokenizer fit: symbols/word + chars/symbol
         "bpe_fertility": lambda spark, sf: _text.bpe_fertility(
             _docs(spark, sf)
@@ -1196,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": _text.BPE_FERTILITY_SQL,
         "hashed_doc_vectors": _text.HASHED_DOC_VECTORS_SQL,
         "text_ann_topk": _text.TEXT_ANN_TOPK_SQL,
+        "text_semantic_pairs": _text.TEXT_SEMANTIC_PAIRS_SQL,
         "bigram_surprisal": _text.BIGRAM_SURPRISAL_SQL,
         "corpus_card": _text.CORPUS_CARD_SQL,
         "multimodal_meta": _mm.MULTIMODAL_META_SQL,

@@ -804,13 +804,16 @@ def lsh_band_buckets(
     ).select("vec_id", F.posexplode("bh").alias("band", "band_hash"))
 
 
-def _lsh_buckets_ctes(bands: int, bits: int, dims: int = EMBED_DIMS) -> str:
+def _lsh_buckets_ctes(
+    bands: int, bits: int, dims: int = EMBED_DIMS, source: str = "embeddings"
+) -> str:
     """DuckDB CTE chain ending in ``buckets(vec_id, band, band_hash)`` —
     the SQL twin of :func:`lsh_band_buckets`: same md5-derived planes, same
     fixed-point quantization, same exact integer dots (integer-valued
     doubles stay exact under list_dot_product: |dot| « 2^53). ``dims``
     must match the banded table's vector width (default: the testdata's
-    :data:`EMBED_DIMS`)."""
+    :data:`EMBED_DIMS`); ``source`` is any relation or prior CTE exposing
+    (vec_id, embedding)."""
     return f"""planes AS (
     SELECT b.band, i.bit, d.dim,
            CASE WHEN ('0x' || substr(md5('plane|' || b.band || '|' || i.bit
@@ -825,7 +828,7 @@ qv AS (
     SELECT vec_id,
            list_transform(embedding::DOUBLE[],
                           x -> floor(x * {Q_SCALE} + 0.5)) AS q
-    FROM embeddings
+    FROM {source}
 ),
 proj AS (
     SELECT qv.vec_id, p.band, p.bit, list_dot_product(qv.q, p.pl) AS dot
@@ -939,9 +942,13 @@ def _cosine_pairs_lsh_sql(
     threshold: float = PAIR_THRESHOLD,
     bands: int = LSH_BANDS,
     bits: int = LSH_BITS,
+    source: str = "embeddings",
+    prelude: str = "",
 ) -> str:
+    """``source``: relation/CTE with (vec_id, embedding); ``prelude``:
+    CTE definitions (trailing comma included) the source depends on."""
     return f"""
-WITH {_lsh_buckets_ctes(bands, bits)},
+WITH {prelude}{_lsh_buckets_ctes(bands, bits, source=source)},
 candidates AS (
     SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
     FROM buckets x JOIN buckets y
@@ -952,7 +959,7 @@ v AS (
     SELECT vec_id, embedding::DOUBLE[] AS vec,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                AS nrm
-    FROM embeddings
+    FROM {source}
 ),
 scored AS (
     SELECT c.vec_id_a, c.vec_id_b,

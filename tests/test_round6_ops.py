@@ -704,3 +704,41 @@ def test_hashed_vectors_oracle(docs, con):
         hashed_doc_vectors_packed(docs), con, HASHED_DOC_VECTORS_SQL
     )
     assert_matches_oracle(text_ann_topk(docs), con, TEXT_ANN_TOPK_SQL)
+
+
+def test_text_semantic_pairs_finds_planted_dups(spark):
+    """Exact duplicate texts have identical hashed vectors (cosine 1.0):
+    planted dup pairs must be mined; a vocabulary-disjoint doc must not
+    pair with them."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        text_semantic_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base, "en", "s", 40),
+        (1, base, "en", "s", 40),
+        (2, base + " iota", "en", "s", 45),   # near-dup
+        (3, "one two three four five six", "en", "s", 27),
+    ]
+    df = spark.createDataFrame(
+        rows, FULL_DOCS_DDL
+    )
+    mined = {
+        (r["doc_id_a"], r["doc_id_b"]): r["similarity"]
+        for r in text_semantic_pairs(df).collect()
+    }
+    assert mined[(0, 1)] == 1.0
+    assert (0, 2) in mined and mined[(0, 2)] >= 0.9
+    assert not any(3 in p for p in mined)
+
+
+def test_text_semantic_pairs_oracle(docs, con):
+    from music_streaming_etl_glue_spark.operators.text import (
+        TEXT_SEMANTIC_PAIRS_SQL,
+        text_semantic_pairs,
+    )
+
+    assert_matches_oracle(
+        text_semantic_pairs(docs), con, TEXT_SEMANTIC_PAIRS_SQL
+    )
