@@ -185,69 +185,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # then a small flagship re-stamp tail. Previously-stamped entries keep
 # their historical green stamps.
 _STAMP_PRIORITY = (
-    # red in r4/r5 — the fix (scalar packed codes) needs its stamp
-    "pq_codes",
-    # new this round — first driver stamp
-    "bpe_encode",
-    "pq_reconstruction_error",
-    # never driver-stamped through r5, hash-checkable (45)
-    "dedup_clusters_twophase",
-    "dedup_funnel",
-    "fuzzy_dedup_pairs",
-    "ann_topk_ivf",
-    "ann_topk_ivf_centroid",
-    "knn_join",
-    "embedding_stats",
-    "semantic_contamination",
-    "semantic_contamination_lsh",
-    "quantize_embeddings",
-    "ivf_assignments",
-    "cluster_topics",
-    "pricing_summary_ansi",
-    "shipping_priority",
-    "line_priority_counts",
-    "promo_revenue",
-    "brand_supplier_counts",
-    "small_quantity_revenue",
-    "important_parts",
-    "nation_volume_shipping",
-    "returned_item_customers",
-    "waiting_customers",
-    "top_supplier_revenue",
-    "large_orders",
-    "min_cost_supplier",
-    "suppliers_who_kept_waiting",
-    "customer_order_distribution",
-    "avg_quantity_part_filter",
-    "idle_rich_customers",
-    "order_priority_checking",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "disjunctive_revenue",
-    "product_profit_by_nation",
-    "dominant_part_suppliers",
-    "order_priority_unpivot",
-    "sales_grouping_sets",
-    "user_session_windows",
-    "error_next_click",
-    "events_in_error_bursts",
-    "pii_scrub",
-    "unigram_surprisal",
-    "frame_sample",
-    "resize_payload",
-    "genre_totals_salted",
-    # new this round (round 6): LSH-pruned multi-query knn + recall audit,
-    # quality-aware near-dedup representative, SoftDeDup reweighting.
-    # ROUND-7 ROTATION NOTE: entries below position ~50 will not receive a
-    # driver stamp this round — lead the r7 window with whatever
-    # CORRECTNESS_r06 left unstamped from: knn_join_lsh,
-    # soft_dedup_weights, join_skew_report, bpe_roundtrip,
-    # nb_source_classifier, split_leakage_audit, bpe_fertility,
-    # containment_pairs, winnow_near_dups, winnowing_fingerprints,
-    # knn_ivfpq_recall_audit, knn_join_ivfpq, nb_holdout_accuracy
-    # (all gate- and vanilla-green at sf0.01 this round).
-    "knn_recall_audit",
-    "near_dedup_apply_best",
+    # Round 7 rotation: lead with the 16 hash-checkable queries that have
+    # NEVER received a driver stamp across rounds 1-6 (r6's 50-slot window
+    # ended just before them — see CORRECTNESS_r01..r06 union), then the 6
+    # never-stamped rows-only entries, then queries new this round, then a
+    # small flagship re-stamp tail. Previously-stamped entries keep their
+    # historical green stamps.
     "knn_join_lsh",
     "soft_dedup_weights",
     "join_skew_report",
@@ -264,19 +207,31 @@ _STAMP_PRIORITY = (
     "hashed_doc_vectors",
     "text_ann_topk",
     "text_semantic_pairs",
-    # flagship contract re-stamps fill the remaining window slots
-    "enriched",
-    "user_kpis",
-    "genre_daily_metrics",
-    "serving_items",
-    # rows-only never-stamped entries follow — weaker signal per slot,
-    # stamped if the window runs longer than 50
+    # never-stamped rows-only entries (weaker signal per slot, but these
+    # six have had zero driver evidence in six rounds)
     "genre_distinct_sketch_rollup",
     "vocab_top_terms_approx",
     "genre_series_dtw",
     "pca_explained_variance",
     "value_percentiles_approx",
     "bpe_merges",
+    # new this round (round 7) — first driver stamp
+    "mmr_rerank",
+    "perplexity_buckets",
+    "mad_outlier_audit",
+    "session_transition_matrix",
+    "events_minute_ohlc",
+    "customer_rfm_segments",
+    "collocations_pmi",
+    "dedup_incremental_bloom",
+    "orders_backlog_timeline",
+    # flagship contract re-stamps fill the remaining window slots
+    "enriched",
+    "user_kpis",
+    "genre_daily_metrics",
+    "serving_items",
+    "pq_codes",
+    "bpe_encode",
     # then the rest of the previously-green catalog in queries() order
 )
 

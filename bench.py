@@ -111,8 +111,13 @@ def main() -> None:
         # proved sub-second flags at this gate are scheduler noise (five
         # r4 "regressions" all cleared in r5's bit-identical tree). Re-
         # time suspects warm and report min-of-3 — only a repeatable
-        # slowdown survives into the regressions field.
+        # slowdown survives into the regressions field. Warm runs hide
+        # cold-path costs (JIT, parquet footers, persisted layouts built
+        # on the first run), so a suspect whose warm re-run clears is
+        # NOT silently dropped: it lands in suspect_cold with both times,
+        # keeping a genuine cold-path slowdown visible round over round.
         regressions = {}
+        suspect_cold = {}
         for name, prev in prior.items():
             if name not in timings or prev <= 0:
                 continue
@@ -130,8 +135,16 @@ def main() -> None:
                     "now": best,
                     "runs": runs,
                 }
+            else:
+                suspect_cold[name] = {
+                    "prev": prev,
+                    "cold": runs[0],
+                    "warm_min": best,
+                }
         out["regressions"] = regressions
+        out["suspect_cold"] = suspect_cold
         compact["regressions"] = regressions
+        compact["suspect_cold"] = suspect_cold
         for name, r in regressions.items():
             print(
                 f"# REGRESSION {name}: {r['prev']:.3f}s -> {r['now']:.3f}s"

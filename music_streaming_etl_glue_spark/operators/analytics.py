@@ -359,11 +359,12 @@ def skyline_parts(part: DataFrame) -> DataFrame:
     local = _skyline_pass(
         p.withColumn("__pid", F.spark_partition_id()), ["__pid"]
     ).drop("__pid")
-    # global merge input is the tiny union of local skylines: declare
-    # the single partition explicitly (coalesce(1) + constant pid) so
-    # the pass is identical but WindowExec sees a partition spec —
-    # keeps the gate log free of no-partition warnings
-    merged = local.coalesce(1).withColumn("__pid", F.spark_partition_id())
+    # global merge input is the tiny union of local skylines: repartition(1)
+    # inserts an explicit SinglePartition exchange, so phase 1 above stays
+    # fully parallel (coalesce(1) would push the 1-partition constraint
+    # upstream and serialize the local pass) while WindowExec still sees a
+    # partition spec — keeps the gate log free of no-partition warnings
+    merged = local.repartition(1).withColumn("__pid", F.spark_partition_id())
     return _skyline_pass(merged, ["__pid"]).drop("__pid")
 
 

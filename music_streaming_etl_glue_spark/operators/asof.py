@@ -349,12 +349,14 @@ def error_bursts(
     )
     # the islands window is inherently global; the relation is one row
     # per busy quarter-hour (small by construction), so declare the
-    # single partition explicitly instead of warning into the gate log
+    # single partition explicitly instead of warning into the gate log.
+    # repartition(1) (an explicit exchange) rather than coalesce(1): the
+    # latter would collapse the bucket-agg reduce stage above to ONE task.
     grp = F.col("bucket") - F.row_number().over(
         Window.partitionBy(F.spark_partition_id()).orderBy("bucket")
     )
     return (
-        busy.coalesce(1).withColumn("grp", grp)
+        busy.repartition(1).withColumn("grp", grp)
         .groupBy("grp")
         .agg(
             (F.min("bucket") * bucket_s).alias("burst_start_s"),

@@ -263,10 +263,13 @@ def split_leakage_audit(
     inflate every metric computed on it; this is the audit a pipeline
     runs between splitting and publishing an eval set.
 
-    Scale shape: the eval side is the small one (~20% of the corpus), so
-    its shingle and hash relations broadcast and the train-side streams
-    probe them — the train corpus is never shuffled. Per-eval-doc counts
-    are one hash aggregate keyed by doc_id."""
+    Scale shape: the eval side is the smaller one (~20% of the corpus),
+    but its exploded shingle relation is many times the text size — a
+    HARD broadcast hint would bypass autoBroadcastJoinThreshold and OOM
+    the driver at corpus scale. The joins are left unhinted so AQE
+    broadcasts the eval side while it fits and falls back to a shuffle
+    join when it doesn't; per-eval-doc counts are one hash aggregate
+    keyed by doc_id either way."""
     split = dataset_split(documents).select("doc_id", "split")
     docs = documents.join(split, "doc_id")
     train = docs.filter(F.col("split") == "train")
@@ -277,7 +280,7 @@ def split_leakage_audit(
     )
     train_hashes = train.select(F.md5("text").alias("text_hash")).distinct()
     exact = (
-        train_hashes.join(F.broadcast(eval_hashes), "text_hash")
+        train_hashes.join(eval_hashes, "text_hash")
         .select("doc_id")
         .distinct()
         .withColumn("exact_leak", F.lit(True))
@@ -288,7 +291,7 @@ def split_leakage_audit(
         "shingle"
     ).distinct()
     shared = (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
+        train_sh.join(eval_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("shared_shingles"))
     )

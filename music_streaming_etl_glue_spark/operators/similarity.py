@@ -117,6 +117,10 @@ def derive_banding(
 #: (bands, bits), so a stale hit could at worst band a same-session
 #: mutated corpus one notch off — and the file signature rules that out.
 _corpus_count_cache: dict = {}
+#: bound the memo (a long-lived session cycling many corpora would
+#: otherwise grow it without limit); 64 entries is far beyond any one
+#: job's working set and eviction only costs a re-count
+_CORPUS_COUNT_CACHE_MAX = 64
 
 
 def _corpus_uid(df: DataFrame):
@@ -140,7 +144,10 @@ def _corpus_uid(df: DataFrame):
                 st = os.stat(p)
                 sig.append((f, st.st_mtime_ns, st.st_size))
             except OSError:
-                sig.append((f, None, None))
+                # unstat-able input (s3://, hdfs://, any non-local URI):
+                # a path-only signature would HIT on a same-path rewrite
+                # and serve a stale count — force a real count instead
+                return None
         return (sem, tuple(sig))
     except Exception:
         return None
@@ -150,10 +157,12 @@ def _corpus_count(df: DataFrame) -> int:
     key = _corpus_uid(df)
     if key is None:
         return df.count()
-    n = _corpus_count_cache.get(key)
+    n = _corpus_count_cache.pop(key, None)  # pop+reinsert = LRU touch
     if n is None:
         n = df.count()
-        _corpus_count_cache[key] = n
+    _corpus_count_cache[key] = n
+    while len(_corpus_count_cache) > _CORPUS_COUNT_CACHE_MAX:
+        _corpus_count_cache.pop(next(iter(_corpus_count_cache)))
     return n
 
 

@@ -266,14 +266,29 @@ new_side AS (
 ),
 stats AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM old_side),
 grid AS (SELECT i AS bin FROM generate_series(0, {PSI_BINS - 1}) t(i)),
+-- degenerate one-point baseline (hi = lo): mirror the Spark side's
+-- side-binning (below the point -> 0, at it -> middle bin, above -> top
+-- bin) so the twins stay bit-identical when the baseline is constant
 ob AS (
-    SELECT LEAST(GREATEST(FLOOR((value - lo) / ((hi - lo) / {PSI_BINS})), 0),
-                 {PSI_BINS - 1})::BIGINT AS bin, COUNT(*) AS n_old
+    SELECT CASE WHEN hi = lo THEN
+               CASE WHEN value > hi THEN {PSI_BINS - 1}
+                    WHEN value < lo THEN 0
+                    ELSE {PSI_BINS // 2} END
+           ELSE LEAST(GREATEST(
+                    FLOOR((value - lo) / ((hi - lo) / {PSI_BINS})), 0),
+                {PSI_BINS - 1})
+           END::BIGINT AS bin, COUNT(*) AS n_old
     FROM old_side, stats GROUP BY 1
 ),
 nb AS (
-    SELECT LEAST(GREATEST(FLOOR((value - lo) / ((hi - lo) / {PSI_BINS})), 0),
-                 {PSI_BINS - 1})::BIGINT AS bin, COUNT(*) AS n_new
+    SELECT CASE WHEN hi = lo THEN
+               CASE WHEN value > hi THEN {PSI_BINS - 1}
+                    WHEN value < lo THEN 0
+                    ELSE {PSI_BINS // 2} END
+           ELSE LEAST(GREATEST(
+                    FLOOR((value - lo) / ((hi - lo) / {PSI_BINS})), 0),
+                {PSI_BINS - 1})
+           END::BIGINT AS bin, COUNT(*) AS n_new
     FROM new_side, stats GROUP BY 1
 ),
 j AS (
