@@ -474,6 +474,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": lambda spark, sf: _an.profile_events(
             load_table(spark, sf, "events")
         ),
+        # time-series downsampling: per-minute OHLC bars (min_by/max_by
+        # over a struct ordering — no window sort anywhere)
+        "events_minute_ohlc": lambda spark, sf: _an.events_minute_ohlc(
+            load_table(spark, sf, "events")
+        ),
+        # robust (median + MAD) outlier audit per event type
+        "mad_outlier_audit": lambda spark, sf: _an.mad_outlier_audit(
+            load_table(spark, sf, "events")
+        ),
         # dedup (documents table)
         "dedup_exact": lambda spark, sf: _dedup.dedup_exact(_docs(spark, sf)),
         "dedup_normalized": lambda spark, sf: _dedup.dedup_normalized(
@@ -748,6 +757,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 load_table(spark, sf, "orders"),
                 load_table(spark, sf, "lineitem"),
             )
+        ),
+        # RFM quintile segmentation over the order history
+        "customer_rfm_segments": lambda spark, sf: (
+            _rel.customer_rfm_segments(load_table(spark, sf, "orders"))
+        ),
+        # interval open/close -> cumulative open-order backlog per day
+        "orders_backlog_timeline": lambda spark, sf: (
+            _rel.orders_backlog_timeline(
+                load_table(spark, sf, "orders"),
+                load_table(spark, sf, "lineitem"),
+            )
+        ),
+        # first-order Markov transitions between event types in-session
+        "session_transition_matrix": lambda spark, sf: (
+            _beh.session_transition_matrix(load_table(spark, sf, "events"))
         ),
         # Q13 shape: zero-preserving left join + count-of-counts
         "customer_order_distribution": lambda spark, sf: (
@@ -1040,6 +1064,8 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
         "cms_track_estimates": _an.CMS_TRACK_ESTIMATES_SQL,
         "geomean_value_by_type": _an.GEOMEAN_VALUE_SQL,
+        "events_minute_ohlc": _an.EVENTS_MINUTE_OHLC_SQL,
+        "mad_outlier_audit": _an.MAD_OUTLIER_AUDIT_SQL,
         "profile_events": _an.PROFILE_EVENTS_SQL,
         "dedup_exact": _dedup.DEDUP_EXACT_SQL,
         "dedup_normalized": _dedup.DEDUP_NORMALIZED_SQL,
@@ -1119,6 +1145,9 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": _rel.LARGE_ORDERS_SQL,
         "min_cost_supplier": _rel.MIN_COST_SUPPLIER_SQL,
         "suppliers_who_kept_waiting": _rel.SUPPLIERS_WHO_KEPT_WAITING_SQL,
+        "customer_rfm_segments": _rel.CUSTOMER_RFM_SEGMENTS_SQL,
+        "orders_backlog_timeline": _rel.ORDERS_BACKLOG_TIMELINE_SQL,
+        "session_transition_matrix": _beh.SESSION_TRANSITION_MATRIX_SQL,
         "customer_order_distribution": (
             _rel.CUSTOMER_ORDER_DISTRIBUTION_SQL
         ),

@@ -855,3 +855,136 @@ FROM events
 WHERE value IS NOT NULL
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# time-series downsampling: OHLC bars (the resample/candlestick operator)
+# ---------------------------------------------------------------------------
+
+
+def events_minute_ohlc(events: DataFrame) -> DataFrame:
+    """Per-minute OHLC bars over ``events.value`` — the classic
+    time-series downsampling operator (resample → first/max/min/last).
+
+    One hash aggregate keyed by the truncated minute: ``min_by``/``max_by``
+    over a ``struct(ts, event_id)`` ordering pick open/close without any
+    window sort, so the whole bar computes map-side-partial + one shuffle
+    on the minute key. event_id breaks same-timestamp ties, making the
+    bars deterministic under any partitioning. No float arithmetic at
+    all (open/high/low/close are picked values, not sums), so the bars
+    are bit-identical across engines by construction.
+
+    At 100 TB the minute key is time-ordered and dense — the aggregate
+    output is bounded by the time span (~0.5M rows/year), never by the
+    input size; partition pruning on a date-partitioned layout feeds it
+    incrementally.
+    """
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("minute", ts).alias("minute"))
+        .agg(
+            F.expr(
+                "min_by(value, struct(CAST(ts AS TIMESTAMP), event_id))"
+            ).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr(
+                "max_by(value, struct(CAST(ts AS TIMESTAMP), event_id))"
+            ).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+EVENTS_MINUTE_OHLC_SQL = """
+SELECT date_trunc('minute', ts) AS minute,
+       first(value ORDER BY ts, event_id)::DOUBLE AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       last(value ORDER BY ts, event_id)::DOUBLE AS close,
+       COUNT(*) AS n_events
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# robust outlier audit: median absolute deviation (MAD) per group
+# ---------------------------------------------------------------------------
+
+#: 1.4826 ≈ 1/Φ⁻¹(3/4) scales MAD to the stddev of a normal, so the
+#: 3·σ̂ convention carries over unchanged to the robust estimator
+MAD_SIGMA_SCALE = 1.4826
+MAD_OUTLIER_K = 3.0
+
+
+def mad_outlier_audit(events: DataFrame) -> DataFrame:
+    """Per-event-type robust outlier audit: median + MAD (median absolute
+    deviation) and the count/rate of values beyond median ±
+    3·1.4826·MAD. Mean/stddev outlier gates are self-masking (one huge
+    value inflates the stddev that is supposed to catch it); the MAD
+    gate is what a data-quality pipeline actually ships.
+
+    Two exact-percentile aggregates keyed by event_type (first the
+    median, then the MAD over |v − median|) plus a final counting pass —
+    three column-pruned scans, each one shuffle on a ~|event types|
+    cardinality key, with the tiny per-type stats broadcast back. At
+    100 TB swap ``percentile`` for ``percentile_approx`` (the documented
+    trade — same plan shape, bounded-memory sketch); the exact form here
+    is what the DuckDB oracle can replay bit-for-bit.
+    """
+    v = F.col("value")
+    meds = events.filter(v.isNotNull()).groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        events.filter(v.isNotNull())
+        .join(F.broadcast(meds), "event_type")
+        .withColumn("adev", F.abs(v - F.col("med")))
+    )
+    mads = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    cut = F.lit(MAD_OUTLIER_K * MAD_SIGMA_SCALE) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum((F.col("adev") > cut).cast("long")).alias("n_outliers"),
+            F.round(
+                F.avg((F.col("adev") > cut).cast("double")), 6
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+MAD_OUTLIER_AUDIT_SQL = f"""
+WITH meds AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+    FROM events e JOIN meds m USING (event_type)
+    WHERE e.value IS NOT NULL
+),
+mads AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       round(ANY_VALUE(d.med), 6) AS median,
+       round(ANY_VALUE(m.mad), 6) AS mad,
+       SUM((d.adev > {MAD_OUTLIER_K * MAD_SIGMA_SCALE!r} * m.mad)::BIGINT)
+           AS n_outliers,
+       round(AVG((d.adev > {MAD_OUTLIER_K * MAD_SIGMA_SCALE!r} * m.mad)::INT),
+             6) AS outlier_rate
+FROM dev d JOIN mads m USING (event_type)
+GROUP BY d.event_type
+"""

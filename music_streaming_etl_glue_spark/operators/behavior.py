@@ -1462,3 +1462,73 @@ FROM rules
 ORDER BY lift DESC, antecedent ASC, consequent ASC
 LIMIT {RULES_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# session transition matrix (first-order Markov chain over event types)
+# ---------------------------------------------------------------------------
+
+TRANSITION_GAP_SECONDS = 1800
+
+
+def session_transition_matrix(
+    events: DataFrame, gap_s: int = TRANSITION_GAP_SECONDS
+) -> DataFrame:
+    """First-order Markov transition matrix over event types within user
+    sessions (30-min idle gap): for every (from_type, to_type) pair of
+    CONSECUTIVE events in the same session, the transition count and the
+    row-normalized probability. The product-analytics 'what do users do
+    next' primitive, and the input to Markov attribution / next-action
+    models.
+
+    One shuffle total: ``lead`` over the (user_id)-partitioned window
+    yields the next event AND its gap, and a transition is kept only
+    when that gap stays inside the session cutoff — sessionization never
+    materializes a session id, so no second exchange on (user, session).
+    The transition aggregate's key space is |event types|² (~25 rows);
+    its normalizing row totals ride a window over that tiny aggregate.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+            gap.alias("gap"),
+        )
+        .filter(F.col("to_type").isNotNull() & (F.col("gap") <= gap_s))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(
+        Window.partitionBy("from_type")
+    )
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / row_total, 6).alias("p"),
+    )
+
+
+SESSION_TRANSITION_MATRIX_SQL = f"""
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER w AS to_type,
+           CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS gap
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM pairs
+    WHERE to_type IS NOT NULL AND gap <= {TRANSITION_GAP_SECONDS}
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions / SUM(n_transitions) OVER (PARTITION BY from_type),
+             6) AS p
+FROM counts
+"""

@@ -18,7 +18,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SHIPPING_CUTOFF = "1998-06-01"  # Q3: orders placed before, shipped after
@@ -1530,4 +1530,202 @@ SELECT l_orderkey,
            AS first_part
 FROM lineitem
 GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+RFM_NTILES = 5
+
+
+def customer_rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation of customers from their order history: recency
+    (days since last order, relative to the newest order in the table),
+    frequency (order count), monetary (exact-decimal spend sum), each
+    scored into quintiles (5 = best) with a deterministic
+    (metric, custkey) tiebreak, plus the standard marketing label.
+
+    Shape: one hash aggregate keyed by custkey (orders is scanned once,
+    column-pruned to 3 columns), the global max date rides along as a
+    broadcast scalar, and the three ``ntile`` windows run over the
+    per-customer AGGREGATE — |customers| rows, not |orders|. The exact
+    quintile assignment needs a global sort of that aggregate per
+    metric; at 100 TB-of-orders scale the aggregate is still ~10⁸ rows,
+    so swap ntile for broadcast quantile thresholds from
+    ``percentile_approx`` (same output contract, no total order) — the
+    exact form here is what the DuckDB oracle replays bit-for-bit.
+    """
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("ref_date"), F.col("last_order")).cast("long"),
+        )
+    )
+    k = F.lit(RFM_NTILES)
+    r_w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("recency_days").desc(), F.col("o_custkey").asc()
+    )
+    f_w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("frequency").asc(), F.col("o_custkey").asc()
+    )
+    m_w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("monetary").asc(), F.col("o_custkey").asc()
+    )
+    scored = per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(RFM_NTILES).over(r_w).cast("long").alias("r_score"),
+        F.ntile(RFM_NTILES).over(f_w).cast("long").alias("f_score"),
+        F.ntile(RFM_NTILES).over(m_w).cast("long").alias("m_score"),
+    )
+    label = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 1) & (F.col("f_score") <= 2), "lost")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm"),
+        label.alias("segment"),
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = f"""
+WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+per_cust AS (
+    SELECT o_custkey AS custkey,
+           date_diff('day', MAX(o_orderdate), ref.ref_date) AS recency_days,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS monetary
+    FROM orders, ref
+    GROUP BY o_custkey, ref.ref_date
+),
+scored AS (
+    SELECT custkey, recency_days, frequency, monetary,
+           ntile({RFM_NTILES}) OVER (ORDER BY recency_days DESC, custkey ASC)
+               AS r_score,
+           ntile({RFM_NTILES}) OVER (ORDER BY frequency ASC, custkey ASC)
+               AS f_score,
+           ntile({RFM_NTILES}) OVER (ORDER BY monetary ASC, custkey ASC)
+               AS m_score
+    FROM per_cust
+)
+SELECT custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 1 AND f_score <= 2 THEN 'lost'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# order backlog timeline (interval open/close -> cumulative count)
+# ---------------------------------------------------------------------------
+
+
+def orders_backlog_timeline(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Daily open-order backlog: an order opens at ``o_orderdate`` and
+    closes when its last line ships (``max(l_shipdate)``); the timeline
+    is the running count of opened-but-not-yet-shipped orders per day —
+    the interval-count operator (event-ize endpoints → ±1 deltas →
+    cumulative sum), never an order × day expansion.
+
+    Shape: one hash-agg on orderkey for the close dates (the only
+    shuffle over a large relation, AQE-re-plannable equi-key), daily
+    delta aggregates, then the cumulative window over the
+    days-sized timeline — repartition(1) declares the single partition
+    explicitly (the upstream daily aggregate stays parallel), the same
+    pattern as ``error_bursts``. At any order volume the windowed
+    relation is bounded by the calendar, not the data.
+    """
+    opened = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count("*").alias("n_opened"))
+    closes = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_day")
+    )
+    closed = closes.groupBy(F.col("close_day").alias("day")).agg(
+        F.count("*").alias("n_closed")
+    )
+    daily = (
+        opened.join(closed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        )
+    )
+    w = Window.partitionBy(F.spark_partition_id()).orderBy("day")
+    return (
+        daily.repartition(1)
+        .select(
+            "day",
+            "n_opened",
+            "n_closed",
+            F.sum(F.col("n_opened") - F.col("n_closed"))
+            .over(w)
+            .alias("backlog"),
+        )
+    )
+
+
+ORDERS_BACKLOG_TIMELINE_SQL = """
+WITH opened AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_opened
+    FROM orders GROUP BY 1
+),
+closes AS (
+    SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+    FROM lineitem GROUP BY l_orderkey
+),
+closed AS (
+    SELECT close_day AS day, COUNT(*) AS n_closed FROM closes GROUP BY 1
+),
+daily AS (
+    SELECT COALESCE(o.day, c.day) AS day,
+           COALESCE(n_opened, 0) AS n_opened,
+           COALESCE(n_closed, 0) AS n_closed
+    FROM opened o FULL OUTER JOIN closed c ON o.day = c.day
+)
+SELECT day, n_opened, n_closed,
+       SUM(n_opened - n_closed) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+FROM daily
 """
