@@ -225,6 +225,7 @@ _STAMP_PRIORITY = (
     "collocations_pmi",
     "dedup_incremental_bloom",
     "orders_backlog_timeline",
+    "genre_rolling_median",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -264,6 +265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _enriched(spark, sf)
         ),
         "genre_daily_moving_avg": lambda spark, sf: _kpis.genre_daily_moving_avg(
+            _enriched(spark, sf)
+        ),
+        # robust twin: rolling MEDIAN via percentile window aggregate
+        "genre_rolling_median": lambda spark, sf: _kpis.genre_rolling_median(
             _enriched(spark, sf)
         ),
         "genre_top_genres": lambda spark, sf: _kpis.genre_top_genres(
@@ -498,6 +503,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": lambda spark, sf: _dedup.dedup_incremental(
             _docs(spark, sf)
         ),
+        # relational Bloom prefilter in front of the exact confirm join
+        # (identical output; shuffle volume ∝ dup rate, not batch size)
+        "dedup_incremental_bloom": lambda spark, sf: (
+            _dedup.dedup_incremental_bloom(_docs(spark, sf))
+        ),
         "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
         # MOSS winnowing: guaranteed-detection sparse fingerprints + pairs
         "winnowing_fingerprints": lambda spark, sf: (
@@ -594,6 +604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pandas": lambda spark, sf: _sim.ann_topk_pandas(
             _embs(spark, sf)
         ),
+        # diversity-aware rerank of the retrieval pool (greedy MMR in one
+        # Arrow batch; DuckDB twin replays it with a recursive CTE)
+        "mmr_rerank": lambda spark, sf: _sim.mmr_rerank(_embs(spark, sf)),
         "ann_topk_bucketed": lambda spark, sf: _sim.ann_topk_bucketed(
             _embs(spark, sf)
         ),
@@ -906,6 +919,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": lambda spark, sf: _text.unigram_surprisal(
             _docs(spark, sf)
         ),
+        # CCNet-style head/middle/tail perplexity terciles
+        "perplexity_buckets": lambda spark, sf: _text.perplexity_buckets(
+            _docs(spark, sf)
+        ),
+        # PMI phrase mining over adjacent bigrams
+        "collocations_pmi": lambda spark, sf: _text.collocations_pmi(
+            _docs(spark, sf)
+        ),
         # BPE merge-rule training (iterative distributed argmax+fold;
         # rows-only driver check — pytest pins exact rule-sequence parity
         # with a single-machine reference BPE)
@@ -1008,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "genre_daily_metrics": _kpis.GENRE_DAILY_SQL,
         "genre_top_songs": _kpis.GENRE_TOP_SONGS_SQL,
         "genre_daily_moving_avg": _kpis.GENRE_DAILY_MOVING_AVG_SQL,
+        "genre_rolling_median": _kpis.GENRE_ROLLING_MEDIAN_SQL,
         "genre_top_genres": _kpis.GENRE_TOP_GENRES_SQL,
         "trending_tracks": _kpis.TRENDING_SQL,
         "trending_tracks_reference_exact": _kpis.TRENDING_REFERENCE_EXACT_SQL,
@@ -1072,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": _dedup.DEDUP_APPLY_SQL,
         "soft_dedup_weights": _dedup.SOFT_DEDUP_WEIGHTS_SQL,
         "dedup_incremental": _dedup.DEDUP_INCREMENTAL_SQL,
+        "dedup_incremental_bloom": _dedup.DEDUP_INCREMENTAL_BLOOM_SQL,
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
         "split_leakage_audit": _dedup.SPLIT_LEAKAGE_AUDIT_SQL,
         "containment_pairs": _dedup.CONTAINMENT_PAIRS_SQL,
@@ -1101,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _dedup.SIMHASH_SQL,
         "simhash_near_dups": _dedup.SIMHASH_NEAR_DUPS_SQL,
         "ann_topk_bruteforce": _sim.ANN_TOPK_SQL,
+        "mmr_rerank": _sim.MMR_RERANK_SQL,
         "ann_topk_pandas": _sim.ANN_TOPK_SQL,
         "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,
@@ -1178,6 +1202,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": _text.NORMALIZE_TEXT_SQL,
         "pii_scrub": _text.PII_SCRUB_SQL,
         "unigram_surprisal": _text.UNIGRAM_SURPRISAL_SQL,
+        "perplexity_buckets": _text.PERPLEXITY_BUCKETS_SQL,
+        "collocations_pmi": _text.COLLOCATIONS_PMI_SQL,
         "bpe_encode": _text.BPE_ENCODE_SQL,
         "bpe_roundtrip": _text.BPE_ROUNDTRIP_SQL,
         "nb_source_classifier": _text.NB_SOURCE_CLASSIFIER_SQL,

@@ -982,7 +982,7 @@ SELECT d.event_type,
        round(ANY_VALUE(d.med), 6) AS median,
        round(ANY_VALUE(m.mad), 6) AS mad,
        SUM((d.adev > {MAD_OUTLIER_K * MAD_SIGMA_SCALE!r} * m.mad)::BIGINT)
-           AS n_outliers,
+           ::BIGINT AS n_outliers,
        round(AVG((d.adev > {MAD_OUTLIER_K * MAD_SIGMA_SCALE!r} * m.mad)::INT),
              6) AS outlier_rate
 FROM dev d JOIN mads m USING (event_type)

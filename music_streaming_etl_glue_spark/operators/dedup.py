@@ -2145,3 +2145,148 @@ SELECT doc_id, source, global_rank,
        ((global_rank - 1) // {INTERLEAVE_BATCH_SIZE})::BIGINT AS batch_id
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# relational Bloom filter: ingest-time exact-dup prefilter
+# ---------------------------------------------------------------------------
+
+#: 2^20 bits / 64 = 16,384 words — a ~128 KB filter relation. Size the
+#: bits ~10× the corpus-hash cardinality for a ~1% false-positive rate
+#: (fp ≈ (1 − e^{−kn/m})^k); false positives only cost extra rows in the
+#: exact confirm join, never a wrong answer.
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 3
+
+
+def _bloom_probes(key: str, bits: int, hashes: int) -> Column:
+    """Array of (word, mask) probe positions for one key column —
+    xxhash64 with per-probe seeds, folded into 64-bit words so the
+    filter is a plain (word → bitmap) relation. Built as a SQL
+    expression because ``shiftleft``'s python wrapper only takes a
+    literal shift count."""
+    items = ", ".join(
+        f"named_struct("
+        f"'word', CAST(floor(pmod(xxhash64({key}, {seed}), {bits}) / 64)"
+        f" AS BIGINT), "
+        f"'mask', shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(pmod(xxhash64({key}, {seed}), {bits}) % 64 AS INT)))"
+        for seed in range(hashes)
+    )
+    return F.expr(f"array({items})")
+
+
+def bloom_build(keys: DataFrame, key_col: str = "text_hash",
+                bits: int = BLOOM_BITS,
+                hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Bloom filter AS A RELATION: one row per non-empty 64-bit word,
+    ``bit_or`` of every member key's probe masks. Spark's internal
+    ``bloom_filter_agg`` isn't in the public function registry, and a
+    driver-side ``df.stat.bloomFilter`` collects to one machine; this
+    relational form builds with one hash aggregate keyed by word index
+    (map-side partial OR), is ≤ bits/64 rows regardless of corpus size,
+    broadcasts, and persists as ordinary parquet for reuse across
+    ingest batches."""
+    return (
+        keys.select(
+            F.explode(_bloom_probes(key_col, bits, hashes)).alias("p")
+        )
+        .groupBy(F.col("p.word").alias("word"))
+        .agg(F.expr("bit_or(p.mask)").alias("bitmap"))
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "text_hash",
+    id_col: str = "doc_id",
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Membership prefilter: a batch row is a CANDIDATE iff every probe
+    bit is set in the filter. Probes explode to (id, word, mask), the
+    tiny word relation broadcast-joins in, and a per-id count compares
+    hits to the probe count — no driver round-trip, no UDF. Guaranteed
+    no false negatives (the bitmap is the OR of all member masks), so
+    dropping non-candidates before an exact join is sound."""
+    probes = batch.select(
+        F.col(id_col),
+        F.explode(_bloom_probes(key_col, bits, hashes)).alias("p"),
+    ).select(
+        id_col,
+        F.col("p.word").alias("pword"),
+        F.col("p.mask").alias("pmask"),
+    )
+    hit = (
+        F.col("bitmap").isNotNull()
+        & (F.col("pmask").bitwiseAND(F.col("bitmap")) != 0)
+    )
+    return (
+        probes.join(
+            F.broadcast(bloom), F.col("pword") == F.col("word"), "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            (F.sum(hit.cast("int")) == F.lit(hashes)).alias(
+                "bloom_candidate"
+            )
+        )
+    )
+
+
+def dedup_incremental_bloom(
+    documents: DataFrame,
+    corpus_mod: int = INCREMENTAL_CORPUS_MOD,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Exact-dup ingest flagging with a Bloom prefilter: the corpus's
+    text-hash set is folded into the ~128 KB word/bitmap relation, every
+    batch doc probes it broadcast-side, and ONLY bloom candidates reach
+    the exact confirm join. Output is identical to the plain exact
+    anti-join (`exact_dup`, `keep` per batch doc) — the filter is a
+    plan-level accelerator, not a semantics change, so the DuckDB twin
+    is the straightforward exact SQL.
+
+    100 TB shape: the common case (new, unseen content) never shuffles —
+    it dies at the broadcast probe; the exact join's shuffle volume is
+    (true dups + ~1% false positives), proportional to the dup rate
+    rather than the batch size. The built filter relation is the
+    cross-batch artifact a streaming ingest would persist and reuse.
+    """
+    corpus_hashes = (
+        documents.filter(F.col("doc_id") % corpus_mod == 0)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    batch = documents.filter(F.col("doc_id") % corpus_mod != 0).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    bloom = bloom_build(corpus_hashes, bits=bits, hashes=hashes)
+    flags = bloom_probe(batch, bloom, bits=bits, hashes=hashes)
+    candidates = batch.join(flags, "doc_id").filter("bloom_candidate")
+    confirmed = (
+        candidates.join(corpus_hashes, "text_hash", "left_semi")
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(True))
+    )
+    return batch.join(confirmed, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+        (~F.coalesce("exact_dup", F.lit(False))).alias("keep"),
+    )
+
+
+DEDUP_INCREMENTAL_BLOOM_SQL = f"""
+WITH corpus_hashes AS (
+    SELECT DISTINCT md5(text) AS text_hash FROM documents
+    WHERE doc_id % {INCREMENTAL_CORPUS_MOD} = 0
+)
+SELECT d.doc_id,
+       ch.text_hash IS NOT NULL AS exact_dup,
+       ch.text_hash IS NULL AS keep
+FROM (SELECT doc_id, md5(text) AS text_hash FROM documents
+      WHERE doc_id % {INCREMENTAL_CORPUS_MOD} != 0) d
+LEFT JOIN corpus_hashes ch ON ch.text_hash = d.text_hash
+"""

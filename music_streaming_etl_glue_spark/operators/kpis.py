@@ -306,6 +306,45 @@ FROM daily
 """
 
 
+def genre_rolling_median(
+    enriched: DataFrame, days: int = MOVING_AVG_DAYS
+) -> DataFrame:
+    """Per genre: trailing ``days``-row rolling MEDIAN of daily listens —
+    the robust twin of :func:`genre_daily_moving_avg` (one spike day
+    shifts a moving average by spike/days but leaves the rolling median
+    untouched, so threshold alerts on the median don't page on single
+    anomalies). ``percentile`` runs as a window aggregate over the same
+    (genre)-keyed sort as the moving average; the windowed relation is
+    the DAILY aggregate (days × genres rows), never raw events."""
+    daily = genre_daily_metrics(enriched).select(
+        "date", "track_genre", "listen_count"
+    )
+    w_frame = (
+        Window.partitionBy("track_genre")
+        .orderBy("date")
+        .rowsBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        "date",
+        "track_genre",
+        "listen_count",
+        F.round(
+            F.expr("percentile(listen_count, 0.5)").over(w_frame), 6
+        ).alias(f"median_{days}d_listens"),
+    )
+
+
+GENRE_ROLLING_MEDIAN_SQL = f"""
+WITH daily AS ({GENRE_DAILY_SQL})
+SELECT date, track_genre, listen_count,
+       round(quantile_cont(listen_count, 0.5) OVER (
+           PARTITION BY track_genre ORDER BY date
+           ROWS BETWEEN {MOVING_AVG_DAYS - 1} PRECEDING AND CURRENT ROW
+       ), 6) AS median_{MOVING_AVG_DAYS}d_listens
+FROM daily
+"""
+
+
 def genre_distinct_sketch_rollup(enriched: DataFrame) -> DataFrame:
     """Mergeable-sketch distinct counting (the pattern that replaces
     COUNT(DISTINCT) rescans at 100 TB): build one HLL sketch per

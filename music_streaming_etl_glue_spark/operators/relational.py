@@ -1726,6 +1726,7 @@ daily AS (
 )
 SELECT day, n_opened, n_closed,
        SUM(n_opened - n_closed) OVER (ORDER BY day
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS backlog
 FROM daily
 """

@@ -3044,3 +3044,148 @@ def pca_project(
     return embeddings.select("vec_id", "embedding").mapInPandas(
         project, schema="vec_id long, proj array<double>"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR rerank (diversity-aware top-k)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+MMR_K = 5
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank: from the exact cosine top-
+    ``pool`` of ``query_vec_id``, greedily select ``k`` results
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-chosen —
+    the diversity-aware serving layer on top of any ANN retriever
+    (near-duplicate hits crowd a plain top-k; MMR spends the result
+    budget on distinct neighborhoods).
+
+    Shape: retrieval is the distributed part (TakeOrderedAndProject
+    top-``pool``, exactly :func:`ann_topk_bruteforce`'s plan, or swap in
+    any IVF/PQ retriever); the greedy selection is inherently
+    sequential over a candidate set the caller bounded at ~20 rows, so
+    it runs as ONE Arrow-batched ``applyInPandas`` group — per-query
+    work is O(pool²) on a matrix that already fits in a result page. At
+    serving scale the same kernel fans out per query id via the same
+    groupBy. Determinism: relevance and the pairwise similarity matrix
+    are rounded to ROUND (6) dp before the greedy loop and ties break on
+    vec_id, so the selection is engine-exact (the DuckDB twin replays
+    it with a recursive CTE).
+    """
+    cand = ann_topk_bruteforce(embeddings, pool, query_vec_id).select(
+        "vec_id", F.col("similarity").alias("relevance")
+    )
+    cand_vecs = cand.join(
+        embeddings.select("vec_id", _as_double("embedding").alias("vec")),
+        "vec_id",
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["relevance"].to_numpy(dtype="float64")
+        mat = np.vstack(
+            pdf["vec"].map(lambda v: np.asarray(v, dtype="float64"))
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = np.round(
+            (mat @ mat.T) / np.outer(norms, norms), ROUND
+        )
+        chosen: list[int] = []
+        n = len(ids)
+        kk = min(k, n)
+        for _ in range(kk):
+            best_i, best_obj = -1, None
+            for i in range(n):
+                if i in chosen:
+                    continue
+                if chosen:
+                    max_sim = max(sims[i, j] for j in chosen)
+                    obj = lam * rel[i] - (1.0 - lam) * max_sim
+                else:
+                    obj = lam * rel[i]
+                # ids are vec_id-sorted: strict > keeps the smallest id
+                # on ties, matching the SQL twin's (obj DESC, vec_id)
+                if best_obj is None or obj > best_obj:
+                    best_i, best_obj = i, obj
+            chosen.append(best_i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids[chosen],
+                "relevance": rel[chosen],
+                "rank": np.arange(1, kk + 1, dtype="int64"),
+            }
+        )
+
+    return (
+        cand_vecs.groupBy(F.lit(0).alias("__g"))
+        .applyInPandas(
+            lambda _, pdf: greedy(pdf),
+            "vec_id long, relevance double, rank long",
+        )
+    )
+
+
+MMR_RERANK_SQL = f"""
+WITH RECURSIVE q AS (
+    SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+    WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS vec,
+           round(
+               list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), {ROUND}
+           ) AS relevance
+    FROM embeddings e, q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+),
+cand AS (
+    SELECT vec_id, vec, relevance,
+           row_number() OVER (ORDER BY relevance DESC, vec_id ASC) AS rrank
+    FROM scored QUALIFY rrank <= {MMR_POOL}
+),
+pairs AS (
+    SELECT a.vec_id AS ida, b.vec_id AS idb,
+           round(
+               list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), {ROUND}
+           ) AS sim
+    FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+),
+sel AS (
+    SELECT 1 AS step,
+           [(SELECT vec_id FROM cand
+             ORDER BY relevance DESC, vec_id ASC LIMIT 1)] AS chosen
+    UNION ALL
+    SELECT s.step + 1,
+           list_append(s.chosen, (
+               SELECT c.vec_id FROM cand c
+               WHERE NOT list_contains(s.chosen, c.vec_id)
+               ORDER BY {MMR_LAMBDA!r} * c.relevance
+                        - (1.0 - {MMR_LAMBDA!r}) * (
+                            SELECT MAX(p.sim) FROM pairs p
+                            WHERE p.ida = c.vec_id
+                              AND list_contains(s.chosen, p.idb)
+                        ) DESC, c.vec_id ASC
+               LIMIT 1))
+    FROM sel s WHERE s.step < {MMR_K}
+),
+final AS (SELECT chosen FROM sel WHERE step = {MMR_K})
+SELECT c.vec_id, c.relevance,
+       list_position(f.chosen, c.vec_id)::BIGINT AS rank
+FROM cand c, final f
+WHERE list_contains(f.chosen, c.vec_id)
+"""

@@ -664,16 +664,18 @@ def pack_chunks(
     )
     btot = tagged.groupBy("__b").agg(F.sum("chunk_tokens").alias("bt"))
     # ≤256-row metadata window: cumulative tokens before each bucket.
-    # coalesce(1) + spark_partition_id() declares the single partition
-    # explicitly (same rows either way; keeps the gate log free of
-    # WindowExec no-partition warnings so a REAL one stands out)
+    # repartition(1) + spark_partition_id() declares the single partition
+    # via an explicit exchange (coalesce(1) would collapse the bucket
+    # aggregate's reduce stage above to one task — the round-6 advice
+    # pattern); keeps the gate log free of WindowExec no-partition
+    # warnings so a REAL one stands out
     w_off = (
         Window.partitionBy(F.spark_partition_id())
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        btot.coalesce(1)
+        btot.repartition(1)
         .withColumn("off", F.coalesce(F.sum("bt").over(w_off), F.lit(0)))
         .select("__b", "off")
     )
@@ -2613,3 +2615,194 @@ FROM ({inner})
 
 
 TEXT_SEMANTIC_PAIRS_SQL = _text_semantic_pairs_sql()
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style quality partitioning: per-document perplexity under
+    the corpus's own unigram LM (exp of mean surprisal — the model-free
+    twin of :func:`unigram_surprisal`), split into head / middle / tail
+    by corpus-wide perplexity terciles. Pretraining pipelines keep head,
+    sample middle, and drop or re-filter tail; the bucket column is the
+    mixture key.
+
+    Shape: the same two token-keyed hash aggregates as
+    ``unigram_surprisal`` (term frequencies join back on their own key —
+    never a driver-side vocabulary), one exact-percentile aggregate over
+    the per-DOC relation (|docs| rows, not tokens), broadcast back as
+    two scalars. Terciles are computed over the 6dp-rounded perplexity
+    so both engines cut on the identical grid; at 100 TB swap the exact
+    percentile for ``percentile_approx`` (same contract, sketch-bounded
+    memory).
+    """
+    toks = documents.select("doc_id", F.explode(_tokens()).alias("term"))
+    freqs = toks.groupBy("term").agg(F.count("*").alias("tc"))
+    total = F.broadcast(
+        freqs.agg(F.sum("tc").cast("double").alias("total"))
+    )
+    surprisal = -F.log(F.col("tc").cast("double") / F.col("total"))
+    ppl = (
+        toks.join(freqs, "term")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(F.round(F.exp(F.avg(surprisal)), 6).alias("ppl"))
+    )
+    cuts = F.broadcast(
+        ppl.agg(
+            F.expr("percentile(ppl, 1.0/3.0)").alias("t1"),
+            F.expr("percentile(ppl, 2.0/3.0)").alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("t1"), "head")
+        .when(F.col("ppl") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return ppl.crossJoin(cuts).select(
+        "doc_id", "ppl", bucket.alias("bucket")
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freqs AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY term),
+total AS (SELECT SUM(tc)::DOUBLE AS total FROM freqs),
+ppl AS (
+    SELECT t.doc_id,
+           round(exp(AVG(-ln(f.tc::DOUBLE / total.total))), 6) AS ppl
+    FROM toks t JOIN freqs f ON t.term = f.term, total
+    GROUP BY t.doc_id
+),
+cuts AS (
+    SELECT quantile_cont(ppl, 1.0/3.0) AS t1,
+           quantile_cont(ppl, 2.0/3.0) AS t2
+    FROM ppl
+)
+SELECT doc_id, ppl,
+       CASE WHEN ppl <= t1 THEN 'head'
+            WHEN ppl <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ppl, cuts
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (adjacent-bigram association mining)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def collocations_pmi(
+    documents: DataFrame,
+    min_count: int = PMI_MIN_COUNT,
+    k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information:
+    PMI(x, y) = ln( p(xy) / (p(x) p(y)) ) with bigram probabilities over
+    adjacent pairs and unigram probabilities over all tokens, filtered
+    to pairs seen ≥ ``min_count`` times (the classic low-frequency PMI
+    inflation guard). The phrase-mining primitive feeding tokenizer
+    vocabularies and query expansion.
+
+    Shape: bigrams explode from a zip of the token array with its own
+    tail — position-aware without a window or posexplode self-join; one
+    hash aggregate each for bigram and unigram counts; the two corpus
+    totals broadcast as scalars; unigram probabilities join back on
+    their own term key (shuffle equi-join at vocabulary cardinality).
+    Ranking sorts by the 6dp-ROUNDED pmi with a (t1, t2) tiebreak so
+    the top-k boundary is engine-independent, and runs as
+    TakeOrderedAndProject (partial top-k, no global sort).
+    """
+    arr = _tokens()
+    pairs = (
+        documents.filter(F.size(arr) >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("t1"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("t2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    )
+    pair_counts = pairs.groupBy("t1", "t2").agg(
+        F.count("*").alias("n_pair")
+    )
+    n_pairs = F.broadcast(
+        pair_counts.agg(F.sum("n_pair").cast("double").alias("n_pairs"))
+    )
+    uni = documents.select(F.explode(arr).alias("term")).groupBy(
+        "term"
+    ).agg(F.count("*").alias("n_term"))
+    n_toks = F.broadcast(
+        uni.agg(F.sum("n_term").cast("double").alias("n_toks"))
+    )
+    pmi = F.log(
+        (F.col("n_pair") / F.col("n_pairs"))
+        / (
+            (F.col("na") / F.col("n_toks"))
+            * (F.col("nb") / F.col("n_toks"))
+        )
+    )
+    return (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("term"), F.col("n_term").alias("na")),
+              F.col("t1") == F.col("term"))
+        .drop("term")
+        .join(uni.select(F.col("term"), F.col("n_term").alias("nb")),
+              F.col("t2") == F.col("term"))
+        .drop("term")
+        .crossJoin(n_pairs)
+        .crossJoin(n_toks)
+        .select(
+            "t1",
+            "t2",
+            "n_pair",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(k)
+    )
+
+
+COLLOCATIONS_PMI_SQL = f"""
+WITH docs AS (
+    SELECT string_split(text, ' ') AS arr FROM documents
+),
+zipped AS (
+    SELECT unnest(list_zip(arr[:len(arr) - 1], arr[2:])) AS p
+    FROM docs WHERE len(arr) >= 2
+),
+pairs AS (
+    SELECT p[1] AS t1, p[2] AS t2 FROM zipped
+),
+pair_counts AS (
+    SELECT t1, t2, COUNT(*) AS n_pair FROM pairs GROUP BY t1, t2
+),
+n_pairs AS (SELECT SUM(n_pair)::DOUBLE AS n_pairs FROM pair_counts),
+uni AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+uni_counts AS (SELECT term, COUNT(*) AS n_term FROM uni GROUP BY term),
+n_toks AS (SELECT SUM(n_term)::DOUBLE AS n_toks FROM uni_counts)
+SELECT p.t1, p.t2, p.n_pair,
+       round(ln((p.n_pair / n_pairs.n_pairs)
+                / ((ua.n_term / n_toks.n_toks)
+                   * (ub.n_term / n_toks.n_toks))), 6) AS pmi
+FROM pair_counts p
+JOIN uni_counts ua ON p.t1 = ua.term
+JOIN uni_counts ub ON p.t2 = ub.term
+CROSS JOIN n_pairs CROSS JOIN n_toks
+WHERE p.n_pair >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, p.t1 ASC, p.t2 ASC
+LIMIT {PMI_TOP_K}
+"""

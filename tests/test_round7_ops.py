@@ -165,3 +165,135 @@ def test_orders_backlog_timeline_cumulative_and_parallel_plan(spark):
     plan = _plan(df)
     assert "SinglePartition" in plan
     assert "Coalesce" not in plan
+
+
+def test_perplexity_buckets_orders_rare_word_docs_into_tail(spark):
+    """Docs made of corpus-rare tokens have high unigram perplexity and
+    must land in 'tail'; the all-common-word doc lands in 'head'."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        perplexity_buckets,
+    )
+
+    common = " ".join(["the quick brown fox"] * 5)
+    docs = [(i, common) for i in range(6)]
+    docs.append((100, "zxq wvut mlkj"))  # three singleton tokens
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in perplexity_buckets(df).collect()}
+    assert out[100].bucket == "tail"
+    assert out[0].bucket == "head"
+    assert out[100].ppl > out[0].ppl
+
+
+def test_collocations_pmi_surfaces_planted_phrase(spark):
+    """A phrase that always co-occurs ('hong kong') outranks pairs of
+    independently-frequent words; pairs under min_count never appear."""
+    from music_streaming_etl_glue_spark.operators.text import (
+        collocations_pmi,
+    )
+
+    # filler words recur but in rotated orders, so no filler bigram is
+    # as tight as the planted phrase
+    fillers = ["a b c d e f g h"[2 * i:] + " " + "a b c d e f g h"[: 2 * i]
+               for i in range(8)]
+    docs = [(i, f"hong kong {fillers[i].strip()}") for i in range(8)]
+    docs.append((99, "rare pair"))  # n_pair = 1 < min_count
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = collocations_pmi(df, min_count=5, k=10).collect()
+    assert rows[0].t1 == "hong" and rows[0].t2 == "kong"
+    assert all((r.t1, r.t2) != ("rare", "pair") for r in rows)
+    assert all(r.n_pair >= 5 for r in rows)
+
+
+def test_bloom_probe_no_false_negatives_and_prefilter_equivalence(spark):
+    """Every corpus member must be a bloom candidate (no false
+    negatives), and the bloom-prefiltered incremental dedup must equal
+    the plain exact anti-join bit for bit."""
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+        dedup_incremental_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(70)],
+        "doc_id long, text string",
+    )
+    hashes = docs.select(F.md5("text").alias("text_hash")).distinct()
+    bloom = bloom_build(hashes)
+    members = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    flags = bloom_probe(members, bloom)
+    assert all(r.bloom_candidate for r in flags.collect())
+
+    out = {r.doc_id: r for r in dedup_incremental_bloom(docs).collect()}
+    # corpus = doc_id % 5 == 0 holds texts 'text 0/5/1/6/3' (mod 7 of
+    # multiples of 5) — every batch doc with a text in that set is a dup
+    corpus_texts = {f"text {i % 7}" for i in range(0, 70, 5)}
+    for i in range(70):
+        if i % 5 == 0:
+            assert i not in out  # corpus rows are not output
+        else:
+            assert out[i].exact_dup == (f"text {i % 7}" in corpus_texts)
+            assert out[i].keep != out[i].exact_dup
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """Candidate B is a near-copy of top hit A; a plain top-2 returns
+    (A, B) but MMR's second pick must be the diverse C."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # query spans two axes; A sits on axis 1, C on axis 2 (diverse but
+    # equally relevant), B is a near-duplicate of A, D is irrelevant
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0], 0),    # query
+        (1, [1.0, 0.01, 0.0, 0.0], 0),   # A: top relevance
+        (2, [1.0, -0.02, 0.0, 0.0], 0),  # B: near-duplicate of A
+        (3, [0.0, 1.0, 0.0, 0.0], 0),    # C: diverse, same relevance
+        (4, [0.0, 0.0, 1.0, 0.0], 0),    # D: irrelevant
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = mmr_rerank(embs, k=2, pool=4, lam=0.5)
+    got = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert got[0] == 1  # highest relevance first
+    assert got[1] == 3  # diversity beats the near-duplicate
+
+
+def test_genre_rolling_median_ignores_single_spike(spark):
+    """One spike day shifts the 7-day moving average but leaves the
+    rolling median untouched — the robustness the operator exists for."""
+    import datetime
+
+    from music_streaming_etl_glue_spark.operators.kpis import (
+        genre_daily_moving_avg,
+        genre_rolling_median,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    day = datetime.timedelta(days=1)
+    rows = []
+    eid = 0
+    for d in range(10):
+        # 10 listens/day, except day 5 spikes to 100
+        n = 100 if d == 5 else 10
+        for i in range(n):
+            eid += 1
+            rows.append((eid, 1, "rock", 3.0, t0 + d * day))
+    enriched = spark.createDataFrame(
+        rows,
+        "event_id long, track_id long, track_genre string,"
+        " listening_time double, timestamp timestamp",
+    ).withColumn("user_id", F.col("event_id") % 7)
+    med = {
+        str(r.date): r.median_7d_listens
+        for r in genre_rolling_median(enriched).collect()
+    }
+    avg = {
+        str(r.date): r.avg_7d_listens
+        for r in genre_daily_moving_avg(enriched).collect()
+    }
+    # day 8's trailing window covers days 2-8: median unmoved, avg not
+    assert med["2024-01-09"] == 10.0
+    assert avg["2024-01-09"] > 20.0
