@@ -226,6 +226,9 @@ _STAMP_PRIORITY = (
     "dedup_incremental_bloom",
     "orders_backlog_timeline",
     "genre_rolling_median",
+    "mmr_rerank_multi",
+    "value_equiheight_histogram",
+    "audience_overlap",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -269,6 +272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # robust twin: rolling MEDIAN via percentile window aggregate
         "genre_rolling_median": lambda spark, sf: _kpis.genre_rolling_median(
+            _enriched(spark, sf)
+        ),
+        # HLL sketch algebra: pairwise shared audience via inclusion-
+        # exclusion over persisted per-genre partials (rows-only; the
+        # exact self-join twin rides along, pytest-bounded)
+        "audience_overlap": lambda spark, sf: _kpis.audience_overlap(
             _enriched(spark, sf)
         ),
         "genre_top_genres": lambda spark, sf: _kpis.genre_top_genres(
@@ -467,6 +476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": lambda spark, sf: _an.value_histogram(
             load_table(spark, sf, "events")
         ),
+        # equi-height twin: exact quantile cuts broadcast to a fold-based
+        # bin expression — no global sort, no ntile
+        "value_equiheight_histogram": lambda spark, sf: (
+            _an.value_equiheight_histogram(load_table(spark, sf, "events"))
+        ),
         # count-min sketch (relational form) with exact-twin error audit
         "cms_track_estimates": lambda spark, sf: _an.cms_track_estimates(
             load_table(spark, sf, "events")
@@ -607,6 +621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diversity-aware rerank of the retrieval pool (greedy MMR in one
         # Arrow batch; DuckDB twin replays it with a recursive CTE)
         "mmr_rerank": lambda spark, sf: _sim.mmr_rerank(_embs(spark, sf)),
+        # the serving fan-out: knn_join pool, one pandas group per query
+        "mmr_rerank_multi": lambda spark, sf: _sim.mmr_rerank_multi(
+            _embs(spark, sf)
+        ),
         "ann_topk_bucketed": lambda spark, sf: _sim.ann_topk_bucketed(
             _embs(spark, sf)
         ),
@@ -1084,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         "genre_daily_gapfilled": _beh.GENRE_DAILY_GAPFILLED_SQL,
         "daily_activity_full": _beh.DAILY_ACTIVITY_FULL_SQL,
         "value_histogram": _an.VALUE_HISTOGRAM_SQL,
+        "value_equiheight_histogram": _an.VALUE_EQUIHEIGHT_HISTOGRAM_SQL,
         "cms_track_estimates": _an.CMS_TRACK_ESTIMATES_SQL,
         "geomean_value_by_type": _an.GEOMEAN_VALUE_SQL,
         "events_minute_ohlc": _an.EVENTS_MINUTE_OHLC_SQL,
@@ -1125,6 +1144,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _dedup.SIMHASH_NEAR_DUPS_SQL,
         "ann_topk_bruteforce": _sim.ANN_TOPK_SQL,
         "mmr_rerank": _sim.MMR_RERANK_SQL,
+        "mmr_rerank_multi": _sim.MMR_RERANK_MULTI_SQL,
         "ann_topk_pandas": _sim.ANN_TOPK_SQL,
         "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,

@@ -988,3 +988,85 @@ SELECT d.event_type,
 FROM dev d JOIN mads m USING (event_type)
 GROUP BY d.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# equi-height histogram (quantile-cut binning — no global sort)
+# ---------------------------------------------------------------------------
+
+EQUIHEIGHT_BUCKETS = 10
+
+
+def value_equiheight_histogram(
+    events: DataFrame, buckets: int = EQUIHEIGHT_BUCKETS
+) -> DataFrame:
+    """Equi-height (quantile-cut) histogram of ``events.value`` — the
+    optimizer-statistics twin of the equi-width ``value_histogram``:
+    bucket boundaries are the exact ``buckets``-quantiles, each row bins
+    by counting how many boundaries it exceeds, and the output carries
+    per-bucket count/share/min/max. Equi-height is what selectivity
+    estimation wants (equal mass per bucket resolves skewed tails that
+    equi-width smears into one bin).
+
+    Shape: one exact-percentile aggregate produces the (buckets−1)-entry
+    boundary array, broadcast to a fold-based bin expression — NO global
+    sort and no ntile at any scale (an ntile would total-order the full
+    relation); the counting pass is one hash aggregate on the bucket id.
+    At 100 TB swap ``percentile`` for ``percentile_approx`` for the
+    boundary pass — same plan shape.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    cuts = F.broadcast(
+        events.filter(F.col("value").isNotNull()).agg(
+            F.expr(
+                f"percentile(value, array({', '.join(map(str, qs))}))"
+            ).alias("bnds")
+        )
+    )
+    bucket = F.aggregate(
+        F.col("bnds"),
+        F.lit(0),
+        lambda acc, b: acc + (F.col("value") > b).cast("int"),
+    ).cast("long")
+    binned = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(cuts)
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+    tot = F.broadcast(binned.agg(F.sum("n").alias("total")))
+    return binned.crossJoin(tot).select(
+        "bucket",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        "lo",
+        "hi",
+    )
+
+
+VALUE_EQUIHEIGHT_HISTOGRAM_SQL = f"""
+WITH cuts AS (
+    SELECT quantile_cont(value,
+        [{', '.join(str(i / EQUIHEIGHT_BUCKETS) for i in range(1, EQUIHEIGHT_BUCKETS))}]
+    ) AS bnds
+    FROM events WHERE value IS NOT NULL
+),
+binned AS (
+    SELECT list_sum(list_transform(c.bnds, b -> (e.value > b)::INT))::BIGINT
+               AS bucket,
+           e.value
+    FROM events e, cuts c WHERE e.value IS NOT NULL
+),
+agg AS (
+    SELECT bucket, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+    FROM binned GROUP BY bucket
+),
+tot AS (SELECT SUM(n)::DOUBLE AS total FROM agg)
+SELECT bucket, n, round(n / total, 6) AS share, lo, hi
+FROM agg, tot
+"""

@@ -379,3 +379,68 @@ def genre_distinct_sketch_rollup(enriched: DataFrame) -> DataFrame:
             "exact_unique_listeners",
         )
     )
+
+
+def audience_overlap(enriched: DataFrame) -> DataFrame:
+    """Pairwise shared-audience estimation by HLL sketch ALGEBRA:
+    intersection via inclusion–exclusion over the per-genre sketches
+    (|A∩B| ≈ est(A) + est(B) − est(A ∪ B)) — the question "how many
+    listeners do genres X and Y share" answered from the SAME persisted
+    per-genre partials :func:`genre_distinct_sketch_rollup` maintains,
+    with no re-scan of raw events and no user-level join. The exact
+    overlap (a user-keyed self-join, the thing that DOES rescan and
+    shuffle) rides along as the error audit, pytest-bounded; at 100 TB
+    only the sketch path runs.
+
+    Sketch registers are engine-specific, so this is a rows-only catalog
+    entry (the genre_distinct_sketch_rollup precedent)."""
+    per_genre = enriched.groupBy("track_genre").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    pairs = (
+        per_genre.select(
+            F.col("track_genre").alias("genre_a"), F.col("sk").alias("sk_a")
+        )
+        .join(
+            per_genre.select(
+                F.col("track_genre").alias("genre_b"),
+                F.col("sk").alias("sk_b"),
+            ),
+            F.col("genre_a") < F.col("genre_b"),
+        )
+        .select(
+            "genre_a",
+            "genre_b",
+            (
+                F.hll_sketch_estimate("sk_a")
+                + F.hll_sketch_estimate("sk_b")
+                - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+            ).alias("est_overlap"),
+        )
+    )
+    users = enriched.select(
+        F.col("track_genre").alias("g"), F.col("user_id").alias("u")
+    ).distinct()
+    exact = (
+        users.alias("x")
+        .join(
+            users.alias("y"),
+            (F.col("x.u") == F.col("y.u"))
+            & (F.col("x.g") < F.col("y.g")),
+        )
+        .groupBy(
+            F.col("x.g").alias("genre_a"), F.col("y.g").alias("genre_b")
+        )
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    return pairs.join(exact, ["genre_a", "genre_b"], "left").select(
+        "genre_a",
+        "genre_b",
+        F.col("est_overlap").cast("long"),
+        F.coalesce("exact_overlap", F.lit(0)).alias("exact_overlap"),
+        F.round(
+            F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+            / F.greatest(F.col("exact_overlap"), F.lit(1)),
+            6,
+        ).alias("rel_err"),
+    )

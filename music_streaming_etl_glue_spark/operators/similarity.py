@@ -3189,3 +3189,139 @@ SELECT c.vec_id, c.relevance,
 FROM cand c, final f
 WHERE list_contains(f.chosen, c.vec_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-query MMR (the serving fan-out of the rerank kernel)
+# ---------------------------------------------------------------------------
+
+MMR_MULTI_POOL = 10
+MMR_MULTI_K = 3
+
+
+def mmr_rerank_multi(
+    embeddings: DataFrame,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = MMR_MULTI_K,
+    pool: int = MMR_MULTI_POOL,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """MMR for a query SET — the standing-workload serving shape: the
+    retrieval pool comes from :func:`knn_join` (exact top-``pool`` per
+    query, two-stage rank, no per-query funnel), then each query's
+    greedy selection runs as its own ``applyInPandas`` group. This is
+    the distribution story :func:`mmr_rerank` documents: retrieval is
+    set-at-a-time relational, selection parallelism = |queries| — at
+    serving scale the groupBy key spreads the O(pool²) kernels evenly
+    across executors, with each group's input a ``pool``-row page.
+
+    Same determinism contract as the single-query form (rounded
+    relevance + rounded pairwise sims, vec_id tiebreaks), so the DuckDB
+    twin replays every query's selection with one recursive CTE keyed
+    by query_id.
+    """
+    cand = knn_join(embeddings, n_queries, pool).select(
+        "query_id", "vec_id", F.col("similarity").alias("relevance")
+    )
+    cand_vecs = cand.join(
+        embeddings.select("vec_id", _as_double("embedding").alias("vec")),
+        "vec_id",
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["relevance"].to_numpy(dtype="float64")
+        mat = np.vstack(
+            pdf["vec"].map(lambda v: np.asarray(v, dtype="float64"))
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), ROUND)
+        chosen: list[int] = []
+        kk = min(k, len(ids))
+        for _ in range(kk):
+            best_i, best_obj = -1, None
+            for i in range(len(ids)):
+                if i in chosen:
+                    continue
+                if chosen:
+                    obj = lam * rel[i] - (1.0 - lam) * max(
+                        sims[i, j] for j in chosen
+                    )
+                else:
+                    obj = lam * rel[i]
+                if best_obj is None or obj > best_obj:
+                    best_i, best_obj = i, obj
+            chosen.append(best_i)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "vec_id": ids[chosen],
+                "relevance": rel[chosen],
+                "rank": np.arange(1, kk + 1, dtype="int64"),
+            }
+        )
+
+    return cand_vecs.groupBy("query_id").applyInPandas(
+        lambda _, pdf: greedy(pdf),
+        "query_id long, vec_id long, relevance double, rank long",
+    )
+
+
+MMR_RERANK_MULTI_SQL = f"""
+WITH RECURSIVE q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+    FROM embeddings WHERE vec_id < {KNN_N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id, e.embedding::DOUBLE[] AS vec,
+           round(
+               list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), {ROUND}
+           ) AS relevance
+    FROM embeddings e JOIN q ON e.vec_id != q.query_id
+),
+cand AS (
+    SELECT query_id, vec_id, vec, relevance,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY relevance DESC, vec_id ASC) AS rrank
+    FROM scored QUALIFY rrank <= {MMR_MULTI_POOL}
+),
+pairs AS (
+    SELECT a.query_id, a.vec_id AS ida, b.vec_id AS idb,
+           round(
+               list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), {ROUND}
+           ) AS sim
+    FROM cand a JOIN cand b
+      ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+),
+sel AS (
+    SELECT query_id, 1 AS step, [vec_id] AS chosen
+    FROM cand WHERE rrank = 1
+    UNION ALL
+    SELECT s.query_id, s.step + 1,
+           list_append(s.chosen, (
+               SELECT c.vec_id FROM cand c
+               WHERE c.query_id = s.query_id
+                 AND NOT list_contains(s.chosen, c.vec_id)
+               ORDER BY {MMR_LAMBDA!r} * c.relevance
+                        - (1.0 - {MMR_LAMBDA!r}) * (
+                            SELECT MAX(p.sim) FROM pairs p
+                            WHERE p.query_id = s.query_id
+                              AND p.ida = c.vec_id
+                              AND list_contains(s.chosen, p.idb)
+                        ) DESC, c.vec_id ASC
+               LIMIT 1))
+    FROM sel s WHERE s.step < {MMR_MULTI_K}
+),
+final AS (SELECT query_id, chosen FROM sel WHERE step = {MMR_MULTI_K})
+SELECT c.query_id, c.vec_id, c.relevance,
+       list_position(f.chosen, c.vec_id)::BIGINT AS rank
+FROM cand c JOIN final f ON c.query_id = f.query_id
+WHERE list_contains(f.chosen, c.vec_id)
+"""

@@ -297,3 +297,81 @@ def test_genre_rolling_median_ignores_single_spike(spark):
     # day 8's trailing window covers days 2-8: median unmoved, avg not
     assert med["2024-01-09"] == 10.0
     assert avg["2024-01-09"] > 20.0
+
+
+def test_mmr_rerank_multi_matches_single_query_kernel(spark):
+    """The fan-out form agrees with the single-query kernel for the
+    query it shares (same pool, same λ), and returns k rows per query."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        mmr_rerank,
+        mmr_rerank_multi,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(40)
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    multi = mmr_rerank_multi(embs, n_queries=3, k=3, pool=8).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    assert all(len(v) == 3 for v in by_q.values())
+
+    # query 0 must agree with the single-query kernel at the same pool —
+    # EXCEPT mmr_rerank pools via ann_topk_bruteforce(query_vec_id=0)
+    # which is identical to knn_join's per-query ranking
+    single = mmr_rerank(embs, k=3, pool=8, query_vec_id=0).collect()
+    assert [r.vec_id for r in sorted(single, key=lambda r: r.rank)] == [
+        r.vec_id for r in sorted(by_q[0], key=lambda r: r.rank)
+    ]
+
+
+def test_value_equiheight_histogram_balances_mass(spark):
+    """Quantile-cut buckets hold ~equal mass even under heavy skew, the
+    property equi-width binning loses; shares sum to 1."""
+    from music_streaming_etl_glue_spark.operators.analytics import (
+        value_equiheight_histogram,
+    )
+
+    # 90% of mass crammed below 1.0, a long thin tail to 1000
+    vals = [i / 1000.0 for i in range(900)] + [
+        float(1 + i) for i in range(100)
+    ]
+    events = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    rows = value_equiheight_histogram(events).collect()
+    assert len(rows) == 10
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-6
+    counts = [r.n for r in rows]
+    assert max(counts) <= 2 * min(counts)  # balanced despite skew
+    assert max(r.hi for r in rows) == 100.0
+
+
+def test_audience_overlap_estimate_tracks_exact(spark, sf_smoke_enriched=None):
+    """HLL inclusion-exclusion overlap stays within a loose relative
+    error of the exact self-join on planted overlapping audiences."""
+    from music_streaming_etl_glue_spark.operators.kpis import (
+        audience_overlap,
+    )
+
+    rows = []
+    eid = 0
+    # rock users 0..999; pop users 500..1499 → exact overlap 500
+    for g, lo in (("rock", 0), ("pop", 500)):
+        for u in range(lo, lo + 1000):
+            eid += 1
+            rows.append((eid, g, u))
+    enriched = spark.createDataFrame(
+        rows, "event_id long, track_genre string, user_id long"
+    )
+    [r] = audience_overlap(enriched).collect()
+    assert (r.genre_a, r.genre_b) == ("pop", "rock")
+    assert r.exact_overlap == 500
+    assert r.rel_err < 0.1  # HLL default precision is ~2-3% at this n
