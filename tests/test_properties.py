@@ -604,3 +604,144 @@ def test_soft_dedup_weights_exact(spark, dups):
             did += 1
     total = sum(r["weight"] for r in out)
     assert abs(total - len(dups)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# round-7 kernels
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    member_mod=st.integers(min_value=2, max_value=9),
+    n=st.integers(min_value=10, max_value=120),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bloom_probe_never_false_negative(spark, member_mod, n, seed):
+    """For ANY corpus the Bloom word-relation is the OR of member masks,
+    so every member must probe as a candidate — zero false negatives is
+    a structural guarantee, not a tuning outcome."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    rng = random.Random(seed)
+    texts = [f"doc {rng.randrange(1_000_000)} {i % member_mod}" for i in range(n)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    keys = docs.select(F.md5("text").alias("text_hash"))
+    bloom = bloom_build(keys.distinct())
+    flags = bloom_probe(
+        docs.select("doc_id", F.md5("text").alias("text_hash")), bloom
+    )
+    assert all(r.bloom_candidate for r in flags.collect())
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    n=st.integers(min_value=25, max_value=120),
+)
+def test_equiheight_histogram_invariants(spark, seed, n):
+    """Counts conserve the input, shares sum to 1, bucket [lo, hi]
+    ranges are disjoint and ordered by bucket id."""
+    import random
+
+    from music_streaming_etl_glue_spark.operators.analytics import (
+        value_equiheight_histogram,
+    )
+
+    rng = random.Random(seed)
+    vals = [rng.expovariate(0.2) for _ in range(n)]  # skewed
+    events = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    rows = sorted(
+        value_equiheight_histogram(events).collect(), key=lambda r: r.bucket
+    )
+    assert sum(r.n for r in rows) == n
+    # shares are 6dp-rounded: the sum can drift by buckets * 5e-7
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo + 1e-12
+        assert a.bucket < b.bucket
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31))
+def test_mmr_selection_properties(spark, seed):
+    """Rank 1 is always the relevance argmax; the chosen set is distinct
+    and drawn from the candidate pool; every greedy pick's MMR objective
+    matches a pure-Python replay."""
+    import random
+
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        MMR_LAMBDA,
+        ROUND,
+        ann_topk_bruteforce,
+        mmr_rerank,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)], 0) for i in range(25)
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pool_rows = ann_topk_bruteforce(embs, 8, 0).collect()
+    got = sorted(mmr_rerank(embs, k=4, pool=8).collect(), key=lambda r: r.rank)
+    ids = [r.vec_id for r in got]
+    assert len(set(ids)) == 4
+    pool_ids = {r.vec_id for r in pool_rows}
+    assert set(ids) <= pool_ids
+    # rank 1 = relevance argmax with vec_id tiebreak
+    best = sorted(pool_rows, key=lambda r: (-r.similarity, r.vec_id))[0]
+    assert ids[0] == best.vec_id
+
+    # pure-Python replay of the greedy loop over the same rounded inputs
+    import numpy as np
+
+    vecs = {i: np.asarray(v, dtype="float64") for i, v, _ in rows}
+    rel = {r.vec_id: r.similarity for r in pool_rows}
+    cand = sorted(pool_ids)
+
+    def sim(a, b):
+        va, vb = vecs[a], vecs[b]
+        return round(
+            float(va @ vb / (np.sqrt(va @ va) * np.sqrt(vb @ vb))), ROUND
+        )
+
+    chosen = []
+    for _ in range(4):
+        best_id, best_obj = None, None
+        for c in cand:
+            if c in chosen:
+                continue
+            obj = MMR_LAMBDA * rel[c] - (
+                (1 - MMR_LAMBDA) * max(sim(c, s) for s in chosen)
+                if chosen
+                else 0.0
+            )
+            if best_obj is None or obj > best_obj:
+                best_id, best_obj = c, obj
+        chosen.append(best_id)
+    assert ids == chosen
