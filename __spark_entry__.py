@@ -229,6 +229,8 @@ _STAMP_PRIORITY = (
     "mmr_rerank_multi",
     "value_equiheight_histogram",
     "audience_overlap",
+    "genre_distinct_bitmap_rollup",
+    "audience_overlap_bitmap",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -279,6 +281,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact self-join twin rides along, pytest-bounded)
         "audience_overlap": lambda spark, sf: _kpis.audience_overlap(
             _enriched(spark, sf)
+        ),
+        # EXACT mergeable distinct via bitmap partials (Roaring pattern)
+        "genre_distinct_bitmap_rollup": lambda spark, sf: (
+            _kpis.genre_distinct_bitmap_rollup(_enriched(spark, sf))
+        ),
+        # exact pairwise overlap from the same bitmap partials
+        "audience_overlap_bitmap": lambda spark, sf: (
+            _kpis.audience_overlap_bitmap(_enriched(spark, sf))
         ),
         "genre_top_genres": lambda spark, sf: _kpis.genre_top_genres(
             _enriched(spark, sf)
@@ -1048,6 +1058,8 @@ def oracle_sql() -> dict[str, str]:
         "genre_top_songs": _kpis.GENRE_TOP_SONGS_SQL,
         "genre_daily_moving_avg": _kpis.GENRE_DAILY_MOVING_AVG_SQL,
         "genre_rolling_median": _kpis.GENRE_ROLLING_MEDIAN_SQL,
+        "genre_distinct_bitmap_rollup": _kpis.GENRE_DISTINCT_BITMAP_SQL,
+        "audience_overlap_bitmap": _kpis.AUDIENCE_OVERLAP_BITMAP_SQL,
         "genre_top_genres": _kpis.GENRE_TOP_GENRES_SQL,
         "trending_tracks": _kpis.TRENDING_SQL,
         "trending_tracks_reference_exact": _kpis.TRENDING_REFERENCE_EXACT_SQL,

@@ -444,3 +444,129 @@ def audience_overlap(enriched: DataFrame) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+#: 32-bit bitmap words: shifts stay ≤ 31, which both engines' checked
+#: 64-bit arithmetic accepts (a 63-bit shift overflows DuckDB's BIGINT
+#: and UBIGINT alike); the word count doubles vs 64-bit words but the
+#: relation stays |user space| / 32 rows — the constant is irrelevant
+#: next to the shuffle it replaces.
+BITMAP_WORD_BITS = 32
+
+_BITMAP_MASK = (
+    "shiftleft(CAST(1 AS BIGINT), "
+    f"CAST(pmod(user_id, {BITMAP_WORD_BITS}) AS INT))"
+)
+
+
+def genre_distinct_bitmap_rollup(enriched: DataFrame) -> DataFrame:
+    """EXACT mergeable distinct counting — the bitmap-index (Roaring)
+    pattern as plain relational algebra, and the exact counterpart of
+    :func:`genre_distinct_sketch_rollup`'s HLL: per (genre, day) persist
+    (word = user_id div 32, bitmap = bit_or of member masks) partials;
+    any date range then merges partials with ``bit_or`` and counts with
+    ``sum(bit_count(bitmap))`` — no re-scan of raw events, no
+    COUNT(DISTINCT) expansion, EXACT answers (sketches trade error for
+    size; bitmaps trade size for exactness — |user space|/32 words
+    per group, the right trade when ids are dense).
+
+    Merge is idempotent and order-independent (OR), so partials
+    re-aggregate across any partitioning — the same persistence story
+    as the HLL rollup with none of the error bar."""
+    daily = (
+        enriched.withColumn("date", F.col("timestamp").cast("date"))
+        .select(
+            "track_genre",
+            "date",
+            F.floor(F.col("user_id") / BITMAP_WORD_BITS)
+            .cast("long")
+            .alias("word"),
+            F.expr(_BITMAP_MASK).alias("mask"),
+        )
+        .groupBy("track_genre", "date", "word")
+        .agg(F.expr("bit_or(mask)").alias("bm"))
+    )
+    merged = daily.groupBy("track_genre", "word").agg(
+        F.expr("bit_or(bm)").alias("bm")
+    )
+    return merged.groupBy("track_genre").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("unique_listeners")
+    )
+
+
+GENRE_DISTINCT_BITMAP_SQL = f"""
+WITH enriched AS ({ENRICH_SQL}),
+daily AS (
+    SELECT track_genre, CAST(timestamp AS DATE) AS date,
+           CAST(floor(user_id / {BITMAP_WORD_BITS}) AS BIGINT) AS word,
+           bit_or(1::BIGINT << (user_id % {BITMAP_WORD_BITS})::INT) AS bm
+    FROM enriched
+    GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT track_genre, word, bit_or(bm) AS bm FROM daily GROUP BY 1, 2
+)
+SELECT track_genre, SUM(bit_count(bm))::BIGINT AS unique_listeners
+FROM merged
+GROUP BY track_genre
+"""
+
+
+def audience_overlap_bitmap(enriched: DataFrame) -> DataFrame:
+    """EXACT pairwise shared audience from the SAME bitmap partials as
+    :func:`genre_distinct_bitmap_rollup`: intersection = ``bit_and`` of
+    the two genres' word bitmaps, overlap = ``sum(bit_count(a & b))``.
+    Where the HLL twin (:func:`audience_overlap`) estimates via
+    inclusion–exclusion, the bitmap form answers exactly — and the join
+    is word-keyed between two |user space|/32-row relations, never a
+    user-level self-join over raw events. The full exact-vs-estimate
+    audience toolkit then is: sketches when ids are sparse/unbounded,
+    bitmaps when dense."""
+    merged = (
+        enriched.select(
+            "track_genre",
+            F.floor(F.col("user_id") / BITMAP_WORD_BITS)
+            .cast("long")
+            .alias("word"),
+            F.expr(_BITMAP_MASK).alias("mask"),
+        )
+        .groupBy("track_genre", "word")
+        .agg(F.expr("bit_or(mask)").alias("bm"))
+    )
+    a = merged.select(
+        F.col("track_genre").alias("genre_a"),
+        "word",
+        F.col("bm").alias("bm_a"),
+    )
+    b = merged.select(
+        F.col("track_genre").alias("genre_b"),
+        "word",
+        F.col("bm").alias("bm_b"),
+    )
+    return (
+        a.join(b, "word")
+        .filter(F.col("genre_a") < F.col("genre_b"))
+        .groupBy("genre_a", "genre_b")
+        .agg(
+            F.sum(F.bit_count(F.col("bm_a").bitwiseAND(F.col("bm_b"))))
+            .cast("long")
+            .alias("shared_listeners")
+        )
+    )
+
+
+AUDIENCE_OVERLAP_BITMAP_SQL = f"""
+WITH enriched AS ({ENRICH_SQL}),
+merged AS (
+    SELECT track_genre,
+           CAST(floor(user_id / {BITMAP_WORD_BITS}) AS BIGINT) AS word,
+           bit_or(1::BIGINT << (user_id % {BITMAP_WORD_BITS})::INT) AS bm
+    FROM enriched
+    GROUP BY 1, 2
+)
+SELECT a.track_genre AS genre_a, b.track_genre AS genre_b,
+       SUM(bit_count(a.bm & b.bm))::BIGINT AS shared_listeners
+FROM merged a JOIN merged b
+  ON a.word = b.word AND a.track_genre < b.track_genre
+GROUP BY 1, 2
+"""

@@ -375,3 +375,44 @@ def test_audience_overlap_estimate_tracks_exact(spark, sf_smoke_enriched=None):
     assert (r.genre_a, r.genre_b) == ("pop", "rock")
     assert r.exact_overlap == 500
     assert r.rel_err < 0.1  # HLL default precision is ~2-3% at this n
+
+
+def test_bitmap_rollup_exact_and_merge_invariant(spark):
+    """The bitmap partial rollup equals plain COUNT(DISTINCT) exactly
+    (not approximately), and the word-keyed bitmap overlap equals the
+    exact set intersection — on data with heavy per-user duplication
+    and users spread across many bitmap words."""
+    import random
+
+    from music_streaming_etl_glue_spark.operators.kpis import (
+        audience_overlap_bitmap,
+        genre_distinct_bitmap_rollup,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    users = {"rock": set(), "pop": set()}
+    t0 = datetime.datetime(2024, 1, 1)
+    for _ in range(3000):
+        g = rng.choice(["rock", "pop"])
+        u = rng.randrange(5000)  # sparse across ~157 words
+        users[g].add(u)
+        eid += 1
+        rows.append(
+            (eid, g, u, t0 + datetime.timedelta(hours=rng.randrange(720)))
+        )
+    enriched = spark.createDataFrame(
+        rows,
+        "event_id long, track_genre string, user_id long,"
+        " timestamp timestamp",
+    )
+    got = {
+        r.track_genre: r.unique_listeners
+        for r in genre_distinct_bitmap_rollup(enriched).collect()
+    }
+    assert got == {g: len(u) for g, u in users.items()}
+
+    [ov] = audience_overlap_bitmap(enriched).collect()
+    assert (ov.genre_a, ov.genre_b) == ("pop", "rock")
+    assert ov.shared_listeners == len(users["rock"] & users["pop"])
