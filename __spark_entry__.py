@@ -231,6 +231,7 @@ _STAMP_PRIORITY = (
     "audience_overlap",
     "genre_distinct_bitmap_rollup",
     "audience_overlap_bitmap",
+    "neyman_sample",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -533,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dedup.dedup_incremental_bloom(_docs(spark, sf))
         ),
         "dataset_split": lambda spark, sf: _dedup.dataset_split(_docs(spark, sf)),
+        # variance-optimal (Neyman) stratified sampling over event strata
+        "neyman_sample": lambda spark, sf: _dedup.neyman_sample(
+            load_table(spark, sf, "events")
+        ),
         # MOSS winnowing: guaranteed-detection sparse fingerprints + pairs
         "winnowing_fingerprints": lambda spark, sf: (
             _dedup.winnowing_fingerprints(_docs(spark, sf))
@@ -1127,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _dedup.DEDUP_INCREMENTAL_SQL,
         "dedup_incremental_bloom": _dedup.DEDUP_INCREMENTAL_BLOOM_SQL,
         "dataset_split": _dedup.DATASET_SPLIT_SQL,
+        "neyman_sample": _dedup.NEYMAN_SAMPLE_SQL,
         "split_leakage_audit": _dedup.SPLIT_LEAKAGE_AUDIT_SQL,
         "containment_pairs": _dedup.CONTAINMENT_PAIRS_SQL,
         "winnowing_fingerprints": _dedup.WINNOWING_FINGERPRINTS_SQL,

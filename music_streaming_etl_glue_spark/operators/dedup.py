@@ -2290,3 +2290,113 @@ FROM (SELECT doc_id, md5(text) AS text_hash FROM documents
       WHERE doc_id % {INCREMENTAL_CORPUS_MOD} != 0) d
 LEFT JOIN corpus_hashes ch ON ch.text_hash = d.text_hash
 """
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (variance-optimal quotas)
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 500
+
+
+def neyman_sample(
+    events: DataFrame, budget: int = NEYMAN_BUDGET
+) -> DataFrame:
+    """Variance-optimal stratified sampling: the ``budget`` is allocated
+    across event-type strata ∝ N_s·σ_s (Neyman allocation — minimizes
+    the variance of the estimated mean of ``value`` under a fixed total
+    sample size), then each stratum's quota is filled in md5-lottery
+    order. Equal-fraction sampling over-samples big uniform strata and
+    starves small volatile ones; this is the estimator-aware fix.
+
+    Determinism discipline: σ_s comes from exact decimal sums
+    (Σv, Σv², n → population σ via one IEEE expression), never an
+    engine ``stddev`` whose last-ulp behavior differs; quotas round
+    from those; membership is the md5-rank prefix per stratum — so the
+    kept set is a pure function of the data, identical in both engines
+    and stable under repartitioning. One stats aggregate (broadcast
+    back) + one per-stratum rank window over rows already filtered to
+    strata with nonzero quotas; at 100 TB apply the md5-prefix
+    two-level rank (`rebalance_sources`) if a single stratum outgrows
+    its sort."""
+    v = F.col("value").cast("decimal(28,6)")
+    stats = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_s"),
+            F.sum(v).cast("double").alias("s1"),
+            F.sum(v * v).cast("double").alias("s2"),
+        )
+        .withColumn(
+            "sigma",
+            F.sqrt(
+                F.greatest(
+                    F.col("s2") / F.col("n_s")
+                    - (F.col("s1") / F.col("n_s"))
+                    * (F.col("s1") / F.col("n_s")),
+                    F.lit(0.0),
+                )
+            ),
+        )
+        .withColumn("weight", F.col("n_s") * F.col("sigma"))
+    )
+    total_w = F.broadcast(
+        stats.agg(F.sum("weight").alias("tw"))
+    )
+    quotas = F.broadcast(
+        stats.crossJoin(total_w).select(
+            "event_type",
+            F.round(F.lit(budget) * F.col("weight") / F.col("tw"), 0)
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        _hash_bucket("event_id", 1_000_000_000), F.col("event_id")
+    )
+    return (
+        events.filter(F.col("value").isNotNull())
+        .join(quotas, "event_type")
+        .filter(F.col("quota") > 0)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= F.col("quota"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+NEYMAN_SAMPLE_SQL = f"""
+WITH stats AS (
+    SELECT event_type, COUNT(*) AS n_s,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))
+                    * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+),
+weighted AS (
+    SELECT event_type, n_s,
+           n_s * sqrt(GREATEST(s2 / n_s - (s1 / n_s) * (s1 / n_s), 0.0))
+               AS weight
+    FROM stats
+),
+quotas AS (
+    SELECT event_type,
+           CAST(round({NEYMAN_BUDGET} * weight
+                      / (SELECT SUM(weight) FROM weighted), 0) AS BIGINT)
+               AS quota
+    FROM weighted
+),
+ranked AS (
+    SELECT e.event_id, e.event_type, e.value, q.quota,
+           row_number() OVER (
+               PARTITION BY e.event_type
+               ORDER BY ('0x' || substr(md5(e.event_id::VARCHAR), 1, 15))::BIGINT
+                        % 1000000000,
+                        e.event_id
+           ) AS r
+    FROM events e JOIN quotas q USING (event_type)
+    WHERE e.value IS NOT NULL AND q.quota > 0
+)
+SELECT event_id, event_type, value FROM ranked WHERE r <= quota
+"""

@@ -416,3 +416,36 @@ def test_bitmap_rollup_exact_and_merge_invariant(spark):
     [ov] = audience_overlap_bitmap(enriched).collect()
     assert (ov.genre_a, ov.genre_b) == ("pop", "rock")
     assert ov.shared_listeners == len(users["rock"] & users["pop"])
+
+
+def test_neyman_sample_allocates_by_variance(spark):
+    """A small but volatile stratum receives more of the budget than an
+    equally-sized constant one (σ = 0 → quota 0), and the kept set is
+    invariant under repartitioning."""
+    from music_streaming_etl_glue_spark.operators.dedup import neyman_sample
+
+    rows = []
+    # stratum 'flat': 400 rows, constant value → sigma 0 → quota 0
+    for i in range(400):
+        rows.append((i, "flat", 10.0))
+    # stratum 'wild': 400 rows, alternating extremes → big sigma
+    for i in range(400):
+        rows.append((1000 + i, "wild", 0.0 if i % 2 else 100.0))
+    # stratum 'mild': 400 rows, small jitter
+    for i in range(400):
+        rows.append((2000 + i, "mild", 10.0 + (i % 5) * 0.1))
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = neyman_sample(events, budget=100).collect()
+    by_type = {}
+    for r in out:
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + 1
+    assert "flat" not in by_type          # zero-variance stratum starved
+    assert by_type["wild"] > by_type.get("mild", 0) * 10  # σ-dominated
+    assert sum(by_type.values()) == 100
+
+    again = neyman_sample(events.repartition(7), budget=100).collect()
+    assert sorted(r.event_id for r in again) == sorted(
+        r.event_id for r in out
+    )
