@@ -232,6 +232,7 @@ _STAMP_PRIORITY = (
     "genre_distinct_bitmap_rollup",
     "audience_overlap_bitmap",
     "neyman_sample",
+    "events_hourly_interpolated",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -819,6 +820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_transition_matrix": lambda spark, sf: (
             _beh.session_transition_matrix(load_table(spark, sf, "events"))
         ),
+        # hourly resample with linear interpolation + locf/backfill edges
+        "events_hourly_interpolated": lambda spark, sf: (
+            _beh.events_hourly_interpolated(load_table(spark, sf, "events"))
+        ),
         # Q13 shape: zero-preserving left join + count-of-counts
         "customer_order_distribution": lambda spark, sf: (
             _rel.customer_order_distribution(
@@ -1210,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm_segments": _rel.CUSTOMER_RFM_SEGMENTS_SQL,
         "orders_backlog_timeline": _rel.ORDERS_BACKLOG_TIMELINE_SQL,
         "session_transition_matrix": _beh.SESSION_TRANSITION_MATRIX_SQL,
+        "events_hourly_interpolated": _beh.EVENTS_HOURLY_INTERPOLATED_SQL,
         "customer_order_distribution": (
             _rel.CUSTOMER_ORDER_DISTRIBUTION_SQL
         ),

@@ -1532,3 +1532,175 @@ SELECT from_type, to_type, n_transitions,
              6) AS p
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# gap-fill with linear interpolation (timeseries resample: locf + interp)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_interpolated(events: DataFrame) -> DataFrame:
+    """Per-event-type hourly resample of ``value`` with LINEAR
+    INTERPOLATION between surrounding observations (plus locf/backfill
+    at the edges) — the timeseries-store gap-fill that
+    ``genre_daily_gapfilled``'s zero-fill is not: a sensor that reports
+    9.8 at 10:59 and 10.2 at 12:01 reads ~10 at 11:00 and 12:00, not 0.
+
+    Shape: the hourly spine (calendar-bounded) unions with the per-
+    (type, µs) observation aggregate; ONE (type)-keyed window pass
+    derives both neighbors with IGNORE NULLS ``last``/``first`` — no
+    as-of join, no per-grid-point probe. ``basis`` says how each cell
+    was produced (exact / interp / locf / backfill), so downstream
+    consumers can weight filled cells differently. At 100 TB the sort
+    is per type over (observations + grid); if one type outgrows its
+    sort, range-bucket by day and stitch bucket boundaries with one
+    metadata pass (the `rebalance_sources` two-level discipline).
+
+    Determinism: simultaneous observations pre-aggregate to their
+    decimal-exact mean before the window, so neighbor values never
+    depend on row order; interpolation arithmetic runs on BIGINT
+    microseconds through one IEEE expression in both engines."""
+    ts = F.col("ts").cast("timestamp")
+    us = F.unix_micros(ts)
+    obs = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", us.alias("us"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+        .select(
+            "event_type",
+            "us",
+            "v",
+            F.lit(0).alias("is_grid"),
+        )
+    )
+    bounds = F.broadcast(
+        events.filter(F.col("value").isNotNull()).agg(
+            F.date_trunc("hour", F.min(ts)).alias("hmin"),
+            F.date_trunc("hour", F.max(ts)).alias("hmax"),
+        )
+    )
+    types = events.select("event_type").distinct()
+    grid = (
+        types.crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("hmin"), F.col("hmax"), F.expr("interval 1 hour")
+                )
+            ).alias("hour"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("hour")).alias("us"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    u = obs.unionByName(grid)
+    w = Window.partitionBy("event_type").orderBy("us", "is_grid")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    prev_t = F.last(
+        F.when(F.col("v").isNotNull(), F.col("us")), ignorenulls=True
+    ).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    next_t = F.first(
+        F.when(F.col("v").isNotNull(), F.col("us")), ignorenulls=True
+    ).over(w_next)
+    both = prev_v.isNotNull() & next_v.isNotNull() & (next_t > prev_t)
+    interp = prev_v + (next_v - prev_v) * (
+        (F.col("us") - prev_t).cast("double")
+        / (next_t - prev_t).cast("double")
+    )
+    value = (
+        F.when(prev_t == F.col("us"), prev_v)
+        .when(both, interp)
+        .when(prev_v.isNotNull(), prev_v)
+        .otherwise(next_v)
+    )
+    basis = (
+        F.when(prev_t == F.col("us"), F.lit("exact"))
+        .when(both, F.lit("interp"))
+        .when(prev_v.isNotNull(), F.lit("locf"))
+        .otherwise(F.lit("backfill"))
+    )
+    return (
+        u.select(
+            "event_type",
+            "us",
+            "is_grid",
+            F.round(value, 6).alias("value"),
+            basis.alias("basis"),
+        )
+        .filter(F.col("is_grid") == 1)
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("us")).alias("hour"),
+            "value",
+            "basis",
+        )
+    )
+
+
+EVENTS_HOURLY_INTERPOLATED_SQL = """
+WITH obs AS (
+    SELECT event_type, epoch_us(ts) AS us,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS v,
+           0 AS is_grid
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, epoch_us(ts)
+),
+bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS hmin,
+           date_trunc('hour', MAX(ts)) AS hmax
+    FROM events WHERE value IS NOT NULL
+),
+grid AS (
+    SELECT t.event_type,
+           epoch_us(unnest(generate_series(b.hmin, b.hmax,
+                                           INTERVAL 1 HOUR))) AS us,
+           NULL::DOUBLE AS v,
+           1 AS is_grid
+    FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+derived AS (
+    SELECT event_type, us, is_grid,
+           last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+           last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+               OVER w_prev AS prev_t,
+           first_value(v IGNORE NULLS) OVER w_next AS next_v,
+           first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+               OVER w_next AS next_t
+    FROM u
+    WINDOW
+      w_prev AS (PARTITION BY event_type ORDER BY us, is_grid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_next AS (PARTITION BY event_type ORDER BY us, is_grid
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       make_timestamp(us) AS hour,
+       round(CASE
+           WHEN prev_t = us THEN prev_v
+           WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t > prev_t
+               THEN prev_v + (next_v - prev_v)
+                    * ((us - prev_t)::DOUBLE / (next_t - prev_t)::DOUBLE)
+           WHEN prev_v IS NOT NULL THEN prev_v
+           ELSE next_v END, 6) AS value,
+       CASE
+           WHEN prev_t = us THEN 'exact'
+           WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t > prev_t
+               THEN 'interp'
+           WHEN prev_v IS NOT NULL THEN 'locf'
+           ELSE 'backfill' END AS basis
+FROM derived
+WHERE is_grid = 1
+"""

@@ -449,3 +449,39 @@ def test_neyman_sample_allocates_by_variance(spark):
     assert sorted(r.event_id for r in again) == sorted(
         r.event_id for r in out
     )
+
+
+def test_events_hourly_interpolated_semantics(spark):
+    """Grid cells read exact at observation-aligned hours, linear
+    interpolation between neighbors, locf past the last observation and
+    backfill before the first."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        events_hourly_interpolated,
+    )
+
+    t = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    h = datetime.timedelta(hours=1)
+    rows = [
+        # type 'a': obs at 10:00 (4.0) and 12:00 (8.0)
+        (1, "a", t, 4.0),
+        (2, "a", t + 2 * h, 8.0),
+        # type 'b': single obs at 11:30 → everything locf/backfill
+        (3, "b", t + 1.5 * h, 42.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {
+        (r.event_type, str(r.hour)): r
+        for r in events_hourly_interpolated(events).collect()
+    }
+    a10 = out[("a", "2024-01-01 10:00:00")]
+    a11 = out[("a", "2024-01-01 11:00:00")]
+    a12 = out[("a", "2024-01-01 12:00:00")]
+    assert (a10.value, a10.basis) == (4.0, "exact")
+    assert (a11.value, a11.basis) == (6.0, "interp")
+    assert (a12.value, a12.basis) == (8.0, "exact")
+    b10 = out[("b", "2024-01-01 10:00:00")]
+    b12 = out[("b", "2024-01-01 12:00:00")]
+    assert (b10.value, b10.basis) == (42.0, "backfill")
+    assert (b12.value, b12.basis) == (42.0, "locf")
