@@ -233,6 +233,7 @@ _STAMP_PRIORITY = (
     "audience_overlap_bitmap",
     "neyman_sample",
     "events_hourly_interpolated",
+    "knn_label_classifier",
     # flagship contract re-stamps fill the remaining window slots
     "enriched",
     "user_kpis",
@@ -640,6 +641,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the serving fan-out: knn_join pool, one pandas group per query
         "mmr_rerank_multi": lambda spark, sf: _sim.mmr_rerank_multi(
             _embs(spark, sf)
+        ),
+        # embedding-space holdout classification (majority of k nearest
+        # train labels; the geometric twin of nb_holdout_accuracy)
+        "knn_label_classifier": lambda spark, sf: (
+            _sim.knn_label_classifier(_embs(spark, sf))
         ),
         "ann_topk_bucketed": lambda spark, sf: _sim.ann_topk_bucketed(
             _embs(spark, sf)
@@ -1168,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": _sim.ANN_TOPK_SQL,
         "mmr_rerank": _sim.MMR_RERANK_SQL,
         "mmr_rerank_multi": _sim.MMR_RERANK_MULTI_SQL,
+        "knn_label_classifier": _sim.KNN_LABEL_CLASSIFIER_SQL,
         "ann_topk_pandas": _sim.ANN_TOPK_SQL,
         "ann_topk_bucketed": _sim.ANN_TOPK_BUCKETED_SQL,
         "ann_topk_ivf": _sim.ANN_TOPK_BUCKETED_SQL,

@@ -3325,3 +3325,134 @@ SELECT c.query_id, c.vec_id, c.relevance,
 FROM cand c JOIN final f ON c.query_id = f.query_id
 WHERE list_contains(f.chosen, c.vec_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# k-NN label classifier (embedding-space holdout evaluation)
+# ---------------------------------------------------------------------------
+
+KNN_CLS_K = 5
+KNN_CLS_HOLDOUT_MOD = 5
+
+
+def knn_label_classifier(
+    embeddings: DataFrame,
+    k: int = KNN_CLS_K,
+    holdout_mod: int = KNN_CLS_HOLDOUT_MOD,
+) -> DataFrame:
+    """k-NN classification of the held-out split (vec_id %
+    ``holdout_mod`` == 0) from the train split's labels: each holdout
+    vector takes the majority label of its ``k`` nearest train
+    neighbors by cosine — the embedding-space twin of the text-side
+    ``nb_holdout_accuracy`` (same train/serve separation, geometric
+    instead of token evidence).
+
+    Plan: :func:`knn_join`'s shape with the roles swapped — the holdout
+    queries broadcast, train rows stream, per-(query, partition) local
+    top-k cuts the shuffle to P·Q·k rows before the per-query rank.
+    Votes are a (query, label) hash aggregate; prediction is one
+    row_number over ≤ k·Q vote rows with a (votes DESC, label ASC)
+    tiebreak, so the decision is deterministic in both engines.
+    """
+    norm = F.sqrt(_dot(_as_double("embedding"), _as_double("embedding")))
+    base = embeddings.select(
+        "vec_id",
+        "label",
+        _as_double("embedding").alias("vec"),
+        norm.alias("norm"),
+    )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    train = base.filter(F.col("vec_id") % holdout_mod != 0)
+    if train.rdd.getNumPartitions() < par:
+        train = train.repartition(par)
+    holdout = F.broadcast(
+        base.filter(F.col("vec_id") % holdout_mod == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    scored = (
+        train.join(holdout, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm")),
+                ROUND,
+            ).alias("similarity"),
+        )
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    top = survivors.withColumn(
+        "rank", F.row_number().over(w_global)
+    ).filter(F.col("rank") <= k)
+    votes = top.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("__vr", F.row_number().over(w_vote))
+        .filter(F.col("__vr") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+KNN_LABEL_CLASSIFIER_SQL = f"""
+WITH base AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+),
+holdout AS (
+    SELECT vec_id AS query_id, label AS true_label, vec AS qvec
+    FROM base WHERE vec_id % {KNN_CLS_HOLDOUT_MOD} = 0
+),
+scored AS (
+    SELECT h.query_id, h.true_label, t.vec_id, t.label,
+           round(
+               list_dot_product(t.vec, h.qvec)
+               / (sqrt(list_dot_product(t.vec, t.vec))
+                  * sqrt(list_dot_product(h.qvec, h.qvec))), {ROUND}
+           ) AS similarity
+    FROM base t JOIN holdout h ON t.vec_id != h.query_id
+    WHERE t.vec_id % {KNN_CLS_HOLDOUT_MOD} != 0
+),
+top AS (
+    SELECT query_id, true_label, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM scored QUALIFY rank <= {KNN_CLS_K}
+),
+votes AS (
+    SELECT query_id, true_label, label, COUNT(*) AS n_votes
+    FROM top GROUP BY query_id, true_label, label
+)
+SELECT query_id AS vec_id, true_label, label AS predicted_label,
+       n_votes::BIGINT AS n_votes,
+       label = true_label AS correct
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY n_votes DESC, label ASC) = 1
+"""

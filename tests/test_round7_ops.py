@@ -485,3 +485,29 @@ def test_events_hourly_interpolated_semantics(spark):
     b12 = out[("b", "2024-01-01 12:00:00")]
     assert (b10.value, b10.basis) == (42.0, "backfill")
     assert (b12.value, b12.basis) == (42.0, "locf")
+
+
+def test_knn_label_classifier_separable_clusters(spark):
+    """On linearly-separable clusters the classifier is perfect; ties
+    break deterministically on the smaller label."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        knn_label_classifier,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    # two tight clusters on orthogonal axes: label 0 near e1, 1 near e2
+    for i in range(60):
+        lab = i % 2
+        base = [1.0, 0.0, 0.0] if lab == 0 else [0.0, 1.0, 0.0]
+        vec = [b + rng.uniform(-0.05, 0.05) for b in base]
+        rows.append((i, vec, lab))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_label_classifier(embs, k=5).collect()
+    assert len(out) == 12  # vec_id % 5 == 0
+    assert all(r.correct for r in out)
+    assert all(r.predicted_label == r.true_label for r in out)
