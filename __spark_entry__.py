@@ -234,7 +234,16 @@ _STAMP_PRIORITY = (
     "neyman_sample",
     "events_hourly_interpolated",
     "knn_label_classifier",
-    # flagship contract re-stamps fill the remaining window slots
+    "genre_trend_slopes",
+    "genre_country_chi2",
+    # flagship contract re-stamps fill the remaining window slots.
+    # ROUND-8 ROTATION NOTE: positions above run ~46 deep (16 never-
+    # stamped + 6 rows-only + 18 round-7 entries + this tail), so with a
+    # ~50-slot stamp window everything above should receive its first
+    # driver stamp this round. Lead the r8 window with whatever
+    # CORRECTNESS_r07 leaves unstamped or red, then rotate back through
+    # the long-unstamped middle of the catalog (stamps age — a query
+    # last stamped in r1/r2 has no evidence against the CURRENT tree).
     "enriched",
     "user_kpis",
     "genre_daily_metrics",
@@ -283,6 +292,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exclusion over persisted per-genre partials (rows-only; the
         # exact self-join twin rides along, pytest-bounded)
         "audience_overlap": lambda spark, sf: _kpis.audience_overlap(
+            _enriched(spark, sf)
+        ),
+        # per-genre least-squares trend from exact integer sums
+        "genre_trend_slopes": lambda spark, sf: _kpis.genre_trend_slopes(
+            _enriched(spark, sf)
+        ),
+        # contingency (chi-square) independence audit, per-cell terms
+        "genre_country_chi2": lambda spark, sf: _kpis.genre_country_chi2(
             _enriched(spark, sf)
         ),
         # EXACT mergeable distinct via bitmap partials (Roaring pattern)
@@ -1075,6 +1092,8 @@ def oracle_sql() -> dict[str, str]:
         "genre_daily_moving_avg": _kpis.GENRE_DAILY_MOVING_AVG_SQL,
         "genre_rolling_median": _kpis.GENRE_ROLLING_MEDIAN_SQL,
         "genre_distinct_bitmap_rollup": _kpis.GENRE_DISTINCT_BITMAP_SQL,
+        "genre_trend_slopes": _kpis.GENRE_TREND_SLOPES_SQL,
+        "genre_country_chi2": _kpis.GENRE_COUNTRY_CHI2_SQL,
         "audience_overlap_bitmap": _kpis.AUDIENCE_OVERLAP_BITMAP_SQL,
         "genre_top_genres": _kpis.GENRE_TOP_GENRES_SQL,
         "trending_tracks": _kpis.TRENDING_SQL,

@@ -570,3 +570,157 @@ FROM merged a JOIN merged b
   ON a.word = b.word AND a.track_genre < b.track_genre
 GROUP BY 1, 2
 """
+
+
+def genre_trend_slopes(enriched: DataFrame) -> DataFrame:
+    """Per-genre least-squares trend of daily listens: slope and
+    intercept of listen_count over the day index, plus a trend label
+    (rising / falling / flat at ±0.5 listens/day) — the alerting
+    primitive behind "which genres are growing".
+
+    Engine ``regr_slope`` implementations differ in float detail, so
+    the slope derives from integer sums (Σx, Σy, Σxy, Σx² are exact
+    BIGINTs over the DAILY aggregate; day index = datediff from the
+    global min date) through one IEEE expression — bit-identical in
+    both engines, the `genre_daily_anomalies` discipline. The windowed
+    relation is days × genres, never raw events."""
+    daily = genre_daily_metrics(enriched).select(
+        "date", "track_genre", "listen_count"
+    )
+    d0 = F.broadcast(daily.agg(F.min("date").alias("d0")))
+    xy = daily.crossJoin(d0).select(
+        "track_genre",
+        F.datediff(F.col("date"), F.col("d0")).cast("long").alias("x"),
+        F.col("listen_count").alias("y"),
+    )
+    stats = xy.groupBy("track_genre").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    label = (
+        F.when(F.col("slope") > 0.5, "rising")
+        .when(F.col("slope") < -0.5, "falling")
+        .otherwise("flat")
+    )
+    return (
+        stats.filter(denom != 0)
+        .select(
+            "track_genre",
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+        .withColumn("trend", label)
+    )
+
+
+GENRE_TREND_SLOPES_SQL = f"""
+WITH daily AS ({GENRE_DAILY_SQL}),
+d0 AS (SELECT MIN(date) AS d0 FROM daily),
+xy AS (
+    SELECT track_genre,
+           date_diff('day', d0.d0, daily.date)::BIGINT AS x,
+           listen_count AS y
+    FROM daily, d0
+),
+stats AS (
+    SELECT track_genre, COUNT(*) AS n, SUM(x)::BIGINT AS sx,
+           SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+           SUM(x * x)::BIGINT AS sxx
+    FROM xy GROUP BY track_genre
+)
+SELECT track_genre, n,
+       round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+             / (n::DOUBLE * sxx - sx::DOUBLE * sx), 6) AS slope,
+       round((sy - (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                   / (n::DOUBLE * sxx - sx::DOUBLE * sx) * sx)
+             / n::DOUBLE, 6) AS intercept,
+       CASE WHEN (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                 / (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0.5 THEN 'rising'
+            WHEN (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                 / (n::DOUBLE * sxx - sx::DOUBLE * sx) < -0.5 THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM stats
+WHERE n::DOUBLE * sxx - sx::DOUBLE * sx != 0
+"""
+
+
+def genre_country_chi2(enriched: DataFrame) -> DataFrame:
+    """Chi-square independence audit between genre and listener country:
+    per-cell observed vs expected contributions ((O−E)²/E with E =
+    row·col/n) plus the per-cell share of the total statistic — the
+    "is listening taste independent of geography" screen, and the
+    general contingency-audit shape (swap in any two categorical
+    columns). All counts are exact BIGINT aggregates; expected values
+    and contributions are one IEEE expression over three broadcast
+    marginals — deterministic in both engines, no sampling, no stats
+    library."""
+    cells = enriched.groupBy("track_genre", "user_country").agg(
+        F.count("*").alias("o")
+    )
+    row_m = cells.groupBy("track_genre").agg(F.sum("o").alias("row_n"))
+    col_m = cells.groupBy("user_country").agg(F.sum("o").alias("col_n"))
+    tot = F.broadcast(cells.agg(F.sum("o").alias("n")))
+    e = F.col("row_n") * F.col("col_n") / F.col("n").cast("double")
+    contrib = (F.col("o") - e) * (F.col("o") - e) / e
+    with_stats = (
+        cells.join(F.broadcast(row_m), "track_genre")
+        .join(F.broadcast(col_m), "user_country")
+        .crossJoin(tot)
+        .select(
+            "track_genre",
+            "user_country",
+            "o",
+            F.round(e, 6).alias("expected"),
+            F.round(contrib, 6).alias("chi2_term"),
+        )
+    )
+    total_chi2 = F.broadcast(
+        with_stats.agg(F.sum("chi2_term").alias("chi2_total"))
+    )
+    # perfect independence → chi2_total = 0: every cell's share is 0,
+    # not a division error (ANSI mode turns x/0 into a hard failure)
+    share = F.when(F.col("chi2_total") != 0, F.col("chi2_term") / F.col("chi2_total")).otherwise(F.lit(0.0))
+    return with_stats.crossJoin(total_chi2).select(
+        "track_genre",
+        "user_country",
+        "o",
+        "expected",
+        "chi2_term",
+        F.round(share, 6).alias("share_of_stat"),
+    )
+
+
+GENRE_COUNTRY_CHI2_SQL = f"""
+WITH enriched AS ({ENRICH_SQL}),
+cells AS (
+    SELECT track_genre, user_country, COUNT(*) AS o
+    FROM enriched GROUP BY 1, 2
+),
+row_m AS (SELECT track_genre, SUM(o)::BIGINT AS row_n FROM cells GROUP BY 1),
+col_m AS (SELECT user_country, SUM(o)::BIGINT AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o)::BIGINT AS n FROM cells),
+terms AS (
+    SELECT c.track_genre, c.user_country, c.o,
+           round(r.row_n * m.col_n / t.n::DOUBLE, 6) AS expected,
+           round((c.o - r.row_n * m.col_n / t.n::DOUBLE)
+                 * (c.o - r.row_n * m.col_n / t.n::DOUBLE)
+                 / (r.row_n * m.col_n / t.n::DOUBLE), 6) AS chi2_term
+    FROM cells c
+    JOIN row_m r USING (track_genre)
+    JOIN col_m m USING (user_country)
+    CROSS JOIN tot t
+),
+tc AS (SELECT SUM(chi2_term) AS chi2_total FROM terms)
+SELECT track_genre, user_country, o, expected, chi2_term,
+       round(CASE WHEN tc.chi2_total = 0 THEN 0.0
+                  ELSE chi2_term / tc.chi2_total END, 6) AS share_of_stat
+FROM terms, tc
+"""

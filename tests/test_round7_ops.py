@@ -511,3 +511,65 @@ def test_knn_label_classifier_separable_clusters(spark):
     assert len(out) == 12  # vec_id % 5 == 0
     assert all(r.correct for r in out)
     assert all(r.predicted_label == r.true_label for r in out)
+
+
+def test_genre_trend_slopes_detects_planted_trend(spark):
+    """A genre with listens growing ~3/day labels rising with slope ≈ 3;
+    a constant genre labels flat with slope 0."""
+    from music_streaming_etl_glue_spark.operators.kpis import (
+        genre_trend_slopes,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    day = datetime.timedelta(days=1)
+    rows = []
+    eid = 0
+    for d in range(10):
+        for _ in range(10 + 3 * d):  # rising
+            eid += 1
+            rows.append((eid, 1, "up", 1.0, t0 + d * day))
+        for _ in range(20):  # flat
+            eid += 1
+            rows.append((eid, 2, "steady", 1.0, t0 + d * day))
+    enriched = spark.createDataFrame(
+        rows,
+        "event_id long, track_id long, track_genre string,"
+        " listening_time double, timestamp timestamp",
+    ).withColumn("user_id", F.col("event_id") % 5)
+    out = {r.track_genre: r for r in genre_trend_slopes(enriched).collect()}
+    assert out["up"].trend == "rising"
+    assert abs(out["up"].slope - 3.0) < 1e-6
+    assert out["steady"].trend == "flat"
+    assert out["steady"].slope == 0.0
+
+
+def test_genre_country_chi2_zero_under_independence(spark):
+    """A perfectly independent contingency table yields chi2 terms of 0
+    in every cell; a planted association concentrates the statistic."""
+    from music_streaming_etl_glue_spark.operators.kpis import (
+        genre_country_chi2,
+    )
+
+    rows = []
+    eid = 0
+    # independent: every (genre, country) cell has exactly 10 events
+    for g in ("rock", "pop"):
+        for c in ("US", "DE"):
+            for _ in range(10):
+                eid += 1
+                rows.append((eid, g, c))
+    enriched = spark.createDataFrame(
+        rows, "event_id long, track_genre string, user_country string"
+    )
+    terms = genre_country_chi2(enriched).collect()
+    assert all(r.chi2_term == 0.0 for r in terms)
+
+    # planted association: rock only in US, pop only in DE
+    rows2 = [(i, "rock", "US") for i in range(20)] + [
+        (100 + i, "pop", "DE") for i in range(20)
+    ]
+    enriched2 = spark.createDataFrame(
+        rows2, "event_id long, track_genre string, user_country string"
+    )
+    terms2 = genre_country_chi2(enriched2).collect()
+    assert sum(r.chi2_term for r in terms2) > 10
