@@ -402,9 +402,14 @@ def audience_overlap(enriched: DataFrame) -> DataFrame:
             F.col("track_genre").alias("genre_a"), F.col("sk").alias("sk_a")
         )
         .join(
-            per_genre.select(
-                F.col("track_genre").alias("genre_b"),
-                F.col("sk").alias("sk_b"),
+            # inequality-only pairing over a |genres|-row relation:
+            # broadcast makes it a BroadcastNestedLoopJoin, never a
+            # CartesianProduct of anything input-sized
+            F.broadcast(
+                per_genre.select(
+                    F.col("track_genre").alias("genre_b"),
+                    F.col("sk").alias("sk_b"),
+                )
             ),
             F.col("genre_a") < F.col("genre_b"),
         )

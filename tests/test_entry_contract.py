@@ -21,6 +21,9 @@ ROWS_ONLY = {
     "bpe_merges",
     # engine-specific HLL sketch binaries (estimate bounded by pytest)
     "genre_distinct_sketch_rollup",
+    # HLL inclusion-exclusion overlap: sketch registers are engine-
+    # specific; the exact twin column + pytest bound the estimate
+    "audience_overlap",
     # recursive DP (banded DTW) — pytest pins a pure-Python reference
     "genre_series_dtw",
     # approx_top_k sketch: boundary-tie order is sketch-internal; pytest
