@@ -236,6 +236,8 @@ _STAMP_PRIORITY = (
     "knn_label_classifier",
     "genre_trend_slopes",
     "genre_country_chi2",
+    "session_path_topk",
+    "markov_next_event_accuracy",
     # flagship contract re-stamps fill the remaining window slots.
     # ROUND-8 ROTATION NOTE: positions above run ~46 deep (16 never-
     # stamped + 6 rows-only + 18 round-7 entries + this tail), so with a
@@ -847,6 +849,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_interpolated": lambda spark, sf: (
             _beh.events_hourly_interpolated(load_table(spark, sf, "events"))
         ),
+        # top-k 3-step behavioural paths within sessions (funnel discovery)
+        "session_path_topk": lambda spark, sf: (
+            _beh.session_path_topk(load_table(spark, sf, "events"))
+        ),
+        # the transition matrix as a predictor, scored on a time holdout
+        "markov_next_event_accuracy": lambda spark, sf: (
+            _beh.markov_next_event_accuracy(load_table(spark, sf, "events"))
+        ),
         # Q13 shape: zero-preserving left join + count-of-counts
         "customer_order_distribution": lambda spark, sf: (
             _rel.customer_order_distribution(
@@ -1242,6 +1252,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_backlog_timeline": _rel.ORDERS_BACKLOG_TIMELINE_SQL,
         "session_transition_matrix": _beh.SESSION_TRANSITION_MATRIX_SQL,
         "events_hourly_interpolated": _beh.EVENTS_HOURLY_INTERPOLATED_SQL,
+        "session_path_topk": _beh.SESSION_PATH_TOPK_SQL,
+        "markov_next_event_accuracy": _beh.MARKOV_NEXT_EVENT_ACCURACY_SQL,
         "customer_order_distribution": (
             _rel.CUSTOMER_ORDER_DISTRIBUTION_SQL
         ),

@@ -1704,3 +1704,186 @@ SELECT event_type,
 FROM derived
 WHERE is_grid = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# session path mining (top-k event-type trigrams)
+# ---------------------------------------------------------------------------
+
+PATH_TOP_K = 20
+
+
+def session_path_topk(
+    events: DataFrame,
+    gap_s: int = TRANSITION_GAP_SECONDS,
+    k: int = PATH_TOP_K,
+) -> DataFrame:
+    """Most common 3-step behavioural paths: (a → b → c) trigrams of
+    consecutive event types within a session, ranked by count — the
+    path-mining step behind funnel DISCOVERY (conversion_funnel checks a
+    hypothesized path; this surfaces the paths worth hypothesizing).
+
+    Same single user_id shuffle as the transition matrix: two ``lead``s
+    carry the next two events and their gaps, a trigram survives only if
+    BOTH hops stay inside the session cutoff, and the count aggregate's
+    key space is |event types|³. Top-k is TakeOrderedAndProject with a
+    lexicographic tiebreak."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g1 = F.unix_timestamp(F.lead("ts", 1).over(w)) - F.unix_timestamp("ts")
+    g2 = F.unix_timestamp(F.lead("ts", 2).over(w)) - F.unix_timestamp(
+        F.lead("ts", 1).over(w)
+    )
+    tri = (
+        events.select(
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+            g1.alias("g1"),
+            g2.alias("g2"),
+        )
+        .filter(
+            F.col("step3").isNotNull()
+            & (F.col("g1") <= gap_s)
+            & (F.col("g2") <= gap_s)
+        )
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count("*").alias("n_paths"))
+    )
+    return tri.orderBy(
+        F.col("n_paths").desc(),
+        F.col("step1").asc(),
+        F.col("step2").asc(),
+        F.col("step3").asc(),
+    ).limit(k)
+
+
+SESSION_PATH_TOPK_SQL = f"""
+WITH tri AS (
+    SELECT event_type AS step1,
+           lead(event_type, 1) OVER w AS step2,
+           lead(event_type, 2) OVER w AS step3,
+           CAST(floor(epoch(lead(ts, 1) OVER w)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS g1,
+           CAST(floor(epoch(lead(ts, 2) OVER w)) AS BIGINT)
+               - CAST(floor(epoch(lead(ts, 1) OVER w)) AS BIGINT) AS g2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step1, step2, step3, COUNT(*) AS n_paths
+FROM tri
+WHERE step3 IS NOT NULL AND g1 <= {TRANSITION_GAP_SECONDS}
+  AND g2 <= {TRANSITION_GAP_SECONDS}
+GROUP BY step1, step2, step3
+ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+LIMIT {PATH_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event predictor, evaluated on a held-out time split
+# ---------------------------------------------------------------------------
+
+
+def markov_next_event_accuracy(
+    events: DataFrame, gap_s: int = TRANSITION_GAP_SECONDS
+) -> DataFrame:
+    """The transition matrix AS A PREDICTOR, honestly evaluated: train
+    first-order transitions on the FIRST half of the timeline (median-ts
+    split), predict each from-type's most likely next event (argmax row,
+    ties to the lexicographically smaller type), and score accuracy on
+    the second half's transitions — the train/serve separation
+    discipline of ``nb_holdout_accuracy`` applied to the sequence model.
+
+    Two passes over the same lead-derived transition relation (one per
+    side of the split, sharing the user_id window shuffle) + an
+    |event types|-row broadcast of the argmax predictions."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    mid = events.agg(
+        F.expr(
+            "percentile(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6, 0.5)"
+        ).alias("mid")
+    )
+    gap = F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    pairs = (
+        events.crossJoin(F.broadcast(mid))
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+            gap.alias("gap"),
+            secs.alias("s"),
+            F.col("mid"),
+        )
+        .filter(F.col("to_type").isNotNull() & (F.col("gap") <= gap_s))
+    )
+    train = pairs.filter(F.col("s") <= F.col("mid"))
+    test = pairs.filter(F.col("s") > F.col("mid"))
+    counts = train.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    w_pred = Window.partitionBy("from_type").orderBy(
+        F.col("n").desc(), F.col("to_type").asc()
+    )
+    pred = F.broadcast(
+        counts.withColumn("__r", F.row_number().over(w_pred))
+        .filter(F.col("__r") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    return (
+        test.join(pred, "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.first("predicted").alias("predicted"),
+            F.count("*").alias("n_test"),
+            F.sum(
+                (F.col("to_type") == F.col("predicted")).cast("long")
+            ).alias("n_correct"),
+            F.round(
+                F.avg(
+                    (F.col("to_type") == F.col("predicted")).cast("double")
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+MARKOV_NEXT_EVENT_ACCURACY_SQL = f"""
+WITH mid AS (
+    SELECT quantile_cont(epoch(ts), 0.5) AS mid FROM events
+),
+pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER w AS to_type,
+           CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS gap,
+           epoch(ts) AS s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+train AS (
+    SELECT from_type, to_type FROM pairs, mid
+    WHERE to_type IS NOT NULL AND gap <= {TRANSITION_GAP_SECONDS}
+      AND s <= mid
+),
+test AS (
+    SELECT from_type, to_type FROM pairs, mid
+    WHERE to_type IS NOT NULL AND gap <= {TRANSITION_GAP_SECONDS}
+      AND s > mid
+),
+counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n FROM train GROUP BY 1, 2
+),
+pred AS (
+    SELECT from_type, to_type AS predicted,
+           row_number() OVER (PARTITION BY from_type
+                              ORDER BY n DESC, to_type ASC) AS r
+    FROM counts QUALIFY r = 1
+)
+SELECT t.from_type, ANY_VALUE(p.predicted) AS predicted,
+       COUNT(*) AS n_test,
+       SUM((t.to_type = p.predicted)::BIGINT)::BIGINT AS n_correct,
+       round(AVG((t.to_type = p.predicted)::INT), 6) AS accuracy
+FROM test t JOIN pred p USING (from_type)
+GROUP BY t.from_type
+"""

@@ -573,3 +573,66 @@ def test_genre_country_chi2_zero_under_independence(spark):
     )
     terms2 = genre_country_chi2(enriched2).collect()
     assert sum(r.chi2_term for r in terms2) > 10
+
+
+def test_session_path_topk_respects_gaps_and_ordering(spark):
+    """Trigram paths never span a session gap; ranking is count-desc
+    with a lexicographic tiebreak."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        session_path_topk,
+    )
+
+    t = datetime.datetime(2024, 2, 1, 9, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = []
+    eid = 0
+    # user 1 runs view->click->purchase twice in-session
+    for rep in range(2):
+        base = t + rep * 10 * m
+        for i, typ in enumerate(("view", "click", "purchase")):
+            eid += 1
+            rows.append((eid, 1, typ, base + i * m))
+    # user 2: view->click then a 2h gap then purchase (no full trigram)
+    eid += 1
+    rows.append((eid, 2, "view", t))
+    eid += 1
+    rows.append((eid, 2, "click", t + m))
+    eid += 1
+    rows.append((eid, 2, "purchase", t + 130 * m))
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = session_path_topk(events, k=5).collect()
+    top = got[0]
+    assert (top.step1, top.step2, top.step3) == ("view", "click", "purchase")
+    assert top.n_paths == 2
+    # user 2's gap-broken path must not appear
+    assert all(
+        not (r.step1 == "view" and r.step3 == "purchase" and r.n_paths > 2)
+        for r in got
+    )
+
+
+def test_markov_next_event_accuracy_learns_deterministic_chain(spark):
+    """A perfectly deterministic A→B chain in both halves scores
+    accuracy 1.0; the train/test split keeps the second half honest."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        markov_next_event_accuracy,
+    )
+
+    t = datetime.datetime(2024, 2, 1, 0, 0, 0)
+    m = datetime.timedelta(minutes=5)
+    rows = []
+    eid = 0
+    # one user, alternating A/B forever: every A is followed by B and
+    # vice versa, across both timeline halves
+    for i in range(40):
+        eid += 1
+        rows.append((eid, 1, "A" if i % 2 == 0 else "B", t + i * m))
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r.from_type: r for r in markov_next_event_accuracy(events).collect()}
+    assert out["A"].predicted == "B" and out["A"].accuracy == 1.0
+    assert out["B"].predicted == "A" and out["B"].accuracy == 1.0
+    assert out["A"].n_test + out["B"].n_test < 39  # only the 2nd half
