@@ -238,6 +238,7 @@ _STAMP_PRIORITY = (
     "genre_country_chi2",
     "session_path_topk",
     "markov_next_event_accuracy",
+    "view_to_purchase_latency",
     # flagship contract re-stamps fill the remaining window slots.
     # ROUND-8 ROTATION NOTE: positions above run ~46 deep (16 never-
     # stamped + 6 rows-only + 18 round-7 entries + this tail), so with a
@@ -857,6 +858,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_next_event_accuracy": lambda spark, sf: (
             _beh.markov_next_event_accuracy(load_table(spark, sf, "events"))
         ),
+        # time-to-convert: view->purchase latency percentiles per day
+        "view_to_purchase_latency": lambda spark, sf: (
+            _beh.view_to_purchase_latency(load_table(spark, sf, "events"))
+        ),
         # Q13 shape: zero-preserving left join + count-of-counts
         "customer_order_distribution": lambda spark, sf: (
             _rel.customer_order_distribution(
@@ -1254,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_interpolated": _beh.EVENTS_HOURLY_INTERPOLATED_SQL,
         "session_path_topk": _beh.SESSION_PATH_TOPK_SQL,
         "markov_next_event_accuracy": _beh.MARKOV_NEXT_EVENT_ACCURACY_SQL,
+        "view_to_purchase_latency": _beh.VIEW_TO_PURCHASE_LATENCY_SQL,
         "customer_order_distribution": (
             _rel.CUSTOMER_ORDER_DISTRIBUTION_SQL
         ),

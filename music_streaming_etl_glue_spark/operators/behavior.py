@@ -1887,3 +1887,84 @@ SELECT t.from_type, ANY_VALUE(p.predicted) AS predicted,
 FROM test t JOIN pred p USING (from_type)
 GROUP BY t.from_type
 """
+
+
+# ---------------------------------------------------------------------------
+# conversion latency (view -> purchase time within session)
+# ---------------------------------------------------------------------------
+
+
+def view_to_purchase_latency(
+    events: DataFrame, gap_s: int = TRANSITION_GAP_SECONDS
+) -> DataFrame:
+    """Time-to-convert distribution: for every purchase, the seconds
+    since the SAME user's most recent view, counted only when the pair
+    sits inside one session (gap cutoff) — summarized as per-day
+    conversion count and exact p50/p90 latency. The funnel tells you IF
+    users convert; this tells you HOW LONG conversion takes, the metric
+    checkout changes move first.
+
+    No as-of join: the preceding view rides the same user-ordered
+    window as every other sessionization op via IGNORE NULLS ``last``,
+    so the whole operator is one user_id shuffle + a days-sized
+    percentile aggregate."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.last(
+        F.when(F.col("event_type") == "view", F.unix_timestamp("ts")),
+        ignorenulls=True,
+    ).over(w)
+    lat = (
+        events.withColumn("prev_view_s", prev_view)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("prev_view_s").isNotNull()
+        )
+        .withColumn(
+            "latency_s",
+            F.unix_timestamp("ts") - F.col("prev_view_s"),
+        )
+        .filter(F.col("latency_s") <= gap_s)
+    )
+    return (
+        lat.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias(
+                "p50_latency_s"
+            ),
+            F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias(
+                "p90_latency_s"
+            ),
+        )
+    )
+
+
+VIEW_TO_PURCHASE_LATENCY_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_type, ts,
+           last_value(CASE WHEN event_type = 'view'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_view_s
+    FROM events
+),
+lat AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(floor(epoch(ts)) AS BIGINT) - prev_view_s AS latency_s
+    FROM flagged
+    WHERE event_type = 'purchase' AND prev_view_s IS NOT NULL
+      AND CAST(floor(epoch(ts)) AS BIGINT) - prev_view_s
+          <= {TRANSITION_GAP_SECONDS}
+)
+SELECT day, COUNT(*) AS n_conversions,
+       round(quantile_cont(latency_s, 0.5), 6) AS p50_latency_s,
+       round(quantile_cont(latency_s, 0.9), 6) AS p90_latency_s
+FROM lat
+GROUP BY day
+"""

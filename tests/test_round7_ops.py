@@ -636,3 +636,30 @@ def test_markov_next_event_accuracy_learns_deterministic_chain(spark):
     assert out["A"].predicted == "B" and out["A"].accuracy == 1.0
     assert out["B"].predicted == "A" and out["B"].accuracy == 1.0
     assert out["A"].n_test + out["B"].n_test < 39  # only the 2nd half
+
+
+def test_view_to_purchase_latency_in_session_only(spark):
+    """Latency measures the most recent view of the SAME user inside the
+    session cutoff; purchases with no in-session view don't count."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        view_to_purchase_latency,
+    )
+
+    t = datetime.datetime(2024, 3, 5, 9, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        (1, 1, "view", t),
+        (2, 1, "purchase", t + 120 * s),      # 120s conversion
+        (3, 2, "view", t),
+        (4, 2, "view", t + 300 * s),          # newer view wins
+        (5, 2, "purchase", t + 360 * s),      # 60s conversion
+        (6, 3, "purchase", t),                # no view at all → excluded
+        (7, 4, "view", t),
+        (8, 4, "purchase", t + 7200 * s),     # 2h gap → excluded
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    [row] = view_to_purchase_latency(events).collect()
+    assert row.n_conversions == 2
+    assert row.p50_latency_s == 90.0  # interpolated between 60 and 120
