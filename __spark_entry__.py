@@ -239,6 +239,9 @@ _STAMP_PRIORITY = (
     "session_path_topk",
     "markov_next_event_accuracy",
     "view_to_purchase_latency",
+    "hour_of_week_profile",
+    "track_play_gini",
+    "daily_new_vs_returning",
     # flagship contract re-stamps fill the remaining window slots.
     # ROUND-8 ROTATION NOTE: positions above run ~46 deep (16 never-
     # stamped + 6 rows-only + 18 round-7 entries + this tail), so with a
@@ -862,6 +865,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_to_purchase_latency": lambda spark, sf: (
             _beh.view_to_purchase_latency(load_table(spark, sf, "events"))
         ),
+        # 168-cell hour-of-week seasonality heatmap with peak flags
+        "hour_of_week_profile": lambda spark, sf: (
+            _beh.hour_of_week_profile(load_table(spark, sf, "events"))
+        ),
+        # Gini concentration of plays across tracks + top-1% share
+        "track_play_gini": lambda spark, sf: (
+            _beh.track_play_gini(load_table(spark, sf, "events"))
+        ),
+        # growth accounting: per-day new vs returning actives
+        "daily_new_vs_returning": lambda spark, sf: (
+            _beh.daily_new_vs_returning(load_table(spark, sf, "events"))
+        ),
         # Q13 shape: zero-preserving left join + count-of-counts
         "customer_order_distribution": lambda spark, sf: (
             _rel.customer_order_distribution(
@@ -1260,6 +1275,9 @@ def oracle_sql() -> dict[str, str]:
         "session_path_topk": _beh.SESSION_PATH_TOPK_SQL,
         "markov_next_event_accuracy": _beh.MARKOV_NEXT_EVENT_ACCURACY_SQL,
         "view_to_purchase_latency": _beh.VIEW_TO_PURCHASE_LATENCY_SQL,
+        "hour_of_week_profile": _beh.HOUR_OF_WEEK_PROFILE_SQL,
+        "track_play_gini": _beh.TRACK_PLAY_GINI_SQL,
+        "daily_new_vs_returning": _beh.DAILY_NEW_VS_RETURNING_SQL,
         "customer_order_distribution": (
             _rel.CUSTOMER_ORDER_DISTRIBUTION_SQL
         ),

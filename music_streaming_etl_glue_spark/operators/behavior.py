@@ -1968,3 +1968,185 @@ SELECT day, COUNT(*) AS n_conversions,
 FROM lat
 GROUP BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# hour-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+
+def hour_of_week_profile(events: DataFrame) -> DataFrame:
+    """Seasonality heatmap: event count and share per (day-of-week,
+    hour-of-day) cell, with the per-dow peak hour flagged — the load
+    profile capacity planning and anomaly BASELINES are built from
+    (compare a day's traffic to its cell, not to a global mean).
+
+    One hash aggregate over a 168-cell key space; the share and peak
+    decorations run over that aggregate. dayofweek is 1=Sunday in both
+    Spark and DuckDB (DuckDB's dayofweek is 0=Sunday — the twin uses
+    dayofweek(ts) + 1 to match)."""
+    cells = events.groupBy(
+        F.dayofweek(F.col("ts").cast("timestamp")).cast("int").alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    tot = F.broadcast(cells.agg(F.sum("n").alias("total")))
+    w_dow = Window.partitionBy("dow")
+    return cells.crossJoin(tot).select(
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        (F.col("n") == F.max("n").over(w_dow)).alias("is_dow_peak"),
+    )
+
+
+HOUR_OF_WEEK_PROFILE_SQL = """
+WITH cells AS (
+    SELECT (dayofweek(ts) + 1)::INT AS dow, hour(ts)::INT AS hod,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n)::DOUBLE AS total FROM cells)
+SELECT dow, hod, n,
+       round(n / tot.total, 6) AS share,
+       n = MAX(n) OVER (PARTITION BY dow) AS is_dow_peak
+FROM cells, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# catalog concentration (Gini coefficient of play counts)
+# ---------------------------------------------------------------------------
+
+
+def track_play_gini(events: DataFrame) -> DataFrame:
+    """Gini coefficient of play-count concentration across tracks
+    (0 = every track equally played, → 1 = one track takes all plays),
+    plus the head share (top-1% tracks' share of plays) — the catalog-
+    inequality audit behind licensing and recommendation-diversity
+    dashboards.
+
+    Closed form from the rank sum: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    over ascending-sorted per-track totals. The rank runs over the
+    per-track AGGREGATE (|tracks| rows, not plays) with a (count,
+    track) tiebreak for engine-identical ranking; sums are exact
+    BIGINTs, the final expression one IEEE formula."""
+    key = F.get_json_object("props", "$.k").alias("key")
+    per_track = (
+        events.select(key)
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("x").asc(), F.col("key").asc()
+    )
+    ranked = per_track.withColumn("i", F.row_number().over(w)).withColumn(
+        "n_all", F.count("*").over(Window.partitionBy(F.lit(0)))
+    )
+    stats = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i").cast("decimal(28,0)") * F.col("x")).alias("six"),
+        F.sum(
+            F.when(F.col("i") > F.col("n_all") * 0.99, F.col("x")).otherwise(
+                F.lit(0)
+            )
+        ).alias("head_x"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six").cast("double") / (n * F.col("sx"))
+        - (n + 1.0) / n
+    )
+    return stats.select(
+        "n",
+        F.col("sx").cast("long").alias("total_plays"),
+        F.round(gini, 6).alias("gini"),
+        F.round(
+            F.col("head_x").cast("double") / F.col("sx"), 6
+        ).alias("top1pct_share"),
+    )
+
+
+TRACK_PLAY_GINI_SQL = """
+WITH per_track AS (
+    SELECT json_extract_string(props, '$.k') AS key, COUNT(*) AS x
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+),
+ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x ASC, key ASC) AS i,
+           COUNT(*) OVER () AS n_all
+    FROM per_track
+),
+stats AS (
+    SELECT COUNT(*) AS n, SUM(x)::BIGINT AS sx,
+           SUM(CAST(i AS DECIMAL(28,0)) * x) AS six,
+           SUM(CASE WHEN i > n_all * 0.99 THEN x ELSE 0 END)::BIGINT
+               AS head_x
+    FROM ranked
+)
+SELECT n, sx AS total_plays,
+       round(2.0 * six::DOUBLE / (n::DOUBLE * sx) - (n + 1.0) / n, 6)
+           AS gini,
+       round(head_x::DOUBLE / sx, 6) AS top1pct_share
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily new vs returning users
+# ---------------------------------------------------------------------------
+
+
+def daily_new_vs_returning(events: DataFrame) -> DataFrame:
+    """Per day: active users split into NEW (first-ever activity that
+    day) and RETURNING — the growth-accounting decomposition every
+    DAU chart needs before it means anything.
+
+    First-seen day per user is one hash aggregate; actives per day are
+    a (day, user) distinct; the split is a broadcast-joined comparison
+    — no window over raw events, keys are user-bounded."""
+    day = F.col("ts").cast("timestamp").cast("date")
+    actives = events.select(
+        day.alias("day"), "user_id"
+    ).distinct()
+    first_seen = actives.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    return (
+        actives.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum(
+                (F.col("day") == F.col("first_day")).cast("long")
+            ).alias("new_users"),
+            F.sum(
+                (F.col("day") != F.col("first_day")).cast("long")
+            ).alias("returning_users"),
+            F.round(
+                F.avg((F.col("day") != F.col("first_day")).cast("double")),
+                6,
+            ).alias("returning_share"),
+        )
+    )
+
+
+DAILY_NEW_VS_RETURNING_SQL = """
+WITH actives AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+first_seen AS (
+    SELECT user_id, MIN(day) AS first_day FROM actives GROUP BY user_id
+)
+SELECT a.day,
+       COUNT(*) AS active_users,
+       SUM((a.day = f.first_day)::BIGINT)::BIGINT AS new_users,
+       SUM((a.day != f.first_day)::BIGINT)::BIGINT AS returning_users,
+       round(AVG((a.day != f.first_day)::INT), 6) AS returning_share
+FROM actives a JOIN first_seen f USING (user_id)
+GROUP BY a.day
+"""

@@ -663,3 +663,54 @@ def test_view_to_purchase_latency_in_session_only(spark):
     [row] = view_to_purchase_latency(events).collect()
     assert row.n_conversions == 2
     assert row.p50_latency_s == 90.0  # interpolated between 60 and 120
+
+
+def test_track_play_gini_extremes(spark):
+    """Perfectly uniform plays score ~0; total concentration on one
+    track approaches 1."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        track_play_gini,
+    )
+
+    import json
+
+    def ev(eid, key):
+        return (eid, json.dumps({"k": key}))
+
+    uniform = [ev(i, f"t{i % 10}") for i in range(100)]
+    df_u = spark.createDataFrame(uniform, "event_id long, props string")
+    [r] = track_play_gini(df_u).collect()
+    assert abs(r.gini) < 0.01
+    assert r.n == 10 and r.total_plays == 100
+
+    skewed = [ev(i, "hot") for i in range(96)] + [
+        ev(100 + i, f"cold{i}") for i in range(4)
+    ]
+    df_s = spark.createDataFrame(skewed, "event_id long, props string")
+    [r2] = track_play_gini(df_s).collect()
+    assert r2.gini > 0.7
+
+
+def test_daily_new_vs_returning_decomposition(spark):
+    """Day 1 actives are all new; a day-2 repeat visitor counts as
+    returning while a fresh face counts as new; the split sums to the
+    actives."""
+    from music_streaming_etl_glue_spark.operators.behavior import (
+        daily_new_vs_returning,
+    )
+
+    t = datetime.datetime(2024, 4, 1, 10, 0, 0)
+    day = datetime.timedelta(days=1)
+    rows = [
+        (1, 1, t), (2, 2, t),              # day 1: users 1, 2 (new)
+        (3, 1, t + day), (4, 3, t + day),  # day 2: 1 returns, 3 is new
+        (5, 1, t + day),                   # duplicate activity, same day
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    out = {str(r.day): r for r in daily_new_vs_returning(events).collect()}
+    d1, d2 = out["2024-04-01"], out["2024-04-02"]
+    assert (d1.active_users, d1.new_users, d1.returning_users) == (2, 2, 0)
+    assert (d2.active_users, d2.new_users, d2.returning_users) == (2, 1, 1)
+    assert d2.returning_share == 0.5
