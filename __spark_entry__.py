@@ -207,15 +207,9 @@ _STAMP_PRIORITY = (
     "hashed_doc_vectors",
     "text_ann_topk",
     "text_semantic_pairs",
-    # never-stamped rows-only entries (weaker signal per slot, but these
-    # six have had zero driver evidence in six rounds)
-    "genre_distinct_sketch_rollup",
-    "vocab_top_terms_approx",
-    "genre_series_dtw",
-    "pca_explained_variance",
-    "value_percentiles_approx",
-    "bpe_merges",
-    # new this round (round 7) — first driver stamp
+    # new this round (round 7) — first driver stamp. These precede the
+    # never-stamped rows-only entries below: a hash stamp per slot beats
+    # a rows-only stamp, and the window holds ~50.
     "mmr_rerank",
     "perplexity_buckets",
     "mad_outlier_audit",
@@ -242,6 +236,14 @@ _STAMP_PRIORITY = (
     "hour_of_week_profile",
     "track_play_gini",
     "daily_new_vs_returning",
+    # never-stamped rows-only entries (weaker signal per slot, but these
+    # six have had zero driver evidence across six rounds)
+    "genre_distinct_sketch_rollup",
+    "vocab_top_terms_approx",
+    "genre_series_dtw",
+    "pca_explained_variance",
+    "value_percentiles_approx",
+    "bpe_merges",
     # flagship contract re-stamps fill the remaining window slots.
     # ROUND-8 ROTATION NOTE: positions above run ~46 deep (16 never-
     # stamped + 6 rows-only + 18 round-7 entries + this tail), so with a
