@@ -438,14 +438,20 @@ def audience_overlap(enriched: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").alias("exact_overlap"))
     )
+    # rel_err derives from the SAME long-cast estimate that is emitted
+    # (not the raw double), so the output columns are mutually
+    # consistent: |est_overlap - exact_overlap| / max(exact_overlap, 1)
+    # recomputed from the emitted rows reproduces rel_err exactly
+    est_long = F.col("est_overlap").cast("long")
+    exact_filled = F.coalesce(F.col("exact_overlap"), F.lit(0))
     return pairs.join(exact, ["genre_a", "genre_b"], "left").select(
         "genre_a",
         "genre_b",
-        F.col("est_overlap").cast("long"),
-        F.coalesce("exact_overlap", F.lit(0)).alias("exact_overlap"),
+        est_long.alias("est_overlap"),
+        exact_filled.alias("exact_overlap"),
         F.round(
-            F.abs(F.col("est_overlap") - F.col("exact_overlap"))
-            / F.greatest(F.col("exact_overlap"), F.lit(1)),
+            F.abs(est_long - exact_filled)
+            / F.greatest(exact_filled, F.lit(1)),
             6,
         ).alias("rel_err"),
     )
@@ -504,7 +510,7 @@ WITH enriched AS ({ENRICH_SQL}),
 daily AS (
     SELECT track_genre, CAST(timestamp AS DATE) AS date,
            CAST(floor(user_id / {BITMAP_WORD_BITS}) AS BIGINT) AS word,
-           bit_or(1::BIGINT << (user_id % {BITMAP_WORD_BITS})::INT) AS bm
+           bit_or(1::BIGINT << (((user_id % {BITMAP_WORD_BITS}) + {BITMAP_WORD_BITS}) % {BITMAP_WORD_BITS})::INT) AS bm
     FROM enriched
     GROUP BY 1, 2, 3
 ),
@@ -565,7 +571,7 @@ WITH enriched AS ({ENRICH_SQL}),
 merged AS (
     SELECT track_genre,
            CAST(floor(user_id / {BITMAP_WORD_BITS}) AS BIGINT) AS word,
-           bit_or(1::BIGINT << (user_id % {BITMAP_WORD_BITS})::INT) AS bm
+           bit_or(1::BIGINT << (((user_id % {BITMAP_WORD_BITS}) + {BITMAP_WORD_BITS}) % {BITMAP_WORD_BITS})::INT) AS bm
     FROM enriched
     GROUP BY 1, 2
 )

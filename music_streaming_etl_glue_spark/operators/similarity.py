@@ -37,6 +37,19 @@ PAIR_THRESHOLD = 0.45
 SIGN_BITS = 4  # legacy single-band bucket (ann_topk_bucketed / sign-IVF only)
 ROUND = 6
 
+def _round_half_up(a, digits: int = ROUND):
+    """Round half AWAY FROM ZERO, matching Spark/DuckDB ``round()`` on
+    doubles. ``np.round`` is banker's rounding (half-to-even): a cosine
+    landing exactly on a 5e-7 boundary would round differently in the
+    pandas kernel than in the SQL twin, flipping a greedy MMR pick or a
+    threshold keep/drop and failing the driver hash stamp. Both engines
+    round the exact binary value, so floor(|x|·s + 0.5) on float64
+    reproduces them (2.675 is really 2.67499…, hence 2.67 everywhere)."""
+    scale = 10.0 ** digits
+    a = np.asarray(a, dtype="float64")
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
 #: Fixed-point scale for the LSH projections: dims are quantized to
 #: floor(x·1e6 + 0.5) BEFORE the hyperplane dot, so every projection is
 #: exact integer arithmetic (|dot| ≤ 64·5e6 « 2^53) — the sign bits are
@@ -721,7 +734,7 @@ def cosine_pairs_blocked(
         sims = a_mat @ b_mat.T
         # threshold on raw scores first; round only the survivors
         ai, bj_idx = np.nonzero(sims >= threshold - margin)
-        rounded = np.round(sims[ai, bj_idx], ROUND)
+        rounded = _round_half_up(sims[ai, bj_idx], ROUND)
         keep = rounded >= threshold
         left, right = a_ids[ai[keep]], b_ids[bj_idx[keep]]
         if bi == bj:
@@ -3097,7 +3110,7 @@ def mmr_rerank(
             pdf["vec"].map(lambda v: np.asarray(v, dtype="float64"))
         )
         norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = np.round(
+        sims = _round_half_up(
             (mat @ mat.T) / np.outer(norms, norms), ROUND
         )
         chosen: list[int] = []
@@ -3237,7 +3250,7 @@ def mmr_rerank_multi(
             pdf["vec"].map(lambda v: np.asarray(v, dtype="float64"))
         )
         norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), ROUND)
+        sims = _round_half_up((mat @ mat.T) / np.outer(norms, norms), ROUND)
         chosen: list[int] = []
         kk = min(k, len(ids))
         for _ in range(kk):
