@@ -178,86 +178,108 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver hash-stamps roughly the first 50 ``queries()`` entries per
 # round. Everything is green in the full local gate (tools/oracle_check.py),
 # but a driver stamp is the harder signal — so the dict is reordered per
-# round. Round 6 rotation (VERDICT r5 items #1/#2): lead with the one red
-# row (pq_codes, now stamped as a scalar-string projection), then queries
-# new this round, then ALL 45 hash-checkable queries that have never
-# received a driver stamp across rounds 1-5 (CORRECTNESS_r01..r05 union),
-# then a small flagship re-stamp tail. Previously-stamped entries keep
-# their historical green stamps.
+# round. Previously-stamped entries keep their historical green stamps.
 _STAMP_PRIORITY = (
-    # Round 7 rotation: lead with the 16 hash-checkable queries that have
-    # NEVER received a driver stamp across rounds 1-6 (r6's 50-slot window
-    # ended just before them — see CORRECTNESS_r01..r06 union), then the 6
-    # never-stamped rows-only entries, then queries new this round, then a
-    # small flagship re-stamp tail. Previously-stamped entries keep their
-    # historical green stamps.
-    "knn_join_lsh",
-    "soft_dedup_weights",
-    "join_skew_report",
-    "bpe_roundtrip",
-    "nb_source_classifier",
-    "split_leakage_audit",
-    "bpe_fertility",
-    "containment_pairs",
-    "winnow_near_dups",
-    "winnowing_fingerprints",
-    "knn_ivfpq_recall_audit",
-    "knn_join_ivfpq",
-    "nb_holdout_accuracy",
-    "hashed_doc_vectors",
-    "text_ann_topk",
-    "text_semantic_pairs",
-    # new this round (round 7) — first driver stamp. These precede the
-    # never-stamped rows-only entries below: a hash stamp per slot beats
-    # a rows-only stamp, and the window holds ~50.
-    "mmr_rerank",
-    "perplexity_buckets",
-    "mad_outlier_audit",
-    "session_transition_matrix",
-    "events_minute_ohlc",
-    "customer_rfm_segments",
-    "collocations_pmi",
-    "dedup_incremental_bloom",
-    "orders_backlog_timeline",
-    "genre_rolling_median",
-    "mmr_rerank_multi",
-    "value_equiheight_histogram",
-    "audience_overlap",
-    "genre_distinct_bitmap_rollup",
-    "audience_overlap_bitmap",
-    "neyman_sample",
-    "events_hourly_interpolated",
-    "knn_label_classifier",
-    "genre_trend_slopes",
-    "genre_country_chi2",
-    "session_path_topk",
-    "markov_next_event_accuracy",
-    "view_to_purchase_latency",
-    "hour_of_week_profile",
-    "track_play_gini",
-    "daily_new_vs_returning",
-    # never-stamped rows-only entries (weaker signal per slot, but these
-    # six have had zero driver evidence across six rounds)
-    "genre_distinct_sketch_rollup",
-    "vocab_top_terms_approx",
-    "genre_series_dtw",
-    "pca_explained_variance",
-    "value_percentiles_approx",
-    "bpe_merges",
-    # flagship contract re-stamps fill the remaining window slots.
-    # ROUND-8 ROTATION NOTE: positions above run ~46 deep (16 never-
-    # stamped + 6 rows-only + 18 round-7 entries + this tail), so with a
-    # ~50-slot stamp window everything above should receive its first
-    # driver stamp this round. Lead the r8 window with whatever
-    # CORRECTNESS_r07 leaves unstamped or red, then rotate back through
-    # the long-unstamped middle of the catalog (stamps age — a query
-    # last stamped in r1/r2 has no evidence against the CURRENT tree).
-    "enriched",
-    "user_kpis",
-    "genre_daily_metrics",
-    "serving_items",
-    "pq_codes",
-    "bpe_encode",
+    # ROUND 8 ROTATION — oldest-stamp-first (VERDICT r7 item #1). All 222
+    # entries now carry at least one driver stamp, so the risk is stamp
+    # AGE: a query last stamped in r1/r2 has no driver evidence against
+    # the current tree. Policy from this round on: order by latest-stamp
+    # round ascending (computed from the CORRECTNESS_r0*.json union),
+    # with two standing exceptions that jump the queue — (a) entries
+    # whose latest stamp is red or oracle-less on since-fixed code, and
+    # (b) entries NEW this round (first stamp beats a re-stamp).
+    #
+    # (a) stale-bad stamps: user_sessions' only stamp is a r01 hash-FAIL
+    # on long-since-fixed code; multimodal_features' r01 stamp predates
+    # its oracle twin (and its decode lane is new this round).
+    "user_sessions",
+    "multimodal_features",
+    # (b) new in round 8 — first driver stamp.
+    "image_decode_meta",
+    "customer_rfm_segments_approx",
+    "track_play_gini_closed_form",
+    "knn_join_ivfpq_after_delete",
+    # r1 cohort (latest stamp = round 1), 25 remaining entries.
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_dedup_pairs",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "ann_topk_bruteforce",
+    "ann_topk_pandas",
+    "ann_topk_bucketed",
+    "label_centroids",
+    "cosine_pairs",
+    "cosine_pairs_blocked",
+    "cosine_pairs_lsh",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_per_nation",
+    "customers_without_orders",
+    "customers_with_big_orders",
+    "order_priority_pivot",
+    "sales_rollup",
+    "sales_cube",
+    "value_percentiles",
+    "skyline_parts",
+    "error_click_asof",
+    "normalize_text",
+    "multimodal_meta",
+    # r2 cohort (latest stamp = round 2), 6 entries.
+    "rebalance_sources",
+    "rebalance_sources_fractional",
+    "dedup_clusters",
+    "near_dedup_apply",
+    "semantic_dedup_clusters",
+    "chunk_dedup",
+    # r3 cohort head (latest stamp = round 3; 42 entries total — the
+    # window ends somewhere in here; ROUND-9 ROTATION NOTE: continue
+    # from wherever CORRECTNESS_r08 stops, then the rest of the r3
+    # cohort in this order, then the r5 cohort).
+    "genre_top_genres",
+    "trending_tracks_reference_exact",
+    "token_counts",
+    "text_quality",
+    "lang_id",
+    "fingerprints",
+    "tfidf_top_terms",
+    "value_histogram",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_apply",
+    "dataset_split",
+    "genre_daily_moving_avg",
+    "serving_by_genre_date",
+    "serving_by_kpi_type",
+    "bm25_scores",
+    "repetition_metrics",
+    "chunk_documents",
+    "chunk_documents_udtf",
+    "event_props_variant",
+    "contamination_flags",
+    "user_retention_cohorts",
+    "conversion_funnel",
+    "genre_daily_anomalies",
+    "events_rollup",
+    "track_cooccurrence",
+    "track_pagerank",
+    "sample_per_group",
+    "view_days_without_purchase",
+    "view_purchase_days",
+    "user_first_last_event",
+    "genre_daily_change",
+    "genre_daily_gapfilled",
+    "daily_activity_full",
+    "stratified_sample",
+    "weighted_sample",
+    "serving_lookup",
+    "vocab_top_terms",
+    "pack_chunks",
+    "pack_examples",
+    "ngram_decontamination",
+    # rows-only r3 stragglers (weaker signal per slot — after the hash
+    # signals above)
+    "genre_daily_metrics_approx",
     # then the rest of the previously-green catalog in queries() order
 )
 
