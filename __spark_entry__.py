@@ -144,6 +144,17 @@ def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.knn_join_ivfpq(spark, _embs(spark, sf_dir), path)
 
 
+def _knn_ivfpq_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ivf_cache_path(
+        sf_dir,
+        "ivfpqdel",
+        f"m{_sim.PQ_SUBSPACES}k{_sim.PQ_CODES}np{_sim.IVF_NPROBE}"
+        f"d{_sim.EMB_DROP_MOD}.{_sim.EMB_DROP_RES}"
+        f"e{_sim.EMB_EDIT_MOD}.{_sim.EMB_EDIT_RES}",
+    )
+    return _sim.knn_join_ivfpq_after_delete(spark, _embs(spark, sf_dir), path)
+
+
 def _knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivf_cache_path(
         sf_dir,
@@ -727,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": _ann_ivfpq,
         # batched serving against the compressed index + its recall audit
         "knn_join_ivfpq": _knn_ivfpq,
+        "knn_join_ivfpq_after_delete": _knn_ivfpq_after_delete,
         "knn_ivfpq_recall_audit": _knn_ivfpq_recall,
         # deterministic PCA variance audit (exact integer Gram; rows-only
         # — no SQL engine eigendecomposes; pytest pins the linear algebra)
@@ -1262,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pq_rerank": _sim.ANN_TOPK_PQ_RERANK_SQL,
         "ann_topk_ivfpq": _sim.ANN_TOPK_IVFPQ_SQL,
         "knn_join_ivfpq": _sim.KNN_JOIN_IVFPQ_SQL,
+        "knn_join_ivfpq_after_delete": _sim.KNN_JOIN_IVFPQ_AFTER_DELETE_SQL,
         "knn_ivfpq_recall_audit": _sim.KNN_IVFPQ_RECALL_AUDIT_SQL,
         "embedding_stats": _sim.EMBEDDING_STATS_SQL,
         "semantic_contamination": _sim.SEMANTIC_CONTAMINATION_SQL,

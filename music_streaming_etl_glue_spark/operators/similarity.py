@@ -2493,6 +2493,55 @@ def refresh_ivfpq_layout(spark, appended: DataFrame, path: str) -> None:
     ).parquet(path)
 
 
+def rewrite_ivfpq_cells(spark, path: str, drop_ids: DataFrame) -> list:
+    """The DELETE path for the IVF-PQ index (VERDICT r7 item #2): drop
+    ``drop_ids`` (vec_id) from the layout by rewriting ONLY the cell
+    partitions that contain them — the plans.merge touched-partition
+    discipline applied to the index. Untouched ``assigned_label=`` cell
+    directories are never opened for write (their files stay
+    byte-identical), the pinned ``_centroids``/``_codebook`` artifacts
+    are not touched, and a cell whose rows are all dropped simply
+    disappears from the listing. Returns the sorted labels rewritten.
+
+    Scale: finding the touched cells is one join of the (vec_id,
+    assigned_label) projection against the (small, batched) delete set;
+    the rewrite reads and writes only |touched cells| partitions —
+    at 100 TB with ~√N cells a compliance delete batch costs
+    O(cells-hit · cell-size), never an index rebuild. Deletes that must
+    be visible before the next rewrite window would layer a tombstone
+    filter on the read side; this engine ships the rewrite because the
+    done-signal is stronger (no query-time filter to forget)."""
+    import os
+    import shutil
+    import uuid
+
+    layout = spark.read.parquet(path)
+    touched = sorted(
+        r.assigned_label
+        for r in layout.join(drop_ids, "vec_id")
+        .select("assigned_label")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+    survivors = layout.filter(
+        F.col("assigned_label").isin(touched)
+    ).join(drop_ids, "vec_id", "left_anti")
+    tmp = f"{path}.rewrite-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    survivors.write.mode("overwrite").partitionBy(
+        "assigned_label"
+    ).parquet(tmp)
+    for lab in touched:
+        dst = os.path.join(path, f"assigned_label={lab}")
+        src = os.path.join(tmp, f"assigned_label={lab}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):
+            os.rename(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return touched
+
+
 def ann_topk_ivfpq(
     spark,
     embeddings: DataFrame,
@@ -2907,6 +2956,222 @@ KNN_JOIN_IVFPQ_SQL = (
 )
 KNN_IVFPQ_RECALL_AUDIT_SQL = KNN_IVFPQ_RECALL_AUDIT_SQL.replace(
     "{knn_ivfpq}", KNN_JOIN_IVFPQ_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ delete/update path (VERDICT r7 item #2) — serve after a diff that
+# REMOVES and CHANGES corpus vectors, not just appends
+# ---------------------------------------------------------------------------
+
+#: deterministic removed/changed perturbation knobs (the embeddings-side
+#: twin of plans.snapshot_diff's DIFF_DROP_MOD/DIFF_EDIT_MOD documents
+#: perturbation): vec_id % 97 == 3 rows are DELETED, vec_id % 89 == 5
+#: rows are RE-EMBEDDED (negated — sign flips are exact in IEEE, so both
+#: engines see bit-identical "new" vectors).
+EMB_DROP_MOD = 97
+EMB_DROP_RES = 3
+EMB_EDIT_MOD = 89
+EMB_EDIT_RES = 5
+
+
+def perturbed_embeddings(embeddings: DataFrame) -> DataFrame:
+    """The 'next snapshot' of the embeddings table with deterministic
+    removed/changed rows — the fixture every delete-path operator and
+    its oracle share. Emits array<double> embeddings so the snapshot
+    diff compares like against like (the unperturbed rows' string-cast
+    hashes must match the old side's)."""
+    emb = _as_double("embedding")
+    return embeddings.filter(
+        F.col("vec_id") % EMB_DROP_MOD != EMB_DROP_RES
+    ).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % EMB_EDIT_MOD == EMB_EDIT_RES,
+            F.transform(emb, lambda x: -x),
+        )
+        .otherwise(emb)
+        .alias("embedding"),
+        "label",
+    )
+
+
+def knn_join_ivfpq_after_delete(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """:func:`knn_join_ivfpq` served from an index that has ABSORBED a
+    delete+re-embed batch: build the layout on the original corpus,
+    apply :func:`perturbed_embeddings`'s removed/changed diff through
+    ``plans.snapshot_diff.incremental_index_update`` (touched-cell
+    rewrite for drops, pinned-codebook re-encode for changes — training
+    artifacts never move), then serve the multi-query funnel for the
+    post-update corpus. The index a compliance delete leaves behind is
+    exactly encode(new corpus) under the ORIGINAL codebook/centroids,
+    which is what the DuckDB twin replays — so a single stale code row
+    (a tombstone missed, a cell not rewritten, a change double-encoded)
+    breaks the hash.
+
+    The build+update runs once per cache path under the atomic-rename
+    discipline; repeat calls serve the committed layout."""
+    import os
+
+    from music_streaming_etl_glue_spark.plans.snapshot_diff import (
+        incremental_index_update,
+    )
+
+    old = embeddings.select(
+        "vec_id", _as_double("embedding").alias("embedding"), "label"
+    )
+    new = perturbed_embeddings(embeddings)
+
+    def build(tmp: str) -> None:
+        write_ivfpq_layout(old, tmp)
+        incremental_index_update(spark, old, new, tmp)
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _build_layout_atomic(build, path)
+    return knn_join_ivfpq(spark, new, path, n_queries, k, nprobe, shortlist)
+
+
+# The oracle replays the post-update index's defining equation — corpus =
+# perturbed snapshot, training artifacts (codebook CTE from {pq_ctes},
+# centroids) = ORIGINAL snapshot — then the same batched funnel as
+# KNN_JOIN_IVFPQ_SQL. Queries come from the NEW corpus (the dropped
+# query id disappears from the result; the re-embedded one queries with
+# its new vector).
+KNN_JOIN_IVFPQ_AFTER_DELETE_SQL = f"""
+WITH {{pq_ctes}},
+perturbed AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % {EMB_EDIT_MOD} = {EMB_EDIT_RES}
+                THEN list_transform(embedding::DOUBLE[], x -> -x)
+                ELSE embedding::DOUBLE[] END AS emb
+    FROM embeddings
+    WHERE vec_id % {EMB_DROP_MOD} != {EMB_DROP_RES}
+),
+nv2 AS (
+    SELECT vec_id,
+           list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb)))
+               AS vec
+    FROM perturbed
+),
+subs2 AS (
+    SELECT vec_id, t.i::BIGINT AS s,
+           vec[t.i * {PQ_SUBDIM} + 1 : t.i * {PQ_SUBDIM} + {PQ_SUBDIM}]
+               AS subvec
+    FROM nv2, range(0, {PQ_SUBSPACES}) t(i)
+),
+codes2 AS (
+    SELECT vec_id, s, code FROM (
+        SELECT su.vec_id, su.s, cb.code,
+               row_number() OVER (
+                   PARTITION BY su.vec_id, su.s
+                   ORDER BY round(
+                       list_dot_product(su.subvec, su.subvec)
+                       + list_dot_product(cb.cvec, cb.cvec)
+                       - 2 * list_dot_product(su.subvec, cb.cvec),
+                       {PQ_DIST_ROUND}), cb.code) AS rn
+        FROM subs2 su JOIN codebook cb ON su.s = cb.s
+    ) WHERE rn = 1
+),
+cents AS (
+    SELECT label AS assigned_label, list(centroid_value ORDER BY dim) AS cvec
+    FROM ({{label_centroids}})
+    GROUP BY label
+),
+assign2 AS (
+    SELECT vec_id, assigned_label FROM (
+        SELECT p.vec_id, c.assigned_label,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY round(
+                       list_dot_product(p.emb, p.emb)
+                       - 2 * list_dot_product(p.emb, c.cvec)
+                       + list_dot_product(c.cvec, c.cvec), {ROUND}),
+                   c.assigned_label) AS rn
+        FROM perturbed p CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+q AS (
+    SELECT vec_id AS query_id, emb AS qvec
+    FROM perturbed WHERE vec_id < {KNN_N_QUERIES}
+),
+cell_dist AS (
+    SELECT q.query_id, c.assigned_label,
+           round(list_dot_product(q.qvec, q.qvec)
+                 - 2 * list_dot_product(q.qvec, c.cvec)
+                 + list_dot_product(c.cvec, c.cvec), {ROUND}) AS dist
+    FROM cents c, q
+),
+probe AS (
+    SELECT query_id, assigned_label FROM (
+        SELECT query_id, assigned_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, assigned_label) AS rn
+        FROM cell_dist
+    ) WHERE rn <= {IVF_NPROBE}
+),
+pcodes AS (
+    SELECT p.query_id, c.vec_id, c.s, c.code
+    FROM codes2 c
+    JOIN assign2 a ON a.vec_id = c.vec_id
+    JOIN probe p ON a.assigned_label = p.assigned_label
+    WHERE c.vec_id != p.query_id
+),
+qsub AS (
+    SELECT vec_id AS query_id, s, subvec AS qvec
+    FROM subs2 WHERE vec_id < {KNN_N_QUERIES}
+),
+lut AS (
+    SELECT q.query_id, cb.s, cb.code,
+           round(list_dot_product(cb.cvec, q.qvec), {PQ_DIST_ROUND})
+               AS partial
+    FROM codebook cb JOIN qsub q ON cb.s = q.s
+),
+adc AS (
+    SELECT c.query_id, c.vec_id, round(SUM(l.partial), {ROUND}) AS adc_sim
+    FROM pcodes c
+    JOIN lut l ON l.query_id = c.query_id AND l.s = c.s AND l.code = c.code
+    GROUP BY c.query_id, c.vec_id
+),
+short AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_sim DESC, vec_id ASC) AS rn
+        FROM adc
+    ) WHERE rn <= {PQ_SHORTLIST}
+),
+qn AS (
+    SELECT vec_id AS query_id, vec AS qnvec FROM nv2
+    WHERE vec_id < {KNN_N_QUERIES}
+),
+rescored AS (
+    SELECT s.query_id, s.vec_id,
+           round(list_dot_product(nv2.vec, qn.qnvec), {ROUND}) AS similarity
+    FROM short s
+    JOIN nv2 ON nv2.vec_id = s.vec_id
+    JOIN qn ON qn.query_id = s.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, similarity,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM rescored
+)
+SELECT query_id, vec_id, similarity, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+KNN_JOIN_IVFPQ_AFTER_DELETE_SQL = (
+    KNN_JOIN_IVFPQ_AFTER_DELETE_SQL.replace("{pq_ctes}", _pq_ctes())
+    .replace("{label_centroids}", LABEL_CENTROIDS_SQL)
 )
 
 

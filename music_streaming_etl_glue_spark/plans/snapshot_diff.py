@@ -183,22 +183,35 @@ def incremental_index_update(
     """The embedding-side twin of :func:`incremental_corpus_update`:
     snapshot-diff the embeddings table and refresh the persisted IVF-PQ
     index at ``path`` — building it from ``old`` on first call, then
-    encoding ONLY the diff's *added* vectors with the EXISTING codebook
-    and centroids (similarity.refresh_ivfpq_layout). This is the
-    production append path: a refresh costs O(diff + batch-encode),
-    never a retrain or corpus re-encode, and the standing cell
-    partitions are untouched.
+    applying the FULL diff with the EXISTING (pinned) codebook and
+    centroids:
 
-    Returns the diff audit plus ``encoded`` (vectors appended to the
-    index). ``changed``/``removed`` rows are surfaced in the audit but
-    NOT applied — they need a cell-partition rewrite (plans.merge
-    discipline), which an append-only training corpus never issues.
+    * ``removed`` and ``changed`` old rows are dropped by rewriting
+      ONLY the cell partitions that contain them
+      (similarity.rewrite_ivfpq_cells — the plans.merge
+      touched-partition discipline; untouched cells' files stay
+      byte-identical);
+    * ``added`` and ``changed`` new rows are encoded against the pinned
+      artifacts and appended (similarity.refresh_ivfpq_layout).
+
+    Training never reruns: the index after any refresh equals
+    encode(new corpus) under the ORIGINAL codebook/centroids, so a
+    refresh costs O(diff) encode + O(touched cells) rewrite — never a
+    retrain, never a corpus re-encode. (Retraining is a quality
+    decision, taken when the codebook drift gate trips, not a
+    correctness one.) Order matters: drops run BEFORE appends so a
+    changed vector re-encoded into one of its old cells is not swept
+    away by its own tombstone.
+
+    Returns the diff audit plus ``encoded`` (vectors appended),
+    ``dropped`` (old rows removed) and ``cells_rewritten``.
     """
     import os
 
     from music_streaming_etl_glue_spark.operators.similarity import (
         _build_layout_atomic,
         refresh_ivfpq_layout,
+        rewrite_ivfpq_cells,
         write_ivfpq_layout,
     )
 
@@ -210,11 +223,25 @@ def incremental_index_update(
         eager=False
     )
     audit = {r.status: r.n for r in diff_summary(d).collect()}
-    n_added = audit.get("added", 0)
-    if n_added:
-        added = new.join(
-            d.filter(F.col("status") == "added").select("vec_id"), "vec_id"
+    n_dropped = audit.get("removed", 0) + audit.get("changed", 0)
+    if n_dropped:
+        drop_ids = d.filter(
+            F.col("status").isin("removed", "changed")
+        ).select("vec_id")
+        audit["cells_rewritten"] = len(
+            rewrite_ivfpq_cells(spark, path, drop_ids)
         )
-        refresh_ivfpq_layout(spark, added, path)
-    audit["encoded"] = n_added
+    else:
+        audit["cells_rewritten"] = 0
+    n_fresh = audit.get("added", 0) + audit.get("changed", 0)
+    if n_fresh:
+        fresh = new.join(
+            d.filter(F.col("status").isin("added", "changed")).select(
+                "vec_id"
+            ),
+            "vec_id",
+        )
+        refresh_ivfpq_layout(spark, fresh, path)
+    audit["encoded"] = n_fresh
+    audit["dropped"] = n_dropped
     return audit
