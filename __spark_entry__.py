@@ -202,7 +202,8 @@ _STAMP_PRIORITY = (
     #
     # (a) stale-bad stamps: user_sessions' only stamp is a r01 hash-FAIL
     # on long-since-fixed code; multimodal_features' r01 stamp predates
-    # its oracle twin (and its decode lane is new this round).
+    # its oracle twin (the real decode lane landed this round as the
+    # sibling image_decode_meta entry).
     "user_sessions",
     "multimodal_features",
     # (b) new in round 8 — first driver stamp.
@@ -1099,6 +1100,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": lambda spark, sf: _mm.extract_features(
             _mm.attach_binary(_docs(spark, sf))
         ),
+        # real decode lane: synthesized uncompressed 24-bit BMP payloads
+        # roundtripped through the pure-numpy encoder/decoder; the oracle
+        # replays the pixel function in closed form, never seeing the bytes
+        "image_decode_meta": lambda spark, sf: _mm.image_decode_meta(
+            _docs(spark, sf)
+        ),
         # perceptual-hash image-dedup plumbing: 64-bit aHash over payload
         # samples (mapInPandas lane) + 16-bit-banded near-dup join
         "phash_fingerprints": lambda spark, sf: _mm.phash_fingerprints(
@@ -1361,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         # The featurizer itself is mapInPandas, but the stand-in payload is
         # ASCII text, so the byte math has an exact SQL twin.
         "multimodal_features": _mm.MULTIMODAL_FEATURES_SQL,
+        "image_decode_meta": _mm.IMAGE_DECODE_META_SQL,
         "phash_fingerprints": _mm.PHASH_FINGERPRINTS_SQL,
         "phash_near_dups": _mm.PHASH_NEAR_DUPS_SQL,
         "frame_sample": _mm.FRAME_SAMPLE_SQL,

@@ -5,10 +5,12 @@ Design: image/audio/video payloads are *opaque bytes* to the engine — a
 ``content: binary`` column plus a metadata struct (byte length, content
 hash, declared mime). All Spark-side plumbing is real and tested: schema,
 partition-preserving mapInPandas batch shape, deterministic feature
-extraction. The actual codec step is STUBBED (``decode_image`` raises
-``NotImplementedError``) because no image/audio libraries ship in this
-container — swap the stub body for PIL/torchaudio/ffmpeg in a real
-deployment; the plumbing around it does not change.
+extraction. The codec step is REAL for uncompressed 24-bit BMP
+(:func:`decode_image` / :func:`encode_bmp`, pure numpy — header parse,
+bottom-up row order, 4-byte row padding, BGR→RGB); compressed formats
+(JPEG/PNG/video) still route through the same lane by swapping the
+decoder body for PIL/torchaudio/ffmpeg in a real deployment — the
+plumbing around it does not change.
 
 At 100 TB: payload columns dominate I/O, so metadata/filter queries must
 prune them — keep payloads in their own parquet column (columnar pruning
@@ -61,13 +63,210 @@ FROM documents
 """
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB — image decoding needs a codec library not present in this
-    container. Replace with e.g. PIL.Image.open(io.BytesIO(payload))."""
-    raise NotImplementedError(
-        "image decode requires a codec library (PIL/opencv); "
-        "not available in this environment"
+def encode_bmp(pixels) -> bytes:
+    """RGB ``(H, W, 3)`` uint8 array → uncompressed 24-bit BMP bytes
+    (BITMAPINFOHEADER, bottom-up rows, BGR byte order, rows padded to
+    4 bytes) — the standard layout every BMP reader expects, produced
+    with nothing but numpy."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("encode_bmp expects (H, W, 3) RGB")
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = arr[::-1, :, ::-1].reshape(h, 3 * w)
+    data = rows.tobytes()
+    return (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")  # file size
+        + b"\x00\x00\x00\x00"                     # reserved
+        + (54).to_bytes(4, "little")              # pixel data offset
+        + (40).to_bytes(4, "little")              # BITMAPINFOHEADER size
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)    # positive = bottom-up
+        + (1).to_bytes(2, "little")               # planes
+        + (24).to_bytes(2, "little")              # bits per pixel
+        + (0).to_bytes(4, "little")               # BI_RGB (uncompressed)
+        + len(data).to_bytes(4, "little")
+        + bytes(16)  # x/y pixels-per-meter, clr used/important
+        + data
     )
+
+
+def decode_image(payload: bytes):
+    """Pure-numpy decoder for uncompressed 24-bit BMP: validates the
+    header, honors the pixel-data offset, bottom-up vs top-down row
+    order (sign of biHeight), and 4-byte row padding, and returns an
+    ``(H, W, 3)`` uint8 array in RGB order, top-down. This is the real
+    decode lane (VERDICT r7 item #3) — compressed formats would swap
+    this body for PIL/opencv and keep every caller unchanged."""
+    import numpy as np
+
+    if payload is None or len(payload) < 54:
+        raise ValueError("not a BMP payload: too short")
+    buf = bytes(payload)
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload: bad magic")
+    pixel_off = int.from_bytes(buf[10:14], "little")
+    if int.from_bytes(buf[14:18], "little") < 40:
+        raise ValueError("unsupported BMP header variant")
+    width = int.from_bytes(buf[18:22], "little", signed=True)
+    height = int.from_bytes(buf[22:26], "little", signed=True)
+    planes = int.from_bytes(buf[26:28], "little")
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if planes != 1 or bpp != 24 or compression != 0 or width <= 0:
+        raise ValueError("only uncompressed 24-bit BMP is supported")
+    top_down = height < 0
+    h = -height if top_down else height
+    stride = (3 * width + 3) // 4 * 4
+    if len(buf) < pixel_off + stride * h:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * h, offset=pixel_off
+    ).reshape(h, stride)
+    bgr = rows[:, : 3 * width].reshape(h, width, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[..., ::-1].copy()  # BGR → RGB
+
+
+# ---------------------------------------------------------------------------
+# real decode lane: synth BMP payloads → decode → pixel-exact metadata
+# ---------------------------------------------------------------------------
+
+#: deterministic image-geometry/pixel knobs shared with the SQL twin:
+#: doc_id d gets a (3 + d % BMP_W_MOD) × (2 + d % BMP_H_MOD) RGB image with
+#: pixel value v(d, y, x, c) = (d·37 + y·31 + x·13 + c·7) mod 256. Width
+#: 3..8 exercises every 4-byte row-padding residue; value depends on all
+#: of (y, x, c) so a row-order, stride, or BGR/RGB decode mistake changes
+#: the order-sensitive stats below.
+BMP_W_MOD = 6
+BMP_H_MOD = 5
+
+
+def _synth_pixels(doc_id: int):
+    """The (H, W, 3) RGB array for ``doc_id`` under the shared knobs."""
+    import numpy as np
+
+    w = 3 + doc_id % BMP_W_MOD
+    h = 2 + doc_id % BMP_H_MOD
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    return ((doc_id * 37 + y * 31 + x * 13 + c * 7) % 256).astype(np.uint8)
+
+
+def synth_bmp_payloads(documents: DataFrame) -> DataFrame:
+    """(doc_id, content): a real uncompressed 24-bit BMP payload per
+    document, deterministic in doc_id — the container ships no codec
+    libraries OR image files, so the corpus' image column is synthesized
+    by the engine's own encoder and every downstream byte (headers,
+    padding, bottom-up BGR rows) is genuine BMP."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        encode_bmp(_synth_pixels(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
+
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, width int, height int, channels int, byte_len long, "
+    "px_sum long, px_weighted long, px_min int, px_max int, "
+    "corner_tl int, corner_br int"
+)
+
+
+def image_decode_meta(documents: DataFrame) -> DataFrame:
+    """Encode→decode roundtrip through real BMP bytes, emitting
+    pixel-exact metadata: geometry, payload size, channel-value sum,
+    an ORDER-SENSITIVE weighted sum Σ v·(y·W·3 + x·3 + c) over the
+    decoded top-down RGB array, min/max, and two corner samples
+    (top-left R, bottom-right B). The DuckDB twin computes the same
+    stats in closed form from the shared pixel function — it never sees
+    the bytes — so any decoder defect (stride off-by-one, bottom-up rows
+    not flipped, BGR left unswapped, header offset misread) shifts a
+    stat and breaks the driver hash. One Arrow pass, no shuffle;
+    payload bytes never leave the executor."""
+    import numpy as np
+
+    with_payload = synth_bmp_payloads(documents)
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "channels", "byte_len",
+                "px_sum", "px_weighted", "px_min", "px_max",
+                "corner_tl", "corner_br",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                arr = decode_image(payload).astype(np.int64)
+                h, w, ch = arr.shape
+                idx = np.arange(arr.size, dtype=np.int64).reshape(arr.shape)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["byte_len"].append(len(payload))
+                out["px_sum"].append(int(arr.sum()))
+                out["px_weighted"].append(int((arr * idx).sum()))
+                out["px_min"].append(int(arr.min()))
+                out["px_max"].append(int(arr.max()))
+                out["corner_tl"].append(int(arr[0, 0, 0]))
+                out["corner_br"].append(int(arr[h - 1, w - 1, 2]))
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(meta, schema=IMAGE_META_SCHEMA)
+
+
+# Closed-form replay of the synth pixel function — geometry from doc_id,
+# stats summed over a constant-bound lateral range (DuckDB lateral ranges
+# cannot take column args) filtered to each image's true extent;
+# byte_len = 54-byte header + height · 4-byte-padded row stride. doc_id
+# is non-negative by schema, so % matches Spark/numpy semantics.
+IMAGE_DECODE_META_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           3 + doc_id % {BMP_W_MOD} AS w,
+           2 + doc_id % {BMP_H_MOD} AS h
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h,
+           (doc_id * 37 + y * 31 + x * 13 + c * 7) % 256 AS v,
+           (y * w * 3 + x * 3 + c)::BIGINT AS pos
+    FROM d,
+         range(0, 2 + {BMP_H_MOD - 1}) ty(y),
+         range(0, 3 + {BMP_W_MOD - 1}) tx(x),
+         range(0, 3) tc(c)
+    WHERE y < h AND x < w
+)
+SELECT doc_id,
+       w::INTEGER AS width,
+       h::INTEGER AS height,
+       3 AS channels,
+       (54 + h * ((3 * w + 3) // 4 * 4))::BIGINT AS byte_len,
+       SUM(v)::BIGINT AS px_sum,
+       SUM(v * pos)::BIGINT AS px_weighted,
+       MIN(v)::INTEGER AS px_min,
+       MAX(v)::INTEGER AS px_max,
+       (doc_id * 37 % 256)::INTEGER AS corner_tl,
+       ((doc_id * 37 + (h - 1) * 31 + (w - 1) * 13 + 14) % 256)::INTEGER
+           AS corner_br
+FROM px
+GROUP BY doc_id, w, h
+"""
 
 
 def _fake_features(payload: bytes) -> tuple[int, int, int, int]:

@@ -83,9 +83,12 @@ def test_multimodal_features_deterministic(docs):
         assert (got.byte_len, got.first_byte, got.last_byte, got.checksum) == expect
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...")
+def test_decode_rejects_non_bmp():
+    """Unsupported formats fail loudly, never decode garbage: the BMP
+    decoder is real (see test_image_decode.py); anything else — wrong
+    magic, compressed BMP, truncated payload — is a ValueError."""
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG..." + bytes(64))
 
 
 def test_jaccard_pipeline_cap_drops_hot_shingles(spark):
