@@ -875,6 +875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_segments": lambda spark, sf: (
             _rel.customer_rfm_segments(load_table(spark, sf, "orders"))
         ),
+        # the 100 TB form: broadcast percentile_approx thresholds, no
+        # single-partition ntile windows (ROWS_ONLY: sketch-specific ties;
+        # pytest pins agreement with the exact twin)
+        "customer_rfm_segments_approx": lambda spark, sf: (
+            _rel.customer_rfm_segments_approx(load_table(spark, sf, "orders"))
+        ),
         # interval open/close -> cumulative open-order backlog per day
         "orders_backlog_timeline": lambda spark, sf: (
             _rel.orders_backlog_timeline(
@@ -909,6 +915,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gini concentration of plays across tracks + top-1% share
         "track_play_gini": lambda spark, sf: (
             _beh.track_play_gini(load_table(spark, sf, "events"))
+        ),
+        # identical value via two-level closed-form rank: the ordered
+        # stage shrinks from |tracks| to |distinct play counts|
+        "track_play_gini_closed_form": lambda spark, sf: (
+            _beh.track_play_gini_closed_form(load_table(spark, sf, "events"))
         ),
         # growth accounting: per-day new vs returning actives
         "daily_new_vs_returning": lambda spark, sf: (
@@ -1321,6 +1332,8 @@ def oracle_sql() -> dict[str, str]:
         "view_to_purchase_latency": _beh.VIEW_TO_PURCHASE_LATENCY_SQL,
         "hour_of_week_profile": _beh.HOUR_OF_WEEK_PROFILE_SQL,
         "track_play_gini": _beh.TRACK_PLAY_GINI_SQL,
+        # bit-identical output by construction -> shares the exact oracle
+        "track_play_gini_closed_form": _beh.TRACK_PLAY_GINI_SQL,
         "daily_new_vs_returning": _beh.DAILY_NEW_VS_RETURNING_SQL,
         "customer_order_distribution": (
             _rel.CUSTOMER_ORDER_DISTRIBUTION_SQL

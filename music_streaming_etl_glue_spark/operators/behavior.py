@@ -2030,7 +2030,10 @@ def track_play_gini(events: DataFrame) -> DataFrame:
     over ascending-sorted per-track totals. The rank runs over the
     per-track AGGREGATE (|tracks| rows, not plays) with a (count,
     track) tiebreak for engine-identical ranking; sums are exact
-    BIGINTs, the final expression one IEEE formula."""
+    BIGINTs, the final expression one IEEE formula. At 10⁸+ tracks the
+    single-partition rank is the bottleneck —
+    :func:`track_play_gini_closed_form` computes the identical value
+    with the ordered stage reduced to |distinct counts| rows."""
     key = F.get_json_object("props", "$.k").alias("key")
     per_track = (
         events.select(key)
@@ -2038,11 +2041,18 @@ def track_play_gini(events: DataFrame) -> DataFrame:
         .groupBy("key")
         .agg(F.count("*").alias("x"))
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    # repartition(1) + spark_partition_id (constant 0 after it) instead
+    # of partitionBy(lit(0)): the optimizer folds a literal partition
+    # key away and WindowExec then logs "No Partition Defined" — same
+    # single-partition exchange, declared instead of warned about
+    spid = F.spark_partition_id()
+    w = Window.partitionBy(spid).orderBy(
         F.col("x").asc(), F.col("key").asc()
     )
-    ranked = per_track.withColumn("i", F.row_number().over(w)).withColumn(
-        "n_all", F.count("*").over(Window.partitionBy(F.lit(0)))
+    ranked = (
+        per_track.repartition(1)
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("n_all", F.count("*").over(Window.partitionBy(spid)))
     )
     stats = ranked.agg(
         F.count("*").alias("n"),
@@ -2094,6 +2104,90 @@ SELECT n, sx AS total_plays,
        round(head_x::DOUBLE / sx, 6) AS top1pct_share
 FROM stats
 """
+
+
+def _gini_tie_groups(events: DataFrame) -> DataFrame:
+    """(x, cnt, below) per DISTINCT play count: cnt tracks share count
+    x; ``below`` tracks have a smaller one. The running sum is the only
+    ordered stage of the closed-form Gini, and it runs over this
+    distinct-count relation — ``repartition(1)`` declares the single
+    partition explicitly AFTER the parallel aggregates (the structural
+    invariant tests/test_approx_variants_r8.py pins on this plan)."""
+    key = F.get_json_object("props", "$.k").alias("key")
+    per_track = (
+        events.select(key)
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count("*").alias("x"))
+    )
+    by_x = per_track.groupBy("x").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy(F.spark_partition_id())  # constant 0 after
+        .orderBy("x")                               # the repartition(1)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return by_x.repartition(1).withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    )
+
+
+def track_play_gini_closed_form(events: DataFrame) -> DataFrame:
+    """:func:`track_play_gini` without the |tracks|-sized single-
+    partition rank window (VERDICT r7 item #4) — the SAME value via a
+    two-level closed-form rank sum, the ``corpus_shuffle`` discipline:
+
+    Group tracks by play count x. Within a group of ``cnt`` ties the
+    ascending (x, key) ranks are exactly ``below+1 .. below+cnt`` where
+    ``below`` = # tracks with smaller x, so the rank sum needs no
+    per-track rank at all::
+
+        Σ i·xᵢ  =  Σ_x  x · (cnt·below + cnt·(cnt+1)/2)
+
+    and the top-1% head mass is the count of ranks above ``n·0.99``
+    clipped to each group. The only ordered stage left runs over the
+    DISTINCT play-count values (|distinct x| rows — thousands at any
+    corpus size, vs 10⁸ tracks), declared single-partition via
+    ``repartition(1)`` AFTER the parallel aggregates. Output is
+    bit-identical to the exact operator, so it shares its DuckDB
+    oracle."""
+    # one events scan + one per-track shuffle feed both consumers below
+    with_below = _gini_tie_groups(events).localCheckpoint(eager=False)
+    six_term = F.col("x").cast("decimal(28,0)") * (
+        F.col("cnt") * F.col("below")
+        + F.expr("cnt * (cnt + 1) DIV 2")
+    )
+    tot = with_below.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("cnt")).cast("long").alias("sx"),
+        F.sum(six_term).alias("six"),
+    )
+    # ranks i in (n·0.99, below+cnt]: cnt − #{i ≤ n·0.99}, clipped to
+    # the group — floor() is exact for integer i vs double threshold
+    head_in_group = F.col("cnt") - F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.col("cnt").cast("long"),
+            F.floor(F.col("n") * 0.99) - F.col("below"),
+        ),
+    )
+    head = (
+        with_below.crossJoin(F.broadcast(tot.select("n")))
+        .agg(F.sum(F.col("x") * head_in_group).cast("long").alias("head_x"))
+    )
+    stats = tot.crossJoin(head)
+    n = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six").cast("double") / (n * F.col("sx"))
+        - (n + 1.0) / n
+    )
+    return stats.select(
+        "n",
+        F.col("sx").alias("total_plays"),
+        F.round(gini, 6).alias("gini"),
+        F.round(
+            F.col("head_x").cast("double") / F.col("sx"), 6
+        ).alias("top1pct_share"),
+    )
 
 
 # ---------------------------------------------------------------------------

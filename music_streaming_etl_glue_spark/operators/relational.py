@@ -1554,8 +1554,9 @@ def customer_rfm_segments(orders: DataFrame) -> DataFrame:
     quintile assignment needs a global sort of that aggregate per
     metric; at 100 TB-of-orders scale the aggregate is still ~10⁸ rows,
     so swap ntile for broadcast quantile thresholds from
-    ``percentile_approx`` (same output contract, no total order) — the
-    exact form here is what the DuckDB oracle replays bit-for-bit.
+    ``percentile_approx`` — :func:`customer_rfm_segments_approx` IS that
+    form (same output contract, no total order); the exact form here is
+    what the DuckDB oracle replays bit-for-bit.
     """
     ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
     per_cust = (
@@ -1573,17 +1574,20 @@ def customer_rfm_segments(orders: DataFrame) -> DataFrame:
             F.datediff(F.col("ref_date"), F.col("last_order")).cast("long"),
         )
     )
-    k = F.lit(RFM_NTILES)
-    r_w = Window.partitionBy(F.lit(0)).orderBy(
+    # spark_partition_id (constant 0 after repartition(1)) instead of
+    # partitionBy(lit(0)): literal keys are constant-folded away and
+    # WindowExec logs "No Partition Defined" — same exchange, no noise
+    spid = F.spark_partition_id()
+    r_w = Window.partitionBy(spid).orderBy(
         F.col("recency_days").desc(), F.col("o_custkey").asc()
     )
-    f_w = Window.partitionBy(F.lit(0)).orderBy(
+    f_w = Window.partitionBy(spid).orderBy(
         F.col("frequency").asc(), F.col("o_custkey").asc()
     )
-    m_w = Window.partitionBy(F.lit(0)).orderBy(
+    m_w = Window.partitionBy(spid).orderBy(
         F.col("monetary").asc(), F.col("o_custkey").asc()
     )
-    scored = per_cust.select(
+    scored = per_cust.repartition(1).select(
         F.col("o_custkey").alias("custkey"),
         "recency_days",
         "frequency",
@@ -1591,6 +1595,90 @@ def customer_rfm_segments(orders: DataFrame) -> DataFrame:
         F.ntile(RFM_NTILES).over(r_w).cast("long").alias("r_score"),
         F.ntile(RFM_NTILES).over(f_w).cast("long").alias("f_score"),
         F.ntile(RFM_NTILES).over(m_w).cast("long").alias("m_score"),
+    )
+    label = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 1) & (F.col("f_score") <= 2), "lost")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm"),
+        label.alias("segment"),
+    )
+
+
+def customer_rfm_segments_approx(orders: DataFrame) -> DataFrame:
+    """The 100 TB form of :func:`customer_rfm_segments` the exact
+    version's docstring promises (VERDICT r7 item #4): quintile scores
+    from BROADCAST ``percentile_approx`` thresholds instead of three
+    ``Window.partitionBy(lit(0))`` ntiles — no global sort, no single-
+    partition stage anywhere; the per-customer aggregate flows through
+    one crossJoin against a 1-row threshold relation.
+
+    Same output contract (columns, score range 1-5, segment labels).
+    Semantics differ from ntile only at ties and sketch error: ntile
+    force-splits equal metric values across buckets to equalize bucket
+    SIZES, thresholds give equal values equal scores — for a marketing
+    segmentation the latter is arguably more honest, and the pytest
+    bound pins per-dimension agreement with the exact twin. No DuckDB
+    oracle: the threshold sketch (KLL) is engine-specific, so the entry
+    is declared ROWS_ONLY with the agreement bound standing in."""
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("ref_date"), F.col("last_order")).cast("long"),
+        )
+    )
+    qs = [i / RFM_NTILES for i in range(1, RFM_NTILES)]  # 0.2 .. 0.8
+    th = per_cust.agg(
+        F.percentile_approx("recency_days", qs, 10_000).alias("r_th"),
+        F.percentile_approx("frequency", qs, 10_000).alias("f_th"),
+        F.percentile_approx("monetary", qs, 10_000).alias("m_th"),
+    )
+
+    def above(col: str, ths: str):
+        """# of ascending quantile thresholds strictly below the value."""
+        return F.aggregate(
+            F.col(ths),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.when(F.col(col) > t, 1).otherwise(0),
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(th)).select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        # smaller recency_days = more recent = better
+        (F.lit(RFM_NTILES) - above("recency_days", "r_th")).alias("r_score"),
+        (F.lit(1) + above("frequency", "f_th")).alias("f_score"),
+        (F.lit(1) + above("monetary", "m_th")).alias("m_score"),
     )
     label = (
         F.when(
