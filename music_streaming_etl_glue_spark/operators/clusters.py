@@ -1072,23 +1072,27 @@ def personalized_pagerank_multi(
     ).localCheckpoint()
     vertices = vertices.localCheckpoint()
     base, d = 1.0 - damping, damping
-    seed_df = F.broadcast(
-        vertices.sparkSession.createDataFrame(
-            [(int(s),) for s in seeds], "seed long"
-        )
+    # deliberately UNhinted: grid becomes the big/left side of the
+    # per-iteration left join below, and a broadcast hint on the seed
+    # frame would propagate through the crossJoin into that join and
+    # make HintErrorLogger warn once per iteration (Spark drops it
+    # anyway — the k-row local relation broadcasts on size alone).
+    # localCheckpoint also pins grid so the crossJoin runs ONCE, not
+    # once per iteration.
+    seed_df = vertices.sparkSession.createDataFrame(
+        [(int(s),) for s in seeds], "seed long"
     )
-    ranks = (
-        vertices.crossJoin(seed_df)
-        .select(
-            "seed",
-            "id",
-            F.when(F.col("id") == F.col("seed"), F.lit(1.0))
-            .otherwise(F.lit(0.0))
-            .alias("rank"),
-        )
+    grid = (
+        vertices.crossJoin(seed_df)  # (id, seed) — every walk's domain
         .localCheckpoint()
     )
-    grid = vertices.crossJoin(seed_df)  # (id, seed) — every walk's domain
+    ranks = grid.select(
+        "seed",
+        "id",
+        F.when(F.col("id") == F.col("seed"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    ).localCheckpoint()
     for _ in range(iterations):
         contribs = e.join(ranks, e["src"] == ranks["id"]).select(
             "seed",
