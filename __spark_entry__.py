@@ -42,19 +42,21 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-def _ivf_cache_path(sf_dir: str, kind: str, config: str) -> str:
-    """Cache path for an on-disk ANN layout, keyed by source identity
-    (path + mtime + SIZE — mtime alone has 1 s granularity on many
-    filesystems, so a same-second rewrite must still miss) plus the
-    layout config (a parameter change must invalidate). uid-scoped so
-    another user's /tmp entry can neither collide with nor poison this
-    one; builds themselves are atomic-rename (see
-    similarity._build_layout_atomic)."""
+def _ivf_cache_path(
+    sf_dir: str, kind: str, config: str, table: str = "embeddings"
+) -> str:
+    """Cache path for an on-disk layout derived from ``table``, keyed by
+    source identity (path + mtime + SIZE — mtime alone has 1 s
+    granularity on many filesystems, so a same-second rewrite must
+    still miss) plus the layout config (a parameter change must
+    invalidate). uid-scoped so another user's /tmp entry can neither
+    collide with nor poison this one; builds themselves are
+    atomic-rename (see similarity._build_layout_atomic)."""
     import hashlib
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(src):
         sizes = sum(
             e.stat().st_size for e in os.scandir(src) if e.is_file()
@@ -144,6 +146,31 @@ def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.knn_join_ivfpq(spark, _embs(spark, sf_dir), path)
 
 
+def _zipf_docs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Zipf corpus twin as a persisted parquet layout (atomic-rename
+    build, source/config-keyed cache): pair queries over the fixture
+    time the JOIN strategies, not the one-time corpus synthesis — the
+    same convention as the ANN entries, whose index builds happen at
+    load time."""
+    import os
+
+    path = _ivf_cache_path(
+        sf_dir,
+        "zipfdocs",
+        f"v{_dedup.ZIPF_VOCAB}k{_dedup.ZIPF_WEIGHT_K}"
+        f"f{_dedup.ZIPF_FANOUT}d{_dedup.ZIPF_DUP_MOD}.{_dedup.ZIPF_DUP_RES}"
+        f"e{_dedup.ZIPF_EDIT_MOD}.{_dedup.ZIPF_EDIT_RES}",
+        table="documents",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _sim._build_layout_atomic(
+            lambda tmp: _dedup.zipf_documents(_docs(spark, sf_dir))
+            .write.parquet(tmp),
+            path,
+        )
+    return spark.read.parquet(path)
+
+
 def _knn_ivfpq_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivf_cache_path(
         sf_dir,
@@ -211,6 +238,10 @@ _STAMP_PRIORITY = (
     "customer_rfm_segments_approx",
     "track_play_gini_closed_form",
     "knn_join_ivfpq_after_delete",
+    "zipf_documents",
+    "jaccard_pairs_prefix_zipf",
+    "ngram_jaccard_pairs_zipf",
+    "containment_pairs_zipf",
     # r1 cohort (latest stamp = round 1), 25 remaining entries.
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -671,6 +702,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidate volume driven by rare shingles instead of boilerplate
         "jaccard_pairs_prefix": lambda spark, sf: _dedup.jaccard_pairs_prefix(
             _docs(spark, sf)
+        ),
+        # Zipf-vocabulary corpus twin (deterministic, engine-portable):
+        # the prefix filter's DESIGN regime — the stock testdata's near-
+        # uniform 120-word vocabulary is its worst case, so the bench
+        # measures the pair family on both fixtures (VERDICT r7 item #6).
+        # This entry hash-pins the generator itself; the pair entries
+        # read the corpus from a persisted cache (fixture synthesis is
+        # load-time, like the ANN index builds) so they time the JOINS.
+        "zipf_documents": lambda spark, sf: _dedup.zipf_documents(
+            _docs(spark, sf)
+        ),
+        "jaccard_pairs_prefix_zipf": lambda spark, sf: (
+            _dedup.jaccard_pairs_prefix(_zipf_docs_cached(spark, sf))
+        ),
+        # naive shingle-join twin on the same fixture: the bench baseline
+        # the prefix filter is measured against (same output, same oracle)
+        "ngram_jaccard_pairs_zipf": lambda spark, sf: (
+            _dedup.ngram_jaccard_pairs(_zipf_docs_cached(spark, sf))
+        ),
+        "containment_pairs_zipf": lambda spark, sf: (
+            _dedup.containment_pairs(_zipf_docs_cached(spark, sf))
         ),
         "minhash_signatures": lambda spark, sf: _dedup.minhash_signatures(
             _docs(spark, sf)
@@ -1269,6 +1321,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard_pairs": _dedup.NGRAM_JACCARD_SQL,
         "jaccard_pairs_prefix": _dedup.NGRAM_JACCARD_SQL,
+        # Zipf corpus twin: generator hash-pinned directly, pair queries
+        # oracled by the SAME SQL rebound onto the synthesized corpus
+        "zipf_documents": _dedup.ZIPF_DOCUMENTS_SQL,
+        "jaccard_pairs_prefix_zipf": _dedup.with_zipf_documents(
+            _dedup.NGRAM_JACCARD_SQL
+        ),
+        "ngram_jaccard_pairs_zipf": _dedup.with_zipf_documents(
+            _dedup.NGRAM_JACCARD_SQL
+        ),
+        "containment_pairs_zipf": _dedup.with_zipf_documents(
+            _dedup.CONTAINMENT_PAIRS_SQL
+        ),
         "minhash_signatures": _dedup.MINHASH_SIGNATURES_SQL,
         "minhash_dedup_pairs": _dedup.MINHASH_DEDUP_SQL,
         "fuzzy_dedup_pairs": _dedup.FUZZY_DEDUP_SQL,

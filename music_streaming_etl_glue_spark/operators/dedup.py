@@ -682,6 +682,172 @@ FROM directed WHERE containment >= {CONTAINMENT_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Zipf-vocabulary corpus twin (prefix-filter design-regime fixture)
+# ---------------------------------------------------------------------------
+
+#: the testdata documents draw from a ~120-word near-uniform-df vocabulary
+#: — the AllPairs/PPJoin prefix filter's WORST case (every shingle is
+#: equally common, so prefixes prune nothing; VERDICT r7 "What's wrong"
+#: item 2). Real corpora are Zipf. This twin redraws every token of the
+#: documents table from a ZIPF_VOCAB-word vocabulary with rank-r weight
+#: ⌊ZIPF_WEIGHT_K/r⌋ (harmonic ≈ 1/r), deterministically and ENGINE-
+#: PORTABLY: token (doc_id, pos) hashes via the _hash_bucket md5 recipe
+#: into the cumulative weight table, so Spark and DuckDB synthesize the
+#: byte-identical corpus and every downstream pair query stays
+#: hash-oracled. Doc lengths (and therefore shingle-set sizes) are
+#: preserved from the source corpus.
+#: planted near-duplicates: every doc with doc_id % ZIPF_DUP_MOD ==
+#: ZIPF_DUP_RES redraws from its BASE doc's (doc_id − ZIPF_DUP_RES)
+#: token stream, except positions pos % ZIPF_EDIT_MOD == ZIPF_EDIT_RES,
+#: which are salted with the dup's own id — ~3% token edits, so the
+#: fixture contains real ≥-threshold Jaccard/containment pairs for the
+#: verification stage (an iid redraw would emit zero pairs and bench
+#: only candidate generation).
+ZIPF_VOCAB = 200
+ZIPF_WEIGHT_K = 1000
+ZIPF_DUP_MOD = 10
+ZIPF_DUP_RES = 7
+ZIPF_EDIT_MOD = 29
+ZIPF_EDIT_RES = 4
+#: corpus fan-out: each source doc seeds ZIPF_FANOUT independent Zipf
+#: docs (id = doc_id·F + j). The prefix filter's fixed stages (df
+#: aggregate, per-doc window, verification join) only pay off once the
+#: naive join's Σdf² dominates — at the stock 5k docs the naive join's
+#: ~2M candidates cost less than those stages, so the crossover needs
+#: the corpus the filter is FOR. 4× puts Σdf² ≈ 30M at sf0.1 while the
+#: prefix candidate count stays ~10³ (measured 639 pre-fan-out).
+ZIPF_FANOUT = 4
+
+
+def _zipf_lookup() -> list:
+    """Direct rank-lookup table: entry h of the T-sized table (T =
+    Σ⌊K/r⌋ ≈ K·ln V ≈ 6.6k) is the rank whose cumulative-weight slot
+    contains h — an O(1) ``element_at`` per token. (The first cut
+    counted bounds below h with a higher-order array filter: Catalyst
+    interprets those lambdas per element, and 270k tokens × 400 bounds
+    = 108M interpreted evals dominated the whole fixture at 10+ s.)
+    Pure integer arithmetic, no float CDF to drift between engines."""
+    lookup: list[int] = []
+    for r in range(1, ZIPF_VOCAB + 1):
+        lookup.extend([r] * (ZIPF_WEIGHT_K // r))
+    return lookup
+
+
+def zipf_documents(documents: DataFrame) -> DataFrame:
+    """(doc_id, text): the documents table with every token redrawn from
+    the Zipf vocabulary (word ``w<r>``), lengths preserved. The rank
+    lookup is one O(1) ``element_at`` against a literal lookup table —
+    no join, no shuffle beyond the per-doc reassembly aggregate."""
+    lookup = _zipf_lookup()
+    total = len(lookup)
+    copies_base = (F.col("doc_id") % ZIPF_DUP_MOD == ZIPF_DUP_RES) & (
+        F.col("pos") % ZIPF_EDIT_MOD != ZIPF_EDIT_RES
+    )
+    key_id = F.when(
+        copies_base, F.col("doc_id") - ZIPF_DUP_RES
+    ).otherwise(F.col("doc_id"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", key_id, F.col("pos"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % total
+    )
+    rank = F.element_at(F.lit(lookup), (F.col("h") + 1).cast("int"))
+    drawn = (
+        _spread(documents)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(ZIPF_FANOUT - 1))
+            ).alias("j"),
+        )
+        .select(
+            (F.col("doc_id") * ZIPF_FANOUT + F.col("j")).alias("doc_id"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "_tok"),
+        )
+        .select("doc_id", "pos", h.alias("h"))
+        .select(
+            "doc_id", "pos", F.concat(F.lit("w"), rank).alias("word")
+        )
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "word")))
+    # localCheckpoint: text here is a deep expression tree (concat_ws ∘
+    # transform ∘ array_sort ∘ collect_list ∘ rank-lookup); left as
+    # lineage, downstream shingle lambdas inline it PER SHINGLE — the
+    # O(|text|²) collapse _shingle_array documents, one level up
+    # (measured: shingles-on-lineage 22 s vs 1 s checkpointed at sf0.1).
+    # The corpus twin is |documents|-sized, so the materialization is
+    # the cheap side of that trade at any scale.
+    return (
+        drawn.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.transform(ordered, lambda s: s["word"])
+            ).alias("text")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _zipf_lookup_sql() -> str:
+    return "[" + ", ".join(str(r) for r in _zipf_lookup()) + "]"
+
+
+ZIPF_DOCUMENTS_SQL_BODY = f"""
+    SELECT doc_id, string_agg('w' || r, ' ' ORDER BY pos) AS text
+    FROM (
+        SELECT doc_id, pos,
+               list_extract({_zipf_lookup_sql()},
+                       1 + ('0x' || substr(md5(
+                                  (CASE WHEN doc_id % {ZIPF_DUP_MOD}
+                                             = {ZIPF_DUP_RES}
+                                         AND pos % {ZIPF_EDIT_MOD}
+                                             != {ZIPF_EDIT_RES}
+                                        THEN doc_id - {ZIPF_DUP_RES}
+                                        ELSE doc_id END)::VARCHAR || ':'
+                                  || pos::VARCHAR), 1, 15))::BIGINT
+                                  % {len(_zipf_lookup())}) AS r
+        FROM (
+            SELECT doc_id * {ZIPF_FANOUT} + t.j AS doc_id,
+                   unnest(generate_series(
+                       0, len(string_split(text, ' ')) - 1)) AS pos
+            -- schema-qualified: when this body shadows the view as a
+            -- CTE named "documents" (with_zipf_documents), the bare
+            -- name would be a circular reference
+            FROM main.documents, range(0, {ZIPF_FANOUT}) t(j)
+            WHERE text IS NOT NULL
+        )
+    )
+    GROUP BY doc_id
+"""
+
+ZIPF_DOCUMENTS_SQL = f"SELECT doc_id, text FROM ({ZIPF_DOCUMENTS_SQL_BODY})"
+
+
+def with_zipf_documents(sql: str) -> str:
+    """Rebind a ``FROM documents`` oracle onto the Zipf corpus twin by
+    shadowing the view with a CTE — the SAME pair-query SQL then oracles
+    both fixtures."""
+    stripped = sql.lstrip()
+    assert stripped.startswith("WITH "), "expected a WITH-led oracle"
+    return sql.replace(
+        "WITH ", f"WITH documents AS ({ZIPF_DOCUMENTS_SQL_BODY}), ", 1
+    )
+
+
 # Documented default skew cap for pipeline (non-oracle) use: the shingle
 # join's shuffle cost is Σ df(shingle)², so one stopword-phrase shingle
 # appearing in 1M docs alone contributes 10¹² candidate pairs. Shingles
