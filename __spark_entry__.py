@@ -242,6 +242,8 @@ _STAMP_PRIORITY = (
     "jaccard_pairs_prefix_zipf",
     "ngram_jaccard_pairs_zipf",
     "containment_pairs_zipf",
+    "containment_pairs_prefix",
+    "containment_pairs_prefix_zipf",
     # r1 cohort (latest stamp = round 1), 25 remaining entries.
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -723,6 +725,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "containment_pairs_zipf": lambda spark, sf: (
             _dedup.containment_pairs(_zipf_docs_cached(spark, sf))
+        ),
+        # containment with the one-sided prefix bound (contained doc's
+        # rare shingles join full container sets) — exact, shared oracle
+        "containment_pairs_prefix": lambda spark, sf: (
+            _dedup.containment_pairs_prefix(_docs(spark, sf))
+        ),
+        "containment_pairs_prefix_zipf": lambda spark, sf: (
+            _dedup.containment_pairs_prefix(_zipf_docs_cached(spark, sf))
         ),
         "minhash_signatures": lambda spark, sf: _dedup.minhash_signatures(
             _docs(spark, sf)
@@ -1331,6 +1341,10 @@ def oracle_sql() -> dict[str, str]:
             _dedup.NGRAM_JACCARD_SQL
         ),
         "containment_pairs_zipf": _dedup.with_zipf_documents(
+            _dedup.CONTAINMENT_PAIRS_SQL
+        ),
+        "containment_pairs_prefix": _dedup.CONTAINMENT_PAIRS_SQL,
+        "containment_pairs_prefix_zipf": _dedup.with_zipf_documents(
             _dedup.CONTAINMENT_PAIRS_SQL
         ),
         "minhash_signatures": _dedup.MINHASH_SIGNATURES_SQL,

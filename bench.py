@@ -77,6 +77,9 @@ def main() -> None:
         "ann_topk_ivf_centroid",
         "ann_topk_pq",
         "ann_topk_ivfpq",
+        # builds its own layout + absorbs the delete/re-embed diff on
+        # first call; the timed region should measure the SERVE
+        "knn_join_ivfpq_after_delete",
     ):
         if indexed in queries:
             queries[indexed](spark, sf_dir).count()

@@ -654,6 +654,106 @@ def containment_pairs(
     )
 
 
+def containment_pairs_prefix(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    candidate_stats: dict | None = None,
+) -> DataFrame:
+    """:func:`containment_pairs` with prefix filtering — same exact
+    output (shared oracle), candidate volume driven by rare shingles.
+
+    The containment bound is one-sided: C(A→B) ≥ t needs |A∩B| ≥
+    ⌈t·|A|⌉, and A's non-prefix suffix under the df-ascending total
+    order holds only ⌈t·|A|⌉ − 1 shingles — so every qualifying pair
+    shares at least one shingle from the CONTAINED doc's first
+    |A| − ⌈t·|A|⌉ + 1. The container needs no prefix (a tweet quoted in
+    an article must match the tweet's rare shingles, wherever they sit
+    in the article), so candidates join each doc's prefix against the
+    FULL shingle stream: Σ df_prefix(s)·df(s) — hot boilerplate
+    shingles fall out of prefixes exactly as in
+    :func:`jaccard_pairs_prefix`, and there is no length filter because
+    containment imposes none. Survivors verify with the exact
+    intersection count over full sets; both directions filter from the
+    one unordered relation. τ·|x| rounds to 9 dp before the ceil for
+    the same ulp reason documented there."""
+    sh = shingles(documents, n).localCheckpoint(eager=False)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "shingle")
+    pos_w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    size_w = Window.partitionBy("doc_id")
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.round(F.lit(threshold) * F.col("set_size"), 9))
+        + F.lit(1)
+    )
+    prefixes = (
+        ranked.withColumn("pos", F.row_number().over(pos_w))
+        .withColumn("set_size", F.count("*").over(size_w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    p, f = prefixes.alias("p"), sh.alias("f")
+    cand = (
+        p.join(
+            f,
+            (F.col("p.shingle") == F.col("f.shingle"))
+            & (F.col("p.doc_id") != F.col("f.doc_id")),
+        )
+        .select(
+            F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("doc_id_a"),
+            F.greatest(F.col("p.doc_id"), F.col("f.doc_id")).alias(
+                "doc_id_b"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if candidate_stats is not None:
+        candidate_stats["candidates"] = cand.count()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_id_a")
+        .join(shb, ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    base = inter.join(
+        sizes.select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.col("set_size").alias("size_a"),
+        ),
+        "doc_id_a",
+    ).join(
+        sizes.select(
+            F.col("doc_id").alias("doc_id_b"),
+            F.col("set_size").alias("size_b"),
+        ),
+        "doc_id_b",
+    )
+    c_ab = base.select(
+        F.col("doc_id_a").alias("contained_doc"),
+        F.col("doc_id_b").alias("container_doc"),
+        (F.col("inter").cast("double") / F.col("size_a")).alias(
+            "containment"
+        ),
+    )
+    c_ba = base.select(
+        F.col("doc_id_b").alias("contained_doc"),
+        F.col("doc_id_a").alias("container_doc"),
+        (F.col("inter").cast("double") / F.col("size_b")).alias(
+            "containment"
+        ),
+    )
+    return c_ab.unionByName(c_ba).filter(
+        F.col("containment") >= threshold
+    )
+
+
 CONTAINMENT_PAIRS_SQL = f"""
 WITH sh AS ({_shingles_cte(SHINGLE_N)}),
 sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),

@@ -122,3 +122,54 @@ def test_zipf_oracles(spark, docs, con):
 @pytest.fixture(scope="module")
 def con():
     return duckdb_con(SF_SMOKE)
+
+
+def test_containment_prefix_exact_parity_and_pruning(spark, zipf):
+    """The one-sided prefix bound loses nothing: identical ordered pair
+    set (values included) to the naive containment join on the Zipf
+    fixture, at a fraction of the candidates."""
+    naive = {
+        (r["contained_doc"], r["container_doc"]): r["containment"]
+        for r in D.containment_pairs(zipf).collect()
+    }
+    stats: dict = {}
+    prefix = {
+        (r["contained_doc"], r["container_doc"]): r["containment"]
+        for r in D.containment_pairs_prefix(
+            zipf, candidate_stats=stats
+        ).collect()
+    }
+    assert prefix == naive and len(naive) > 0
+    sh = D.shingles(zipf).groupBy("shingle").count()
+    naive_candidates = sh.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c")
+    ).head()["c"]
+    assert stats["candidates"] < 0.2 * naive_candidates
+
+
+def test_containment_prefix_finds_doc_in_doc(spark):
+    """The quote-amplification mode containment exists for: a 4-token
+    'tweet' fully embedded in a 40-token 'article' has Jaccard ~0.05
+    (invisible to the symmetric rung) but containment 1.0 — and the
+    tweet's rare-shingle prefix must surface it."""
+    tweet = "quux corge grault garply"
+    filler = " ".join(f"tok{i}" for i in range(36))
+    rows = [
+        (1, tweet, "en", "s0", len(tweet)),
+        (2, filler + " " + tweet, "en", "s0", 100),
+        (3, "unrelated words entirely different", "en", "s0", 30),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["contained_doc"], r["container_doc"]): r["containment"]
+        for r in D.containment_pairs_prefix(docs).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # direction matters
+    jac = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.ngram_jaccard_pairs(docs).collect()
+    }
+    assert (1, 2) not in jac  # symmetric Jaccard misses it
