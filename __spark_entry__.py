@@ -244,6 +244,8 @@ _STAMP_PRIORITY = (
     "containment_pairs_zipf",
     "containment_pairs_prefix",
     "containment_pairs_prefix_zipf",
+    "image_ahash",
+    "image_ahash_near_dups",
     # r1 cohort (latest stamp = round 1), 25 remaining entries.
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -1179,6 +1181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_meta": lambda spark, sf: _mm.image_decode_meta(
             _docs(spark, sf)
         ),
+        # true average-hash over decoded pixels (+ banded Hamming join):
+        # the image-dedup rung with a real codec in the loop
+        "image_ahash": lambda spark, sf: _mm.image_ahash(_docs(spark, sf)),
+        "image_ahash_near_dups": lambda spark, sf: (
+            _mm.image_ahash_near_dups(_docs(spark, sf))
+        ),
         # perceptual-hash image-dedup plumbing: 64-bit aHash over payload
         # samples (mapInPandas lane) + 16-bit-banded near-dup join
         "phash_fingerprints": lambda spark, sf: _mm.phash_fingerprints(
@@ -1460,6 +1468,8 @@ def oracle_sql() -> dict[str, str]:
         # ASCII text, so the byte math has an exact SQL twin.
         "multimodal_features": _mm.MULTIMODAL_FEATURES_SQL,
         "image_decode_meta": _mm.IMAGE_DECODE_META_SQL,
+        "image_ahash": _mm.IMAGE_AHASH_SQL,
+        "image_ahash_near_dups": _mm.IMAGE_AHASH_NEAR_DUPS_SQL,
         "phash_fingerprints": _mm.PHASH_FINGERPRINTS_SQL,
         "phash_near_dups": _mm.PHASH_NEAR_DUPS_SQL,
         "frame_sample": _mm.FRAME_SAMPLE_SQL,

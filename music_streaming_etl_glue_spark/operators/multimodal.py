@@ -138,23 +138,56 @@ def decode_image(payload: bytes):
 # ---------------------------------------------------------------------------
 
 #: deterministic image-geometry/pixel knobs shared with the SQL twin:
-#: doc_id d gets a (3 + d % BMP_W_MOD) × (2 + d % BMP_H_MOD) RGB image with
-#: pixel value v(d, y, x, c) = (d·37 + y·31 + x·13 + c·7) mod 256. Width
-#: 3..8 exercises every 4-byte row-padding residue; value depends on all
-#: of (y, x, c) so a row-order, stride, or BGR/RGB decode mistake changes
-#: the order-sensitive stats below.
-BMP_W_MOD = 6
-BMP_H_MOD = 5
+#: doc_id d (dup-resolved to key) gets an (8 + key % BMP_W_MOD) ×
+#: (8 + key % BMP_H_MOD) RGB image with pixel value v = (key·37 + y·31
+#: + x·13 + c·7 + (key² mod 251)·(y·x + 1)) mod 256. Width 8..16 covers
+#: every 4-byte row-padding residue and the 8×8 aHash sample grid; the
+#: value depends on all of (y, x, c) so a row-order, stride, or BGR/RGB
+#: decode mistake changes the order-sensitive stats below.
+BMP_W_MOD = 9   # width  8..16: every 4-byte row-padding residue
+BMP_H_MOD = 7   # height 8..14: at least the 8-row aHash sample grid
+#: planted NEAR-DUPLICATE images: every doc with doc_id % BMP_DUP_MOD
+#: == BMP_DUP_RES renders its BASE doc's (doc_id − BMP_DUP_RES) image —
+#: same dims, same pixels — except positions pos % BMP_EDIT_MOD ==
+#: BMP_EDIT_RES (pos = y·W·3 + x·3 + c), which shift by the dup's own
+#: id: a ~3%-pixel edit, the re-encode/watermark dup mode the
+#: perceptual-hash rung exists to catch.
+BMP_DUP_MOD = 8
+BMP_DUP_RES = 5
+BMP_EDIT_MOD = 29
+BMP_EDIT_RES = 4
+
+
+def _synth_key(doc_id: int) -> int:
+    return (
+        doc_id - BMP_DUP_RES
+        if doc_id % BMP_DUP_MOD == BMP_DUP_RES and doc_id >= BMP_DUP_RES
+        else doc_id
+    )
 
 
 def _synth_pixels(doc_id: int):
     """The (H, W, 3) RGB array for ``doc_id`` under the shared knobs."""
     import numpy as np
 
-    w = 3 + doc_id % BMP_W_MOD
-    h = 2 + doc_id % BMP_H_MOD
+    key = _synth_key(doc_id)
+    w = 8 + key % BMP_W_MOD
+    h = 8 + key % BMP_H_MOD
     y, x, c = np.ogrid[0:h, 0:w, 0:3]
-    return ((doc_id * 37 + y * 31 + x * 13 + c * 7) % 256).astype(np.uint8)
+    # the (key² mod 251)·(y·x+1) term gives each key its own CURVATURE:
+    # a purely linear field would differ across keys only by a constant
+    # brightness offset, which average-hash is (by design) blind to —
+    # every same-dims image would collide in the near-dup join
+    v = (
+        key * 37 + y * 31 + x * 13 + c * 7
+        + (key * key % 251) * (y * x + 1)
+    ) % 256
+    if key != doc_id:
+        pos = np.arange(h * w * 3).reshape(h, w, 3)
+        v = np.where(
+            pos % BMP_EDIT_MOD == BMP_EDIT_RES, (v + doc_id) % 256, v
+        )
+    return v.astype(np.uint8)
 
 
 def synth_bmp_payloads(documents: DataFrame) -> DataFrame:
@@ -230,28 +263,51 @@ def image_decode_meta(documents: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(meta, schema=IMAGE_META_SCHEMA)
 
 
-# Closed-form replay of the synth pixel function — geometry from doc_id,
-# stats summed over a constant-bound lateral range (DuckDB lateral ranges
-# cannot take column args) filtered to each image's true extent;
-# byte_len = 54-byte header + height · 4-byte-padded row stride. doc_id
-# is non-negative by schema, so % matches Spark/numpy semantics.
-IMAGE_DECODE_META_SQL = f"""
-WITH d AS (
+# Closed-form replay of the synth pixel function — geometry/values from
+# the dup-resolved key, the ~3%-position edit applied exactly as numpy
+# does, stats summed over a constant-bound lateral range (DuckDB lateral
+# ranges cannot take column args) filtered to each image's true extent;
+# byte_len = 54-byte header + height · 4-byte-padded row stride. The
+# corners fall out of the same px relation (filtered aggregates), so the
+# pixel function has ONE definition here. doc_id is non-negative by
+# schema, so % matches Spark/numpy semantics.
+_PIXELS_SQL_CTE = f"""
+d AS (
     SELECT doc_id,
-           3 + doc_id % {BMP_W_MOD} AS w,
-           2 + doc_id % {BMP_H_MOD} AS h
+           CASE WHEN doc_id % {BMP_DUP_MOD} = {BMP_DUP_RES}
+                 AND doc_id >= {BMP_DUP_RES}
+                THEN doc_id - {BMP_DUP_RES} ELSE doc_id END AS key,
+           8 + (CASE WHEN doc_id % {BMP_DUP_MOD} = {BMP_DUP_RES}
+                      AND doc_id >= {BMP_DUP_RES}
+                     THEN doc_id - {BMP_DUP_RES} ELSE doc_id END)
+               % {BMP_W_MOD} AS w,
+           8 + (CASE WHEN doc_id % {BMP_DUP_MOD} = {BMP_DUP_RES}
+                      AND doc_id >= {BMP_DUP_RES}
+                     THEN doc_id - {BMP_DUP_RES} ELSE doc_id END)
+               % {BMP_H_MOD} AS h
     FROM documents
 ),
 px AS (
-    SELECT doc_id, w, h,
-           (doc_id * 37 + y * 31 + x * 13 + c * 7) % 256 AS v,
-           (y * w * 3 + x * 3 + c)::BIGINT AS pos
+    SELECT doc_id, w, h, y, x, c,
+           (y * w * 3 + x * 3 + c)::BIGINT AS pos,
+           CASE WHEN key != doc_id
+                 AND (y * w * 3 + x * 3 + c) % {BMP_EDIT_MOD}
+                     = {BMP_EDIT_RES}
+                THEN ((key * 37 + y * 31 + x * 13 + c * 7
+                       + (key * key % 251) * (y * x + 1)) % 256
+                      + doc_id) % 256
+                ELSE (key * 37 + y * 31 + x * 13 + c * 7
+                      + (key * key % 251) * (y * x + 1)) % 256
+           END AS v
     FROM d,
-         range(0, 2 + {BMP_H_MOD - 1}) ty(y),
-         range(0, 3 + {BMP_W_MOD - 1}) tx(x),
+         range(0, 8 + {BMP_H_MOD - 1}) ty(y),
+         range(0, 8 + {BMP_W_MOD - 1}) tx(x),
          range(0, 3) tc(c)
     WHERE y < h AND x < w
-)
+)"""
+
+IMAGE_DECODE_META_SQL = f"""
+WITH {_PIXELS_SQL_CTE}
 SELECT doc_id,
        w::INTEGER AS width,
        h::INTEGER AS height,
@@ -261,11 +317,169 @@ SELECT doc_id,
        SUM(v * pos)::BIGINT AS px_weighted,
        MIN(v)::INTEGER AS px_min,
        MAX(v)::INTEGER AS px_max,
-       (doc_id * 37 % 256)::INTEGER AS corner_tl,
-       ((doc_id * 37 + (h - 1) * 31 + (w - 1) * 13 + 14) % 256)::INTEGER
+       (MAX(CASE WHEN pos = 0 THEN v END))::INTEGER AS corner_tl,
+       (MAX(CASE WHEN pos = h * w * 3 - 1 THEN v END))::INTEGER
            AS corner_br
 FROM px
 GROUP BY doc_id, w, h
+"""
+
+
+# ---------------------------------------------------------------------------
+# true perceptual hash over DECODED pixels (the codec feeding the dedup rung)
+# ---------------------------------------------------------------------------
+
+AHASH_BITS = 64
+AHASH_GRID = 8           # 8×8 point-sample grid over the decoded image
+AHASH_BANDS = 8          # 8 × 8-bit bands → pigeonhole-exact to Hamming 7
+AHASH_MAX_HAMMING = 12   # planted ~3%-pixel edits measure ≈ 4-9 bits
+
+
+def image_ahash(documents: DataFrame) -> DataFrame:
+    """(doc_id, ahash): a REAL average-hash computed from decoded
+    pixels — encode→decode through genuine BMP bytes, then an 8×8
+    point-sample grid (yᵢ = ⌊(i/8)·H/8⌋, xᵢ = ⌊(i%8)·W/8⌋), integer
+    luma (R+G+B)//3 per sample, bit i set iff lumaᵢ·64 > Σ lumas (the
+    all-integer mean compare, no float). This retires the byte-stride
+    stand-in caveat on :func:`phash_fingerprints` for the image lane:
+    the hash is a function of PIXELS, so the DuckDB twin replays it
+    from the closed-form pixel field without ever seeing the payload.
+    One Arrow pass, no shuffle; the 64-sample grid (not block means)
+    keeps the oracle exact at any image size."""
+    import numpy as np
+
+    with_payload = synth_bmp_payloads(documents)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "ahash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                arr = decode_image(payload).astype(np.int64)
+                h, w, _ = arr.shape
+                g = AHASH_GRID
+                ys = (np.arange(AHASH_BITS) // g) * h // g
+                xs = (np.arange(AHASH_BITS) % g) * w // g
+                lumas = arr[ys, xs].sum(axis=1) // 3
+                total = int(lumas.sum())
+                hv = 0
+                for i, l in enumerate(lumas):
+                    if int(l) * AHASH_BITS > total:
+                        hv |= 1 << i
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                out["doc_id"].append(doc_id)
+                out["ahash"].append(hv)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(
+        hash_batches, schema="doc_id long, ahash long"
+    )
+
+
+def image_ahash_near_dups(
+    documents: DataFrame, max_hamming: int = AHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming): image near-dup pairs within
+    ``max_hamming`` bits of aHash, banded 8 × 8-bit — pigeonhole-exact
+    recall up to Hamming 7 (8 flips cannot touch all 8 bands... they
+    can, so pairs past 7 flips are found only when flips cluster;
+    widen bands for a larger guaranteed radius, the standard dial).
+    Join key is (band, value): only the 2-column fingerprint relation
+    shuffles; pixels and payloads never do. The planted ~3%-pixel-edit
+    dup images land well inside the radius; unrelated synth images sit
+    near the random-hash expectation of 32 bits."""
+    fp = image_ahash(documents).localCheckpoint(eager=False)
+    band_width = AHASH_BITS // AHASH_BANDS
+    mask = (1 << band_width) - 1
+    bands = fp.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(ahash >> {b * band_width}) & {mask}"
+                        ).alias("val"),
+                    )
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ahash", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.ahash").alias("ah_a"),
+            F.col("b.ahash").alias("ah_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ah_a ^ ah_b)").cast("long")
+    return (
+        cand.select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+_AHASH_SQL_CTE = f"""
+samples AS (
+    SELECT doc_id, i,
+           ((i // {AHASH_GRID}) * h) // {AHASH_GRID} AS yi,
+           ((i % {AHASH_GRID}) * w) // {AHASH_GRID} AS xi
+    FROM d, range(0, {AHASH_BITS}) t(i)
+),
+lum AS (
+    SELECT s.doc_id, s.i, (SUM(p.v) // 3)::BIGINT AS luma
+    FROM samples s
+    JOIN px p ON p.doc_id = s.doc_id AND p.y = s.yi AND p.x = s.xi
+    GROUP BY s.doc_id, s.i
+),
+tot AS (SELECT doc_id, SUM(luma) AS total FROM lum GROUP BY doc_id),
+ah AS (
+    SELECT l.doc_id,
+           SUM(CASE WHEN l.luma * {AHASH_BITS} > t.total
+                    -- bit 63's two's-complement weight is -2^63
+                    THEN CASE WHEN l.i = 63
+                              THEN (-9223372036854775807 - 1)::BIGINT
+                              ELSE (1::BIGINT << l.i) END
+                    ELSE 0 END)::BIGINT AS ahash
+    FROM lum l JOIN tot t USING (doc_id)
+    GROUP BY l.doc_id
+)"""
+
+IMAGE_AHASH_SQL = f"""
+WITH {_PIXELS_SQL_CTE},
+{_AHASH_SQL_CTE}
+SELECT doc_id, ahash FROM ah
+"""
+
+IMAGE_AHASH_NEAR_DUPS_SQL = f"""
+WITH {_PIXELS_SQL_CTE},
+{_AHASH_SQL_CTE},
+bands AS (
+    SELECT doc_id, ahash, b AS band,
+           (ahash >> (b * {AHASH_BITS // AHASH_BANDS}))
+               & {(1 << (AHASH_BITS // AHASH_BANDS)) - 1} AS val
+    FROM ah, range(0, {AHASH_BANDS}) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           a.ahash AS ah_a, b.ahash AS ah_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, bit_count(xor(ah_a, ah_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= {AHASH_MAX_HAMMING}
 """
 
 

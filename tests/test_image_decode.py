@@ -93,3 +93,52 @@ def test_image_decode_meta_oracle(spark, docs, con):
     assert_matches_oracle(
         M.image_decode_meta(docs), con, M.IMAGE_DECODE_META_SQL
     )
+
+
+def test_image_ahash_planted_dups_within_radius(spark, docs):
+    """Every planted ~3%-pixel-edit image must land within the Hamming
+    radius of its base, and unrelated images must sit far outside it
+    (the random-hash expectation is 32 bits)."""
+    fp = {r["doc_id"]: r["ahash"] for r in M.image_ahash(docs).collect()}
+    planted = [
+        (d - M.BMP_DUP_RES, d)
+        for d in fp
+        if d % M.BMP_DUP_MOD == M.BMP_DUP_RES and d - M.BMP_DUP_RES in fp
+    ]
+    assert planted
+    for base, dup in planted:
+        ham = bin((fp[base] ^ fp[dup]) & ((1 << 64) - 1)).count("1")
+        assert ham <= M.AHASH_MAX_HAMMING, (base, dup, ham)
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in M.image_ahash_near_dups(docs).collect()
+    }
+    for base, dup in planted:
+        assert (base, dup) in pairs
+    # the join returns only in-radius pairs and is a small fraction of
+    # the 125k possible — unrelated synth images do NOT collide en masse
+    assert all(h <= M.AHASH_MAX_HAMMING for h in pairs.values())
+    n = len(fp)
+    assert len(pairs) < 0.005 * n * (n - 1) / 2
+
+
+def test_image_ahash_is_brightness_invariant():
+    """The defining aHash property, checked through the real codec: a
+    constant brightness shift (no wrap) leaves the hash unchanged."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pix = rng.randint(60, 180, size=(9, 11, 3)).astype(np.uint8)
+
+    def ahash(arr):
+        arr = arr.astype(np.int64)
+        h, w, _ = arr.shape
+        ys = (np.arange(64) // 8) * h // 8
+        xs = (np.arange(64) % 8) * w // 8
+        lumas = arr[ys, xs].sum(axis=1) // 3
+        total = int(lumas.sum())
+        return tuple(int(l) * 64 > total for l in lumas)
+
+    decoded = M.decode_image(M.encode_bmp(pix))
+    brighter = M.decode_image(M.encode_bmp(pix + 40))
+    assert ahash(decoded) == ahash(brighter)
