@@ -246,6 +246,7 @@ _STAMP_PRIORITY = (
     "containment_pairs_prefix_zipf",
     "image_ahash",
     "image_ahash_near_dups",
+    "audio_decode_meta",
     # r1 cohort (latest stamp = round 1), 25 remaining entries.
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -1187,6 +1188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_near_dups": lambda spark, sf: (
             _mm.image_ahash_near_dups(_docs(spark, sf))
         ),
+        # audio twin of the BMP lane: RIFF/WAVE PCM chunk-walking codec,
+        # decoded-waveform stats hash-pinned against the closed form
+        "audio_decode_meta": lambda spark, sf: _mm.audio_decode_meta(
+            _docs(spark, sf)
+        ),
         # perceptual-hash image-dedup plumbing: 64-bit aHash over payload
         # samples (mapInPandas lane) + 16-bit-banded near-dup join
         "phash_fingerprints": lambda spark, sf: _mm.phash_fingerprints(
@@ -1470,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_meta": _mm.IMAGE_DECODE_META_SQL,
         "image_ahash": _mm.IMAGE_AHASH_SQL,
         "image_ahash_near_dups": _mm.IMAGE_AHASH_NEAR_DUPS_SQL,
+        "audio_decode_meta": _mm.AUDIO_DECODE_META_SQL,
         "phash_fingerprints": _mm.PHASH_FINGERPRINTS_SQL,
         "phash_near_dups": _mm.PHASH_NEAR_DUPS_SQL,
         "frame_sample": _mm.FRAME_SAMPLE_SQL,

@@ -829,3 +829,193 @@ cand AS (
 SELECT doc_id_a, doc_id_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
 """
+
+
+# ---------------------------------------------------------------------------
+# real audio lane: RIFF/WAVE PCM codec + decoded-waveform metadata
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 8000
+#: synth waveform knobs shared with the SQL twin: doc_id d gets
+#: n = 64 + d % AUDIO_N_MOD samples of int16 PCM with
+#: s(i) = ((d·31 + i·17 + (i² mod 251)·(d mod 13 + 1)) mod 65536) − 32768
+#: — the same dup-free curvature idea as the pixel field, kept separate
+#: because audio has no planted-dup consumer yet.
+AUDIO_N_MOD = 100
+
+
+def encode_wav(samples, rate: int = AUDIO_RATE) -> bytes:
+    """int16 mono PCM → canonical RIFF/WAVE bytes (PCM fmt chunk +
+    data chunk, little-endian throughout) with nothing but numpy."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2")
+    if pcm.ndim != 1:
+        raise ValueError("encode_wav expects mono (1-D int16)")
+    data = pcm.tobytes()
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")            # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")     # byte rate
+        + (2).to_bytes(2, "little")            # block align
+        + (16).to_bytes(2, "little")           # bits per sample
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes):
+    """Pure-numpy RIFF/WAVE decoder: validates the RIFF/WAVE magic and
+    WALKS the chunk list (fmt may be preceded/followed by LIST, fact,
+    cue … chunks — real encoders emit them; chunks are word-aligned),
+    requires 16-bit mono PCM, and returns ``(samples int16 ndarray,
+    sample_rate)``. Compressed audio (MP3/AAC) swaps this body for
+    torchaudio/ffmpeg; every caller keeps its shape."""
+    import numpy as np
+
+    if payload is None or len(payload) < 44:
+        raise ValueError("not a WAV payload: too short")
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload: bad magic")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError("only 16-bit mono PCM WAV is supported")
+    return np.frombuffer(data, dtype="<i2").copy(), rate
+
+
+def _synth_samples(doc_id: int):
+    """The int16 waveform for ``doc_id`` under the shared knobs."""
+    import numpy as np
+
+    n = 64 + doc_id % AUDIO_N_MOD
+    i = np.arange(n, dtype=np.int64)
+    return (
+        (doc_id * 31 + i * 17 + (i * i % 251) * (doc_id % 13 + 1)) % 65536
+        - 32768
+    ).astype(np.int16)
+
+
+def synth_wav_payloads(documents: DataFrame) -> DataFrame:
+    """(doc_id, content): a real RIFF/WAVE payload per document,
+    deterministic in doc_id — the audio twin of
+    :func:`synth_bmp_payloads`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        encode_wav(_synth_samples(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, byte_len long, "
+    "amp_min int, amp_max int, amp_sum long, amp_weighted long, "
+    "zero_crossings long"
+)
+
+
+def audio_decode_meta(documents: DataFrame) -> DataFrame:
+    """Encode→decode roundtrip through real WAV bytes, emitting
+    sample-exact metadata: length, rate (read from the fmt chunk),
+    payload size, amplitude extremes/sum, an ORDER-SENSITIVE weighted
+    sum Σ sᵢ·i, and the zero-crossing count (consecutive samples whose
+    signs differ — the classic cheap audio feature). The DuckDB twin
+    replays the waveform in closed form without seeing a byte, so an
+    endianness slip, a chunk-walk bug, or an off-by-one sample window
+    breaks the driver hash. One Arrow pass, no shuffle."""
+    import numpy as np
+
+    with_payload = synth_wav_payloads(documents)
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_samples", "sample_rate", "byte_len",
+                "amp_min", "amp_max", "amp_sum", "amp_weighted",
+                "zero_crossings",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                s, rate = decode_wav(payload)
+                s64 = s.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(s))
+                out["sample_rate"].append(rate)
+                out["byte_len"].append(len(payload))
+                out["amp_min"].append(int(s64.min()))
+                out["amp_max"].append(int(s64.max()))
+                out["amp_sum"].append(int(s64.sum()))
+                out["amp_weighted"].append(
+                    int((s64 * np.arange(len(s))).sum())
+                )
+                sign = s64 >= 0
+                out["zero_crossings"].append(
+                    int((sign[1:] != sign[:-1]).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(meta, schema=AUDIO_META_SCHEMA)
+
+
+# Closed-form replay: the waveform from the shared knobs, stats over a
+# constant-bound range filtered to each doc's true length; byte_len =
+# 44-byte canonical header + 2 bytes/sample; zero crossings compare
+# consecutive samples' signs (s >= 0 mirrors the numpy int16 test).
+AUDIO_DECODE_META_SQL = f"""
+WITH d AS (
+    SELECT doc_id, 64 + doc_id % {AUDIO_N_MOD} AS n FROM documents
+),
+s AS (
+    SELECT doc_id, n, i,
+           ((doc_id * 31 + i * 17 + (i * i % 251) * (doc_id % 13 + 1))
+            % 65536 - 32768)::BIGINT AS amp
+    FROM d, range(0, 64 + {AUDIO_N_MOD - 1}) t(i)
+    WHERE i < n
+)
+SELECT doc_id,
+       n::BIGINT AS n_samples,
+       {AUDIO_RATE} AS sample_rate,
+       (44 + 2 * n)::BIGINT AS byte_len,
+       MIN(amp)::INTEGER AS amp_min,
+       MAX(amp)::INTEGER AS amp_max,
+       SUM(amp)::BIGINT AS amp_sum,
+       SUM(amp * i)::BIGINT AS amp_weighted,
+       SUM(CASE WHEN i < n - 1
+                 AND (amp >= 0) != (
+                     ((doc_id * 31 + (i + 1) * 17
+                       + ((i + 1) * (i + 1) % 251) * (doc_id % 13 + 1))
+                      % 65536 - 32768) >= 0)
+                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+FROM s
+GROUP BY doc_id, n
+"""

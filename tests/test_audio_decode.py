@@ -1,0 +1,84 @@
+"""Real WAV codec lane: the pure-numpy RIFF/WAVE PCM encoder/decoder
+roundtrips sample-exactly, the chunk walker tolerates real-world extra
+chunks, malformed payloads fail loudly, and audio_decode_meta
+hash-matches the closed-form DuckDB replay that never sees the bytes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from music_streaming_etl_glue_spark.operators import multimodal as M
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_util import duckdb_con, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_con(SF_SMOKE)
+
+
+@pytest.mark.parametrize("n", [1, 2, 63, 64, 200])
+def test_wav_roundtrip_sample_exact(n):
+    rng = np.random.RandomState(n)
+    pcm = rng.randint(-32768, 32768, size=n).astype(np.int16)
+    payload = M.encode_wav(pcm, rate=44100)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert len(payload) == 44 + 2 * n
+    out, rate = M.decode_wav(payload)
+    assert rate == 44100
+    assert np.array_equal(out, pcm)
+
+
+def test_wav_decoder_walks_extra_chunks():
+    """Real encoders emit LIST/fact/cue chunks around fmt and data —
+    the decoder must walk to the ones it needs, honoring the odd-size
+    word-alignment rule."""
+    pcm = np.array([100, -200, 300], dtype=np.int16)
+    payload = bytearray(M.encode_wav(pcm))
+    # splice an odd-sized LIST chunk between WAVE and fmt
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    spliced = bytes(payload[:12]) + extra + bytes(payload[12:])
+    spliced = (
+        spliced[:4]
+        + (len(spliced) - 8).to_bytes(4, "little")
+        + spliced[8:]
+    )
+    out, rate = M.decode_wav(spliced)
+    assert np.array_equal(out, pcm) and rate == M.AUDIO_RATE
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:20],                                  # too short
+        lambda b: b"RIFX" + b[4:],                         # bad magic
+        lambda b: b[:8] + b"AVI " + b[12:],                # not WAVE
+        lambda b: b[:20] + (2).to_bytes(2, "little") + b[22:],  # stereo
+        lambda b: b[:-3],                                  # truncated data
+    ],
+)
+def test_wav_decoder_rejects_malformed(mutate):
+    payload = M.encode_wav(np.array([1, -1, 2, -2], dtype=np.int16))
+    with pytest.raises(ValueError):
+        M.decode_wav(mutate(payload))
+
+
+def test_synth_wavs_are_real(spark, docs):
+    rows = M.synth_wav_payloads(docs.limit(10)).collect()
+    for r in rows:
+        s, rate = M.decode_wav(r["content"])
+        assert rate == M.AUDIO_RATE
+        assert np.array_equal(s, M._synth_samples(r["doc_id"]))
+
+
+def test_audio_decode_meta_oracle(spark, docs, con):
+    assert_matches_oracle(
+        M.audio_decode_meta(docs), con, M.AUDIO_DECODE_META_SQL
+    )
