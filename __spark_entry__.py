@@ -247,6 +247,7 @@ _STAMP_PRIORITY = (
     "image_ahash",
     "image_ahash_near_dups",
     "audio_decode_meta",
+    "video_frames_meta",
     # r1 cohort (latest stamp = round 1), 25 remaining entries.
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -1193,6 +1194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_meta": lambda spark, sf: _mm.audio_decode_meta(
             _docs(spark, sf)
         ),
+        # video lane: seekable frame-container of real BMP frames, one
+        # row per decoded frame (the 1->N decode shape, codec included)
+        "video_frames_meta": lambda spark, sf: _mm.video_frames_meta(
+            _docs(spark, sf)
+        ),
         # perceptual-hash image-dedup plumbing: 64-bit aHash over payload
         # samples (mapInPandas lane) + 16-bit-banded near-dup join
         "phash_fingerprints": lambda spark, sf: _mm.phash_fingerprints(
@@ -1477,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
         "image_ahash": _mm.IMAGE_AHASH_SQL,
         "image_ahash_near_dups": _mm.IMAGE_AHASH_NEAR_DUPS_SQL,
         "audio_decode_meta": _mm.AUDIO_DECODE_META_SQL,
+        "video_frames_meta": _mm.VIDEO_FRAMES_META_SQL,
         "phash_fingerprints": _mm.PHASH_FINGERPRINTS_SQL,
         "phash_near_dups": _mm.PHASH_NEAR_DUPS_SQL,
         "frame_sample": _mm.FRAME_SAMPLE_SQL,

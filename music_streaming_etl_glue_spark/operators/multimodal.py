@@ -166,11 +166,12 @@ def _synth_key(doc_id: int) -> int:
     )
 
 
-def _synth_pixels(doc_id: int):
-    """The (H, W, 3) RGB array for ``doc_id`` under the shared knobs."""
+def _pixels_for_key(key: int):
+    """The raw (H, W, 3) pixel FIELD for a resolved key — no dup
+    resolution, no perturbation (the video lane renders frames from
+    derived keys through this directly)."""
     import numpy as np
 
-    key = _synth_key(doc_id)
     w = 8 + key % BMP_W_MOD
     h = 8 + key % BMP_H_MOD
     y, x, c = np.ogrid[0:h, 0:w, 0:3]
@@ -178,11 +179,20 @@ def _synth_pixels(doc_id: int):
     # a purely linear field would differ across keys only by a constant
     # brightness offset, which average-hash is (by design) blind to —
     # every same-dims image would collide in the near-dup join
-    v = (
+    return (
         key * 37 + y * 31 + x * 13 + c * 7
         + (key * key % 251) * (y * x + 1)
     ) % 256
+
+
+def _synth_pixels(doc_id: int):
+    """The (H, W, 3) RGB array for ``doc_id`` under the shared knobs."""
+    import numpy as np
+
+    key = _synth_key(doc_id)
+    v = _pixels_for_key(key)
     if key != doc_id:
+        h, w, _ = v.shape
         pos = np.arange(h * w * 3).reshape(h, w, 3)
         v = np.where(
             pos % BMP_EDIT_MOD == BMP_EDIT_RES, (v + doc_id) % 256, v
@@ -1018,4 +1028,176 @@ SELECT doc_id,
                 THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
 FROM s
 GROUP BY doc_id, n
+"""
+
+
+# ---------------------------------------------------------------------------
+# real video lane: frame-container codec + per-frame decoded stats
+# ---------------------------------------------------------------------------
+
+#: frames per synthetic clip: doc_id d gets 2 + d % VIDEO_F_MOD frames,
+#: frame f rendered by the SHARED pixel field under key' = key·7 + f·3 + 1
+#: (dup-resolved key, so planted near-dup images extend to near-dup
+#: clips). The container is the engine's own seekable layout — magic +
+#: frame count + an offset index + concatenated real BMP payloads;
+#: production compressed video (H.264 etc.) swaps the per-frame decode
+#: for ffmpeg and keeps the index-seek plumbing.
+VIDEO_F_MOD = 4
+VIDEO_MAGIC = b"MSEV"
+
+
+def encode_video(frames) -> bytes:
+    """List of RGB (H, W, 3) arrays → container bytes: ``MSEV`` +
+    n_frames + per-frame (offset, length) index + the frames as real
+    BMP payloads. The index makes single-frame reads O(1) — the seek
+    behavior a frame sampler needs at 100 TB (read one frame's byte
+    range, never the clip)."""
+    payloads = [encode_bmp(f) for f in frames]
+    header = VIDEO_MAGIC + len(payloads).to_bytes(4, "little")
+    index_size = 8 * len(payloads)
+    off = len(header) + index_size
+    index = b""
+    for p in payloads:
+        index += off.to_bytes(4, "little") + len(p).to_bytes(4, "little")
+        off += len(p)
+    return header + index + b"".join(payloads)
+
+
+def decode_video_frame(payload: bytes, frame_idx: int):
+    """Decode ONE frame via the container index — validates magic and
+    bounds, reads only that frame's byte range, and hands the slice to
+    the real BMP decoder."""
+    buf = bytes(payload)
+    if len(buf) < 8 or buf[:4] != VIDEO_MAGIC:
+        raise ValueError("not an MSEV container")
+    n = int.from_bytes(buf[4:8], "little")
+    if not 0 <= frame_idx < n:
+        raise ValueError(f"frame {frame_idx} out of range 0..{n - 1}")
+    at = 8 + 8 * frame_idx
+    off = int.from_bytes(buf[at : at + 4], "little")
+    length = int.from_bytes(buf[at + 4 : at + 8], "little")
+    if off + length > len(buf):
+        raise ValueError("truncated MSEV container")
+    return decode_image(buf[off : off + length])
+
+
+def video_frame_count(payload: bytes) -> int:
+    buf = bytes(payload)
+    if len(buf) < 8 or buf[:4] != VIDEO_MAGIC:
+        raise ValueError("not an MSEV container")
+    return int.from_bytes(buf[4:8], "little")
+
+
+def _synth_frame_key(doc_id: int, f: int) -> int:
+    return _synth_key(doc_id) * 7 + f * 3 + 1
+
+
+def synth_video_payloads(documents: DataFrame) -> DataFrame:
+    """(doc_id, content): a real frame-container clip per document —
+    2 + doc_id % VIDEO_F_MOD frames, each a genuine BMP of the shared
+    pixel field under the frame's derived key."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    _pixels_for_key(_synth_frame_key(d, f)).astype("uint8")
+                    for f in range(2 + d % VIDEO_F_MOD)
+                ]
+                payloads.append(encode_video(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "px_sum long, px_weighted long, corner_tl int"
+)
+
+
+def video_frames_meta(documents: DataFrame) -> DataFrame:
+    """One row per (clip, frame) with pixel-exact stats from REAL
+    decoded frames — the 1→N row-expanding decode shape every video
+    pipeline needs, now with an actual codec in the loop (each frame
+    seeks via the container index and decodes through the BMP lane).
+    The DuckDB twin replays the frame keys and the pixel field in
+    closed form; a wrong index offset, frame order, or key derivation
+    breaks the driver hash."""
+    import numpy as np
+
+    with_payload = synth_video_payloads(documents)
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height",
+                "px_sum", "px_weighted", "corner_tl",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                for f in range(video_frame_count(payload)):
+                    arr = decode_video_frame(payload, f).astype(np.int64)
+                    h, w, _ = arr.shape
+                    idx = np.arange(arr.size, dtype=np.int64).reshape(
+                        arr.shape
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["px_sum"].append(int(arr.sum()))
+                    out["px_weighted"].append(int((arr * idx).sum()))
+                    out["corner_tl"].append(int(arr[0, 0, 0]))
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(meta, schema=VIDEO_META_SCHEMA)
+
+
+# Closed-form replay: frame keys from the dup-resolved doc key, then the
+# SAME pixel field as the image lane (note the frame key is used as the
+# pixel key directly — frames are ordinary images to the field). The
+# perturbation branch never fires for frames (frame keys are derived,
+# not dup-marked), so v is the plain field.
+VIDEO_FRAMES_META_SQL = f"""
+WITH dk AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {BMP_DUP_MOD} = {BMP_DUP_RES}
+                 AND doc_id >= {BMP_DUP_RES}
+                THEN doc_id - {BMP_DUP_RES} ELSE doc_id END AS key,
+           2 + doc_id % {VIDEO_F_MOD} AS n_frames
+    FROM documents
+),
+fr AS (
+    SELECT doc_id, f::INTEGER AS frame_idx,
+           key * 7 + f * 3 + 1 AS fkey,
+           8 + (key * 7 + f * 3 + 1) % {BMP_W_MOD} AS w,
+           8 + (key * 7 + f * 3 + 1) % {BMP_H_MOD} AS h
+    FROM dk, range(0, 2 + {VIDEO_F_MOD - 1}) t(f)
+    WHERE f < n_frames
+),
+px AS (
+    SELECT doc_id, frame_idx, w, h,
+           (y * w * 3 + x * 3 + c)::BIGINT AS pos,
+           (fkey * 37 + y * 31 + x * 13 + c * 7
+            + (fkey * fkey % 251) * (y * x + 1)) % 256 AS v
+    FROM fr,
+         range(0, 8 + {BMP_H_MOD - 1}) ty(y),
+         range(0, 8 + {BMP_W_MOD - 1}) tx(x),
+         range(0, 3) tc(c)
+    WHERE y < h AND x < w
+)
+SELECT doc_id, frame_idx,
+       w::INTEGER AS width,
+       h::INTEGER AS height,
+       SUM(v)::BIGINT AS px_sum,
+       SUM(v * pos)::BIGINT AS px_weighted,
+       (MAX(CASE WHEN pos = 0 THEN v END))::INTEGER AS corner_tl
+FROM px
+GROUP BY doc_id, frame_idx, w, h
 """

@@ -142,3 +142,37 @@ def test_image_ahash_is_brightness_invariant():
     decoded = M.decode_image(M.encode_bmp(pix))
     brighter = M.decode_image(M.encode_bmp(pix + 40))
     assert ahash(decoded) == ahash(brighter)
+
+
+def test_video_container_roundtrip_and_seek():
+    """Frames come back pixel-exact THROUGH the container index, and
+    single-frame reads touch only the indexed byte range."""
+    frames = [_rand_pixels(5, 7, seed=i) for i in range(4)]
+    payload = M.encode_video(frames)
+    assert M.video_frame_count(payload) == 4
+    for i, f in enumerate(frames):
+        assert np.array_equal(M.decode_video_frame(payload, i), f)
+    with pytest.raises(ValueError):
+        M.decode_video_frame(payload, 4)
+    with pytest.raises(ValueError):
+        M.decode_video_frame(b"XXXX" + payload[4:], 0)
+    with pytest.raises(ValueError):
+        M.decode_video_frame(payload[:-10], 3)  # truncated last frame
+
+
+def test_video_frames_meta_shape(spark, docs):
+    out = M.video_frames_meta(docs.limit(20)).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in by_doc.items():
+        assert len(rows) == 2 + d % M.VIDEO_F_MOD
+        assert sorted(r["frame_idx"] for r in rows) == list(
+            range(len(rows))
+        )
+        for r in rows:
+            expect = M._pixels_for_key(
+                M._synth_frame_key(d, r["frame_idx"])
+            )
+            assert (r["height"], r["width"]) == expect.shape[:2]
+            assert r["px_sum"] == int(expect.sum())
