@@ -18,10 +18,15 @@ from music_streaming_etl_glue_spark.streaming.file_pipeline import (
 )
 
 
-def _write_batch(spark, path, rows):
+def _write_batch(spark, path, rows, order: int = 0):
     """One single-FILE parquet per micro-batch (the file source lists
     plain files, like the testdata landing zone — not Spark output
-    directories)."""
+    directories). ``order`` sets a distinct mtime: the file source
+    sequences micro-batches by modification time, and files written in
+    the same millisecond tie — the stream would then ingest them in
+    arbitrary order and a different first-occurrence winner would
+    survive (a real property of racing ingest, but not what this test
+    pins)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -38,6 +43,8 @@ def _write_batch(spark, path, rows):
         ),
         path,
     )
+    t = os.path.getmtime(path) + 10 * order
+    os.utime(path, (t, t))
 
 
 def _doc(i, text):
@@ -59,9 +66,9 @@ def test_bloom_stream_matches_batch_survivors(spark, tmp_path):
     # batch 3: dup of b1 doc 2, dup of b2's new doc, one new
     b3 = [_doc(20, "eta theta iota"), _doc(21, "nu xi omicron"),
           _doc(22, "pi rho sigma")]
-    _write_batch(spark, str(src / "b1.parquet"), b1)
-    _write_batch(spark, str(src / "b2.parquet"), b2)
-    _write_batch(spark, str(src / "b3.parquet"), b3)
+    _write_batch(spark, str(src / "b1.parquet"), b1, order=0)
+    _write_batch(spark, str(src / "b2.parquet"), b2, order=1)
+    _write_batch(spark, str(src / "b3.parquet"), b3, order=2)
 
     out = str(tmp_path / "clean")
     ckpt = str(tmp_path / "ck")
