@@ -248,6 +248,7 @@ _STAMP_PRIORITY = (
     "image_ahash_near_dups",
     "audio_decode_meta",
     "video_frames_meta",
+    "image_dedup_clusters",
     # r1 cohort (latest stamp = round 1), 25 remaining entries.
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -680,6 +681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transitive near-dup grouping (iterative min-label propagation)
         "dedup_clusters": lambda spark, sf: _clusters.dedup_clusters(
             _docs(spark, sf)
+        ),
+        # the image lane's component step: min-label CC over the decoded
+        # aHash Hamming graph (planted dup images collapse to their base)
+        "image_dedup_clusters": lambda spark, sf: (
+            _clusters.image_dedup_clusters(_docs(spark, sf))
         ),
         # same clustering via O(log n)-round large-star/small-star
         "dedup_clusters_twophase": lambda spark, sf: (
@@ -1341,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         "rebalance_sources": _dedup.REBALANCE_SOURCES_SQL,
         "rebalance_sources_fractional": _dedup.REBALANCE_FRACTIONAL_SQL,
         "dedup_clusters": _clusters.DEDUP_CLUSTERS_SQL,
+        "image_dedup_clusters": _clusters.IMAGE_DEDUP_CLUSTERS_SQL,
         "dedup_clusters_twophase": _clusters.DEDUP_CLUSTERS_SQL,
         "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
         "near_dedup_apply_best": _clusters.NEAR_DEDUP_APPLY_BEST_SQL,

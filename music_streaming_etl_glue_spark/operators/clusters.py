@@ -228,6 +228,51 @@ def dedup_clusters_two_phase(documents: DataFrame) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def image_dedup_clusters(documents: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) over the IMAGE near-dup graph: edges are
+    :func:`..multimodal.image_ahash_near_dups` pairs (Hamming-close
+    average-hashes of genuinely decoded frames), labels the same
+    min-label kernel as the text rung — the image lane's component
+    step, so a re-encoded/watermarked image family collapses to one
+    canonical id exactly like a boilerplate-drifted text family.
+    Planted ~3%-pixel-edit dup images cluster with their bases. Shares
+    the recursive-CTE oracle shape with :func:`dedup_clusters`."""
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        image_ahash_near_dups,
+    )
+
+    edges = image_ahash_near_dups(documents).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    vertices = documents.select(F.col("doc_id").alias("id"))
+    comp = connected_components(vertices, edges)
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _image_dedup_clusters_sql() -> str:
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        IMAGE_AHASH_NEAR_DUPS_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS ({IMAGE_AHASH_NEAR_DUPS_SQL}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+IMAGE_DEDUP_CLUSTERS_SQL = _image_dedup_clusters_sql()
+
+
 def near_dedup_apply(documents: DataFrame) -> DataFrame:
     """Materialize the near-dedup: keep each cluster's canonical document
     (the minimum doc_id) with the full original row plus ``n_members``,

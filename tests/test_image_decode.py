@@ -176,3 +176,31 @@ def test_video_frames_meta_shape(spark, docs):
             )
             assert (r["height"], r["width"]) == expect.shape[:2]
             assert r["px_sum"] == int(expect.sum())
+
+
+def test_image_dedup_clusters_collapse_planted_families(spark, docs):
+    """Each planted dup image must share a component with its base;
+    docs in no near-dup pair label themselves."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        image_dedup_clusters,
+    )
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in image_dedup_clusters(docs.limit(200)).collect()
+    }
+    assert len(labels) == 200
+    paired = {
+        d for r in M.image_ahash_near_dups(docs.limit(200)).collect()
+        for d in (r["doc_id_a"], r["doc_id_b"])
+    }
+    planted = [
+        d for d in labels
+        if d % M.BMP_DUP_MOD == M.BMP_DUP_RES and d - M.BMP_DUP_RES in labels
+    ]
+    assert planted
+    for d in planted:
+        assert labels[d] == labels[d - M.BMP_DUP_RES]
+    for d, lab in labels.items():
+        if d not in paired:
+            assert lab == d  # singletons label themselves
