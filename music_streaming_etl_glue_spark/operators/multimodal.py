@@ -341,8 +341,15 @@ GROUP BY doc_id, w, h
 
 AHASH_BITS = 64
 AHASH_GRID = 8           # 8×8 point-sample grid over the decoded image
-AHASH_BANDS = 8          # 8 × 8-bit bands → pigeonhole-exact to Hamming 7
+AHASH_BANDS = 13         # 12×5-bit + 1×4-bit bands (ADVICE r8): a pair
+#                          within Hamming 12 cannot flip a bit in all 13
+#                          bands, so recall ≤ AHASH_MAX_HAMMING is
+#                          pigeonhole-EXACT, not best-effort
 AHASH_MAX_HAMMING = 12   # planted ~3%-pixel edits measure ≈ 4-9 bits
+# (offset, mask) per band: bits [5b, 5b+5) for b<12, bits [60, 64) for b=12
+AHASH_BAND_SPECS = [
+    (5 * b, 0xF if b == AHASH_BANDS - 1 else 0x1F) for b in range(AHASH_BANDS)
+]
 
 
 def image_ahash(documents: DataFrame) -> DataFrame:
@@ -390,17 +397,25 @@ def image_ahash_near_dups(
     documents: DataFrame, max_hamming: int = AHASH_MAX_HAMMING
 ) -> DataFrame:
     """(doc_id_a, doc_id_b, hamming): image near-dup pairs within
-    ``max_hamming`` bits of aHash, banded 8 × 8-bit — pigeonhole-exact
-    recall up to Hamming 7 (8 flips cannot touch all 8 bands... they
-    can, so pairs past 7 flips are found only when flips cluster;
-    widen bands for a larger guaranteed radius, the standard dial).
-    Join key is (band, value): only the 2-column fingerprint relation
-    shuffles; pixels and payloads never do. The planted ~3%-pixel-edit
-    dup images land well inside the radius; unrelated synth images sit
-    near the random-hash expectation of 32 bits."""
+    ``max_hamming`` bits of aHash, banded 12×5-bit + 1×4-bit (13
+    bands). Recall at the default radius is pigeonhole-EXACT: 12 flips
+    cannot touch all 13 bands, so every pair within Hamming 12 shares
+    at least one intact band and is found (ADVICE r8 closed the gap
+    where 8×8-bit banding only guaranteed radius 7 while the default
+    advertised 12). Join key is (band, value): only the 2-column
+    fingerprint relation shuffles; pixels and payloads never do. The
+    planted ~3%-pixel-edit dup images land well inside the radius;
+    unrelated synth images sit near the random-hash expectation of 32
+    bits."""
     fp = image_ahash(documents).localCheckpoint(eager=False)
-    band_width = AHASH_BITS // AHASH_BANDS
-    mask = (1 << band_width) - 1
+    return _ahash_band_pairs(fp, max_hamming)
+
+
+def _ahash_band_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded Hamming self-join over a (doc_id, ahash) relation —
+    factored out so the pigeonhole recall guarantee is unit-testable on
+    handcrafted hashes, and so the audio/video fingerprint lanes reuse
+    the identical candidate generator."""
     bands = fp.select(
         "doc_id",
         "ahash",
@@ -410,10 +425,10 @@ def image_ahash_near_dups(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.expr(
-                            f"(ahash >> {b * band_width}) & {mask}"
+                            f"(ahash >> {off}) & {mask}"
                         ).alias("val"),
                     )
-                    for b in range(AHASH_BANDS)
+                    for b, (off, mask) in enumerate(AHASH_BAND_SPECS)
                 ]
             )
         ).alias("bv"),
@@ -477,9 +492,10 @@ IMAGE_AHASH_NEAR_DUPS_SQL = f"""
 WITH {_PIXELS_SQL_CTE},
 {_AHASH_SQL_CTE},
 bands AS (
+    -- 12×5-bit + 1×4-bit bands, mirroring AHASH_BAND_SPECS exactly
     SELECT doc_id, ahash, b AS band,
-           (ahash >> (b * {AHASH_BITS // AHASH_BANDS}))
-               & {(1 << (AHASH_BITS // AHASH_BANDS)) - 1} AS val
+           (ahash >> (b * 5))
+               & (CASE WHEN b = {AHASH_BANDS - 1} THEN 15 ELSE 31 END) AS val
     FROM ah, range(0, {AHASH_BANDS}) t(b)
 ),
 cand AS (

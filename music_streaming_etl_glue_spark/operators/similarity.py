@@ -38,13 +38,23 @@ SIGN_BITS = 4  # legacy single-band bucket (ann_topk_bucketed / sign-IVF only)
 ROUND = 6
 
 def _round_half_up(a, digits: int = ROUND):
-    """Round half AWAY FROM ZERO, matching Spark/DuckDB ``round()`` on
-    doubles. ``np.round`` is banker's rounding (half-to-even): a cosine
-    landing exactly on a 5e-7 boundary would round differently in the
-    pandas kernel than in the SQL twin, flipping a greedy MMR pick or a
-    threshold keep/drop and failing the driver hash stamp. Both engines
-    round the exact binary value, so floor(|x|·s + 0.5) on float64
-    reproduces them (2.675 is really 2.67499…, hence 2.67 everywhere)."""
+    """Round half AWAY FROM ZERO via float64 scaling, matching DuckDB
+    ``round()`` on doubles — the oracle side these kernels must
+    hash-match. ``np.round`` is banker's rounding (half-to-even): a
+    cosine landing exactly on a 5e-7 boundary would round differently in
+    the pandas kernel than in the SQL twin, flipping a greedy MMR pick
+    or a threshold keep/drop and failing the driver hash stamp. DuckDB
+    rounds doubles by scaling in float64 (value·10^d, round half away,
+    divide back), so floor(|x|·s + 0.5) reproduces it bit-for-bit —
+    INCLUDING the scaling artifacts: 2.675·100 rounds to 267.5 in
+    float64, so both sides say 2.68 even though the stored binary value
+    is 2.67499…. The contract is "identical to the DuckDB oracle", not
+    "true decimal rounding of the binary value" — pinned in
+    tests/test_advice_r8.py. Spark's own ``F.round`` is a THIRD
+    semantics (shortest-decimal-representation HALF_UP via
+    BigDecimal.valueOf(double)); these mapInPandas kernels never invoke
+    it, and any entry mixing F.round with a DuckDB twin keeps its
+    values off the 5e-7 boundaries."""
     scale = 10.0 ** digits
     a = np.asarray(a, dtype="float64")
     return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
@@ -2532,12 +2542,33 @@ def rewrite_ivfpq_cells(spark, path: str, drop_ids: DataFrame) -> list:
     survivors.write.mode("overwrite").partitionBy(
         "assigned_label"
     ).parquet(tmp)
+    # Swap-aside per cell (ADVICE r8, medium — the plans/layout.py
+    # pattern): park the live cell at `.old-*`, rename the rewrite in,
+    # THEN drop the parked copy. The old rmtree(dst)+rename(src) order
+    # had a window where a crash between the two permanently deleted the
+    # cell's rows while the layout's _SUCCESS still validated the cache
+    # — serves would silently miss vectors. With swap-aside the live
+    # path always holds a complete cell: on failure the parked copy is
+    # restored before the error propagates.
     for lab in touched:
         dst = os.path.join(path, f"assigned_label={lab}")
         src = os.path.join(tmp, f"assigned_label={lab}")
-        shutil.rmtree(dst, ignore_errors=True)
-        if os.path.exists(src):
-            os.rename(src, dst)
+        # dot-prefixed so partition discovery never sees the parked copy
+        old = os.path.join(
+            path, f".old-{lab}-{uuid.uuid4().hex[:8]}"
+        )
+        parked = os.path.exists(dst)
+        if parked:
+            os.rename(dst, old)
+        try:
+            if os.path.exists(src):
+                os.rename(src, dst)
+        except BaseException:
+            if parked:
+                os.rename(old, dst)  # put the cell back, then propagate
+            raise
+        if parked:
+            shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return touched
 

@@ -204,40 +204,18 @@ def ingest_near_deduplicated(
     q.awaitTermination()
 
 
-def ingest_bloom_deduplicated(
+def _bloom_dedup_batch_handler(
     spark: SparkSession,
-    input_dir: str,
     output_dir: str,
-    checkpoint_dir: str,
     state_dir: str,
     bits: int | None = None,
     hashes: int | None = None,
-    files_per_trigger: int = 16,
-) -> None:
-    """Streaming EXACT-dedup ingest with the ``dedup_incremental_bloom``
-    probe-mask discipline (VERDICT r7 item #8) — the batch family's
-    streaming twin. Unlike ``ingest_deduplicated``'s
-    dropDuplicatesWithinWatermark (whose per-key state grows with the
-    horizon and whose contract EXPIRES past it), this keeps no
-    streaming state at all and its dedup horizon is the whole corpus:
-
-    * the cross-batch artifact is the persisted Bloom relation at
-      ``state_dir`` — ≤ bits/64 (word, bitmap) rows (~128 KB at the
-      default 2²⁰ bits) no matter how many documents ever landed;
-    * each micro-batch probes it broadcast-side; docs the filter has
-      never seen admit WITHOUT touching the corpus (the common case —
-      new content never pays a corpus read);
-    * only Bloom candidates (true dups + ~FP-rate of the batch) are
-      confirmed with an anti-join against the LANDED corpus's text
-      hashes, so false positives cost a read, never a wrongly dropped
-      document — survivors are exactly the first-occurrence set;
-    * the admitted hashes are OR-folded into the filter and the epoch
-      lands via the idempotent partition writer. Both per-epoch effects
-      are replay-safe: OR is idempotent and the epoch partition
-      overwrites, so a foreachBatch retry converges to the same state.
-
-    Within a batch, the first occurrence (lowest doc_id) of a text
-    wins — the same tie Spark's batch ``dedup_exact`` canonicalizes."""
+):
+    """Build the per-micro-batch handler for
+    :func:`ingest_bloom_deduplicated` (module-level so the replay test
+    can re-invoke it with the SAME epoch_id, simulating a foreachBatch
+    retry after a crash anywhere between the epoch write, the Bloom
+    rename and the checkpoint commit)."""
     import os
 
     from music_streaming_etl_glue_spark.operators.dedup import (
@@ -273,8 +251,23 @@ def ingest_bloom_deduplicated(
                 "bloom_candidate"
             )
             if candidates.limit(1).count():
+                # Confirmation corpus = every LANDED epoch EXCEPT this
+                # one (ADVICE r8, high): on a foreachBatch retry after
+                # the Bloom state committed, the whole batch flags as
+                # candidates — if the corpus read saw the batch's own
+                # already-written epoch=N partition, every doc would
+                # anti-join away and the idempotent writer would
+                # overwrite epoch=N with an EMPTY frame, silently losing
+                # the landed documents while the Bloom still marks them
+                # seen. Excluding the current epoch makes the replay
+                # converge: survivors re-admit, the partition rewrites
+                # with identical content, and the Bloom OR-fold is
+                # idempotent. The ``epoch`` column is discovered from
+                # the ``epoch=N`` partition directories the idempotent
+                # writer lays down.
                 corpus_hashes = (
                     spark.read.parquet(output_dir)
+                    .filter(F.col("epoch") != F.lit(epoch_id))
                     .select(F.md5("text").alias("text_hash"))
                     .distinct()
                 )
@@ -310,11 +303,55 @@ def ingest_bloom_deduplicated(
 
         shutil.rmtree(old, ignore_errors=True)
 
+    return dedup_and_land
+
+
+def ingest_bloom_deduplicated(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    bits: int | None = None,
+    hashes: int | None = None,
+    files_per_trigger: int = 16,
+) -> None:
+    """Streaming EXACT-dedup ingest with the ``dedup_incremental_bloom``
+    probe-mask discipline (VERDICT r7 item #8) — the batch family's
+    streaming twin. Unlike ``ingest_deduplicated``'s
+    dropDuplicatesWithinWatermark (whose per-key state grows with the
+    horizon and whose contract EXPIRES past it), this keeps no
+    streaming state at all and its dedup horizon is the whole corpus:
+
+    * the cross-batch artifact is the persisted Bloom relation at
+      ``state_dir`` — ≤ bits/64 (word, bitmap) rows (~128 KB at the
+      default 2²⁰ bits) no matter how many documents ever landed;
+    * each micro-batch probes it broadcast-side; docs the filter has
+      never seen admit WITHOUT touching the corpus (the common case —
+      new content never pays a corpus read);
+    * only Bloom candidates (true dups + ~FP-rate of the batch) are
+      confirmed with an anti-join against the LANDED corpus's text
+      hashes — EXCLUDING the current epoch's own partition, so a
+      foreachBatch retry that replays an already-landed epoch re-admits
+      its documents instead of anti-joining them against themselves
+      (ADVICE r8) — false positives cost a read, never a wrongly
+      dropped document; survivors are exactly the first-occurrence set;
+    * the admitted hashes are OR-folded into the filter and the epoch
+      lands via the idempotent partition writer. Both per-epoch effects
+      are replay-safe: OR is idempotent and the epoch partition
+      overwrites, so a foreachBatch retry converges to the same state.
+
+    Within a batch, the first occurrence (lowest doc_id) of a text
+    wins — the same tie Spark's batch ``dedup_exact`` canonicalizes."""
     q = (
         stream_documents(spark, input_dir, files_per_trigger)
         .writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(dedup_and_land)
+        .foreachBatch(
+            _bloom_dedup_batch_handler(
+                spark, output_dir, state_dir, bits=bits, hashes=hashes
+            )
+        )
         .start()
     )
     q.awaitTermination()
