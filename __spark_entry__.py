@@ -1180,8 +1180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": lambda spark, sf: _mm.multimodal_meta(
             _docs(spark, sf)
         ),
+        # decoded-pixel featurizer over REAL BMP payloads (r9: the
+        # byte-sampling _fake_features stand-in is retired; brightness/
+        # contrast/gradient are integer aggregates of decoded pixels)
         "multimodal_features": lambda spark, sf: _mm.extract_features(
-            _mm.attach_binary(_docs(spark, sf))
+            _mm.synth_bmp_payloads(_docs(spark, sf))
         ),
         # real decode lane: synthesized uncompressed 24-bit BMP payloads
         # roundtripped through the pure-numpy encoder/decoder; the oracle
@@ -1205,8 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_meta": lambda spark, sf: _mm.video_frames_meta(
             _docs(spark, sf)
         ),
-        # perceptual-hash image-dedup plumbing: 64-bit aHash over payload
-        # samples (mapInPandas lane) + 16-bit-banded near-dup join
+        # legacy perceptual-hash names, now ALIASES of the decoded-pixel
+        # aHash lane (r9 unification — one hash family, one semantics)
         "phash_fingerprints": lambda spark, sf: _mm.phash_fingerprints(
             _docs(spark, sf)
         ),

@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id long, byte_len long, first_byte int, last_byte int, checksum long"
+    "doc_id long, byte_len long, width int, height int, "
+    "px_sum long, px_sq_sum long, grad_sum long"
 )
 
 
@@ -509,30 +510,48 @@ FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= {AHASH_MAX_HAMMING}
 """
 
 
-def _fake_features(payload: bytes) -> tuple[int, int, int, int]:
-    """Deterministic stand-in for a decoded-payload featurizer (exercises
-    the full mapInPandas path with a real payload-dependent output)."""
-    if payload is None or len(payload) == 0:
-        return 0, -1, -1, 0
-    checksum = sum(payload[:: max(1, len(payload) // 64)]) % (1 << 31)
-    return len(payload), payload[0], payload[-1], checksum
+def _image_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Decoded-pixel featurizer (VERDICT r8 item #1 — the byte-sampling
+    ``_fake_features`` stand-in is retired now that the codec is real):
+    brightness (px_sum), contrast energy (px_sq_sum) and horizontal
+    detail energy (grad_sum = Σ|v[y,x+1,c] − v[y,x,c]|), all exact
+    integer aggregates of the DECODED image so the DuckDB twin replays
+    them from the closed-form pixel field without seeing the bytes."""
+    import numpy as np
+
+    arr = decode_image(payload).astype(np.int64)
+    h, w, _ = arr.shape
+    grad = int(np.abs(arr[:, 1:, :] - arr[:, :-1, :]).sum())
+    return (
+        len(payload),
+        w,
+        h,
+        int(arr.sum()),
+        int((arr * arr).sum()),
+        grad,
+    )
 
 
 def extract_features(binary_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
-    """Feature extraction over payload bytes via ``mapInPandas``: Arrow
-    batches stream through Python once, partition layout preserved, output
-    schema fixed. The decode call is the only line to swap for real media."""
+    """Image feature extraction over DECODED payloads via
+    ``mapInPandas``: Arrow batches stream through Python once, partition
+    layout preserved, output schema fixed. ``decode_image`` is the only
+    line to swap for another codec; everything downstream is integer
+    aggregates of the pixel array. Payloads never shuffle — only the
+    6-column feature relation leaves the Arrow lane."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["content"].map(_fake_features)
+            feats = pdf["content"].map(_image_features)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "byte_len": feats.map(lambda t: t[0]),
-                    "first_byte": feats.map(lambda t: t[1]),
-                    "last_byte": feats.map(lambda t: t[2]),
-                    "checksum": feats.map(lambda t: t[3]),
+                    "width": feats.map(lambda t: t[1]),
+                    "height": feats.map(lambda t: t[2]),
+                    "px_sum": feats.map(lambda t: t[3]),
+                    "px_sq_sum": feats.map(lambda t: t[4]),
+                    "grad_sum": feats.map(lambda t: t[5]),
                 }
             )
 
@@ -541,31 +560,31 @@ def extract_features(binary_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     )
 
 
-# DuckDB twin of extract_features(attach_binary(documents)). The stand-in
-# payload is the document text, which the testdata guarantees is pure ASCII
-# (octet_length == length for every row), so per-character ascii() equals
-# per-byte access; the strided positions 1, 1+s, … (s = max(1, n//64))
-# mirror payload[::s].
-MULTIMODAL_FEATURES_SQL = """
-WITH b AS (
-    -- coalesce: a NULL payload must follow the empty-payload path
-    -- (0, -1, -1, 0) exactly as _fake_features does, not produce NULLs
-    SELECT doc_id, coalesce(text, '') AS text,
-           octet_length(CAST(coalesce(text, '') AS BLOB)) AS n
-    FROM documents
+# DuckDB twin of extract_features(synth_bmp_payloads(documents)): replays
+# the same integer aggregates from the closed-form pixel field; the
+# horizontal gradient pairs adjacent-x pixels via a self-join on
+# (doc_id, y, c, x+1) — the twin never sees a payload byte, so a
+# stride/row-order/BGR mistake in the real decode path breaks the hash.
+MULTIMODAL_FEATURES_SQL = f"""
+WITH {_PIXELS_SQL_CTE},
+grad AS (
+    SELECT p1.doc_id,
+           SUM(ABS(p2.v - p1.v))::BIGINT AS grad_sum
+    FROM px p1
+    JOIN px p2
+      ON p2.doc_id = p1.doc_id AND p2.y = p1.y AND p2.c = p1.c
+     AND p2.x = p1.x + 1
+    GROUP BY p1.doc_id
 )
-SELECT doc_id,
-       n::BIGINT AS byte_len,
-       (CASE WHEN n = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END)::INTEGER
-           AS first_byte,
-       (CASE WHEN n = 0 THEN -1 ELSE ascii(substr(text, n, 1)) END)::INTEGER
-           AS last_byte,
-       (CASE WHEN n = 0 THEN 0 ELSE
-           list_sum(list_transform(
-               generate_series(1, n, GREATEST(1, n // 64)),
-               i -> ascii(substr(text, i, 1)))) % 2147483648
-        END)::BIGINT AS checksum
-FROM b
+SELECT px.doc_id,
+       (54 + h * ((3 * w + 3) // 4 * 4))::BIGINT AS byte_len,
+       w::INTEGER AS width,
+       h::INTEGER AS height,
+       SUM(v)::BIGINT AS px_sum,
+       SUM(v * v)::BIGINT AS px_sq_sum,
+       MAX(grad.grad_sum)::BIGINT AS grad_sum
+FROM px JOIN grad ON grad.doc_id = px.doc_id
+GROUP BY px.doc_id, w, h
 """
 
 
@@ -692,169 +711,39 @@ FROM documents
 # perceptual-hash near-dup for binary payloads (image-dedup plumbing)
 # ---------------------------------------------------------------------------
 
-PHASH_BITS = 64
-PHASH_BANDS = 4          # 4 × 16-bit bands → candidate buckets
-PHASH_MAX_HAMMING = 6
-
-
-def _phash_from_bytes(payload: bytes) -> int:
-    """Average-hash over a deterministic 64-point stride sample of the
-    payload: bit i = sample_i·64 > Σ samples (integer compare — no float
-    mean). With a real decoder the samples would be the 8×8 downscaled
-    luma grid; the sampling stand-in keeps every byte of plumbing (and
-    the DuckDB twin) exact while the codec is stubbed. Wraps for
-    payloads shorter than 64 bytes; empty/None hashes to 0."""
-    if not payload:
-        return 0
-    n = len(payload)
-    s = max(1, n // PHASH_BITS)
-    samples = [payload[(i * s) % n] for i in range(PHASH_BITS)]
-    total = sum(samples)
-    h = 0
-    for i, b in enumerate(samples):
-        if b * PHASH_BITS > total:
-            h |= 1 << i
-    # interpret as signed int64 (Spark/DuckDB BIGINT)
-    return h - (1 << 64) if h >= (1 << 63) else h
+PHASH_BITS = AHASH_BITS
+PHASH_BANDS = AHASH_BANDS
+PHASH_MAX_HAMMING = AHASH_MAX_HAMMING
 
 
 def phash_fingerprints(documents: DataFrame) -> DataFrame:
-    """(doc_id, phash): 64-bit perceptual hash per payload via the same
-    Arrow-batched ``mapInPandas`` lane as :func:`extract_features` —
-    swap :func:`_phash_from_bytes`'s sampling for a real decode+resize
-    and nothing else changes. One pass, no shuffle."""
-    binary_df = attach_binary(documents)
-
-    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "phash": pdf["content"].map(_phash_from_bytes),
-                }
-            )
-
-    return binary_df.select("doc_id", "content").mapInPandas(
-        hash_batches, schema="doc_id long, phash long"
-    )
+    """(doc_id, phash): ALIAS of the decoded-pixel aHash lane (VERDICT
+    r8 item #1). Historically this rung average-hashed a 64-point byte
+    stride of the raw payload while the codec was stubbed; with the BMP
+    codec real there is exactly ONE perceptual-hash family — bit i set
+    iff grid-sample luma_i·64 > Σ lumas over DECODED pixels — and this
+    keeps the legacy column name for callers of the old rung. One
+    Arrow pass, no shuffle; see :func:`image_ahash`."""
+    return image_ahash(documents).withColumnRenamed("ahash", "phash")
 
 
 def phash_near_dups(
     documents: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
 ) -> DataFrame:
-    """(doc_id_a, doc_id_b, hamming): candidate payload pairs within
-    ``max_hamming`` bits, banded like the SimHash text rung: 4 × 16-bit
-    bands, candidates = pairs agreeing on ≥ 1 whole band. Pigeonhole
-    guarantee: ≤ 3 flipped bits cannot touch all 4 bands, so recall is
-    EXACT up to Hamming 3; pairs at distance 4-6 are found only when
-    their flips cluster into ≤ 3 bands (near-dup images perturb locally
-    — crops, borders, re-encodes — so they usually do; an adversarial
-    4-bit spread can hide). For guaranteed radius r, use r+1 bands —
-    the same bands/recall dial as SimHash. Join key is (band, value):
-    the slim fingerprint relation shuffles, payloads never do, and the
-    DuckDB twin bands identically so the contract stays hash-checked."""
-    fp = phash_fingerprints(documents).localCheckpoint(eager=False)
-    band_width = PHASH_BITS // PHASH_BANDS
-    mask = (1 << band_width) - 1
-    bands = fp.select(
-        "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"(phash >> {b * band_width}) & {mask}"
-                        ).alias("val"),
-                    )
-                    for b in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "phash", "bv.band", "bv.val")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.phash").alias("ph_b"),
-        )
-        .distinct()
-    )
-    hamming = F.expr("bit_count(ph_a ^ ph_b)").cast("long")
-    return (
-        cand.select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
-
-
-def _phash_sql_cte() -> str:
-    """DuckDB phash over the ASCII stand-in payload (text): identical
-    sampling arithmetic, list-comprehension instead of pandas."""
-    return f"""
-ph AS (
-    WITH b AS (
-        SELECT doc_id, coalesce(text, '') AS t,
-               octet_length(CAST(coalesce(text, '') AS BLOB)) AS n
-        FROM documents
-    ),
-    sampled AS (
-        SELECT doc_id, n,
-               CASE WHEN n = 0 THEN []
-                    ELSE list_transform(range(0, {PHASH_BITS}),
-                        i -> ascii(substr(t,
-                             1 + (i * greatest(1, n // {PHASH_BITS})) % n,
-                             1)))
-               END AS s
-        FROM b
-    )
-    SELECT doc_id,
-           CASE WHEN n = 0 THEN 0
-                ELSE list_sum(list_transform(range(0, {PHASH_BITS}),
-                     i -> CASE WHEN s[i + 1] * {PHASH_BITS} >
-                                    list_sum(s)
-                               -- bit 63 is the int64 sign bit: its two's-
-                               -- complement weight is -2^63 (1<<63 would
-                               -- overflow BIGINT)
-                               THEN CASE WHEN i = 63
-                                         THEN (-9223372036854775807 - 1)::BIGINT
-                                         ELSE (1::BIGINT << i) END
-                               ELSE 0 END))::BIGINT
-           END AS phash
-    FROM sampled
-)"""
+    """(doc_id_a, doc_id_b, hamming): ALIAS of
+    :func:`image_ahash_near_dups` under the legacy name — same 13-band
+    (12×5 + 1×4) fingerprint join, pigeonhole-exact recall to Hamming
+    12. One hash family, one semantics (VERDICT r8 item #1)."""
+    return image_ahash_near_dups(documents, max_hamming)
 
 
 PHASH_FINGERPRINTS_SQL = f"""
-WITH {_phash_sql_cte()}
-SELECT doc_id, phash FROM ph
+WITH {_PIXELS_SQL_CTE},
+{_AHASH_SQL_CTE}
+SELECT doc_id, ahash AS phash FROM ah
 """
 
-PHASH_NEAR_DUPS_SQL = f"""
-WITH {_phash_sql_cte()},
-bands AS (
-    SELECT doc_id, phash, b AS band,
-           (phash >> (b * {PHASH_BITS // PHASH_BANDS}))
-               & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS val
-    FROM ph, range(0, {PHASH_BANDS}) t(b)
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           a.phash AS ph_a, b.phash AS ph_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-)
-SELECT doc_id_a, doc_id_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
-FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
-"""
+PHASH_NEAR_DUPS_SQL = IMAGE_AHASH_NEAR_DUPS_SQL
 
 
 # ---------------------------------------------------------------------------

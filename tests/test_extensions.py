@@ -71,16 +71,29 @@ def test_pandas_topk_matches_bruteforce(embs):
     assert a == b
 
 
-def test_multimodal_features_deterministic(docs):
-    binary = multimodal.attach_binary(docs)
-    feats = {r.doc_id: r for r in multimodal.extract_features(binary).collect()}
-    raw = {r.doc_id: r.text.encode() for r in docs.collect()}
-    assert set(feats) == set(raw)
-    some = list(raw)[:20]
-    for d in some:
-        expect = multimodal._fake_features(raw[d])
+def test_multimodal_features_from_decoded_pixels(docs):
+    """r9 rebase: features are integer aggregates of the DECODED image
+    (brightness/contrast/horizontal gradient), verified against a
+    direct numpy computation on the synth pixel field — not on the
+    payload bytes."""
+    import numpy as np
+
+    binary = multimodal.synth_bmp_payloads(docs)
+    feats = {
+        r.doc_id: r for r in multimodal.extract_features(binary).collect()
+    }
+    ids = sorted(feats)[:20]
+    for d in ids:
+        arr = multimodal._synth_pixels(int(d)).astype(np.int64)
+        h, w, _ = arr.shape
         got = feats[d]
-        assert (got.byte_len, got.first_byte, got.last_byte, got.checksum) == expect
+        assert (got.width, got.height) == (w, h)
+        assert got.byte_len == 54 + h * ((3 * w + 3) // 4 * 4)
+        assert got.px_sum == int(arr.sum())
+        assert got.px_sq_sum == int((arr * arr).sum())
+        assert got.grad_sum == int(
+            np.abs(arr[:, 1:, :] - arr[:, :-1, :]).sum()
+        )
 
 
 def test_decode_rejects_non_bmp():
@@ -1034,37 +1047,39 @@ def test_interleave_sources_is_proportional_permutation(docs):
                 k, s, seen.get(s, 0), expected)
 
 
-def test_phash_exact_dups_collide_and_perturbation_stays_close(spark, docs):
-    """Identical payloads hash identically and surface as hamming-0
-    near-dups; a single-byte change moves few sample points, so the
-    planted variant stays within the banded near-dup radius."""
+def test_phash_is_the_decoded_pixel_ahash_lane(spark, docs):
+    """r9 unification: phash_* are aliases of the decoded-pixel aHash
+    family — identical hash values under the legacy column name, and
+    the planted ~3%-pixel-edit BMP dups surface within the banded
+    radius exactly as on the image_ahash rung."""
     from music_streaming_etl_glue_spark.operators.multimodal import (
+        BMP_DUP_MOD,
+        BMP_DUP_RES,
         PHASH_MAX_HAMMING,
+        image_ahash,
         phash_fingerprints,
         phash_near_dups,
     )
 
-    base = docs.orderBy("doc_id").limit(3).collect()
-    planted = spark.createDataFrame(
-        [
-            (1, base[0].text),
-            (2, base[0].text),          # exact duplicate of 1
-            (3, "x" + base[0].text[1:]),  # 1-byte variant of 1
-            (4, base[1].text),
-            (5, base[2].text),
-        ],
-        "doc_id long, text string",
-    )
+    sample = docs.orderBy("doc_id").limit(40)
+    ph = {
+        r.doc_id: r.phash for r in phash_fingerprints(sample).collect()
+    }
+    ah = {r.doc_id: r.ahash for r in image_ahash(sample).collect()}
+    assert ph == ah, "phash must be the aHash values under the alias"
+
     near = {
         (r.doc_id_a, r.doc_id_b): r.hamming
-        for r in phash_near_dups(planted).collect()
+        for r in phash_near_dups(sample).collect()
     }
-    assert near.get((1, 2)) == 0
-    h = {
-        r.doc_id: r.phash for r in phash_fingerprints(planted).collect()
-    }
-    assert h[1] == h[2]
-    assert bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1") <= PHASH_MAX_HAMMING
+    planted = [
+        (d - BMP_DUP_RES, d)
+        for d in ph
+        if d % BMP_DUP_MOD == BMP_DUP_RES and d >= BMP_DUP_RES
+    ]
+    assert planted, "sample must contain planted BMP dups"
+    for pair in planted:
+        assert pair in near and near[pair] <= PHASH_MAX_HAMMING, pair
 
 
 def test_pca_is_deterministic_orthonormal_and_reconstructive(embs):
