@@ -684,6 +684,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # the image lane's component step: min-label CC over the decoded
         # aHash Hamming graph (planted dup images collapse to their base)
+        # audio dedup ladder (r9): decoded-PCM fingerprint -> banded
+        # Hamming near-dups -> connected components, mirroring the
+        # image lane rung for rung
+        "audio_fingerprint": lambda spark, sf: _mm.audio_fingerprint(
+            _docs(spark, sf)
+        ),
+        "audio_fp_near_dups": lambda spark, sf: _mm.audio_fp_near_dups(
+            _docs(spark, sf)
+        ),
+        "audio_dedup_clusters": lambda spark, sf: (
+            _clusters.audio_dedup_clusters(_docs(spark, sf))
+        ),
         "image_dedup_clusters": lambda spark, sf: (
             _clusters.image_dedup_clusters(_docs(spark, sf))
         ),
@@ -1351,6 +1363,9 @@ def oracle_sql() -> dict[str, str]:
         "rebalance_sources_fractional": _dedup.REBALANCE_FRACTIONAL_SQL,
         "dedup_clusters": _clusters.DEDUP_CLUSTERS_SQL,
         "image_dedup_clusters": _clusters.IMAGE_DEDUP_CLUSTERS_SQL,
+        "audio_fingerprint": _mm.AUDIO_FINGERPRINT_SQL,
+        "audio_fp_near_dups": _mm.AUDIO_FP_NEAR_DUPS_SQL,
+        "audio_dedup_clusters": _clusters.AUDIO_DEDUP_CLUSTERS_SQL,
         "dedup_clusters_twophase": _clusters.DEDUP_CLUSTERS_SQL,
         "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
         "near_dedup_apply_best": _clusters.NEAR_DEDUP_APPLY_BEST_SQL,

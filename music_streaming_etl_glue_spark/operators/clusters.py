@@ -279,6 +279,52 @@ SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
 IMAGE_DEDUP_CLUSTERS_SQL = _image_dedup_clusters_sql()
 
 
+def audio_dedup_clusters(documents: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) over the AUDIO near-dup graph (r9, VERDICT
+    item #2 — the audio lane's component step, completing the
+    decode→fingerprint→near-dup→cluster ladder the image lane already
+    has): edges are :func:`..multimodal.audio_fp_near_dups` pairs
+    (Hamming-close waveform fingerprints of genuinely decoded PCM), so
+    a re-gained/re-edited recording family collapses to one canonical
+    id. Same two-phase large-star/small-star kernel as the image rung —
+    Hamming-radius graphs chain, so component diameters exceed what
+    min-label is priced for."""
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        audio_fp_near_dups,
+    )
+
+    edges = audio_fp_near_dups(documents).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    vertices = documents.select(F.col("doc_id").alias("id"))
+    comp = connected_components_two_phase(vertices, edges)
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _audio_dedup_clusters_sql() -> str:
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        AUDIO_FP_NEAR_DUPS_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS ({AUDIO_FP_NEAR_DUPS_SQL}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+AUDIO_DEDUP_CLUSTERS_SQL = _audio_dedup_clusters_sql()
+
+
 def near_dedup_apply(documents: DataFrame) -> DataFrame:
     """Materialize the near-dedup: keep each cluster's canonical document
     (the minimum doc_id) with the full original row plus ``n_members``,

@@ -751,12 +751,20 @@ PHASH_NEAR_DUPS_SQL = IMAGE_AHASH_NEAR_DUPS_SQL
 # ---------------------------------------------------------------------------
 
 AUDIO_RATE = 8000
-#: synth waveform knobs shared with the SQL twin: doc_id d gets
-#: n = 64 + d % AUDIO_N_MOD samples of int16 PCM with
-#: s(i) = ((d·31 + i·17 + (i² mod 251)·(d mod 13 + 1)) mod 65536) − 32768
-#: — the same dup-free curvature idea as the pixel field, kept separate
-#: because audio has no planted-dup consumer yet.
+#: synth waveform knobs shared with the SQL twin: key k gets
+#: n = 64 + k % AUDIO_N_MOD samples of int16 PCM,
+#: s(i) = base(i) · gain(w(i)) with
+#:   base(i) = ((k·31 + i·17 + (i² mod 251)·(k mod 13 + 1)
+#:               + (k² mod 251)·(i+1)) mod 4096) − 2048
+#:   gain(w) = 1 + ((k² mod 251)·(w+1) + k·53 + w·29) mod 5,
+#:   w(i)    = i·AUDIO_FP_WINDOWS ⁄ n  (the fingerprint's window)
+#: The per-window GAIN term is load-bearing (r9): it gives every key
+#: its own energy ENVELOPE, so unrelated docs disagree on ~30 of the
+#: fingerprint's 64 bits (measured at 500 docs) — a flat mod-65536
+#: field left all envelopes equal and unrelated fingerprints ~4.5 bits
+#: apart, which would have made the near-dup rung meaningless.
 AUDIO_N_MOD = 100
+AUDIO_FP_WINDOWS = 32
 
 
 def encode_wav(samples, rate: int = AUDIO_RATE) -> bytes:
@@ -819,16 +827,69 @@ def decode_wav(payload: bytes):
     return np.frombuffer(data, dtype="<i2").copy(), rate
 
 
-def _synth_samples(doc_id: int):
-    """The int16 waveform for ``doc_id`` under the shared knobs."""
+#: planted near-dup audio (r9, VERDICT item #2): doc_id % AUDIO_DUP_MOD
+#: == AUDIO_DUP_RES replays its BASE doc's (doc_id − AUDIO_DUP_RES)
+#: waveform — same length, same samples — except positions
+#: i % AUDIO_EDIT_MOD == AUDIO_EDIT_RES, which shift by the dup's own
+#: id (mod-65536 wrap): the re-gained / slightly-re-edited sample the
+#: fingerprint rung exists to catch. Residue 6 keeps the audio dup set
+#: disjoint from the image lane's (doc_id % 8 == 5) so a doc's two
+#: modalities don't dup in lockstep.
+AUDIO_DUP_MOD = 8
+AUDIO_DUP_RES = 6
+AUDIO_EDIT_MOD = 13
+AUDIO_EDIT_RES = 2
+#: the planted edit is a true RE-GAIN: edited samples multiply by
+#: 2 + doc_id % 3 (clipped to int16) — measured dup fingerprints land
+#: 0-7 bits from their base (mean 2.6), well inside the radius-12 join
+AUDIO_EDIT_GAINS = 3
+
+
+def _audio_key(doc_id: int) -> int:
+    return (
+        doc_id - AUDIO_DUP_RES
+        if doc_id % AUDIO_DUP_MOD == AUDIO_DUP_RES and doc_id >= AUDIO_DUP_RES
+        else doc_id
+    )
+
+
+def _samples_for_key(key: int):
+    """The raw int16 waveform FIELD for a resolved key — no dup
+    resolution, no perturbation. Base noise × per-window gain (see the
+    knob docblock: the gain envelope is what separates unrelated docs
+    in fingerprint space)."""
     import numpy as np
 
-    n = 64 + doc_id % AUDIO_N_MOD
+    n = 64 + key % AUDIO_N_MOD
     i = np.arange(n, dtype=np.int64)
-    return (
-        (doc_id * 31 + i * 17 + (i * i % 251) * (doc_id % 13 + 1)) % 65536
-        - 32768
-    ).astype(np.int16)
+    w = i * AUDIO_FP_WINDOWS // n
+    base = (
+        key * 31 + i * 17 + (i * i % 251) * (key % 13 + 1)
+        + (key * key % 251) * (i + 1)
+    ) % 4096 - 2048
+    gain = 1 + ((key * key % 251) * (w + 1) + key * 53 + w * 29) % 5
+    return (base * gain).astype(np.int16)
+
+
+def _synth_samples(doc_id: int):
+    """The int16 waveform for ``doc_id`` under the shared knobs,
+    dup-resolved: planted dup docs replay the base waveform with an
+    ~8%-sample re-gain edit (clip-multiplied by 2 + doc_id % 3)."""
+    import numpy as np
+
+    key = _audio_key(doc_id)
+    s = _samples_for_key(key)
+    if key != doc_id:
+        i = np.arange(len(s), dtype=np.int64)
+        edited = np.clip(
+            s.astype(np.int64) * (2 + doc_id % AUDIO_EDIT_GAINS),
+            -32768,
+            32767,
+        )
+        s = np.where(
+            i % AUDIO_EDIT_MOD == AUDIO_EDIT_RES, edited, s
+        ).astype(np.int16)
+    return s
 
 
 def synth_wav_payloads(documents: DataFrame) -> DataFrame:
@@ -902,22 +963,61 @@ def audio_decode_meta(documents: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(meta, schema=AUDIO_META_SCHEMA)
 
 
-# Closed-form replay: the waveform from the shared knobs, stats over a
-# constant-bound range filtered to each doc's true length; byte_len =
-# 44-byte canonical header + 2 bytes/sample; zero crossings compare
-# consecutive samples' signs (s >= 0 mirrors the numpy int16 test).
-AUDIO_DECODE_META_SQL = f"""
-WITH d AS (
-    SELECT doc_id, 64 + doc_id % {AUDIO_N_MOD} AS n FROM documents
+# Closed-form replay of the dup-resolved waveform, shared by the meta
+# and fingerprint twins: key resolution (planted dups replay their
+# base's samples), the raw field, and the re-gain edit branch
+# ((raw + doc_id) mod 65536 at edited positions — identical modular
+# algebra to the numpy kernel). Stats over a constant-bound range
+# filtered to each doc's true length; byte_len = 44-byte canonical
+# header + 2 bytes/sample.
+_AUDIO_SAMPLES_SQL_CTE = f"""
+ad AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {AUDIO_DUP_MOD} = {AUDIO_DUP_RES}
+                 AND doc_id >= {AUDIO_DUP_RES}
+                THEN doc_id - {AUDIO_DUP_RES} ELSE doc_id END AS key
+    FROM documents
+),
+sw AS (
+    SELECT doc_id, key, 64 + key % {AUDIO_N_MOD} AS n, i,
+           (i * {AUDIO_FP_WINDOWS}) // (64 + key % {AUDIO_N_MOD}) AS w
+    FROM ad, range(0, 64 + {AUDIO_N_MOD - 1}) t(i)
+    WHERE i < 64 + key % {AUDIO_N_MOD}
+),
+sb AS (
+    SELECT doc_id, key, n, i,
+           ((key * 31 + i * 17 + (i * i % 251) * (key % 13 + 1)
+             + (key * key % 251) * (i + 1)) % 4096 - 2048)
+           * (1 + ((key * key % 251) * (w + 1) + key * 53 + w * 29) % 5)
+               AS amp0
+    FROM sw
 ),
 s AS (
     SELECT doc_id, n, i,
-           ((doc_id * 31 + i * 17 + (i * i % 251) * (doc_id % 13 + 1))
-            % 65536 - 32768)::BIGINT AS amp
-    FROM d, range(0, 64 + {AUDIO_N_MOD - 1}) t(i)
-    WHERE i < n
+           (CASE WHEN key != doc_id AND i % {AUDIO_EDIT_MOD}
+                      = {AUDIO_EDIT_RES}
+                 THEN GREATEST(-32768, LEAST(32767,
+                          amp0 * (2 + doc_id % {AUDIO_EDIT_GAINS})))
+                 ELSE amp0 END)::BIGINT AS amp
+    FROM sb
+),
+-- zero-crossing slots: sign change between consecutive samples,
+-- attributed to the earlier sample's index (a self-join, because the
+-- edit branch makes inline recomputation of amp(i+1) error-prone)
+zc AS (
+    SELECT s1.doc_id, s1.n, s1.i,
+           CASE WHEN (s1.amp >= 0) != (s2.amp >= 0) THEN 1 ELSE 0 END
+               AS crossed
+    FROM s s1 JOIN s s2 ON s2.doc_id = s1.doc_id AND s2.i = s1.i + 1
+)"""
+
+AUDIO_DECODE_META_SQL = f"""
+WITH {_AUDIO_SAMPLES_SQL_CTE},
+zsum AS (
+    SELECT doc_id, SUM(crossed)::BIGINT AS zero_crossings
+    FROM zc GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT s.doc_id,
        n::BIGINT AS n_samples,
        {AUDIO_RATE} AS sample_rate,
        (44 + 2 * n)::BIGINT AS byte_len,
@@ -925,14 +1025,160 @@ SELECT doc_id,
        MAX(amp)::INTEGER AS amp_max,
        SUM(amp)::BIGINT AS amp_sum,
        SUM(amp * i)::BIGINT AS amp_weighted,
-       SUM(CASE WHEN i < n - 1
-                 AND (amp >= 0) != (
-                     ((doc_id * 31 + (i + 1) * 17
-                       + ((i + 1) * (i + 1) % 251) * (doc_id % 13 + 1))
-                      % 65536 - 32768) >= 0)
-                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
-FROM s
-GROUP BY doc_id, n
+       MAX(zsum.zero_crossings)::BIGINT AS zero_crossings
+FROM s JOIN zsum ON zsum.doc_id = s.doc_id
+GROUP BY s.doc_id, n
+"""
+
+
+# ---------------------------------------------------------------------------
+# audio dedup ladder: waveform fingerprint → banded near-dups → clusters
+# (r9, VERDICT item #2 — mirrors image_ahash → image_ahash_near_dups →
+# image_dedup_clusters with the SAME 13-band pigeonhole join)
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_MAX_HAMMING = 12  # planted re-gain edits measure 0-7 bits;
+#                            13-band join makes the radius exact
+
+
+def audio_fingerprint(documents: DataFrame) -> DataFrame:
+    """(doc_id, afp): 64-bit waveform fingerprint from DECODED PCM —
+    encode→decode through genuine RIFF/WAVE bytes, then 32 windows
+    (sample i → window i·32⁄n, the exact-integer partition): bit 2w is
+    the window's mean |amplitude| vs the global mean
+    (e_w·n > total·len_w, all int64), bit 2w+1 the window's
+    zero-crossing rate vs the global rate (z_w·(n−1) > total_zc·len_w
+    over the n−1 crossing slots, slot i → window i·32⁄(n−1)). Energy
+    and crossing-rate envelopes are the classic cheap audio signature;
+    a re-gained edit perturbs few windows, an unrelated clip disagrees
+    near half the bits. The DuckDB twin replays the closed-form
+    waveform without seeing a byte — an endianness slip or window
+    off-by-one breaks the hash. One Arrow pass, no shuffle."""
+    import numpy as np
+
+    with_payload = synth_wav_payloads(documents)
+    W = AUDIO_FP_WINDOWS
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "afp": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                s, _rate = decode_wav(payload)
+                s64 = s.astype(np.int64)
+                n = len(s64)
+                aa = np.abs(s64)
+                total = int(aa.sum())
+                wi = np.arange(n, dtype=np.int64) * W // n
+                e = np.bincount(wi, weights=aa, minlength=W).astype(
+                    np.int64
+                )
+                ln = np.bincount(wi, minlength=W).astype(np.int64)
+                sign = s64 >= 0
+                crossed = (sign[1:] != sign[:-1]).astype(np.int64)
+                m = n - 1
+                zi = np.arange(m, dtype=np.int64) * W // m
+                z = np.bincount(zi, weights=crossed, minlength=W).astype(
+                    np.int64
+                )
+                lz = np.bincount(zi, minlength=W).astype(np.int64)
+                tz = int(crossed.sum())
+                hv = 0
+                for w in range(W):
+                    if int(e[w]) * n > total * int(ln[w]):
+                        hv |= 1 << (2 * w)
+                    if int(z[w]) * m > tz * int(lz[w]):
+                        hv |= 1 << (2 * w + 1)
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                out["doc_id"].append(doc_id)
+                out["afp"].append(hv)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(
+        fp_batches, schema="doc_id long, afp long"
+    )
+
+
+def audio_fp_near_dups(
+    documents: DataFrame, max_hamming: int = AUDIO_FP_MAX_HAMMING
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming): audio near-dup pairs within
+    ``max_hamming`` fingerprint bits — the SAME 13-band pigeonhole
+    join as the image lane (:func:`_ahash_band_pairs`), so recall at
+    the default radius 12 is exact. Only the 2-column fingerprint
+    relation shuffles; PCM payloads never do."""
+    fp = (
+        audio_fingerprint(documents)
+        .select("doc_id", F.col("afp").alias("ahash"))
+        .localCheckpoint(eager=False)
+    )
+    return _ahash_band_pairs(fp, max_hamming)
+
+
+_AUDIO_FP_SQL_CTE = f"""
+en AS (
+    SELECT doc_id, n, (i * {AUDIO_FP_WINDOWS}) // n AS w,
+           SUM(ABS(amp))::BIGINT AS e, COUNT(*)::BIGINT AS len
+    FROM s GROUP BY doc_id, n, (i * {AUDIO_FP_WINDOWS}) // n
+),
+ta AS (
+    SELECT doc_id, SUM(ABS(amp))::BIGINT AS total FROM s GROUP BY doc_id
+),
+ebits AS (
+    SELECT en.doc_id,
+           SUM(CASE WHEN e * n > ta.total * len
+                    THEN (1::BIGINT << (2 * w)) ELSE 0 END)::BIGINT AS ev
+    FROM en JOIN ta USING (doc_id) GROUP BY en.doc_id
+),
+zw AS (
+    SELECT doc_id, n, (i * {AUDIO_FP_WINDOWS}) // (n - 1) AS w,
+           SUM(crossed)::BIGINT AS z, COUNT(*)::BIGINT AS len
+    FROM zc GROUP BY doc_id, n, (i * {AUDIO_FP_WINDOWS}) // (n - 1)
+),
+tz AS (
+    SELECT doc_id, SUM(crossed)::BIGINT AS total FROM zc GROUP BY doc_id
+),
+zbits AS (
+    SELECT zw.doc_id,
+           SUM(CASE WHEN z * (n - 1) > tz.total * len
+                    -- bit 63 (zc bit of window 31) is the int64 sign
+                    -- bit: two's-complement weight −2^63
+                    THEN CASE WHEN w = {AUDIO_FP_WINDOWS - 1}
+                              THEN (-9223372036854775807 - 1)::BIGINT
+                              ELSE (1::BIGINT << (2 * w + 1)) END
+                    ELSE 0 END)::BIGINT AS zv
+    FROM zw JOIN tz USING (doc_id) GROUP BY zw.doc_id
+),
+afp AS (
+    -- even (energy) and odd (zc) bit sets are disjoint, so integer
+    -- addition IS the bitwise OR
+    SELECT ebits.doc_id, (ebits.ev + zbits.zv)::BIGINT AS afp
+    FROM ebits JOIN zbits USING (doc_id)
+)"""
+
+AUDIO_FINGERPRINT_SQL = f"""
+WITH {_AUDIO_SAMPLES_SQL_CTE},
+{_AUDIO_FP_SQL_CTE}
+SELECT doc_id, afp FROM afp
+"""
+
+AUDIO_FP_NEAR_DUPS_SQL = f"""
+WITH {_AUDIO_SAMPLES_SQL_CTE},
+{_AUDIO_FP_SQL_CTE},
+bands AS (
+    SELECT doc_id, afp, b AS band,
+           (afp >> (b * 5))
+               & (CASE WHEN b = {AHASH_BANDS - 1} THEN 15 ELSE 31 END) AS val
+    FROM afp, range(0, {AHASH_BANDS}) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           a.afp AS fp_a, b.afp AS fp_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {AUDIO_FP_MAX_HAMMING}
 """
 
 

@@ -82,3 +82,77 @@ def test_audio_decode_meta_oracle(spark, docs, con):
     assert_matches_oracle(
         M.audio_decode_meta(docs), con, M.AUDIO_DECODE_META_SQL
     )
+
+
+def test_audio_fingerprint_matches_direct_numpy(spark, docs):
+    """The mapInPandas fingerprint equals a direct numpy computation on
+    the synth waveform — per-window |amp| mean vs global, per-window
+    zero-crossing rate vs global, 32 windows × 2 bits."""
+    sample = docs.orderBy("doc_id").limit(30)
+    got = {r.doc_id: r.afp for r in M.audio_fingerprint(sample).collect()}
+    W = M.AUDIO_FP_WINDOWS
+    for d in sorted(got):
+        s64 = M._synth_samples(int(d)).astype(np.int64)
+        n = len(s64)
+        aa = np.abs(s64)
+        total = int(aa.sum())
+        wi = np.arange(n) * W // n
+        e = np.bincount(wi, weights=aa, minlength=W).astype(np.int64)
+        ln = np.bincount(wi, minlength=W)
+        sign = s64 >= 0
+        crossed = (sign[1:] != sign[:-1]).astype(np.int64)
+        m = n - 1
+        zi = np.arange(m) * W // m
+        z = np.bincount(zi, weights=crossed, minlength=W).astype(np.int64)
+        lz = np.bincount(zi, minlength=W)
+        tz = int(crossed.sum())
+        hv = 0
+        for w in range(W):
+            if int(e[w]) * n > total * int(ln[w]):
+                hv |= 1 << (2 * w)
+            if int(z[w]) * m > tz * int(lz[w]):
+                hv |= 1 << (2 * w + 1)
+        if hv >= 1 << 63:
+            hv -= 1 << 64
+        assert got[d] == hv, d
+
+
+def test_audio_planted_dups_surface_and_cluster(spark, docs):
+    """Every planted re-gain dup lands within the near-dup radius and
+    shares a cluster with its base; unrelated docs stay far (spot-check
+    the fingerprint distance distribution)."""
+    sample = docs.orderBy("doc_id").limit(80)
+    near = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in M.audio_fp_near_dups(sample).collect()
+    }
+    fp = {r.doc_id: r.afp for r in M.audio_fingerprint(sample).collect()}
+    planted = [
+        (d - M.AUDIO_DUP_RES, d)
+        for d in fp
+        if d % M.AUDIO_DUP_MOD == M.AUDIO_DUP_RES and d >= M.AUDIO_DUP_RES
+    ]
+    assert planted
+    for pair in planted:
+        assert pair in near, pair
+        assert near[pair] <= M.AUDIO_FP_MAX_HAMMING
+
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        audio_dedup_clusters,
+    )
+
+    cl = {
+        r.doc_id: r.cluster_id
+        for r in audio_dedup_clusters(sample).collect()
+    }
+    for base, dup in planted:
+        assert cl[base] == cl[dup], (base, dup)
+    # unrelated fingerprints sit far out in Hamming space on average
+    ids = sorted(fp)
+    dists = [
+        bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (a, b) not in planted
+    ]
+    assert sum(dists) / len(dists) > 20
