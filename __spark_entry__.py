@@ -1220,6 +1220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_meta": lambda spark, sf: _mm.video_frames_meta(
             _docs(spark, sf)
         ),
+        # video near-dup rung (r9): per-frame aHash via the O(1) seek
+        # index -> clip pairs by shared distinct frame-hash count
+        "video_frame_hashes": lambda spark, sf: _mm.video_frame_hashes(
+            _docs(spark, sf)
+        ),
+        "video_near_dups": lambda spark, sf: _mm.video_near_dups(
+            _docs(spark, sf)
+        ),
         # legacy perceptual-hash names, now ALIASES of the decoded-pixel
         # aHash lane (r9 unification — one hash family, one semantics)
         "phash_fingerprints": lambda spark, sf: _mm.phash_fingerprints(
@@ -1509,6 +1517,8 @@ def oracle_sql() -> dict[str, str]:
         "image_ahash_near_dups": _mm.IMAGE_AHASH_NEAR_DUPS_SQL,
         "audio_decode_meta": _mm.AUDIO_DECODE_META_SQL,
         "video_frames_meta": _mm.VIDEO_FRAMES_META_SQL,
+        "video_frame_hashes": _mm.VIDEO_FRAME_HASHES_SQL,
+        "video_near_dups": _mm.VIDEO_NEAR_DUPS_SQL,
         "phash_fingerprints": _mm.PHASH_FINGERPRINTS_SQL,
         "phash_near_dups": _mm.PHASH_NEAR_DUPS_SQL,
         "frame_sample": _mm.FRAME_SAMPLE_SQL,

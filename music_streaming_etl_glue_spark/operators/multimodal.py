@@ -364,34 +364,41 @@ def image_ahash(documents: DataFrame) -> DataFrame:
     from the closed-form pixel field without ever seeing the payload.
     One Arrow pass, no shuffle; the 64-sample grid (not block means)
     keeps the oracle exact at any image size."""
-    import numpy as np
-
     with_payload = synth_bmp_payloads(documents)
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "ahash": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-                arr = decode_image(payload).astype(np.int64)
-                h, w, _ = arr.shape
-                g = AHASH_GRID
-                ys = (np.arange(AHASH_BITS) // g) * h // g
-                xs = (np.arange(AHASH_BITS) % g) * w // g
-                lumas = arr[ys, xs].sum(axis=1) // 3
-                total = int(lumas.sum())
-                hv = 0
-                for i, l in enumerate(lumas):
-                    if int(l) * AHASH_BITS > total:
-                        hv |= 1 << i
-                if hv >= 1 << 63:
-                    hv -= 1 << 64
                 out["doc_id"].append(doc_id)
-                out["ahash"].append(hv)
+                out["ahash"].append(_ahash_of_array(decode_image(payload)))
             yield pd.DataFrame(out)
 
     return with_payload.mapInPandas(
         hash_batches, schema="doc_id long, ahash long"
     )
+
+
+def _ahash_of_array(arr) -> int:
+    """The 64-bit average-hash of ONE decoded RGB array — shared by the
+    image rung and the per-frame video rung so there is exactly one
+    hash kernel (and one SQL replay) for pixels everywhere."""
+    import numpy as np
+
+    arr = arr.astype(np.int64)
+    h, w, _ = arr.shape
+    g = AHASH_GRID
+    ys = (np.arange(AHASH_BITS) // g) * h // g
+    xs = (np.arange(AHASH_BITS) % g) * w // g
+    lumas = arr[ys, xs].sum(axis=1) // 3
+    total = int(lumas.sum())
+    hv = 0
+    for i, l in enumerate(lumas):
+        if int(l) * AHASH_BITS > total:
+            hv |= 1 << i
+    if hv >= 1 << 63:
+        hv -= 1 << 64
+    return hv
 
 
 def image_ahash_near_dups(
@@ -1314,9 +1321,10 @@ def video_frames_meta(documents: DataFrame) -> DataFrame:
 # SAME pixel field as the image lane (note the frame key is used as the
 # pixel key directly — frames are ordinary images to the field). The
 # perturbation branch never fires for frames (frame keys are derived,
-# not dup-marked), so v is the plain field.
-VIDEO_FRAMES_META_SQL = f"""
-WITH dk AS (
+# not dup-marked), so v is the plain field. Shared by the meta and
+# frame-hash twins.
+_VIDEO_PIXELS_SQL_CTE = f"""
+dk AS (
     SELECT doc_id,
            CASE WHEN doc_id % {BMP_DUP_MOD} = {BMP_DUP_RES}
                  AND doc_id >= {BMP_DUP_RES}
@@ -1333,7 +1341,7 @@ fr AS (
     WHERE f < n_frames
 ),
 px AS (
-    SELECT doc_id, frame_idx, w, h,
+    SELECT doc_id, frame_idx, w, h, y, x, c,
            (y * w * 3 + x * 3 + c)::BIGINT AS pos,
            (fkey * 37 + y * 31 + x * 13 + c * 7
             + (fkey * fkey % 251) * (y * x + 1)) % 256 AS v
@@ -1342,7 +1350,10 @@ px AS (
          range(0, 8 + {BMP_W_MOD - 1}) tx(x),
          range(0, 3) tc(c)
     WHERE y < h AND x < w
-)
+)"""
+
+VIDEO_FRAMES_META_SQL = f"""
+WITH {_VIDEO_PIXELS_SQL_CTE}
 SELECT doc_id, frame_idx,
        w::INTEGER AS width,
        h::INTEGER AS height,
@@ -1351,4 +1362,128 @@ SELECT doc_id, frame_idx,
        (MAX(CASE WHEN pos = 0 THEN v END))::INTEGER AS corner_tl
 FROM px
 GROUP BY doc_id, frame_idx, w, h
+"""
+
+
+# ---------------------------------------------------------------------------
+# video near-dup rung (r9, VERDICT item #3): per-frame aHash over the
+# seekable container → clip pairs ranked by shared frame-hash count —
+# the winnowing shape at frame grain
+# ---------------------------------------------------------------------------
+
+VIDEO_MIN_SHARED_FRAMES = 2
+
+
+def video_frame_hashes(documents: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, fhash): the image lane's average-hash applied
+    to every REAL decoded frame — each frame seeks via the container's
+    (offset, length) index and decodes through the BMP path, then hashes
+    with the SAME :func:`_ahash_of_array` kernel as :func:`image_ahash`
+    (one pixel-hash semantics across modalities). One Arrow pass; clip
+    payloads never leave the lane — only the 3-column hash relation
+    does."""
+    with_payload = synth_video_payloads(documents)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "fhash": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                for f in range(video_frame_count(payload)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["fhash"].append(
+                        _ahash_of_array(decode_video_frame(payload, f))
+                    )
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(
+        hash_batches, schema="doc_id long, frame_idx int, fhash long"
+    )
+
+
+def video_near_dups(
+    documents: DataFrame, min_shared: int = VIDEO_MIN_SHARED_FRAMES
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, shared_frames): clip pairs sharing ≥
+    ``min_shared`` distinct frame hashes — the winnowing candidate
+    shape at frame grain (a clip is a bag of frame fingerprints; dup
+    clips share a run of identical frames, unrelated clips share none
+    except rare aHash collisions). The join key is the 64-bit frame
+    hash, so only the slim (doc_id, fhash) relation shuffles; at 100 TB
+    the hash relation is ~16 bytes × frames while the clips stay in
+    object storage, and verification of a candidate pair reads single
+    frames through the container's O(1) byte-range index instead of
+    decoding whole clips."""
+    fh = (
+        video_frame_hashes(documents)
+        .select("doc_id", "fhash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a, b = fh.alias("a"), fh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
+# frame-grain aHash replay: sample the 8×8 grid of each frame's pixel
+# field, integer luma, mean-compare — identical arithmetic to the image
+# twin but keyed on (doc_id, frame_idx)
+_VIDEO_AHASH_SQL_CTE = f"""
+vsamples AS (
+    SELECT doc_id, frame_idx, w, h, i,
+           ((i // {AHASH_GRID}) * h) // {AHASH_GRID} AS yi,
+           ((i % {AHASH_GRID}) * w) // {AHASH_GRID} AS xi
+    FROM fr, range(0, {AHASH_BITS}) t(i)
+),
+vlum AS (
+    SELECT s.doc_id, s.frame_idx, s.i, (SUM(p.v) // 3)::BIGINT AS luma
+    FROM vsamples s
+    JOIN px p ON p.doc_id = s.doc_id AND p.frame_idx = s.frame_idx
+             AND p.y = s.yi AND p.x = s.xi
+    GROUP BY s.doc_id, s.frame_idx, s.i
+),
+vtot AS (
+    SELECT doc_id, frame_idx, SUM(luma) AS total
+    FROM vlum GROUP BY doc_id, frame_idx
+),
+vah AS (
+    SELECT l.doc_id, l.frame_idx,
+           SUM(CASE WHEN l.luma * {AHASH_BITS} > t.total
+                    THEN CASE WHEN l.i = 63
+                              THEN (-9223372036854775807 - 1)::BIGINT
+                              ELSE (1::BIGINT << l.i) END
+                    ELSE 0 END)::BIGINT AS fhash
+    FROM vlum l
+    JOIN vtot t ON t.doc_id = l.doc_id AND t.frame_idx = l.frame_idx
+    GROUP BY l.doc_id, l.frame_idx
+)"""
+
+VIDEO_FRAME_HASHES_SQL = f"""
+WITH {_VIDEO_PIXELS_SQL_CTE},
+{_VIDEO_AHASH_SQL_CTE}
+SELECT doc_id, frame_idx, fhash FROM vah
+"""
+
+VIDEO_NEAR_DUPS_SQL = f"""
+WITH {_VIDEO_PIXELS_SQL_CTE},
+{_VIDEO_AHASH_SQL_CTE},
+fh AS (SELECT DISTINCT doc_id, fhash FROM vah)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       COUNT(*)::BIGINT AS shared_frames
+FROM fh a JOIN fh b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {VIDEO_MIN_SHARED_FRAMES}
 """

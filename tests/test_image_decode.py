@@ -204,3 +204,40 @@ def test_image_dedup_clusters_collapse_planted_families(spark, docs):
     for d, lab in labels.items():
         if d not in paired:
             assert lab == d  # singletons label themselves
+
+
+def test_video_near_dups_are_exactly_the_planted_clip_pairs(spark, docs):
+    """Planted dup docs replay their base's frame keys, so every
+    (base, dup) pair shares min(n_frames) ≥ 2 identical frames and
+    must surface; unrelated clips have disjoint frame keys (7k+3f+1 is
+    injective for f < 7) so they pair only on true aHash collisions —
+    none in the first 80 docs."""
+    sample = docs.orderBy("doc_id").limit(80)
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.shared_frames
+        for r in M.video_near_dups(sample).collect()
+    }
+    ids = {r.doc_id for r in sample.select("doc_id").collect()}
+    planted = {
+        (d - M.BMP_DUP_RES, d)
+        for d in ids
+        if d % M.BMP_DUP_MOD == M.BMP_DUP_RES and d >= M.BMP_DUP_RES
+    }
+    assert set(pairs) == planted
+    for (base, dup), shared in pairs.items():
+        n_base = 2 + base % M.VIDEO_F_MOD
+        n_dup = 2 + dup % M.VIDEO_F_MOD
+        assert shared == min(n_base, n_dup), (base, dup, shared)
+
+
+def test_video_frame_hashes_match_image_kernel(spark, docs):
+    """Each frame's hash equals _ahash_of_array of the directly
+    rendered frame pixels — one hash kernel across modalities."""
+    sample = docs.orderBy("doc_id").limit(12)
+    got = {
+        (r.doc_id, r.frame_idx): r.fhash
+        for r in M.video_frame_hashes(sample).collect()
+    }
+    for (d, f), hv in got.items():
+        arr = M._pixels_for_key(M._synth_frame_key(int(d), int(f)))
+        assert hv == M._ahash_of_array(arr.astype("uint8")), (d, f)
