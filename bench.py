@@ -13,10 +13,15 @@ headline total: they exist to validate the scale paths, and letting the
 deliberately-quadratic one dominate the total would measure nothing the
 blocked/LSH twins don't.
 
-Round-over-round guard: per-query times are diffed against the latest
-``BENCH_r*.json`` in the repo; queries slower than 1.5× their previous
-time land in a ``regressions`` field of the output line (and on stderr),
-so a perf backslide is data in the next round, not archaeology.
+Round-over-round guard: per-query times are diffed against the newest
+bench file from a PRIOR round (``BENCH_r*.json`` driver stamps or
+committed ``BENCH_LOCAL_r*.json``) — never against this round's own
+intermediate runs, which used to absorb a slowdown into the baseline
+when bench ran more than once per round (VERDICT r8 "what's wrong" #1:
+a 3.9× drift went unreported because the last mid-round run had already
+become ``prev``). Queries slower than 1.5× their prior-round time land
+in a ``regressions`` field of the output line (and on stderr), so a
+perf backslide is data in the next round, not archaeology.
 
 Capture-proofing: the one-line JSON is the FIRST and only stdout line
 (everything else goes to stderr), its inline query map is capped to the
@@ -130,17 +135,20 @@ def main() -> None:
         # NOT silently dropped: it lands in suspect_cold with both times,
         # keeping a genuine cold-path slowdown visible round over round.
         #
-        # The two standing sub-second suspect_cold entries
-        # (phash_fingerprints ~0.58 s cold / 0.43 s warm,
-        # multimodal_features ~0.53/0.34 — VERDICT r7 item #7) were
-        # profiled in r8: the delta is the Arrow PYTHON-WORKER first-use
-        # cost of that mapInPandas stage (fork + ship the serialized
-        # kernel; later runs reuse the daemon pool) plus scheduler noise
-        # of the same magnitude (re-runs measured 0.54/0.44/0.73 s —
-        # non-monotone). Nothing the r7 binary-lane work added executes
-        # on these queries' plans; there is no per-query fix short of
-        # pre-forking workers, which the suite's earlier pandas queries
-        # already do in practice.
+        # The standing sub-second suspect_cold entries
+        # (phash_fingerprints, multimodal_features) were profiled in r8:
+        # the delta is the Arrow PYTHON-WORKER first-use cost of that
+        # mapInPandas stage (fork + ship the serialized kernel; later
+        # runs reuse the daemon pool) plus scheduler noise of the same
+        # magnitude (re-runs measured 0.54/0.44/0.73 s — non-monotone).
+        # r9 note (VERDICT r8 item #6): multimodal_features' r7→r8
+        # 0.53→2.03 s drift was that same cold-path cost landing on a
+        # changed SUITE ORDER (the r8 image/audio/video lanes shifted
+        # which query pays the first-fork), which the then-current
+        # detector couldn't see because it baselined against mid-round
+        # runs. Moot in r9 either way: the query was rebased onto the
+        # real decode kernel (different work), and the detector now
+        # baselines against the last committed round.
         regressions = {}
         suspect_cold = {}
         for name, prev in prior.items():
@@ -203,24 +211,33 @@ def _next_round(here: str) -> int:
 
 
 def _latest_prior_bench(sf) -> dict[str, float] | None:
-    """Per-query times from the newest BENCH_r*.json (driver-stamped) or
-    BENCH_LOCAL_r*.json (written by this script — always parseable even
-    when the driver's tail capture truncated its copy) beside this
-    script, recorded at the SAME scale factor — comparing across scales
-    would flag every query (or mask real regressions)."""
+    """Per-query times from the newest bench file of a PRIOR round —
+    BENCH_r*.json (driver-stamped) or BENCH_LOCAL_r*.json (written by
+    this script; complete map even when the driver's tail capture
+    truncated its copy) beside this script, recorded at the SAME scale
+    factor. This round's own BENCH_LOCAL_r<current>.json is explicitly
+    EXCLUDED: re-running bench mid-round must not absorb a slowdown
+    into the baseline (the r8 detector escape). At equal round numbers
+    the _LOCAL file wins (full query map vs the stamped top-20)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    current = _next_round(here)
     benches = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
         os.path.join(here, "BENCH_LOCAL_r*.json")
     )
 
-    def round_no(p: str) -> int:
-        m = re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", p)
-        return int(m.group(1)) if m else -1
+    def sort_key(p: str):
+        m = re.search(r"BENCH(_LOCAL)?_r(\d+)\.json$", p)
+        if not m:
+            return (-1, 0)
+        return (int(m.group(2)), 1 if m.group(1) else 0)
 
-    for path in sorted(benches, key=round_no, reverse=True):
+    for path in sorted(benches, key=sort_key, reverse=True):
+        rnd, _ = sort_key(path)
+        if "_LOCAL_" in os.path.basename(path) and rnd >= current:
+            continue  # this round's own (or a future) local run
         try:
             with open(path, encoding="utf-8") as fh:
                 data = json.load(fh)
