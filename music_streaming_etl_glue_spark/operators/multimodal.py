@@ -419,12 +419,11 @@ def image_ahash_near_dups(
     return _ahash_band_pairs(fp, max_hamming)
 
 
-def _ahash_band_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
-    """Banded Hamming self-join over a (doc_id, ahash) relation —
-    factored out so the pigeonhole recall guarantee is unit-testable on
-    handcrafted hashes, and so the audio/video fingerprint lanes reuse
-    the identical candidate generator."""
-    bands = fp.select(
+def _ahash_banded(fp: DataFrame) -> DataFrame:
+    """(doc_id, ahash, band, val): the 13-band explosion of a
+    (doc_id, ahash) relation — the join key both the self-join and the
+    cross-relation (streaming ingest vs landed corpus) variants share."""
+    return fp.select(
         "doc_id",
         "ahash",
         F.explode(
@@ -432,15 +431,44 @@ def _ahash_band_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(
-                            f"(ahash >> {off}) & {mask}"
-                        ).alias("val"),
+                        F.expr(f"(ahash >> {off}) & {mask}").alias("val"),
                     )
                     for b, (off, mask) in enumerate(AHASH_BAND_SPECS)
                 ]
             )
         ).alias("bv"),
     ).select("doc_id", "ahash", "bv.band", "bv.val")
+
+
+def ahash_cross_matches(
+    probe_fp: DataFrame, corpus_fp: DataFrame, max_hamming: int
+) -> DataFrame:
+    """(doc_id): probe docs within ``max_hamming`` bits of ANY corpus
+    fingerprint — the cross-relation form of the banded join (streaming
+    ingest probes the landed corpus without self-pairing). Same 13-band
+    pigeonhole exactness; only the two slim fingerprint relations
+    shuffle."""
+    a = _ahash_banded(probe_fp).alias("a")
+    b = _ahash_banded(corpus_fp).alias("b")
+    hamming = F.expr("bit_count(a.ahash ^ b.ahash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _ahash_band_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded Hamming self-join over a (doc_id, ahash) relation —
+    factored out so the pigeonhole recall guarantee is unit-testable on
+    handcrafted hashes, and so the audio/video fingerprint lanes reuse
+    the identical candidate generator."""
+    bands = _ahash_banded(fp)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -1,0 +1,114 @@
+"""Streaming image near-dedup (VERDICT r8 item #8): the image lane's
+decode→aHash→banded-join discipline inside foreachBatch, with
+epoch-partitioned fingerprint state — cross-batch duplicate IMAGES drop
+in-stream, converging to the batch ``image_dedup_clusters`` survivor
+set, and an epoch replay re-admits instead of self-anti-joining."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+    _image_dedup_batch_handler,
+    ingest_image_deduplicated,
+)
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+# planted image structure (operators.multimodal): doc_id % 8 == 5
+# renders doc_id-5's image with a ~3%-pixel edit. Three micro-batches
+# with CROSS-batch dup arrivals: 5 dups 0 (b1->b2), 13 dups 8 (b1->b3),
+# 21 dups 16 (b2->b3).
+B1 = [0, 1, 8]
+B2 = [5, 9, 16]
+B3 = [13, 21, 24]
+
+
+def _rows(ids):
+    return [(i, f"text {i}", "en", "s0", 7) for i in ids]
+
+
+def _write_batch(path, ids, order: int):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _rows(ids)
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.int64()),
+                "text": pa.array(cols[1], pa.string()),
+                "lang": pa.array(cols[2], pa.string()),
+                "source": pa.array(cols[3], pa.string()),
+                "n_chars": pa.array(cols[4], pa.int64()),
+            }
+        ),
+        path,
+    )
+    t = os.path.getmtime(path) + 10 * order
+    os.utime(path, (t, t))
+
+
+def _landed(spark, out):
+    return {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+
+
+def test_stream_converges_to_batch_cluster_survivors(spark, tmp_path):
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        image_dedup_clusters,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), B1, 0)
+    _write_batch(str(src / "b2.parquet"), B2, 1)
+    _write_batch(str(src / "b3.parquet"), B3, 2)
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+
+    ingest_image_deduplicated(
+        spark, str(src), out, str(tmp_path / "ck"), state,
+        files_per_trigger=1,
+    )
+
+    # batch ground truth: CC survivor set (min doc_id per cluster) over
+    # the SAME corpus
+    all_docs = spark.createDataFrame(_rows(B1 + B2 + B3), DOC_COLS)
+    clusters = image_dedup_clusters(all_docs)
+    survivors = {
+        r.doc_id
+        for r in clusters.filter(
+            F.col("doc_id") == F.col("cluster_id")
+        ).collect()
+    }
+    assert _landed(spark, out) == survivors
+    # and the planted dups are exactly what got dropped
+    assert set(B1 + B2 + B3) - survivors == {5, 13, 21}
+
+
+def test_epoch_replay_readmits_landed_images(spark, tmp_path):
+    """Replaying an epoch AFTER its fingerprint state committed (the
+    foreachBatch retry) must converge to the same landed set — the
+    cross-batch join excludes the epoch's own fp partition."""
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    handler = _image_dedup_batch_handler(spark, out, state)
+
+    b1 = spark.createDataFrame(_rows(B1), DOC_COLS)
+    b2 = spark.createDataFrame(_rows(B2), DOC_COLS)
+    handler(b1, 0)
+    handler(b2, 1)
+    before = _landed(spark, out)
+    assert before == {0, 1, 8, 9, 16}  # 5 dropped as dup of 0
+
+    handler(b2, 1)  # retry after fp state committed
+    assert _landed(spark, out) == before
+    handler(b1, 0)
+    assert _landed(spark, out) == before
