@@ -218,76 +218,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # but a driver stamp is the harder signal — so the dict is reordered per
 # round. Previously-stamped entries keep their historical green stamps.
 _STAMP_PRIORITY = (
-    # ROUND 8 ROTATION — oldest-stamp-first (VERDICT r7 item #1). All 222
-    # entries now carry at least one driver stamp, so the risk is stamp
-    # AGE: a query last stamped in r1/r2 has no driver evidence against
-    # the current tree. Policy from this round on: order by latest-stamp
-    # round ascending (computed from the CORRECTNESS_r0*.json union),
-    # with two standing exceptions that jump the queue — (a) entries
-    # whose latest stamp is red or oracle-less on since-fixed code, and
-    # (b) entries NEW this round (first stamp beats a re-stamp).
+    # ROUND 9 ROTATION — oldest-stamp-first (standing policy), with the
+    # two queue-jumping exceptions: (a) entries whose RESULTS changed
+    # this round (their historical stamps describe retired code), and
+    # (b) entries new this round (first stamp beats a re-stamp).
     #
-    # (a) stale-bad stamps: user_sessions' only stamp is a r01 hash-FAIL
-    # on long-since-fixed code; multimodal_features' r01 stamp predates
-    # its oracle twin (the real decode lane landed this round as the
-    # sibling image_decode_meta entry).
-    "user_sessions",
+    # (a) changed in r9: the perceptual-hash unification rebased
+    # multimodal_features and the phash_* aliases onto decoded pixels;
+    # the 13-band widening changed the image near-dup/cluster edge
+    # sets; the audio synth field gained planted dups + the envelope
+    # gain term (audio_decode_meta values changed with it).
     "multimodal_features",
-    # (b) new in round 8 — first driver stamp.
-    "image_decode_meta",
-    "customer_rfm_segments_approx",
-    "track_play_gini_closed_form",
-    "knn_join_ivfpq_after_delete",
-    "zipf_documents",
-    "jaccard_pairs_prefix_zipf",
-    "ngram_jaccard_pairs_zipf",
-    "containment_pairs_zipf",
-    "containment_pairs_prefix",
-    "containment_pairs_prefix_zipf",
-    "image_ahash",
+    "phash_fingerprints",
+    "phash_near_dups",
     "image_ahash_near_dups",
-    "audio_decode_meta",
-    "video_frames_meta",
     "image_dedup_clusters",
-    # r1 cohort (latest stamp = round 1), 25 remaining entries.
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_dedup_pairs",
-    "simhash_fingerprints",
-    "simhash_near_dups",
-    "ann_topk_bruteforce",
-    "ann_topk_pandas",
-    "ann_topk_bucketed",
-    "label_centroids",
-    "cosine_pairs",
-    "cosine_pairs_blocked",
-    "cosine_pairs_lsh",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers_per_nation",
-    "customers_without_orders",
-    "customers_with_big_orders",
-    "order_priority_pivot",
-    "sales_rollup",
-    "sales_cube",
-    "value_percentiles",
-    "skyline_parts",
-    "error_click_asof",
-    "normalize_text",
-    "multimodal_meta",
-    # r2 cohort (latest stamp = round 2), 6 entries.
-    "rebalance_sources",
-    "rebalance_sources_fractional",
-    "dedup_clusters",
-    "near_dedup_apply",
-    "semantic_dedup_clusters",
-    "chunk_dedup",
-    # r3 cohort head (latest stamp = round 3; 42 entries total — the
-    # window ends somewhere in here; ROUND-9 ROTATION NOTE: continue
-    # from wherever CORRECTNESS_r08 stops, then the rest of the r3
-    # cohort in this order, then the r5 cohort).
-    "genre_top_genres",
-    "trending_tracks_reference_exact",
+    "audio_decode_meta",
+    # (b) new in round 9 — audio dedup ladder + video near-dup rung.
+    "audio_fingerprint",
+    "audio_fp_near_dups",
+    "audio_dedup_clusters",
+    "video_frame_hashes",
+    "video_near_dups",
+    # r3 cohort (latest stamp = round 3), all 40 entries, hash-signal
+    # first; the 50-slot window ends at the tail. ROUND-10 ROTATION
+    # NOTE: whatever of the r3 tail r09 missed leads next round, then
+    # the r5 cohort (47 entries) oldest-first, then r6.
     "token_counts",
     "text_quality",
     "lang_id",
@@ -327,8 +283,7 @@ _STAMP_PRIORITY = (
     "pack_chunks",
     "pack_examples",
     "ngram_decontamination",
-    # rows-only r3 stragglers (weaker signal per slot — after the hash
-    # signals above)
+    # rows-only r3 straggler (weaker signal per slot — last)
     "genre_daily_metrics_approx",
     # then the rest of the previously-green catalog in queries() order
 )
