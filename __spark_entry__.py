@@ -234,6 +234,8 @@ _STAMP_PRIORITY = (
     "image_ahash_near_dups",
     "image_dedup_clusters",
     "audio_decode_meta",
+    "frame_sample",
+    "resize_payload",
     # (b) new in round 9 — audio dedup ladder + video near-dup rung.
     "audio_fingerprint",
     "audio_fp_near_dups",
@@ -1191,13 +1193,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": lambda spark, sf: _mm.phash_near_dups(
             _docs(spark, sf)
         ),
-        # video-modality plumbing: 1 payload → N frame rows (mapInPandas)
+        # r9: evenly-spaced frame sampling through the REAL container's
+        # O(1) seek index — unsampled frames are never decoded
         "frame_sample": lambda spark, sf: _mm.frame_sample(
-            _mm.attach_binary(_docs(spark, sf))
+            _docs(spark, sf)
         ),
-        # image-modality resize plumbing (fixed-shape payload contract)
+        # r9: TRUE nearest-neighbor image resize, roundtripped through
+        # real BMP bytes (fixed-shape contract for a vision encoder)
         "resize_payload": lambda spark, sf: _mm.resize_payload(
-            _mm.attach_binary(_docs(spark, sf))
+            _docs(spark, sf)
         ),
         # skew-safe two-phase aggregation (plans/layout.salted_agg)
         # snapshot diff audit: documents vs a deterministic next-snapshot

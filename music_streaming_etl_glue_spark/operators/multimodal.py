@@ -631,118 +631,100 @@ GROUP BY px.doc_id, w, h
 # frame sampling (video-modality plumbing: one payload → N frame rows)
 # ---------------------------------------------------------------------------
 
-N_FRAMES = 8
-FRAME_SCHEMA = "doc_id long, frame_idx int, byte_offset long, frame_value int"
-
-
-def frame_sample(binary_df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
-    """Evenly-spaced frame sampling over a video-style payload: each
-    payload row fans out to ``min(n_frames, byte_len)`` frame rows at
-    deterministic offsets — the 1→N row-expanding mapInPandas shape every
-    video pipeline needs (real decoders emit frames the same way; here
-    the 'frame' is the payload byte at the offset, keeping the plumbing
-    fully testable without codec libraries).
-
-    Offsets are ``(j · n) // n_frames`` — pure integer math, so the SQL
-    twin reproduces them exactly. Payload columns stay pruned unless this
-    stage is in the plan."""
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "frame_idx": [], "byte_offset": [],
-                "frame_value": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-                n = 0 if payload is None else len(payload)
-                for j in range(min(n_frames, n)):
-                    off = (j * n) // n_frames
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(j)
-                    out["byte_offset"].append(off)
-                    out["frame_value"].append(payload[off])
-            yield pd.DataFrame(out)
-
-    return binary_df.select("doc_id", "content").mapInPandas(
-        sample, schema=FRAME_SCHEMA
-    )
-
-
-# Same ASCII-payload reasoning as MULTIMODAL_FEATURES_SQL: byte at offset
-# `off` (0-based) == ascii(substr(text, off+1, 1)).
-FRAME_SAMPLE_SQL = f"""
-WITH b AS (
-    SELECT doc_id, coalesce(text, '') AS text,
-           octet_length(CAST(coalesce(text, '') AS BLOB)) AS n
-    FROM documents
-)
-SELECT doc_id,
-       j::INTEGER AS frame_idx,
-       ((j * n) // {N_FRAMES})::BIGINT AS byte_offset,
-       ascii(substr(text, ((j * n) // {N_FRAMES}) + 1, 1))::INTEGER
-           AS frame_value
-FROM b, generate_series(0, {N_FRAMES - 1}) t(j)
-WHERE n > 0 AND j < LEAST({N_FRAMES}, n)
-"""
-
-
 # ---------------------------------------------------------------------------
 # resize (image-modality transform: payload → fixed-size payload)
 # ---------------------------------------------------------------------------
 
-RESIZE_TARGET_BYTES = 64
+RESIZE_W = 8
+RESIZE_H = 8
 RESIZE_SCHEMA = (
-    "doc_id long, resized_len long, resized_sha256 string, was_padded boolean"
+    "doc_id long, width int, height int, byte_len long, "
+    "px_sum long, px_weighted long, corner_tl int, corner_br int"
 )
 
 
 def resize_payload(
-    binary_df: DataFrame, target_bytes: int = RESIZE_TARGET_BYTES
+    documents: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H
 ) -> DataFrame:
-    """Resize plumbing for image payloads: every payload becomes exactly
-    ``target_bytes`` (the fixed-shape contract a vision encoder needs).
-    A real deployment decodes + bilinear-resizes inside the same
-    mapInPandas stage (swap :func:`decode_image` in); the stand-in
-    transform — truncate long payloads, zero-pad short ones — keeps the
-    batch shape, output schema, and determinism fully testable without
-    codec libraries.
+    """TRUE image resize through the real codec (r9 — the truncate/pad
+    byte stand-in is retired): decode each BMP, nearest-neighbor
+    resample to the fixed ``width``×``height`` grid
+    (src(y·h⁄H, x·w⁄W) — the exact-integer kernel a vision encoder's
+    preprocessing uses before the learned layers), RE-ENCODE the result
+    through genuine BMP bytes and decode it back, then emit the
+    roundtripped image's order-sensitive stats. The encode→decode
+    roundtrip of the RESIZED image keeps the codec honest in the loop
+    (a padding or channel-order slip on the 8-wide output breaks the
+    hash); the DuckDB twin replays the resample from the closed-form
+    pixel field without seeing a byte. Fixed-shape outputs mean a
+    downstream tensor writer gets identical byte lengths for every row
+    — the fixed-shape contract this rung exists to provide."""
+    import numpy as np
 
-    Returns digests + lengths rather than the raw bytes (comparable
-    across engines; the payload itself would be written to a parquet
-    sink, not returned to a driver)."""
-    import hashlib
+    with_payload = synth_bmp_payloads(documents)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
-                "doc_id": [], "resized_len": [], "resized_sha256": [],
-                "was_padded": [],
+                "doc_id": [], "width": [], "height": [], "byte_len": [],
+                "px_sum": [], "px_weighted": [], "corner_tl": [],
+                "corner_br": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-                raw = bytes(payload) if payload is not None else b""
-                resized = raw[:target_bytes].ljust(target_bytes, b"\x00")
+                arr = decode_image(payload)
+                h, w, _ = arr.shape
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                resized = arr[np.ix_(ys, xs)]
+                rt_payload = encode_bmp(resized.astype(np.uint8))
+                rt = decode_image(rt_payload).astype(np.int64)
+                idx = np.arange(rt.size, dtype=np.int64).reshape(rt.shape)
                 out["doc_id"].append(doc_id)
-                out["resized_len"].append(len(resized))
-                out["resized_sha256"].append(
-                    hashlib.sha256(resized).hexdigest()
-                )
-                out["was_padded"].append(len(raw) < target_bytes)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["byte_len"].append(len(rt_payload))
+                out["px_sum"].append(int(rt.sum()))
+                out["px_weighted"].append(int((rt * idx).sum()))
+                out["corner_tl"].append(int(rt[0, 0, 0]))
+                out["corner_br"].append(int(rt[-1, -1, -1]))
             yield pd.DataFrame(out)
 
-    return binary_df.select("doc_id", "content").mapInPandas(
-        resize, schema=RESIZE_SCHEMA
-    )
+    return with_payload.mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
-# ASCII payloads again: truncate = substr; pad = rpad with chr(0).
+# Closed-form replay of the nearest-neighbor resample: output pixel
+# (y, x, c) = field(key, (y·h)//H, (x·w)//W, c); the roundtrip byte_len
+# is the canonical BMP size for the fixed output dims.
 RESIZE_PAYLOAD_SQL = f"""
+WITH {_PIXELS_SQL_CTE},
+rs AS (
+    SELECT d.doc_id, y, x, c,
+           (y * {RESIZE_W} * 3 + x * 3 + c)::BIGINT AS pos,
+           ((y * h) // {RESIZE_H}) AS sy,
+           ((x * w) // {RESIZE_W}) AS sx
+    FROM d,
+         range(0, {RESIZE_H}) ty(y),
+         range(0, {RESIZE_W}) tx(x),
+         range(0, 3) tc(c)
+),
+rv AS (
+    SELECT rs.doc_id, rs.pos, p.v
+    FROM rs JOIN px p
+      ON p.doc_id = rs.doc_id AND p.y = rs.sy AND p.x = rs.sx
+     AND p.c = rs.c
+)
 SELECT doc_id,
-       {RESIZE_TARGET_BYTES}::BIGINT AS resized_len,
-       sha256(rpad(substr(coalesce(text, ''), 1, {RESIZE_TARGET_BYTES}),
-                   {RESIZE_TARGET_BYTES}, chr(0))) AS resized_sha256,
-       octet_length(CAST(coalesce(text, '') AS BLOB)) < {RESIZE_TARGET_BYTES}
-           AS was_padded
-FROM documents
+       {RESIZE_W} AS width,
+       {RESIZE_H} AS height,
+       (54 + {RESIZE_H} * ((3 * {RESIZE_W} + 3) // 4 * 4))::BIGINT
+           AS byte_len,
+       SUM(v)::BIGINT AS px_sum,
+       SUM(v * pos)::BIGINT AS px_weighted,
+       (MAX(CASE WHEN pos = 0 THEN v END))::INTEGER AS corner_tl,
+       (MAX(CASE WHEN pos = {RESIZE_H * RESIZE_W * 3 - 1} THEN v END))::INTEGER
+           AS corner_br
+FROM rv
+GROUP BY doc_id
 """
 
 
@@ -1395,6 +1377,76 @@ SELECT doc_id, frame_idx,
 FROM px
 GROUP BY doc_id, frame_idx, w, h
 """
+
+
+#: frames sampled per clip — 3 against the synth clips' 2-5 frames, so
+#: longer clips genuinely SUBSAMPLE ((j·n)//3 over n=5 picks 0,1,3)
+#: while 2-frame clips keep both
+N_FRAMES = 3
+FRAME_SCHEMA = (
+    "doc_id long, sample_idx int, frame_idx int, px_sum long, "
+    "corner_tl int"
+)
+
+
+def frame_sample(documents: DataFrame, n_sample: int = N_FRAMES) -> DataFrame:
+    """Evenly-spaced frame sampling over REAL video containers (r9 —
+    the byte-offset stand-in is retired): each clip fans out to
+    ``k = min(n_sample, n_frames)`` rows at frame indices
+    ``(j·n_frames)//k``, and each sampled frame is read through the
+    container's O(1) (offset, length) index and decoded through the BMP
+    path — the clip's OTHER frames are never decoded, which is the whole
+    sampling economics at 100 TB (a 2-hour clip costs k frame reads,
+    not a full decode). Emits decoded per-frame stats so the DuckDB
+    twin replays the sampled indices and the pixel field in closed
+    form; a wrong stride in the index walk breaks the hash."""
+    import numpy as np
+
+    with_payload = synth_video_payloads(documents)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_idx": [], "frame_idx": [],
+                "px_sum": [], "corner_tl": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                n = video_frame_count(payload)
+                k = min(n_sample, n)
+                for j in range(k):
+                    fidx = (j * n) // k
+                    arr = decode_video_frame(payload, fidx).astype(
+                        np.int64
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["sample_idx"].append(j)
+                    out["frame_idx"].append(fidx)
+                    out["px_sum"].append(int(arr.sum()))
+                    out["corner_tl"].append(int(arr[0, 0, 0]))
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# Closed-form replay: sampled indices (j·n)//k over the dup-resolved
+# frame keys, then the shared pixel field aggregated per sampled frame.
+FRAME_SAMPLE_SQL = f"""
+WITH {_VIDEO_PIXELS_SQL_CTE},
+sampled AS (
+    SELECT doc_id, j::INTEGER AS sample_idx,
+           ((j * n_frames) // LEAST({N_FRAMES}, n_frames))::INTEGER
+               AS frame_idx
+    FROM dk, range(0, {N_FRAMES}) t(j)
+    WHERE j < LEAST({N_FRAMES}, n_frames)
+)
+SELECT s.doc_id, s.sample_idx, s.frame_idx,
+       SUM(p.v)::BIGINT AS px_sum,
+       (MAX(CASE WHEN p.pos = 0 THEN p.v END))::INTEGER AS corner_tl
+FROM sampled s
+JOIN px p ON p.doc_id = s.doc_id AND p.frame_idx = s.frame_idx
+GROUP BY s.doc_id, s.sample_idx, s.frame_idx
+"""
+
 
 
 # ---------------------------------------------------------------------------

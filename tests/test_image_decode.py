@@ -241,3 +241,55 @@ def test_video_frame_hashes_match_image_kernel(spark, docs):
     for (d, f), hv in got.items():
         arr = M._pixels_for_key(M._synth_frame_key(int(d), int(f)))
         assert hv == M._ahash_of_array(arr.astype("uint8")), (d, f)
+
+
+def test_frame_sample_seeks_only_sampled_frames(spark, docs):
+    """r9 rebase: sampling decodes the (j·n)//k indexed frames through
+    the container index; stats equal direct rendering of those frames,
+    and longer clips genuinely subsample (5-frame clips pick 0,1,3)."""
+    import numpy as np
+
+    sample = docs.orderBy("doc_id").limit(24)
+    rows = M.frame_sample(sample).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rs in by_doc.items():
+        n = 2 + int(d) % M.VIDEO_F_MOD
+        k = min(M.N_FRAMES, n)
+        assert [r.sample_idx for r in sorted(rs, key=lambda r: r.sample_idx)] == list(range(k))
+        for r in rs:
+            assert r.frame_idx == (r.sample_idx * n) // k
+            arr = M._pixels_for_key(
+                M._synth_frame_key(int(d), int(r.frame_idx))
+            ).astype(np.int64)
+            assert r.px_sum == int(arr.sum())
+            assert r.corner_tl == int(arr[0, 0, 0])
+        if n == 5:
+            assert sorted(r.frame_idx for r in rs) == [0, 1, 3]
+
+
+def test_resize_payload_is_true_nn_resample_roundtripped(spark, docs):
+    """r9 rebase: resize decodes, nearest-neighbor resamples to 8×8,
+    re-encodes through real BMP bytes and decodes back — stats equal
+    the direct numpy resample, and byte_len is the canonical fixed-dims
+    BMP size for every row."""
+    import numpy as np
+
+    sample = docs.orderBy("doc_id").limit(20)
+    got = {r.doc_id: r for r in M.resize_payload(sample).collect()}
+    expected_len = 54 + M.RESIZE_H * ((3 * M.RESIZE_W + 3) // 4 * 4)
+    for d, r in got.items():
+        arr = M._synth_pixels(int(d))
+        h, w, _ = arr.shape
+        ys = (np.arange(M.RESIZE_H) * h) // M.RESIZE_H
+        xs = (np.arange(M.RESIZE_W) * w) // M.RESIZE_W
+        rt = arr[np.ix_(ys, xs)].astype(np.int64)
+        idx = np.arange(rt.size).reshape(rt.shape)
+        assert (r.width, r.height, r.byte_len) == (
+            M.RESIZE_W, M.RESIZE_H, expected_len,
+        )
+        assert r.px_sum == int(rt.sum())
+        assert r.px_weighted == int((rt * idx).sum())
+        assert r.corner_tl == int(rt[0, 0, 0])
+        assert r.corner_br == int(rt[-1, -1, -1])
