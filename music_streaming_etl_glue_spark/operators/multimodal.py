@@ -861,9 +861,11 @@ AUDIO_DUP_RES = 6
 AUDIO_EDIT_MOD = 13
 AUDIO_EDIT_RES = 2
 #: the planted edit is a true RE-GAIN: edited samples multiply by
-#: 2 + doc_id % 3 (clipped to int16) — measured dup fingerprints land
-#: 0-7 bits from their base (mean 2.6), well inside the radius-12 join
-AUDIO_EDIT_GAINS = 3
+#: 2 + doc_id % 2 (clipped to int16) — measured at 5000 docs (sf0.1),
+#: dup fingerprints land 0-7 bits from their base (mean 1.6), inside
+#: the radius-10 join with margin (the first cut, gains 2-4, had a
+#: ×4-gain tail reaching Hamming 15 — past the radius)
+AUDIO_EDIT_GAINS = 2
 
 
 def _audio_key(doc_id: int) -> int:
@@ -1058,8 +1060,12 @@ GROUP BY s.doc_id, n
 # image_dedup_clusters with the SAME 13-band pigeonhole join)
 # ---------------------------------------------------------------------------
 
-AUDIO_FP_MAX_HAMMING = 12  # planted re-gain edits measure 0-7 bits;
-#                            13-band join makes the radius exact
+AUDIO_FP_MAX_HAMMING = 10  # planted re-gain edits measure 0-7 bits at
+#                            5000 docs; the 13-band join is exact to 12,
+#                            so radius 10 keeps margin on BOTH sides —
+#                            recall guaranteed, and ~2.7x fewer
+#                            false-close edges than radius 12 (3.3k vs
+#                            8.8k pairs at sf0.1) feeding the CC
 
 
 def audio_fingerprint(documents: DataFrame) -> DataFrame:
