@@ -149,6 +149,14 @@ def main() -> None:
         # runs. Moot in r9 either way: the query was rebased onto the
         # real decode kernel (different work), and the detector now
         # baselines against the last committed round.
+        #
+        # EXPECTED r9-vs-r8 regressions (intentional, not drift): the
+        # four byte-sampling stand-ins rebased onto real codecs now
+        # decode pixels/frames instead of slicing bytes —
+        # phash_fingerprints/phash_near_dups (aliases of the decoded-
+        # pixel aHash lane), frame_sample (index-seek frame decode),
+        # resize_payload (true NN resample roundtripped through BMP).
+        # Their r8 times measured different, cheaper work.
         regressions = {}
         suspect_cold = {}
         for name, prev in prior.items():
