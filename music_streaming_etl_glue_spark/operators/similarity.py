@@ -2600,9 +2600,21 @@ def retrain_ivfpq_layout(
     else (deletes, appends, re-embeds) stays on the pinned-codebook
     O(diff) paths. Returns an audit dict: mean_sq_err, retrained,
     candidate_mean_recall (when trained), cutover."""
+    import glob
     import os
     import shutil
     import uuid
+
+    # self-heal a previous HARD crash mid-cutover (process killed
+    # between rename(path→parked) and rename(candidate→path): no live
+    # index, old layout parked) — restore the newest parked copy before
+    # doing anything else, mirroring plans/layout.py's compaction heal
+    if not os.path.exists(path):
+        parked_old = sorted(glob.glob(f"{path}.pre-retrain-*"))
+        if parked_old:
+            os.rename(parked_old[-1], path)
+    for leftover in glob.glob(f"{path}.retrain-*"):
+        shutil.rmtree(leftover, ignore_errors=True)  # pre-cutover debris
 
     cb = spark.read.parquet(os.path.join(path, "_codebook"))
     mean_err = float(

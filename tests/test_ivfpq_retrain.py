@@ -149,3 +149,28 @@ def test_failed_recall_audit_keeps_old_index_byte_identical(
     assert audit["reason"] == "recall_audit_failed"
     assert _files(path) == before
     assert not _no_debris(str(tmp_path))
+
+
+def test_self_heal_restores_parked_index_after_hard_crash(
+    spark, embs, tmp_path
+):
+    """Simulate a process kill between the two cutover renames (live
+    path gone, old layout parked, candidate still beside it): the next
+    retrain call must restore the parked layout and clean the
+    pre-cutover candidate debris before gating."""
+    import shutil
+
+    path = str(tmp_path / "idx")
+    S.write_ivfpq_layout(embs, path)
+    before = _files(path)
+    # manufacture the crash window
+    os.rename(path, path + ".pre-retrain-deadbeef")
+    shutil.copytree(
+        path + ".pre-retrain-deadbeef", path + ".retrain-deadbeef"
+    )
+    audit = S.retrain_ivfpq_layout(
+        spark, embs, path, max_mean_sq_err=1e9
+    )
+    assert not audit["retrained"]
+    assert _files(path) == before, "self-heal must restore the layout"
+    assert not _no_debris(str(tmp_path))
