@@ -745,3 +745,81 @@ def test_mmr_selection_properties(spark, seed):
                 best_id, best_obj = c, obj
         chosen.append(best_id)
     assert ids == chosen
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    """encode_bmp/decode_image roundtrip pixel-exactly for ANY dims —
+    including the padding-relevant widths (w mod 4 residues) and 1-pixel
+    edges the synth fixture never hits."""
+    import numpy as np
+
+    from music_streaming_etl_glue_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    payload = M.encode_bmp(arr)
+    assert payload[:2] == b"BM"
+    assert len(payload) == 54 + h * ((3 * w + 3) // 4 * 4)
+    assert np.array_equal(M.decode_image(payload), arr)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=16),
+            st.integers(min_value=1, max_value=16),
+            st.integers(min_value=0, max_value=2**31 - 1),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_video_container_roundtrip_property(dims):
+    """The MSEV container seeks any frame of any mixed-dims clip
+    byte-exactly; the index walk never depends on other frames."""
+    import numpy as np
+
+    from music_streaming_etl_glue_spark.operators import multimodal as M
+
+    frames = [
+        np.random.RandomState(seed % (2**31 - 1))
+        .randint(0, 256, size=(h, w, 3))
+        .astype(np.uint8)
+        for h, w, seed in dims
+    ]
+    payload = M.encode_video(frames)
+    assert M.video_frame_count(payload) == len(frames)
+    # random-access order, not sequential — the seek contract
+    for i in reversed(range(len(frames))):
+        assert np.array_equal(M.decode_video_frame(payload, i), frames[i])
+
+
+@given(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.sets(st.integers(min_value=0, max_value=63), max_size=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_band_specs_pigeonhole_property(base, flips):
+    """For ANY pair within Hamming 12, at least one of the 13
+    AHASH_BAND_SPECS band values is equal — the pure-arithmetic form of
+    the banded join's exact-recall guarantee (the Spark/DuckDB joins
+    both key on exactly these (offset, mask) extractions)."""
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        AHASH_BAND_SPECS,
+    )
+
+    other = base
+    for bit in flips:
+        other ^= 1 << bit
+    shared = any(
+        (base >> off) & mask == (other >> off) & mask
+        for off, mask in AHASH_BAND_SPECS
+    )
+    assert shared
