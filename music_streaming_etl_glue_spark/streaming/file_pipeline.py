@@ -357,31 +357,34 @@ def ingest_bloom_deduplicated(
     q.awaitTermination()
 
 
-def _image_dedup_batch_handler(
+def _fingerprint_dedup_batch_handler(
     spark: SparkSession,
     output_dir: str,
     state_dir: str,
-    max_hamming: int | None = None,
+    fingerprint_fn,
+    max_hamming: int,
 ):
-    """Per-micro-batch handler for :func:`ingest_image_deduplicated`
-    (module-level for the same replay-test reason as
-    :func:`_bloom_dedup_batch_handler`)."""
+    """Per-micro-batch NEAR-dedup handler, parameterized by the
+    modality's fingerprint kernel (image aHash, audio waveform
+    fingerprint, any future (doc_id, 64-bit hash) producer) — the
+    within-batch drop, replay-safe cross-batch banded join, and
+    epoch-partitioned fingerprint state are modality-independent.
+    Module-level for the same replay-test reason as
+    :func:`_bloom_dedup_batch_handler`. ``fingerprint_fn`` maps a
+    documents frame to (doc_id, ahash)."""
     import os
 
     from music_streaming_etl_glue_spark.operators.multimodal import (
-        AHASH_MAX_HAMMING,
         _ahash_band_pairs,
         ahash_cross_matches,
-        image_ahash,
     )
 
-    max_hamming = AHASH_MAX_HAMMING if max_hamming is None else max_hamming
     fp_dir = os.path.join(state_dir, "fp")
     epoch_writer = _idempotent_epoch_writer(output_dir)
 
     def dedup_and_land(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.drop("ingest_ts").localCheckpoint()
-        fp = image_ahash(batch).localCheckpoint()
+        fp = fingerprint_fn(batch).localCheckpoint()
         # within-batch: a doc near a smaller-id doc in the SAME batch
         # drops (first-occurrence-wins, the streaming contract; on
         # chain-free near-dup graphs this equals the batch CC survivor
@@ -411,6 +414,82 @@ def _image_dedup_batch_handler(
         )
 
     return dedup_and_land
+
+
+def _image_dedup_batch_handler(
+    spark: SparkSession,
+    output_dir: str,
+    state_dir: str,
+    max_hamming: int | None = None,
+):
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        AHASH_MAX_HAMMING,
+        image_ahash,
+    )
+
+    return _fingerprint_dedup_batch_handler(
+        spark,
+        output_dir,
+        state_dir,
+        image_ahash,
+        AHASH_MAX_HAMMING if max_hamming is None else max_hamming,
+    )
+
+
+def _audio_dedup_batch_handler(
+    spark: SparkSession,
+    output_dir: str,
+    state_dir: str,
+    max_hamming: int | None = None,
+):
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        AUDIO_FP_MAX_HAMMING,
+        audio_fingerprint,
+    )
+
+    def fp(docs: DataFrame) -> DataFrame:
+        return audio_fingerprint(docs).select(
+            "doc_id", F.col("afp").alias("ahash")
+        )
+
+    return _fingerprint_dedup_batch_handler(
+        spark,
+        output_dir,
+        state_dir,
+        fp,
+        AUDIO_FP_MAX_HAMMING if max_hamming is None else max_hamming,
+    )
+
+
+def ingest_audio_deduplicated(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    max_hamming: int | None = None,
+    files_per_trigger: int = 16,
+) -> None:
+    """Streaming NEAR-dup AUDIO ingest — the audio twin of
+    :func:`ingest_image_deduplicated`: each micro-batch decodes its
+    clips through the real WAV codec, fingerprints the waveforms in the
+    Arrow lane, and drops within-batch and cross-batch near-dups via
+    the shared banded-join discipline with epoch-partitioned
+    fingerprint state (16 bytes per landed clip, replay-safe). A
+    re-gained re-upload of an already-landed recording drops in-stream
+    with corpus-wide horizon."""
+    q = (
+        stream_documents(spark, input_dir, files_per_trigger)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            _audio_dedup_batch_handler(
+                spark, output_dir, state_dir, max_hamming=max_hamming
+            )
+        )
+        .start()
+    )
+    q.awaitTermination()
 
 
 def ingest_image_deduplicated(

@@ -112,3 +112,61 @@ def test_epoch_replay_readmits_landed_images(spark, tmp_path):
     assert _landed(spark, out) == before
     handler(b1, 0)
     assert _landed(spark, out) == before
+
+
+def test_audio_stream_converges_to_batch_cluster_survivors(spark, tmp_path):
+    """Audio twin: cross-batch re-gained dup clips drop in-stream and
+    the landed set equals the batch audio_dedup_clusters survivor set
+    (the planted audio structure is doc_id % 8 == 6 replaying
+    doc_id - 6's waveform)."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        audio_dedup_clusters,
+    )
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        ingest_audio_deduplicated,
+    )
+
+    # planted audio dups: 6 dups 0 (b1->b2), 14 dups 8 (b1->b3)
+    a1, a2, a3 = [0, 1, 8], [6, 9, 16], [14, 25, 33]
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), a1, 0)
+    _write_batch(str(src / "b2.parquet"), a2, 1)
+    _write_batch(str(src / "b3.parquet"), a3, 2)
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+
+    ingest_audio_deduplicated(
+        spark, str(src), out, str(tmp_path / "ck"), state,
+        files_per_trigger=1,
+    )
+
+    all_docs = spark.createDataFrame(_rows(a1 + a2 + a3), DOC_COLS)
+    survivors = {
+        r.doc_id
+        for r in audio_dedup_clusters(all_docs)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .collect()
+    }
+    assert _landed(spark, out) == survivors
+    assert {6, 14} <= set(a1 + a2 + a3) - survivors
+
+
+def test_audio_epoch_replay_readmits(spark, tmp_path):
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        _audio_dedup_batch_handler,
+    )
+
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    handler = _audio_dedup_batch_handler(spark, out, state)
+    b1 = spark.createDataFrame(_rows([0, 1, 8]), DOC_COLS)
+    b2 = spark.createDataFrame(_rows([6, 9, 16]), DOC_COLS)
+    handler(b1, 0)
+    handler(b2, 1)
+    before = _landed(spark, out)
+    assert 6 not in before  # dup of 0 dropped cross-batch
+    handler(b2, 1)
+    assert _landed(spark, out) == before
