@@ -242,6 +242,7 @@ _STAMP_PRIORITY = (
     "audio_dedup_clusters",
     "video_frame_hashes",
     "video_near_dups",
+    "video_dedup_clusters",
     # r3 cohort (latest stamp = round 3), all 40 entries, hash-signal
     # first; the 50-slot window ends at the tail. ROUND-10 ROTATION
     # NOTE: whatever of the r3 tail r09 missed leads next round, then
@@ -652,6 +653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "audio_dedup_clusters": lambda spark, sf: (
             _clusters.audio_dedup_clusters(_docs(spark, sf))
+        ),
+        "video_dedup_clusters": lambda spark, sf: (
+            _clusters.video_dedup_clusters(_docs(spark, sf))
         ),
         "image_dedup_clusters": lambda spark, sf: (
             _clusters.image_dedup_clusters(_docs(spark, sf))
@@ -1333,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint": _mm.AUDIO_FINGERPRINT_SQL,
         "audio_fp_near_dups": _mm.AUDIO_FP_NEAR_DUPS_SQL,
         "audio_dedup_clusters": _clusters.AUDIO_DEDUP_CLUSTERS_SQL,
+        "video_dedup_clusters": _clusters.VIDEO_DEDUP_CLUSTERS_SQL,
         "dedup_clusters_twophase": _clusters.DEDUP_CLUSTERS_SQL,
         "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
         "near_dedup_apply_best": _clusters.NEAR_DEDUP_APPLY_BEST_SQL,

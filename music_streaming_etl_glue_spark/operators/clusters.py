@@ -325,6 +325,52 @@ SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
 AUDIO_DEDUP_CLUSTERS_SQL = _audio_dedup_clusters_sql()
 
 
+def video_dedup_clusters(documents: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) over the VIDEO near-dup graph — the third
+    modality's component step, completing the
+    decode→fingerprint→near-dup→cluster ladder for clips: edges are
+    :func:`..multimodal.video_near_dups` pairs (clips sharing ≥2
+    distinct per-frame aHashes through the seekable container), so a
+    re-cut/extended upload family collapses to one canonical clip id.
+    Shared-frame graphs chain like Hamming graphs (clip A shares frames
+    with B, B with C, A not with C), hence the same two-phase
+    large-star/small-star kernel."""
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        video_near_dups,
+    )
+
+    edges = video_near_dups(documents).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    vertices = documents.select(F.col("doc_id").alias("id"))
+    comp = connected_components_two_phase(vertices, edges)
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _video_dedup_clusters_sql() -> str:
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        VIDEO_NEAR_DUPS_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS ({VIDEO_NEAR_DUPS_SQL}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+VIDEO_DEDUP_CLUSTERS_SQL = _video_dedup_clusters_sql()
+
+
 def near_dedup_apply(documents: DataFrame) -> DataFrame:
     """Materialize the near-dedup: keep each cluster's canonical document
     (the minimum doc_id) with the full original row plus ``n_members``,

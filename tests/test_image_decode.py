@@ -293,3 +293,29 @@ def test_resize_payload_is_true_nn_resample_roundtripped(spark, docs):
         assert r.px_weighted == int((rt * idx).sum())
         assert r.corner_tl == int(rt[0, 0, 0])
         assert r.corner_br == int(rt[-1, -1, -1])
+
+
+def test_video_dedup_clusters_group_planted_clip_families(spark, docs):
+    """The video component step: every planted (base, dup) clip pair
+    shares a cluster; docs with no shared frames stay singletons."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        video_dedup_clusters,
+    )
+
+    sample = docs.orderBy("doc_id").limit(60)
+    cl = {
+        r.doc_id: r.cluster_id
+        for r in video_dedup_clusters(sample).collect()
+    }
+    planted = [
+        (d - M.BMP_DUP_RES, d)
+        for d in cl
+        if d % M.BMP_DUP_MOD == M.BMP_DUP_RES and d >= M.BMP_DUP_RES
+    ]
+    assert planted
+    dup_members = {x for pair in planted for x in pair}
+    for base, dup in planted:
+        assert cl[base] == cl[dup] == base
+    for d, c in cl.items():
+        if d not in dup_members:
+            assert c == d, (d, c)
