@@ -461,6 +461,106 @@ def _audio_dedup_batch_handler(
     )
 
 
+def _video_dedup_batch_handler(
+    spark: SparkSession,
+    output_dir: str,
+    state_dir: str,
+    min_shared: int | None = None,
+):
+    """Per-micro-batch handler for :func:`ingest_video_deduplicated`.
+    Video's near-dup signal is SET overlap of per-frame hashes (≥
+    ``min_shared`` distinct shared frames), not a single 64-bit
+    fingerprint, so the cross-batch state is the (doc_id, fhash)
+    relation — still bytes-per-frame, never the clips — and both the
+    within-batch and cross-batch drops are one hash-keyed join + a
+    per-pair distinct count. Same replay-safe epoch discipline as the
+    image/audio handlers."""
+    import os
+
+    from music_streaming_etl_glue_spark.operators.multimodal import (
+        VIDEO_MIN_SHARED_FRAMES,
+        video_frame_hashes,
+        video_near_dups,
+    )
+
+    min_shared = (
+        VIDEO_MIN_SHARED_FRAMES if min_shared is None else min_shared
+    )
+    fp_dir = os.path.join(state_dir, "fp")
+    epoch_writer = _idempotent_epoch_writer(output_dir)
+
+    def dedup_and_land(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.drop("ingest_ts").localCheckpoint()
+        fh = (
+            video_frame_hashes(batch)
+            .select("doc_id", "fhash")
+            .distinct()
+            .localCheckpoint()
+        )
+        within_drops = video_near_dups(batch, min_shared).select(
+            F.col("doc_id_b").alias("doc_id")
+        ).distinct()
+        survivors_fh = fh.join(within_drops, "doc_id", "left_anti")
+        if os.path.exists(fp_dir):
+            landed = spark.read.parquet(fp_dir).filter(
+                F.col("epoch") != F.lit(epoch_id)
+            ).select(F.col("fhash").alias("l_fhash")).distinct()
+            cross_drops = (
+                survivors_fh.join(
+                    landed,
+                    survivors_fh["fhash"] == landed["l_fhash"],
+                )
+                .groupBy("doc_id")
+                .agg(F.countDistinct("fhash").alias("n_shared"))
+                .filter(F.col("n_shared") >= min_shared)
+                .select("doc_id")
+            )
+            survivors_fh = survivors_fh.join(
+                cross_drops, "doc_id", "left_anti"
+            )
+        survivors_fh = survivors_fh.localCheckpoint()
+        epoch_writer(
+            batch.join(survivors_fh.select("doc_id").distinct(), "doc_id"),
+            epoch_id,
+        )
+        survivors_fh.write.mode("overwrite").parquet(
+            os.path.join(fp_dir, f"epoch={epoch_id}")
+        )
+
+    return dedup_and_land
+
+
+def ingest_video_deduplicated(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    min_shared: int | None = None,
+    files_per_trigger: int = 16,
+) -> None:
+    """Streaming NEAR-dup VIDEO ingest — the third modality's streaming
+    rung: each micro-batch decodes its clips' frames through the
+    container's seek index, aHashes them, drops clips sharing ≥
+    ``min_shared`` distinct frame hashes within the batch or with any
+    LANDED clip (epoch-partitioned frame-hash state, replay-safe), so a
+    re-cut re-upload of an already-landed clip drops in-stream. State
+    is 16 bytes per landed FRAME — frames outnumber clips by the clip
+    length, but the relation is still the index, never the payload."""
+    q = (
+        stream_documents(spark, input_dir, files_per_trigger)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            _video_dedup_batch_handler(
+                spark, output_dir, state_dir, min_shared=min_shared
+            )
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+
 def ingest_audio_deduplicated(
     spark: SparkSession,
     input_dir: str,

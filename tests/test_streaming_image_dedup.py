@@ -170,3 +170,63 @@ def test_audio_epoch_replay_readmits(spark, tmp_path):
     assert 6 not in before  # dup of 0 dropped cross-batch
     handler(b2, 1)
     assert _landed(spark, out) == before
+
+
+def test_video_stream_converges_to_batch_cluster_survivors(spark, tmp_path):
+    """Video twin: a re-cut re-upload (planted clip dup) arriving in a
+    later batch drops in-stream; landed set equals the batch
+    video_dedup_clusters survivor set."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        video_dedup_clusters,
+    )
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        ingest_video_deduplicated,
+    )
+
+    # planted clip dups (doc_id % 8 == 5 replays doc_id-5's frame
+    # keys): 5 dups 0 (b1->b2), 13 dups 8 (b1->b3), 21 dups 16 (b2->b3)
+    v1, v2, v3 = [0, 1, 8], [5, 9, 16], [13, 21, 24]
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), v1, 0)
+    _write_batch(str(src / "b2.parquet"), v2, 1)
+    _write_batch(str(src / "b3.parquet"), v3, 2)
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+
+    ingest_video_deduplicated(
+        spark, str(src), out, str(tmp_path / "ck"), state,
+        files_per_trigger=1,
+    )
+
+    all_docs = spark.createDataFrame(_rows(v1 + v2 + v3), DOC_COLS)
+    survivors = {
+        r.doc_id
+        for r in video_dedup_clusters(all_docs)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .collect()
+    }
+    assert _landed(spark, out) == survivors
+    assert set(v1 + v2 + v3) - survivors == {5, 13, 21}
+
+
+def test_video_epoch_replay_readmits(spark, tmp_path):
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        _video_dedup_batch_handler,
+    )
+
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    handler = _video_dedup_batch_handler(spark, out, state)
+    b1 = spark.createDataFrame(_rows([0, 1, 8]), DOC_COLS)
+    b2 = spark.createDataFrame(_rows([5, 9, 16]), DOC_COLS)
+    handler(b1, 0)
+    handler(b2, 1)
+    before = _landed(spark, out)
+    assert 5 not in before  # shares both of clip 0's frames
+    handler(b2, 1)
+    assert _landed(spark, out) == before
+    handler(b1, 0)
+    assert _landed(spark, out) == before
