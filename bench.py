@@ -156,7 +156,12 @@ def main() -> None:
         # phash_fingerprints/phash_near_dups (aliases of the decoded-
         # pixel aHash lane), frame_sample (index-seek frame decode),
         # resize_payload (true NN resample roundtripped through BMP).
-        # Their r8 times measured different, cheaper work.
+        # Their r8 times measured different, cheaper work. Fifth:
+        # image_ahash_near_dups (and its phash alias) pays ~1.5x for
+        # the 13-band widening that makes radius-12 recall pigeonhole-
+        # exact (ADVICE r8) — 5-bit bands admit more candidates than
+        # the old 8-bit bands; the Hamming filter now runs before the
+        # pair distinct to keep the overhead at ~1.5x instead of ~2x.
         regressions = {}
         suspect_cold = {}
         for name, prev in prior.items():
