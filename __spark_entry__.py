@@ -243,6 +243,7 @@ _STAMP_PRIORITY = (
     "video_frame_hashes",
     "video_near_dups",
     "video_dedup_clusters",
+    "image_ahash_near_dups_mih",
     # r3 cohort (latest stamp = round 3), all 40 entries, hash-signal
     # first; the 50-slot window ends at the tail. ROUND-10 ROTATION
     # NOTE: whatever of the r3 tail r09 missed leads next round, then
@@ -1171,6 +1172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_near_dups": lambda spark, sf: (
             _mm.image_ahash_near_dups(_docs(spark, sf))
         ),
+        # exact-parity MIH twin: 4x16-bit bands + Hamming-3 ball probes
+        # (same output, ~6x fewer candidates at the same exact radius)
+        "image_ahash_near_dups_mih": lambda spark, sf: (
+            _mm.image_ahash_near_dups_mih(_docs(spark, sf))
+        ),
         # audio twin of the BMP lane: RIFF/WAVE PCM chunk-walking codec,
         # decoded-waveform stats hash-pinned against the closed form
         "audio_decode_meta": lambda spark, sf: _mm.audio_decode_meta(
@@ -1479,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_meta": _mm.IMAGE_DECODE_META_SQL,
         "image_ahash": _mm.IMAGE_AHASH_SQL,
         "image_ahash_near_dups": _mm.IMAGE_AHASH_NEAR_DUPS_SQL,
+        "image_ahash_near_dups_mih": _mm.IMAGE_AHASH_NEAR_DUPS_MIH_SQL,
         "audio_decode_meta": _mm.AUDIO_DECODE_META_SQL,
         "video_frames_meta": _mm.VIDEO_FRAMES_META_SQL,
         "video_frame_hashes": _mm.VIDEO_FRAME_HASHES_SQL,

@@ -496,6 +496,90 @@ def _ahash_band_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
     )
 
 
+#: multi-index-hashing twin of the 13-band join (Norouzi et al., MIH):
+#: 4 bands of 16 bits; a pair within Hamming 12 must have SOME band
+#: within ⌊12/4⌋ = 3 (pigeonhole on the flip counts), so probing the
+#: Hamming-3 ball (697 masks) around each 16-bit band value is EXACT at
+#: the same radius — with 65,536 values per band instead of 32, so
+#: buckets stay small as the corpus grows. Measured on the synth
+#: corpus (tools/banded_hamming_experiment.py): candidate ratio 0.098
+#: of naive vs the 13-band join's 0.61 (flat 1k→5k docs) at identical
+#: output.
+MIH_BANDS = 4
+MIH_BAND_BITS = 16
+MIH_BALL_RADIUS = AHASH_MAX_HAMMING // MIH_BANDS  # = 3
+
+
+def _mih_masks(radius: int = MIH_BALL_RADIUS) -> list[int]:
+    return [
+        m for m in range(1 << MIH_BAND_BITS)
+        if bin(m).count("1") <= radius
+    ]
+
+
+def image_ahash_near_dups_mih(
+    documents: DataFrame, max_hamming: int = AHASH_MAX_HAMMING
+) -> DataFrame:
+    """Same output as :func:`image_ahash_near_dups` (shared oracle —
+    the exact-parity twin discipline of ``jaccard_pairs_prefix``), via
+    multi-index hashing: explode each fingerprint into 4×16-bit bands,
+    cross the probe side with the broadcast 697-mask Hamming-3 ball,
+    and join probe values against band values — recall at radius 12 is
+    pigeonhole-exact (≤12 flips over 4 bands leave some band ≤3), and
+    the 16-bit band space keeps buckets ~2000× sparser than the 5-bit
+    banding, which is the dial that matters once the corpus outgrows
+    the 13×32 bucket grid. Survivors verify with a map-side bit_count
+    before the pair distinct; only slim (doc_id, band, value) relations
+    shuffle."""
+    spark = documents.sparkSession
+    fp = image_ahash(documents).localCheckpoint(eager=False)
+    bands = fp.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(ahash >> {b * MIH_BAND_BITS})"
+                            f" & {(1 << MIH_BAND_BITS) - 1}"
+                        ).alias("val"),
+                    )
+                    for b in range(MIH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ahash", "bv.band", "bv.val")
+    ball = max_hamming // MIH_BANDS
+    masks = spark.createDataFrame(
+        [(m,) for m in _mih_masks(ball)], "mask long"
+    )
+    probes = bands.crossJoin(F.broadcast(masks)).select(
+        "doc_id",
+        "ahash",
+        "band",
+        F.expr("val ^ mask").alias("pval"),
+    )
+    a, b = probes.alias("a"), bands.alias("b")
+    hamming = F.expr("bit_count(a.ahash ^ b.ahash)").cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.pval") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 _AHASH_SQL_CTE = f"""
 samples AS (
     SELECT doc_id, i,
@@ -546,6 +630,29 @@ cand AS (
 )
 SELECT doc_id_a, doc_id_b, bit_count(xor(ah_a, ah_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= {AHASH_MAX_HAMMING}
+"""
+
+IMAGE_AHASH_NEAR_DUPS_MIH_SQL = f"""
+WITH {_PIXELS_SQL_CTE},
+{_AHASH_SQL_CTE},
+mb AS (
+    SELECT m FROM range(0, {1 << MIH_BAND_BITS}) t(m)
+    WHERE bit_count(m) <= {MIH_BALL_RADIUS}
+),
+mbands AS (
+    SELECT doc_id, ahash, b AS band,
+           (ahash >> (b * {MIH_BAND_BITS}))
+               & {(1 << MIH_BAND_BITS) - 1} AS val
+    FROM ah, range(0, {MIH_BANDS}) t(b)
+),
+probes AS (
+    SELECT doc_id, ahash, band, xor(val, m) AS pval FROM mbands, mb
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+FROM probes a JOIN mbands b
+  ON a.band = b.band AND a.pval = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_MAX_HAMMING}
 """
 
 

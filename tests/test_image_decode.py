@@ -319,3 +319,36 @@ def test_video_dedup_clusters_group_planted_clip_families(spark, docs):
     for d, c in cl.items():
         if d not in dup_members:
             assert c == d, (d, c)
+
+
+def test_mih_twin_matches_banded_join_exactly(spark, docs):
+    """Multi-index-hashing twin: identical pair set to the 13-band
+    join (both exact at radius 12) on a planted-dup sample — the
+    prefix-filter-style parity discipline for the Hamming family."""
+    sample = docs.orderBy("doc_id").limit(80)
+    banded = set(map(tuple, M.image_ahash_near_dups(sample).collect()))
+    mih = set(map(tuple, M.image_ahash_near_dups_mih(sample).collect()))
+    assert mih == banded and banded
+
+
+def test_mih_ball_covers_radius_by_pigeonhole():
+    """Pure arithmetic: any ≤12-flip pair leaves some 16-bit band
+    within Hamming 3, so the 697-mask ball probe finds it."""
+    from itertools import combinations
+
+    masks = M._mih_masks()
+    assert len(masks) == 697
+    base = 0x0123456789ABCDEF
+    # adversarial: 12 flips spread 3 per band — every band at exactly
+    # Hamming 3, the worst case the ball still covers
+    flips = [0, 5, 10, 16, 21, 26, 32, 37, 42, 48, 53, 58]
+    other = base
+    for bit in flips:
+        other ^= 1 << bit
+    found = False
+    for b in range(M.MIH_BANDS):
+        va = (base >> (16 * b)) & 0xFFFF
+        vb = (other >> (16 * b)) & 0xFFFF
+        if bin(va ^ vb).count("1") <= M.MIH_BALL_RADIUS:
+            found = True
+    assert found
