@@ -244,6 +244,7 @@ _STAMP_PRIORITY = (
     "video_near_dups",
     "video_dedup_clusters",
     "image_ahash_near_dups_mih",
+    "audio_fp_near_dups_mih",
     # r3 cohort (latest stamp = round 3), all 40 entries, hash-signal
     # first; the 50-slot window ends at the tail. ROUND-10 ROTATION
     # NOTE: whatever of the r3 tail r09 missed leads next round, then
@@ -651,6 +652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "audio_fp_near_dups": lambda spark, sf: _mm.audio_fp_near_dups(
             _docs(spark, sf)
+        ),
+        "audio_fp_near_dups_mih": lambda spark, sf: (
+            _mm.audio_fp_near_dups_mih(_docs(spark, sf))
         ),
         "audio_dedup_clusters": lambda spark, sf: (
             _clusters.audio_dedup_clusters(_docs(spark, sf))
@@ -1342,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_clusters": _clusters.IMAGE_DEDUP_CLUSTERS_SQL,
         "audio_fingerprint": _mm.AUDIO_FINGERPRINT_SQL,
         "audio_fp_near_dups": _mm.AUDIO_FP_NEAR_DUPS_SQL,
+        "audio_fp_near_dups_mih": _mm.AUDIO_FP_NEAR_DUPS_MIH_SQL,
         "audio_dedup_clusters": _clusters.AUDIO_DEDUP_CLUSTERS_SQL,
         "video_dedup_clusters": _clusters.VIDEO_DEDUP_CLUSTERS_SQL,
         "dedup_clusters_twophase": _clusters.DEDUP_CLUSTERS_SQL,

@@ -531,8 +531,15 @@ def image_ahash_near_dups_mih(
     the 13×32 bucket grid. Survivors verify with a map-side bit_count
     before the pair distinct; only slim (doc_id, band, value) relations
     shuffle."""
-    spark = documents.sparkSession
     fp = image_ahash(documents).localCheckpoint(eager=False)
+    return _mih_pairs(fp, max_hamming)
+
+
+def _mih_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
+    """Multi-index-hashing pair join over any (doc_id, ahash) relation
+    — shared by the image and audio MIH twins; ball radius derives from
+    the requested Hamming radius (⌊r/4⌋)."""
+    spark = fp.sparkSession
     bands = fp.select(
         "doc_id",
         "ahash",
@@ -1249,6 +1256,22 @@ def audio_fp_near_dups(
     return _ahash_band_pairs(fp, max_hamming)
 
 
+def audio_fp_near_dups_mih(
+    documents: DataFrame, max_hamming: int = AUDIO_FP_MAX_HAMMING
+) -> DataFrame:
+    """Same output as :func:`audio_fp_near_dups` via the shared
+    multi-index-hashing kernel (:func:`_mih_pairs`): at the audio
+    radius 10 the ball is ⌊10/4⌋ = 2 (137 masks) — even cheaper probes
+    than the image twin, same exact-recall pigeonhole (≤10 flips over 4
+    bands leave some band ≤2)."""
+    fp = (
+        audio_fingerprint(documents)
+        .select("doc_id", F.col("afp").alias("ahash"))
+        .localCheckpoint(eager=False)
+    )
+    return _mih_pairs(fp, max_hamming)
+
+
 _AUDIO_FP_SQL_CTE = f"""
 en AS (
     SELECT doc_id, n, (i * {AUDIO_FP_WINDOWS}) // n AS w,
@@ -1313,6 +1336,29 @@ cand AS (
 )
 SELECT doc_id_a, doc_id_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {AUDIO_FP_MAX_HAMMING}
+"""
+
+AUDIO_FP_NEAR_DUPS_MIH_SQL = f"""
+WITH {_AUDIO_SAMPLES_SQL_CTE},
+{_AUDIO_FP_SQL_CTE},
+mb AS (
+    SELECT m FROM range(0, {1 << MIH_BAND_BITS}) t(m)
+    WHERE bit_count(m) <= {AUDIO_FP_MAX_HAMMING // MIH_BANDS}
+),
+mbands AS (
+    SELECT doc_id, afp, b AS band,
+           (afp >> (b * {MIH_BAND_BITS}))
+               & {(1 << MIH_BAND_BITS) - 1} AS val
+    FROM afp, range(0, {MIH_BANDS}) t(b)
+),
+probes AS (
+    SELECT doc_id, afp, band, xor(val, m) AS pval FROM mbands, mb
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+FROM probes a JOIN mbands b
+  ON a.band = b.band AND a.pval = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {AUDIO_FP_MAX_HAMMING}
 """
 
 

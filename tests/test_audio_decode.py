@@ -156,3 +156,12 @@ def test_audio_planted_dups_surface_and_cluster(spark, docs):
         if (a, b) not in planted
     ]
     assert sum(dists) / len(dists) > 20
+
+
+def test_audio_mih_twin_matches_banded_join_exactly(spark, docs):
+    """Audio MIH twin (ball radius ⌊10/4⌋ = 2): identical pair set to
+    the 13-band join on a planted-dup sample."""
+    sample = docs.orderBy("doc_id").limit(80)
+    banded = set(map(tuple, M.audio_fp_near_dups(sample).collect()))
+    mih = set(map(tuple, M.audio_fp_near_dups_mih(sample).collect()))
+    assert mih == banded and banded
