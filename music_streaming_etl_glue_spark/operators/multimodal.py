@@ -1011,7 +1011,8 @@ def _samples_for_key(key: int):
 def _synth_samples(doc_id: int):
     """The int16 waveform for ``doc_id`` under the shared knobs,
     dup-resolved: planted dup docs replay the base waveform with an
-    ~8%-sample re-gain edit (clip-multiplied by 2 + doc_id % 3)."""
+    ~8%-sample re-gain edit (clip-multiplied by
+    2 + doc_id % AUDIO_EDIT_GAINS, i.e. gain 2 or 3)."""
     import numpy as np
 
     key = _audio_key(doc_id)
@@ -1103,10 +1104,10 @@ def audio_decode_meta(documents: DataFrame) -> DataFrame:
 # Closed-form replay of the dup-resolved waveform, shared by the meta
 # and fingerprint twins: key resolution (planted dups replay their
 # base's samples), the raw field, and the re-gain edit branch
-# ((raw + doc_id) mod 65536 at edited positions — identical modular
-# algebra to the numpy kernel). Stats over a constant-bound range
-# filtered to each doc's true length; byte_len = 44-byte canonical
-# header + 2 bytes/sample.
+# (clip-multiply by 2 + doc_id % AUDIO_EDIT_GAINS at edited positions,
+# saturating at ±int16 — identical arithmetic to the numpy kernel).
+# Stats over a constant-bound range filtered to each doc's true
+# length; byte_len = 44-byte canonical header + 2 bytes/sample.
 _AUDIO_SAMPLES_SQL_CTE = f"""
 ad AS (
     SELECT doc_id,

@@ -2503,6 +2503,34 @@ def refresh_ivfpq_layout(spark, appended: DataFrame, path: str) -> None:
     ).parquet(path)
 
 
+def _heal_parked_cells(path: str) -> None:
+    """Restore/clear ``.old-*`` parked cell copies left by a hard crash
+    during :func:`rewrite_ivfpq_cells`' swap (ADVICE r9). A parked name
+    is ``.old-{label}-{time_ns}``: if the label's live dir is missing
+    the crash hit between the two renames — restore the newest parked
+    copy; if the live dir exists the crash hit after the swap — the
+    parked copy is superseded debris, drop it."""
+    import glob
+    import os
+    import shutil
+
+    parked = sorted(glob.glob(os.path.join(path, ".old-*")))
+    by_label: dict[str, list[str]] = {}
+    for p in parked:
+        lab = os.path.basename(p)[len(".old-"):].rsplit("-", 1)[0]
+        by_label.setdefault(lab, []).append(p)
+    for lab, copies in by_label.items():
+        dst = os.path.join(path, f"assigned_label={lab}")
+        # name-sorted: the time_ns suffix makes the last entry newest
+        # (legacy uuid-suffixed debris sorts arbitrarily but any parked
+        # copy is a complete pre-rewrite cell, so restoring it is safe)
+        if not os.path.exists(dst):
+            os.rename(copies[-1], dst)
+            copies = copies[:-1]
+        for stale in copies:
+            shutil.rmtree(stale, ignore_errors=True)
+
+
 def rewrite_ivfpq_cells(spark, path: str, drop_ids: DataFrame) -> list:
     """The DELETE path for the IVF-PQ index (VERDICT r7 item #2): drop
     ``drop_ids`` (vec_id) from the layout by rewriting ONLY the cell
@@ -2523,7 +2551,17 @@ def rewrite_ivfpq_cells(spark, path: str, drop_ids: DataFrame) -> list:
     done-signal is stronger (no query-time filter to forget)."""
     import os
     import shutil
-    import uuid
+    import time
+
+    # self-heal a previous HARD crash mid-swap (ADVICE r9: process
+    # killed between rename(dst→old) and rename(src→dst) left the cell
+    # missing from the live layout with only the soft-exception restore
+    # to fix it): on entry, restore any parked `.old-*` cell whose live
+    # `assigned_label=` dir is missing, and clear parked debris whose
+    # live dir exists (crash after the swap, before the rmtree). Parked
+    # names are `.old-{label}-{time_ns}` — monotonic, so the newest
+    # parked copy per label wins if a double crash ever stacks two.
+    _heal_parked_cells(path)
 
     layout = spark.read.parquet(path)
     touched = sorted(
@@ -2538,7 +2576,7 @@ def rewrite_ivfpq_cells(spark, path: str, drop_ids: DataFrame) -> list:
     survivors = layout.filter(
         F.col("assigned_label").isin(touched)
     ).join(drop_ids, "vec_id", "left_anti")
-    tmp = f"{path}.rewrite-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    tmp = f"{path}.rewrite-{os.getpid()}-{time.time_ns()}"
     survivors.write.mode("overwrite").partitionBy(
         "assigned_label"
     ).parquet(tmp)
@@ -2553,9 +2591,10 @@ def rewrite_ivfpq_cells(spark, path: str, drop_ids: DataFrame) -> list:
     for lab in touched:
         dst = os.path.join(path, f"assigned_label={lab}")
         src = os.path.join(tmp, f"assigned_label={lab}")
-        # dot-prefixed so partition discovery never sees the parked copy
+        # dot-prefixed so partition discovery never sees the parked
+        # copy; time_ns suffix so "newest parked" is name-sortable
         old = os.path.join(
-            path, f".old-{lab}-{uuid.uuid4().hex[:8]}"
+            path, f".old-{lab}-{time.time_ns()}"
         )
         parked = os.path.exists(dst)
         if parked:
@@ -2603,16 +2642,27 @@ def retrain_ivfpq_layout(
     import glob
     import os
     import shutil
-    import uuid
+    import time
 
     # self-heal a previous HARD crash mid-cutover (process killed
     # between rename(path→parked) and rename(candidate→path): no live
     # index, old layout parked) — restore the newest parked copy before
-    # doing anything else, mirroring plans/layout.py's compaction heal
+    # doing anything else, mirroring plans/layout.py's compaction heal.
+    # Parked names carry a monotonic time_ns suffix (ADVICE r9: the old
+    # random-uuid suffix made sorted()[-1] arbitrary), with an mtime
+    # tie-break so legacy uuid-suffixed debris still resolves newest.
+    parked_old = glob.glob(f"{path}.pre-retrain-*")
     if not os.path.exists(path):
-        parked_old = sorted(glob.glob(f"{path}.pre-retrain-*"))
         if parked_old:
-            os.rename(parked_old[-1], path)
+            newest = max(parked_old, key=os.path.getmtime)
+            os.rename(newest, path)
+            parked_old.remove(newest)
+    # a crash AFTER cutover but before rmtree(parked) leaves stale
+    # .pre-retrain-* debris (ADVICE r9: previously never cleaned — a
+    # later mid-cutover crash could restore a stale layout); the live
+    # path exists here either way, so everything still parked is debris
+    for leftover in parked_old:
+        shutil.rmtree(leftover, ignore_errors=True)
     for leftover in glob.glob(f"{path}.retrain-*"):
         shutil.rmtree(leftover, ignore_errors=True)  # pre-cutover debris
 
@@ -2630,7 +2680,7 @@ def retrain_ivfpq_layout(
     }
     if mean_err <= max_mean_sq_err:
         return audit
-    candidate = f"{path}.retrain-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    candidate = f"{path}.retrain-{os.getpid()}-{time.time_ns()}"
     write_ivfpq_layout(embeddings, candidate)
     audit["retrained"] = True
     recall = knn_ivfpq_recall_audit(
@@ -2642,7 +2692,7 @@ def retrain_ivfpq_layout(
         shutil.rmtree(candidate, ignore_errors=True)
         audit["reason"] = "recall_audit_failed"
         return audit
-    parked = f"{path}.pre-retrain-{uuid.uuid4().hex[:8]}"
+    parked = f"{path}.pre-retrain-{time.time_ns()}"
     os.rename(path, parked)
     try:
         os.rename(candidate, path)
