@@ -1666,6 +1666,15 @@ def video_near_dups(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    return _frame_hash_pairs(fh, min_shared)
+
+
+def _frame_hash_pairs(fh: DataFrame, min_shared: int) -> DataFrame:
+    """Shared-frame pair join over a DISTINCT (doc_id, fhash) relation —
+    factored out so the streaming handler's within-batch drop rides the
+    exact same kernel on its already-computed hash relation instead of
+    re-decoding the batch, and so the per-pair semantics are pinnable on
+    handcrafted hashes."""
     a, b = fh.alias("a"), fh.alias("b")
     return (
         a.join(

@@ -466,6 +466,7 @@ def _video_dedup_batch_handler(
     output_dir: str,
     state_dir: str,
     min_shared: int | None = None,
+    frame_hash_fn=None,
 ):
     """Per-micro-batch handler for :func:`ingest_video_deduplicated`.
     Video's near-dup signal is SET overlap of per-frame hashes (≥
@@ -473,47 +474,66 @@ def _video_dedup_batch_handler(
     fingerprint, so the cross-batch state is the (doc_id, fhash)
     relation — still bytes-per-frame, never the clips — and both the
     within-batch and cross-batch drops are one hash-keyed join + a
-    per-pair distinct count. Same replay-safe epoch discipline as the
-    image/audio handlers."""
+    per-PAIR distinct count (a probe drops only if some SINGLE other
+    clip shares ≥ ``min_shared`` hashes with it, exactly the batch
+    ``video_near_dups`` semantics — ADVICE r9 fixed the cross-batch
+    side, which previously pooled shared hashes across the whole landed
+    corpus). Same replay-safe epoch discipline as the image/audio
+    handlers. ``frame_hash_fn`` (documents → (doc_id, fhash) rows)
+    defaults to the real decode+aHash lane; tests inject handcrafted
+    hash sets to pin the pair semantics."""
     import os
 
     from music_streaming_etl_glue_spark.operators.multimodal import (
         VIDEO_MIN_SHARED_FRAMES,
+        _frame_hash_pairs,
         video_frame_hashes,
-        video_near_dups,
     )
 
     min_shared = (
         VIDEO_MIN_SHARED_FRAMES if min_shared is None else min_shared
     )
+    if frame_hash_fn is None:
+        frame_hash_fn = video_frame_hashes
     fp_dir = os.path.join(state_dir, "fp")
     epoch_writer = _idempotent_epoch_writer(output_dir)
 
     def dedup_and_land(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.drop("ingest_ts").localCheckpoint()
         fh = (
-            video_frame_hashes(batch)
+            frame_hash_fn(batch)
             .select("doc_id", "fhash")
             .distinct()
             .localCheckpoint()
         )
-        within_drops = video_near_dups(batch, min_shared).select(
+        within_drops = _frame_hash_pairs(fh, min_shared).select(
             F.col("doc_id_b").alias("doc_id")
         ).distinct()
         survivors_fh = fh.join(within_drops, "doc_id", "left_anti")
         if os.path.exists(fp_dir):
+            # PER-PAIR shared-frame count, mirroring batch
+            # video_near_dups exactly (ADVICE r9, medium: the old form
+            # dropped doc_id from the landed read and counted a probe's
+            # shared hashes against the WHOLE landed corpus — a unique
+            # clip sharing 1 frame each with N different landed clips
+            # was wrongly dropped). doc_id stays on the landed state
+            # read; the threshold applies per (probe, landed) pair.
             landed = spark.read.parquet(fp_dir).filter(
                 F.col("epoch") != F.lit(epoch_id)
-            ).select(F.col("fhash").alias("l_fhash")).distinct()
+            ).select(
+                F.col("doc_id").alias("l_doc_id"),
+                F.col("fhash").alias("l_fhash"),
+            ).distinct()
             cross_drops = (
                 survivors_fh.join(
                     landed,
                     survivors_fh["fhash"] == landed["l_fhash"],
                 )
-                .groupBy("doc_id")
-                .agg(F.countDistinct("fhash").alias("n_shared"))
+                .groupBy("doc_id", "l_doc_id")
+                .agg(F.count("*").alias("n_shared"))
                 .filter(F.col("n_shared") >= min_shared)
                 .select("doc_id")
+                .distinct()
             )
             survivors_fh = survivors_fh.join(
                 cross_drops, "doc_id", "left_anti"

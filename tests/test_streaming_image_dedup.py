@@ -230,3 +230,43 @@ def test_video_epoch_replay_readmits(spark, tmp_path):
     assert _landed(spark, out) == before
     handler(b1, 0)
     assert _landed(spark, out) == before
+
+
+def test_video_cross_batch_drop_is_per_pair(spark, tmp_path):
+    """ADVICE r9 (medium): a probe clip sharing ONE frame each with TWO
+    different landed clips must be ADMITTED — batch ``video_near_dups``
+    counts shared frames per pair, and the old cross-batch form pooled
+    the two singleton overlaps across the landed corpus into
+    n_shared=2 and wrongly dropped it. A probe sharing two frames with
+    a SINGLE landed clip still drops. Handcrafted hash sets via the
+    injectable frame_hash_fn (the synth video corpus cannot express
+    one-shared-frame overlaps between unrelated clips)."""
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        _video_dedup_batch_handler,
+    )
+
+    HASHES = {
+        1: [101, 11],       # landed clip L1
+        2: [102, 12],       # landed clip L2
+        3: [101, 102, 13],  # probe: 1 shared with EACH of L1/L2 -> ADMIT
+        4: [101, 11, 14],   # probe: 2 shared with L1 alone -> DROP
+    }
+
+    def fake_hashes(docs):
+        ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+        rows = [
+            (d, i, h) for d in ids for i, h in enumerate(HASHES[d])
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, frame_idx int, fhash long"
+        )
+
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    handler = _video_dedup_batch_handler(
+        spark, out, state, frame_hash_fn=fake_hashes
+    )
+    handler(spark.createDataFrame(_rows([1, 2]), DOC_COLS), 0)
+    handler(spark.createDataFrame(_rows([3, 4]), DOC_COLS), 1)
+    assert _landed(spark, out) == {1, 2, 3}
