@@ -656,6 +656,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_near_dups_mih": lambda spark, sf: (
             _mm.audio_fp_near_dups_mih(_docs(spark, sf))
         ),
+        # the 13-band formulation, kept as the named exact-parity twin
+        # since MIH became the default candidate generator (r10)
+        "audio_fp_near_dups_banded": lambda spark, sf: (
+            _mm.audio_fp_near_dups_banded(_docs(spark, sf))
+        ),
         "audio_dedup_clusters": lambda spark, sf: (
             _clusters.audio_dedup_clusters(_docs(spark, sf))
         ),
@@ -1176,10 +1181,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_near_dups": lambda spark, sf: (
             _mm.image_ahash_near_dups(_docs(spark, sf))
         ),
-        # exact-parity MIH twin: 4x16-bit bands + Hamming-3 ball probes
-        # (same output, ~6x fewer candidates at the same exact radius)
+        # exact-parity MIH form: 4x16-bit bands + Hamming-3 ball probes
+        # (~6x fewer candidates at the same exact radius) — since r10
+        # this IS the default path; the named entry stays for stamp
+        # continuity
         "image_ahash_near_dups_mih": lambda spark, sf: (
             _mm.image_ahash_near_dups_mih(_docs(spark, sf))
+        ),
+        # the 13-band formulation, kept as the named exact-parity twin
+        # (the shape the oracle SQL mirrors) since MIH became default
+        "image_ahash_near_dups_banded": lambda spark, sf: (
+            _mm.image_ahash_near_dups_banded(_docs(spark, sf))
         ),
         # audio twin of the BMP lane: RIFF/WAVE PCM chunk-walking codec,
         # decoded-waveform stats hash-pinned against the closed form
@@ -1347,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint": _mm.AUDIO_FINGERPRINT_SQL,
         "audio_fp_near_dups": _mm.AUDIO_FP_NEAR_DUPS_SQL,
         "audio_fp_near_dups_mih": _mm.AUDIO_FP_NEAR_DUPS_MIH_SQL,
+        "audio_fp_near_dups_banded": _mm.AUDIO_FP_NEAR_DUPS_SQL,
         "audio_dedup_clusters": _clusters.AUDIO_DEDUP_CLUSTERS_SQL,
         "video_dedup_clusters": _clusters.VIDEO_DEDUP_CLUSTERS_SQL,
         "dedup_clusters_twophase": _clusters.DEDUP_CLUSTERS_SQL,
@@ -1491,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "image_ahash": _mm.IMAGE_AHASH_SQL,
         "image_ahash_near_dups": _mm.IMAGE_AHASH_NEAR_DUPS_SQL,
         "image_ahash_near_dups_mih": _mm.IMAGE_AHASH_NEAR_DUPS_MIH_SQL,
+        "image_ahash_near_dups_banded": _mm.IMAGE_AHASH_NEAR_DUPS_SQL,
         "audio_decode_meta": _mm.AUDIO_DECODE_META_SQL,
         "video_frames_meta": _mm.VIDEO_FRAMES_META_SQL,
         "video_frame_hashes": _mm.VIDEO_FRAME_HASHES_SQL,

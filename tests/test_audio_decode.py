@@ -159,9 +159,12 @@ def test_audio_planted_dups_surface_and_cluster(spark, docs):
 
 
 def test_audio_mih_twin_matches_banded_join_exactly(spark, docs):
-    """Audio MIH twin (ball radius ⌊10/4⌋ = 2): identical pair set to
-    the 13-band join on a planted-dup sample."""
+    """Audio MIH (the r10 default; ball radius ⌊10/4⌋ = 2): identical
+    pair set to the 13-band formulation on a planted-dup sample."""
     sample = docs.orderBy("doc_id").limit(80)
-    banded = set(map(tuple, M.audio_fp_near_dups(sample).collect()))
+    banded = set(
+        map(tuple, M.audio_fp_near_dups_banded(sample).collect())
+    )
+    default = set(map(tuple, M.audio_fp_near_dups(sample).collect()))
     mih = set(map(tuple, M.audio_fp_near_dups_mih(sample).collect()))
-    assert mih == banded and banded
+    assert default == mih == banded and banded

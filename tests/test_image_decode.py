@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from music_streaming_etl_glue_spark.operators import multimodal as M
 
@@ -322,13 +323,37 @@ def test_video_dedup_clusters_group_planted_clip_families(spark, docs):
 
 
 def test_mih_twin_matches_banded_join_exactly(spark, docs):
-    """Multi-index-hashing twin: identical pair set to the 13-band
-    join (both exact at radius 12) on a planted-dup sample — the
-    prefix-filter-style parity discipline for the Hamming family."""
+    """Multi-index-hashing (the r10 DEFAULT): identical pair set to the
+    13-band formulation (both exact at radius 12) on a planted-dup
+    sample — the prefix-filter-style parity discipline for the Hamming
+    family."""
     sample = docs.orderBy("doc_id").limit(80)
-    banded = set(map(tuple, M.image_ahash_near_dups(sample).collect()))
+    banded = set(
+        map(tuple, M.image_ahash_near_dups_banded(sample).collect())
+    )
+    default = set(map(tuple, M.image_ahash_near_dups(sample).collect()))
     mih = set(map(tuple, M.image_ahash_near_dups_mih(sample).collect()))
-    assert mih == banded and banded
+    assert default == mih == banded and banded
+
+
+def test_mih_cross_matches_parity_with_banded_cross(spark, docs):
+    """Cross-relation (streaming probe vs landed corpus) form: the MIH
+    ball-probe join the handlers ride since r10 must flag exactly the
+    probe docs the 13-band cross join flags — including at the AUDIO
+    radius 10 (ball 2), the other live configuration."""
+    fp = M.image_ahash(docs.orderBy("doc_id").limit(120)).localCheckpoint()
+    corpus = fp.filter(F.col("doc_id") % 2 == 0)
+    probes = fp.filter(F.col("doc_id") % 2 == 1)
+    for radius in (M.AHASH_MAX_HAMMING, 10):
+        banded = {
+            r.doc_id
+            for r in M.ahash_cross_matches(probes, corpus, radius).collect()
+        }
+        mih = {
+            r.doc_id
+            for r in M.mih_cross_matches(probes, corpus, radius).collect()
+        }
+        assert mih == banded and banded, radius
 
 
 def test_mih_ball_covers_radius_by_pigeonhole():
