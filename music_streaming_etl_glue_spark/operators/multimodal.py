@@ -1463,6 +1463,36 @@ WHERE bit_count(xor(a.afp, b.afp)) <= {AUDIO_FP_MAX_HAMMING}
 VIDEO_F_MOD = 4
 VIDEO_MAGIC = b"MSEV"
 
+#: planted BOILERPLATE frames (r10, VERDICT r9 item #4): real video
+#: corpora are full of frames shared across unrelated clips — black
+#: frames, title cards, logo stings — and a frame hash shared by k
+#: clips emits k² candidate pairs (the classic hot-key blowup), plus
+#: FALSE near-dup edges once two unrelated clips share ≥ min_shared
+#: boilerplate frames. The synth corpus now plants exactly that
+#: failure mode: clips with doc_id % 8 == 1 get an intro AND an outro
+#: card (every pair of them shares 2 hashes — a false clique without
+#: the df cap), % 8 == 2 an intro only, % 8 == 3 an outro only (df
+#: mass without false edges). Residues {1,2,3} are disjoint from the
+#: planted dup families (doc_id % 8 ∈ {0,5}), so the genuine dup edge
+#: set is untouched. Card keys 2 and 5 are ≡ {2,5} (mod 7) while every
+#: derived frame key ≡ {0,1,3,4,6} (mod 7) — a card can never collide
+#: with a real frame.
+VIDEO_BOILER_MOD = 8
+VIDEO_BOILER_BOTH_RES = 1
+VIDEO_BOILER_INTRO_RES = 2
+VIDEO_BOILER_OUTRO_RES = 3
+VIDEO_INTRO_KEY = 2
+VIDEO_OUTRO_KEY = 5
+
+#: document-frequency cap on frame hashes (the text lane's
+#: prefix-filter df discipline ported to frames): a hash held by more
+#: clips than this carries no discriminative signal and is excluded
+#: from candidate generation. Legit df on the synth corpus is ≤ 3
+#: (dup families are pairs; measured at sf0.01: df 1×1491, 2×128,
+#: 3×1); boilerplate df is ~12 already at sf0.001 and grows with the
+#: corpus.
+VIDEO_FHASH_MAX_DF = 6
+
 
 def encode_video(frames) -> bytes:
     """List of RGB (H, W, 3) arrays → container bytes: ``MSEV`` +
@@ -1507,6 +1537,12 @@ def video_frame_count(payload: bytes) -> int:
 
 
 def _synth_frame_key(doc_id: int, f: int) -> int:
+    r = doc_id % VIDEO_BOILER_MOD
+    n = 2 + doc_id % VIDEO_F_MOD
+    if f == 0 and r in (VIDEO_BOILER_BOTH_RES, VIDEO_BOILER_INTRO_RES):
+        return VIDEO_INTRO_KEY
+    if f == n - 1 and r in (VIDEO_BOILER_BOTH_RES, VIDEO_BOILER_OUTRO_RES):
+        return VIDEO_OUTRO_KEY
     return _synth_key(doc_id) * 7 + f * 3 + 1
 
 
@@ -1592,13 +1628,27 @@ dk AS (
            2 + doc_id % {VIDEO_F_MOD} AS n_frames
     FROM documents
 ),
-fr AS (
-    SELECT doc_id, f::INTEGER AS frame_idx,
-           key * 7 + f * 3 + 1 AS fkey,
-           8 + (key * 7 + f * 3 + 1) % {BMP_W_MOD} AS w,
-           8 + (key * 7 + f * 3 + 1) % {BMP_H_MOD} AS h
+fr0 AS (
+    -- boilerplate cards (r10): intro key {VIDEO_INTRO_KEY} at f=0 for
+    -- residues {{1,2}} (mod 8), outro key {VIDEO_OUTRO_KEY} at the last
+    -- frame for residues {{1,3}}; every other frame keeps the derived
+    -- key — mirroring _synth_frame_key exactly
+    SELECT doc_id, f,
+           CASE WHEN f = 0 AND doc_id % {VIDEO_BOILER_MOD}
+                     IN ({VIDEO_BOILER_BOTH_RES}, {VIDEO_BOILER_INTRO_RES})
+                THEN {VIDEO_INTRO_KEY}
+                WHEN f = n_frames - 1 AND doc_id % {VIDEO_BOILER_MOD}
+                     IN ({VIDEO_BOILER_BOTH_RES}, {VIDEO_BOILER_OUTRO_RES})
+                THEN {VIDEO_OUTRO_KEY}
+                ELSE key * 7 + f * 3 + 1 END AS fkey
     FROM dk, range(0, 2 + {VIDEO_F_MOD - 1}) t(f)
     WHERE f < n_frames
+),
+fr AS (
+    SELECT doc_id, f::INTEGER AS frame_idx, fkey,
+           8 + fkey % {BMP_W_MOD} AS w,
+           8 + fkey % {BMP_H_MOD} AS h
+    FROM fr0
 ),
 px AS (
     SELECT doc_id, frame_idx, w, h, y, x, c,
@@ -1734,7 +1784,9 @@ def video_frame_hashes(documents: DataFrame) -> DataFrame:
 
 
 def video_near_dups(
-    documents: DataFrame, min_shared: int = VIDEO_MIN_SHARED_FRAMES
+    documents: DataFrame,
+    min_shared: int = VIDEO_MIN_SHARED_FRAMES,
+    max_df: int = VIDEO_FHASH_MAX_DF,
 ) -> DataFrame:
     """(doc_id_a, doc_id_b, shared_frames): clip pairs sharing ≥
     ``min_shared`` distinct frame hashes — the winnowing candidate
@@ -1745,14 +1797,31 @@ def video_near_dups(
     the hash relation is ~16 bytes × frames while the clips stay in
     object storage, and verification of a candidate pair reads single
     frames through the container's O(1) byte-range index instead of
-    decoding whole clips."""
+    decoding whole clips.
+
+    Frequent-frame-hash guard (r10, VERDICT r9 item #4): hashes held by
+    more than ``max_df`` clips are excluded from candidate generation —
+    the text lane's prefix-filter df discipline ported to frames.
+    Boilerplate frames (black frames, title cards, logo stings) are hot
+    join keys that go quadratic (k clips sharing a hash emit k² pairs)
+    AND manufacture false near-dup edges once two unrelated clips share
+    ≥ ``min_shared`` cards; they carry no discriminative signal, so
+    dropping them preserves the genuine dup edge set (planted-dup df is
+    ≤ 3, measured). The df agg and the anti-join hash-partition on the
+    same key as the pair join, so AQE reuses the exchange."""
     fh = (
         video_frame_hashes(documents)
         .select("doc_id", "fhash")
         .distinct()
         .localCheckpoint(eager=False)
     )
-    return _frame_hash_pairs(fh, min_shared)
+    hot = (
+        fh.groupBy("fhash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fhash")
+    )
+    return _frame_hash_pairs(fh.join(hot, "fhash", "left_anti"), min_shared)
 
 
 def _frame_hash_pairs(fh: DataFrame, min_shared: int) -> DataFrame:
@@ -1819,7 +1888,14 @@ SELECT doc_id, frame_idx, fhash FROM vah
 VIDEO_NEAR_DUPS_SQL = f"""
 WITH {_VIDEO_PIXELS_SQL_CTE},
 {_VIDEO_AHASH_SQL_CTE},
-fh AS (SELECT DISTINCT doc_id, fhash FROM vah)
+fh0 AS (SELECT DISTINCT doc_id, fhash FROM vah),
+-- frequent-frame-hash guard: hashes held by > {VIDEO_FHASH_MAX_DF}
+-- clips (boilerplate cards) are excluded from candidate generation
+hot AS (
+    SELECT fhash FROM fh0 GROUP BY fhash
+    HAVING COUNT(*) > {VIDEO_FHASH_MAX_DF}
+),
+fh AS (SELECT doc_id, fhash FROM fh0 ANTI JOIN hot USING (fhash))
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        COUNT(*)::BIGINT AS shared_frames
 FROM fh a JOIN fh b ON a.fhash = b.fhash AND a.doc_id < b.doc_id

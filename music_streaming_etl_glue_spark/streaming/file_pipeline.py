@@ -470,6 +470,7 @@ def _video_dedup_batch_handler(
     state_dir: str,
     min_shared: int | None = None,
     frame_hash_fn=None,
+    max_df: int | None = None,
 ):
     """Per-micro-batch handler for :func:`ingest_video_deduplicated`.
     Video's near-dup signal is SET overlap of per-frame hashes (≥
@@ -488,6 +489,7 @@ def _video_dedup_batch_handler(
     import os
 
     from music_streaming_etl_glue_spark.operators.multimodal import (
+        VIDEO_FHASH_MAX_DF,
         VIDEO_MIN_SHARED_FRAMES,
         _frame_hash_pairs,
         video_frame_hashes,
@@ -496,6 +498,7 @@ def _video_dedup_batch_handler(
     min_shared = (
         VIDEO_MIN_SHARED_FRAMES if min_shared is None else min_shared
     )
+    max_df = VIDEO_FHASH_MAX_DF if max_df is None else max_df
     if frame_hash_fn is None:
         frame_hash_fn = video_frame_hashes
     fp_dir = os.path.join(state_dir, "fp")
@@ -509,11 +512,33 @@ def _video_dedup_batch_handler(
             .distinct()
             .localCheckpoint()
         )
-        within_drops = _frame_hash_pairs(fh, min_shared).select(
-            F.col("doc_id_b").alias("doc_id")
-        ).distinct()
-        survivors_fh = fh.join(within_drops, "doc_id", "left_anti")
+        landed = None
         if os.path.exists(fp_dir):
+            landed = spark.read.parquet(fp_dir).filter(
+                F.col("epoch") != F.lit(epoch_id)
+            ).select("doc_id", "fhash").distinct().localCheckpoint()
+        # frequent-frame-hash guard (VERDICT r9 item #4, streaming
+        # form): df is measured over the full horizon seen so far
+        # (landed state ∪ this batch — disjoint doc sets, the replay
+        # epoch being excluded above), so a boilerplate card that went
+        # hot in earlier epochs stays excluded for every later probe.
+        # Hot hashes leave the JOIN relations only; the persisted state
+        # keeps every hash (hotness is horizon-dependent, state is not).
+        horizon = (
+            fh.select("fhash") if landed is None
+            else fh.select("fhash").unionAll(landed.select("fhash"))
+        )
+        hot = (
+            horizon.groupBy("fhash")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fhash")
+        )
+        fh_eff = fh.join(hot, "fhash", "left_anti")
+        drops = _frame_hash_pairs(fh_eff, min_shared).select(
+            F.col("doc_id_b").alias("doc_id")
+        )
+        if landed is not None:
             # PER-PAIR shared-frame count, mirroring batch
             # video_near_dups exactly (ADVICE r9, medium: the old form
             # dropped doc_id from the landed read and counted a probe's
@@ -521,27 +546,21 @@ def _video_dedup_batch_handler(
             # clip sharing 1 frame each with N different landed clips
             # was wrongly dropped). doc_id stays on the landed state
             # read; the threshold applies per (probe, landed) pair.
-            landed = spark.read.parquet(fp_dir).filter(
-                F.col("epoch") != F.lit(epoch_id)
-            ).select(
-                F.col("doc_id").alias("l_doc_id"),
-                F.col("fhash").alias("l_fhash"),
-            ).distinct()
+            survivors_eff = fh_eff.join(drops, "doc_id", "left_anti")
+            landed_eff = landed.join(hot, "fhash", "left_anti").select(
+                F.col("doc_id").alias("l_doc_id"), "fhash"
+            )
             cross_drops = (
-                survivors_fh.join(
-                    landed,
-                    survivors_fh["fhash"] == landed["l_fhash"],
-                )
+                survivors_eff.join(landed_eff, "fhash")
                 .groupBy("doc_id", "l_doc_id")
                 .agg(F.count("*").alias("n_shared"))
                 .filter(F.col("n_shared") >= min_shared)
                 .select("doc_id")
-                .distinct()
             )
-            survivors_fh = survivors_fh.join(
-                cross_drops, "doc_id", "left_anti"
-            )
-        survivors_fh = survivors_fh.localCheckpoint()
+            drops = drops.unionAll(cross_drops)
+        survivors_fh = fh.join(
+            drops.distinct(), "doc_id", "left_anti"
+        ).localCheckpoint()
         epoch_writer(
             batch.join(survivors_fh.select("doc_id").distinct(), "doc_id"),
             epoch_id,
@@ -561,22 +580,28 @@ def ingest_video_deduplicated(
     state_dir: str,
     min_shared: int | None = None,
     files_per_trigger: int = 16,
+    max_df: int | None = None,
 ) -> None:
     """Streaming NEAR-dup VIDEO ingest — the third modality's streaming
     rung: each micro-batch decodes its clips' frames through the
     container's seek index, aHashes them, drops clips sharing ≥
-    ``min_shared`` distinct frame hashes within the batch or with any
-    LANDED clip (epoch-partitioned frame-hash state, replay-safe), so a
-    re-cut re-upload of an already-landed clip drops in-stream. State
-    is 16 bytes per landed FRAME — frames outnumber clips by the clip
-    length, but the relation is still the index, never the payload."""
+    ``min_shared`` distinct frame hashes with some SINGLE other clip —
+    within the batch or among the LANDED clips (epoch-partitioned
+    frame-hash state, replay-safe) — so a re-cut re-upload of an
+    already-landed clip drops in-stream. Frame hashes held by more than
+    ``max_df`` clips across the seen horizon (boilerplate cards) are
+    excluded from matching — the hot-key guard that keeps the landed
+    join sub-quadratic on real corpora. State is 16 bytes per landed
+    FRAME — frames outnumber clips by the clip length, but the relation
+    is still the index, never the payload."""
     q = (
         stream_documents(spark, input_dir, files_per_trigger)
         .writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             _video_dedup_batch_handler(
-                spark, output_dir, state_dir, min_shared=min_shared
+                spark, output_dir, state_dir, min_shared=min_shared,
+                max_df=max_df,
             )
         )
         .start()

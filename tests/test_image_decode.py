@@ -210,9 +210,10 @@ def test_image_dedup_clusters_collapse_planted_families(spark, docs):
 def test_video_near_dups_are_exactly_the_planted_clip_pairs(spark, docs):
     """Planted dup docs replay their base's frame keys, so every
     (base, dup) pair shares min(n_frames) ≥ 2 identical frames and
-    must surface; unrelated clips have disjoint frame keys (7k+3f+1 is
-    injective for f < 7) so they pair only on true aHash collisions —
-    none in the first 80 docs."""
+    must surface; unrelated clips have disjoint DERIVED frame keys
+    (7k+3f+1 is injective for f < 7) and the planted boilerplate cards
+    (r10) are suppressed by the df cap at this corpus size, so the
+    output is exactly the planted edge set."""
     sample = docs.orderBy("doc_id").limit(80)
     pairs = {
         (r.doc_id_a, r.doc_id_b): r.shared_frames
@@ -229,6 +230,40 @@ def test_video_near_dups_are_exactly_the_planted_clip_pairs(spark, docs):
         n_base = 2 + base % M.VIDEO_F_MOD
         n_dup = 2 + dup % M.VIDEO_F_MOD
         assert shared == min(n_base, n_dup), (base, dup, shared)
+
+
+def test_video_df_cap_kills_boilerplate_edges_only(spark, docs):
+    """The frequent-frame-hash guard (VERDICT r9 item #4): with the cap
+    DISABLED, the planted intro+outro boilerplate cards manufacture a
+    false clique among the % 8 == 1 clips (each pair shares the 2 card
+    hashes) on top of the k² hot-key candidate blowup; with the default
+    cap the output is exactly the planted dup edge set — the cap
+    removes boilerplate edges and ONLY boilerplate edges."""
+    sample = docs.orderBy("doc_id").limit(80)
+    capped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in M.video_near_dups(sample).collect()
+    }
+    uncapped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in M.video_near_dups(sample, max_df=10**9).collect()
+    }
+    ids = sorted(r.doc_id for r in sample.select("doc_id").collect())
+    boiler = [
+        d for d in ids if d % M.VIDEO_BOILER_MOD == M.VIDEO_BOILER_BOTH_RES
+    ]
+    assert len(boiler) >= 5, "fixture must plant a real clique"
+    clique = {
+        (a, b) for i, a in enumerate(boiler) for b in boiler[i + 1:]
+    }
+    assert capped <= uncapped
+    assert uncapped - capped == clique, "cap must remove exactly the clique"
+    planted = {
+        (d - M.BMP_DUP_RES, d)
+        for d in ids
+        if d % M.BMP_DUP_MOD == M.BMP_DUP_RES and d >= M.BMP_DUP_RES
+    }
+    assert planted <= capped, "the cap must preserve genuine dup edges"
 
 
 def test_video_frame_hashes_match_image_kernel(spark, docs):

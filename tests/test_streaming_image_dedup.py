@@ -184,7 +184,12 @@ def test_video_stream_converges_to_batch_cluster_survivors(spark, tmp_path):
     )
 
     # planted clip dups (doc_id % 8 == 5 replays doc_id-5's frame
-    # keys): 5 dups 0 (b1->b2), 13 dups 8 (b1->b3), 21 dups 16 (b2->b3)
+    # keys): 5 dups 0 (b1->b2), 13 dups 8 (b1->b3), 21 dups 16 (b2->b3).
+    # Docs 1 and 9 (% 8 == 1) carry the planted intro+outro boilerplate
+    # cards (r10): with only two such clips in this corpus the cards
+    # stay under the df cap, so 9 legitimately pairs with 1 (2 shared
+    # frames) and drops cross-batch — in BOTH the batch ground truth
+    # and the stream.
     v1, v2, v3 = [0, 1, 8], [5, 9, 16], [13, 21, 24]
     src = tmp_path / "in"
     src.mkdir()
@@ -208,7 +213,7 @@ def test_video_stream_converges_to_batch_cluster_survivors(spark, tmp_path):
         .collect()
     }
     assert _landed(spark, out) == survivors
-    assert set(v1 + v2 + v3) - survivors == {5, 13, 21}
+    assert set(v1 + v2 + v3) - survivors == {5, 9, 13, 21}
 
 
 def test_video_epoch_replay_readmits(spark, tmp_path):

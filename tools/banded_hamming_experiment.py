@@ -75,13 +75,33 @@ def run(lane: str, fp_fn, dup_mod: int, dup_res: int, radius: int, n: int):
     for off, mask in M.AHASH_BAND_SPECS:
         buckets = Counter((int(v) >> off) & mask for v in fps)
         cand += sum(k * (k - 1) // 2 for k in buckets.values())
+    # MIH candidate rows = Σ_band unordered pairs whose 16-bit band
+    # values are within the ball radius ⌊r/4⌋ (each such pair is hit by
+    # exactly one probe mask on the doc_id< side of the join)
+    ball = radius // M.MIH_BANDS
+    masks = M._mih_masks(ball)
+    cand_mih = 0
+    for b in range(M.MIH_BANDS):
+        c = Counter(
+            (int(v) >> (b * M.MIH_BAND_BITS))
+            & ((1 << M.MIH_BAND_BITS) - 1)
+            for v in fps
+        )
+        for u, ku in c.items():
+            for m in masks:
+                v = u ^ m
+                if m == 0:
+                    cand_mih += ku * (ku - 1) // 2
+                elif v > u and v in c:
+                    cand_mih += ku * c[v]
     naive = n * (n - 1) // 2
     assert max(dup_h) <= radius, (lane, n, max(dup_h))
     print(
         f"{lane:6s} n={n:5d}  dup_h max={max(dup_h):2d} "
         f"mean={sum(dup_h)/len(dup_h):4.1f}  pairs<=r={within:6d} "
         f"(planted {len(dup_pairs)})  band-candidates={cand:>10d} "
-        f"naive={naive:>10d}  ratio={cand/naive:.3f}"
+        f"mih-candidates={cand_mih:>9d} naive={naive:>10d}  "
+        f"ratio={cand/naive:.3f}  mih-ratio={cand_mih/naive:.3f}"
     )
 
 
