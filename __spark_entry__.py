@@ -182,6 +182,20 @@ def _knn_ivfpq_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.knn_join_ivfpq_after_delete(spark, _embs(spark, sf_dir), path)
 
 
+def _ann_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image→ANN bridge (r10): decoded-pixel embeddings served through
+    the existing IVF-PQ funnel; layout cached per (documents identity,
+    funnel config) like every other index entry."""
+    path = _ivf_cache_path(
+        sf_dir,
+        "imgivfpq",
+        f"m{_sim.PQ_SUBSPACES}k{_sim.PQ_CODES}np{_sim.IVF_NPROBE}"
+        f"r{_mm.IMAGE_EMB_ROUND}",
+        table="documents",
+    )
+    return _mm.ann_topk_image(spark, _docs(spark, sf_dir), path)
+
+
 def _knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivf_cache_path(
         sf_dir,
@@ -792,6 +806,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq_rerank": _ann_pq_rerank,
         # combined IVF-PQ: cell pruning + compressed ADC scan + rerank
         "ann_topk_ivfpq": _ann_ivfpq,
+        # image -> ANN bridge (r10): decoded-pixel embedding (exploded
+        # scalar form) + the same vectors served through the IVF-PQ
+        # funnel; oracles replay pixel field -> embedding -> PQ -> ADC
+        # -> rerank end-to-end
+        "image_embeddings": lambda spark, sf: _mm.image_embeddings(
+            _docs(spark, sf)
+        ),
+        "ann_topk_image": _ann_image,
         # batched serving against the compressed index + its recall audit
         "knn_join_ivfpq": _knn_ivfpq,
         "knn_join_ivfpq_after_delete": _knn_ivfpq_after_delete,
@@ -1410,6 +1432,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pq": _sim.ANN_TOPK_PQ_SQL,
         "ann_topk_pq_rerank": _sim.ANN_TOPK_PQ_RERANK_SQL,
         "ann_topk_ivfpq": _sim.ANN_TOPK_IVFPQ_SQL,
+        "image_embeddings": _mm.IMAGE_EMBEDDINGS_SQL,
+        "ann_topk_image": _mm._ann_topk_image_sql(),
         "knn_join_ivfpq": _sim.KNN_JOIN_IVFPQ_SQL,
         "knn_join_ivfpq_after_delete": _sim.KNN_JOIN_IVFPQ_AFTER_DELETE_SQL,
         "knn_ivfpq_recall_audit": _sim.KNN_IVFPQ_RECALL_AUDIT_SQL,

@@ -59,6 +59,33 @@ BASELINE_QUERIES = (
     "containment_pairs_zipf",
 )
 
+# Machine-readable intent (VERDICT r9 item #7): a confirmed cross-round
+# slowdown whose name appears here is INTENTIONAL — it lands under
+# "expected_regressions" (with this reason) instead of "regressions",
+# so the alarm list only carries unexplained drift. Entries persist
+# across rounds (the baseline is the last committed round, so an
+# annotated rebase stops flagging once its round commits); prune when a
+# query is rebased again.
+EXPECTED_REGRESSIONS = {
+    # r9 codec rebases: byte-sampling stand-ins replaced by real
+    # decode work (previously annotated only in commit c2252f8)
+    "phash_fingerprints": "r9: rebased onto decoded-pixel aHash lane",
+    "phash_near_dups": "r9: rebased onto decoded-pixel aHash lane",
+    "frame_sample": "r9: rebased onto real container index-seek decode",
+    "resize_payload": "r9: rebased onto true NN resample through BMP",
+    "image_ahash_near_dups": (
+        "r9: 13-band widening for pigeonhole-exact radius-12 recall; "
+        "r10: MIH default (faster at scale, ball-probe setup at sf0.1)"
+    ),
+    # r10: the video lane now synthesizes + hashes planted boilerplate
+    # cards and runs the df-cap aggregate before pairing
+    "video_frame_hashes": "r10: boilerplate cards planted in the corpus",
+    "video_near_dups": "r10: boilerplate cards + frame-hash df cap",
+    "video_dedup_clusters": "r10: boilerplate cards + frame-hash df cap",
+    "audio_fp_near_dups": "r10: MIH default (137-mask ball-probe setup)",
+    "audio_dedup_clusters": "r10: MIH default edge generator",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,6 +190,7 @@ def main() -> None:
         # the old 8-bit bands; the Hamming filter now runs before the
         # pair distinct to keep the overhead at ~1.5x instead of ~2x.
         regressions = {}
+        expected = {}
         suspect_cold = {}
         for name, prev in prior.items():
             if name not in timings or prev <= 0:
@@ -176,11 +204,12 @@ def main() -> None:
                 runs.append(round(time.perf_counter() - t0, 3))
             best = min(runs)
             if best > 1.5 * prev:
-                regressions[name] = {
-                    "prev": prev,
-                    "now": best,
-                    "runs": runs,
-                }
+                entry = {"prev": prev, "now": best, "runs": runs}
+                if name in EXPECTED_REGRESSIONS:
+                    entry["reason"] = EXPECTED_REGRESSIONS[name]
+                    expected[name] = entry
+                else:
+                    regressions[name] = entry
             else:
                 suspect_cold[name] = {
                     "prev": prev,
@@ -188,13 +217,21 @@ def main() -> None:
                     "warm_min": best,
                 }
         out["regressions"] = regressions
+        out["expected_regressions"] = expected
         out["suspect_cold"] = suspect_cold
         compact["regressions"] = regressions
+        compact["expected_regressions"] = expected
         compact["suspect_cold"] = suspect_cold
         for name, r in regressions.items():
             print(
                 f"# REGRESSION {name}: {r['prev']:.3f}s -> {r['now']:.3f}s"
                 f" (min of {r['runs']})",
+                file=sys.stderr,
+            )
+        for name, r in expected.items():
+            print(
+                f"# expected regression {name}: {r['prev']:.3f}s ->"
+                f" {r['now']:.3f}s ({r['reason']})",
                 file=sys.stderr,
             )
     here = os.path.dirname(os.path.abspath(__file__))

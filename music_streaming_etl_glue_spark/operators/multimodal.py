@@ -379,10 +379,10 @@ def image_ahash(documents: DataFrame) -> DataFrame:
     )
 
 
-def _ahash_of_array(arr) -> int:
-    """The 64-bit average-hash of ONE decoded RGB array — shared by the
-    image rung and the per-frame video rung so there is exactly one
-    hash kernel (and one SQL replay) for pixels everywhere."""
+def _grid_lumas_of_array(arr):
+    """The 64 point-sampled integer lumas of ONE decoded RGB array —
+    the shared sampling grid under both the aHash bits and the image
+    embedding (one pixel-sampling semantics, one SQL replay)."""
     import numpy as np
 
     arr = arr.astype(np.int64)
@@ -390,7 +390,14 @@ def _ahash_of_array(arr) -> int:
     g = AHASH_GRID
     ys = (np.arange(AHASH_BITS) // g) * h // g
     xs = (np.arange(AHASH_BITS) % g) * w // g
-    lumas = arr[ys, xs].sum(axis=1) // 3
+    return arr[ys, xs].sum(axis=1) // 3
+
+
+def _ahash_of_array(arr) -> int:
+    """The 64-bit average-hash of ONE decoded RGB array — shared by the
+    image rung and the per-frame video rung so there is exactly one
+    hash kernel (and one SQL replay) for pixels everywhere."""
+    lumas = _grid_lumas_of_array(arr)
     total = int(lumas.sum())
     hv = 0
     for i, l in enumerate(lumas):
@@ -729,6 +736,185 @@ FROM probes a JOIN mbands b
   ON a.band = b.band AND a.pval = b.val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_MAX_HAMMING}
 """
+
+
+# ---------------------------------------------------------------------------
+# image → ANN bridge (r10, VERDICT r9 item #6): a small L2-normalized
+# embedding derived from decoded pixels, indexed and served through the
+# EXISTING IVF-PQ funnel — "find images like this one" becomes a served
+# query instead of a pairwise join
+# ---------------------------------------------------------------------------
+
+#: 64 dims = the aHash sample grid, mean-centered: dim i carries
+#: 64·lumaᵢ − Σ lumas (the same integer compare the hash thresholds),
+#: then L2-normalized. Centering matters: raw lumas live in the
+#: all-positive cone where every pair looks similar; centered vectors
+#: spread over the sphere, so cosine discriminates (the text lane's
+#: mean-centering lesson applied to pixels). A planted ~3%-pixel edit
+#: perturbs few samples → near-identical vectors.
+IMAGE_EMB_DIMS = AHASH_BITS
+IMAGE_EMB_ROUND = 6
+
+
+def image_grid_lumas(documents: DataFrame) -> DataFrame:
+    """(doc_id, lumas array<long>): the 64 point-sampled integer lumas
+    per decoded image — one Arrow pass through the real codec; the
+    shared generator under :func:`image_embeddings`."""
+    with_payload = synth_bmp_payloads(documents)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "lumas": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                out["doc_id"].append(doc_id)
+                out["lumas"].append(
+                    [int(x) for x in _grid_lumas_of_array(
+                        decode_image(payload)
+                    )]
+                )
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(
+        batches, schema="doc_id long, lumas array<long>"
+    )
+
+
+def image_embeddings(documents: DataFrame) -> DataFrame:
+    """(doc_id, dim, val): the image embedding in exploded scalar form
+    (the stamped shape — list cells don't canonicalize): integer
+    mean-centered grid lumas cᵢ = 64·lumaᵢ − Σ lumas, L2-normalized in
+    one IEEE expression and rounded to 6dp (valᵢ = round(cᵢ/√Σc², 6),
+    0.0 on the all-constant image whose norm is 0). Everything after
+    the Arrow decode is JVM column math — two window passes over one
+    doc_id exchange; the DuckDB twin replays the closed-form pixel
+    field through identical integer sums and the same binary64
+    sqrt/divide."""
+    from pyspark.sql.window import Window
+
+    g = (
+        image_grid_lumas(documents)
+        .select("doc_id", F.posexplode("lumas").alias("dim", "luma"))
+        .withColumn("dim", F.col("dim").cast("long"))
+    )
+    w = Window.partitionBy("doc_id")
+    cent = g.select(
+        "doc_id",
+        "dim",
+        (F.lit(AHASH_BITS) * F.col("luma") - F.sum("luma").over(w))
+        .alias("c"),
+    )
+    nrm = cent.select(
+        "doc_id",
+        "dim",
+        "c",
+        F.sqrt(F.sum(F.col("c") * F.col("c")).over(w)).alias("nv"),
+    )
+    return nrm.select(
+        "doc_id",
+        "dim",
+        F.when(F.col("nv") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("c") / F.col("nv"), IMAGE_EMB_ROUND))
+        .alias("val"),
+    )
+
+
+def image_embedding_vectors(documents: DataFrame) -> DataFrame:
+    """(vec_id, embedding array<double>, label): the embeddings-table
+    shape the ANN/IVF-PQ stack consumes, built from
+    :func:`image_embeddings`. The IVF seed label is the image width
+    bucket (w − 8 ∈ 0..8) — a pure function of the dup-resolved doc key
+    (w = 8 + key % 9), so a planted dup seeds the same cell as its base
+    and the label is replayable without touching pixels; the actual
+    cell assignment is nearest-centroid over the full vector, as
+    everywhere in the IVF stack."""
+    emb = image_embeddings(documents)
+    vecs = emb.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "val"))),
+            lambda t: t["val"],
+        ).alias("embedding")
+    )
+    key = F.when(
+        (F.col("doc_id") % BMP_DUP_MOD == BMP_DUP_RES)
+        & (F.col("doc_id") >= BMP_DUP_RES),
+        F.col("doc_id") - BMP_DUP_RES,
+    ).otherwise(F.col("doc_id"))
+    return vecs.select(
+        F.col("doc_id").alias("vec_id"),
+        "embedding",
+        (key % BMP_W_MOD).alias("label"),
+    )
+
+
+def ann_topk_image(spark, documents: DataFrame, path: str) -> DataFrame:
+    """Serve "find images like this one" through the EXISTING IVF-PQ
+    funnel (:func:`..similarity.ann_topk_ivfpq` — prune cells from the
+    persisted centroids, ADC-scan only the nprobe cells' packed codes,
+    exact-rerank the shortlist) over :func:`image_embedding_vectors`.
+    The bridge is the point: the multimodal decode lane produces the
+    vectors, the ANN stack owns indexing and serving — no new kernel.
+    Query is vec 0 (the base of planted dup 5, which should surface at
+    the top). The DuckDB twin replays the whole chain — pixel field →
+    embedding → PQ training → ADC → rerank — in closed form."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        ann_topk_ivfpq,
+    )
+
+    vecs = image_embedding_vectors(documents).localCheckpoint()
+    return ann_topk_ivfpq(spark, vecs, path)
+
+
+IMAGE_EMBEDDINGS_SQL = f"""
+WITH {_PIXELS_SQL_CTE},
+{_AHASH_SQL_CTE},
+cdim AS (
+    SELECT l.doc_id, l.i AS dim,
+           {AHASH_BITS} * l.luma - t.total AS c
+    FROM lum l JOIN tot t USING (doc_id)
+),
+inorm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM cdim GROUP BY doc_id)
+SELECT c.doc_id, c.dim::BIGINT AS dim,
+       CASE WHEN n.nv = 0 THEN 0.0
+            ELSE round(c.c / n.nv, {IMAGE_EMB_ROUND}) END AS val
+FROM cdim c JOIN inorm n USING (doc_id)
+"""
+
+#: the embeddings-table-shaped CTE the IVF-PQ SQL chain is re-pointed
+#: at — list aggregation ORDER BY dim mirrors the Spark sort_array pack
+_IMG_EMBS_CTE = f"""
+cdim AS (
+    SELECT l.doc_id, l.i AS dim,
+           {AHASH_BITS} * l.luma - t.total AS c
+    FROM lum l JOIN tot t USING (doc_id)
+),
+inorm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM cdim GROUP BY doc_id),
+img_embs AS (
+    SELECT c.doc_id AS vec_id,
+           list(CASE WHEN n.nv = 0 THEN 0.0
+                     ELSE round(c.c / n.nv, {IMAGE_EMB_ROUND}) END
+                ORDER BY c.dim) AS embedding,
+           d.w - 8 AS label
+    FROM cdim c JOIN inorm n USING (doc_id) JOIN d USING (doc_id)
+    GROUP BY c.doc_id, d.w
+)"""
+
+
+def _ann_topk_image_sql() -> str:
+    """The served image-ANN oracle: the PROVEN ANN_TOPK_IVFPQ_SQL chain
+    (PQ training replay, cell pruning, ADC, exact rerank) verbatim,
+    with its ``embeddings`` source re-pointed at the closed-form image
+    embedding CTE — one funnel, two vector sources."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        ANN_TOPK_IVFPQ_SQL,
+    )
+
+    body = ANN_TOPK_IVFPQ_SQL.strip()
+    assert body.startswith("WITH ")
+    body = body[len("WITH "):].replace("FROM embeddings", "FROM img_embs")
+    return (
+        f"WITH {_PIXELS_SQL_CTE},\n{_AHASH_SQL_CTE},\n{_IMG_EMBS_CTE},\n"
+        + body
+    )
 
 
 def _image_features(payload: bytes) -> tuple[int, int, int, int, int, int]:

@@ -3063,16 +3063,21 @@ def knn_ivfpq_recall_audit(
     path: str,
     n_queries: int = KNN_N_QUERIES,
     k: int = KNN_K,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = PQ_SHORTLIST,
 ) -> DataFrame:
     """Per-query recall@k of the batched IVF-PQ funnel
     (:func:`knn_join_ivfpq`) against the exact :func:`knn_join` — the
     compressed-index twin of :func:`knn_recall_audit`, closing the audit
     pair: LSH serving and PQ serving are tuned by the same measured
-    number against the same ground truth."""
+    number against the same ground truth. ``nprobe``/``shortlist`` are
+    the serving dials the audit exists to tune (r10: unclustered vector
+    sources — e.g. the image-embedding bridge — need more probes than
+    label-clustered ones to hit the same recall)."""
     exact = knn_join(embeddings, n_queries, k).select("query_id", "vec_id")
-    approx = knn_join_ivfpq(spark, embeddings, path, n_queries, k).select(
-        "query_id", "vec_id"
-    )
+    approx = knn_join_ivfpq(
+        spark, embeddings, path, n_queries, k, nprobe, shortlist
+    ).select("query_id", "vec_id")
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     hits = (
         exact.join(approx, ["query_id", "vec_id"], "left_semi")

@@ -1,0 +1,88 @@
+"""Image → ANN bridge (VERDICT r9 item #6): a decoded-pixel embedding
+feeds the EXISTING IVF-PQ serving stack, making "find images like this
+one" a served query. Pins: unit norm + mean-centering of the embedding,
+planted-dup families are nearest neighbors under brute-force cosine,
+the served IVF-PQ top-k surfaces the planted dup at the top, and the
+funnel's recall@k holds against exact kNN on these vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.operators import multimodal as M
+from music_streaming_etl_glue_spark.operators import similarity as S
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, docs):
+    return M.image_embedding_vectors(
+        docs.orderBy("doc_id").limit(200)
+    ).localCheckpoint()
+
+
+def test_embedding_is_unit_norm_and_centered(vecs):
+    rows = vecs.collect()
+    assert rows and all(len(r.embedding) == M.IMAGE_EMB_DIMS for r in rows)
+    for r in rows:
+        v = np.array(r.embedding)
+        assert abs(float(v @ v) - 1.0) < 1e-4, r.vec_id
+        # mean-centered: components sum to ~0 (the integer centering is
+        # exact; only the 6dp rounding perturbs it)
+        assert abs(float(v.sum())) < 1e-3, r.vec_id
+
+
+def test_planted_dups_are_cosine_nearest(vecs):
+    """Under brute-force cosine, each planted dup's best match is its
+    base (and vice versa) — the signal the served index must preserve."""
+    emb = {r.vec_id: np.array(r.embedding) for r in vecs.collect()}
+    ids = sorted(emb)
+    planted = [
+        (d - M.BMP_DUP_RES, d)
+        for d in ids
+        if d % M.BMP_DUP_MOD == M.BMP_DUP_RES and d >= M.BMP_DUP_RES
+    ]
+    assert len(planted) >= 20
+    for base, dup in planted:
+        sims = {o: float(emb[dup] @ emb[o]) for o in ids if o != dup}
+        assert max(sims, key=sims.get) == base, (base, dup)
+
+
+def test_served_topk_surfaces_planted_dup_first(spark, docs, tmp_path):
+    """The full funnel — centroids prune, ADC scan, exact rerank — for
+    query doc 0 must rank its planted dup (doc 5) first."""
+    served = M.ann_topk_image(
+        spark, docs.orderBy("doc_id").limit(200), str(tmp_path / "idx")
+    ).collect()
+    assert len(served) == S.TOP_K
+    assert served[0].vec_id == M.BMP_DUP_RES  # doc 5, the planted dup of 0
+
+
+def test_ivfpq_recall_audit_on_image_vectors(spark, vecs, tmp_path):
+    """The generic recall audit runs unchanged on the image vectors —
+    the bridge reuses the stack, not a parallel one. Image embeddings
+    are UNCLUSTERED (pseudorandom pixels spread over the sphere), so
+    the default nprobe=3 of 9 cells measures ~0.54; the audit is the
+    tuning loop: nprobe=6 must clear 0.7, and probing every cell makes
+    the funnel exact-rerank-only (recall 1.0 within shortlist reach)."""
+    path = str(tmp_path / "idx")
+    S.write_ivfpq_layout(vecs, path)
+    r6 = float(
+        S.knn_ivfpq_recall_audit(spark, vecs, path, nprobe=6)
+        .agg(F.avg("recall_at_k"))
+        .head()[0]
+    )
+    assert r6 >= 0.7, r6
+    r_all = float(
+        S.knn_ivfpq_recall_audit(spark, vecs, path, nprobe=9)
+        .agg(F.avg("recall_at_k"))
+        .head()[0]
+    )
+    assert r_all >= 0.95, r_all
