@@ -232,78 +232,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # but a driver stamp is the harder signal — so the dict is reordered per
 # round. Previously-stamped entries keep their historical green stamps.
 _STAMP_PRIORITY = (
-    # ROUND 9 ROTATION — oldest-stamp-first (standing policy), with the
-    # two queue-jumping exceptions: (a) entries whose RESULTS changed
-    # this round (their historical stamps describe retired code), and
-    # (b) entries new this round (first stamp beats a re-stamp).
+    # ROUND 10 ROTATION — oldest-stamp-first (standing policy), with
+    # the two queue-jumping exceptions: (a) entries whose RESULTS
+    # changed this round (their historical stamps describe the retired
+    # corpus), and (b) entries new this round.
     #
-    # (a) changed in r9: the perceptual-hash unification rebased
-    # multimodal_features and the phash_* aliases onto decoded pixels;
-    # the 13-band widening changed the image near-dup/cluster edge
-    # sets; the audio synth field gained planted dups + the envelope
-    # gain term (audio_decode_meta values changed with it).
-    "multimodal_features",
-    "phash_fingerprints",
-    "phash_near_dups",
-    "image_ahash_near_dups",
-    "image_dedup_clusters",
-    "audio_decode_meta",
-    "frame_sample",
-    "resize_payload",
-    # (b) new in round 9 — audio dedup ladder + video near-dup rung.
-    "audio_fingerprint",
-    "audio_fp_near_dups",
-    "audio_dedup_clusters",
+    # (a) changed in r10: the video synth corpus gained planted
+    # boilerplate cards and video_near_dups/_clusters gained the
+    # frame-hash df cap — every video-lane result changed.
+    "video_frames_meta",
     "video_frame_hashes",
     "video_near_dups",
     "video_dedup_clusters",
-    "image_ahash_near_dups_mih",
-    "audio_fp_near_dups_mih",
-    # r3 cohort (latest stamp = round 3), all 40 entries, hash-signal
-    # first; the 50-slot window ends at the tail. ROUND-10 ROTATION
-    # NOTE: whatever of the r3 tail r09 missed leads next round, then
-    # the r5 cohort (47 entries) oldest-first, then r6.
-    "token_counts",
-    "text_quality",
-    "lang_id",
-    "fingerprints",
-    "tfidf_top_terms",
-    "value_histogram",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_apply",
-    "dataset_split",
-    "genre_daily_moving_avg",
-    "serving_by_genre_date",
-    "serving_by_kpi_type",
-    "bm25_scores",
-    "repetition_metrics",
-    "chunk_documents",
-    "chunk_documents_udtf",
-    "event_props_variant",
-    "contamination_flags",
-    "user_retention_cohorts",
-    "conversion_funnel",
-    "genre_daily_anomalies",
-    "events_rollup",
-    "track_cooccurrence",
-    "track_pagerank",
-    "sample_per_group",
-    "view_days_without_purchase",
-    "view_purchase_days",
-    "user_first_last_event",
-    "genre_daily_change",
-    "genre_daily_gapfilled",
-    "daily_activity_full",
-    "stratified_sample",
-    "weighted_sample",
+    "frame_sample",
+    # (b) new in r10: the image->ANN bridge and the named 13-band
+    # twins of the now-MIH defaults.
+    "image_embeddings",
+    "ann_topk_image",
+    "image_ahash_near_dups_banded",
+    "audio_fp_near_dups_banded",
+    # MIH became the default candidate generator (VERDICT r9 item #1):
+    # results identical, plans changed — re-stamp on the new plan.
+    "image_ahash_near_dups",
+    "audio_fp_near_dups",
+    "image_dedup_clusters",
+    "audio_dedup_clusters",
+    "phash_near_dups",
+    # r3 tail (oldest stamps in the catalog — the 6 entries the r9
+    # window cut off), hash-signal first, rows-only straggler last
     "serving_lookup",
     "vocab_top_terms",
     "pack_chunks",
     "pack_examples",
     "ngram_decontamination",
-    # rows-only r3 straggler (weaker signal per slot — last)
     "genre_daily_metrics_approx",
+    # r5 cohort (latest stamp = round 5), oldest-first per the r9
+    # verdict directive; the ~50-slot window reaches ~the first 30.
+    # ROUND-11 ROTATION NOTE: lead with whatever of this r5 list the
+    # r10 window cut off, then the r6 cohort (48 entries), then r7.
+    "ann_topk_ivfpq",
+    "ann_topk_pq",
+    "ann_topk_pq_rerank",
+    "bigram_surprisal",
+    "boilerplate_shingles",
+    "cms_track_estimates",
+    "corpus_card",
+    "corpus_shuffle",
+    "customer_status_history",
+    "dedup_incremental",
+    "documents_diff_summary",
+    "error_click_asof_cogroup",
+    "error_recovery_clicks",
+    "events_in_busy_sessions",
+    "events_value_drift",
+    "favorite_track_per_user",
+    "genre_daily_metrics",
+    "genre_series_similarity",
+    "genre_top_songs",
+    "geomean_value_by_type",
+    "interleave_sources",
+    "jaccard_pairs_prefix",
+    "nested_order_lines",
+    "orders_changelog_applied",
+    "packing_efficiency",
+    "power_user_curve",
+    "pq_codebooks",
+    "profile_events",
+    "quality_filter_rules",
+    "remove_boilerplate",
+    "rolling_active_users",
+    "serving_items",
+    "source_divergence",
+    "synthetic_events_source",
+    "temperature_mix",
+    "token_budget_sample",
+    "track_association_rules",
+    "track_communities",
+    "track_decay_scores",
+    "track_ppr",
+    "track_reach",
+    "track_similarity",
+    "track_triangles",
+    "trending_tracks",
+    "user_value_quartiles",
     # then the rest of the previously-green catalog in queries() order
 )
 
