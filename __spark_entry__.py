@@ -182,6 +182,19 @@ def _knn_ivfpq_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.knn_join_ivfpq_after_delete(spark, _embs(spark, sf_dir), path)
 
 
+def _ann_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio→ANN bridge (r10): fingerprint-margin embeddings served
+    through the existing IVF-PQ funnel."""
+    path = _ivf_cache_path(
+        sf_dir,
+        "audivfpq",
+        f"m{_sim.PQ_SUBSPACES}k{_sim.PQ_CODES}np{_sim.IVF_NPROBE}"
+        f"r{_mm.IMAGE_EMB_ROUND}",
+        table="documents",
+    )
+    return _mm.ann_topk_audio(spark, _docs(spark, sf_dir), path)
+
+
 def _ann_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image→ANN bridge (r10): decoded-pixel embeddings served through
     the existing IVF-PQ funnel; layout cached per (documents identity,
@@ -249,6 +262,8 @@ _STAMP_PRIORITY = (
     # twins of the now-MIH defaults.
     "image_embeddings",
     "ann_topk_image",
+    "audio_embeddings",
+    "ann_topk_audio",
     "image_ahash_near_dups_banded",
     "audio_fp_near_dups_banded",
     # MIH became the default candidate generator (VERDICT r9 item #1):
@@ -825,6 +840,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "ann_topk_image": _ann_image,
+        # audio twin of the bridge: fingerprint threshold margins as a
+        # continuous 64-dim unit embedding, same funnel, same oracle
+        # discipline
+        "audio_embeddings": lambda spark, sf: _mm.audio_embeddings(
+            _docs(spark, sf)
+        ),
+        "ann_topk_audio": _ann_audio,
         # batched serving against the compressed index + its recall audit
         "knn_join_ivfpq": _knn_ivfpq,
         "knn_join_ivfpq_after_delete": _knn_ivfpq_after_delete,
@@ -1445,6 +1467,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivfpq": _sim.ANN_TOPK_IVFPQ_SQL,
         "image_embeddings": _mm.IMAGE_EMBEDDINGS_SQL,
         "ann_topk_image": _mm._ann_topk_image_sql(),
+        "audio_embeddings": _mm.AUDIO_EMBEDDINGS_SQL,
+        "ann_topk_audio": _mm._ann_topk_audio_sql(),
         "knn_join_ivfpq": _sim.KNN_JOIN_IVFPQ_SQL,
         "knn_join_ivfpq_after_delete": _sim.KNN_JOIN_IVFPQ_AFTER_DELETE_SQL,
         "knn_ivfpq_recall_audit": _sim.KNN_IVFPQ_RECALL_AUDIT_SQL,

@@ -779,6 +779,31 @@ def image_grid_lumas(documents: DataFrame) -> DataFrame:
     )
 
 
+def _unit_embedding(components: DataFrame) -> DataFrame:
+    """(doc_id, dim, val) from an integer-component relation
+    (doc_id, dim, c): L2-normalize per doc in one IEEE binary64
+    sqrt/divide and round to 6dp (0.0 when the norm is 0) — the shared
+    tail of every modality→ANN bridge. One doc_id exchange, one window
+    pass; both engines see the identical integer sums, so the rounded
+    doubles hash-match."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id")
+    nrm = components.select(
+        "doc_id",
+        "dim",
+        "c",
+        F.sqrt(F.sum(F.col("c") * F.col("c")).over(w)).alias("nv"),
+    )
+    return nrm.select(
+        "doc_id",
+        "dim",
+        F.when(F.col("nv") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("c") / F.col("nv"), IMAGE_EMB_ROUND))
+        .alias("val"),
+    )
+
+
 def image_embeddings(documents: DataFrame) -> DataFrame:
     """(doc_id, dim, val): the image embedding in exploded scalar form
     (the stamped shape — list cells don't canonicalize): integer
@@ -803,19 +828,7 @@ def image_embeddings(documents: DataFrame) -> DataFrame:
         (F.lit(AHASH_BITS) * F.col("luma") - F.sum("luma").over(w))
         .alias("c"),
     )
-    nrm = cent.select(
-        "doc_id",
-        "dim",
-        "c",
-        F.sqrt(F.sum(F.col("c") * F.col("c")).over(w)).alias("nv"),
-    )
-    return nrm.select(
-        "doc_id",
-        "dim",
-        F.when(F.col("nv") == 0, F.lit(0.0))
-        .otherwise(F.round(F.col("c") / F.col("nv"), IMAGE_EMB_ROUND))
-        .alias("val"),
-    )
+    return _unit_embedding(cent)
 
 
 def image_embedding_vectors(documents: DataFrame) -> DataFrame:
@@ -1633,6 +1646,174 @@ FROM probes a JOIN mbands b
   ON a.band = b.band AND a.pval = b.val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.afp, b.afp)) <= {AUDIO_FP_MAX_HAMMING}
 """
+
+
+# ---------------------------------------------------------------------------
+# audio → ANN bridge (r10): the audio twin of the image bridge — the
+# fingerprint's integer threshold margins, continuous instead of
+# binarized, L2-normalized and served through the same IVF-PQ funnel
+# ---------------------------------------------------------------------------
+
+#: 64 dims: w ∈ 0..31 carries the energy margin e_w·n − total·len_w
+#: (the signed integer quantity :func:`audio_fingerprint` thresholds at
+#: 0 for bit 2w), w+32 the zero-crossing margin z_w·(n−1) − tz·lz_w
+#: (bit 2w+1). Margins are already mean-relative (they sum against the
+#: global rate), so no extra centering; a re-gain edit moves a few
+#: energy margins and leaves the sign pattern (zc margins) almost
+#: untouched. Synth bound keeps every margin ≪ int64 (n ≤ 163,
+#: |amp| ≤ 12k); production audio with hour-long clips would cast the
+#: products to decimal before squaring.
+AUDIO_EMB_DIMS = 2 * AUDIO_FP_WINDOWS
+
+
+def audio_window_margins(documents: DataFrame) -> DataFrame:
+    """(doc_id, margins array<long>): the 64 integer fingerprint
+    margins per decoded clip — one Arrow pass through the real WAV
+    codec, same window algebra as :func:`audio_fingerprint`."""
+    import numpy as np
+
+    with_payload = synth_wav_payloads(documents)
+    W = AUDIO_FP_WINDOWS
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "margins": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                s64 = decode_wav(payload)[0].astype(np.int64)
+                n = len(s64)
+                aa = np.abs(s64)
+                total = int(aa.sum())
+                wi = np.arange(n, dtype=np.int64) * W // n
+                e = np.bincount(wi, weights=aa, minlength=W).astype(
+                    np.int64
+                )
+                ln = np.bincount(wi, minlength=W).astype(np.int64)
+                sign = s64 >= 0
+                crossed = (sign[1:] != sign[:-1]).astype(np.int64)
+                m = n - 1
+                zi = np.arange(m, dtype=np.int64) * W // m
+                z = np.bincount(zi, weights=crossed, minlength=W).astype(
+                    np.int64
+                )
+                lz = np.bincount(zi, minlength=W).astype(np.int64)
+                tz = int(crossed.sum())
+                em = e * n - total * ln
+                zm = z * m - tz * lz
+                out["doc_id"].append(doc_id)
+                out["margins"].append(
+                    [int(x) for x in em] + [int(x) for x in zm]
+                )
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(
+        batches, schema="doc_id long, margins array<long>"
+    )
+
+
+def audio_embeddings(documents: DataFrame) -> DataFrame:
+    """(doc_id, dim, val): the audio embedding in exploded scalar form —
+    the 64 fingerprint margins L2-normalized through the shared
+    :func:`_unit_embedding` tail; the DuckDB twin replays the
+    closed-form waveform through the SAME en/ta/zw/tz aggregates the
+    fingerprint oracle uses."""
+    g = (
+        audio_window_margins(documents)
+        .select("doc_id", F.posexplode("margins").alias("dim", "c"))
+        .withColumn("dim", F.col("dim").cast("long"))
+    )
+    return _unit_embedding(g)
+
+
+def audio_embedding_vectors(documents: DataFrame) -> DataFrame:
+    """(vec_id, embedding array<double>, label): the embeddings-table
+    shape for the ANN stack. IVF seed label = clip length bucket
+    (n % 9 where n = 64 + key % 100 is the dup-resolved sample count) —
+    replayable without decoding, and a planted dup seeds its base's
+    cell."""
+    emb = audio_embeddings(documents)
+    vecs = emb.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "val"))),
+            lambda t: t["val"],
+        ).alias("embedding")
+    )
+    key = F.when(
+        (F.col("doc_id") % AUDIO_DUP_MOD == AUDIO_DUP_RES)
+        & (F.col("doc_id") >= AUDIO_DUP_RES),
+        F.col("doc_id") - AUDIO_DUP_RES,
+    ).otherwise(F.col("doc_id"))
+    return vecs.select(
+        F.col("doc_id").alias("vec_id"),
+        "embedding",
+        ((F.lit(64) + key % AUDIO_N_MOD) % 9).alias("label"),
+    )
+
+
+def ann_topk_audio(spark, documents: DataFrame, path: str) -> DataFrame:
+    """"Find clips like this one" through the existing IVF-PQ funnel
+    over :func:`audio_embedding_vectors` — the audio twin of
+    :func:`ann_topk_image`; query is vec 0 (base of planted re-gain
+    dup 6). The DuckDB twin replays waveform → margins → embedding →
+    PQ training → ADC → rerank in closed form."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        ann_topk_ivfpq,
+    )
+
+    vecs = audio_embedding_vectors(documents).localCheckpoint()
+    return ann_topk_ivfpq(spark, vecs, path)
+
+
+#: margin components in SQL — reuses en/ta/zw/tz from the fingerprint
+#: CTE chain verbatim (one window algebra, two consumers)
+_AUDIO_EMB_COMPONENTS_CTE = f"""
+acdim AS (
+    SELECT en.doc_id, en.w AS dim,
+           en.e * en.n - ta.total * en.len AS c
+    FROM en JOIN ta USING (doc_id)
+    UNION ALL
+    SELECT zw.doc_id, {AUDIO_FP_WINDOWS} + zw.w AS dim,
+           zw.z * (zw.n - 1) - tz.total * zw.len AS c
+    FROM zw JOIN tz USING (doc_id)
+),
+anorm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM acdim GROUP BY doc_id)"""
+
+AUDIO_EMBEDDINGS_SQL = f"""
+WITH {_AUDIO_SAMPLES_SQL_CTE},
+{_AUDIO_FP_SQL_CTE},
+{_AUDIO_EMB_COMPONENTS_CTE}
+SELECT a.doc_id, a.dim::BIGINT AS dim,
+       CASE WHEN n.nv = 0 THEN 0.0
+            ELSE round(a.c / n.nv, {IMAGE_EMB_ROUND}) END AS val
+FROM acdim a JOIN anorm n USING (doc_id)
+"""
+
+_AUDIO_EMBS_CTE = f"""
+{_AUDIO_EMB_COMPONENTS_CTE},
+audio_embs AS (
+    SELECT a.doc_id AS vec_id,
+           list(CASE WHEN n.nv = 0 THEN 0.0
+                     ELSE round(a.c / n.nv, {IMAGE_EMB_ROUND}) END
+                ORDER BY a.dim) AS embedding,
+           (64 + ad.key % {AUDIO_N_MOD}) % 9 AS label
+    FROM acdim a JOIN anorm n USING (doc_id) JOIN ad ON ad.doc_id = a.doc_id
+    GROUP BY a.doc_id, ad.key
+)"""
+
+
+def _ann_topk_audio_sql() -> str:
+    """The served audio-ANN oracle — the proven ANN_TOPK_IVFPQ_SQL
+    chain re-pointed at the closed-form audio embedding CTE."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        ANN_TOPK_IVFPQ_SQL,
+    )
+
+    body = ANN_TOPK_IVFPQ_SQL.strip()
+    assert body.startswith("WITH ")
+    body = body[len("WITH "):].replace("FROM embeddings", "FROM audio_embs")
+    return (
+        f"WITH {_AUDIO_SAMPLES_SQL_CTE},\n{_AUDIO_FP_SQL_CTE},\n"
+        f"{_AUDIO_EMBS_CTE},\n" + body
+    )
 
 
 # ---------------------------------------------------------------------------

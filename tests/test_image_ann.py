@@ -86,3 +86,38 @@ def test_ivfpq_recall_audit_on_image_vectors(spark, vecs, tmp_path):
         .head()[0]
     )
     assert r_all >= 0.95, r_all
+
+
+@pytest.fixture(scope="module")
+def avecs(spark, docs):
+    return M.audio_embedding_vectors(
+        docs.orderBy("doc_id").limit(200)
+    ).localCheckpoint()
+
+
+def test_audio_embedding_unit_norm_and_dup_affinity(avecs):
+    """Audio twin pins: unit norm, and each planted re-gain dup's
+    brute-force cosine best match is its base (the re-gain edit moves a
+    few energy margins and leaves the zero-crossing margins almost
+    untouched)."""
+    emb = {r.vec_id: np.array(r.embedding) for r in avecs.collect()}
+    for v in emb.values():
+        assert abs(float(v @ v) - 1.0) < 1e-4
+    ids = sorted(emb)
+    planted = [
+        (d - M.AUDIO_DUP_RES, d)
+        for d in ids
+        if d % M.AUDIO_DUP_MOD == M.AUDIO_DUP_RES and d >= M.AUDIO_DUP_RES
+    ]
+    assert len(planted) >= 20
+    for base, dup in planted:
+        sims = {o: float(emb[dup] @ emb[o]) for o in ids if o != dup}
+        assert max(sims, key=sims.get) == base, (base, dup)
+
+
+def test_served_audio_topk_surfaces_planted_dup_first(spark, docs, tmp_path):
+    served = M.ann_topk_audio(
+        spark, docs.orderBy("doc_id").limit(200), str(tmp_path / "aidx")
+    ).collect()
+    assert len(served) == S.TOP_K
+    assert served[0].vec_id == M.AUDIO_DUP_RES  # doc 6, re-gain dup of 0
