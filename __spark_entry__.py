@@ -195,6 +195,19 @@ def _ann_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.ann_topk_audio(spark, _docs(spark, sf_dir), path)
 
 
+def _ann_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video→ANN bridge (r10): clip embeddings (summed mean-centered
+    frame components) served through the existing IVF-PQ funnel."""
+    path = _ivf_cache_path(
+        sf_dir,
+        "vidivfpq",
+        f"m{_sim.PQ_SUBSPACES}k{_sim.PQ_CODES}np{_sim.IVF_NPROBE}"
+        f"r{_mm.IMAGE_EMB_ROUND}",
+        table="documents",
+    )
+    return _mm.ann_topk_video(spark, _docs(spark, sf_dir), path)
+
+
 def _ann_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image→ANN bridge (r10): decoded-pixel embeddings served through
     the existing IVF-PQ funnel; layout cached per (documents identity,
@@ -264,6 +277,8 @@ _STAMP_PRIORITY = (
     "ann_topk_image",
     "audio_embeddings",
     "ann_topk_audio",
+    "video_embeddings",
+    "ann_topk_video",
     "image_ahash_near_dups_banded",
     "audio_fp_near_dups_banded",
     # MIH became the default candidate generator (VERDICT r9 item #1):
@@ -847,6 +862,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "ann_topk_audio": _ann_audio,
+        # video completes the trimodal bridge: clip embedding = summed
+        # per-frame mean-centered components, same funnel
+        "video_embeddings": lambda spark, sf: _mm.video_embeddings(
+            _docs(spark, sf)
+        ),
+        "ann_topk_video": _ann_video,
         # batched serving against the compressed index + its recall audit
         "knn_join_ivfpq": _knn_ivfpq,
         "knn_join_ivfpq_after_delete": _knn_ivfpq_after_delete,
@@ -1469,6 +1490,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_image": _mm._ann_topk_image_sql(),
         "audio_embeddings": _mm.AUDIO_EMBEDDINGS_SQL,
         "ann_topk_audio": _mm._ann_topk_audio_sql(),
+        "video_embeddings": _mm.VIDEO_EMBEDDINGS_SQL,
+        "ann_topk_video": _mm._ann_topk_video_sql(),
         "knn_join_ivfpq": _sim.KNN_JOIN_IVFPQ_SQL,
         "knn_join_ivfpq_after_delete": _sim.KNN_JOIN_IVFPQ_AFTER_DELETE_SQL,
         "knn_ivfpq_recall_audit": _sim.KNN_IVFPQ_RECALL_AUDIT_SQL,

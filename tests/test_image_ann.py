@@ -121,3 +121,29 @@ def test_served_audio_topk_surfaces_planted_dup_first(spark, docs, tmp_path):
     ).collect()
     assert len(served) == S.TOP_K
     assert served[0].vec_id == M.AUDIO_DUP_RES  # doc 6, re-gain dup of 0
+
+
+def test_video_embedding_dup_affinity_and_served_topk(spark, docs, tmp_path):
+    """Video completes the trimodal bridge: planted re-cut dup clips
+    are cosine-nearest their base under the summed-frame embedding, and
+    the served funnel ranks doc 5 (the re-cut of query doc 0) first."""
+    sample = docs.orderBy("doc_id").limit(200)
+    vvecs = M.video_embedding_vectors(sample).localCheckpoint()
+    emb = {r.vec_id: np.array(r.embedding) for r in vvecs.collect()}
+    ids = sorted(emb)
+    planted = [
+        (d - M.BMP_DUP_RES, d)
+        for d in ids
+        if d % M.BMP_DUP_MOD == M.BMP_DUP_RES and d >= M.BMP_DUP_RES
+    ]
+    assert len(planted) >= 20
+    for base, dup in planted:
+        v = emb[dup]
+        assert abs(float(v @ v) - 1.0) < 1e-4
+        sims = {o: float(v @ emb[o]) for o in ids if o != dup}
+        assert max(sims, key=sims.get) == base, (base, dup)
+    served = M.ann_topk_video(
+        spark, sample, str(tmp_path / "vidx")
+    ).collect()
+    assert len(served) == S.TOP_K
+    assert served[0].vec_id == M.BMP_DUP_RES
