@@ -112,6 +112,11 @@ def main() -> None:
         # builds its own layout + absorbs the delete/re-embed diff on
         # first call; the timed region should measure the SERVE
         "knn_join_ivfpq_after_delete",
+        # r10 modality bridges: embedding synthesis + IVF-PQ layout
+        # build happen at load time; the timed entry measures the serve
+        "ann_topk_image",
+        "ann_topk_audio",
+        "ann_topk_video",
     ):
         if indexed in queries:
             queries[indexed](spark, sf_dir).count()
