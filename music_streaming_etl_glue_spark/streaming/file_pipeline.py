@@ -609,6 +609,188 @@ def ingest_video_deduplicated(
     q.awaitTermination()
 
 
+def _semantic_dedup_batch_handler(
+    spark: SparkSession,
+    output_dir: str,
+    state_dir: str,
+    dims: int | None = None,
+    threshold: float | None = None,
+):
+    """Per-micro-batch SEMANTIC near-dedup handler — the embedding tier
+    of the dedup ladder in streaming form (the exact tier streams via
+    Bloom, the normalized tier via dropDuplicatesWithinWatermark, the
+    perceptual tiers via the MIH handlers; this closes the
+    exact→normalized→…→embedding ladder for the landing zone). A batch
+    doc drops when its centered hashed-vector cosine with a LANDED doc
+    or a smaller-id batch doc reaches ``threshold`` — the same banded
+    sign-LSH mining + exact verification as batch
+    ``text_semantic_pairs``, run once over the (batch ∪ landed) union
+    so the cross-relation and within-batch candidates share one bucket
+    pass.
+
+    Centering uses the HORIZON mean (landed ∪ batch) where the batch
+    twin uses the corpus mean — the standard greedy-streaming
+    approximation: identical texts center to identical vectors under
+    ANY mean (cosine exactly 1), so the dup signal is mean-robust and
+    only threshold-borderline pairs can differ from the batch ladder.
+    The mean recompute is one pass over the slim state relation per
+    epoch; a production deployment would fold (Σ per dim, n) into the
+    epoch state instead. State is the raw integer vector per landed doc
+    (dims × 8 B); epoch-partitioned, idempotently overwritten, and the
+    state read excludes the current epoch so a foreachBatch retry
+    re-admits instead of self-anti-joining."""
+    import os
+
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        LSH_BANDS,
+        LSH_BITS,
+        cosine_pairs_lsh,
+    )
+    from music_streaming_etl_glue_spark.operators.text import (
+        HASH_VEC_DIMS,
+        TEXT_PAIR_THRESHOLD,
+        hashed_doc_vectors,
+    )
+
+    dims = HASH_VEC_DIMS if dims is None else dims
+    threshold = TEXT_PAIR_THRESHOLD if threshold is None else threshold
+    vec_dir = os.path.join(state_dir, "vecs")
+    epoch_writer = _idempotent_epoch_writer(output_dir)
+
+    def dedup_and_land(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.drop("ingest_ts").localCheckpoint()
+        vecs = hashed_doc_vectors(batch, dims).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).localCheckpoint()
+        union = vecs.withColumn("is_landed", F.lit(False))
+        if os.path.exists(vec_dir):
+            landed = spark.read.parquet(vec_dir).filter(
+                F.col("epoch") != F.lit(epoch_id)
+            ).select("vec_id", "embedding").localCheckpoint()
+            union = union.unionByName(
+                landed.withColumn("is_landed", F.lit(True))
+            )
+        # horizon-mean centering (see docstring) — same exact-integer
+        # sum / count division as the batch twin, so both engines' IEEE
+        # doubles agree wherever this is replayed
+        sums = (
+            union.select(F.posexplode("embedding").alias("d", "x"))
+            .groupBy("d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        )
+        mean_row = F.broadcast(
+            sums.groupBy().agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "d", (F.col("s") / F.col("n")).alias("m")
+                            )
+                        )
+                    ),
+                    lambda t: t["m"],
+                ).alias("__mean")
+            )
+        )
+        centered = union.crossJoin(mean_row).select(
+            "vec_id",
+            "is_landed",
+            F.zip_with(
+                F.col("embedding"), F.col("__mean"), lambda a, b: a - b
+            ).alias("embedding"),
+        )
+        sq = F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        centered = centered.filter(sq > 0).localCheckpoint()
+        pairs = cosine_pairs_lsh(
+            centered.select("vec_id", "embedding"),
+            threshold=threshold,
+            bands=LSH_BANDS,
+            bits=LSH_BITS,
+        )
+        flags = centered.select("vec_id", "is_landed")
+        p = (
+            pairs.join(
+                flags.select(
+                    F.col("vec_id").alias("vec_id_a"),
+                    F.col("is_landed").alias("landed_a"),
+                ),
+                "vec_id_a",
+            )
+            .join(
+                flags.select(
+                    F.col("vec_id").alias("vec_id_b"),
+                    F.col("is_landed").alias("landed_b"),
+                ),
+                "vec_id_b",
+            )
+        )
+        # first-occurrence-wins: a batch doc drops against ANY landed
+        # partner (whatever the id order — the landed doc already won)
+        # or against a smaller-id batch doc (pairs emit vec_id_a <
+        # vec_id_b, so the b side is the later occurrence)
+        drops = (
+            p.filter(~F.col("landed_b"))
+            .select(F.col("vec_id_b").alias("doc_id"))
+            .unionAll(
+                p.filter(F.col("landed_b") & ~F.col("landed_a")).select(
+                    F.col("vec_id_a").alias("doc_id")
+                )
+            )
+            .distinct()
+        )
+        survivors = vecs.join(
+            drops, vecs["vec_id"] == drops["doc_id"], "left_anti"
+        ).localCheckpoint()
+        epoch_writer(
+            batch.join(
+                survivors.select(F.col("vec_id").alias("doc_id")), "doc_id"
+            ),
+            epoch_id,
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(vec_dir, f"epoch={epoch_id}")
+        )
+
+    return dedup_and_land
+
+
+def ingest_semantic_deduplicated(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    dims: int | None = None,
+    threshold: float | None = None,
+    files_per_trigger: int = 16,
+) -> None:
+    """Streaming SEMANTIC near-dedup ingest — the embedding tier of the
+    dedup ladder as a landing-zone stream: each micro-batch hashes its
+    documents into integer feature vectors, mean-centers over the seen
+    horizon, and drops docs whose exact verified cosine with any landed
+    doc (or a smaller-id batch doc) reaches the threshold, via one
+    banded sign-LSH pass over the (batch ∪ landed) union. A reworded /
+    token-reordered re-upload of an already-landed document drops
+    in-stream with corpus-wide horizon — the tier the normalized
+    fingerprint (exact token-set match) cannot catch."""
+    q = (
+        stream_documents(spark, input_dir, files_per_trigger)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            _semantic_dedup_batch_handler(
+                spark, output_dir, state_dir, dims=dims, threshold=threshold
+            )
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+
 def ingest_audio_deduplicated(
     spark: SparkSession,
     input_dir: str,

@@ -1,0 +1,136 @@
+"""Streaming SEMANTIC near-dedup (r10): the embedding tier of the
+dedup ladder in streaming form — a reworded/token-reordered re-upload
+of a landed document drops in-stream via the banded sign-LSH + exact
+cosine discipline of batch ``text_semantic_pairs``, with
+epoch-partitioned vector state and replay-safe epoch exclusion."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+    _semantic_dedup_batch_handler,
+    ingest_semantic_deduplicated,
+)
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+# Three semantic families + unrelated singletons (disjoint vocabularies
+# so unrelated cosines sit near 0 after centering):
+#  - 1 / 11 / 21: identical text, then a pure token REORDER of it (the
+#    hashed bag-of-words vector is order-invariant → cosine exactly 1;
+#    the normalized-fingerprint streaming tier would also catch the
+#    reorder, but NOT a near-paraphrase — which LSH+cosine handles the
+#    same way, just at <1 similarity)
+#  - 2 / 12: identical other text
+TEXTS = {
+    1: "alpha beta gamma delta epsilon zeta eta theta",
+    11: "alpha beta gamma delta epsilon zeta eta theta",
+    21: "theta eta zeta epsilon delta gamma beta alpha",
+    2: "one two three four five six seven eight nine",
+    12: "one two three four five six seven eight nine",
+    3: "lorem ipsum dolor sit amet consectetur",
+    4: "spark catalyst tungsten arrow parquet shuffle",
+    5: "oak maple birch cedar spruce willow",
+    6: "crimson azure emerald amber violet indigo",
+}
+
+
+def _rows(ids):
+    return [(i, TEXTS[i], "en", "s0", len(TEXTS[i])) for i in ids]
+
+
+def _write_batch(path, ids, order: int):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _rows(ids)
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.int64()),
+                "text": pa.array(cols[1], pa.string()),
+                "lang": pa.array(cols[2], pa.string()),
+                "source": pa.array(cols[3], pa.string()),
+                "n_chars": pa.array(cols[4], pa.int64()),
+            }
+        ),
+        path,
+    )
+    t = os.path.getmtime(path) + 10 * order
+    os.utime(path, (t, t))
+
+
+def _landed(spark, out):
+    return {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+
+
+B1 = [1, 2, 3]
+B2 = [11, 4, 12]  # 11 dups 1, 12 dups 2 — both cross-batch
+B3 = [21, 5, 6]   # 21 reorders 1 — cross-batch vs a doc landed 2 epochs ago
+
+
+def test_semantic_stream_converges_to_batch_cc_survivors(spark, tmp_path):
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        connected_components_two_phase,
+    )
+    from music_streaming_etl_glue_spark.operators.text import (
+        text_semantic_pairs,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), B1, 0)
+    _write_batch(str(src / "b2.parquet"), B2, 1)
+    _write_batch(str(src / "b3.parquet"), B3, 2)
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+
+    ingest_semantic_deduplicated(
+        spark, str(src), out, str(tmp_path / "ck"), state,
+        files_per_trigger=1,
+    )
+
+    # batch ground truth: CC survivor set over text_semantic_pairs
+    # edges of the SAME corpus (corpus-mean centering; the fixture's
+    # pairs sit at cosine 1.0 or near 0, so horizon-vs-corpus mean
+    # cannot flip any edge)
+    all_docs = spark.createDataFrame(_rows(B1 + B2 + B3), DOC_COLS)
+    edges = text_semantic_pairs(all_docs).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    vertices = all_docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components_two_phase(vertices, edges)
+    survivors = {
+        r.id
+        for r in comp.filter(F.col("id") == F.col("cluster_id")).collect()
+    }
+    assert _landed(spark, out) == survivors
+    # and the planted semantic dups are exactly what dropped
+    assert set(B1 + B2 + B3) - survivors == {11, 12, 21}
+
+
+def test_semantic_epoch_replay_readmits(spark, tmp_path):
+    """Replaying an epoch AFTER its vector state committed (the
+    foreachBatch retry) must converge to the same landed set — the
+    union read excludes the epoch's own state partition."""
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    handler = _semantic_dedup_batch_handler(spark, out, state)
+    b1 = spark.createDataFrame(_rows(B1), DOC_COLS)
+    b2 = spark.createDataFrame(_rows(B2), DOC_COLS)
+    handler(b1, 0)
+    handler(b2, 1)
+    before = _landed(spark, out)
+    assert before == {1, 2, 3, 4}  # 11, 12 dropped against landed 1, 2
+    handler(b2, 1)  # retry after vector state committed
+    assert _landed(spark, out) == before
+    handler(b1, 0)
+    assert _landed(spark, out) == before
