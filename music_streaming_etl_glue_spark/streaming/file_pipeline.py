@@ -609,12 +609,67 @@ def ingest_video_deduplicated(
     q.awaitTermination()
 
 
+def _restore_or_clear_parked(live: str) -> None:
+    """Heal a park-rename swap that a hard crash interrupted: if the
+    live dir is missing, restore the newest ``.old-<name>-*`` sibling;
+    if the live dir exists, any parked sibling is superseded debris —
+    the rewrite_ivfpq_cells discipline applied to whole state dirs."""
+    import glob
+    import os
+    import shutil
+
+    parked = sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(live),
+                f".old-{os.path.basename(live)}-*",
+            )
+        )
+    )
+    if not parked:
+        return
+    if not os.path.exists(live):
+        os.rename(parked[-1], live)
+        parked = parked[:-1]
+    for stale in parked:
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def _swap_in_dir(live: str, build_fn) -> None:
+    """Replace a state dir atomically: build into a temp sibling, park
+    the live dir at a dot-prefixed name, rename the build in, drop the
+    parked copy. A crash at any point heals on the next
+    :func:`_restore_or_clear_parked`."""
+    import os
+    import shutil
+    import time
+
+    ns = time.time_ns()
+    tmp = f"{live}.build-{ns}"
+    build_fn(tmp)
+    old = os.path.join(
+        os.path.dirname(live), f".old-{os.path.basename(live)}-{ns}"
+    )
+    parked = os.path.exists(live)
+    if parked:
+        os.rename(live, old)
+    try:
+        os.rename(tmp, live)
+    except BaseException:
+        if parked:
+            os.rename(old, live)
+        raise
+    if parked:
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def _semantic_dedup_batch_handler(
     spark: SparkSession,
     output_dir: str,
     state_dir: str,
     dims: int | None = None,
     threshold: float | None = None,
+    max_mean_sq_drift: float = 1.0,
 ):
     """Per-micro-batch SEMANTIC near-dedup handler — the embedding tier
     of the dedup ladder in streaming form (the exact tier streams via
@@ -624,27 +679,35 @@ def _semantic_dedup_batch_handler(
     doc drops when its centered hashed-vector cosine with a LANDED doc
     or a smaller-id batch doc reaches ``threshold`` — the same banded
     sign-LSH mining + exact verification as batch
-    ``text_semantic_pairs``, run once over the (batch ∪ landed) union
-    so the cross-relation and within-batch candidates share one bucket
-    pass.
+    ``text_semantic_pairs``.
 
-    Centering uses the HORIZON mean (landed ∪ batch) where the batch
-    twin uses the corpus mean — the standard greedy-streaming
-    approximation: identical texts center to identical vectors under
-    ANY mean (cosine exactly 1), so the dup signal is mean-robust and
-    only threshold-borderline pairs can differ from the batch ladder.
-    The mean recompute is one pass over the slim state relation per
-    epoch; a production deployment would fold (Σ per dim, n) into the
-    epoch state instead. State is the raw integer vector per landed doc
-    (dims × 8 B); epoch-partitioned, idempotently overwritten, and the
-    state read excludes the current epoch so a foreachBatch retry
-    re-admits instead of self-anti-joining."""
+    Scale design — the centering mean is a PINNED ARTIFACT, like the PQ
+    codebook or a shipped tokenizer: it pins to the first epoch's
+    horizon mean, every later epoch centers and signs ONLY ITS OWN
+    BATCH under it, and the landed corpus contributes just its
+    persisted (vec_id, band, band_hash) bucket relation (3 ints/row) to
+    the candidate join — never a re-center/re-sign pass. Landed VECTORS
+    are read only to verify the exact cosine of bucket-colliding
+    candidates. A drift gate guards the pin (the
+    ``retrain_ivfpq_layout`` pattern): per epoch the horizon mean is
+    folded from the slim per-epoch (dim, Σ, n) sums state, and when its
+    squared distance from the pinned mean exceeds
+    ``max_mean_sq_drift``, the mean re-pins and the landed bucket state
+    rebuilds under it — the one O(landed) pass the gate exists to
+    justify; both swaps are park-rename atomic with crash self-heal.
+
+    Identical texts center to identical vectors under ANY mean (cosine
+    exactly 1), so the dup signal is pin-robust; only
+    threshold-borderline pairs can differ from the corpus-mean batch
+    ladder. All state is epoch-partitioned and idempotently
+    overwritten, and every state read excludes the current epoch so a
+    foreachBatch retry re-admits instead of self-anti-joining."""
     import os
 
     from music_streaming_etl_glue_spark.operators.similarity import (
         LSH_BANDS,
         LSH_BITS,
-        cosine_pairs_lsh,
+        lsh_band_buckets,
     )
     from music_streaming_etl_glue_spark.operators.text import (
         HASH_VEC_DIMS,
@@ -655,48 +718,24 @@ def _semantic_dedup_batch_handler(
     dims = HASH_VEC_DIMS if dims is None else dims
     threshold = TEXT_PAIR_THRESHOLD if threshold is None else threshold
     vec_dir = os.path.join(state_dir, "vecs")
+    bkt_dir = os.path.join(state_dir, "buckets")
+    sums_dir = os.path.join(state_dir, "sums")
+    mean_dir = os.path.join(state_dir, "mean")
     epoch_writer = _idempotent_epoch_writer(output_dir)
 
-    def dedup_and_land(batch_df: DataFrame, epoch_id: int) -> None:
-        batch = batch_df.drop("ingest_ts").localCheckpoint()
-        vecs = hashed_doc_vectors(batch, dims).select(
-            F.col("doc_id").alias("vec_id"), "embedding"
-        ).localCheckpoint()
-        union = vecs.withColumn("is_landed", F.lit(False))
-        if os.path.exists(vec_dir):
-            landed = spark.read.parquet(vec_dir).filter(
-                F.col("epoch") != F.lit(epoch_id)
-            ).select("vec_id", "embedding").localCheckpoint()
-            union = union.unionByName(
-                landed.withColumn("is_landed", F.lit(True))
-            )
-        # horizon-mean centering (see docstring) — same exact-integer
-        # sum / count division as the batch twin, so both engines' IEEE
-        # doubles agree wherever this is replayed
-        sums = (
-            union.select(F.posexplode("embedding").alias("d", "x"))
-            .groupBy("d")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    def _read_state(path: str, epoch_id: int):
+        if not os.path.exists(path):
+            return None
+        return spark.read.parquet(path).filter(
+            F.col("epoch") != F.lit(epoch_id)
         )
-        mean_row = F.broadcast(
-            sums.groupBy().agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "d", (F.col("s") / F.col("n")).alias("m")
-                            )
-                        )
-                    ),
-                    lambda t: t["m"],
-                ).alias("__mean")
-            )
-        )
-        centered = union.crossJoin(mean_row).select(
+
+    def _center(vecs, mu: list):
+        mean_lit = F.array(*[F.lit(float(m)) for m in mu])
+        centered = vecs.select(
             "vec_id",
-            "is_landed",
             F.zip_with(
-                F.col("embedding"), F.col("__mean"), lambda a, b: a - b
+                F.col("embedding"), mean_lit, lambda a, b: a - b
             ).alias("embedding"),
         )
         sq = F.aggregate(
@@ -704,44 +743,149 @@ def _semantic_dedup_batch_handler(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        centered = centered.filter(sq > 0).localCheckpoint()
-        pairs = cosine_pairs_lsh(
-            centered.select("vec_id", "embedding"),
-            threshold=threshold,
-            bands=LSH_BANDS,
-            bits=LSH_BITS,
+        return centered.withColumn("norm", F.sqrt(sq)).filter(
+            F.col("norm") > 0
         )
-        flags = centered.select("vec_id", "is_landed")
-        p = (
-            pairs.join(
-                flags.select(
+
+    def _verify_drops(cand, side_a, side_b):
+        """cand (vec_id_a, vec_id_b) + centered sides with norms →
+        batch doc_ids whose exact cosine reaches the threshold."""
+        sim = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / (F.col("na") * F.col("nb"))
+        return (
+            cand.join(
+                side_a.select(
                     F.col("vec_id").alias("vec_id_a"),
-                    F.col("is_landed").alias("landed_a"),
+                    F.col("embedding").alias("va"),
+                    F.col("norm").alias("na"),
                 ),
                 "vec_id_a",
             )
             .join(
-                flags.select(
+                side_b.select(
                     F.col("vec_id").alias("vec_id_b"),
-                    F.col("is_landed").alias("landed_b"),
+                    F.col("embedding").alias("vb"),
+                    F.col("norm").alias("nb"),
                 ),
                 "vec_id_b",
             )
+            .filter(sim >= threshold)
         )
-        # first-occurrence-wins: a batch doc drops against ANY landed
-        # partner (whatever the id order — the landed doc already won)
-        # or against a smaller-id batch doc (pairs emit vec_id_a <
-        # vec_id_b, so the b side is the later occurrence)
-        drops = (
-            p.filter(~F.col("landed_b"))
-            .select(F.col("vec_id_b").alias("doc_id"))
-            .unionAll(
-                p.filter(F.col("landed_b") & ~F.col("landed_a")).select(
-                    F.col("vec_id_a").alias("doc_id")
+
+    def dedup_and_land(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.drop("ingest_ts").localCheckpoint()
+        vecs = hashed_doc_vectors(batch, dims).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).localCheckpoint()
+        # horizon mean from the slim sums state (64 rows/epoch), never
+        # a rescan of landed vectors
+        batch_sums = (
+            vecs.select(F.posexplode("embedding").alias("d", "x"))
+            .groupBy("d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        )
+        landed_sums = _read_state(sums_dir, epoch_id)
+        horizon = batch_sums if landed_sums is None else (
+            batch_sums.unionByName(landed_sums.select("d", "s", "n"))
+            .groupBy("d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        )
+        mu_h = [0.0] * dims
+        for r in horizon.collect():  # dims rows — bounded metadata
+            mu_h[int(r.d)] = float(r.s) / float(r.n)
+        # pinned mean artifact: heal interrupted swaps, first-pin, gate
+        _restore_or_clear_parked(mean_dir)
+        _restore_or_clear_parked(bkt_dir)
+        if not os.path.exists(mean_dir):
+            _swap_in_dir(
+                mean_dir,
+                lambda tmp: spark.createDataFrame(
+                    [(d, m) for d, m in enumerate(mu_h)], "d long, m double"
+                ).coalesce(1).write.parquet(tmp),
+            )
+        mu_pin = [0.0] * dims
+        for r in spark.read.parquet(mean_dir).collect():
+            mu_pin[int(r.d)] = float(r.m)
+        drift = sum((a - b) ** 2 for a, b in zip(mu_pin, mu_h))
+        if drift > max_mean_sq_drift:
+            mu_pin = mu_h
+            _swap_in_dir(
+                mean_dir,
+                lambda tmp: spark.createDataFrame(
+                    [(d, m) for d, m in enumerate(mu_pin)],
+                    "d long, m double",
+                ).coalesce(1).write.parquet(tmp),
+            )
+            landed_vecs_all = _read_state(vec_dir, epoch_id)
+            if landed_vecs_all is not None:
+                # the one O(landed) re-sign the gate justifies
+                relanded = landed_vecs_all.select(
+                    "vec_id", "embedding", "epoch"
+                ).localCheckpoint()
+                rebuilt = lsh_band_buckets(
+                    _center(relanded, mu_pin).select("vec_id", "embedding"),
+                    LSH_BANDS,
+                    LSH_BITS,
+                ).join(relanded.select("vec_id", "epoch"), "vec_id")
+                _swap_in_dir(
+                    bkt_dir,
+                    lambda tmp: rebuilt.write.partitionBy("epoch")
+                    .parquet(tmp),
                 )
+        centered_b = _center(vecs, mu_pin).localCheckpoint()
+        bkts_b = lsh_band_buckets(
+            centered_b.select("vec_id", "embedding"), LSH_BANDS, LSH_BITS
+        ).localCheckpoint()
+        # within-batch: bucket self-join on the batch's OWN signatures,
+        # exact-cosine verify, smaller id wins
+        x, y = bkts_b.alias("x"), bkts_b.alias("y")
+        cand_within = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("vec_id_a"),
+                F.col("y.vec_id").alias("vec_id_b"),
             )
             .distinct()
         )
+        drops = _verify_drops(cand_within, centered_b, centered_b).select(
+            F.col("vec_id_b").alias("doc_id")
+        )
+        landed_bkts = _read_state(bkt_dir, epoch_id)
+        if landed_bkts is not None:
+            # cross-batch: batch signatures probe the PERSISTED landed
+            # bucket relation; only colliding landed vectors are read
+            # (and centered) for verification
+            lb = landed_bkts.select(
+                F.col("vec_id").alias("l_vec_id"), "band", "band_hash"
+            )
+            cand_cross = (
+                bkts_b.join(lb, ["band", "band_hash"])
+                .select(
+                    F.col("vec_id").alias("vec_id_a"),
+                    F.col("l_vec_id").alias("vec_id_b"),
+                )
+                .distinct()
+            )
+            landed_hit = _read_state(vec_dir, epoch_id).join(
+                cand_cross.select(
+                    F.col("vec_id_b").alias("vec_id")
+                ).distinct(),
+                "vec_id",
+            )
+            drops = drops.unionAll(
+                _verify_drops(
+                    cand_cross, centered_b, _center(landed_hit, mu_pin)
+                ).select(F.col("vec_id_a").alias("doc_id"))
+            )
+        drops = drops.distinct()
         survivors = vecs.join(
             drops, vecs["vec_id"] == drops["doc_id"], "left_anti"
         ).localCheckpoint()
@@ -753,6 +897,18 @@ def _semantic_dedup_batch_handler(
         )
         survivors.write.mode("overwrite").parquet(
             os.path.join(vec_dir, f"epoch={epoch_id}")
+        )
+        bkts_b.join(
+            survivors.select("vec_id"), "vec_id"
+        ).write.mode("overwrite").parquet(
+            os.path.join(bkt_dir, f"epoch={epoch_id}")
+        )
+        (
+            survivors.select(F.posexplode("embedding").alias("d", "x"))
+            .groupBy("d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sums_dir, f"epoch={epoch_id}"))
         )
 
     return dedup_and_land

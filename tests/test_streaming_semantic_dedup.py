@@ -134,3 +134,88 @@ def test_semantic_epoch_replay_readmits(spark, tmp_path):
     assert _landed(spark, out) == before
     handler(b1, 0)
     assert _landed(spark, out) == before
+
+
+def test_landed_bucket_state_is_never_rewritten_without_repin(
+    spark, tmp_path
+):
+    """The scale contract: later epochs must NOT re-center/re-sign the
+    landed corpus — epoch 0's bucket and vector partitions stay
+    byte-identical while epoch 1 only adds its own partitions."""
+    import glob
+    import hashlib
+
+    def _files(path):
+        out = {}
+        for f in glob.glob(os.path.join(path, "**", "*"), recursive=True):
+            if os.path.isfile(f) and not f.endswith(".crc"):
+                with open(f, "rb") as fh:
+                    out[os.path.relpath(f, path)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    handler = _semantic_dedup_batch_handler(
+        spark, out, state, max_mean_sq_drift=1e18
+    )
+    handler(spark.createDataFrame(_rows(B1), DOC_COLS), 0)
+    bkt0 = _files(os.path.join(state, "buckets", "epoch=0"))
+    mean0 = _files(os.path.join(state, "mean"))
+    assert bkt0 and mean0
+    handler(spark.createDataFrame(_rows(B2), DOC_COLS), 1)
+    assert _files(os.path.join(state, "buckets", "epoch=0")) == bkt0
+    assert _files(os.path.join(state, "mean")) == mean0, (
+        "no re-pin under an infinite drift gate"
+    )
+    assert os.path.exists(os.path.join(state, "buckets", "epoch=1"))
+
+
+def test_drift_gate_repins_and_rebuilds_buckets(spark, tmp_path):
+    """A zero drift budget trips the gate on every mean movement: the
+    pinned mean is rewritten and the landed bucket state rebuilds under
+    it — and the dedup answer stays the same as the un-gated run."""
+    import glob
+
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    handler = _semantic_dedup_batch_handler(
+        spark, out, state, max_mean_sq_drift=0.0
+    )
+    handler(spark.createDataFrame(_rows(B1), DOC_COLS), 0)
+    mean0 = sorted(
+        r.m for r in spark.read.parquet(
+            os.path.join(state, "mean")
+        ).collect()
+    )
+    handler(spark.createDataFrame(_rows(B2), DOC_COLS), 1)
+    mean1 = sorted(
+        r.m for r in spark.read.parquet(
+            os.path.join(state, "mean")
+        ).collect()
+    )
+    assert mean1 != mean0, "the gate must re-pin on drift"
+    assert not glob.glob(os.path.join(state, ".old-*")), "no swap debris"
+    assert _landed(spark, out) == {1, 2, 3, 4}
+
+
+def test_mean_swap_heals_after_hard_crash(spark, tmp_path):
+    """Kill window between park and rename-in: the live mean dir is
+    missing, the old artifact parked. The next batch must restore it
+    before gating (the rewrite_ivfpq_cells heal discipline on state
+    dirs)."""
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    handler = _semantic_dedup_batch_handler(
+        spark, out, state, max_mean_sq_drift=1e18
+    )
+    handler(spark.createDataFrame(_rows(B1), DOC_COLS), 0)
+    mean_dir = os.path.join(state, "mean")
+    os.rename(mean_dir, os.path.join(state, ".old-mean-123"))
+    handler(spark.createDataFrame(_rows(B2), DOC_COLS), 1)
+    assert os.path.exists(mean_dir)
+    assert _landed(spark, out) == {1, 2, 3, 4}
