@@ -923,15 +923,19 @@ def ingest_semantic_deduplicated(
     dims: int | None = None,
     threshold: float | None = None,
     files_per_trigger: int = 16,
+    max_mean_sq_drift: float = 1.0,
 ) -> None:
     """Streaming SEMANTIC near-dedup ingest — the embedding tier of the
     dedup ladder as a landing-zone stream: each micro-batch hashes its
-    documents into integer feature vectors, mean-centers over the seen
-    horizon, and drops docs whose exact verified cosine with any landed
-    doc (or a smaller-id batch doc) reaches the threshold, via one
-    banded sign-LSH pass over the (batch ∪ landed) union. A reworded /
-    token-reordered re-upload of an already-landed document drops
-    in-stream with corpus-wide horizon — the tier the normalized
+    documents into integer feature vectors, centers them under the
+    PINNED corpus-mean artifact (drift-gated re-pin — see
+    :func:`_semantic_dedup_batch_handler`), signs only its own batch,
+    and drops docs whose exact verified cosine with any landed doc (or
+    a smaller-id batch doc) reaches the threshold — candidates come
+    from the batch signatures probing the PERSISTED landed bucket
+    state, so per-epoch work scales with the batch, not the corpus. A
+    reworded / token-reordered re-upload of an already-landed document
+    drops in-stream with corpus-wide horizon — the tier the normalized
     fingerprint (exact token-set match) cannot catch."""
     q = (
         stream_documents(spark, input_dir, files_per_trigger)
@@ -939,7 +943,8 @@ def ingest_semantic_deduplicated(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             _semantic_dedup_batch_handler(
-                spark, output_dir, state_dir, dims=dims, threshold=threshold
+                spark, output_dir, state_dir, dims=dims,
+                threshold=threshold, max_mean_sq_drift=max_mean_sq_drift,
             )
         )
         .start()

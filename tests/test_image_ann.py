@@ -147,3 +147,34 @@ def test_video_embedding_dup_affinity_and_served_topk(spark, docs, tmp_path):
     ).collect()
     assert len(served) == S.TOP_K
     assert served[0].vec_id == M.BMP_DUP_RES
+
+
+def test_image_bridge_composes_with_incremental_append(
+    spark, docs, tmp_path
+):
+    """The bridge rides the stack's O(diff) append path unchanged: new
+    image docs encode with the PINNED codebook/centroids
+    (refresh_ivfpq_layout — no retrain, no corpus re-encode; the image
+    embedding is per-doc math, so appends are well-defined), and a new
+    doc's planted dup is served from the refreshed layout."""
+    base = docs.orderBy("doc_id").limit(150)
+    extra = docs.orderBy("doc_id").limit(200).filter(
+        F.col("doc_id") >= 150
+    )
+    old_v = M.image_embedding_vectors(base).localCheckpoint()
+    new_v = M.image_embedding_vectors(extra).localCheckpoint()
+    path = str(tmp_path / "idx")
+    S.write_ivfpq_layout(old_v, path)
+    S.refresh_ivfpq_layout(spark, new_v, path)
+    full = old_v.unionByName(new_v).localCheckpoint()
+    # doc 157 (appended) is the planted dup of doc 152 (also appended):
+    # serving the refreshed layout must surface it first
+    served = S.ann_topk_ivfpq(spark, full, path, query_vec_id=157)
+    assert served.head().vec_id == 152
+    # and the funnel's recall against exact kNN holds on the grown corpus
+    r = float(
+        S.knn_ivfpq_recall_audit(spark, full, path, nprobe=9)
+        .agg(F.avg("recall_at_k"))
+        .head()[0]
+    )
+    assert r >= 0.95, r
