@@ -281,6 +281,10 @@ _STAMP_PRIORITY = (
     "ann_topk_video",
     "image_ahash_near_dups_banded",
     "audio_fp_near_dups_banded",
+    "image_ahash_cross_matches",
+    "image_near_dedup_apply",
+    "audio_near_dedup_apply",
+    "video_near_dedup_apply",
     # MIH became the default candidate generator (VERDICT r9 item #1):
     # results identical, plans changed — re-stamp on the new plan.
     "image_ahash_near_dups",
@@ -297,9 +301,11 @@ _STAMP_PRIORITY = (
     "ngram_decontamination",
     "genre_daily_metrics_approx",
     # r5 cohort (latest stamp = round 5), oldest-first per the r9
-    # verdict directive; the ~50-slot window reaches ~the first 30.
+    # verdict directive; with 28 changed/new/re-stamp entries ahead,
+    # the ~50-slot window reaches ~the first 22 of these 45.
     # ROUND-11 ROTATION NOTE: lead with whatever of this r5 list the
-    # r10 window cut off, then the r6 cohort (48 entries), then r7.
+    # r10 window cut off (~from quality_filter_rules onward), then the
+    # r6 cohort (48 entries), then r7.
     "ann_topk_ivfpq",
     "ann_topk_pq",
     "ann_topk_pq_rerank",
@@ -724,6 +730,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "image_dedup_clusters": lambda spark, sf: (
             _clusters.image_dedup_clusters(_docs(spark, sf))
+        ),
+        # per-modality APPLY rungs (r10): the deduplicated corpus a
+        # user ships — canonical survivor + family size per cluster
+        "image_near_dedup_apply": lambda spark, sf: (
+            _clusters.image_near_dedup_apply(_docs(spark, sf))
+        ),
+        "audio_near_dedup_apply": lambda spark, sf: (
+            _clusters.audio_near_dedup_apply(_docs(spark, sf))
+        ),
+        "video_near_dedup_apply": lambda spark, sf: (
+            _clusters.video_near_dedup_apply(_docs(spark, sf))
         ),
         # same clustering via O(log n)-round large-star/small-star
         "dedup_clusters_twophase": lambda spark, sf: (
@@ -1269,6 +1286,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_near_dups_banded": lambda spark, sf: (
             _mm.image_ahash_near_dups_banded(_docs(spark, sf))
         ),
+        # the streaming handlers' cross-relation kernel as a batch
+        # query (odd probes vs even corpus) so the driver stamps it
+        "image_ahash_cross_matches": lambda spark, sf: (
+            _mm.image_ahash_cross_matches(_docs(spark, sf))
+        ),
         # audio twin of the BMP lane: RIFF/WAVE PCM chunk-walking codec,
         # decoded-waveform stats hash-pinned against the closed form
         "audio_decode_meta": lambda spark, sf: _mm.audio_decode_meta(
@@ -1441,6 +1463,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_twophase": _clusters.DEDUP_CLUSTERS_SQL,
         "near_dedup_apply": _clusters.NEAR_DEDUP_APPLY_SQL,
         "near_dedup_apply_best": _clusters.NEAR_DEDUP_APPLY_BEST_SQL,
+        "image_near_dedup_apply": _clusters.IMAGE_NEAR_DEDUP_APPLY_SQL,
+        "audio_near_dedup_apply": _clusters.AUDIO_NEAR_DEDUP_APPLY_SQL,
+        "video_near_dedup_apply": _clusters.VIDEO_NEAR_DEDUP_APPLY_SQL,
         "semantic_dedup_clusters": _clusters.SEMANTIC_DEDUP_CLUSTERS_SQL,
         "chunk_dedup": _dedup.CHUNK_DEDUP_SQL,
         "dedup_funnel": _dedup.DEDUP_FUNNEL_SQL.format(
@@ -1587,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "image_ahash_near_dups": _mm.IMAGE_AHASH_NEAR_DUPS_SQL,
         "image_ahash_near_dups_mih": _mm.IMAGE_AHASH_NEAR_DUPS_MIH_SQL,
         "image_ahash_near_dups_banded": _mm.IMAGE_AHASH_NEAR_DUPS_SQL,
+        "image_ahash_cross_matches": _mm.IMAGE_AHASH_CROSS_MATCHES_SQL,
         "audio_decode_meta": _mm.AUDIO_DECODE_META_SQL,
         "video_frames_meta": _mm.VIDEO_FRAMES_META_SQL,
         "video_frame_hashes": _mm.VIDEO_FRAME_HASHES_SQL,

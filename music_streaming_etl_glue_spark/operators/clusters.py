@@ -370,6 +370,65 @@ SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
 
 VIDEO_DEDUP_CLUSTERS_SQL = _video_dedup_clusters_sql()
 
+def _apply_cluster_survivors(
+    documents: DataFrame, clusters: DataFrame
+) -> DataFrame:
+    """Materialize any (doc_id, cluster_id) map: keep each cluster's
+    canonical document (doc_id == cluster_id — the min-label invariant
+    every cluster rung in this module guarantees) with the full
+    original row plus ``n_members``. One aggregated slim join back to
+    the documents scan."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return documents.join(
+        sizes, documents["doc_id"] == sizes["cluster_id"], "inner"
+    ).select("doc_id", "text", "lang", "source", "n_chars", "n_members")
+
+
+def image_near_dedup_apply(documents: DataFrame) -> DataFrame:
+    """The image lane's APPLY rung (r10): the deduplicated corpus a
+    user actually ships — canonical survivor per image near-dup cluster
+    (:func:`image_dedup_clusters` over the MIH default generator) with
+    its family size. Completes decode→fingerprint→near-dup→cluster→
+    APPLY for the modality, mirroring the text lane's
+    :func:`near_dedup_apply`."""
+    return _apply_cluster_survivors(
+        documents, image_dedup_clusters(documents)
+    )
+
+
+def audio_near_dedup_apply(documents: DataFrame) -> DataFrame:
+    """Audio twin of :func:`image_near_dedup_apply` — canonical
+    survivor per re-gained-recording family."""
+    return _apply_cluster_survivors(
+        documents, audio_dedup_clusters(documents)
+    )
+
+
+def video_near_dedup_apply(documents: DataFrame) -> DataFrame:
+    """Video twin — canonical survivor per re-cut clip family (edges
+    from shared-frame counts under the boilerplate df cap)."""
+    return _apply_cluster_survivors(
+        documents, video_dedup_clusters(documents)
+    )
+
+
+def _modality_apply_sql(cluster_sql: str) -> str:
+    return f"""
+WITH clusters AS ({cluster_sql}),
+sizes AS (
+    SELECT cluster_id, count(*) AS n_members FROM clusters GROUP BY cluster_id
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, s.n_members
+FROM documents d JOIN sizes s ON d.doc_id = s.cluster_id
+"""
+
+
+IMAGE_NEAR_DEDUP_APPLY_SQL = _modality_apply_sql(IMAGE_DEDUP_CLUSTERS_SQL)
+AUDIO_NEAR_DEDUP_APPLY_SQL = _modality_apply_sql(AUDIO_DEDUP_CLUSTERS_SQL)
+VIDEO_NEAR_DEDUP_APPLY_SQL = _modality_apply_sql(VIDEO_DEDUP_CLUSTERS_SQL)
+
 
 def near_dedup_apply(documents: DataFrame) -> DataFrame:
     """Materialize the near-dedup: keep each cluster's canonical document

@@ -563,6 +563,24 @@ def _ahash_band_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
     )
 
 
+def image_ahash_cross_matches(
+    documents: DataFrame, max_hamming: int = AHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_id): odd-id PROBE images within ``max_hamming`` aHash bits
+    of some even-id CORPUS image — the batch face of the cross-relation
+    kernel the streaming handlers ride (:func:`mih_cross_matches`),
+    catalogued so the driver hash-stamps it directly instead of only
+    via the pytest parity pin. The odd/even split puts every planted
+    dup (doc_id ≡ 5 mod 8, probe side) opposite its base (≡ 0 mod 8,
+    corpus side), so the planted families are exactly the expected
+    hits. The DuckDB twin derives the same output through the 13-band
+    cross join — two independent derivations, one answer."""
+    fp = image_ahash(documents).localCheckpoint(eager=False)
+    probes = fp.filter(F.col("doc_id") % 2 == 1)
+    corpus = fp.filter(F.col("doc_id") % 2 == 0)
+    return mih_cross_matches(probes, corpus, max_hamming)
+
+
 #: multi-index-hashing twin of the 13-band join (Norouzi et al., MIH):
 #: 4 bands of 16 bits; a pair within Hamming 12 must have SOME band
 #: within ⌊12/4⌋ = 3 (pigeonhole on the flip counts), so probing the
@@ -712,6 +730,24 @@ cand AS (
 )
 SELECT doc_id_a, doc_id_b, bit_count(xor(ah_a, ah_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= {AHASH_MAX_HAMMING}
+"""
+
+# cross-relation replay via the 13-band form (the banded twin of the
+# MIH path the Spark side runs — independent derivation, same output)
+IMAGE_AHASH_CROSS_MATCHES_SQL = f"""
+WITH {_PIXELS_SQL_CTE},
+{_AHASH_SQL_CTE},
+bands AS (
+    SELECT doc_id, ahash, b AS band,
+           (ahash >> (b * 5))
+               & (CASE WHEN b = {AHASH_BANDS - 1} THEN 15 ELSE 31 END) AS val
+    FROM ah, range(0, {AHASH_BANDS}) t(b)
+)
+SELECT DISTINCT p.doc_id
+FROM bands p JOIN bands c
+  ON p.band = c.band AND p.val = c.val
+ AND p.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+WHERE bit_count(xor(p.ahash, c.ahash)) <= {AHASH_MAX_HAMMING}
 """
 
 IMAGE_AHASH_NEAR_DUPS_MIH_SQL = f"""

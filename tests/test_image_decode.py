@@ -412,3 +412,31 @@ def test_mih_ball_covers_radius_by_pigeonhole():
         if bin(va ^ vb).count("1") <= M.MIH_BALL_RADIUS:
             found = True
     assert found
+
+
+def test_modality_apply_rungs_drop_planted_dups(spark, docs):
+    """The per-modality APPLY rungs ship canonical survivors: every
+    planted dup doc is gone, its base carries the family size, and
+    singletons pass through with n_members == 1."""
+    from music_streaming_etl_glue_spark.operators.clusters import (
+        audio_near_dedup_apply,
+        image_near_dedup_apply,
+        video_near_dedup_apply,
+    )
+
+    sample = docs.orderBy("doc_id").limit(80)
+    for apply_fn, dup_res in (
+        (image_near_dedup_apply, M.BMP_DUP_RES),
+        (audio_near_dedup_apply, M.AUDIO_DUP_RES),
+        (video_near_dedup_apply, M.BMP_DUP_RES),
+    ):
+        kept = {r.doc_id: r.n_members for r in apply_fn(sample).collect()}
+        dups = [
+            d for d in range(80) if d % 8 == dup_res and d >= dup_res
+        ]
+        assert dups
+        for d in dups:
+            assert d not in kept, (apply_fn.__name__, d)
+            assert kept[d - dup_res] >= 2, (apply_fn.__name__, d)
+        # singletons pass through (some docs sit in no near-dup pair)
+        assert 1 in set(kept.values()), apply_fn.__name__
