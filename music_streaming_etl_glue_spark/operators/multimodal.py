@@ -821,7 +821,11 @@ def _unit_embedding(components: DataFrame) -> DataFrame:
     sqrt/divide and round to 6dp (0.0 when the norm is 0) — the shared
     tail of every modality→ANN bridge. One doc_id exchange, one window
     pass; both engines see the identical integer sums, so the rounded
-    doubles hash-match."""
+    doubles hash-match. Signed-zero contract: Spark's ``F.round`` goes
+    through BigDecimal, which has no ``-0.0``, while DuckDB's
+    ``round()`` preserves the sign of zero — so every SQL twin of this
+    tail appends ``+ 0.0`` after ``round(...)`` (IEEE:
+    ``-0.0 + 0.0 = +0.0``, all other values unchanged)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id")
@@ -924,7 +928,7 @@ cdim AS (
 inorm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM cdim GROUP BY doc_id)
 SELECT c.doc_id, c.dim::BIGINT AS dim,
        CASE WHEN n.nv = 0 THEN 0.0
-            ELSE round(c.c / n.nv, {IMAGE_EMB_ROUND}) END AS val
+            ELSE round(c.c / n.nv, {IMAGE_EMB_ROUND}) + 0.0 END AS val
 FROM cdim c JOIN inorm n USING (doc_id)
 """
 
@@ -940,7 +944,7 @@ inorm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM cdim GROUP BY doc_id),
 img_embs AS (
     SELECT c.doc_id AS vec_id,
            list(CASE WHEN n.nv = 0 THEN 0.0
-                     ELSE round(c.c / n.nv, {IMAGE_EMB_ROUND}) END
+                     ELSE round(c.c / n.nv, {IMAGE_EMB_ROUND}) + 0.0 END
                 ORDER BY c.dim) AS embedding,
            d.w - 8 AS label
     FROM cdim c JOIN inorm n USING (doc_id) JOIN d USING (doc_id)
@@ -1819,7 +1823,7 @@ WITH {_AUDIO_SAMPLES_SQL_CTE},
 {_AUDIO_EMB_COMPONENTS_CTE}
 SELECT a.doc_id, a.dim::BIGINT AS dim,
        CASE WHEN n.nv = 0 THEN 0.0
-            ELSE round(a.c / n.nv, {IMAGE_EMB_ROUND}) END AS val
+            ELSE round(a.c / n.nv, {IMAGE_EMB_ROUND}) + 0.0 END AS val
 FROM acdim a JOIN anorm n USING (doc_id)
 """
 
@@ -1828,7 +1832,7 @@ _AUDIO_EMBS_CTE = f"""
 audio_embs AS (
     SELECT a.doc_id AS vec_id,
            list(CASE WHEN n.nv = 0 THEN 0.0
-                     ELSE round(a.c / n.nv, {IMAGE_EMB_ROUND}) END
+                     ELSE round(a.c / n.nv, {IMAGE_EMB_ROUND}) + 0.0 END
                 ORDER BY a.dim) AS embedding,
            (64 + ad.key % {AUDIO_N_MOD}) % 9 AS label
     FROM acdim a JOIN anorm n USING (doc_id) JOIN ad ON ad.doc_id = a.doc_id
@@ -2388,7 +2392,7 @@ WITH {_VIDEO_PIXELS_SQL_CTE},
 {_VIDEO_EMB_COMPONENTS_CTE}
 SELECT v.doc_id, v.dim::BIGINT AS dim,
        CASE WHEN n.nv = 0 THEN 0.0
-            ELSE round(v.c / n.nv, {IMAGE_EMB_ROUND}) END AS val
+            ELSE round(v.c / n.nv, {IMAGE_EMB_ROUND}) + 0.0 END AS val
 FROM vcdim v JOIN vnorm n USING (doc_id)
 """
 
@@ -2397,7 +2401,7 @@ _VIDEO_EMBS_CTE = f"""
 video_embs AS (
     SELECT v.doc_id AS vec_id,
            list(CASE WHEN n.nv = 0 THEN 0.0
-                     ELSE round(v.c / n.nv, {IMAGE_EMB_ROUND}) END
+                     ELSE round(v.c / n.nv, {IMAGE_EMB_ROUND}) + 0.0 END
                 ORDER BY v.dim) AS embedding,
            dk.n_frames - 2 AS label
     FROM vcdim v JOIN vnorm n USING (doc_id) JOIN dk ON dk.doc_id = v.doc_id

@@ -21,7 +21,15 @@ def duckdb_con(sf_dir: str):
 
 def _norm(v):
     if isinstance(v, float):
-        return "nan" if math.isnan(v) else round(v, 9)
+        if math.isnan(v):
+            return "nan"
+        r = round(v, 9)
+        # the driver's hash distinguishes -0.0 from 0.0 (Python == does
+        # not) — fold the zero's sign into the token so the local compare
+        # is driver-faithful (the r10 audio_embeddings divergence class)
+        if r == 0.0 and math.copysign(1.0, r) < 0:
+            return "-0.0"
+        return r
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     return v

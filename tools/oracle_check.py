@@ -25,7 +25,13 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        r = round(v, 9)
+        # the driver hashes value REPRs, under which -0.0 != 0.0; Python
+        # == treats them equal, so fold the zero's sign into the token
+        # (the r10 audio_embeddings divergence class)
+        if r == 0.0 and math.copysign(1.0, r) < 0:
+            return "-0.0"
+        return r
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     return v
