@@ -613,11 +613,16 @@ def _restore_or_clear_parked(live: str) -> None:
     """Heal a park-rename swap that a hard crash interrupted: if the
     live dir is missing, restore the newest ``.old-<name>-*`` sibling;
     if the live dir exists, any parked sibling is superseded debris —
-    the rewrite_ivfpq_cells discipline applied to whole state dirs."""
+    the rewrite_ivfpq_cells discipline applied to whole state dirs.
+    Also sweeps orphaned ``<live>.build-*`` temp dirs (a crash during
+    :func:`_swap_in_dir`'s build_fn leaves one behind), mirroring
+    retrain_ivfpq_layout's pre-cutover ``.retrain-*`` debris sweep."""
     import glob
     import os
     import shutil
 
+    for orphan in glob.glob(f"{live}.build-*"):
+        shutil.rmtree(orphan, ignore_errors=True)
     parked = sorted(
         glob.glob(
             os.path.join(
@@ -692,9 +697,12 @@ def _semantic_dedup_batch_handler(
     ``retrain_ivfpq_layout`` pattern): per epoch the horizon mean is
     folded from the slim per-epoch (dim, Σ, n) sums state, and when its
     squared distance from the pinned mean exceeds
-    ``max_mean_sq_drift``, the mean re-pins and the landed bucket state
-    rebuilds under it — the one O(landed) pass the gate exists to
-    justify; both swaps are park-rename atomic with crash self-heal.
+    ``max_mean_sq_drift``, the landed bucket state rebuilds under the
+    new mean FIRST and the mean re-pins LAST — the one O(landed) pass
+    the gate exists to justify; both swaps are park-rename atomic with
+    crash self-heal, and the pin swap is the commit point (a crash
+    between the swaps leaves drift high, so the next epoch redoes the
+    re-sign instead of mining against stale signatures).
 
     Identical texts center to identical vectors under ANY mean (cosine
     exactly 1), so the dup signal is pin-robust; only
@@ -811,14 +819,12 @@ def _semantic_dedup_batch_handler(
             mu_pin[int(r.d)] = float(r.m)
         drift = sum((a - b) ** 2 for a, b in zip(mu_pin, mu_h))
         if drift > max_mean_sq_drift:
-            mu_pin = mu_h
-            _swap_in_dir(
-                mean_dir,
-                lambda tmp: spark.createDataFrame(
-                    [(d, m) for d, m in enumerate(mu_pin)],
-                    "d long, m double",
-                ).coalesce(1).write.parquet(tmp),
-            )
+            # crash-safe ordering: rebuild + swap the bucket state FIRST
+            # (signed under the NEW mean), swap the mean pin LAST — the
+            # pin is the commit point. A crash between the swaps leaves
+            # pin=old with drift still high, so the next epoch simply
+            # redoes the re-sign; the reverse order would read drift≈0
+            # against stale signatures forever (silent under-dedup).
             landed_vecs_all = _read_state(vec_dir, epoch_id)
             if landed_vecs_all is not None:
                 # the one O(landed) re-sign the gate justifies
@@ -826,7 +832,7 @@ def _semantic_dedup_batch_handler(
                     "vec_id", "embedding", "epoch"
                 ).localCheckpoint()
                 rebuilt = lsh_band_buckets(
-                    _center(relanded, mu_pin).select("vec_id", "embedding"),
+                    _center(relanded, mu_h).select("vec_id", "embedding"),
                     LSH_BANDS,
                     LSH_BITS,
                 ).join(relanded.select("vec_id", "epoch"), "vec_id")
@@ -835,6 +841,14 @@ def _semantic_dedup_batch_handler(
                     lambda tmp: rebuilt.write.partitionBy("epoch")
                     .parquet(tmp),
                 )
+            mu_pin = mu_h
+            _swap_in_dir(
+                mean_dir,
+                lambda tmp: spark.createDataFrame(
+                    [(d, m) for d, m in enumerate(mu_pin)],
+                    "d long, m double",
+                ).coalesce(1).write.parquet(tmp),
+            )
         centered_b = _center(vecs, mu_pin).localCheckpoint()
         bkts_b = lsh_band_buckets(
             centered_b.select("vec_id", "embedding"), LSH_BANDS, LSH_BITS

@@ -219,3 +219,94 @@ def test_mean_swap_heals_after_hard_crash(spark, tmp_path):
     handler(spark.createDataFrame(_rows(B2), DOC_COLS), 1)
     assert os.path.exists(mean_dir)
     assert _landed(spark, out) == {1, 2, 3, 4}
+
+
+def _bucket_rowset(df):
+    return sorted(
+        (r.vec_id, r.band, r.band_hash)
+        for r in df.select("vec_id", "band", "band_hash").collect()
+    )
+
+
+def test_repin_crash_between_swaps_heals_on_rerun(
+    spark, tmp_path, monkeypatch
+):
+    """Kill window BETWEEN the drift re-pin's two artifact swaps, then
+    re-run the epoch (the driver retry). The pin swap must be the
+    COMMIT POINT — buckets first, pin last — so the crash leaves drift
+    high and the retry redoes the re-sign. Under the reverse order
+    (pin first) the retry reads drift≈0 against stale signatures and
+    the landed bucket state stays signed under the dead mean forever:
+    the consistency assertion below fails."""
+    import pytest
+
+    import music_streaming_etl_glue_spark.streaming.file_pipeline as fp
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        LSH_BANDS,
+        LSH_BITS,
+        lsh_band_buckets,
+    )
+
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    handler = fp._semantic_dedup_batch_handler(
+        spark, out, state, max_mean_sq_drift=0.0
+    )
+    handler(spark.createDataFrame(_rows(B1), DOC_COLS), 0)
+
+    real = fp._swap_in_dir
+
+    def crash_after_first_swap(live, build_fn):
+        real(live, build_fn)
+        raise RuntimeError("injected crash between re-pin swaps")
+
+    monkeypatch.setattr(fp, "_swap_in_dir", crash_after_first_swap)
+    b2 = spark.createDataFrame(_rows(B2), DOC_COLS)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        handler(b2, 1)  # budget 0 → drift gate trips, dies mid-re-pin
+    monkeypatch.setattr(fp, "_swap_in_dir", real)
+
+    handler(b2, 1)  # the driver retry of the same epoch
+
+    # invariant: every persisted landed signature is signed under the
+    # LIVE pin — recompute the bucket relation from the vector state
+    # and the pinned mean and demand exact agreement
+    mu = {
+        r.d: r.m
+        for r in spark.read.parquet(os.path.join(state, "mean")).collect()
+    }
+    mean_lit = F.array(*[F.lit(mu[d]) for d in sorted(mu)])
+    vecs = spark.read.parquet(os.path.join(state, "vecs")).select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding"), mean_lit, lambda a, b: a - b
+        ).alias("embedding"),
+    )
+    expected = lsh_band_buckets(vecs, LSH_BANDS, LSH_BITS)
+    persisted = spark.read.parquet(os.path.join(state, "buckets"))
+    assert _bucket_rowset(persisted) == _bucket_rowset(expected), (
+        "landed bucket state signed under a mean other than the pin"
+    )
+    # and the stream still lands the right survivor set
+    assert _landed(spark, out) == {1, 2, 3, 4}
+
+
+def test_orphaned_build_dirs_are_swept(spark, tmp_path):
+    """A crash during _swap_in_dir's build_fn leaves a
+    ``<live>.build-<ns>`` temp dir; the next epoch's heal pass must
+    sweep it (ADVICE r10) instead of accumulating debris forever."""
+    out = str(tmp_path / "clean")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    handler = _semantic_dedup_batch_handler(
+        spark, out, state, max_mean_sq_drift=1e18
+    )
+    handler(spark.createDataFrame(_rows(B1), DOC_COLS), 0)
+    orphan = os.path.join(state, "mean.build-4242")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk"), "w") as f:
+        f.write("debris")
+    handler(spark.createDataFrame(_rows(B2), DOC_COLS), 1)
+    assert not os.path.exists(orphan)
+    assert _landed(spark, out) == {1, 2, 3, 4}
