@@ -258,76 +258,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # but a driver stamp is the harder signal — so the dict is reordered per
 # round. Previously-stamped entries keep their historical green stamps.
 _STAMP_PRIORITY = (
-    # ROUND 10 ROTATION — oldest-stamp-first (standing policy), with
-    # the two queue-jumping exceptions: (a) entries whose RESULTS
-    # changed this round (their historical stamps describe the retired
-    # corpus), and (b) entries new this round.
-    #
-    # (a) changed in r10: the video synth corpus gained planted
-    # boilerplate cards and video_near_dups/_clusters gained the
-    # frame-hash df cap — every video-lane result changed.
-    "video_frames_meta",
-    "video_frame_hashes",
-    "video_near_dups",
-    "video_dedup_clusters",
-    "frame_sample",
-    # (b) new in r10: the image->ANN bridge and the named 13-band
-    # twins of the now-MIH defaults.
-    "image_embeddings",
-    "ann_topk_image",
+    # ROUND 11 ROTATION — oldest-stamp-first (standing policy), with
+    # the queue-jumping exceptions up front:
+    # (a) oracle twins CHANGED this round: the six modality embedding /
+    # served-ANN entries gained the signed-zero "+ 0.0" round guard
+    # (audio_embeddings was the r10 driver hash-RED; image/video share
+    # the guarded _unit_embedding tail and their ann_topk_* oracles
+    # embed the guarded CTEs).
     "audio_embeddings",
     "ann_topk_audio",
+    "image_embeddings",
+    "ann_topk_image",
     "video_embeddings",
     "ann_topk_video",
-    "image_ahash_near_dups_banded",
-    "audio_fp_near_dups_banded",
-    "image_ahash_cross_matches",
-    "image_near_dedup_apply",
-    "audio_near_dedup_apply",
-    "video_near_dedup_apply",
-    # MIH became the default candidate generator (VERDICT r9 item #1):
-    # results identical, plans changed — re-stamp on the new plan.
-    "image_ahash_near_dups",
-    "audio_fp_near_dups",
-    "image_dedup_clusters",
-    "audio_dedup_clusters",
-    "phash_near_dups",
-    # r3 tail (oldest stamps in the catalog — the 6 entries the r9
-    # window cut off), hash-signal first, rows-only straggler last
-    "serving_lookup",
-    "vocab_top_terms",
-    "pack_chunks",
-    "pack_examples",
-    "ngram_decontamination",
-    "genre_daily_metrics_approx",
-    # r5 cohort (latest stamp = round 5), oldest-first per the r9
-    # verdict directive; with 28 changed/new/re-stamp entries ahead,
-    # the ~50-slot window reaches ~the first 22 of these 45.
-    # ROUND-11 ROTATION NOTE: lead with whatever of this r5 list the
-    # r10 window cut off (~from quality_filter_rules onward), then the
-    # r6 cohort (48 entries), then r7.
-    "ann_topk_ivfpq",
-    "ann_topk_pq",
-    "ann_topk_pq_rerank",
-    "bigram_surprisal",
-    "boilerplate_shingles",
-    "cms_track_estimates",
-    "corpus_card",
-    "corpus_shuffle",
-    "customer_status_history",
-    "dedup_incremental",
-    "documents_diff_summary",
-    "error_click_asof_cogroup",
-    "error_recovery_clicks",
-    "events_in_busy_sessions",
-    "events_value_drift",
-    "favorite_track_per_user",
-    "genre_daily_metrics",
-    "genre_series_similarity",
-    "genre_top_songs",
-    "geomean_value_by_type",
-    "interleave_sources",
-    "jaccard_pairs_prefix",
+    # (b) entries NEW this round are inserted here as they land.
+    # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
+    # window cut off, alphabetical.
     "nested_order_lines",
     "orders_changelog_applied",
     "packing_efficiency",
@@ -351,6 +297,42 @@ _STAMP_PRIORITY = (
     "track_triangles",
     "trending_tracks",
     "user_value_quartiles",
+    # r6 cohort head (latest stamp = round 6; 48 entries total,
+    # alphabetical) — the ~50-slot window reaches ~the first 21.
+    # ROUND-12 ROTATION NOTE: lead with the rest of the r6 cohort
+    # (knn_recall_audit onward: knn_recall_audit, large_orders,
+    # line_priority_counts, min_cost_supplier, nation_market_share,
+    # nation_volume_shipping, near_dedup_apply_best,
+    # order_priority_checking, order_priority_unpivot, pii_scrub,
+    # pq_codes, pq_reconstruction_error, pricing_summary_ansi,
+    # product_profit_by_nation, promo_revenue, quantize_embeddings,
+    # returned_item_customers, sales_grouping_sets,
+    # semantic_contamination, semantic_contamination_lsh,
+    # shipping_priority, small_quantity_revenue,
+    # suppliers_who_kept_waiting, top_supplier_revenue,
+    # unigram_surprisal, user_session_windows, waiting_customers),
+    # then the r7 cohort (50).
+    "ann_topk_ivf",
+    "ann_topk_ivf_centroid",
+    "avg_quantity_part_filter",
+    "bpe_encode",
+    "brand_supplier_counts",
+    "cluster_topics",
+    "customer_order_distribution",
+    "dedup_clusters_twophase",
+    "dedup_funnel",
+    "disjunctive_revenue",
+    "dominant_part_suppliers",
+    "embedding_stats",
+    "error_next_click",
+    "events_in_error_bursts",
+    "forecast_revenue_change",
+    "fuzzy_dedup_pairs",
+    "genre_totals_salted",
+    "idle_rich_customers",
+    "important_parts",
+    "ivf_assignments",
+    "knn_join",
     # then the rest of the previously-green catalog in queries() order
 )
 
