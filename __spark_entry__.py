@@ -222,6 +222,42 @@ def _ann_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.ann_topk_image(spark, _docs(spark, sf_dir), path)
 
 
+def _recall_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served-recall audit of the image bridge (r11): recall@k of the
+    IVF-PQ funnel vs exact kNN over the same image embeddings; reuses
+    the ann_topk_image layout cache so the audit times probes only."""
+    path = _ivf_cache_path(
+        sf_dir,
+        "imgivfpq",
+        f"m{_sim.PQ_SUBSPACES}k{_sim.PQ_CODES}np{_sim.IVF_NPROBE}"
+        f"r{_mm.IMAGE_EMB_ROUND}",
+        table="documents",
+    )
+    return _mm.knn_recall_audit_image(spark, _docs(spark, sf_dir), path)
+
+
+def _recall_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ivf_cache_path(
+        sf_dir,
+        "audivfpq",
+        f"m{_sim.PQ_SUBSPACES}k{_sim.PQ_CODES}np{_sim.IVF_NPROBE}"
+        f"r{_mm.IMAGE_EMB_ROUND}",
+        table="documents",
+    )
+    return _mm.knn_recall_audit_audio(spark, _docs(spark, sf_dir), path)
+
+
+def _recall_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ivf_cache_path(
+        sf_dir,
+        "vidivfpq",
+        f"m{_sim.PQ_SUBSPACES}k{_sim.PQ_CODES}np{_sim.IVF_NPROBE}"
+        f"r{_mm.IMAGE_EMB_ROUND}",
+        table="documents",
+    )
+    return _mm.knn_recall_audit_video(spark, _docs(spark, sf_dir), path)
+
+
 def _knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivf_cache_path(
         sf_dir,
@@ -271,7 +307,11 @@ _STAMP_PRIORITY = (
     "ann_topk_image",
     "video_embeddings",
     "ann_topk_video",
-    # (b) entries NEW this round are inserted here as they land.
+    # (b) entries NEW this round: the per-modality served-recall
+    # audits (VERDICT r10 item #5).
+    "knn_recall_audit_image",
+    "knn_recall_audit_audio",
+    "knn_recall_audit_video",
     # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
     # window cut off, alphabetical.
     "nested_order_lines",
@@ -867,6 +907,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "ann_topk_video": _ann_video,
+        # per-modality served-recall audits (r11): recall@k of each
+        # bridge's IVF-PQ funnel vs exact kNN over the SAME modality
+        # embeddings — the serving quality of "find images/clips like
+        # this one" as a stamped, measured number
+        "knn_recall_audit_image": _recall_image,
+        "knn_recall_audit_audio": _recall_audio,
+        "knn_recall_audit_video": _recall_video,
         # batched serving against the compressed index + its recall audit
         "knn_join_ivfpq": _knn_ivfpq,
         "knn_join_ivfpq_after_delete": _knn_ivfpq_after_delete,
@@ -1499,6 +1546,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_audio": _mm._ann_topk_audio_sql(),
         "video_embeddings": _mm.VIDEO_EMBEDDINGS_SQL,
         "ann_topk_video": _mm._ann_topk_video_sql(),
+        "knn_recall_audit_image": _mm._knn_recall_audit_image_sql(),
+        "knn_recall_audit_audio": _mm._knn_recall_audit_audio_sql(),
+        "knn_recall_audit_video": _mm._knn_recall_audit_video_sql(),
         "knn_join_ivfpq": _sim.KNN_JOIN_IVFPQ_SQL,
         "knn_join_ivfpq_after_delete": _sim.KNN_JOIN_IVFPQ_AFTER_DELETE_SQL,
         "knn_ivfpq_recall_audit": _sim.KNN_IVFPQ_RECALL_AUDIT_SQL,

@@ -84,6 +84,12 @@ EXPECTED_REGRESSIONS = {
     "video_dedup_clusters": "r10: boilerplate cards + frame-hash df cap",
     "audio_fp_near_dups": "r10: MIH default (137-mask ball-probe setup)",
     "audio_dedup_clusters": "r10: MIH default edge generator",
+    # r11: the served-recall audits measured recall@5 0.70/0.80 at the
+    # default nprobe=3 on the weakly-clustered image/audio cells; both
+    # bridges now serve at BRIDGE_IVF_NPROBE=7 (recall 0.96/0.98) —
+    # more cells read per probe by design
+    "ann_topk_image": "r11: serves at BRIDGE_IVF_NPROBE=7 (recall 0.70→0.96)",
+    "ann_topk_audio": "r11: serves at BRIDGE_IVF_NPROBE=7 (recall 0.80→0.98)",
 }
 
 

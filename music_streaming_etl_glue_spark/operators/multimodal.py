@@ -899,6 +899,17 @@ def image_embedding_vectors(documents: DataFrame) -> DataFrame:
     )
 
 
+#: serving probes for the image/audio bridges, tuned BY the served-recall
+#: audits (knn_recall_audit_*): their IVF seed labels (width / clip-length
+#: buckets) cluster the embedding space only weakly, so true neighbors
+#: spill across cells — measured recall@5 at the default nprobe=3 was
+#: image 0.70 / audio 0.80, vs 0.96 / 0.98 at 7 (shortlist insensitive).
+#: Video's cells are tight (recall 1.00 at 3) and keeps the default. At
+#: scale the cost is read volume ∝ nprobe/cells — the audit is the dial
+#: that keeps that trade measured instead of guessed.
+BRIDGE_IVF_NPROBE = 7
+
+
 def ann_topk_image(spark, documents: DataFrame, path: str) -> DataFrame:
     """Serve "find images like this one" through the EXISTING IVF-PQ
     funnel (:func:`..similarity.ann_topk_ivfpq` — prune cells from the
@@ -914,7 +925,7 @@ def ann_topk_image(spark, documents: DataFrame, path: str) -> DataFrame:
     )
 
     vecs = image_embedding_vectors(documents).localCheckpoint()
-    return ann_topk_ivfpq(spark, vecs, path)
+    return ann_topk_ivfpq(spark, vecs, path, nprobe=BRIDGE_IVF_NPROBE)
 
 
 IMAGE_EMBEDDINGS_SQL = f"""
@@ -952,6 +963,19 @@ img_embs AS (
 )"""
 
 
+def _with_bridge_nprobe(body: str, phrase: str) -> str:
+    """Swap the baked default-nprobe literal (``<phrase> {IVF_NPROBE}``,
+    asserted unique) for BRIDGE_IVF_NPROBE — the SQL-twin side of the
+    image/audio bridges' wider probe fan."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        IVF_NPROBE,
+    )
+
+    old = f"{phrase} {IVF_NPROBE}"
+    assert body.count(old) == 1, (phrase, body.count(old))
+    return body.replace(old, f"{phrase} {BRIDGE_IVF_NPROBE}")
+
+
 def _ann_topk_image_sql() -> str:
     """The served image-ANN oracle: the PROVEN ANN_TOPK_IVFPQ_SQL chain
     (PQ training replay, cell pruning, ADC, exact rerank) verbatim,
@@ -964,6 +988,7 @@ def _ann_topk_image_sql() -> str:
     body = ANN_TOPK_IVFPQ_SQL.strip()
     assert body.startswith("WITH ")
     body = body[len("WITH "):].replace("FROM embeddings", "FROM img_embs")
+    body = _with_bridge_nprobe(body, "assigned_label LIMIT")
     return (
         f"WITH {_PIXELS_SQL_CTE},\n{_AHASH_SQL_CTE},\n{_IMG_EMBS_CTE},\n"
         + body
@@ -1800,7 +1825,7 @@ def ann_topk_audio(spark, documents: DataFrame, path: str) -> DataFrame:
     )
 
     vecs = audio_embedding_vectors(documents).localCheckpoint()
-    return ann_topk_ivfpq(spark, vecs, path)
+    return ann_topk_ivfpq(spark, vecs, path, nprobe=BRIDGE_IVF_NPROBE)
 
 
 #: margin components in SQL — reuses en/ta/zw/tz from the fingerprint
@@ -1850,6 +1875,7 @@ def _ann_topk_audio_sql() -> str:
     body = ANN_TOPK_IVFPQ_SQL.strip()
     assert body.startswith("WITH ")
     body = body[len("WITH "):].replace("FROM embeddings", "FROM audio_embs")
+    body = _with_bridge_nprobe(body, "assigned_label LIMIT")
     return (
         f"WITH {_AUDIO_SAMPLES_SQL_CTE},\n{_AUDIO_FP_SQL_CTE},\n"
         f"{_AUDIO_EMBS_CTE},\n" + body
@@ -2442,3 +2468,88 @@ FROM fh a JOIN fh b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {VIDEO_MIN_SHARED_FRAMES}
 """
+
+
+# ---------------------------------------------------------------------------
+# served-recall audits for the modality→ANN bridges (VERDICT r10 item #5):
+# recall@k of the IVF-PQ funnel against the exact kNN over the SAME modality
+# embeddings — the knn_ivfpq_recall_audit shape pointed at
+# {image,audio,video}_embedding_vectors, so each bridge's serving quality is
+# a stamped, measured number instead of SCALE.md prose.
+# ---------------------------------------------------------------------------
+
+
+def knn_recall_audit_image(spark, documents: DataFrame, path: str) -> DataFrame:
+    """Per-query recall@k of the served image-ANN funnel vs exact kNN
+    over the decoded-pixel embeddings (reuses the ann_topk_image layout
+    cache, so the audit times probes, not index builds)."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        knn_ivfpq_recall_audit,
+    )
+
+    vecs = image_embedding_vectors(documents).localCheckpoint()
+    return knn_ivfpq_recall_audit(spark, vecs, path, nprobe=BRIDGE_IVF_NPROBE)
+
+
+def knn_recall_audit_audio(spark, documents: DataFrame, path: str) -> DataFrame:
+    """Audio twin of :func:`knn_recall_audit_image` over the
+    fingerprint-margin embeddings."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        knn_ivfpq_recall_audit,
+    )
+
+    vecs = audio_embedding_vectors(documents).localCheckpoint()
+    return knn_ivfpq_recall_audit(spark, vecs, path, nprobe=BRIDGE_IVF_NPROBE)
+
+
+def knn_recall_audit_video(spark, documents: DataFrame, path: str) -> DataFrame:
+    """Video twin of :func:`knn_recall_audit_image` over the clip
+    embeddings (summed mean-centered frame components)."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        knn_ivfpq_recall_audit,
+    )
+
+    vecs = video_embedding_vectors(documents).localCheckpoint()
+    return knn_ivfpq_recall_audit(spark, vecs, path)
+
+
+def _knn_recall_audit_sql(
+    prefix_ctes: str, source: str, bridge_nprobe: bool = False
+) -> str:
+    """Re-point the proven KNN_IVFPQ_RECALL_AUDIT_SQL (exact kNN +
+    full IVF-PQ funnel replay, both already oracled on the embeddings
+    table) at a modality embedding CTE — the same one-funnel recipe as
+    the _ann_topk_*_sql builders."""
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        KNN_IVFPQ_RECALL_AUDIT_SQL,
+    )
+
+    body = KNN_IVFPQ_RECALL_AUDIT_SQL.strip()
+    assert body.startswith("WITH ")
+    body = body[len("WITH "):].replace("FROM embeddings", f"FROM {source}")
+    if bridge_nprobe:
+        body = _with_bridge_nprobe(body, "rn <=")
+    return f"WITH {prefix_ctes},\n" + body
+
+
+def _knn_recall_audit_image_sql() -> str:
+    return _knn_recall_audit_sql(
+        f"{_PIXELS_SQL_CTE},\n{_AHASH_SQL_CTE},\n{_IMG_EMBS_CTE}",
+        "img_embs",
+        bridge_nprobe=True,
+    )
+
+
+def _knn_recall_audit_audio_sql() -> str:
+    return _knn_recall_audit_sql(
+        f"{_AUDIO_SAMPLES_SQL_CTE},\n{_AUDIO_FP_SQL_CTE},\n{_AUDIO_EMBS_CTE}",
+        "audio_embs",
+        bridge_nprobe=True,
+    )
+
+
+def _knn_recall_audit_video_sql() -> str:
+    return _knn_recall_audit_sql(
+        f"{_VIDEO_PIXELS_SQL_CTE},\n{_VIDEO_AHASH_SQL_CTE},\n{_VIDEO_EMBS_CTE}",
+        "video_embs",
+    )
