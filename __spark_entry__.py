@@ -308,10 +308,12 @@ _STAMP_PRIORITY = (
     "video_embeddings",
     "ann_topk_video",
     # (b) entries NEW this round: the per-modality served-recall
-    # audits (VERDICT r10 item #5).
+    # audits (VERDICT r10 item #5) + the ExactSubstr dedup pair.
     "knn_recall_audit_image",
     "knn_recall_audit_audio",
     "knn_recall_audit_video",
+    "exact_substring_spans",
+    "exact_substring_dedup",
     # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
     # window cut off, alphabetical.
     "nested_order_lines",
@@ -514,6 +516,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-substring dedup at token-window grain (Lee et al. 2022)
         "remove_boilerplate": lambda spark, sf: (
             _text.remove_boilerplate(_docs(spark, sf))
+        ),
+        # Lee et al.'s ExactSubstr pass proper (r11): >= K-token spans
+        # occurring more than once corpus-wide keep the FIRST occurrence
+        # and lose the rest; spans = the maximal-merged removal
+        # inventory, dedup = the rebuilt clean text
+        "exact_substring_spans": lambda spark, sf: (
+            _dedup.exact_substring_spans(_docs(spark, sf))
+        ),
+        "exact_substring_dedup": lambda spark, sf: (
+            _dedup.exact_substring_dedup(_docs(spark, sf))
         ),
         # temperature-based source mixing (count^alpha quotas)
         "temperature_mix": lambda spark, sf: (
@@ -1427,6 +1439,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_rules": _text.QUALITY_FILTER_RULES_SQL,
         "boilerplate_shingles": _text.BOILERPLATE_SHINGLES_SQL,
         "remove_boilerplate": _text.REMOVE_BOILERPLATE_SQL,
+        "exact_substring_spans": _dedup.EXACT_SUBSTRING_SPANS_SQL,
+        "exact_substring_dedup": _dedup.EXACT_SUBSTRING_DEDUP_SQL,
         "temperature_mix": _dedup.TEMPERATURE_MIX_SQL,
         "source_divergence": _text.SOURCE_DIVERGENCE_SQL,
         "packing_efficiency": _text.PACKING_EFFICIENCY_SQL,

@@ -2666,3 +2666,218 @@ ranked AS (
 )
 SELECT event_id, event_type, value FROM ranked WHERE r <= quota
 """
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (the ExactSubstr pass of Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better") — any token
+# span of length >= EXACT_SUBSTR_K that occurs more than once in the corpus
+# keeps its FIRST occurrence (corpus order = (doc_id, pos)) and loses every
+# later one. remove_boilerplate handles the short-frequent-gram regime
+# (n=3, df>=5); this rung is the long-span regime (K=20, >=2 occurrences,
+# including later repeats inside the same document), with maximal-span
+# merging so the inventory reports human-auditable spans, not K-gram
+# confetti.
+#
+# Spark-first shape: a suffix array is a single-machine construct; the
+# distributed equivalent is the K-window rolling relation — any shared
+# substring of length L >= K contributes exactly L-K+1 shared K-windows,
+# so merging the flagged windows back into maximal intervals reproduces
+# the maximal shared spans. One shuffle on the gram hash ranks
+# occurrences; one doc_id window merges intervals. Nothing all-pairs.
+# Hot boilerplate grams skew the gram partition — run remove_boilerplate
+# first (or AQE skew-split absorbs moderate heat); the rank window is the
+# only place a hot key concentrates.
+# ---------------------------------------------------------------------------
+
+EXACT_SUBSTR_K = 20
+
+
+def _kgram_occurrences(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gh): md5 of every width-k token window — the
+    positional-shingle generator at dedup grain (hashed: K=20 windows
+    are long strings; 32-hex keys keep the gram shuffle narrow)."""
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks)
+    starts = F.when(nt >= k, F.sequence(F.lit(0), nt - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.md5(F.concat_ws(" ", F.slice(toks, s + 1, k))),
+            )
+        ).alias("pos", "gh"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+def _dup_windows(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos) of every K-window occurrence that is NOT the first
+    occurrence of its gram in corpus order — the positions the dedup
+    removes. One gram-key shuffle; count >= 2 gates before rank so
+    singleton grams (the vast majority) never rank."""
+    occ = _kgram_occurrences(documents, k)
+    w = Window.partitionBy("gh")
+    wo = w.orderBy("doc_id", "pos")
+    return (
+        occ.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(w).alias("n_occ"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        .filter((F.col("n_occ") >= 2) & (F.col("rn") >= 2))
+        .select("doc_id", "pos")
+    )
+
+
+def _merge_spans(positions: DataFrame, k: int) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len): maximal merge of the
+    width-k windows at ``positions`` — gaps-and-islands over one doc_id
+    window (an island breaks where a start clears the running max end
+    by more than adjacency)."""
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k - 1).over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = positions.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") > F.coalesce(prev_end, F.lit(-1)) + 1, 1
+        ).otherwise(0).alias("newgrp"),
+    )
+    grouped = marked.select(
+        "doc_id", "pos", F.sum("newgrp").over(wp).alias("gid")
+    )
+    return grouped.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k - 1).alias("span_end"),
+        (F.max("pos") - F.min("pos") + k).alias("span_len"),
+    ).select("doc_id", "span_start", "span_end", "span_len")
+
+
+def exact_substring_spans(
+    documents: DataFrame, k: int = EXACT_SUBSTR_K
+) -> DataFrame:
+    """The removal inventory: per document, the maximal token spans a
+    keep-first exact-substring dedup at width ``k`` would drop
+    (every span is a >= k-token substring whose text occurred earlier
+    in corpus order). Audit rung — :func:`exact_substring_dedup` is the
+    apply rung that rebuilds the cleaned text."""
+    return _merge_spans(_dup_windows(documents, k), k)
+
+
+def exact_substring_dedup(
+    documents: DataFrame, k: int = EXACT_SUBSTR_K
+) -> DataFrame:
+    """Apply rung: (doc_id, n_tokens, n_removed, clean_text) with every
+    later-occurrence span removed and the survivors rejoined in order.
+    Span lists are per-doc tiny (bounded by n_tokens/k islands), so the
+    rebuild is the remove_boilerplate filter-with-index shape: no second
+    wide shuffle, docs with nothing to drop pass through the left join."""
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks).cast("long")
+    spans = (
+        exact_substring_spans(documents, k)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    sp = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            sp,
+            lambda s: (i.cast("long") >= s["span_start"])
+            & (i.cast("long") <= s["span_end"]),
+        ),
+    )
+    return documents.join(spans, "doc_id", "left").select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        (nt - F.size(kept).cast("long")).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+_EXACT_SUBSTR_SPANS_CTE = f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+occ AS (
+    SELECT doc_id, u.i::BIGINT AS pos,
+           md5(array_to_string(toks[u.i + 1 : u.i + {EXACT_SUBSTR_K}], ' '))
+               AS gh
+    FROM t, unnest(range(0, greatest(len(toks) - {EXACT_SUBSTR_K} + 1, 0)))
+        AS u(i)
+),
+dup AS (
+    SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY gh) AS n_occ,
+               row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos)
+                   AS rn
+        FROM occ
+    ) WHERE n_occ >= 2 AND rn >= 2
+),
+marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(
+                    max(pos + {EXACT_SUBSTR_K} - 1) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) + 1
+                THEN 1 ELSE 0 END AS newgrp
+    FROM dup
+),
+grouped AS (
+    SELECT doc_id, pos,
+           sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+    FROM marked
+),
+spans AS (
+    SELECT doc_id,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) + {EXACT_SUBSTR_K} - 1)::BIGINT AS span_end,
+           (max(pos) - min(pos) + {EXACT_SUBSTR_K})::BIGINT AS span_len
+    FROM grouped GROUP BY doc_id, gid
+)"""
+
+EXACT_SUBSTRING_SPANS_SQL = f"""
+WITH {_EXACT_SUBSTR_SPANS_CTE}
+SELECT doc_id, span_start, span_end, span_len FROM spans
+"""
+
+EXACT_SUBSTRING_DEDUP_SQL = f"""
+WITH {_EXACT_SUBSTR_SPANS_CTE},
+pos AS (
+    SELECT doc_id, u.i::BIGINT AS p, toks[u.i + 1] AS tok,
+           len(toks)::BIGINT AS n_tokens
+    FROM t, unnest(range(0, len(toks))) AS u(i)
+),
+kept AS (
+    SELECT p.doc_id, p.p, p.tok
+    FROM pos p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id
+          AND p.p BETWEEN s.span_start AND s.span_end
+    )
+),
+agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_kept,
+           string_agg(tok, ' ' ORDER BY p) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+-- a doc whose text is entirely a later occurrence keeps an empty row
+-- (the Spark side's left join does the same)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+       (len(t.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
