@@ -314,6 +314,8 @@ _STAMP_PRIORITY = (
     "knn_recall_audit_video",
     "exact_substring_spans",
     "exact_substring_dedup",
+    "semantic_query_topk",
+    "hybrid_retrieval_rrf",
     # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
     # window cut off, alphabetical.
     "nested_order_lines",
@@ -477,6 +479,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _text.vocab_top_terms_approx(_docs(spark, sf))
         ),
         "bm25_scores": lambda spark, sf: _text.bm25_scores(_docs(spark, sf)),
+        # hybrid retrieval (r11): the same query scored lexically (BM25)
+        # and semantically (hashed-vector cosine), fused by reciprocal-
+        # rank fusion — the standard RAG/search two-tower fallback
+        "semantic_query_topk": lambda spark, sf: (
+            _text.semantic_query_topk(_docs(spark, sf))
+        ),
+        "hybrid_retrieval_rrf": lambda spark, sf: (
+            _text.hybrid_retrieval_rrf(_docs(spark, sf))
+        ),
         "repetition_metrics": lambda spark, sf: _text.repetition_metrics(
             _docs(spark, sf)
         ),
@@ -1428,6 +1439,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _text.TFIDF_TOP_TERMS_SQL,
         "vocab_top_terms": _text.VOCAB_TOP_TERMS_SQL,
         "bm25_scores": _text.BM25_SCORES_SQL,
+        "semantic_query_topk": _text.SEMANTIC_QUERY_TOPK_SQL,
+        "hybrid_retrieval_rrf": _text.HYBRID_RETRIEVAL_RRF_SQL,
         "repetition_metrics": _text.REPETITION_METRICS_SQL,
         "chunk_documents": _text.CHUNK_DOCUMENTS_SQL,
         "chunk_documents_udtf": _text.CHUNK_DOCUMENTS_SQL,

@@ -2806,3 +2806,179 @@ WHERE p.n_pair >= {PMI_MIN_COUNT}
 ORDER BY pmi DESC, p.t1 ASC, p.t2 ASC
 LIMIT {PMI_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 ∪ semantic cosine fused by reciprocal-rank fusion
+# (Cormack et al. 2009 — the standard lexical+vector fusion a RAG/search
+# stack runs when neither signal alone is trusted)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+HYBRID_TOP_K = 20
+HYBRID_SEM_DEPTH = 50  # per-list depth feeding the fusion (= BM25_TOP_K)
+
+
+def _hash_query_vector(
+    terms: tuple[str, ...], dims: int = HASH_VEC_DIMS
+) -> list[float]:
+    """The query terms hashed into the SAME signed feature space as
+    :func:`hashed_doc_vectors` (md5 prefix → dim, last hex digit parity
+    → sign) — a driver-side literal, so the Spark plan stays one
+    codegen'd expression; the SQL twin derives it from the same md5 on
+    the same literal terms."""
+    import hashlib
+
+    v = [0.0] * dims
+    for t in terms:
+        h = hashlib.md5(t.encode()).hexdigest()
+        v[int(h[:15], 16) % dims] += 1.0 if int(h[31], 16) % 2 == 1 else -1.0
+    return v
+
+
+def semantic_query_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    top_k: int = HYBRID_SEM_DEPTH,
+    dims: int = HASH_VEC_DIMS,
+) -> DataFrame:
+    """Semantic half of the hybrid stack: cosine of every document's
+    hashed vector against the hashed QUERY vector (integer dots — both
+    engines see bit-identical doubles), deterministic (cos desc, doc_id)
+    top-k. Zero-norm docs score 0 (ANSI-safe CASE, mirrored in SQL)."""
+    from music_streaming_etl_glue_spark.functions.ranks import (
+        rank_post_limit,
+    )
+
+    qv = _hash_query_vector(query_terms, dims)
+    qlit = F.array(*[F.lit(x) for x in qv])
+    qn = float(sum(x * x for x in qv)) ** 0.5
+    vecs = hashed_doc_vectors(documents, dims)
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = vecs.select(
+        "doc_id",
+        F.when(nrm > 0, F.round(dot / (nrm * F.lit(qn)), 6))
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
+    )
+    top = scored.orderBy(F.col("cosine").desc(), F.col("doc_id").asc()).limit(
+        top_k
+    )
+    return rank_post_limit(
+        top, "rank", F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+
+
+def hybrid_retrieval_rrf(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    rrf_k: int = RRF_K,
+    top_k: int = HYBRID_TOP_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-50 and the semantic
+    cosine top-50 for the same query: rrf = Σ_lists 1/(rrf_k + rank),
+    absent-from-list contributes 0. The two candidate lists are
+    driver-scale (top-50 each) so the fusion join is a broadcast-sized
+    full outer join — at 100 TB the heavy lifting is in the two scorers
+    (each one scan + one slim agg), never in the fusion."""
+    from music_streaming_etl_glue_spark.functions.ranks import (
+        rank_post_limit,
+    )
+
+    lex = bm25_scores(documents, query_terms).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = semantic_query_topk(documents, query_terms).select(
+        "doc_id", F.col("rank").alias("sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    top = fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(top_k)
+    return rank_post_limit(
+        top, "rank", F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+
+
+def _query_vec_sql_cte(dims: int = HASH_VEC_DIMS) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""qcells AS (
+    SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % {dims} AS d,
+           sum(CASE WHEN ('0x' || substr(md5(t), 32, 1))::BIGINT % 2 = 1
+                    THEN 1 ELSE -1 END)::BIGINT AS v
+    FROM unnest([{terms_sql}]) AS u(t) GROUP BY 1
+),
+qvec AS (
+    SELECT list_transform(
+               generate_series(0, {dims - 1}),
+               i -> coalesce(m[i][1], 0)::DOUBLE
+           ) AS q
+    FROM (SELECT map_from_entries(list((d, v))) AS m FROM qcells)
+)"""
+
+
+_SEM_TOPK_BODY = f"""
+semscored AS (
+    SELECT h.doc_id,
+           CASE WHEN list_dot_product(h.embedding, h.embedding) > 0
+                THEN round(
+                    list_dot_product(h.embedding, q.q)
+                    / (sqrt(list_dot_product(h.embedding, h.embedding))
+                       * sqrt(list_dot_product(q.q, q.q))), 6)
+                ELSE 0.0 END AS cosine
+    FROM hvecs h, qvec q
+),
+semtop AS (
+    SELECT doc_id, cosine,
+           row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM semscored
+    ORDER BY cosine DESC, doc_id ASC LIMIT {HYBRID_SEM_DEPTH}
+)"""
+
+SEMANTIC_QUERY_TOPK_SQL = f"""
+WITH {_hashed_vectors_cte()},
+{_query_vec_sql_cte()},
+{_SEM_TOPK_BODY.lstrip()}
+SELECT doc_id, cosine, rank FROM semtop
+"""
+
+HYBRID_RETRIEVAL_RRF_SQL = f"""
+WITH {_hashed_vectors_cte()},
+{_query_vec_sql_cte()},
+{_SEM_TOPK_BODY.lstrip()},
+lex AS ({BM25_SCORES_SQL}),
+fused AS (
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           l.rank AS lex_rank, s.rank AS sem_rank,
+           round(coalesce(1.0 / ({RRF_K} + l.rank), 0.0)
+                 + coalesce(1.0 / ({RRF_K} + s.rank), 0.0), 6) AS rrf_score
+    FROM lex l FULL OUTER JOIN semtop s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {HYBRID_TOP_K}
+"""

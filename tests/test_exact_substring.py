@@ -100,3 +100,38 @@ def test_jvm_only_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval RRF pins (same r11 batch)
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    from music_streaming_etl_glue_spark.operators import text as T
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = T.hybrid_retrieval_rrf(docs).collect()
+    assert len(out) == T.HYBRID_TOP_K
+    lex = {r.doc_id: r.rank for r in T.bm25_scores(docs).collect()}
+    sem = {r.doc_id: r.rank for r in T.semantic_query_topk(docs).collect()}
+    for r in out:
+        expect = 0.0
+        if r.doc_id in lex:
+            assert r.lex_rank == lex[r.doc_id]
+            expect += 1.0 / (T.RRF_K + lex[r.doc_id])
+        else:
+            assert r.lex_rank is None
+        if r.doc_id in sem:
+            assert r.sem_rank == sem[r.doc_id]
+            expect += 1.0 / (T.RRF_K + sem[r.doc_id])
+        else:
+            assert r.sem_rank is None
+        assert abs(r.rrf_score - round(expect, 6)) < 1e-9
+    # fusion actually mixes: the top-20 must contain at least one doc
+    # from each single-signal list
+    ids = {r.doc_id for r in out}
+    assert ids & set(lex) and ids & set(sem)
+    # ranks are 1..k by descending fused score
+    assert [r.rank for r in out] == sorted(r.rank for r in out)
