@@ -1116,3 +1116,151 @@ def stream_kpi_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming ANN index maintenance (r11): the IVF-PQ serving index stays
+# fresh as the corpus streams in — the streaming twin of
+# similarity.refresh_ivfpq_layout, with the replay safety that batch path
+# (mode="append") cannot give a foreachBatch retry.
+# ---------------------------------------------------------------------------
+
+EMBEDDINGS_FILE_SCHEMA = "vec_id long, embedding array<double>, label long"
+
+
+def stream_embeddings(
+    spark: SparkSession, input_dir: str, files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream of embedding batches (the vector landing
+    zone): each micro-batch is a set of newly-landed parquet files in
+    the embeddings-table shape."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def _ann_ingest_batch_handler(
+    spark: SparkSession,
+    index_dir: str,
+    state_dir: str,
+):
+    """Per-micro-batch IVF-PQ index maintenance. The first batch TRAINS
+    and pins the artifacts (centroids + PQ codebook — the shipped-
+    tokenizer discipline every append path here follows); every batch,
+    including a replay of the first, then encodes ITSELF under the
+    pinned artifacts and lands its packed codes via dynamic partition
+    overwrite of exactly its own ``(assigned_label, epoch)``
+    partitions — a foreachBatch retry rewrites the same bytes instead
+    of double-appending (the failure mode of the batch path's
+    ``mode("append")``), and the standing corpus' code files are never
+    touched.
+
+    Raw vectors land epoch-partitioned at ``state_dir/vecs`` (the
+    rerank + retrain source of truth), and a per-epoch drift row
+    (mean squared reconstruction error of the batch under the PINNED
+    codebook) lands at ``state_dir/drift`` — when it trips a budget,
+    the operator to run is the batch
+    :func:`..operators.similarity.retrain_ivfpq_layout`, whose
+    audit-gated atomic cutover is already crash-safe. Scale: per-epoch
+    work is O(batch) encode (centroids ~cells rows, codebook M·K rows,
+    both broadcast-sized); nothing rescans the landed corpus."""
+    import os
+
+    from music_streaming_etl_glue_spark.operators.similarity import (
+        _assign_to_centroids,
+        _build_layout_atomic,
+        _centroid_arrays,
+        _pq_assign,
+        _pq_codebook,
+        _pq_subvectors,
+        label_centroids,
+        pq_reconstruction_error,
+    )
+
+    vec_dir = os.path.join(state_dir, "vecs")
+    drift_dir = os.path.join(state_dir, "drift")
+
+    def _pin_artifacts(batch: DataFrame) -> None:
+        def build(tmp: str) -> None:
+            cents = _centroid_arrays(label_centroids(batch)).localCheckpoint()
+            cb = _pq_codebook(batch).localCheckpoint()
+            cents.write.parquet(os.path.join(tmp, "_centroids"))
+            cb.write.parquet(os.path.join(tmp, "_codebook"))
+            # root marker: partition discovery ignores underscore paths,
+            # and _build_layout_atomic's once-only check needs it at root
+            with open(os.path.join(tmp, "_SUCCESS"), "w"):
+                pass
+
+        _build_layout_atomic(build, index_dir)
+
+    def index_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        # 1. raw vectors: idempotent epoch overwrite (rerank/retrain read)
+        batch.write.mode("overwrite").parquet(
+            os.path.join(vec_dir, f"epoch={epoch_id}")
+        )
+        # 2. first batch pins the artifacts (atomic, race/replay-safe)
+        _pin_artifacts(batch)
+        cents = spark.read.parquet(os.path.join(index_dir, "_centroids"))
+        cb = spark.read.parquet(os.path.join(index_dir, "_codebook"))
+        # 3. encode THIS batch under the pinned artifacts
+        assign = _assign_to_centroids(batch, cents).select(
+            "vec_id", "assigned_label"
+        )
+        packed = (
+            _pq_assign(_pq_subvectors(batch), cb)
+            .groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("s", "code"))),
+                    lambda t: t["code"],
+                ).alias("codes")
+            )
+        )
+        # 4. land codes: dynamic overwrite of exactly this epoch's
+        # (assigned_label, epoch) partitions — replay rewrites, never
+        # double-appends; other epochs' files are never listed
+        (
+            packed.join(assign, "vec_id")
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("assigned_label", "epoch")
+            .parquet(index_dir)
+        )
+        # 5. drift signal: batch reconstruction error under the pin
+        err = pq_reconstruction_error(batch, codebook=cb).agg(
+            F.avg("sq_err").alias("mean_sq_err"),
+            F.count("*").cast("long").alias("n_vectors"),
+        )
+        err.write.mode("overwrite").parquet(
+            os.path.join(drift_dir, f"epoch={epoch_id}")
+        )
+
+    return index_batch
+
+
+def ingest_ann_indexed(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    files_per_trigger: int = 16,
+) -> None:
+    """Streaming ANN index ingest: embedding batches land and the
+    IVF-PQ serving index absorbs each micro-batch incrementally —
+    train-once pinned artifacts, O(batch) encode per epoch,
+    replay-idempotent epoch partitions, per-epoch codebook-drift
+    metrics. The served index is readable by the whole existing funnel
+    (``ann_topk_ivfpq`` / ``knn_join_ivfpq``) at any epoch boundary."""
+    q = (
+        stream_embeddings(spark, input_dir, files_per_trigger)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_ann_ingest_batch_handler(spark, index_dir, state_dir))
+        .start()
+    )
+    q.awaitTermination()
