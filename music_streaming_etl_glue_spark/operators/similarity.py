@@ -2577,17 +2577,33 @@ def rewrite_ivfpq_cells(spark, path: str, drop_ids: DataFrame) -> list:
         F.col("assigned_label").isin(touched)
     ).join(drop_ids, "vec_id", "left_anti")
     tmp = f"{path}.rewrite-{os.getpid()}-{time.time_ns()}"
-    survivors.write.mode("overwrite").partitionBy(
-        "assigned_label"
-    ).parquet(tmp)
-    # Swap-aside per cell (ADVICE r8, medium — the plans/layout.py
-    # pattern): park the live cell at `.old-*`, rename the rewrite in,
-    # THEN drop the parked copy. The old rmtree(dst)+rename(src) order
-    # had a window where a crash between the two permanently deleted the
-    # cell's rows while the layout's _SUCCESS still validated the cache
-    # — serves would silently miss vectors. With swap-aside the live
-    # path always holds a complete cell: on failure the parked copy is
-    # restored before the error propagates.
+    # a STREAMED layout (ingest_ann_indexed) carries an epoch partition
+    # level under each cell; the rewrite must preserve it or partition
+    # discovery sees mixed depths across cells and refuses the layout
+    part_cols = (
+        ["assigned_label", "epoch"]
+        if "epoch" in layout.columns
+        else ["assigned_label"]
+    )
+    survivors.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+    _swap_cells(path, tmp, touched)
+    return touched
+
+
+def _swap_cells(path: str, tmp: str, touched: list) -> None:
+    """Swap-aside per cell (ADVICE r8, medium — the plans/layout.py
+    pattern): park the live cell at ``.old-*``, rename the rewrite in,
+    THEN drop the parked copy. The old rmtree(dst)+rename(src) order
+    had a window where a crash between the two permanently deleted the
+    cell's rows while the layout's _SUCCESS still validated the cache
+    — serves would silently miss vectors. With swap-aside the live
+    path always holds a complete cell: on failure the parked copy is
+    restored before the error propagates; a HARD crash heals on the
+    next :func:`_heal_parked_cells`."""
+    import os
+    import shutil
+    import time
+
     for lab in touched:
         dst = os.path.join(path, f"assigned_label={lab}")
         src = os.path.join(tmp, f"assigned_label={lab}")
@@ -2609,6 +2625,61 @@ def rewrite_ivfpq_cells(spark, path: str, drop_ids: DataFrame) -> list:
         if parked:
             shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compact_ivfpq_epochs(spark, path: str, through_epoch=None) -> list:
+    """Small-files compaction for a STREAMED IVF-PQ layout
+    (:func:`..streaming.file_pipeline.ingest_ann_indexed`): every cell's
+    ``epoch <= through_epoch`` code files collapse into one
+    ``epoch=<through_epoch>`` partition (one file per cell via an
+    explicit cell repartition); epochs beyond the horizon are carried
+    through untouched. Touched cells swap in atomically with the same
+    park-rename discipline as :func:`rewrite_ivfpq_cells` (shared
+    :func:`_swap_cells`, healed by :func:`_heal_parked_cells`), so a
+    crash at any point leaves every cell complete — the compaction is
+    safe to run between stream triggers. Returns the labels compacted.
+
+    Scale: per-epoch streaming appends are O(batch) but accrete one
+    file per (cell, epoch) — after E epochs a serve of one cell opens E
+    footers. Compaction restores O(1) files per cell and costs one read
+    + write of the touched cells only (pinned artifacts untouched);
+    at 100 TB it is the maintenance window's job, amortized across the
+    epochs it collapses."""
+    import os
+    import time
+
+    _heal_parked_cells(path)
+    layout = spark.read.parquet(path)
+    if "epoch" not in layout.columns:
+        return []
+    if through_epoch is None:
+        through_epoch = layout.agg(F.max("epoch")).head()[0]
+    # a cell needs work iff it holds rows below the horizon
+    touched = sorted(
+        r.assigned_label
+        for r in layout.filter(F.col("epoch") < through_epoch)
+        .select("assigned_label")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+    rewritten = layout.filter(
+        F.col("assigned_label").isin(touched)
+    ).withColumn(
+        "epoch",
+        F.when(
+            F.col("epoch") <= through_epoch, F.lit(through_epoch)
+        ).otherwise(F.col("epoch")),
+    )
+    tmp = f"{path}.compact-{os.getpid()}-{time.time_ns()}"
+    (
+        rewritten.repartition("assigned_label", "epoch")
+        .write.mode("overwrite")
+        .partitionBy("assigned_label", "epoch")
+        .parquet(tmp)
+    )
+    _swap_cells(path, tmp, touched)
     return touched
 
 

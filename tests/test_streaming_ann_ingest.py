@@ -156,3 +156,55 @@ def test_append_never_touches_other_epochs(spark, tmp_path):
     after = _files(idx)
     assert {k: v for k, v in after.items() if "epoch=0" in k} == epoch0
     assert any("epoch=1" in k for k in after)
+
+
+def test_compaction_collapses_epochs_and_preserves_serving(spark, tmp_path):
+    """compact_ivfpq_epochs: every cell's epoch files collapse to one
+    partition at the horizon, rowsets are unchanged, the layout still
+    serves, and a later stream epoch appends cleanly on top."""
+    b = _batches(spark)
+    idx = str(tmp_path / "idx")
+    handler = _ann_ingest_batch_handler(spark, idx, str(tmp_path / "state"))
+    handler(b[0], 0)
+    handler(b[1], 1)
+    before = _codes_rowset(spark, idx)
+    touched = S.compact_ivfpq_epochs(spark, idx)
+    assert touched  # at least one cell held sub-horizon files
+    assert _codes_rowset(spark, idx) == before
+    # compacted cells hold exactly one epoch dir (=1, the horizon) and
+    # one data file in it
+    for lab in touched:
+        cell = os.path.join(idx, f"assigned_label={lab}")
+        eps = [p for p in os.listdir(cell) if p.startswith("epoch=")]
+        assert eps == ["epoch=1"]
+        files = [
+            f for f in os.listdir(os.path.join(cell, eps[0]))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    assert not glob.glob(os.path.join(idx, ".old-*"))
+    # a later epoch appends on top of the compacted layout
+    handler(b[2], 2)
+    assert len(_codes_rowset(spark, idx)) == len(before) + b[2].count()
+
+
+def test_delete_path_preserves_epoch_partitioning(spark, tmp_path):
+    """rewrite_ivfpq_cells on a STREAMED layout must keep the epoch
+    partition level — a flat rewrite of one cell would give the layout
+    mixed directory depths and break partition discovery."""
+    b = _batches(spark)
+    idx = str(tmp_path / "idx")
+    handler = _ann_ingest_batch_handler(spark, idx, str(tmp_path / "state"))
+    handler(b[0], 0)
+    handler(b[1], 1)
+    before = _codes_rowset(spark, idx)
+    victims = [r[0] for r in before[:3]]
+    drop = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    touched = S.rewrite_ivfpq_cells(spark, idx, drop)
+    assert touched
+    after = _codes_rowset(spark, idx)  # discovery still works
+    assert {r[0] for r in after} == {r[0] for r in before} - set(victims)
+    # every rewritten cell still has only epoch= subdirs
+    for lab in touched:
+        cell = os.path.join(idx, f"assigned_label={lab}")
+        assert all(p.startswith("epoch=") for p in os.listdir(cell))
