@@ -2778,10 +2778,17 @@ def exact_substring_dedup(
     Span lists are per-doc tiny (bounded by n_tokens/k islands), so the
     rebuild is the remove_boilerplate filter-with-index shape: no second
     wide shuffle, docs with nothing to drop pass through the left join."""
+    return _apply_spans(documents, exact_substring_spans(documents, k))
+
+
+def _apply_spans(documents: DataFrame, span_rows: DataFrame) -> DataFrame:
+    """Scrub ``documents`` of the (doc_id, span_start, span_end) token
+    intervals in ``span_rows`` — the shared rebuild under
+    :func:`exact_substring_dedup` and the streaming scrub handler."""
     toks = F.split(F.col("text"), " ")
     nt = F.size(toks).cast("long")
     spans = (
-        exact_substring_spans(documents, k)
+        span_rows
         .groupBy("doc_id")
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("spans")

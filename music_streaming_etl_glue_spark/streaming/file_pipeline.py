@@ -1264,3 +1264,115 @@ def ingest_ann_indexed(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# streaming exact-substring scrub (r11): the ExactSubstr pass (Lee et al.
+# 2022, operators.dedup.exact_substring_dedup) as a landing-zone rung —
+# every >= K-token span already seen (landed epochs OR earlier in this
+# batch) is scrubbed before the document lands.
+# ---------------------------------------------------------------------------
+
+
+def _substring_scrub_batch_handler(
+    spark: SparkSession,
+    output_dir: str,
+    state_dir: str,
+    k: int | None = None,
+):
+    """Per-micro-batch exact-substring scrub. Cross-batch state is the
+    DISTINCT gram-hash relation of every landed batch's RAW text
+    (epoch-partitioned; raw, not scrubbed — a span whose first
+    occurrence was itself scrubbed as a later copy is still 'seen', so
+    a third upload drops too, which is exactly keep-first). A batch
+    window drops when its hash exists in the landed state or an earlier
+    (doc_id, pos) occurrence within the batch; flagged windows merge to
+    maximal spans and the scrub rebuild is the shared batch kernel
+    (:func:`..operators.dedup._apply_spans`), so when batches arrive in
+    corpus order the landed union is BIT-IDENTICAL to the batch
+    operator over the full corpus (pytest-pinned).
+
+    Scale: the state is one 32-hex row per distinct landed K-window —
+    the same order as the tokenized corpus itself, which is what exact
+    substring dedup fundamentally indexes (a suffix array is no
+    smaller); the per-batch probe is one semi-join of the batch's gram
+    relation against it, epoch-pruned and never rescanning landed text.
+    All state reads exclude the current epoch so a foreachBatch retry
+    re-lands instead of self-anti-joining."""
+    import os
+
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        EXACT_SUBSTR_K,
+        _apply_spans,
+        _kgram_occurrences,
+        _merge_spans,
+    )
+    from pyspark.sql.window import Window
+
+    k = EXACT_SUBSTR_K if k is None else k
+    gram_dir = os.path.join(state_dir, "grams")
+    epoch_writer = _idempotent_epoch_writer(output_dir)
+
+    def scrub_and_land(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.drop("ingest_ts").localCheckpoint()
+        occ = _kgram_occurrences(batch, k).localCheckpoint()
+        # within-batch: every occurrence after the first of its gram
+        w = Window.partitionBy("gh")
+        wo = w.orderBy("doc_id", "pos")
+        dup_within = (
+            occ.select(
+                "doc_id",
+                "pos",
+                F.count("*").over(w).alias("n_occ"),
+                F.row_number().over(wo).alias("rn"),
+            )
+            .filter((F.col("n_occ") >= 2) & (F.col("rn") >= 2))
+            .select("doc_id", "pos")
+        )
+        dups = dup_within
+        if os.path.exists(gram_dir):
+            # keep-FIRST needs epoch-ordered horizon: a replayed epoch
+            # must scrub only against EARLIER epochs (not merely exclude
+            # itself) or the first occurrence loses to its own later copy
+            landed = spark.read.parquet(gram_dir).filter(
+                F.col("epoch") < F.lit(epoch_id)
+            )
+            dup_landed = occ.join(
+                landed.select("gh"), "gh", "left_semi"
+            ).select("doc_id", "pos")
+            dups = dups.unionByName(dup_landed).distinct()
+        spans = _merge_spans(dups, k)
+        epoch_writer(_apply_spans(batch, spans), epoch_id)
+        occ.select("gh").distinct().write.mode("overwrite").parquet(
+            os.path.join(gram_dir, f"epoch={epoch_id}")
+        )
+
+    return scrub_and_land
+
+
+def ingest_substring_scrubbed(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    k: int | None = None,
+    files_per_trigger: int = 16,
+) -> None:
+    """Streaming ExactSubstr scrub ingest: documents land with every
+    >= K-token span the corpus has already seen removed (keep-first,
+    corpus-wide horizon) — the long-span rung of the landing-zone
+    dedup ladder, converging bit-identically to the batch
+    ``exact_substring_dedup`` when batches arrive in corpus order."""
+    q = (
+        stream_documents(spark, input_dir, files_per_trigger)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            _substring_scrub_batch_handler(
+                spark, output_dir, state_dir, k=k
+            )
+        )
+        .start()
+    )
+    q.awaitTermination()
