@@ -2,7 +2,8 @@
 extension operators into the actual 100 TB preparation flow —
 
     normalize → quality/language filter → hard rule gates (Gopher-style)
-    → exact dedup → boilerplate-span removal → near-dedup
+    → exact dedup → boilerplate-span removal → ExactSubstr
+    long-span scrub → near-dedup
     (MinHash-LSH → connected components) → decontamination (fingerprint
     + n-gram partial overlap) → temperature source mixing →
     deterministic split → chunk → provenance-preserving write →
@@ -143,6 +144,28 @@ def run_llm_data_pipeline(
         .localCheckpoint()
     )
     counts["boilerplate"] = exact.count()
+
+    # 3c. ExactSubstr long-span scrub (Lee et al. 2022, r11): any
+    # >= K-token span occurring more than once corpus-wide keeps its
+    # first occurrence and loses the rest — catches the long quoted
+    # passages / templated bodies the short-frequent-gram boilerplate
+    # pass (df >= 5) leaves behind; docs reduced to nothing drop
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    es = exact_substring_dedup(exact).select("doc_id", "clean_text")
+    exact = (
+        exact.drop("text")
+        .join(
+            es.filter(F.length("clean_text") > 0).withColumnRenamed(
+                "clean_text", "text"
+            ),
+            "doc_id",
+        )
+        .localCheckpoint()  # same rebuild-once economics as 3b
+    )
+    counts["exact_substring"] = exact.count()
 
     # 4. near-dedup: LSH pairs → components → keep cluster canonicals
     clusters = dedup_clusters(exact)

@@ -17,7 +17,8 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
 
     # audit trail: every stage present, counts monotonically non-increasing
     stages = ["input", "quality_lang", "hard_rules", "exact_dedup",
-              "boilerplate", "near_dedup", "decontaminated",
+              "boilerplate", "exact_substring", "near_dedup",
+              "decontaminated",
               "ngram_decontaminated", "temperature_mix"]
     assert list(res.stage_counts) == stages
     seq = [res.stage_counts[s] for s in stages]
