@@ -314,6 +314,7 @@ _STAMP_PRIORITY = (
     "knn_recall_audit_video",
     "exact_substring_spans",
     "exact_substring_dedup",
+    "exact_substring_incremental",
     "semantic_query_topk",
     "hybrid_retrieval_rrf",
     # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
@@ -342,9 +343,11 @@ _STAMP_PRIORITY = (
     "trending_tracks",
     "user_value_quartiles",
     # r6 cohort head (latest stamp = round 6; 48 entries total,
-    # alphabetical) — the ~50-slot window reaches ~the first 21.
-    # ROUND-12 ROTATION NOTE: lead with the rest of the r6 cohort
-    # (knn_recall_audit onward: knn_recall_audit, large_orders,
+    # alphabetical) — with 13 changed/new entries ahead plus the 23
+    # r5 entries, the ~50-slot window reaches ~the first 14 of these.
+    # ROUND-12 ROTATION NOTE: lead with whatever of this r6 list the
+    # r11 window cut off (~from forecast_revenue_change onward), then
+    # the unlisted r6 tail (knn_recall_audit, large_orders,
     # line_priority_counts, min_cost_supplier, nation_market_share,
     # nation_volume_shipping, near_dedup_apply_best,
     # order_priority_checking, order_priority_unpivot, pii_scrub,
@@ -537,6 +540,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "exact_substring_dedup": lambda spark, sf: (
             _dedup.exact_substring_dedup(_docs(spark, sf))
+        ),
+        # batch twin of the streaming scrub rung: new slice vs the
+        # already-ingested corpus' gram set (dedup_incremental split)
+        "exact_substring_incremental": lambda spark, sf: (
+            _dedup.exact_substring_incremental(_docs(spark, sf))
         ),
         # temperature-based source mixing (count^alpha quotas)
         "temperature_mix": lambda spark, sf: (
@@ -1454,6 +1462,9 @@ def oracle_sql() -> dict[str, str]:
         "remove_boilerplate": _text.REMOVE_BOILERPLATE_SQL,
         "exact_substring_spans": _dedup.EXACT_SUBSTRING_SPANS_SQL,
         "exact_substring_dedup": _dedup.EXACT_SUBSTRING_DEDUP_SQL,
+        "exact_substring_incremental": (
+            _dedup.EXACT_SUBSTRING_INCREMENTAL_SQL
+        ),
         "temperature_mix": _dedup.TEMPERATURE_MIX_SQL,
         "source_divergence": _text.SOURCE_DIVERGENCE_SQL,
         "packing_efficiency": _text.PACKING_EFFICIENCY_SQL,

@@ -2888,3 +2888,119 @@ SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
        coalesce(a.clean_text, '') AS clean_text
 FROM t LEFT JOIN agg a USING (doc_id)
 """
+
+
+def exact_substring_incremental(
+    documents: DataFrame,
+    corpus_mod: int = INCREMENTAL_CORPUS_MOD,
+    k: int = EXACT_SUBSTR_K,
+) -> DataFrame:
+    """Batch-incremental ExactSubstr: scrub only the NEW slice against
+    the already-ingested corpus' gram set plus earlier-in-batch
+    occurrences — the batch twin of the streaming
+    ``ingest_substring_scrubbed`` rung, on the same deterministic
+    testdata split as :func:`dedup_incremental` (``doc_id % corpus_mod
+    == 0`` plays the corpus). The corpus contributes ONE distinct-hash
+    relation; its text is never rescanned per batch and its documents
+    are never rewritten (keep-first: the corpus, being earlier, always
+    wins). Output is the new slice's (doc_id, n_tokens, n_removed,
+    clean_text)."""
+    is_corpus = (F.col("doc_id") % corpus_mod) == 0
+    corpus_grams = (
+        _kgram_occurrences(documents.filter(is_corpus), k)
+        .select("gh")
+        .distinct()
+    )
+    new_docs = documents.filter(~is_corpus)
+    occ = _kgram_occurrences(new_docs, k)
+    w = Window.partitionBy("gh")
+    wo = w.orderBy("doc_id", "pos")
+    dup_within = (
+        occ.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(w).alias("n_occ"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        .filter((F.col("n_occ") >= 2) & (F.col("rn") >= 2))
+        .select("doc_id", "pos")
+    )
+    dup_corpus = occ.join(corpus_grams, "gh", "left_semi").select(
+        "doc_id", "pos"
+    )
+    dups = dup_within.unionByName(dup_corpus).distinct()
+    return _apply_spans(new_docs, _merge_spans(dups, k))
+
+
+EXACT_SUBSTRING_INCREMENTAL_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           doc_id % {INCREMENTAL_CORPUS_MOD} = 0 AS is_corpus
+    FROM documents
+),
+occ AS (
+    SELECT doc_id, is_corpus, u.i::BIGINT AS pos,
+           md5(array_to_string(toks[u.i + 1 : u.i + {EXACT_SUBSTR_K}], ' '))
+               AS gh
+    FROM t, unnest(range(0, greatest(len(toks) - {EXACT_SUBSTR_K} + 1, 0)))
+        AS u(i)
+),
+cg AS (SELECT DISTINCT gh FROM occ WHERE is_corpus),
+no AS (SELECT doc_id, pos, gh FROM occ WHERE NOT is_corpus),
+dup AS (
+    SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY gh) AS n_occ,
+               row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos)
+                   AS rn
+        FROM no
+    ) WHERE n_occ >= 2 AND rn >= 2
+    UNION
+    SELECT doc_id, pos FROM no WHERE gh IN (SELECT gh FROM cg)
+),
+marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(
+                    max(pos + {EXACT_SUBSTR_K} - 1) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) + 1
+                THEN 1 ELSE 0 END AS newgrp
+    FROM dup
+),
+grouped AS (
+    SELECT doc_id, pos,
+           sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+    FROM marked
+),
+spans AS (
+    SELECT doc_id,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) + {EXACT_SUBSTR_K} - 1)::BIGINT AS span_end
+    FROM grouped GROUP BY doc_id, gid
+),
+pos AS (
+    SELECT doc_id, u.i::BIGINT AS p, toks[u.i + 1] AS tok
+    FROM t, unnest(range(0, len(toks))) AS u(i)
+    WHERE NOT is_corpus
+),
+kept AS (
+    SELECT p.doc_id, p.p, p.tok
+    FROM pos p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id
+          AND p.p BETWEEN s.span_start AND s.span_end
+    )
+),
+agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_kept,
+           string_agg(tok, ' ' ORDER BY p) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+       (len(t.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM t LEFT JOIN agg a USING (doc_id)
+WHERE NOT t.is_corpus
+"""

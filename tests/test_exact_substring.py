@@ -135,3 +135,27 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     assert ids & set(lex) and ids & set(sem)
     # ranks are 1..k by descending fused score
     assert [r.rank for r in out] == sorted(r.rank for r in out)
+
+
+def test_incremental_scrubs_against_corpus_and_within_batch(spark):
+    """Batch-incremental form: corpus (doc_id % mod == 0) text always
+    wins; new docs scrub spans seen in the corpus OR earlier among the
+    new slice; corpus docs are never emitted."""
+    # mod 5: docs 0/5 are corpus, the rest new
+    rows = [
+        (0, "c1 c2 c3 c4 c5 c6"),          # corpus
+        (1, "c1 c2 c3 c4 x1 x2"),          # scrubs the corpus run
+        (2, "f1 f2 f3 f4 f5 f6"),          # fresh — keeps everything
+        (3, "g1 f1 f2 f3 f4 f5 f6 g2"),    # scrubs against doc 2 (new-vs-new)
+        (5, "h1 h2 h3 h4 h5 h6"),          # corpus
+    ]
+    out = {
+        r.doc_id: r
+        for r in D.exact_substring_incremental(
+            _docs(spark, rows), corpus_mod=5, k=K
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].clean_text == "x1 x2" and out[1].n_removed == 4
+    assert out[2].n_removed == 0
+    assert out[3].clean_text == "g1 g2" and out[3].n_removed == 6
