@@ -317,6 +317,8 @@ _STAMP_PRIORITY = (
     "exact_substring_incremental",
     "semantic_query_topk",
     "hybrid_retrieval_rrf",
+    "dsir_weights",
+    "dsir_sample",
     # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
     # window cut off, alphabetical.
     "nested_order_lines",
@@ -487,6 +489,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rank fusion — the standard RAG/search two-tower fallback
         "semantic_query_topk": lambda spark, sf: (
             _text.semantic_query_topk(_docs(spark, sf))
+        ),
+        "dsir_weights": lambda spark, sf: (
+            _text.dsir_weights(_docs(spark, sf))
+        ),
+        "dsir_sample": lambda spark, sf: (
+            _text.dsir_sample(_docs(spark, sf))
         ),
         "hybrid_retrieval_rrf": lambda spark, sf: (
             _text.hybrid_retrieval_rrf(_docs(spark, sf))
@@ -1449,6 +1457,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _text.BM25_SCORES_SQL,
         "semantic_query_topk": _text.SEMANTIC_QUERY_TOPK_SQL,
         "hybrid_retrieval_rrf": _text.HYBRID_RETRIEVAL_RRF_SQL,
+        "dsir_weights": _text.DSIR_WEIGHTS_SQL,
+        "dsir_sample": _text.DSIR_SAMPLE_SQL,
         "repetition_metrics": _text.REPETITION_METRICS_SQL,
         "chunk_documents": _text.CHUNK_DOCUMENTS_SQL,
         "chunk_documents_udtf": _text.CHUNK_DOCUMENTS_SQL,

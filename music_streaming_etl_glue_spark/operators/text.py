@@ -2982,3 +2982,293 @@ FROM fused
 ORDER BY rrf_score DESC, doc_id ASC
 LIMIT {HYBRID_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: Hashed n-gram feature space for the DSIR importance estimator.
+DSIR_BUCKETS = 512
+#: Sources whose documents define the TARGET distribution (the
+#: "high-quality domain" a selection run is steering the mix toward);
+#: every other source is the raw candidate pool being selected from.
+DSIR_TARGET_SOURCES = ("src0", "src1")
+#: Fraction of the candidate pool the Gumbel-top-k resample keeps.
+DSIR_KEEP_FRAC = 0.2
+#: 16^13 = 2^52 — the md5-uniform denominator (exact in binary64).
+_DSIR_U_DENOM = float(16**13)
+
+
+def _dsir_grams(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, gram): the hashed-feature stream DSIR models run
+    on — unigrams plus adjacent word bigrams ("w1 w2"), the feature set
+    of the DSIR paper. Bigrams zip the (empty-filtered) token array with
+    its own tail, the :func:`collocations_pmi` shape."""
+    arr = F.filter(_tokens(), lambda t: t != F.lit(""))
+    base = documents.select("doc_id", "source", arr.alias("arr"))
+    uni = base.select(
+        "doc_id", "source", F.explode("arr").alias("gram")
+    )
+    big = (
+        base.filter(F.size("arr") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("arr"), 1, F.size("arr") - 1).alias("t1"),
+                    F.slice(F.col("arr"), 2, F.size("arr") - 1).alias("t2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.col("p.t1"), F.col("p.t2")).alias("gram"),
+        )
+    )
+    return uni.unionByName(big)
+
+
+def _dsir_bucket(col: str = "gram", buckets: int = DSIR_BUCKETS) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+) -> DataFrame:
+    """Per-document DSIR importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): fit two
+    add-1-smoothed unigram models over hashed n-gram buckets — the
+    TARGET model on the ``target_sources`` docs, the RAW model on the
+    candidate pool (everything else) — and weight each pool document by
+    the log likelihood ratio ``log w(d) = Σ_b c_db (ln p̂_b − ln q̂_b)``.
+    Selecting by this weight steers a web-scale crawl toward the target
+    domain's feature distribution; it is the standard model-free data-
+    selection baseline for LLM pretraining mixes.
+
+    Bit-stability follows the NB-classifier discipline: each per-bucket
+    log term is rounded to 12dp and cast to DECIMAL(38,12), and the
+    per-document sum adds one decimal per gram OCCURRENCE (addition
+    only — no decimal×int product whose precision/scale promotion could
+    diverge between engines), so weights are exact under any partition
+    order. The λ relation is ≤ ``buckets`` rows → broadcast; the whole
+    plan is two hash aggregates over the gram stream plus one broadcast
+    join — linear in corpus size, no wide shuffle at 100 TB.
+
+    Output: (doc_id, source, logw) for every pool document (gramless
+    docs carry 0.0)."""
+    is_target = F.col("source").isin(*target_sources)
+    grams = _dsir_grams(documents).withColumn(
+        "b", _dsir_bucket(buckets=buckets)
+    )
+    tgt = grams.filter(is_target)
+    pool = grams.filter(~is_target)
+    tcounts = tgt.groupBy("b").agg(F.count("*").alias("ct"))
+    t_tot = F.broadcast(tgt.agg(F.count("*").alias("t_tot")))
+    pcounts = pool.groupBy("b").agg(F.count("*").alias("cp"))
+    p_tot = F.broadcast(pool.agg(F.count("*").alias("p_tot")))
+    lam = (
+        pcounts.join(tcounts, "b", "left")
+        .crossJoin(t_tot)
+        .crossJoin(p_tot)
+        .select(
+            "b",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t_tot") + buckets).cast("double")
+                    ),
+                    NB_TERM_ROUND,
+                ).cast(_NB_DEC)
+                - F.round(
+                    F.log(
+                        (F.col("cp") + 1).cast("double")
+                        / (F.col("p_tot") + buckets).cast("double")
+                    ),
+                    NB_TERM_ROUND,
+                ).cast(_NB_DEC)
+            ).alias("lam"),
+        )
+    )
+    w = (
+        pool.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lam").alias("w"))
+    )
+    pool_docs = documents.filter(~is_target).select("doc_id", "source")
+    return pool_docs.join(w, ["doc_id", "source"], "left").select(
+        "doc_id",
+        "source",
+        F.round(F.coalesce(F.col("w").cast("double"), F.lit(0.0)), 6).alias(
+            "logw"
+        ),
+    )
+
+
+def dsir_sample(
+    documents: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    keep_frac: float = DSIR_KEEP_FRAC,
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLE over :func:`dsir_weights` — the
+    selection step of DSIR: sampling without replacement with
+    probability ∝ w(d) is exactly taking the k largest ``log w(d) + g_d``
+    where ``g_d`` is standard Gumbel noise. The noise is an md5-lottery
+    draw (``u = (h_52bit + 0.5) / 2^52``, ``g = −ln(−ln u)``) so both
+    engines replay the identical sample; keys round to 6dp with a
+    doc_id tiebreak.
+
+    The ranking stage is one global row_number over the SLIM
+    (doc_id, source, logw, key) relation — the
+    :func:`customer_rfm_segments` single-partition precedent; ~16 bytes
+    a row, and the scale path swaps it for a broadcast
+    percentile_approx threshold exactly as
+    :func:`customer_rfm_segments_approx` does for quintiles.
+
+    Output: (doc_id, source, logw, gumbel_key, sel_rank) for the kept
+    ⌊keep_frac·|pool|⌋ documents."""
+    is_target = F.col("source").isin(*target_sources)
+    pool_docs = documents.filter(~is_target).select("doc_id", "source")
+    # unrounded decimal weight (cast exactly to double) + Gumbel draw
+    weights = dsir_weights(documents, buckets, target_sources).select(
+        "doc_id", "source", "logw"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_DSIR_U_DENOM)
+    gumbel = -F.log(-F.log(u))
+    keyed = weights.select(
+        "doc_id",
+        "source",
+        "logw",
+        F.round(F.col("logw") + gumbel, 6).alias("gumbel_key"),
+    )
+    n_pool = F.broadcast(pool_docs.agg(F.count("*").alias("n_pool")))
+    w_rank = Window.orderBy(
+        F.col("gumbel_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("sel_rank", F.row_number().over(w_rank))
+        .crossJoin(n_pool)
+        .filter(
+            F.col("sel_rank")
+            <= F.floor(F.lit(keep_frac) * F.col("n_pool"))
+        )
+        .drop("n_pool")
+    )
+
+
+def _dsir_targets_sql(target_sources: tuple[str, ...]) -> str:
+    return ", ".join(f"'{s}'" for s in target_sources)
+
+
+def _dsir_weights_sql(
+    buckets: int = DSIR_BUCKETS,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+) -> str:
+    tgts = _dsir_targets_sql(target_sources)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS arr
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, source, unnest(arr) AS gram FROM toks
+    UNION ALL
+    SELECT doc_id, source, p[1] || ' ' || p[2] AS gram
+    FROM (
+        SELECT doc_id, source,
+               unnest(list_zip(arr[:len(arr) - 1], arr[2:])) AS p
+        FROM toks WHERE len(arr) >= 2
+    )
+),
+hashed AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT % {buckets} AS b,
+           source IN ({tgts}) AS is_target
+    FROM grams
+),
+tcounts AS (SELECT b, count(*) AS ct FROM hashed WHERE is_target GROUP BY 1),
+ttot AS (SELECT count(*) AS t_tot FROM hashed WHERE is_target),
+pcounts AS (
+    SELECT b, count(*) AS cp FROM hashed WHERE NOT is_target GROUP BY 1
+),
+ptot AS (SELECT count(*) AS p_tot FROM hashed WHERE NOT is_target),
+lam AS (
+    SELECT p.b,
+           round(ln((coalesce(t.ct, 0) + 1)::DOUBLE
+                    / (ttot.t_tot + {buckets})),
+                 {NB_TERM_ROUND})::DECIMAL(38,12)
+           - round(ln((p.cp + 1)::DOUBLE / (ptot.p_tot + {buckets})),
+                   {NB_TERM_ROUND})::DECIMAL(38,12) AS lam
+    FROM pcounts p
+    LEFT JOIN tcounts t USING (b)
+    CROSS JOIN ttot CROSS JOIN ptot
+),
+w AS (
+    SELECT h.doc_id, h.source, sum(l.lam) AS w
+    FROM hashed h JOIN lam l USING (b)
+    WHERE NOT h.is_target
+    GROUP BY 1, 2
+),
+pool_docs AS (
+    SELECT doc_id, source FROM documents WHERE source NOT IN ({tgts})
+),
+dsir_w AS (
+    SELECT d.doc_id, d.source,
+           round(coalesce(w.w::DOUBLE, 0.0), 6) AS logw
+    FROM pool_docs d LEFT JOIN w USING (doc_id, source)
+)"""
+
+
+DSIR_WEIGHTS_SQL = f"""{_dsir_weights_sql()}
+SELECT doc_id, source, logw FROM dsir_w
+"""
+
+
+def _dsir_sample_sql(
+    buckets: int = DSIR_BUCKETS,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    keep_frac: float = DSIR_KEEP_FRAC,
+) -> str:
+    return f"""{_dsir_weights_sql(buckets, target_sources)},
+keyed AS (
+    SELECT doc_id, source, logw,
+           round(logw + -ln(-ln(
+               (('0x' || substr(md5('dsir' || doc_id::VARCHAR), 1, 13))::BIGINT
+                + 0.5) / {_DSIR_U_DENOM!r})), 6) AS gumbel_key
+    FROM dsir_w
+),
+ranked AS (
+    SELECT doc_id, source, logw, gumbel_key,
+           row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC)
+               AS sel_rank,
+           count(*) OVER () AS n_pool
+    FROM keyed
+)
+SELECT doc_id, source, logw, gumbel_key, sel_rank
+FROM ranked
+WHERE sel_rank <= floor({keep_frac!r} * n_pool)
+"""
+
+
+DSIR_SAMPLE_SQL = _dsir_sample_sql()
