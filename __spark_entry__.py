@@ -319,6 +319,9 @@ _STAMP_PRIORITY = (
     "hybrid_retrieval_rrf",
     "dsir_weights",
     "dsir_sample",
+    "curriculum_order",
+    "session_training_pairs",
+    "cluster_balanced_sample",
     # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
     # window cut off, alphabetical.
     "nested_order_lines",
@@ -985,6 +988,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assignments": lambda spark, sf: _sim.ivf_assignments(
             _embs(spark, sf)
         ),
+        # per-IVF-cell quota sampling (diversity-preserving coreset)
+        "cluster_balanced_sample": lambda spark, sf: (
+            _sim.cluster_balanced_sample(_embs(spark, sf))
+        ),
         # cluster labeling: embedding cells x top non-stopword doc terms
         "cluster_topics": lambda spark, sf: _sim.cluster_topics(
             _docs(spark, sf), _embs(spark, sf)
@@ -1107,6 +1114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-order Markov transitions between event types in-session
         "session_transition_matrix": lambda spark, sf: (
             _beh.session_transition_matrix(load_table(spark, sf, "events"))
+        ),
+        # next-event supervised examples (k-event context, same session)
+        "session_training_pairs": lambda spark, sf: (
+            _beh.session_training_pairs(load_table(spark, sf, "events"))
         ),
         # hourly resample with linear interpolation + locf/backfill edges
         "events_hourly_interpolated": lambda spark, sf: (
@@ -1276,6 +1287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # CCNet-style head/middle/tail perplexity terciles
         "perplexity_buckets": lambda spark, sf: _text.perplexity_buckets(
+            _docs(spark, sf)
+        ),
+        # quality-curriculum training order (phase terciles + md5 shards)
+        "curriculum_order": lambda spark, sf: _text.curriculum_order(
             _docs(spark, sf)
         ),
         # PMI phrase mining over adjacent bigrams
@@ -1606,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
         "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_PACKED_SQL,
         "ivf_assignments": _sim.IVF_ASSIGNMENTS_SQL,
+        "cluster_balanced_sample": _sim.CLUSTER_BALANCED_SAMPLE_SQL,
         "cluster_topics": _sim.CLUSTER_TOPICS_SQL,
         "cosine_pairs": _sim.COSINE_PAIRS_SQL,
         "cosine_pairs_blocked": _sim.COSINE_PAIRS_SQL,
@@ -1632,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm_segments": _rel.CUSTOMER_RFM_SEGMENTS_SQL,
         "orders_backlog_timeline": _rel.ORDERS_BACKLOG_TIMELINE_SQL,
         "session_transition_matrix": _beh.SESSION_TRANSITION_MATRIX_SQL,
+        "session_training_pairs": _beh.SESSION_TRAINING_PAIRS_SQL,
         "events_hourly_interpolated": _beh.EVENTS_HOURLY_INTERPOLATED_SQL,
         "session_path_topk": _beh.SESSION_PATH_TOPK_SQL,
         "markov_next_event_accuracy": _beh.MARKOV_NEXT_EVENT_ACCURACY_SQL,
@@ -1672,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _text.PII_SCRUB_SQL,
         "unigram_surprisal": _text.UNIGRAM_SURPRISAL_SQL,
         "perplexity_buckets": _text.PERPLEXITY_BUCKETS_SQL,
+        "curriculum_order": _text.CURRICULUM_ORDER_SQL,
         "collocations_pmi": _text.COLLOCATIONS_PMI_SQL,
         "bpe_encode": _text.BPE_ENCODE_SQL,
         "bpe_roundtrip": _text.BPE_ROUNDTRIP_SQL,

@@ -2244,3 +2244,96 @@ SELECT a.day,
 FROM actives a JOIN first_seen f USING (user_id)
 GROUP BY a.day
 """
+
+
+# ---------------------------------------------------------------------------
+# session training pairs (behavioral logs -> next-event supervised examples)
+# ---------------------------------------------------------------------------
+
+#: Context width (events) for next-event training examples.
+SESSION_CONTEXT_K = 3
+
+
+def session_training_pairs(
+    events: DataFrame,
+    gap_s: int = TRANSITION_GAP_SECONDS,
+    k: int = SESSION_CONTEXT_K,
+) -> DataFrame:
+    """Behavioral logs → supervised next-event examples: for every event
+    with at least one predecessor in the same session (30-min idle gap),
+    emit (context = up to ``k`` preceding event types, label = this
+    event's type). The sequence-model training-set builder over
+    clickstream data — the generalization of
+    :func:`session_transition_matrix` (k=1 counts) to the examples a
+    next-action model actually consumes; contexts never cross a session
+    boundary by construction.
+
+    Shape: ONE shuffle on ``user_id`` shared by all three windows — the
+    lag/flag sessionizer, the cumulative session counter, and the
+    context collector (the (user, sess) window's clustering is satisfied
+    by the user_id exchange, so Spark inserts only a sort). The context
+    frame is ROWS-bounded (k preceding), so state per row is O(k)
+    regardless of session length — no whole-session buffering at 100 TB.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessed = flagged.withColumn(
+        "sess",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    wctx = (
+        Window.partitionBy("user_id", "sess")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-k, -1)
+    )
+    context = F.concat_ws(" ", F.collect_list("event_type").over(wctx))
+    return (
+        sessed.select(
+            "user_id",
+            F.col("sess").alias("session_seq"),
+            F.col("event_id").alias("example_id"),
+            context.alias("context"),
+            F.col("event_type").alias("label"),
+        )
+        .filter(F.col("context") != "")
+    )
+
+
+SESSION_TRAINING_PAIRS_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                        > {TRANSITION_GAP_SECONDS}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS sess
+    FROM flagged
+),
+ctx AS (
+    SELECT user_id, sess, event_id, event_type,
+           coalesce(array_to_string(list(event_type) OVER (
+               PARTITION BY user_id, sess ORDER BY ts, event_id
+               ROWS BETWEEN {SESSION_CONTEXT_K} PRECEDING AND 1 PRECEDING
+           ), ' '), '') AS context
+    FROM sessed
+)
+SELECT user_id, sess AS session_seq, event_id AS example_id,
+       context, event_type AS label
+FROM ctx
+WHERE context <> ''
+"""

@@ -3972,3 +3972,66 @@ FROM votes
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY n_votes DESC, label ASC) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling (diversity-preserving coreset selection)
+# ---------------------------------------------------------------------------
+
+#: Per-cluster document cap for the balanced sample.
+CLUSTER_SAMPLE_CAP = 40
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame, cap: int = CLUSTER_SAMPLE_CAP
+) -> DataFrame:
+    """Diversity-balanced selection over the embedding space: assign
+    every vector to its IVF cell (:func:`ivf_assignments` — nearest
+    deterministic per-label centroid), then keep at most ``cap`` vectors
+    per cell in a stable md5-lottery order. The cluster-quota sampler
+    training pipelines use to keep semantic coverage while downsampling
+    dominant modes — uniform sampling keeps the head clusters' share,
+    this keeps every REGION of the space represented.
+
+    Shape: the assignment is the existing broadcast-centroid argmin (a
+    narrow map — |cells| is small); the quota is a rank window keyed by
+    the cell. The md5 key means the kept set is append-stable: new
+    vectors compete for lottery positions but a re-run on the same
+    snapshot is byte-identical. At 100 TB the rank window still scans
+    hot cells end-to-end — pre-filter with a per-cell count aggregate
+    and a samp_key range cut first (two tiny passes) if cells skew; the
+    quota semantics are unchanged.
+    """
+    assigns = ivf_assignments(embeddings).select("vec_id", "assigned_label")
+    keyed = assigns.withColumn(
+        "samp_key",
+        F.md5(F.concat(F.lit("cbs"), F.col("vec_id").cast("string"))),
+    )
+    wrank = Window.partitionBy("assigned_label").orderBy("samp_key", "vec_id")
+    wsize = Window.partitionBy("assigned_label")
+    return (
+        keyed.withColumn("samp_rank", F.row_number().over(wrank).cast("long"))
+        .withColumn("cluster_size", F.count("*").over(wsize).cast("long"))
+        .filter(F.col("samp_rank") <= cap)
+        .select("vec_id", "assigned_label", "cluster_size", "samp_rank")
+    )
+
+
+CLUSTER_BALANCED_SAMPLE_SQL = f"""
+WITH assigns AS ({IVF_ASSIGNMENTS_SQL}),
+keyed AS (
+    SELECT vec_id, assigned_label,
+           md5('cbs' || vec_id::VARCHAR) AS samp_key
+    FROM assigns
+),
+ranked AS (
+    SELECT vec_id, assigned_label,
+           row_number() OVER (PARTITION BY assigned_label
+                              ORDER BY samp_key, vec_id) AS samp_rank,
+           count(*) OVER (PARTITION BY assigned_label) AS cluster_size
+    FROM keyed
+)
+SELECT vec_id, assigned_label, cluster_size, samp_rank
+FROM ranked
+WHERE samp_rank <= {CLUSTER_SAMPLE_CAP}
+"""

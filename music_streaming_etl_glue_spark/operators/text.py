@@ -3272,3 +3272,88 @@ WHERE sel_rank <= floor({keep_frac!r} * n_pool)
 
 
 DSIR_SAMPLE_SQL = _dsir_sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# quality-curriculum training order (phase terciles + sharded shuffle)
+# ---------------------------------------------------------------------------
+
+#: Shard fan-out within each curriculum phase (the writer's file fan-out).
+CURRICULUM_SHARDS = 8
+
+
+def curriculum_order(
+    documents: DataFrame, shards: int = CURRICULUM_SHARDS
+) -> DataFrame:
+    """Quality-curriculum training order: phase 1 = top quality tercile,
+    phase 2 = middle, phase 3 = tail, with a stable md5-lottery order
+    within each phase — "train on the cleanest data first, anneal onto
+    the noisier tail" as one deterministic (phase, shard, pos) sort key.
+    The composition pretraining runs actually schedule: the
+    :func:`text_quality` score picks the phase, and within a phase the
+    order is decorrelated from ingest order exactly like
+    ``corpus_shuffle`` (phase-local md5 shards, each shard ranked
+    independently).
+
+    Shape: one narrow scan computes the 6dp-rounded quality score; one
+    exact-percentile aggregate over |docs| rows broadcasts the two
+    tercile cuts back as scalars (at 100 TB swap for
+    ``percentile_approx`` — same contract, sketch-bounded memory); phase
+    assignment is a per-row CASE; the rank window is keyed by
+    (phase, shard) so no partition ever holds more than 1/(3·shards) of
+    the corpus — the same scale contract as ``corpus_shuffle``, never a
+    global sort.
+    """
+    from music_streaming_etl_glue_spark.operators.dedup import _hash_bucket
+
+    scored = text_quality(documents).select(
+        "doc_id", F.round("quality_score", 6).alias("q")
+    )
+    cuts = F.broadcast(
+        scored.agg(
+            F.expr("percentile(q, 1.0/3.0)").alias("t1"),
+            F.expr("percentile(q, 2.0/3.0)").alias("t2"),
+        )
+    )
+    phase = (
+        F.when(F.col("q") >= F.col("t2"), 1)
+        .when(F.col("q") >= F.col("t1"), 2)
+        .otherwise(3)
+    )
+    keyed = scored.crossJoin(cuts).select(
+        "doc_id",
+        "q",
+        phase.cast("int").alias("phase"),
+        _hash_bucket("doc_id", shards).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("phase", "shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "q", "phase", "shard", "pos")
+    )
+
+
+CURRICULUM_ORDER_SQL = f"""
+WITH tq AS ({TEXT_QUALITY_SQL}),
+scored AS (SELECT doc_id, round(quality_score, 6) AS q FROM tq),
+cuts AS (
+    SELECT quantile_cont(q, 1.0/3.0) AS t1,
+           quantile_cont(q, 2.0/3.0) AS t2
+    FROM scored
+),
+keyed AS (
+    SELECT doc_id, q,
+           CASE WHEN q >= t2 THEN 1
+                WHEN q >= t1 THEN 2
+                ELSE 3 END AS phase,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               % {CURRICULUM_SHARDS} AS shard,
+           md5(doc_id::VARCHAR) AS shuffle_key
+    FROM scored, cuts
+)
+SELECT doc_id, q, phase, shard,
+       row_number() OVER (PARTITION BY phase, shard
+                          ORDER BY shuffle_key, doc_id) AS pos
+FROM keyed
+"""

@@ -1,0 +1,148 @@
+"""Round-11 extension semantics: curriculum ordering, session training
+pairs, cluster-balanced sampling."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from music_streaming_etl_glue_spark.operators import behavior as B
+from music_streaming_etl_glue_spark.operators import similarity as S
+from music_streaming_etl_glue_spark.operators import text as T
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curriculum_phases_follow_quality_terciles(spark):
+    # 3 quality tiers x 3 docs: long diverse text with stopwords (high),
+    # medium, and a one-word stutter (low)
+    hi = "the quick brown fox jumps over a lazy dog and then it runs far " * 4
+    mid = "some words repeat here some words repeat here extra tail"
+    lo = "spam spam spam spam"
+    rows = [(i, hi) for i in range(3)]
+    rows += [(10 + i, mid) for i in range(3)]
+    rows += [(20 + i, lo) for i in range(3)]
+    out = T.curriculum_order(_docs(spark, rows)).collect()
+    phase = {r["doc_id"]: r["phase"] for r in out}
+    assert {phase[i] for i in range(3)} == {1}
+    assert {phase[10 + i] for i in range(3)} == {2}
+    assert {phase[20 + i] for i in range(3)} == {3}
+
+
+def test_curriculum_order_is_append_stable_within_shard(spark):
+    base = [(i, f"alpha beta gamma delta {i} of the and to in") for i in range(40)]
+    first = {
+        (r["phase"], r["shard"]): []
+        for r in T.curriculum_order(_docs(spark, base)).collect()
+    }
+    for r in sorted(
+        T.curriculum_order(_docs(spark, base)).collect(),
+        key=lambda r: (r["phase"], r["shard"], r["pos"]),
+    ):
+        first[(r["phase"], r["shard"])].append(r["doc_id"])
+    # appending new docs must not reorder existing docs relative to each
+    # other inside any (phase, shard)
+    extra = base + [
+        (100 + i, f"alpha beta gamma delta {i} of the and to in")
+        for i in range(10)
+    ]
+    second = {k: [] for k in first}
+    for r in sorted(
+        T.curriculum_order(_docs(spark, extra)).collect(),
+        key=lambda r: (r["phase"], r["shard"], r["pos"]),
+    ):
+        second.setdefault((r["phase"], r["shard"]), []).append(r["doc_id"])
+    for k, order in first.items():
+        survivors = [d for d in second.get(k, []) if d < 100]
+        assert survivors == order
+
+
+# ---------------------------------------------------------------------------
+# session_training_pairs
+# ---------------------------------------------------------------------------
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def _ts(minute, second=0):
+    return datetime(2024, 1, 1, 12, minute, second)
+
+
+def test_session_pairs_context_never_crosses_session_boundary(spark):
+    rows = [
+        (1, _ts(0), 7, "view"),
+        (2, _ts(1), 7, "click"),
+        (3, _ts(2), 7, "purchase"),
+        # 40-min gap -> new session: context restarts
+        (4, _ts(42), 7, "view"),
+        (5, _ts(43), 7, "error"),
+    ]
+    out = {
+        r["example_id"]: r
+        for r in B.session_training_pairs(_events(spark, rows)).collect()
+    }
+    # first event of each session has no context -> no example
+    assert set(out) == {2, 3, 5}
+    assert out[2]["context"] == "view" and out[2]["label"] == "click"
+    assert out[3]["context"] == "view click" and out[3]["label"] == "purchase"
+    assert out[5]["context"] == "view" and out[5]["label"] == "error"
+    assert out[5]["session_seq"] == 2
+
+
+def test_session_pairs_context_is_capped_at_k(spark):
+    rows = [
+        (i, _ts(0, i), 7, t)
+        for i, t in enumerate(["a", "b", "c", "d", "e"], start=1)
+    ]
+    out = {
+        r["example_id"]: r["context"]
+        for r in B.session_training_pairs(_events(spark, rows), k=3).collect()
+    }
+    assert out[5] == "b c d"  # only the 3 nearest predecessors
+    assert out[2] == "a"
+
+
+# ---------------------------------------------------------------------------
+# cluster_balanced_sample
+# ---------------------------------------------------------------------------
+
+def _embs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_cluster_balanced_sample_caps_every_cell(spark):
+    # two well-separated cells: label 0 near (0,0), label 1 near (9,9);
+    # cell 0 is 6x oversubscribed, cell 1 under the cap
+    rows = [(i, [0.0 + (i % 3) * 0.01, 0.0], 0) for i in range(30)]
+    rows += [(100 + i, [9.0, 9.0 + (i % 2) * 0.01], 1) for i in range(3)]
+    out = S.cluster_balanced_sample(_embs(spark, rows), cap=5).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["assigned_label"], []).append(r)
+    assert len(by_cell[0]) == 5  # capped
+    assert len(by_cell[1]) == 3  # kept whole
+    assert {r["cluster_size"] for r in by_cell[0]} == {30}
+    assert sorted(r["samp_rank"] for r in by_cell[0]) == [1, 2, 3, 4, 5]
+
+
+def test_cluster_balanced_sample_is_deterministic(spark):
+    rows = [(i, [float(i % 4), float(i % 7)], i % 2) for i in range(40)]
+    a = sorted(
+        (r["vec_id"], r["samp_rank"])
+        for r in S.cluster_balanced_sample(_embs(spark, rows), cap=8).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["samp_rank"])
+        for r in S.cluster_balanced_sample(_embs(spark, rows), cap=8).collect()
+    )
+    assert a == b
