@@ -1,0 +1,122 @@
+"""Snapshot-committed table format (plans.lakehouse): atomic commits,
+snapshot isolation, time travel, rollback, compaction, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from music_streaming_etl_glue_spark.plans import lakehouse as L
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"r{i}") for i in ids], "id long, s string")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_overwrite_time_travel_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = L.commit_append(_df(spark, [1, 2]), t)
+    v2 = L.commit_append(_df(spark, [3]), t)
+    v3 = L.commit_overwrite(_df(spark, [9]), t)
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert _ids(L.read_snapshot(spark, t)) == [9]
+    assert _ids(L.read_snapshot(spark, t, 2)) == [1, 2, 3]
+    assert _ids(L.read_snapshot(spark, t, 1)) == [1, 2]
+    hist = L.history(t)
+    assert [h["action"] for h in hist] == ["append", "append", "overwrite"]
+    assert [h["n_rows"] for h in hist] == [2, 3, 1]
+
+
+def test_rollback_is_a_forward_commit(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1, 2]), t)
+    L.commit_overwrite(_df(spark, [9]), t)
+    v = L.rollback(t, 1)
+    assert v == 3
+    assert _ids(L.read_snapshot(spark, t)) == [1, 2]
+    # the rolled-back version itself stays inspectable
+    assert _ids(L.read_snapshot(spark, t, 2)) == [9]
+
+
+def test_reader_never_sees_uncommitted_data(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1]), t)
+    # simulate a writer that crashed between its data write and its
+    # manifest link: data files exist, no manifest references them
+    L._write_data_files(_df(spark, [777]), t)
+    assert _ids(L.read_snapshot(spark, t)) == [1]
+    assert L.current_version(t) == 1
+
+
+def test_commit_retries_on_lost_slot_race(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1]), t)
+    # another writer claims version 2 between our base read and our link:
+    # plant a foreign manifest in the v2 slot
+    files, schema_json = L._write_data_files(_df(spark, [50]), t)
+    body = {
+        "version": 2,
+        "parent": 1,
+        "action": "append",
+        "files": L._load_manifest(t, 1)["files"] + files,
+        "n_rows": 2,
+        "schema": schema_json,
+        "committed_ns": 0,
+    }
+    with open(L._manifest_path(t, 2), "w") as fh:
+        json.dump(body, fh)
+    # our append must land at v3 ON TOP of the winner's snapshot
+    v = L.commit_append(_df(spark, [7]), t)
+    assert v == 3
+    assert _ids(L.read_snapshot(spark, t)) == [1, 7, 50]
+
+
+def test_compaction_preserves_rows_and_old_snapshots(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        L.commit_append(_df(spark, [i]), t)
+    before = L.current_version(t)
+    n_files_before = L.history(t)[-1]["n_files"]
+    v = L.compact(spark, t, target_files=1)
+    assert v == before + 1
+    assert _ids(L.read_snapshot(spark, t)) == [0, 1, 2, 3]
+    assert L.history(t)[-1]["n_files"] < n_files_before
+    # pre-compaction snapshot still readable
+    assert _ids(L.read_snapshot(spark, t, before)) == [0, 1, 2, 3]
+
+
+def test_vacuum_reference_counting_and_inflight_guard(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1]), t)
+    L.commit_append(_df(spark, [2]), t)
+    L.commit_overwrite(_df(spark, [9]), t)  # v3 references only its own txn
+    # orphan from a crashed writer, too young to sweep under the guard
+    L._write_data_files(_df(spark, [777]), t)
+    deleted_guarded = L.vacuum(t, keep_versions=1, min_age_s=3600)
+    # manifests v1/v2 dropped, but NO data deleted (v1/v2 files are old
+    # enough but… v1 txn and v2 txn are also younger than 3600s)
+    assert all(p.endswith(".json") for p in deleted_guarded)
+    deleted = L.vacuum(t, keep_versions=1, min_age_s=0.0)
+    # now the unreferenced txn dirs (v1's, v2's, the orphan) are gone
+    assert sum(1 for p in deleted if not p.endswith(".json")) == 3
+    assert _ids(L.read_snapshot(spark, t)) == [9]
+    with pytest.raises(FileNotFoundError):
+        L._load_manifest(t, 1)
+    # every file the surviving snapshot references still exists
+    for f in L._load_manifest(t, 3)["files"]:
+        assert os.path.exists(os.path.join(t, f))
+
+
+def test_empty_snapshot_stays_readable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    empty = _df(spark, []).limit(0)
+    L.commit_overwrite(empty, t)
+    out = L.read_snapshot(spark, t)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "s"]
