@@ -92,6 +92,19 @@ def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str]:
     return files, df.schema.json()
 
 
+def _find_txn_key(table_dir: str, txn_key: str) -> int | None:
+    """Version already committed under ``txn_key``, or None. Newest-first
+    scan of the surviving manifests (the Delta ``txn`` appId/version
+    dedupe): replays are expected to be recent, so the hit is early."""
+    for v in range(current_version(table_dir), 0, -1):
+        try:
+            if _load_manifest(table_dir, v).get("txn_key") == txn_key:
+                return v
+        except FileNotFoundError:  # vacuumed tail
+            break
+    return None
+
+
 def _commit(
     table_dir: str,
     action: str,
@@ -99,12 +112,17 @@ def _commit(
     schema_json: str,
     n_rows: int,
     merge_with_base: bool,
+    txn_key: str | None = None,
 ) -> int:
     """Claim the next version slot; on a lost race re-merge and retry."""
     mdir = _manifest_dir(table_dir)
     os.makedirs(mdir, exist_ok=True)
     while True:
         base_version = current_version(table_dir)
+        if txn_key is not None:
+            done = _find_txn_key(table_dir, txn_key)
+            if done is not None:
+                return done  # idempotent replay: already committed
         if merge_with_base and base_version:
             base = _load_manifest(table_dir, base_version)
             files = base["files"] + new_files
@@ -120,6 +138,7 @@ def _commit(
             "files": files,
             "n_rows": total_rows,
             "schema": schema_json,
+            "txn_key": txn_key,
             "committed_ns": time.time_ns(),
         }
         tmp = os.path.join(mdir, f".tmp-{_txn_id()}")
@@ -136,11 +155,23 @@ def _commit(
             os.unlink(tmp)
 
 
-def commit_append(df: DataFrame, table_dir: str) -> int:
-    """Append ``df`` as a new snapshot (base files + the new ones)."""
+def commit_append(
+    df: DataFrame, table_dir: str, txn_key: str | None = None
+) -> int:
+    """Append ``df`` as a new snapshot (base files + the new ones).
+
+    ``txn_key`` makes the commit idempotent: a retry carrying a key some
+    surviving manifest already holds returns that version without
+    writing (the retried data files become unreferenced orphans for
+    vacuum) — the contract an at-least-once streaming epoch needs to
+    land exactly once."""
+    if txn_key is not None:
+        done = _find_txn_key(table_dir, txn_key)
+        if done is not None:
+            return done  # skip the data write too, not just the commit
     n = df.count()
     files, schema_json = _write_data_files(df, table_dir)
-    return _commit(table_dir, "append", files, schema_json, n, True)
+    return _commit(table_dir, "append", files, schema_json, n, True, txn_key)
 
 
 def commit_overwrite(df: DataFrame, table_dir: str) -> int:

@@ -195,9 +195,11 @@ def compact_parquet(
     Rewrites into a sibling temp dir, verifies the row count, then swaps
     via two renames. POSIX has no atomic directory exchange, so readers
     racing the swap can see a missing path for the instant between the
-    renames — run compaction in the table's maintenance window, or use a
-    table format with snapshot commits (Delta/Iceberg) when readers are
-    truly concurrent. Crash recovery is self-healing: stale
+    renames — run compaction in the table's maintenance window, or use
+    ``plans.lakehouse`` (this engine's snapshot-committed table format,
+    same design as Delta/Iceberg) when readers are truly concurrent:
+    its ``compact`` commits the rewrite as a new snapshot and never
+    mutates a file a reader can resolve. Crash recovery is self-healing: stale
     ``__compact_old`` / tmp dirs from an interrupted run are restored or
     removed on the next invocation. ``coalesce`` (not ``repartition``)
     avoids a shuffle — file boundaries just merge. Returns the verified

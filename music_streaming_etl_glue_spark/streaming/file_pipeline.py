@@ -136,6 +136,54 @@ def ingest_available_now(
     return batches
 
 
+def _lake_epoch_committer(table_dir: str, txn_prefix: str = "epoch"):
+    """foreachBatch sink that lands each micro-batch as a lakehouse
+    snapshot commit (``plans.lakehouse.commit_append``) keyed by the
+    epoch id: a replayed epoch (foreachBatch retry, or a crash between
+    the write and the checkpoint commit) finds its ``txn_key`` in the
+    manifest log and no-ops — the same exactly-once upgrade as
+    :func:`_idempotent_epoch_writer`, but with snapshot isolation for
+    concurrent readers and time travel across epochs (one snapshot per
+    landed micro-batch) instead of an epoch-partitioned directory."""
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        lakehouse.commit_append(
+            df, table_dir, txn_key=f"{txn_prefix}-{epoch_id}"
+        )
+
+    return write
+
+
+def ingest_lake_committed(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> int:
+    """One batch-increment run landing new event files as lakehouse
+    snapshot commits, exactly once; returns the micro-batch count.
+    Readers see each epoch atomically (never a half-landed file set) and
+    can time-travel to any prior epoch's snapshot."""
+    batches = 0
+    committer = _lake_epoch_committer(table_dir)
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        nonlocal batches
+        batches += 1
+        committer(df, epoch_id)
+
+    q = (
+        stream_events(spark, input_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle)
+        .start()
+    )
+    q.awaitTermination()
+    return batches
+
+
 DOCUMENTS_FILE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),
