@@ -301,3 +301,68 @@ def history(table_dir: str) -> list[dict]:
                 }
             )
     return out
+
+
+def commit_upsert(
+    updates: DataFrame, table_dir: str, keys: list[str]
+) -> int:
+    """Keyed last-write-wins MERGE as a snapshot commit: the surviving
+    target rows (anti-join on ``keys``) plus all of ``updates``, landed
+    via :func:`commit_overwrite` — copy-on-write at snapshot granularity
+    (``plans.merge.upsert`` is the relational kernel; this adds the
+    transactional boundary, so a reader mid-merge still resolves the
+    pre-merge snapshot and a crashed merge leaves only orphans).
+
+    At 100 TB the rewrite should touch only the files whose key ranges
+    intersect the updates (file-level min/max pruning via
+    ``layout.row_group_stats``) — the snapshot/commit contract is the
+    same; only the "files to rewrite" set shrinks."""
+    from music_streaming_etl_glue_spark.plans.merge import upsert
+
+    spark = updates.sparkSession
+    target = read_snapshot(spark, table_dir)
+    return commit_overwrite(upsert(target, updates, keys), table_dir)
+
+
+def compact_zordered(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    target_files: int,
+) -> int:
+    """Compaction that also re-clusters: rewrite the current snapshot
+    Z-ordered by ``cols`` (``layout.zorder_key`` Morton interleave, so
+    every key column gets tight per-file min/max ranges for data
+    skipping), verify the row count, commit as a new snapshot. The
+    maintenance job that keeps scan pruning healthy as appends
+    interleave key ranges — readers of prior snapshots untouched."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans.layout import zorder_key
+
+    before = current_version(table_dir)
+    df = read_snapshot(spark, table_dir, before)
+    n_before = df.count()
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    key = zorder_key(
+        cols,
+        [bounds[f"mn_{c}"] for c in cols],
+        [bounds[f"mx_{c}"] for c in cols],
+    )
+    clustered = (
+        df.repartitionByRange(max(1, target_files), key.alias("_zk"))
+        .sortWithinPartitions(key.alias("_zk"))
+    )
+    files, schema_json = _write_data_files(clustered, table_dir)
+    check = spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in files]
+    ).count() if files else 0
+    if check != n_before:
+        raise RuntimeError(
+            f"zorder compaction row drift: {n_before} -> {check};"
+            " not committed"
+        )
+    return _commit(table_dir, "compact", files, schema_json, n_before, False)

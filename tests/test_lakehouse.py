@@ -181,3 +181,53 @@ def test_streaming_epochs_land_as_snapshots_exactly_once(spark, tmp_path):
     assert ingest_lake_committed(spark, str(src), tbl, ckpt) == 1
     assert eids(L.read_snapshot(spark, tbl)) == [1, 2, 3]
     assert eids(L.read_snapshot(spark, tbl, 1)) == [1, 2]
+
+
+def test_commit_upsert_is_transactional_last_write_wins(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(
+        spark.createDataFrame(
+            [(1, "old"), (2, "keep")], "id long, s string"
+        ),
+        t,
+    )
+    v = L.commit_upsert(
+        spark.createDataFrame(
+            [(1, "new"), (3, "ins")], "id long, s string"
+        ),
+        t,
+        keys=["id"],
+    )
+    assert v == 2
+    got = {r["id"]: r["s"] for r in L.read_snapshot(spark, t).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+    # pre-merge snapshot still resolvable
+    pre = {r["id"]: r["s"] for r in L.read_snapshot(spark, t, 1).collect()}
+    assert pre == {1: "old", 2: "keep"}
+
+
+def test_compact_zordered_preserves_rows_and_tightens_ranges(spark, tmp_path):
+    from music_streaming_etl_glue_spark.plans.layout import row_group_stats
+
+    t = str(tmp_path / "tbl")
+    # appends interleave x ranges across files
+    rows = [(i, float(i % 16), float((i * 7) % 16)) for i in range(256)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    L.commit_append(df.repartition(4), t)
+    v = L.compact_zordered(spark, t, cols=["x", "y"], target_files=4)
+    snap = L.read_snapshot(spark, t, v)
+    assert snap.count() == 256
+    assert sorted(r["id"] for r in snap.collect()) == list(range(256))
+    # each z-ordered file covers a narrower x span than the full domain
+    txn_dir = os.path.dirname(
+        os.path.join(t, L._load_manifest(t, v)["files"][0])
+    )
+    by_file: dict[str, list] = {}
+    for s in row_group_stats(txn_dir, "x"):
+        if s["min"] is not None:  # 0-row range partitions carry no stats
+            by_file.setdefault(s["file"], []).append(s)
+    widths = [
+        max(s["max"] for s in stats) - min(s["min"] for s in stats)
+        for stats in by_file.values()
+    ]
+    assert widths and min(widths) < 15.0  # full domain is [0, 15]
