@@ -7,13 +7,16 @@ Glue jobs; here each is a subcommand on one local SparkSession):
     python -m music_streaming_etl_glue_spark llm   --sf-dir D --out DIR
     python -m music_streaming_etl_glue_spark query --sf-dir D NAME [NAME…]
     python -m music_streaming_etl_glue_spark refresh --old P --new P --out DIR
+    python -m music_streaming_etl_glue_spark lake  --table DIR history|compact|vacuum|rollback […]
     python -m music_streaming_etl_glue_spark list
 
 `kpis` runs the full batch pipeline (validate → enrich → 5 KPI tables →
 serving layout + QA + engine fingerprint); `llm` runs the training-data
 preparation flow (scrub → normalize → dedup ladder → decontaminate →
 split → chunk → pack); `query` materializes any catalog query and prints
-a sample + row count; `list` prints the catalog.
+a sample + row count; `lake` runs the snapshot-table maintenance verbs
+(commit log, compaction, vacuum, rollback) against a lakehouse dir;
+`list` prints the catalog.
 """
 
 from __future__ import annotations
@@ -38,6 +41,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=10)
     q.add_argument("names", nargs="+")
+    lk = sub.add_parser("lake")
+    lk.add_argument("--table", required=True, help="lakehouse table dir")
+    lk.add_argument("verb", choices=("history", "compact", "vacuum", "rollback"))
+    lk.add_argument("--target-files", type=int, default=8)
+    lk.add_argument("--zorder-by", nargs="*", default=None)
+    lk.add_argument("--keep-versions", type=int, default=2)
+    lk.add_argument("--min-age-s", type=float, default=3600.0)
+    lk.add_argument("--to-version", type=int, default=None)
     sub.add_parser("list")
     args = p.parse_args(argv)
 
@@ -47,6 +58,38 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for name in entry_mod.queries():
             print(name)
+        return 0
+
+    if args.cmd == "lake":
+        from music_streaming_etl_glue_spark.plans import lakehouse
+
+        if args.verb == "history":
+            print(json.dumps(lakehouse.history(args.table)))
+            return 0
+        if args.verb == "vacuum":
+            deleted = lakehouse.vacuum(
+                args.table, args.keep_versions, args.min_age_s
+            )
+            print(json.dumps({"deleted": deleted}))
+            return 0
+        if args.verb == "rollback":
+            if args.to_version is None:
+                print("rollback needs --to-version", file=sys.stderr)
+                return 2
+            v = lakehouse.rollback(args.table, args.to_version)
+            print(json.dumps({"committed_version": v}))
+            return 0
+        # compact (optionally z-ordered) needs a session
+        from music_streaming_etl_glue_spark.session import get_spark as _gs
+
+        sp = _gs("cli-lake")
+        if args.zorder_by:
+            v = lakehouse.compact_zordered(
+                sp, args.table, args.zorder_by, args.target_files
+            )
+        else:
+            v = lakehouse.compact(sp, args.table, args.target_files)
+        print(json.dumps({"committed_version": v}))
         return 0
 
     from music_streaming_etl_glue_spark.session import get_spark

@@ -92,6 +92,28 @@ def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str]:
     return files, df.schema.json()
 
 
+def _merge_schema_json(base_json: str, new_json: str) -> str:
+    """Schema evolution for appends: the base schema plus any NEW fields
+    (appended, nullable on old files — readers fill them with null), with
+    a hard error on a type change to an existing field (silent type
+    drift is how a lake rots; rewrite via commit_overwrite instead)."""
+    base = json.loads(base_json)
+    new = json.loads(new_json)
+    by_name = {f["name"]: f for f in base["fields"]}
+    merged = list(base["fields"])
+    for f in new["fields"]:
+        have = by_name.get(f["name"])
+        if have is None:
+            merged.append(f)
+        elif have["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution rejected: field {f['name']!r} changes "
+                f"type {have['type']!r} -> {f['type']!r}; use "
+                "commit_overwrite to rewrite the table"
+            )
+    return json.dumps({**base, "fields": merged})
+
+
 def _find_txn_key(table_dir: str, txn_key: str) -> int | None:
     """Version already committed under ``txn_key``, or None. Newest-first
     scan of the surviving manifests (the Delta ``txn`` appId/version
@@ -127,6 +149,7 @@ def _commit(
             base = _load_manifest(table_dir, base_version)
             files = base["files"] + new_files
             total_rows = base["n_rows"] + n_rows
+            schema_json = _merge_schema_json(base["schema"], schema_json)
         else:
             files = list(new_files)
             total_rows = n_rows
@@ -193,11 +216,14 @@ def read_snapshot(
     if v == 0:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     manifest = _load_manifest(table_dir, v)
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     if not manifest["files"]:
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table_dir, f) for f in manifest["files"]]
-    return spark.read.parquet(*paths)
+    # the manifest's (possibly evolved) schema drives the scan: columns a
+    # file predates read as null, and no footer-picking race decides what
+    # the snapshot looks like
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def rollback(table_dir: str, to_version: int) -> int:

@@ -231,3 +231,31 @@ def test_compact_zordered_preserves_rows_and_tightens_ranges(spark, tmp_path):
         for stats in by_file.values()
     ]
     assert widths and min(widths) < 15.0  # full domain is [0, 15]
+
+
+def test_append_evolves_schema_with_new_nullable_column(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1, 2]), t)
+    wide = spark.createDataFrame(
+        [(3, "r3", 0.5)], "id long, s string, score double"
+    )
+    L.commit_append(wide, t)
+    snap = L.read_snapshot(spark, t)
+    assert [f.name for f in snap.schema.fields] == ["id", "s", "score"]
+    got = {r["id"]: r["score"] for r in snap.collect()}
+    assert got == {1: None, 2: None, 3: 0.5}
+    # the pre-evolution snapshot keeps its narrow schema
+    assert [f.name for f in L.read_snapshot(spark, t, 1).schema.fields] == [
+        "id",
+        "s",
+    ]
+
+
+def test_append_rejects_type_change(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1]), t)
+    retyped = spark.createDataFrame([(2, 9)], "id long, s long")
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        L.commit_append(retyped, t)
+    # nothing committed; the orphan data files are vacuum fodder
+    assert L.current_version(t) == 1
