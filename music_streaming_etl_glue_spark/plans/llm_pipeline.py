@@ -59,6 +59,9 @@ class LlmPipelineResult:
     #: spans redacted per PII category (privacy-scrub audit; redaction
     #: rewrites text, never drops rows, so stage_counts stays monotone)
     pii_redactions: dict[str, int] | None = None
+    #: lakehouse snapshot version the chunk output was published at
+    #: (None unless ``publish_table`` was passed)
+    published_version: int | None = None
     #: eval-split docs whose content leaks from the train split
     #: (shingle-level — exact dups are gone by the time the split runs);
     #: the number a release gate compares against its leakage budget
@@ -70,11 +73,19 @@ def run_llm_data_pipeline(
     sf_dir: str,
     output_dir: str,
     quality_min: float = QUALITY_MIN_SCORE,
+    publish_table: str | None = None,
 ) -> LlmPipelineResult:
     """Run the full preparation flow over the ``documents`` table and
     write chunked, split-partitioned training data under ``output_dir``.
     Returns per-stage surviving-document counts (the audit trail a data
-    pipeline must emit)."""
+    pipeline must emit).
+
+    ``publish_table`` additionally publishes the final chunk set as ONE
+    atomic ``plans.lakehouse`` snapshot commit: consumers pinned on the
+    previous corpus version keep reading it mid-publish, the new version
+    appears all-or-nothing, and a bad release is a ``rollback`` away —
+    the publication discipline a shared training corpus needs that a
+    bare ``overwrite`` parquet write cannot give."""
     docs = load_table(spark, sf_dir, "documents")
     counts: dict[str, int] = {"input": docs.count()}
 
@@ -281,6 +292,12 @@ def run_llm_data_pipeline(
         split_leakage_audit(clean).filter(F.col("leaky")).count()
     )
 
+    published_version: int | None = None
+    if publish_table is not None:
+        from music_streaming_etl_glue_spark.plans import lakehouse
+
+        published_version = lakehouse.commit_overwrite(chunks, publish_table)
+
     return LlmPipelineResult(
         stage_counts=counts,
         chunk_counts_by_split=by_split,
@@ -289,4 +306,5 @@ def run_llm_data_pipeline(
         pii_redactions=pii_redactions,
         scheduled_train_docs=scheduled,
         leaky_eval_docs=leaky_eval_docs,
+        published_version=published_version,
     )

@@ -132,3 +132,20 @@ def test_pipeline_schedule_covers_train_split(spark, tmp_path):
     ):
         ps = sorted(shard_rows.ps)
         assert ps == list(range(1, len(ps) + 1))
+
+
+def test_pipeline_publishes_corpus_as_lake_snapshot(spark, tmp_path):
+    from music_streaming_etl_glue_spark.plans import lakehouse as L
+
+    out = str(tmp_path / "chunks")
+    tbl = str(tmp_path / "corpus_lake")
+    res = run_llm_data_pipeline(spark, SF_SMOKE, out, publish_table=tbl)
+    assert res.published_version == 1
+    snap = L.read_snapshot(spark, tbl)
+    # the published snapshot IS the chunk output (same rowset)
+    assert snap.count() == sum(res.chunk_counts_by_split.values())
+    assert "split" in snap.columns and "chunk_id" in snap.columns
+    # a re-release lands as version 2; the pinned v1 read is unchanged
+    res2 = run_llm_data_pipeline(spark, SF_SMOKE, out, publish_table=tbl)
+    assert res2.published_version == 2
+    assert L.read_snapshot(spark, tbl, 1).count() == snap.count()
