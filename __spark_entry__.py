@@ -322,6 +322,8 @@ _STAMP_PRIORITY = (
     "curriculum_order",
     "session_training_pairs",
     "cluster_balanced_sample",
+    "purchase_attribution",
+    "quality_kill_report",
     # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
     # window cut off, alphabetical.
     "nested_order_lines",
@@ -533,6 +535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style hard quality gates (per-rule flags + keep)
         "quality_filter_rules": lambda spark, sf: (
             _text.quality_filter_rules(_docs(spark, sf))
+        ),
+        # per-rule kill counts + keep rate over the hard gates
+        "quality_kill_report": lambda spark, sf: (
+            _text.quality_kill_report(_docs(spark, sf))
         ),
         # corpus-frequent token n-grams (the boilerplate span set)
         "boilerplate_shingles": lambda spark, sf: (
@@ -1119,6 +1125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_training_pairs": lambda spark, sf: (
             _beh.session_training_pairs(load_table(spark, sf, "events"))
         ),
+        # first/last-touch credit per in-session conversion
+        "purchase_attribution": lambda spark, sf: (
+            _beh.purchase_attribution(load_table(spark, sf, "events"))
+        ),
         # hourly resample with linear interpolation + locf/backfill edges
         "events_hourly_interpolated": lambda spark, sf: (
             _beh.events_hourly_interpolated(load_table(spark, sf, "events"))
@@ -1483,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_flags": _text.CONTAMINATION_FLAGS_SQL,
         "ngram_decontamination": _text.NGRAM_DECONTAMINATION_SQL,
         "quality_filter_rules": _text.QUALITY_FILTER_RULES_SQL,
+        "quality_kill_report": _text.QUALITY_KILL_REPORT_SQL,
         "boilerplate_shingles": _text.BOILERPLATE_SHINGLES_SQL,
         "remove_boilerplate": _text.REMOVE_BOILERPLATE_SQL,
         "exact_substring_spans": _dedup.EXACT_SUBSTRING_SPANS_SQL,
@@ -1649,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_backlog_timeline": _rel.ORDERS_BACKLOG_TIMELINE_SQL,
         "session_transition_matrix": _beh.SESSION_TRANSITION_MATRIX_SQL,
         "session_training_pairs": _beh.SESSION_TRAINING_PAIRS_SQL,
+        "purchase_attribution": _beh.PURCHASE_ATTRIBUTION_SQL,
         "events_hourly_interpolated": _beh.EVENTS_HOURLY_INTERPOLATED_SQL,
         "session_path_topk": _beh.SESSION_PATH_TOPK_SQL,
         "markov_next_event_accuracy": _beh.MARKOV_NEXT_EVENT_ACCURACY_SQL,

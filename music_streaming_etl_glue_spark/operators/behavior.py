@@ -2337,3 +2337,96 @@ SELECT user_id, sess AS session_seq, event_id AS example_id,
 FROM ctx
 WHERE context <> ''
 """
+
+
+# ---------------------------------------------------------------------------
+# purchase attribution (first-touch / last-touch within the session)
+# ---------------------------------------------------------------------------
+
+def purchase_attribution(
+    events: DataFrame,
+    gap_s: int = TRANSITION_GAP_SECONDS,
+    target: str = "purchase",
+) -> DataFrame:
+    """Per-conversion attribution: for every ``target`` event with at
+    least one predecessor in its session (30-min idle gap), the FIRST
+    event type of that session (first-touch credit), the immediately
+    preceding event type (last-touch credit), and how many steps in the
+    conversion took — the two classic credit models every growth
+    dashboard reconciles, emitted at conversion grain so any blended
+    model (linear, time-decay) is one aggregate away.
+
+    Shape: identical to :func:`session_training_pairs` — ONE user_id
+    shuffle feeds the sessionizer and both attribution windows (the
+    (user, sess) windows re-sort inside the same exchange); first-touch
+    is an unbounded-preceding ``first`` (running state O(1) per row),
+    last-touch a ``lag`` — no whole-session buffering at any scale.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessed = flagged.withColumn(
+        "sess",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    attributed = sessed.select(
+        "user_id",
+        F.col("sess").alias("session_seq"),
+        F.col("event_id").alias("purchase_event_id"),
+        "event_type",
+        F.first("event_type")
+        .over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("first_touch"),
+        F.lag("event_type").over(ws).alias("last_touch"),
+        (F.row_number().over(ws) - 1).cast("long").alias("steps_to_purchase"),
+    )
+    return (
+        attributed.filter(
+            (F.col("event_type") == target) & F.col("last_touch").isNotNull()
+        )
+        .drop("event_type")
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                        > {TRANSITION_GAP_SECONDS}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS sess
+    FROM flagged
+),
+attributed AS (
+    SELECT user_id, sess AS session_seq, event_id AS purchase_event_id,
+           event_type,
+           first_value(event_type) OVER ws AS first_touch,
+           lag(event_type) OVER ws AS last_touch,
+           (row_number() OVER ws - 1)::BIGINT AS steps_to_purchase
+    FROM sessed
+    WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, session_seq, purchase_event_id,
+       first_touch, last_touch, steps_to_purchase
+FROM attributed
+WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+"""

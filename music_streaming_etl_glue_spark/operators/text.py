@@ -1688,6 +1688,81 @@ FROM m
 """
 
 
+def quality_kill_report(documents: DataFrame) -> DataFrame:
+    """The per-rule kill counts :func:`quality_filter_rules` promises:
+    one row per rule with how many documents it ALONE would kill, how
+    many it kills in concert (failing docs also failing another rule),
+    and the overall keep rate — the audit a pipeline owner reads before
+    tuning thresholds. One aggregate over the rules relation (a narrow
+    map at any scale; the rollup is 5 rows)."""
+    rules = quality_filter_rules(documents)
+    rule_cols = [
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_stopwords",
+        "rule_repetition",
+    ]
+    n_failed = sum(
+        F.when(~F.col(c), 1).otherwise(0) for c in rule_cols
+    )
+    base = rules.withColumn("n_failed", n_failed)
+    per_rule = None
+    for c in rule_cols:
+        row = base.agg(
+            F.lit(c).alias("rule"),
+            F.sum(F.when(~F.col(c), 1).otherwise(0))
+            .cast("long")
+            .alias("kills"),
+            F.sum(F.when(~F.col(c) & (F.col("n_failed") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("sole_kills"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("kept"),
+        )
+        per_rule = row if per_rule is None else per_rule.unionByName(row)
+    return per_rule.select(
+        "rule",
+        "kills",
+        "sole_kills",
+        F.round(F.col("kept").cast("double") / F.col("n_docs"), 6).alias(
+            "keep_rate"
+        ),
+    )
+
+
+def _quality_kill_report_sql() -> str:
+    rule_cols = (
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_stopwords",
+        "rule_repetition",
+    )
+    n_failed = " + ".join(f"(NOT {c})::INT" for c in rule_cols)
+    arms = " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS rule,
+           SUM((NOT {c})::INT)::BIGINT AS kills,
+           SUM((NOT {c} AND n_failed = 1)::INT)::BIGINT AS sole_kills,
+           round(SUM(keep::INT)::DOUBLE / COUNT(*), 6) AS keep_rate
+    FROM base"""
+        for c in rule_cols
+    )
+    return f"""
+WITH rules AS ({{rules_sql}}),
+base AS (SELECT *, {n_failed} AS n_failed FROM rules)
+{arms}
+"""
+
+
+QUALITY_KILL_REPORT_SQL = _quality_kill_report_sql().replace(
+    "{rules_sql}", QUALITY_FILTER_RULES_SQL
+)
+
+
 # ---------------------------------------------------------------------------
 # cross-document boilerplate spans (substring-dedup at token-window grain)
 # ---------------------------------------------------------------------------

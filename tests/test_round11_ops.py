@@ -146,3 +146,55 @@ def test_cluster_balanced_sample_is_deterministic(spark):
         for r in S.cluster_balanced_sample(_embs(spark, rows), cap=8).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# purchase_attribution
+# ---------------------------------------------------------------------------
+
+def test_purchase_attribution_credits_session_first_and_last_touch(spark):
+    rows = [
+        (1, _ts(0), 7, "view"),
+        (2, _ts(1), 7, "click"),
+        (3, _ts(2), 7, "purchase"),
+        # new session: purchase is its FIRST event -> no attribution
+        (4, _ts(50), 7, "purchase"),
+        (5, _ts(51), 7, "click"),
+        (6, _ts(52), 7, "purchase"),
+    ]
+    out = {
+        r["purchase_event_id"]: r
+        for r in B.purchase_attribution(_events(spark, rows)).collect()
+    }
+    assert set(out) == {3, 6}  # event 4 opened its session: excluded
+    assert out[3]["first_touch"] == "view"
+    assert out[3]["last_touch"] == "click"
+    assert out[3]["steps_to_purchase"] == 2
+    # second session's first-touch is the earlier purchase itself
+    assert out[6]["first_touch"] == "purchase"
+    assert out[6]["last_touch"] == "click"
+
+
+# ---------------------------------------------------------------------------
+# quality_kill_report
+# ---------------------------------------------------------------------------
+
+def test_quality_kill_report_counts_sole_kills(spark):
+    ok = "the quick brown fox jumps over a lazy dog and then it runs far " * 2
+    # fails ONLY the repetition rule: enough tokens, stopwords, and sane
+    # token lengths, but one token dominating > 20% of the document
+    rep = ("the and of to in is it " + "spam " * 12 + "alpha beta gamma "
+           "delta epsilon zeta eta theta iota kappa")
+    docs = _docs(spark, [(1, ok), (2, ok), (3, rep)])
+    rows = {r["rule"]: r for r in T.quality_kill_report(docs).collect()}
+    assert set(rows) == {
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_stopwords",
+        "rule_repetition",
+    }
+    assert rows["rule_repetition"]["kills"] == 1
+    assert rows["rule_repetition"]["sole_kills"] == 1
+    assert all(r["keep_rate"] == rows["rule_repetition"]["keep_rate"]
+               for r in rows.values())
