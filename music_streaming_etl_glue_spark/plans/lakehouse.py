@@ -77,9 +77,39 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str]:
+def _file_stats(path: str) -> dict:
+    """Per-column (min, max) of one parquet file, footer-only (pyarrow
+    metadata — bytes of footer, not data), restricted to the JSON-safe
+    scalar types pruning understands. Columns whose writer dropped
+    statistics are simply absent (pruning then keeps the file — safe)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or not isinstance(
+                lo, (int, float, str)
+            ):
+                continue
+            name = col.path_in_schema
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str, dict]:
     """Write ``df`` into a fresh per-transaction directory; return the
-    snapshot-relative parquet paths and the schema JSON."""
+    snapshot-relative parquet paths, the schema JSON, and per-file
+    column min/max stats (the data-skipping index)."""
     txn = _txn_id()
     rel_dir = os.path.join(_DATA_DIR, txn)
     out_dir = os.path.join(table_dir, rel_dir)
@@ -89,7 +119,10 @@ def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str]:
         for name in os.listdir(out_dir)
         if name.endswith(".parquet")
     )
-    return files, df.schema.json()
+    stats = {
+        rel: _file_stats(os.path.join(table_dir, rel)) for rel in files
+    }
+    return files, df.schema.json(), stats
 
 
 def _merge_schema_json(base_json: str, new_json: str) -> str:
@@ -135,6 +168,7 @@ def _commit(
     n_rows: int,
     merge_with_base: bool,
     txn_key: str | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Claim the next version slot; on a lost race re-merge and retry."""
     mdir = _manifest_dir(table_dir)
@@ -145,11 +179,13 @@ def _commit(
             done = _find_txn_key(table_dir, txn_key)
             if done is not None:
                 return done  # idempotent replay: already committed
+        all_stats = dict(stats or {})
         if merge_with_base and base_version:
             base = _load_manifest(table_dir, base_version)
             files = base["files"] + new_files
             total_rows = base["n_rows"] + n_rows
             schema_json = _merge_schema_json(base["schema"], schema_json)
+            all_stats = {**base.get("stats", {}), **all_stats}
         else:
             files = list(new_files)
             total_rows = n_rows
@@ -161,6 +197,7 @@ def _commit(
             "files": files,
             "n_rows": total_rows,
             "schema": schema_json,
+            "stats": all_stats,
             "txn_key": txn_key,
             "committed_ns": time.time_ns(),
         }
@@ -193,33 +230,76 @@ def commit_append(
         if done is not None:
             return done  # skip the data write too, not just the commit
     n = df.count()
-    files, schema_json = _write_data_files(df, table_dir)
-    return _commit(table_dir, "append", files, schema_json, n, True, txn_key)
+    files, schema_json, stats = _write_data_files(df, table_dir)
+    return _commit(
+        table_dir, "append", files, schema_json, n, True, txn_key, stats
+    )
 
 
 def commit_overwrite(df: DataFrame, table_dir: str) -> int:
     """Replace the table contents in one snapshot; prior versions stay
     readable (and vacuum-able) for time travel."""
     n = df.count()
-    files, schema_json = _write_data_files(df, table_dir)
-    return _commit(table_dir, "overwrite", files, schema_json, n, False)
+    files, schema_json, stats = _write_data_files(df, table_dir)
+    return _commit(
+        table_dir, "overwrite", files, schema_json, n, False, stats=stats
+    )
+
+
+def prune_files(manifest: dict, predicates: dict[str, tuple]) -> list[str]:
+    """Manifest-level data skipping: the snapshot's files whose per-file
+    [min, max] intersects EVERY ``col: (lo, hi)`` predicate range (None
+    for an open bound). Files with no recorded stats for a predicate
+    column are kept — skipping must never drop a row it cannot prove
+    absent."""
+    stats = manifest.get("stats", {})
+    kept = []
+    for f in manifest["files"]:
+        fstats = stats.get(f, {})
+        keep = True
+        for col, (lo, hi) in predicates.items():
+            rng = fstats.get(col)
+            if rng is None:
+                continue  # no evidence -> must scan
+            fmin, fmax = rng
+            if (hi is not None and fmin > hi) or (
+                lo is not None and fmax < lo
+            ):
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    return kept
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: the exact file set of ``version`` (default
     newest). The plan scans a fixed file list, so filters/pruning push
     down exactly as for a plain parquet read — and nothing a concurrent
-    writer or compactor does can change the rows this frame returns."""
+    writer or compactor does can change the rows this frame returns.
+
+    ``prune`` ({col: (lo, hi)}) additionally drops files whose
+    manifest-recorded min/max cannot contain matching rows BEFORE Spark
+    plans the scan — file-level data skipping on top of the row-group
+    skipping Spark already does, and the read-side payoff of
+    ``compact_zordered``'s tight per-file ranges. Pruning only narrows
+    the file list; apply the same predicate as a real ``filter`` too
+    (exact semantics stay with the caller even where stats are
+    missing)."""
     v = version if version is not None else current_version(table_dir)
     if v == 0:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     manifest = _load_manifest(table_dir, v)
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-    if not manifest["files"]:
+    file_list = prune_files(manifest, prune) if prune else manifest["files"]
+    if not file_list:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
+    paths = [os.path.join(table_dir, f) for f in file_list]
     # the manifest's (possibly evolved) schema drives the scan: columns a
     # file predates read as null, and no footer-picking race decides what
     # the snapshot looks like
@@ -232,7 +312,13 @@ def rollback(table_dir: str, to_version: int) -> int:
     rolled-back version itself stays inspectable)."""
     old = _load_manifest(table_dir, to_version)
     return _commit(
-        table_dir, "rollback", old["files"], old["schema"], old["n_rows"], False
+        table_dir,
+        "rollback",
+        old["files"],
+        old["schema"],
+        old["n_rows"],
+        False,
+        stats=old.get("stats", {}),
     )
 
 
@@ -245,7 +331,7 @@ def compact(spark: SparkSession, table_dir: str, target_files: int) -> int:
     before = current_version(table_dir)
     df = read_snapshot(spark, table_dir, before)
     n_before = df.count()
-    files, schema_json = _write_data_files(
+    files, schema_json, stats = _write_data_files(
         df.coalesce(max(1, target_files)), table_dir
     )
     n_after = len(files)  # verified below via a real read
@@ -257,7 +343,9 @@ def compact(spark: SparkSession, table_dir: str, target_files: int) -> int:
             f"compaction row drift: {n_before} -> {check}; not committed"
         )
     del n_after
-    return _commit(table_dir, "compact", files, schema_json, n_before, False)
+    return _commit(
+        table_dir, "compact", files, schema_json, n_before, False, stats=stats
+    )
 
 
 def vacuum(
@@ -382,7 +470,7 @@ def compact_zordered(
         df.repartitionByRange(max(1, target_files), key.alias("_zk"))
         .sortWithinPartitions(key.alias("_zk"))
     )
-    files, schema_json = _write_data_files(clustered, table_dir)
+    files, schema_json, stats = _write_data_files(clustered, table_dir)
     check = spark.read.parquet(
         *[os.path.join(table_dir, f) for f in files]
     ).count() if files else 0
@@ -391,4 +479,6 @@ def compact_zordered(
             f"zorder compaction row drift: {n_before} -> {check};"
             " not committed"
         )
-    return _commit(table_dir, "compact", files, schema_json, n_before, False)
+    return _commit(
+        table_dir, "compact", files, schema_json, n_before, False, stats=stats
+    )

@@ -59,7 +59,7 @@ def test_commit_retries_on_lost_slot_race(spark, tmp_path):
     L.commit_append(_df(spark, [1]), t)
     # another writer claims version 2 between our base read and our link:
     # plant a foreign manifest in the v2 slot
-    files, schema_json = L._write_data_files(_df(spark, [50]), t)
+    files, schema_json, _stats = L._write_data_files(_df(spark, [50]), t)
     body = {
         "version": 2,
         "parent": 1,
@@ -259,3 +259,50 @@ def test_append_rejects_type_change(spark, tmp_path):
         L.commit_append(retyped, t)
     # nothing committed; the orphan data files are vacuum fodder
     assert L.current_version(t) == 1
+
+
+def test_pruned_read_skips_files_by_manifest_stats(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    # two appends with disjoint id ranges -> disjoint per-file stats
+    L.commit_append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(100)], "id long, s string"
+        ).coalesce(1),
+        t,
+    )
+    L.commit_append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(1000, 1100)], "id long, s string"
+        ).coalesce(1),
+        t,
+    )
+    man = L._load_manifest(t, 2)
+    assert len(man["files"]) == 2 and len(man["stats"]) == 2
+    pruned = L.prune_files(man, {"id": (1000, None)})
+    assert len(pruned) == 1  # the low-range file is provably irrelevant
+    out = L.read_snapshot(spark, t, prune={"id": (1000, None)})
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000, 1100))
+    # open-ended low bound keeps both; unknown column keeps both
+    assert len(L.prune_files(man, {"id": (None, None)})) == 2
+    assert len(L.prune_files(man, {"nope": (0, 1)})) == 2
+
+
+def test_zorder_compaction_improves_file_pruning(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    # interleaved x across 4 files: every file spans the whole domain
+    rows = [(i, float(i % 64)) for i in range(512)]
+    L.commit_append(
+        spark.createDataFrame(rows, "id long, x double").repartition(4), t
+    )
+    before = L.prune_files(
+        L._load_manifest(t, 1), {"x": (0.0, 7.9)}
+    )
+    assert len(before) == 4  # no skipping possible pre-clustering
+    v = L.compact_zordered(spark, t, cols=["x"], target_files=4)
+    man = L._load_manifest(t, v)
+    after = L.prune_files(man, {"x": (0.0, 7.9)})
+    assert 0 < len(after) < len(man["files"])  # clustering unlocked skipping
+    got = L.read_snapshot(spark, t, prune={"x": (0.0, 7.9)}).filter(
+        "x <= 7.9"
+    )
+    assert got.count() == 512 // 64 * 8
