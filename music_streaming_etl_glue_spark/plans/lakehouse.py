@@ -482,3 +482,61 @@ def compact_zordered(
     return _commit(
         table_dir, "compact", files, schema_json, n_before, False, stats=stats
     )
+
+
+def commit_delete(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys: list,
+) -> int:
+    """Keyed hard delete (the right-to-be-forgotten path), copy-on-write
+    at FILE granularity: manifest stats select the files whose [min, max]
+    could contain a doomed key, ONLY those are rewritten without the
+    matching rows, and the new snapshot is untouched-files + rewrites —
+    a delete of k keys from an N-file table costs O(files-hit), not a
+    table rewrite. Prior snapshots still contain the rows until
+    ``vacuum`` drops them (the retention window a real erasure SLA
+    tracks; run vacuum to make the purge physical).
+
+    ``keys`` is a driver-side list — right-to-be-forgotten batches are
+    small by nature; for bulk predicate deletes use ``commit_overwrite``
+    with a filtered read. Files without stats are conservatively
+    rewritten.
+    """
+    from pyspark.sql import functions as F
+
+    version = current_version(table_dir)
+    manifest = _load_manifest(table_dir, version)
+    stats = manifest.get("stats", {})
+    doomed = sorted(set(keys))
+    hit, untouched = [], []
+    for f in manifest["files"]:
+        rng = stats.get(f, {}).get(key_col)
+        if rng is None or any(rng[0] <= k <= rng[1] for k in doomed):
+            hit.append(f)
+        else:
+            untouched.append(f)
+    if not hit:
+        return version  # nothing to do: no file can contain the keys
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    sub = spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, f) for f in hit]
+    )
+    kept = sub.filter(~F.col(key_col).isin(doomed))
+    n_deleted = sub.count() - kept.count()
+    new_files, schema_json, new_stats = _write_data_files(kept, table_dir)
+    files = untouched + new_files
+    all_stats = {
+        **{f: stats[f] for f in untouched if f in stats},
+        **new_stats,
+    }
+    return _commit(
+        table_dir,
+        "delete",
+        files,
+        manifest["schema"],
+        manifest["n_rows"] - n_deleted,
+        False,
+        stats=all_stats,
+    )

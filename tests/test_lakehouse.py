@@ -306,3 +306,30 @@ def test_zorder_compaction_improves_file_pruning(spark, tmp_path):
         "x <= 7.9"
     )
     assert got.count() == 512 // 64 * 8
+
+
+def test_commit_delete_rewrites_only_files_that_can_hold_the_keys(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in (0, 1000, 2000):  # three disjoint-range files
+        L.commit_append(
+            spark.createDataFrame(
+                [(i, f"r{i}") for i in range(lo, lo + 100)],
+                "id long, s string",
+            ).coalesce(1),
+            t,
+        )
+    before = L._load_manifest(t, 3)
+    v = L.commit_delete(spark, t, "id", [1005, 1042])
+    assert v == 4
+    after = L._load_manifest(t, 4)
+    # the two low/high-range files survive by path; only the middle one
+    # was rewritten
+    survivors = set(before["files"]) & set(after["files"])
+    assert len(survivors) == 2
+    assert after["n_rows"] == 298
+    got = _ids(L.read_snapshot(spark, t))
+    assert 1005 not in got and 1042 not in got and len(got) == 298
+    # prior snapshot still holds the rows until vacuum makes it physical
+    assert 1005 in _ids(L.read_snapshot(spark, t, 3))
+    # a miss (no file can hold the key) is a no-op, not a new version
+    assert L.commit_delete(spark, t, "id", [999999]) == 4
