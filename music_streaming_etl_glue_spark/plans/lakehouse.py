@@ -540,3 +540,47 @@ def commit_delete(
         False,
         stats=all_stats,
     )
+
+
+def snapshot_delta(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental change read: the rows APPENDED between two snapshot
+    versions, resolved as the file-set difference — appends only ever add
+    files, so the delta is read without touching a byte of the base
+    (the "table changes" feed incremental view maintenance consumes:
+    re-aggregate the delta, MERGE into the rollup, never rescan
+    history).
+
+    Raises if any commit in the range is not an append (overwrite /
+    compact / delete / rollback rewrite or retract rows a file-level
+    delta cannot represent) — the caller then falls back to a full
+    recompute or a keyed snapshot diff (``plans.snapshot_diff``), which
+    is the honest contract instead of a silently wrong delta."""
+    to_v = to_version if to_version is not None else current_version(table_dir)
+    if to_v < from_version:
+        raise ValueError(f"to_version {to_v} < from_version {from_version}")
+    for v in range(from_version + 1, to_v + 1):
+        action = _load_manifest(table_dir, v)["action"]
+        if action != "append":
+            raise ValueError(
+                f"snapshot_delta needs an append-only range; version {v} "
+                f"is a {action!r} — fall back to a full recompute or a "
+                "keyed snapshot diff"
+            )
+    to_man = _load_manifest(table_dir, to_v)
+    base_files = (
+        set(_load_manifest(table_dir, from_version)["files"])
+        if from_version
+        else set()
+    )
+    new_files = [f for f in to_man["files"] if f not in base_files]
+    schema = T.StructType.fromJson(json.loads(to_man["schema"]))
+    if not new_files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, f) for f in new_files]
+    )

@@ -333,3 +333,29 @@ def test_commit_delete_rewrites_only_files_that_can_hold_the_keys(spark, tmp_pat
     assert 1005 in _ids(L.read_snapshot(spark, t, 3))
     # a miss (no file can hold the key) is a no-op, not a new version
     assert L.commit_delete(spark, t, "id", [999999]) == 4
+
+
+def test_snapshot_delta_reads_only_the_appended_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1, 2]), t)
+    L.commit_append(_df(spark, [3, 4]), t)
+    L.commit_append(_df(spark, [5]), t)
+    assert _ids(L.snapshot_delta(spark, t, 1)) == [3, 4, 5]
+    assert _ids(L.snapshot_delta(spark, t, 1, 2)) == [3, 4]
+    assert _ids(L.snapshot_delta(spark, t, 0, 1)) == [1, 2]
+    assert L.snapshot_delta(spark, t, 3).count() == 0  # nothing new
+    # incremental maintenance invariant: base-agg + delta-agg == full-agg
+    base = L.read_snapshot(spark, t, 1).count()
+    delta = L.snapshot_delta(spark, t, 1).count()
+    assert base + delta == L.read_snapshot(spark, t, 3).count()
+
+
+def test_snapshot_delta_refuses_non_append_ranges(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1]), t)
+    L.commit_overwrite(_df(spark, [9]), t)
+    L.commit_append(_df(spark, [10]), t)
+    with pytest.raises(ValueError, match="append-only"):
+        L.snapshot_delta(spark, t, 1)
+    # a range that starts after the rewrite is fine
+    assert _ids(L.snapshot_delta(spark, t, 2)) == [10]
