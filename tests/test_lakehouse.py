@@ -359,3 +359,65 @@ def test_snapshot_delta_refuses_non_append_ranges(spark, tmp_path):
         L.snapshot_delta(spark, t, 1)
     # a range that starts after the rewrite is fine
     assert _ids(L.snapshot_delta(spark, t, 2)) == [10]
+
+
+def test_lake_driven_kpi_maintenance_matches_one_shot(spark, tmp_path):
+    from music_streaming_etl_glue_spark.plans.incremental import (
+        maintain_kpis_from_lake,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    tbl = str(tmp_path / "events_lake")
+    state_inc = str(tmp_path / "state_inc")
+    state_one = str(tmp_path / "state_one")
+    cursor = str(tmp_path / "cursor.json")
+
+    halves = [
+        events.filter("event_id % 2 = 0"),
+        events.filter("event_id % 2 = 1"),
+    ]
+    # incremental: maintain after each landed append
+    for h in halves:
+        L.commit_append(h, tbl)
+        res = maintain_kpis_from_lake(
+            spark, tbl, customer, nation, state_inc, cursor
+        )
+        assert res["delta_rows"] == h.count()
+    # idempotent when nothing new landed
+    res = maintain_kpis_from_lake(
+        spark, tbl, customer, nation, state_inc, cursor
+    )
+    assert res["delta_rows"] == 0
+
+    # one-shot: a single maintenance pass over the SAME snapshot
+    maintain_kpis_from_lake(
+        spark, tbl, customer, nation, state_one, str(tmp_path / "c2.json")
+    )
+
+    from pyspark.sql import functions as F
+
+    def view(path):
+        return sorted(
+            (
+                r["date"],
+                r["track_genre"],
+                r["listen_count"],
+                r["est"],
+                r["listening_time_dec"],
+            )
+            for r in spark.read.parquet(path)
+            .select(
+                "date",
+                "track_genre",
+                "listen_count",
+                F.hll_sketch_estimate("listeners_sketch").alias("est"),
+                "listening_time_dec",
+            )
+            .collect()
+        )
+
+    assert view(state_inc) == view(state_one)
