@@ -324,6 +324,8 @@ _STAMP_PRIORITY = (
     "cluster_balanced_sample",
     "purchase_attribution",
     "quality_kill_report",
+    "source_overlap_matrix",
+    "near_dup_rate_by_source",
     # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
     # window cut off, alphabetical.
     "nested_order_lines",
@@ -566,6 +568,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature-based source mixing (count^alpha quotas)
         "temperature_mix": lambda spark, sf: (
             _dedup.temperature_mix(_docs(spark, sf))
+        ),
+        # cross-source shingle-overlap forensics
+        "source_overlap_matrix": lambda spark, sf: (
+            _dedup.source_overlap_matrix(_docs(spark, sf))
+        ),
+        # per-source duplicate pollution + cross-feed syndication audit
+        "near_dup_rate_by_source": lambda spark, sf: (
+            _dedup.near_dup_rate_by_source(_docs(spark, sf))
         ),
         # data-mix diagnostic: per-source unigram KL vs the corpus blend
         "source_divergence": lambda spark, sf: (
@@ -1502,6 +1512,8 @@ def oracle_sql() -> dict[str, str]:
             _dedup.EXACT_SUBSTRING_INCREMENTAL_SQL
         ),
         "temperature_mix": _dedup.TEMPERATURE_MIX_SQL,
+        "source_overlap_matrix": _dedup.SOURCE_OVERLAP_MATRIX_SQL,
+        "near_dup_rate_by_source": _dedup.NEAR_DUP_RATE_BY_SOURCE_SQL,
         "source_divergence": _text.SOURCE_DIVERGENCE_SQL,
         "packing_efficiency": _text.PACKING_EFFICIENCY_SQL,
         "rolling_active_users": _beh.ROLLING_ACTIVE_USERS_SQL,

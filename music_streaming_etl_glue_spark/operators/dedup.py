@@ -3004,3 +3004,168 @@ SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
 FROM t LEFT JOIN agg a USING (doc_id)
 WHERE NOT t.is_corpus
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus forensics by source (curation audits over the dedup primitives)
+# ---------------------------------------------------------------------------
+
+def source_overlap_matrix(documents: DataFrame) -> DataFrame:
+    """Cross-source CONTENT overlap: for every source pair, the count of
+    shared distinct word shingles and the shingle-set Jaccard — the
+    forensics a curator runs when two crawls/feeds are suspected of
+    carrying the same underlying content (``source_divergence`` compares
+    token DISTRIBUTIONS; this catches verbatim overlap those histograms
+    can miss).
+
+    Shape: one distinct (source, shingle) relation (hash-agg), a
+    shingle-keyed self-join restricted to source_a < source_b (per-key
+    fan-out ≤ sources², a constant), and a broadcast of the |sources|-row
+    size table. Nothing is ever joined at document grain."""
+    toks = F.split(F.col("text"), " ")
+    src_shingles = (
+        documents.select(
+            "source",
+            F.explode(_shingle_array(SHINGLE_N, toks)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = F.broadcast(
+        src_shingles.groupBy("source").agg(F.count("*").alias("n_shingles"))
+    )
+    a = src_shingles.alias("a")
+    b = src_shingles.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("source", "source_a").withColumnRenamed(
+                "n_shingles", "n_a"
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.withColumnRenamed("source", "source_b").withColumnRenamed(
+                "n_shingles", "n_b"
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_OVERLAP_MATRIX_SQL = f"""
+WITH src_shingles AS (
+    SELECT DISTINCT source, shingle FROM (
+        SELECT source,
+               unnest(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - {SHINGLE_N - 1}),
+                   i -> array_to_string(
+                       (string_split(text, ' '))[i:i + {SHINGLE_N - 1}], ' ')
+               )) AS shingle
+        FROM documents
+    )
+),
+sizes AS (
+    SELECT source, count(*) AS n_shingles FROM src_shingles GROUP BY source
+),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_shingles
+    FROM src_shingles a JOIN src_shingles b USING (shingle)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.shared_shingles,
+       round(i.shared_shingles::DOUBLE
+             / (sa.n_shingles + sb.n_shingles - i.shared_shingles), 6)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+def near_dup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Dup pollution per source: how many of each source's documents sit
+    in a normalized-duplicate group (the ``dedup_normalized`` key), and
+    how many of those groups SPAN sources — the audit that tells a
+    curator which feed is re-serving content and whether the duplication
+    is internal to a feed or cross-feed syndication.
+
+    Shape: one hash-agg over the normalized hash (group size + distinct
+    sources), joined back on its own key, then one |sources|-row
+    rollup — the exact-dedup shuffle shape with a second tiny agg."""
+    toks = F.split(F.col("text"), " ")
+    norm = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    keyed = documents.select("doc_id", "source", norm.alias("norm_hash"))
+    groups = keyed.groupBy("norm_hash").agg(
+        F.count("*").alias("group_size"),
+        F.size(F.collect_set("source")).alias("n_sources"),
+    )
+    return (
+        keyed.join(groups, "norm_hash")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("group_size") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum(
+                F.when(
+                    (F.col("group_size") > 1) & (F.col("n_sources") > 1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_cross_source_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            "n_cross_source_dup_docs",
+        )
+    )
+
+
+NEAR_DUP_RATE_BY_SOURCE_SQL = """
+WITH keyed AS (
+    SELECT doc_id, source,
+           md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS norm_hash
+    FROM documents
+),
+groups AS (
+    SELECT norm_hash, count(*) AS group_size,
+           count(DISTINCT source) AS n_sources
+    FROM keyed GROUP BY norm_hash
+)
+SELECT k.source,
+       count(*) AS n_docs,
+       SUM((g.group_size > 1)::INT)::BIGINT AS n_dup_docs,
+       round(SUM((g.group_size > 1)::INT)::DOUBLE / count(*), 6) AS dup_rate,
+       SUM((g.group_size > 1 AND g.n_sources > 1)::INT)::BIGINT
+           AS n_cross_source_dup_docs
+FROM keyed k JOIN groups g USING (norm_hash)
+GROUP BY k.source
+"""

@@ -198,3 +198,49 @@ def test_quality_kill_report_counts_sole_kills(spark):
     assert rows["rule_repetition"]["sole_kills"] == 1
     assert all(r["keep_rate"] == rows["rule_repetition"]["keep_rate"]
                for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# source forensics (operators.dedup)
+# ---------------------------------------------------------------------------
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_source_overlap_matrix_catches_verbatim_cross_feed_content(spark):
+    from music_streaming_etl_glue_spark.operators import dedup as D
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, shared, "feed_a"),
+        (2, shared + " eta theta", "feed_b"),       # verbatim overlap
+        (3, "one two three four five six", "feed_c"),  # disjoint
+    ]
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in D.source_overlap_matrix(_src_docs(spark, rows)).collect()
+    }
+    ab = out[("feed_a", "feed_b")]
+    assert ab["shared_shingles"] == 4  # the 4 shingles of the shared span
+    assert ab["jaccard"] > 0.5
+    assert ("feed_a", "feed_c") not in out  # zero overlap -> no row
+
+
+def test_near_dup_rate_by_source_flags_the_syndicating_feed(spark):
+    from music_streaming_etl_glue_spark.operators import dedup as D
+
+    rows = [
+        (1, "unique text number one here", "clean"),
+        (2, "unique text number two here", "clean"),
+        (3, "the same syndicated story", "spammy"),
+        (4, "the same syndicated story", "spammy"),   # internal dup
+        (5, "the same syndicated story", "clean"),    # cross-feed dup
+    ]
+    out = {r["source"]: r for r in
+           D.near_dup_rate_by_source(_src_docs(spark, rows)).collect()}
+    assert out["spammy"]["n_dup_docs"] == 2
+    assert out["spammy"]["n_cross_source_dup_docs"] == 2
+    assert out["clean"]["n_docs"] == 3
+    assert out["clean"]["n_dup_docs"] == 1  # doc 5 sits in the dup group
+    assert out["clean"]["dup_rate"] == 0.333333
