@@ -326,6 +326,7 @@ _STAMP_PRIORITY = (
     "quality_kill_report",
     "source_overlap_matrix",
     "near_dup_rate_by_source",
+    "minhash_blocking_audit",
     # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
     # window cut off, alphabetical.
     "nested_order_lines",
@@ -576,6 +577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source duplicate pollution + cross-feed syndication audit
         "near_dup_rate_by_source": lambda spark, sf: (
             _dedup.near_dup_rate_by_source(_docs(spark, sf))
+        ),
+        # banding-quality audit: pair recall + reduction ratio of the
+        # MinHash blocking vs the exact Jaccard ground truth
+        "minhash_blocking_audit": lambda spark, sf: (
+            _dedup.minhash_blocking_audit(_docs(spark, sf))
         ),
         # data-mix diagnostic: per-source unigram KL vs the corpus blend
         "source_divergence": lambda spark, sf: (
@@ -1514,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _dedup.TEMPERATURE_MIX_SQL,
         "source_overlap_matrix": _dedup.SOURCE_OVERLAP_MATRIX_SQL,
         "near_dup_rate_by_source": _dedup.NEAR_DUP_RATE_BY_SOURCE_SQL,
+        "minhash_blocking_audit": _dedup.MINHASH_BLOCKING_AUDIT_SQL,
         "source_divergence": _text.SOURCE_DIVERGENCE_SQL,
         "packing_efficiency": _text.PACKING_EFFICIENCY_SQL,
         "rolling_active_users": _beh.ROLLING_ACTIVE_USERS_SQL,

@@ -3169,3 +3169,140 @@ SELECT k.source,
 FROM keyed k JOIN groups g USING (norm_hash)
 GROUP BY k.source
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH blocking audit (the dedup twin of the ANN recall audits)
+# ---------------------------------------------------------------------------
+
+def minhash_blocking_audit(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """One-row audit of the MinHash BANDING itself: pair recall (what
+    fraction of the exact Jaccard-≥-threshold pairs the banded buckets
+    surface as candidates) and reduction ratio (what fraction of all
+    C(n,2) pairs the blocking never has to look at). The dial every
+    banded-LSH deployment tunes (bands↑ → recall↑, reduction↓) — the
+    same measured discipline ``knn_recall_audit`` applies to ANN,
+    pointed at the dedup blocking layer. Ground truth is the exact
+    shingle-keyed pair join (:func:`ngram_jaccard_pairs` — never
+    all-pairs), so the audit is itself oracle-checkable.
+
+    Shape: the candidate set is the SAME banded bucket join
+    ``minhash_dedup_pairs`` runs (built from the same signature
+    aggregate), three 1-row count aggregates, broadcast cross-composed.
+    """
+    r = k // bands
+    sh = shingles(documents).localCheckpoint(eager=False)
+    sigs = minhash_signatures(documents, k, shingle_frame=sh)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)])
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    x, y = buckets.alias("x"), buckets.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    truth = ngram_jaccard_pairs(documents, threshold=threshold).select(
+        "doc_id_a", "doc_id_b"
+    )
+    n_cand = F.broadcast(
+        candidates.agg(F.count("*").cast("long").alias("n_candidates"))
+    )
+    n_true = F.broadcast(
+        truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    )
+    n_hit = F.broadcast(
+        truth.join(candidates, ["doc_id_a", "doc_id_b"], "left_semi").agg(
+            F.count("*").cast("long").alias("n_candidate_hits")
+        )
+    )
+    n_docs = F.broadcast(
+        documents.agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    all_pairs = F.col("n_docs") * (F.col("n_docs") - 1) / 2
+    recall = F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(
+        F.col("n_candidate_hits").cast("double") / F.col("n_true_pairs")
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .crossJoin(n_docs)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_candidate_hits",
+            F.round(recall, 6).alias("pair_recall"),
+            F.round(
+                F.lit(1.0) - F.col("n_candidates").cast("double") / all_pairs,
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+def _minhash_blocking_audit_sql(
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> str:
+    r = k // bands
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{b * r + i}" for i in range(r))
+        + ")) AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({_shingles_cte()}),
+sigs AS ({_minhash_sig_cte(k)}),
+buckets AS (
+{band_selects}
+),
+candidates AS (
+    SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+    FROM buckets x JOIN buckets y
+      ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+truth AS (
+    SELECT doc_id_a, doc_id_b FROM ({NGRAM_JACCARD_SQL})
+),
+n_cand AS (SELECT count(*)::BIGINT AS n_candidates FROM candidates),
+n_true AS (SELECT count(*)::BIGINT AS n_true_pairs FROM truth),
+n_hit AS (
+    SELECT count(*)::BIGINT AS n_candidate_hits
+    FROM truth t SEMI JOIN candidates c
+      ON t.doc_id_a = c.doc_id_a AND t.doc_id_b = c.doc_id_b
+),
+n_docs AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT n_true_pairs, n_candidates, n_candidate_hits,
+       round(CASE WHEN n_true_pairs = 0 THEN 1.0
+                  ELSE n_candidate_hits::DOUBLE / n_true_pairs END, 6)
+           AS pair_recall,
+       round(1.0 - n_candidates::DOUBLE / (n_docs * (n_docs - 1) / 2), 6)
+           AS reduction_ratio
+FROM n_true, n_cand, n_hit, n_docs
+"""
+
+
+MINHASH_BLOCKING_AUDIT_SQL = _minhash_blocking_audit_sql()

@@ -244,3 +244,19 @@ def test_near_dup_rate_by_source_flags_the_syndicating_feed(spark):
     assert out["clean"]["n_docs"] == 3
     assert out["clean"]["n_dup_docs"] == 1  # doc 5 sits in the dup group
     assert out["clean"]["dup_rate"] == 0.333333
+
+
+def test_minhash_blocking_audit_detects_a_planted_miss(spark):
+    from music_streaming_etl_glue_spark.operators import dedup as D
+
+    # near-dup pair (high jaccard) + unrelated docs
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " extra"
+    rows = [(1, a), (2, b)] + [
+        (10 + i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f") for i in range(8)
+    ]
+    row = D.minhash_blocking_audit(_docs(spark, rows)).collect()[0]
+    assert row["n_true_pairs"] == 1
+    assert row["pair_recall"] == 1.0  # bands must surface the planted pair
+    assert row["n_candidates"] < 45  # far below C(10,2) exhaustive
+    assert row["reduction_ratio"] > 0.0
