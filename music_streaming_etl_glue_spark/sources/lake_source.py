@@ -1,0 +1,180 @@
+"""Spark 4 Python DataSource over the lakehouse commit log: batch reads
+of any snapshot, and a STREAMING reader whose offsets are manifest
+versions — "stream from a table", the Delta/Iceberg change-feed shape.
+
+Why the commit log is a perfect streaming source: versions are dense
+integers, a version's append delta is a pure file-set difference
+(``plans.lakehouse.snapshot_delta`` semantics), and both are re-derivable
+from the manifests alone — so a restarted query replays byte-identical
+micro-batches from its checkpointed (start, end] version range, which is
+the exactly-once contract the engine's file-source pipelines already
+test. Non-append commits (overwrite / compact / delete / rollback)
+rewrite history a file-delta cannot represent: the reader RAISES by
+default (restart from a fresh checkpoint against the new snapshot), or
+skips them under ``skip_rewrites=true`` — matching the
+ignoreChanges/ignoreDeletes contract of the public table formats.
+
+Rows are decoded executor-side with pyarrow (footer+pages of ONLY the
+delta files); the driver touches manifests, never data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SOURCE_NAME = "lake"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _manifest(table_dir: str, version: int) -> dict:
+    with open(
+        os.path.join(table_dir, "_manifests", f"v{version:012d}.json")
+    ) as fh:
+        return json.load(fh)
+
+
+def _current_version(table_dir: str) -> int:
+    mdir = os.path.join(table_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        return 0
+    return max(
+        (
+            int(n[1:13])
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".json")
+        ),
+        default=0,
+    )
+
+
+def _delta_files(
+    table_dir: str, from_v: int, to_v: int, skip_rewrites: bool
+) -> list[str]:
+    """Absolute paths of the files appended in (from_v, to_v]; raises on
+    a non-append commit in the range unless ``skip_rewrites``."""
+    for v in range(from_v + 1, to_v + 1):
+        action = _manifest(table_dir, v)["action"]
+        if action != "append" and not skip_rewrites:
+            raise ValueError(
+                f"lake stream hit a {action!r} commit at version {v}; "
+                "restart from a fresh checkpoint against the new snapshot "
+                "or set skip_rewrites=true (appends-only change feed)"
+            )
+    base = set(_manifest(table_dir, from_v)["files"]) if from_v else set()
+    to_files = _manifest(table_dir, to_v)["files"]
+    if skip_rewrites:
+        # appended-by-an-append-commit files only: union of per-append
+        # deltas, so rewritten (compacted/overwritten) files never re-emit
+        out: list[str] = []
+        prev = base
+        for v in range(from_v + 1, to_v + 1):
+            man = _manifest(table_dir, v)
+            cur = set(man["files"])
+            if man["action"] == "append":
+                out.extend(sorted(cur - prev))
+            prev = cur
+        return [os.path.join(table_dir, f) for f in out]
+    return [
+        os.path.join(table_dir, f) for f in to_files if f not in base
+    ]
+
+
+def _rows(path: str, field_names: list[str]):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    cols = [
+        tbl.column(n).to_pylist() if n in tbl.column_names else [None] * len(tbl)
+        for n in field_names
+    ]
+    yield from zip(*cols) if cols else iter(())
+
+
+class LakeReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self.table = options["table"]
+        v = options.get("version")
+        self.version = int(v) if v is not None else _current_version(self.table)
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        man = _manifest(self.table, self.version)
+        return [
+            _FilePartition(os.path.join(self.table, f)) for f in man["files"]
+        ] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        return _rows(partition.path, self.fields)
+
+
+class LakeStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.table = options["table"]
+        self.skip_rewrites = (
+            str(options.get("skip_rewrites", "false")).lower() == "true"
+        )
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self):
+        return {"version": 0}
+
+    def latestOffset(self):
+        return {"version": _current_version(self.table)}
+
+    def partitions(self, start, end):
+        files = _delta_files(
+            self.table, start["version"], end["version"], self.skip_rewrites
+        )
+        return [_FilePartition(p) for p in files] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        return _rows(partition.path, self.fields)
+
+    def commit(self, end):
+        pass
+
+
+class LakeDataSource(DataSource):
+    """``spark.read.format("lake").option("table", DIR)`` /
+    ``spark.readStream.format("lake")...`` — snapshot + change-feed reads
+    of a ``plans.lakehouse`` table through the standard source API."""
+
+    @classmethod
+    def name(cls):
+        return SOURCE_NAME
+
+    def schema(self):
+        table = self.options["table"]
+        v = self.options.get("version")
+        ver = int(v) if v is not None else _current_version(table)
+        return T.StructType.fromJson(
+            json.loads(_manifest(table, ver)["schema"])
+        )
+
+    def reader(self, schema):
+        return LakeReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return LakeStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the ``lake`` format."""
+    spark.dataSource.register(LakeDataSource)

@@ -1,0 +1,111 @@
+"""The `lake` Python DataSource: snapshot batch reads + version-offset
+streaming (change-feed) over the lakehouse commit log."""
+
+from __future__ import annotations
+
+from music_streaming_etl_glue_spark.plans import lakehouse as L
+from music_streaming_etl_glue_spark.sources.lake_source import register
+
+
+def _df(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"r{i}") for i in ids], "id long, s string"
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_batch_read_resolves_snapshots_and_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1, 2]), t)
+    L.commit_append(_df(spark, [3]), t)
+    register(spark)
+    cur = spark.read.format("lake").option("table", t).load()
+    assert _ids(cur) == [1, 2, 3]
+    v1 = (
+        spark.read.format("lake")
+        .option("table", t)
+        .option("version", 1)
+        .load()
+    )
+    assert _ids(v1) == [1, 2]
+
+
+def test_stream_reads_each_commit_exactly_once_across_restarts(
+    spark, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    L.commit_append(_df(spark, [1, 2]), t)
+    L.commit_append(_df(spark, [3]), t)
+    register(spark)
+
+    seen: list[tuple[int, list[int]]] = []
+
+    def run():
+        def sink(batch_df, epoch_id):
+            rows = _ids(batch_df)
+            if rows:
+                seen.append((epoch_id, rows))
+                batch_df.write.mode("append").parquet(out)
+
+        q = (
+            spark.readStream.format("lake")
+            .option("table", t)
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert _ids(spark.read.parquet(out)) == [1, 2, 3]
+
+    # nothing new -> a restart emits no rows (offset is checkpointed)
+    run()
+    assert _ids(spark.read.parquet(out)) == [1, 2, 3]
+
+    # a new commit lands -> only its delta streams
+    L.commit_append(_df(spark, [4, 5]), t)
+    run()
+    assert _ids(spark.read.parquet(out)) == [1, 2, 3, 4, 5]
+    assert all(set(rows) <= {1, 2, 3, 4, 5} for _, rows in seen)
+
+
+def test_stream_refuses_rewrites_unless_opted_in(spark, tmp_path):
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    L.commit_append(_df(spark, [1]), t)
+    L.commit_overwrite(_df(spark, [9]), t)
+    L.commit_append(_df(spark, [10]), t)
+    register(spark)
+
+    got: list[int] = []
+
+    def run(skip):
+        q = (
+            spark.readStream.format("lake")
+            .option("table", t)
+            .option("skip_rewrites", skip)
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .option(
+                "checkpointLocation", f"{ckpt}_{skip}"
+            )
+            .foreachBatch(lambda df, eid: got.extend(_ids(df)))
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="overwrite"):
+        run("false")
+    got.clear()
+    run("true")  # appends-only change feed: 1 (v1 append) + 10 (v3 append)
+    assert sorted(got) == [1, 10]
