@@ -109,3 +109,45 @@ def test_stream_refuses_rewrites_unless_opted_in(spark, tmp_path):
     got.clear()
     run("true")  # appends-only change feed: 1 (v1 append) + 10 (v3 append)
     assert sorted(got) == [1, 10]
+
+
+def test_lake_to_lake_pipeline_bronze_to_silver(spark, tmp_path):
+    """The medallion composition: stream table A's change feed, transform,
+    land each epoch as a snapshot commit in table B — both directions of
+    the lake integration (source + sink) in one exactly-once pipeline."""
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        _lake_epoch_committer,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    L.commit_append(_df(spark, [1, 2, 3, 4]), bronze)
+    register(spark)
+
+    def run():
+        commit = _lake_epoch_committer(silver)
+
+        def sink(batch_df, epoch_id):
+            if batch_df.isEmpty():
+                return
+            commit(batch_df.filter("id % 2 = 0"), epoch_id)
+
+        q = (
+            spark.readStream.format("lake")
+            .option("table", bronze)
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert _ids(L.read_snapshot(spark, silver)) == [2, 4]
+    L.commit_append(_df(spark, [5, 6]), bronze)
+    run()
+    assert _ids(L.read_snapshot(spark, silver)) == [2, 4, 6]
+    # silver's history is one snapshot per landed epoch
+    assert [h["action"] for h in L.history(silver)] == ["append", "append"]
