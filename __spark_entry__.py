@@ -353,10 +353,14 @@ _STAMP_PRIORITY = (
     "trending_tracks",
     "user_value_quartiles",
     # r6 cohort head (latest stamp = round 6; 48 entries total,
-    # alphabetical) — with 13 changed/new entries ahead plus the 23
-    # r5 entries, the ~50-slot window reaches ~the first 14 of these.
+    # alphabetical) — with the changed/new entries ahead (now 21: the 13
+    # originals plus curriculum_order, session_training_pairs,
+    # cluster_balanced_sample, purchase_attribution, quality_kill_report,
+    # source_overlap_matrix, near_dup_rate_by_source,
+    # minhash_blocking_audit) plus the 23 r5 entries, the ~50-slot
+    # window reaches ~the first 6 of these.
     # ROUND-12 ROTATION NOTE: lead with whatever of this r6 list the
-    # r11 window cut off (~from forecast_revenue_change onward), then
+    # r11 window cut off (~from customer_order_distribution onward), then
     # the unlisted r6 tail (knn_recall_audit, large_orders,
     # line_priority_counts, min_cost_supplier, nation_market_share,
     # nation_volume_shipping, near_dedup_apply_best,
