@@ -7,7 +7,7 @@ Glue jobs; here each is a subcommand on one local SparkSession):
     python -m music_streaming_etl_glue_spark llm   --sf-dir D --out DIR
     python -m music_streaming_etl_glue_spark query --sf-dir D NAME [NAME…]
     python -m music_streaming_etl_glue_spark refresh --old P --new P --out DIR
-    python -m music_streaming_etl_glue_spark lake  --table DIR history|compact|vacuum|rollback […]
+    python -m music_streaming_etl_glue_spark lake  --table DIR history|compact|vacuum|rollback|delete […]
     python -m music_streaming_etl_glue_spark list
 
 `kpis` runs the full batch pipeline (validate → enrich → 5 KPI tables →
@@ -43,12 +43,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("names", nargs="+")
     lk = sub.add_parser("lake")
     lk.add_argument("--table", required=True, help="lakehouse table dir")
-    lk.add_argument("verb", choices=("history", "compact", "vacuum", "rollback"))
+    lk.add_argument(
+        "verb", choices=("history", "compact", "vacuum", "rollback", "delete")
+    )
     lk.add_argument("--target-files", type=int, default=8)
     lk.add_argument("--zorder-by", nargs="*", default=None)
     lk.add_argument("--keep-versions", type=int, default=2)
     lk.add_argument("--min-age-s", type=float, default=3600.0)
     lk.add_argument("--to-version", type=int, default=None)
+    lk.add_argument("--key-col", default=None)
+    lk.add_argument("--keys", nargs="*", type=int, default=None)
     sub.add_parser("list")
     args = p.parse_args(argv)
 
@@ -79,10 +83,17 @@ def main(argv: list[str] | None = None) -> int:
             v = lakehouse.rollback(args.table, args.to_version)
             print(json.dumps({"committed_version": v}))
             return 0
-        # compact (optionally z-ordered) needs a session
+        # compact / delete need a session
         from music_streaming_etl_glue_spark.session import get_spark as _gs
 
         sp = _gs("cli-lake")
+        if args.verb == "delete":
+            if not args.key_col or not args.keys:
+                print("delete needs --key-col and --keys", file=sys.stderr)
+                return 2
+            v = lakehouse.commit_delete(sp, args.table, args.key_col, args.keys)
+            print(json.dumps({"committed_version": v}))
+            return 0
         if args.zorder_by:
             v = lakehouse.compact_zordered(
                 sp, args.table, args.zorder_by, args.target_files

@@ -421,3 +421,45 @@ def test_lake_driven_kpi_maintenance_matches_one_shot(spark, tmp_path):
         )
 
     assert view(state_inc) == view(state_one)
+
+
+def _race_worker(args):
+    # module-level for pickling; pure-manifest commits, no Spark needed
+    table_dir, wid, n = args
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from music_streaming_etl_glue_spark.plans import lakehouse as LK
+
+    versions = []
+    for i in range(n):
+        versions.append(
+            LK._commit(
+                table_dir,
+                "append",
+                [f"data/w{wid}/f{i}.parquet"],
+                '{"type":"struct","fields":[]}',
+                1,
+                True,
+            )
+        )
+    return versions
+
+
+def test_concurrent_writers_linearize_through_the_slot_claim(tmp_path):
+    from multiprocessing import Pool
+
+    t = str(tmp_path / "tbl")
+    n_workers, per = 4, 15
+    with Pool(n_workers) as pool:
+        results = pool.map(
+            _race_worker, [(t, w, per) for w in range(n_workers)]
+        )
+    total = n_workers * per
+    assert L.current_version(t) == total  # every commit won SOME slot
+    claimed = sorted(v for vs in results for v in vs)
+    assert claimed == list(range(1, total + 1))  # no slot double-claimed
+    man = L._load_manifest(t, total)
+    assert man["n_rows"] == total
+    assert len(man["files"]) == total
+    assert len(set(man["files"])) == total  # no append lost in a retry
