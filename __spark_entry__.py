@@ -77,6 +77,41 @@ def _ivf_cache_path(
     )
 
 
+def _lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the snapshot table format through the driver-stamped gate:
+    commit the documents table into a lakehouse dir (txn-keyed, so
+    replays across gate/bench runs are no-ops on the same source
+    snapshot), read the committed snapshot back, and emit a
+    content-sensitive per-source summary whose oracle aggregates the RAW
+    parquet directly — any loss, duplication, or corruption in the
+    commit/read path breaks the hash parity."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    tbl = _ivf_cache_path(sf_dir, "lakert", "v1", table="documents")
+    docs = _docs(spark, sf_dir)
+    lakehouse.commit_append(docs, tbl, txn_key=f"docs:{tbl}")
+    snap = lakehouse.read_snapshot(spark, tbl)
+    return snap.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).cast("long").alias(
+            "content_checksum"
+        ),
+    )
+
+
+LAKE_ROUNDTRIP_SQL = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       SUM(doc_id * n_chars)::BIGINT AS content_checksum
+FROM documents
+GROUP BY source
+"""
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bucket IVF probe against a cached on-disk layout — repeat
     queries pay only the pruned read (build-once/probe-many)."""
@@ -327,6 +362,7 @@ _STAMP_PRIORITY = (
     "source_overlap_matrix",
     "near_dup_rate_by_source",
     "minhash_blocking_audit",
+    "lake_roundtrip_summary",
     # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
     # window cut off, alphabetical.
     "nested_order_lines",
@@ -587,6 +623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_blocking_audit": lambda spark, sf: (
             _dedup.minhash_blocking_audit(_docs(spark, sf))
         ),
+        # snapshot-table round trip: commit docs to a lake dir, read the
+        # snapshot back, summarize — oracled against the raw parquet
+        "lake_roundtrip_summary": _lake_roundtrip,
         # data-mix diagnostic: per-source unigram KL vs the corpus blend
         "source_divergence": lambda spark, sf: (
             _text.source_divergence(_docs(spark, sf))
@@ -1525,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": _dedup.SOURCE_OVERLAP_MATRIX_SQL,
         "near_dup_rate_by_source": _dedup.NEAR_DUP_RATE_BY_SOURCE_SQL,
         "minhash_blocking_audit": _dedup.MINHASH_BLOCKING_AUDIT_SQL,
+        "lake_roundtrip_summary": LAKE_ROUNDTRIP_SQL,
         "source_divergence": _text.SOURCE_DIVERGENCE_SQL,
         "packing_efficiency": _text.PACKING_EFFICIENCY_SQL,
         "rolling_active_users": _beh.ROLLING_ACTIVE_USERS_SQL,
