@@ -1707,26 +1707,46 @@ def quality_kill_report(documents: DataFrame) -> DataFrame:
         F.when(~F.col(c), 1).otherwise(0) for c in rule_cols
     )
     base = rules.withColumn("n_failed", n_failed)
-    per_rule = None
+    # ONE aggregate computes every rule's counters (a single pass over
+    # the rules relation — the 100 TB shape), then a 5-element explode
+    # pivots the row to rule grain
+    aggs = []
     for c in rule_cols:
-        row = base.agg(
-            F.lit(c).alias("rule"),
+        aggs.append(
             F.sum(F.when(~F.col(c), 1).otherwise(0))
             .cast("long")
-            .alias("kills"),
+            .alias(f"kills_{c}")
+        )
+        aggs.append(
             F.sum(F.when(~F.col(c) & (F.col("n_failed") == 1), 1).otherwise(0))
             .cast("long")
-            .alias("sole_kills"),
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0))
-            .cast("long")
-            .alias("kept"),
+            .alias(f"sole_{c}")
         )
-        per_rule = row if per_rule is None else per_rule.unionByName(row)
-    return per_rule.select(
-        "rule",
-        "kills",
-        "sole_kills",
+    one = base.agg(
+        *aggs,
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("kept"),
+    )
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("rule"),
+                        F.col(f"kills_{c}").alias("kills"),
+                        F.col(f"sole_{c}").alias("sole_kills"),
+                    )
+                    for c in rule_cols
+                ]
+            )
+        ).alias("r"),
+        "n_docs",
+        "kept",
+    )
+    return stacked.select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.kills").alias("kills"),
+        F.col("r.sole_kills").alias("sole_kills"),
         F.round(F.col("kept").cast("double") / F.col("n_docs"), 6).alias(
             "keep_rate"
         ),
