@@ -87,6 +87,7 @@ def _file_stats(path: str) -> dict:
     meta = pq.ParquetFile(path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    covered: dict[str, int] = {}
     for rg in range(meta.num_row_groups):
         for ci in range(meta.num_columns):
             col = meta.row_group(rg).column(ci)
@@ -99,11 +100,21 @@ def _file_stats(path: str) -> dict:
             ):
                 continue
             name = col.path_in_schema
+            covered[name] = covered.get(name, 0) + 1
             if name not in mins or lo < mins[name]:
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
-    return {c: [mins[c], maxs[c]] for c in mins}
+    # CONSERVATIVE: a column's range is recorded only when every row
+    # group carries stats for it — a single stat-less row group (e.g. a
+    # writer dropping oversized string min/max) could hold values
+    # outside the partial range, and pruning/delete must never act on a
+    # range that cannot prove absence
+    return {
+        c: [mins[c], maxs[c]]
+        for c in mins
+        if covered[c] == meta.num_row_groups
+    }
 
 
 def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str, dict]:
@@ -137,7 +148,7 @@ def _merge_schema_json(base_json: str, new_json: str) -> str:
     for f in new["fields"]:
         have = by_name.get(f["name"])
         if have is None:
-            merged.append(f)
+            merged.append({**f, "nullable": True})
         elif have["type"] != f["type"]:
             raise ValueError(
                 f"schema evolution rejected: field {f['name']!r} changes "
@@ -147,17 +158,38 @@ def _merge_schema_json(base_json: str, new_json: str) -> str:
     return json.dumps({**base, "fields": merged})
 
 
+#: How many recent txn keys each manifest carries forward (the
+#: idempotence window — Delta's bounded txn retention). A replay older
+#: than this many subsequent commits is out of contract.
+TXN_RETENTION = 512
+
+
 def _find_txn_key(table_dir: str, txn_key: str) -> int | None:
-    """Version already committed under ``txn_key``, or None. Newest-first
-    scan of the surviving manifests (the Delta ``txn`` appId/version
-    dedupe): replays are expected to be recent, so the hit is early."""
-    for v in range(current_version(table_dir), 0, -1):
+    """Version already committed under ``txn_key``, or None. O(1): each
+    manifest carries forward a bounded ``txns`` map of the most recent
+    keyed commits, so only the NEWEST manifest is consulted (legacy
+    manifests without the map fall back to a newest-first scan)."""
+    newest = current_version(table_dir)
+    if newest == 0:
+        return None
+    man = _load_manifest(table_dir, newest)
+    if "txns" in man:
+        v = man["txns"].get(txn_key)
+        return int(v) if v is not None else None
+    for v in range(newest, 0, -1):  # legacy tables: full scan
         try:
             if _load_manifest(table_dir, v).get("txn_key") == txn_key:
                 return v
         except FileNotFoundError:  # vacuumed tail
             break
     return None
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A read-modify-write commit lost its race: the table advanced past
+    the version the rewrite was computed from. Recompute from the new
+    snapshot and retry — committing anyway would silently drop the
+    concurrent writer's rows."""
 
 
 def _commit(
@@ -169,19 +201,29 @@ def _commit(
     merge_with_base: bool,
     txn_key: str | None = None,
     stats: dict | None = None,
+    require_base: int | None = None,
 ) -> int:
-    """Claim the next version slot; on a lost race re-merge and retry."""
+    """Claim the next version slot; on a lost race, appends re-merge and
+    retry, while read-modify-write commits (``require_base``) raise
+    :class:`ConcurrentCommitError` instead of dropping the racer's rows."""
     mdir = _manifest_dir(table_dir)
     os.makedirs(mdir, exist_ok=True)
     while True:
         base_version = current_version(table_dir)
+        if require_base is not None and base_version != require_base:
+            raise ConcurrentCommitError(
+                f"table advanced v{require_base} -> v{base_version} during "
+                f"a {action!r} rewrite; recompute from the new snapshot "
+                "and retry"
+            )
         if txn_key is not None:
             done = _find_txn_key(table_dir, txn_key)
             if done is not None:
                 return done  # idempotent replay: already committed
         all_stats = dict(stats or {})
-        if merge_with_base and base_version:
-            base = _load_manifest(table_dir, base_version)
+        base = _load_manifest(table_dir, base_version) if base_version else None
+        txns = dict(base.get("txns", {})) if base else {}
+        if merge_with_base and base is not None:
             files = base["files"] + new_files
             total_rows = base["n_rows"] + n_rows
             schema_json = _merge_schema_json(base["schema"], schema_json)
@@ -190,6 +232,12 @@ def _commit(
             files = list(new_files)
             total_rows = n_rows
         version = base_version + 1
+        if txn_key is not None:
+            txns[txn_key] = version
+        if len(txns) > TXN_RETENTION:  # keep the newest keys only
+            txns = dict(
+                sorted(txns.items(), key=lambda kv: kv[1])[-TXN_RETENTION:]
+            )
         body = {
             "version": version,
             "parent": base_version,
@@ -199,6 +247,7 @@ def _commit(
             "schema": schema_json,
             "stats": all_stats,
             "txn_key": txn_key,
+            "txns": txns,
             "committed_ns": time.time_ns(),
         }
         tmp = os.path.join(mdir, f".tmp-{_txn_id()}")
@@ -344,12 +393,19 @@ def compact(spark: SparkSession, table_dir: str, target_files: int) -> int:
         )
     del n_after
     return _commit(
-        table_dir, "compact", files, schema_json, n_before, False, stats=stats
+        table_dir,
+        "compact",
+        files,
+        schema_json,
+        n_before,
+        False,
+        stats=stats,
+        require_base=before,
     )
 
 
 def vacuum(
-    table_dir: str, keep_versions: int = 2, min_age_s: float = 0.0
+    table_dir: str, keep_versions: int = 2, min_age_s: float = 3600.0
 ) -> list[str]:
     """Reference-counted cleanup: delete data files referenced ONLY by
     snapshots older than the ``keep_versions`` newest (whose manifests
@@ -364,8 +420,18 @@ def vacuum(
     if newest == 0:
         return []
     keep = set(range(max(1, newest - keep_versions + 1), newest + 1))
+    floor = min(keep)
+    # reference set = EVERY manifest at-or-above the retention floor,
+    # including versions that landed after `newest` was sampled — a
+    # concurrent commit's files must never be swept out from under it
+    mdir = _manifest_dir(table_dir)
+    surviving = [
+        int(n[1:13])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".json") and int(n[1:13]) >= floor
+    ]
     referenced: set[str] = set()
-    for v in keep:
+    for v in surviving:
         referenced.update(_load_manifest(table_dir, v)["files"])
     deleted: list[str] = []
     now = time.time()
@@ -384,11 +450,13 @@ def vacuum(
                 continue
             shutil.rmtree(txn_dir)
             deleted.append(txn_dir)
-    mdir = _manifest_dir(table_dir)
     for name in sorted(os.listdir(mdir)):
         if not (name.startswith("v") and name.endswith(".json")):
             continue
-        if int(name[1:13]) not in keep:
+        # strictly OLDER than the kept window only — a commit that
+        # landed after `newest` was sampled is above the window and
+        # must survive (deleting it would destroy an acked commit)
+        if int(name[1:13]) < floor:
             path = os.path.join(mdir, name)
             os.unlink(path)
             deleted.append(path)
@@ -434,8 +502,21 @@ def commit_upsert(
     from music_streaming_etl_glue_spark.plans.merge import upsert
 
     spark = updates.sparkSession
-    target = read_snapshot(spark, table_dir)
-    return commit_overwrite(upsert(target, updates, keys), table_dir)
+    base = current_version(table_dir)
+    target = read_snapshot(spark, table_dir, base)
+    merged = upsert(target, updates, keys)
+    n = merged.count()
+    files, schema_json, stats = _write_data_files(merged, table_dir)
+    return _commit(
+        table_dir,
+        "upsert",
+        files,
+        schema_json,
+        n,
+        False,
+        stats=stats,
+        require_base=base,
+    )
 
 
 def compact_zordered(
@@ -457,10 +538,18 @@ def compact_zordered(
     before = current_version(table_dir)
     df = read_snapshot(spark, table_dir, before)
     n_before = df.count()
+    if n_before == 0:
+        return compact(spark, table_dir, target_files)  # nothing to cluster
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
     ).collect()[0]
+    null_cols = [c for c in cols if bounds[f"mn_{c}"] is None]
+    if null_cols:
+        raise ValueError(
+            f"cannot Z-order on all-null column(s) {null_cols}; drop them "
+            "from cols or use plain compact()"
+        )
     key = zorder_key(
         cols,
         [bounds[f"mn_{c}"] for c in cols],
@@ -480,7 +569,14 @@ def compact_zordered(
             " not committed"
         )
     return _commit(
-        table_dir, "compact", files, schema_json, n_before, False, stats=stats
+        table_dir,
+        "compact",
+        files,
+        schema_json,
+        n_before,
+        False,
+        stats=stats,
+        require_base=before,
     )
 
 
@@ -539,6 +635,7 @@ def commit_delete(
         manifest["n_rows"] - n_deleted,
         False,
         stats=all_stats,
+        require_base=version,
     )
 
 

@@ -40,24 +40,17 @@ class _FilePartition(InputPartition):
 
 
 def _manifest(table_dir: str, version: int) -> dict:
-    with open(
-        os.path.join(table_dir, "_manifests", f"v{version:012d}.json")
-    ) as fh:
-        return json.load(fh)
+    # delegate to the format's own reader — the commit-log layout has
+    # exactly one definition (plans.lakehouse), never a copy here
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    return lakehouse._load_manifest(table_dir, version)
 
 
 def _current_version(table_dir: str) -> int:
-    mdir = os.path.join(table_dir, "_manifests")
-    if not os.path.isdir(mdir):
-        return 0
-    return max(
-        (
-            int(n[1:13])
-            for n in os.listdir(mdir)
-            if n.startswith("v") and n.endswith(".json")
-        ),
-        default=0,
-    )
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    return lakehouse.current_version(table_dir)
 
 
 def _delta_files(
@@ -66,14 +59,29 @@ def _delta_files(
     """Absolute paths of the files appended in (from_v, to_v]; raises on
     a non-append commit in the range unless ``skip_rewrites``."""
     for v in range(from_v + 1, to_v + 1):
-        action = _manifest(table_dir, v)["action"]
+        try:
+            action = _manifest(table_dir, v)["action"]
+        except FileNotFoundError:
+            raise ValueError(
+                f"lake stream range starts below the table's retention "
+                f"(version {v}'s manifest was vacuumed); start a fresh "
+                "stream with start_from=latest, or restart from a fresh "
+                "checkpoint"
+            ) from None
         if action != "append" and not skip_rewrites:
             raise ValueError(
                 f"lake stream hit a {action!r} commit at version {v}; "
                 "restart from a fresh checkpoint against the new snapshot "
                 "or set skip_rewrites=true (appends-only change feed)"
             )
-    base = set(_manifest(table_dir, from_v)["files"]) if from_v else set()
+    try:
+        base = set(_manifest(table_dir, from_v)["files"]) if from_v else set()
+    except FileNotFoundError:
+        raise ValueError(
+            f"lake stream checkpoint (version {from_v}) is below the "
+            "table's retention; start a fresh stream with "
+            "start_from=latest"
+        ) from None
     to_files = _manifest(table_dir, to_v)["files"]
     if skip_rewrites:
         # appended-by-an-append-commit files only: union of per-append
@@ -128,9 +136,15 @@ class LakeStreamReader(DataSourceStreamReader):
         self.skip_rewrites = (
             str(options.get("skip_rewrites", "false")).lower() == "true"
         )
+        #: "beginning" replays the whole surviving history; "latest"
+        #: starts at the current snapshot version (new commits only) —
+        #: required on tables whose early manifests were vacuumed
+        self.start_from = str(options.get("start_from", "beginning")).lower()
         self.fields = [f.name for f in schema.fields]
 
     def initialOffset(self):
+        if self.start_from == "latest":
+            return {"version": _current_version(self.table)}
         return {"version": 0}
 
     def latestOffset(self):
@@ -164,6 +178,12 @@ class LakeDataSource(DataSource):
         table = self.options["table"]
         v = self.options.get("version")
         ver = int(v) if v is not None else _current_version(table)
+        if ver == 0:
+            raise FileNotFoundError(
+                f"no committed snapshot under {table}: the lake source "
+                "needs at least one commit to resolve a schema (commit "
+                "first, or pass an explicit schema-bearing version)"
+            )
         return T.StructType.fromJson(
             json.loads(_manifest(table, ver)["schema"])
         )

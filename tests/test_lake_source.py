@@ -151,3 +151,32 @@ def test_lake_to_lake_pipeline_bronze_to_silver(spark, tmp_path):
     assert _ids(L.read_snapshot(spark, silver)) == [2, 4, 6]
     # silver's history is one snapshot per landed epoch
     assert [h["action"] for h in L.history(silver)] == ["append", "append"]
+
+
+def test_stream_can_start_from_latest_on_a_vacuumed_table(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        L.commit_append(_df(spark, [i]), t)
+    L.vacuum(t, keep_versions=1, min_age_s=0.0)  # v1-2 manifests gone
+    register(spark)
+    got: list[int] = []
+
+    def run():
+        q = (
+            spark.readStream.format("lake")
+            .option("table", t)
+            .option("start_from", "latest")
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, eid: got.extend(_ids(df)))
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert got == []  # latest: history before the start is not replayed
+    L.commit_append(_df(spark, [7]), t)
+    run()
+    assert got == [7]  # only the post-start commit streams

@@ -463,3 +463,73 @@ def test_concurrent_writers_linearize_through_the_slot_claim(tmp_path):
     assert man["n_rows"] == total
     assert len(man["files"]) == total
     assert len(set(man["files"])) == total  # no append lost in a retry
+
+
+def test_read_modify_write_commits_refuse_to_drop_a_racing_append(
+    spark, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1, 2, 3, 4]), t)
+    base = L.current_version(t)
+    # a concurrent append lands AFTER the rewrite was computed
+    L.commit_append(_df(spark, [99]), t)
+    files, schema_json, stats = L._write_data_files(_df(spark, [1, 2]), t)
+    with pytest.raises(L.ConcurrentCommitError, match="advanced"):
+        L._commit(
+            t, "compact", files, schema_json, 2, False,
+            stats=stats, require_base=base,
+        )
+    # nothing committed over the racer; its row is intact
+    assert 99 in _ids(L.read_snapshot(spark, t))
+
+
+def test_vacuum_never_deletes_manifests_above_its_sampled_window(
+    spark, tmp_path, monkeypatch
+):
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        L.commit_append(_df(spark, [i]), t)
+    # vacuum sampled newest=3 (stale) while v4 has already committed
+    real = L.current_version
+
+    def stale(table_dir):
+        return 3 if table_dir == t else real(table_dir)
+
+    monkeypatch.setattr(L, "current_version", stale)
+    L.vacuum(t, keep_versions=1, min_age_s=0.0)
+    monkeypatch.setattr(L, "current_version", real)
+    # the concurrently-landed v4 manifest survived; v1-2 are gone
+    assert L.current_version(t) == 4
+    assert _ids(L.read_snapshot(spark, t, 4)) == [0, 1, 2, 3]
+    with pytest.raises(FileNotFoundError):
+        L._load_manifest(t, 2)
+
+
+def test_txn_key_survives_many_subsequent_commits(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = L.commit_append(_df(spark, [1]), t, txn_key="e0")
+    for i in range(2, 6):
+        L.commit_append(_df(spark, [i]), t, txn_key=f"e{i}")
+    assert L.commit_append(_df(spark, [1]), t, txn_key="e0") == v1
+    assert L.current_version(t) == 5  # replay committed nothing
+
+
+def test_schema_evolution_forces_new_fields_nullable(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1]), t)
+    wide_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), False),  # non-nullable
+        ]
+    )
+    L.commit_append(
+        spark.createDataFrame([(2, "r2", 0.5)], wide_schema), t
+    )
+    snap = L.read_snapshot(spark, t)
+    assert snap.schema["score"].nullable is True
+    got = {r["id"]: r["score"] for r in snap.collect()}
+    assert got == {1: None, 2: 0.5}
