@@ -2254,6 +2254,49 @@ GROUP BY a.day
 SESSION_CONTEXT_K = 3
 
 
+def _sessionized(events: DataFrame, gap_s: int) -> DataFrame:
+    """(user_id, ts, event_id, event_type, sess): the lag/flag
+    sessionizer (30-min idle gap) shared by
+    :func:`session_training_pairs` and :func:`purchase_attribution` —
+    ONE definition of what "session" means, one user_id shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.withColumn(
+        "sess",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+
+
+#: SQL twin of :func:`_sessionized` — the flagged/sessed CTE prefix both
+#: oracle strings embed.
+_SESSIONED_CTE = f"""flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                        > {TRANSITION_GAP_SECONDS}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS sess
+    FROM flagged
+)"""
+
+
 def session_training_pairs(
     events: DataFrame,
     gap_s: int = TRANSITION_GAP_SECONDS,
@@ -2275,18 +2318,7 @@ def session_training_pairs(
     frame is ROWS-bounded (k preceding), so state per row is O(k)
     regardless of session length — no whole-session buffering at 100 TB.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    flagged = events.select("user_id", "ts", "event_id", "event_type").withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0)),
-    )
-    sessed = flagged.withColumn(
-        "sess",
-        F.sum("new_session")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"),
-    )
+    sessed = _sessionized(events, gap_s)
     wctx = (
         Window.partitionBy("user_id", "sess")
         .orderBy("ts", "event_id")
@@ -2306,24 +2338,7 @@ def session_training_pairs(
 
 
 SESSION_TRAINING_PAIRS_SQL = f"""
-WITH flagged AS (
-    SELECT user_id, ts, event_id, event_type,
-           CASE WHEN lag(ts) OVER w IS NULL
-                     OR CAST(floor(epoch(ts)) AS BIGINT)
-                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
-                        > {TRANSITION_GAP_SECONDS}
-                THEN 1 ELSE 0 END AS new_session
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sessed AS (
-    SELECT user_id, ts, event_id, event_type,
-           SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           )::BIGINT AS sess
-    FROM flagged
-),
+WITH {_SESSIONED_CTE},
 ctx AS (
     SELECT user_id, sess, event_id, event_type,
            coalesce(array_to_string(list(event_type) OVER (
@@ -2362,20 +2377,7 @@ def purchase_attribution(
     is an unbounded-preceding ``first`` (running state O(1) per row),
     last-touch a ``lag`` — no whole-session buffering at any scale.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    flagged = events.select(
-        "user_id", "ts", "event_id", "event_type"
-    ).withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0)),
-    )
-    sessed = flagged.withColumn(
-        "sess",
-        F.sum("new_session")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"),
-    )
+    sessed = _sessionized(events, gap_s)
     ws = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
     attributed = sessed.select(
         "user_id",
@@ -2397,24 +2399,7 @@ def purchase_attribution(
 
 
 PURCHASE_ATTRIBUTION_SQL = f"""
-WITH flagged AS (
-    SELECT user_id, ts, event_id, event_type,
-           CASE WHEN lag(ts) OVER w IS NULL
-                     OR CAST(floor(epoch(ts)) AS BIGINT)
-                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
-                        > {TRANSITION_GAP_SECONDS}
-                THEN 1 ELSE 0 END AS new_session
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sessed AS (
-    SELECT user_id, ts, event_id, event_type,
-           SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           )::BIGINT AS sess
-    FROM flagged
-),
+WITH {_SESSIONED_CTE},
 attributed AS (
     SELECT user_id, sess AS session_seq, event_id AS purchase_event_id,
            event_type,

@@ -363,6 +363,7 @@ def ngram_jaccard_pairs(
     n: int = SHINGLE_N,
     threshold: float = JACCARD_THRESHOLD,
     max_shingle_df: int | None = None,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with word-``n``-shingle Jaccard >= threshold.
 
@@ -370,9 +371,10 @@ def ngram_jaccard_pairs(
     intersections, derive |A ∪ B| from per-doc set sizes. The shuffle key
     is the shingle, so cost is Σ df(shingle)² — ``max_shingle_df`` drops
     shingles more frequent than the cap (skew guard at scale; off by
-    default to keep oracle parity).
+    default to keep oracle parity). ``shingle_frame`` lets a caller feed
+    an already-materialized (doc_id, shingle) relation.
     """
-    sh = shingles(documents, n)
+    sh = shingle_frame if shingle_frame is not None else shingles(documents, n)
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -1137,22 +1139,16 @@ WITH sh AS ({_shingles_cte()})
 """
 
 
-def minhash_dedup_pairs(
-    documents: DataFrame,
-    k: int = MINHASH_K,
-    bands: int = MINHASH_BANDS,
-    threshold: float = JACCARD_THRESHOLD,
+def _banded_candidates(
+    sigs: DataFrame, k: int, bands: int
 ) -> DataFrame:
-    """LSH near-dup pairs: band the MinHash signature, bucket-join on
-    (band, band_hash), then verify candidates with the exact shingle
-    Jaccard. Only candidate pairs (≈ docs sharing a band) pay the
-    verification join — the 100 TB path."""
+    """The banded-LSH candidate pairs (doc_id_a < doc_id_b) of a MinHash
+    signature frame — THE one definition of the deployed banding, shared
+    by :func:`minhash_dedup_pairs` (production) and
+    :func:`minhash_blocking_audit` (its recall/reduction meter), so the
+    audit can never drift into measuring a different blocking than the
+    one production runs."""
     r = k // bands
-    # One materialized shingle stream feeds everything downstream (the
-    # signature aggregate, the per-doc sizes, and BOTH sides of the
-    # verification join) — without it the explode+split plan runs 4×.
-    sh = shingles(documents).localCheckpoint(eager=False)
-    sigs = minhash_signatures(documents, k, shingle_frame=sh)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1166,7 +1162,7 @@ def minhash_dedup_pairs(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_hash")
     x, y = buckets.alias("x"), buckets.alias("y")
-    candidates = (
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -1179,6 +1175,36 @@ def minhash_dedup_pairs(
         )
         .distinct()
     )
+
+
+def _band_selects_sql(k: int, bands: int) -> str:
+    """The SQL twin of :func:`_banded_candidates`'s band explosion —
+    one generator for both the dedup and audit oracles."""
+    r = k // bands
+    return "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{b * r + i}" for i in range(r))
+        + ")) AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+
+
+def minhash_dedup_pairs(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """LSH near-dup pairs: band the MinHash signature, bucket-join on
+    (band, band_hash), then verify candidates with the exact shingle
+    Jaccard. Only candidate pairs (≈ docs sharing a band) pay the
+    verification join — the 100 TB path."""
+    # One materialized shingle stream feeds everything downstream (the
+    # signature aggregate, the per-doc sizes, and BOTH sides of the
+    # verification join) — without it the explode+split plan runs 4×.
+    sh = shingles(documents).localCheckpoint(eager=False)
+    sigs = minhash_signatures(documents, k, shingle_frame=sh)
+    candidates = _banded_candidates(sigs, k, bands)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     inter = (
         candidates.join(sh.alias("sa"), F.col("doc_id_a") == F.col("sa.doc_id"))
@@ -1210,13 +1236,7 @@ def minhash_dedup_pairs(
 def _minhash_dedup_sql(
     k: int = MINHASH_K, bands: int = MINHASH_BANDS, threshold: float = JACCARD_THRESHOLD
 ) -> str:
-    r = k // bands
-    band_selects = "\n    UNION ALL\n".join(
-        f"    SELECT doc_id, {b} AS band, md5(concat_ws('|', "
-        + ", ".join(f"h{b * r + i}" for i in range(r))
-        + ")) AS band_hash FROM sigs"
-        for b in range(bands)
-    )
+    band_selects = _band_selects_sql(k, bands)
     return f"""
 WITH sh AS ({_shingles_cte()}),
 sigs AS ({_minhash_sig_cte(k)}),
@@ -3022,11 +3042,15 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
     shingle-keyed self-join restricted to source_a < source_b (per-key
     fan-out ≤ sources², a constant), and a broadcast of the |sources|-row
     size table. Nothing is ever joined at document grain."""
-    toks = F.split(F.col("text"), " ")
+    with_toks = _spread(documents).select(
+        "source", F.split(F.col("text"), " ").alias("__toks")
+    )
     src_shingles = (
-        documents.select(
+        with_toks.select(
             "source",
-            F.explode(_shingle_array(SHINGLE_N, toks)).alias("shingle"),
+            F.explode(
+                _shingle_array(SHINGLE_N, F.col("__toks"))
+            ).alias("shingle"),
         )
         .distinct()
     )
@@ -3195,38 +3219,14 @@ def minhash_blocking_audit(
     ``minhash_dedup_pairs`` runs (built from the same signature
     aggregate), three 1-row count aggregates, broadcast cross-composed.
     """
-    r = k // bands
+    # ONE materialized shingle stream feeds the signature aggregate AND
+    # the exact ground-truth join — the audit never shingles twice
     sh = shingles(documents).localCheckpoint(eager=False)
     sigs = minhash_signatures(documents, k, shingle_frame=sh)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)])
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.band_hash")
-    x, y = buckets.alias("x"), buckets.alias("y")
-    candidates = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_id_a"),
-            F.col("y.doc_id").alias("doc_id_b"),
-        )
-        .distinct()
-    )
-    truth = ngram_jaccard_pairs(documents, threshold=threshold).select(
-        "doc_id_a", "doc_id_b"
-    )
+    candidates = _banded_candidates(sigs, k, bands)
+    truth = ngram_jaccard_pairs(
+        documents, threshold=threshold, shingle_frame=sh
+    ).select("doc_id_a", "doc_id_b")
     n_cand = F.broadcast(
         candidates.agg(F.count("*").cast("long").alias("n_candidates"))
     )
@@ -3266,13 +3266,7 @@ def _minhash_blocking_audit_sql(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
 ) -> str:
-    r = k // bands
-    band_selects = "\n    UNION ALL\n".join(
-        f"    SELECT doc_id, {b} AS band, md5(concat_ws('|', "
-        + ", ".join(f"h{b * r + i}" for i in range(r))
-        + ")) AS band_hash FROM sigs"
-        for b in range(bands)
-    )
+    band_selects = _band_selects_sql(k, bands)
     return f"""
 WITH sh AS ({_shingles_cte()}),
 sigs AS ({_minhash_sig_cte(k)}),

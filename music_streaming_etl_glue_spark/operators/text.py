@@ -3401,9 +3401,12 @@ def curriculum_order(
     """
     from music_streaming_etl_glue_spark.operators.dedup import _hash_bucket
 
+    # the score map feeds BOTH the tercile aggregate and the phase
+    # projection — materialize once (house convention for multi-consumer
+    # frames) instead of re-running the per-doc regex/array scans twice
     scored = text_quality(documents).select(
         "doc_id", F.round("quality_score", 6).alias("q")
-    )
+    ).localCheckpoint(eager=False)
     cuts = F.broadcast(
         scored.agg(
             F.expr("percentile(q, 1.0/3.0)").alias("t1"),

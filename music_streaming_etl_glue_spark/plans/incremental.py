@@ -196,28 +196,52 @@ def maintain_kpis_from_lake(
     crash between the two re-merges one delta — the same narrow
     documented window; a non-append commit in the range raises (the
     caller falls back to a full recompute against the snapshot).
+    OVERLAPPING runs are excluded with an flock on the cursor's lock
+    file (held for the whole merge; a crashed holder releases it with
+    its fd) — without it two concurrent runs would merge the same delta
+    twice into the additive state. A run that finds the lock held
+    returns {"skipped": True} instead of blocking.
 
-    Returns {"from_version", "to_version", "delta_rows"}."""
+    Returns {"from_version", "to_version", "delta_rows"} (the row count
+    comes from the manifests' n_rows delta — no extra scan).
+    """
+    import fcntl
     import json
     import os
 
     from music_streaming_etl_glue_spark.operators.enrich import enrich_events
     from music_streaming_etl_glue_spark.plans import lakehouse
 
-    from_v = 0
-    if os.path.exists(cursor_path):
-        with open(cursor_path) as fh:
-            from_v = json.load(fh)["version"]
-    to_v = lakehouse.current_version(table_dir)
-    if to_v == from_v:
-        return {"from_version": from_v, "to_version": to_v, "delta_rows": 0}
-    delta = lakehouse.snapshot_delta(spark, table_dir, from_v, to_v)
-    n = delta.count()
-    if n:
-        enriched = enrich_events(delta, customer, nation)
-        merge_genre_daily(spark, genre_daily_partials(enriched), state_path)
-    tmp = cursor_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": to_v}, fh)
-    os.replace(tmp, cursor_path)
-    return {"from_version": from_v, "to_version": to_v, "delta_rows": n}
+    os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+    lock_fd = os.open(cursor_path + ".lock", os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            return {"skipped": True}
+        from_v = 0
+        if os.path.exists(cursor_path):
+            with open(cursor_path) as fh:
+                from_v = json.load(fh)["version"]
+        to_v = lakehouse.current_version(table_dir)
+        if to_v == from_v:
+            return {
+                "from_version": from_v, "to_version": to_v, "delta_rows": 0
+            }
+        delta = lakehouse.snapshot_delta(spark, table_dir, from_v, to_v)
+        # append-only range (snapshot_delta enforced it), so the delta
+        # row count is a manifest subtraction, not a Spark scan
+        n = lakehouse._load_manifest(table_dir, to_v)["n_rows"] - (
+            lakehouse._load_manifest(table_dir, from_v)["n_rows"]
+            if from_v
+            else 0
+        )
+        if n:
+            enriched = enrich_events(delta, customer, nation)
+            merge_genre_daily(
+                spark, genre_daily_partials(enriched), state_path
+            )
+        _atomic_write(cursor_path, {"version": to_v})
+        return {"from_version": from_v, "to_version": to_v, "delta_rows": n}
+    finally:
+        os.close(lock_fd)

@@ -533,3 +533,39 @@ def test_schema_evolution_forces_new_fields_nullable(spark, tmp_path):
     assert snap.schema["score"].nullable is True
     got = {r["id"]: r["score"] for r in snap.collect()}
     assert got == {1: None, 2: 0.5}
+
+
+def test_kpi_maintenance_lock_excludes_overlapping_runs(spark, tmp_path):
+    import fcntl
+    import os
+
+    from music_streaming_etl_glue_spark.plans.incremental import (
+        maintain_kpis_from_lake,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    tbl = str(tmp_path / "lake")
+    cursor = str(tmp_path / "cursor.json")
+    L.commit_append(load_table(spark, sf, "events"), tbl)
+    # another run holds the lock: this run must skip, not double-merge
+    fd = os.open(cursor + ".lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        res = maintain_kpis_from_lake(
+            spark, tbl,
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "nation"),
+            str(tmp_path / "state"), cursor,
+        )
+        assert res == {"skipped": True}
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    res = maintain_kpis_from_lake(
+        spark, tbl,
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+        str(tmp_path / "state"), cursor,
+    )
+    assert res["delta_rows"] > 0  # lock released: the merge proceeds
