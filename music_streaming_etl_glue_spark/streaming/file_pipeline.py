@@ -136,7 +136,12 @@ def ingest_available_now(
     return batches
 
 
-def _lake_epoch_committer(table_dir: str, txn_prefix: str = "epoch"):
+def _lake_epoch_committer(
+    table_dir: str,
+    txn_prefix: str = "epoch",
+    auto_compact_files: int | None = None,
+    compact_target: int = 8,
+):
     """foreachBatch sink that lands each micro-batch as a lakehouse
     snapshot commit (``plans.lakehouse.commit_append``) keyed by the
     epoch id: a replayed epoch (foreachBatch retry, or a crash between
@@ -144,13 +149,33 @@ def _lake_epoch_committer(table_dir: str, txn_prefix: str = "epoch"):
     manifest log and no-ops — the same exactly-once upgrade as
     :func:`_idempotent_epoch_writer`, but with snapshot isolation for
     concurrent readers and time travel across epochs (one snapshot per
-    landed micro-batch) instead of an epoch-partitioned directory."""
+    landed micro-batch) instead of an epoch-partitioned directory.
+
+    ``auto_compact_files`` bounds the small-files accumulation every
+    per-epoch committer suffers: when the landed snapshot's file count
+    exceeds it, the sink opportunistically compacts to
+    ``compact_target`` files in the same trigger (race-safe — a
+    :class:`~...lakehouse.ConcurrentCommitError` from a racing writer
+    just skips this round's compaction; the next epoch retries). NOTE:
+    compaction is a non-append commit, so a downstream change-feed
+    stream of this table must run with ``skip_rewrites=true``."""
     from music_streaming_etl_glue_spark.plans import lakehouse
 
     def write(df: DataFrame, epoch_id: int) -> None:
         lakehouse.commit_append(
             df, table_dir, txn_key=f"{txn_prefix}-{epoch_id}"
         )
+        if auto_compact_files is None:
+            return
+        v = lakehouse.current_version(table_dir)
+        n_files = len(lakehouse._load_manifest(table_dir, v)["files"])
+        if n_files > auto_compact_files:
+            try:
+                lakehouse.compact(
+                    df.sparkSession, table_dir, compact_target
+                )
+            except lakehouse.ConcurrentCommitError:
+                pass  # a racer advanced the table; compact next epoch
 
     return write
 

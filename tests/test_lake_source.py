@@ -180,3 +180,39 @@ def test_stream_can_start_from_latest_on_a_vacuumed_table(spark, tmp_path):
     L.commit_append(_df(spark, [7]), t)
     run()
     assert got == [7]  # only the post-start commit streams
+
+
+def test_epoch_committer_auto_compacts_and_feed_skips_rewrites(
+    spark, tmp_path
+):
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        _lake_epoch_committer,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit = _lake_epoch_committer(t, auto_compact_files=6, compact_target=2)
+    for e in range(4):  # 4 epochs x 4-file batches -> crosses the bound
+        commit(_df(spark, [10 * e + i for i in range(4)]).repartition(4), e)
+    hist = L.history(t)
+    assert "compact" in {h["action"] for h in hist}
+    assert hist[-1]["n_files"] <= 6  # the bound holds after maintenance
+    expect = sorted(10 * e + i for e in range(4) for i in range(4))
+    assert _ids(L.read_snapshot(spark, t)) == expect
+    # the downstream change feed still works in appends-only mode
+    register(spark)
+    got: list[int] = []
+    q = (
+        spark.readStream.format("lake")
+        .option("table", t)
+        .option("skip_rewrites", "true")
+        .load()
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda df, eid: got.extend(_ids(df)))
+        .start()
+    )
+    q.awaitTermination()
+    # every pre-compaction append that survives as an append-delta file
+    # is emitted exactly once; nothing duplicates through the rewrite
+    assert sorted(got) == sorted(set(got))
+    assert set(got) <= set(expect)
