@@ -52,7 +52,10 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--min-age-s", type=float, default=3600.0)
     lk.add_argument("--to-version", type=int, default=None)
     lk.add_argument("--key-col", default=None)
-    lk.add_argument("--keys", nargs="*", type=int, default=None)
+    # keys arrive as strings and are coerced against the TABLE schema at
+    # delete time — string-keyed tables (user ids, doc ids) are the
+    # common right-to-be-forgotten case, so type=int here would be wrong
+    lk.add_argument("--keys", nargs="*", default=None)
     sub.add_parser("list")
     args = p.parse_args(argv)
 
@@ -91,7 +94,10 @@ def main(argv: list[str] | None = None) -> int:
             if not args.key_col or not args.keys:
                 print("delete needs --key-col and --keys", file=sys.stderr)
                 return 2
-            v = lakehouse.commit_delete(sp, args.table, args.key_col, args.keys)
+            keys = lakehouse.coerce_keys(
+                args.table, args.key_col, args.keys
+            )
+            v = lakehouse.commit_delete(sp, args.table, args.key_col, keys)
             print(json.dumps({"committed_version": v}))
             return 0
         if args.zorder_by:

@@ -194,8 +194,17 @@ def maintain_kpis_from_lake(
     Replay safety mirrors ``stream_kpi_maintenance``'s epoch ledger: the
     cursor is advanced atomically AFTER the merge (os.replace), so a
     crash between the two re-merges one delta — the same narrow
-    documented window; a non-append commit in the range raises (the
-    caller falls back to a full recompute against the snapshot).
+    documented window. A NON-APPEND commit in the cursor range (an
+    overwrite / compact / delete / MERGE — e.g. a table with
+    auto-compaction enabled) cannot be expressed as a file-set delta;
+    rather than wedge permanently (the failure mode: snapshot_delta
+    raises on every run and the cursor never advances), the maintainer
+    RECOVERS with a full recompute — rebuild the rollup state from the
+    CURRENT snapshot (static overwrite, so stale dates from retracted
+    rows disappear too) and re-seed the cursor to that version; the
+    result reports {"recomputed": True}. Correctness holds because the
+    recompute is derived from the snapshot alone, not from the broken
+    incremental state.
     OVERLAPPING runs are excluded with an flock on the cursor's lock
     file (held for the whole merge; a crashed holder releases it with
     its fd) — without it two concurrent runs would merge the same delta
@@ -228,7 +237,29 @@ def maintain_kpis_from_lake(
             return {
                 "from_version": from_v, "to_version": to_v, "delta_rows": 0
             }
-        delta = lakehouse.snapshot_delta(spark, table_dir, from_v, to_v)
+        try:
+            delta = lakehouse.snapshot_delta(spark, table_dir, from_v, to_v)
+        except ValueError:
+            # non-append commit in the range: full recompute from the
+            # current snapshot, then re-seed the cursor (see docstring)
+            full = lakehouse.read_snapshot(spark, table_dir, to_v)
+            partials = genre_daily_partials(
+                enrich_events(full, customer, nation)
+            ).localCheckpoint()
+            # STATIC overwrite (no dynamic partition mode): dates that
+            # vanished from the table must vanish from the state too
+            partials.write.mode("overwrite").partitionBy("date").parquet(
+                state_path
+            )
+            _atomic_write(cursor_path, {"version": to_v})
+            return {
+                "from_version": from_v,
+                "to_version": to_v,
+                "delta_rows": lakehouse._load_manifest(table_dir, to_v)[
+                    "n_rows"
+                ],
+                "recomputed": True,
+            }
         # append-only range (snapshot_delta enforced it), so the delta
         # row count is a manifest subtraction, not a Spark scan
         n = lakehouse._load_manifest(table_dir, to_v)["n_rows"] - (

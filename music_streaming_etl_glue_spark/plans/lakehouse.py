@@ -117,10 +117,23 @@ def _file_stats(path: str) -> dict:
     }
 
 
-def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str, dict]:
+def _file_rows(path: str) -> int:
+    """Row count of one parquet file from its footer (no data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _write_data_files(
+    df: DataFrame, table_dir: str
+) -> tuple[list[str], str, dict, int]:
     """Write ``df`` into a fresh per-transaction directory; return the
-    snapshot-relative parquet paths, the schema JSON, and per-file
-    column min/max stats (the data-skipping index)."""
+    snapshot-relative parquet paths, the schema JSON, per-file column
+    min/max stats (the data-skipping index), and the row count summed
+    from the written files' footers. Counting from the footers — not a
+    pre-write ``df.count()`` — means the manifest's ``n_rows`` is the
+    truth of what was WRITTEN even for a non-deterministic source plan,
+    and the source plan executes exactly once."""
     txn = _txn_id()
     rel_dir = os.path.join(_DATA_DIR, txn)
     out_dir = os.path.join(table_dir, rel_dir)
@@ -133,7 +146,8 @@ def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str, di
     stats = {
         rel: _file_stats(os.path.join(table_dir, rel)) for rel in files
     }
-    return files, df.schema.json(), stats
+    n_rows = sum(_file_rows(os.path.join(table_dir, rel)) for rel in files)
+    return files, df.schema.json(), stats, n_rows
 
 
 def _merge_schema_json(base_json: str, new_json: str) -> str:
@@ -278,8 +292,7 @@ def commit_append(
         done = _find_txn_key(table_dir, txn_key)
         if done is not None:
             return done  # skip the data write too, not just the commit
-    n = df.count()
-    files, schema_json, stats = _write_data_files(df, table_dir)
+    files, schema_json, stats, n = _write_data_files(df, table_dir)
     return _commit(
         table_dir, "append", files, schema_json, n, True, txn_key, stats
     )
@@ -288,8 +301,7 @@ def commit_append(
 def commit_overwrite(df: DataFrame, table_dir: str) -> int:
     """Replace the table contents in one snapshot; prior versions stay
     readable (and vacuum-able) for time travel."""
-    n = df.count()
-    files, schema_json, stats = _write_data_files(df, table_dir)
+    files, schema_json, stats, n = _write_data_files(df, table_dir)
     return _commit(
         table_dir, "overwrite", files, schema_json, n, False, stats=stats
     )
@@ -379,19 +391,16 @@ def compact(spark: SparkSession, table_dir: str, target_files: int) -> int:
     drifting rewrite aborts with orphans, never a bad snapshot."""
     before = current_version(table_dir)
     df = read_snapshot(spark, table_dir, before)
-    n_before = df.count()
-    files, schema_json, stats = _write_data_files(
+    n_before = _load_manifest(table_dir, before)["n_rows"]
+    files, schema_json, stats, check = _write_data_files(
         df.coalesce(max(1, target_files)), table_dir
     )
-    n_after = len(files)  # verified below via a real read
-    check = spark.read.parquet(
-        *[os.path.join(table_dir, f) for f in files]
-    ).count() if files else 0
+    # drift check is footer-count vs the base manifest's n_rows — one
+    # source plan execution, no verification re-read
     if check != n_before:
         raise RuntimeError(
             f"compaction row drift: {n_before} -> {check}; not committed"
         )
-    del n_after
     return _commit(
         table_dir,
         "compact",
@@ -505,8 +514,7 @@ def commit_upsert(
     base = current_version(table_dir)
     target = read_snapshot(spark, table_dir, base)
     merged = upsert(target, updates, keys)
-    n = merged.count()
-    files, schema_json, stats = _write_data_files(merged, table_dir)
+    files, schema_json, stats, n = _write_data_files(merged, table_dir)
     return _commit(
         table_dir,
         "upsert",
@@ -537,7 +545,7 @@ def compact_zordered(
 
     before = current_version(table_dir)
     df = read_snapshot(spark, table_dir, before)
-    n_before = df.count()
+    n_before = _load_manifest(table_dir, before)["n_rows"]
     if n_before == 0:
         return compact(spark, table_dir, target_files)  # nothing to cluster
     bounds = df.agg(
@@ -559,10 +567,9 @@ def compact_zordered(
         df.repartitionByRange(max(1, target_files), key.alias("_zk"))
         .sortWithinPartitions(key.alias("_zk"))
     )
-    files, schema_json, stats = _write_data_files(clustered, table_dir)
-    check = spark.read.parquet(
-        *[os.path.join(table_dir, f) for f in files]
-    ).count() if files else 0
+    files, schema_json, stats, check = _write_data_files(
+        clustered, table_dir
+    )
     if check != n_before:
         raise RuntimeError(
             f"zorder compaction row drift: {n_before} -> {check};"
@@ -619,9 +626,17 @@ def commit_delete(
     sub = spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, f) for f in hit]
     )
-    kept = sub.filter(~F.col(key_col).isin(doomed))
-    n_deleted = sub.count() - kept.count()
-    new_files, schema_json, new_stats = _write_data_files(kept, table_dir)
+    # NULL-key rows must SURVIVE the delete: `key IN (...)` is NULL (not
+    # true) for a NULL key, so SQL DELETE does not remove them — but a
+    # bare `~isin` filter would also evaluate to NULL and DROP them.
+    # Keep rows where the key is NULL or provably not doomed.
+    kept = sub.filter(
+        F.col(key_col).isNull() | ~F.col(key_col).isin(doomed)
+    )
+    hit_rows = sum(_file_rows(os.path.join(table_dir, f)) for f in hit)
+    new_files, schema_json, new_stats, kept_rows = _write_data_files(
+        kept, table_dir
+    )
     files = untouched + new_files
     all_stats = {
         **{f: stats[f] for f in untouched if f in stats},
@@ -632,11 +647,39 @@ def commit_delete(
         "delete",
         files,
         manifest["schema"],
-        manifest["n_rows"] - n_deleted,
+        manifest["n_rows"] - hit_rows + kept_rows,
         False,
         stats=all_stats,
         require_base=version,
     )
+
+
+def coerce_keys(
+    table_dir: str, key_col: str, keys: list[str]
+) -> list:
+    """Coerce CLI-supplied string keys to the TABLE's type for
+    ``key_col`` (from the current manifest's schema) so `delete --keys`
+    works for int-, float-, and string-keyed tables alike. Unknown
+    columns raise — a typo'd key column must not silently delete
+    nothing."""
+    manifest = _load_manifest(table_dir, current_version(table_dir))
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    try:
+        dt = schema[key_col].dataType
+    except KeyError:
+        raise ValueError(
+            f"key column {key_col!r} not in table schema "
+            f"({[f.name for f in schema.fields]})"
+        ) from None
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return [int(k) for k in keys]
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return [float(k) for k in keys]
+    if isinstance(dt, T.DecimalType):
+        from decimal import Decimal
+
+        return [Decimal(k) for k in keys]
+    return [str(k) for k in keys]
 
 
 def snapshot_delta(

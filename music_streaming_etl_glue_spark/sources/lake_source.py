@@ -101,14 +101,23 @@ def _delta_files(
 
 
 def _rows(path: str, field_names: list[str]):
+    """Stream one data file as rows, one Arrow record batch at a time —
+    never the whole file as Python lists (a 1 GB file must not need
+    1 GB+ of executor heap before the first row yields). Columns absent
+    from an old file (schema evolution) are filled with None."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(path)
-    cols = [
-        tbl.column(n).to_pylist() if n in tbl.column_names else [None] * len(tbl)
-        for n in field_names
-    ]
-    yield from zip(*cols) if cols else iter(())
+    pf = pq.ParquetFile(path)
+    present = [n for n in field_names if n in pf.schema_arrow.names]
+    for batch in pf.iter_batches(columns=present or None):
+        n = batch.num_rows
+        cols = [
+            batch.column(batch.schema.get_field_index(name)).to_pylist()
+            if name in batch.schema.names
+            else [None] * n
+            for name in field_names
+        ]
+        yield from zip(*cols) if cols else iter(())
 
 
 class LakeReader(DataSourceReader):

@@ -59,7 +59,9 @@ def test_commit_retries_on_lost_slot_race(spark, tmp_path):
     L.commit_append(_df(spark, [1]), t)
     # another writer claims version 2 between our base read and our link:
     # plant a foreign manifest in the v2 slot
-    files, schema_json, _stats = L._write_data_files(_df(spark, [50]), t)
+    files, schema_json, _stats, _n = L._write_data_files(
+        _df(spark, [50]), t
+    )
     body = {
         "version": 2,
         "parent": 1,
@@ -473,7 +475,9 @@ def test_read_modify_write_commits_refuse_to_drop_a_racing_append(
     base = L.current_version(t)
     # a concurrent append lands AFTER the rewrite was computed
     L.commit_append(_df(spark, [99]), t)
-    files, schema_json, stats = L._write_data_files(_df(spark, [1, 2]), t)
+    files, schema_json, stats, _n = L._write_data_files(
+        _df(spark, [1, 2]), t
+    )
     with pytest.raises(L.ConcurrentCommitError, match="advanced"):
         L._commit(
             t, "compact", files, schema_json, 2, False,
@@ -569,3 +573,99 @@ def test_kpi_maintenance_lock_excludes_overlapping_runs(spark, tmp_path):
         str(tmp_path / "state"), cursor,
     )
     assert res["delta_rows"] > 0  # lock released: the merge proceeds
+
+
+def test_commit_delete_keeps_null_key_rows(spark, tmp_path):
+    # `key IN (doomed)` is NULL for a NULL key — SQL DELETE keeps those
+    # rows, so commit_delete must too (a bare ~isin filter drops them)
+    t = str(tmp_path / "tbl")
+    rows = [(1, "a"), (2, "b"), (None, "null-1"), (3, "c"), (None, "null-2")]
+    L.commit_append(
+        spark.createDataFrame(rows, "id long, s string").coalesce(1), t
+    )
+    v = L.commit_delete(spark, t, "id", [2])
+    assert v == 2
+    got = L.read_snapshot(spark, t).collect()
+    assert sorted(r["s"] for r in got) == ["a", "c", "null-1", "null-2"]
+    assert L._load_manifest(t, 2)["n_rows"] == 4
+
+
+def test_coerce_keys_uses_table_schema(spark, tmp_path):
+    t_int = str(tmp_path / "t_int")
+    t_str = str(tmp_path / "t_str")
+    L.commit_append(_df(spark, [1, 2]), t_int)
+    L.commit_append(
+        spark.createDataFrame([("u1", 1), ("u2", 2)], "uid string, v long"),
+        t_str,
+    )
+    assert L.coerce_keys(t_int, "id", ["1", "7"]) == [1, 7]
+    assert L.coerce_keys(t_str, "uid", ["u1"]) == ["u1"]
+    with pytest.raises(ValueError, match="not in table schema"):
+        L.coerce_keys(t_int, "nope", ["1"])
+    # end-to-end: string-keyed delete through the coerced path
+    v = L.commit_delete(
+        spark, t_str, "uid", L.coerce_keys(t_str, "uid", ["u1"])
+    )
+    assert sorted(
+        r["uid"] for r in L.read_snapshot(spark, t_str, v).collect()
+    ) == ["u2"]
+
+
+def test_kpi_maintenance_recovers_from_non_append_commit(spark, tmp_path):
+    """A compaction (non-append) inside the cursor range must trigger a
+    full recompute + cursor re-seed, not a permanent wedge."""
+    from music_streaming_etl_glue_spark.plans.incremental import (
+        maintain_kpis_from_lake,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    tbl = str(tmp_path / "events_lake")
+    state = str(tmp_path / "state")
+    cursor = str(tmp_path / "cursor.json")
+
+    L.commit_append(events.filter("event_id % 2 = 0"), tbl)
+    maintain_kpis_from_lake(spark, tbl, customer, nation, state, cursor)
+    # a compaction lands in the next cursor range alongside a new append
+    L.compact(spark, tbl, target_files=2)
+    L.commit_append(events.filter("event_id % 2 = 1"), tbl)
+    res = maintain_kpis_from_lake(
+        spark, tbl, customer, nation, state, cursor
+    )
+    assert res.get("recomputed") is True
+    assert res["to_version"] == L.current_version(tbl)
+    # cursor re-seeded: the next run is a clean incremental no-op
+    res2 = maintain_kpis_from_lake(
+        spark, tbl, customer, nation, state, cursor
+    )
+    assert res2 == {
+        "from_version": res["to_version"],
+        "to_version": res["to_version"],
+        "delta_rows": 0,
+    }
+    # recomputed state equals a one-shot maintenance from scratch
+    state_one = str(tmp_path / "state_one")
+    maintain_kpis_from_lake(
+        spark, tbl, customer, nation, state_one, str(tmp_path / "c2.json")
+    )
+    from pyspark.sql import functions as F
+
+    def view(path):
+        return sorted(
+            (
+                r["date"], r["track_genre"], r["listen_count"],
+                r["est"], r["listening_time_dec"],
+            )
+            for r in spark.read.parquet(path)
+            .select(
+                "date", "track_genre", "listen_count",
+                F.hll_sketch_estimate("listeners_sketch").alias("est"),
+                "listening_time_dec",
+            )
+            .collect()
+        )
+
+    assert view(state) == view(state_one)
