@@ -329,88 +329,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # but a driver stamp is the harder signal — so the dict is reordered per
 # round. Previously-stamped entries keep their historical green stamps.
 _STAMP_PRIORITY = (
-    # ROUND 11 ROTATION — oldest-stamp-first (standing policy), with
-    # the queue-jumping exceptions up front:
-    # (a) oracle twins CHANGED this round: the six modality embedding /
-    # served-ANN entries gained the signed-zero "+ 0.0" round guard
-    # (audio_embeddings was the r10 driver hash-RED; image/video share
-    # the guarded _unit_embedding tail and their ann_topk_* oracles
-    # embed the guarded CTEs).
-    "audio_embeddings",
-    "ann_topk_audio",
-    "image_embeddings",
-    "ann_topk_image",
-    "video_embeddings",
-    "ann_topk_video",
-    # (b) entries NEW this round: the per-modality served-recall
-    # audits (VERDICT r10 item #5) + the ExactSubstr dedup pair.
-    "knn_recall_audit_image",
-    "knn_recall_audit_audio",
-    "knn_recall_audit_video",
-    "exact_substring_spans",
-    "exact_substring_dedup",
-    "exact_substring_incremental",
-    "semantic_query_topk",
-    "hybrid_retrieval_rrf",
-    "dsir_weights",
-    "dsir_sample",
-    "curriculum_order",
-    "session_training_pairs",
-    "cluster_balanced_sample",
-    "purchase_attribution",
-    "quality_kill_report",
-    "source_overlap_matrix",
-    "near_dup_rate_by_source",
-    "minhash_blocking_audit",
-    "lake_roundtrip_summary",
-    # r5 cohort (latest stamp = round 5) — the 23-entry tail the r10
-    # window cut off, alphabetical.
-    "nested_order_lines",
-    "orders_changelog_applied",
-    "packing_efficiency",
-    "power_user_curve",
-    "pq_codebooks",
-    "profile_events",
-    "quality_filter_rules",
-    "remove_boilerplate",
-    "rolling_active_users",
-    "serving_items",
-    "source_divergence",
-    "synthetic_events_source",
-    "temperature_mix",
-    "token_budget_sample",
-    "track_association_rules",
-    "track_communities",
-    "track_decay_scores",
-    "track_ppr",
-    "track_reach",
-    "track_similarity",
-    "track_triangles",
-    "trending_tracks",
-    "user_value_quartiles",
-    # r6 cohort head (latest stamp = round 6; 48 entries total,
-    # alphabetical) — with the changed/new entries ahead (now 21: the 13
-    # originals plus curriculum_order, session_training_pairs,
-    # cluster_balanced_sample, purchase_attribution, quality_kill_report,
-    # source_overlap_matrix, near_dup_rate_by_source,
-    # minhash_blocking_audit) plus the 23 r5 entries, the ~50-slot
-    # window reaches ~the first 6 of these.
-    # ROUND-12 ROTATION NOTE: lead with whatever of this r6 list the
-    # r11 window cut off (~from customer_order_distribution onward), then
-    # the unlisted r6 tail (knn_recall_audit, large_orders,
-    # line_priority_counts, min_cost_supplier, nation_market_share,
-    # nation_volume_shipping, near_dedup_apply_best,
-    # order_priority_checking, order_priority_unpivot, pii_scrub,
-    # pq_codes, pq_reconstruction_error, pricing_summary_ansi,
-    # product_profit_by_nation, promo_revenue, quantize_embeddings,
-    # returned_item_customers, sales_grouping_sets,
-    # semantic_contamination, semantic_contamination_lsh,
-    # shipping_priority, small_quantity_revenue,
-    # suppliers_who_kept_waiting, top_supplier_revenue,
-    # unigram_surprisal, user_session_windows, waiting_customers),
-    # then the r7 cohort (50).
-    "ann_topk_ivf",
-    "ann_topk_ivf_centroid",
+    # ROUND 12 ROTATION — oldest-stamp-first (standing policy), with
+    # the queue-jumping exception up front:
+    # (a) entries whose ORACLES ARE NEW this round: the six former
+    # rows-only sketch/approx entries upgraded to bounded driver checks
+    # (VERDICT r11 item #8) — exact aggregates + within-envelope flags
+    # the oracle asserts TRUE. They have never had a hash stamp at all
+    # (rows-only before), so they are both the oldest and the highest-
+    # risk entries in the catalog.
+    "genre_daily_metrics_approx",
+    "genre_distinct_sketch_rollup",
+    "audience_overlap",
+    "vocab_top_terms_approx",
+    "customer_rfm_segments_approx",
+    "value_percentiles_approx",
+    # (b) the full r6 cohort (latest stamp = round 6, five rounds old,
+    # predating the signed-zero gate fix) — 46 entries, alphabetical.
+    # VERDICT r11 item #1: this cohort leads the r12 window; done means
+    # the oldest remaining stamp is r7.
     "avg_quantity_part_filter",
     "bpe_encode",
     "brand_supplier_counts",
@@ -430,6 +366,69 @@ _STAMP_PRIORITY = (
     "important_parts",
     "ivf_assignments",
     "knn_join",
+    "knn_recall_audit",
+    "large_orders",
+    "line_priority_counts",
+    "min_cost_supplier",
+    "nation_market_share",
+    "nation_volume_shipping",
+    "near_dedup_apply_best",
+    "order_priority_checking",
+    "order_priority_unpivot",
+    "pii_scrub",
+    "pq_codes",
+    "pq_reconstruction_error",
+    "pricing_summary_ansi",
+    "product_profit_by_nation",
+    "promo_revenue",
+    "quantize_embeddings",
+    "returned_item_customers",
+    "sales_grouping_sets",
+    "semantic_contamination",
+    "semantic_contamination_lsh",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "suppliers_who_kept_waiting",
+    "top_supplier_revenue",
+    "unigram_surprisal",
+    "user_session_windows",
+    "waiting_customers",
+    # ROUND-13 ROTATION NOTE: with the 6 + 46 above, a 50-slot window
+    # cuts off ~the last 2 r6 entries — lead r13 with whatever of the
+    # r6 list the r12 window cut off, then the r7 cohort (43 entries:
+    # audience_overlap_bitmap bpe_fertility bpe_roundtrip
+    # collocations_pmi containment_pairs customer_rfm_segments
+    # daily_new_vs_returning dedup_incremental_bloom enriched
+    # events_hourly_interpolated events_minute_ohlc genre_country_chi2
+    # genre_distinct_bitmap_rollup genre_rolling_median
+    # genre_trend_slopes hashed_doc_vectors hour_of_week_profile
+    # join_skew_report knn_ivfpq_recall_audit knn_join_ivfpq
+    # knn_join_lsh knn_label_classifier mad_outlier_audit
+    # markov_next_event_accuracy mmr_rerank mmr_rerank_multi
+    # nb_holdout_accuracy nb_source_classifier neyman_sample
+    # orders_backlog_timeline perplexity_buckets session_path_topk
+    # session_transition_matrix soft_dedup_weights
+    # split_leakage_audit text_ann_topk text_semantic_pairs
+    # track_play_gini user_kpis value_equiheight_histogram
+    # view_to_purchase_latency winnow_near_dups
+    # winnowing_fingerprints), then r8.
+    # r7 cohort head — fills whatever window room is left after the
+    # 52 above:
+    "audience_overlap_bitmap",
+    "bpe_fertility",
+    "bpe_roundtrip",
+    "collocations_pmi",
+    "containment_pairs",
+    "customer_rfm_segments",
+    "daily_new_vs_returning",
+    "dedup_incremental_bloom",
+    "enriched",
+    "events_hourly_interpolated",
+    "events_minute_ohlc",
+    "genre_country_chi2",
+    "genre_distinct_bitmap_rollup",
+    "genre_rolling_median",
+    "genre_trend_slopes",
     # then the rest of the previously-green catalog in queries() order
 )
 
@@ -448,15 +447,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genre_daily_metrics": lambda spark, sf: _kpis.genre_daily_metrics(
             _enriched(spark, sf)
         ),
-        # approx-distinct (HLL++) variant — the 100TB path; approximate, so
-        # rows-only check (no oracle entry).
+        # approx-distinct (HLL++) variant — the 100TB path. Upgraded
+        # from rows-only to a BOUNDED driver check (r12): the entry is
+        # the audit form (exact metrics + hll_within_bound flag the
+        # oracle asserts TRUE); the raw one-shuffle sketch output
+        # remains the operator genre_daily_metrics_approx.
         "genre_daily_metrics_approx": lambda spark, sf: (
-            _kpis.genre_daily_metrics_approx(_enriched(spark, sf))
+            _kpis.genre_daily_metrics_approx_audit(_enriched(spark, sf))
         ),
         # mergeable HLL partials (persist per-day sketches, merge any
-        # range without rescanning) — engine-specific binary, rows-only
+        # range without rescanning). Bounded audit form (r12): exact
+        # per-genre distinct + sketch-envelope flag.
         "genre_distinct_sketch_rollup": lambda spark, sf: (
-            _kpis.genre_distinct_sketch_rollup(_enriched(spark, sf))
+            _kpis.genre_distinct_sketch_rollup_audit(_enriched(spark, sf))
         ),
         "genre_top_songs": lambda spark, sf: _kpis.genre_top_songs(
             _enriched(spark, sf)
@@ -469,9 +472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _enriched(spark, sf)
         ),
         # HLL sketch algebra: pairwise shared audience via inclusion-
-        # exclusion over persisted per-genre partials (rows-only; the
-        # exact self-join twin rides along, pytest-bounded)
-        "audience_overlap": lambda spark, sf: _kpis.audience_overlap(
+        # exclusion over persisted per-genre partials. Bounded audit
+        # form (r12): exact pair overlap + inclusion-exclusion envelope
+        # flag; the sketch-only production path stays audience_overlap.
+        "audience_overlap": lambda spark, sf: _kpis.audience_overlap_audit(
             _enriched(spark, sf)
         ),
         # per-genre least-squares trend from exact integer sums
@@ -526,10 +530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": lambda spark, sf: _text.vocab_top_terms(
             _docs(spark, sf)
         ),
-        # native approx_top_k sketch twin (rows-only: boundary-tie order
-        # is sketch-internal; pytest bounds it against the exact twin)
+        # native approx_top_k sketch twin. Bounded audit form (r12):
+        # boundary-tie order stays sketch-internal, so the entry checks
+        # the set-level bounds (every returned term in the exact top
+        # k+slack; counts within the space-saving envelope) in one row.
         "vocab_top_terms_approx": lambda spark, sf: (
-            _text.vocab_top_terms_approx(_docs(spark, sf))
+            _text.vocab_top_terms_approx_audit(_docs(spark, sf))
         ),
         "bm25_scores": lambda spark, sf: _text.bm25_scores(_docs(spark, sf)),
         # hybrid retrieval (r11): the same query scored lexically (BM25)
@@ -1164,10 +1170,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rel.customer_rfm_segments(load_table(spark, sf, "orders"))
         ),
         # the 100 TB form: broadcast percentile_approx thresholds, no
-        # single-partition ntile windows (ROWS_ONLY: sketch-specific ties;
-        # pytest pins agreement with the exact twin)
+        # single-partition ntile windows. Bounded audit form (r12): the
+        # entry checks each threshold's GK rank guarantee per
+        # (dimension, quantile); segment output stays the operator.
         "customer_rfm_segments_approx": lambda spark, sf: (
-            _rel.customer_rfm_segments_approx(load_table(spark, sf, "orders"))
+            _rel.customer_rfm_segments_approx_audit(
+                load_table(spark, sf, "orders")
+            )
         ),
         # interval open/close -> cumulative open-order backlog per day
         "orders_backlog_timeline": lambda spark, sf: (
@@ -1309,10 +1318,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": lambda spark, sf: _an.value_percentiles(
             load_table(spark, sf, "events")
         ),
-        # KLL-sketch percentile twin — approximate, rows-only check; the
-        # pytest rank-error bound is the verification.
+        # KLL-sketch percentile twin. Bounded audit form (r12): the
+        # entry checks the rank guarantee per (event_type, percentile)
+        # against exact counting SQL; raw quantiles stay the operator.
         "value_percentiles_approx": lambda spark, sf: (
-            _an.value_percentiles_approx(load_table(spark, sf, "events"))
+            _an.value_percentiles_approx_audit(load_table(spark, sf, "events"))
         ),
         "skyline_parts": lambda spark, sf: _an.skyline_parts(
             load_table(spark, sf, "part")
@@ -1518,6 +1528,12 @@ def oracle_sql() -> dict[str, str]:
         "enriched": _enrich.ENRICH_SQL,
         "user_kpis": _kpis.USER_KPIS_SQL,
         "genre_daily_metrics": _kpis.GENRE_DAILY_SQL,
+        # bounded audit oracles (r12): exact aggregates + TRUE flags;
+        # an out-of-envelope sketch flips the Spark-side flag and
+        # fails the hash compare
+        "genre_daily_metrics_approx": _kpis.GENRE_DAILY_APPROX_AUDIT_SQL,
+        "genre_distinct_sketch_rollup": _kpis.GENRE_SKETCH_ROLLUP_AUDIT_SQL,
+        "audience_overlap": _kpis.AUDIENCE_OVERLAP_AUDIT_SQL,
         "genre_top_songs": _kpis.GENRE_TOP_SONGS_SQL,
         "genre_daily_moving_avg": _kpis.GENRE_DAILY_MOVING_AVG_SQL,
         "genre_rolling_median": _kpis.GENRE_ROLLING_MEDIAN_SQL,
@@ -1538,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _text.FINGERPRINTS_SQL,
         "tfidf_top_terms": _text.TFIDF_TOP_TERMS_SQL,
         "vocab_top_terms": _text.VOCAB_TOP_TERMS_SQL,
+        "vocab_top_terms_approx": _text.VOCAB_APPROX_AUDIT_SQL,
         "bm25_scores": _text.BM25_SCORES_SQL,
         "semantic_query_topk": _text.SEMANTIC_QUERY_TOPK_SQL,
         "hybrid_retrieval_rrf": _text.HYBRID_RETRIEVAL_RRF_SQL,
@@ -1720,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "min_cost_supplier": _rel.MIN_COST_SUPPLIER_SQL,
         "suppliers_who_kept_waiting": _rel.SUPPLIERS_WHO_KEPT_WAITING_SQL,
         "customer_rfm_segments": _rel.CUSTOMER_RFM_SEGMENTS_SQL,
+        "customer_rfm_segments_approx": _rel.CUSTOMER_RFM_APPROX_AUDIT_SQL,
         "orders_backlog_timeline": _rel.ORDERS_BACKLOG_TIMELINE_SQL,
         "session_transition_matrix": _beh.SESSION_TRANSITION_MATRIX_SQL,
         "session_training_pairs": _beh.SESSION_TRAINING_PAIRS_SQL,
@@ -1753,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": _an.USER_SESSIONS_SQL,
         "user_session_windows": _an.USER_SESSION_WINDOWS_SQL,
         "value_percentiles": _an.VALUE_PERCENTILES_SQL,
+        "value_percentiles_approx": _an.VALUE_PERCENTILES_APPROX_AUDIT_SQL,
         "skyline_parts": _an.SKYLINE_PARTS_SQL,
         "error_click_asof": _asof.ERROR_CLICK_ASOF_SQL,
         "error_click_asof_cogroup": _asof.ERROR_CLICK_ASOF_SQL,

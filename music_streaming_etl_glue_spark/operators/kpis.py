@@ -117,6 +117,69 @@ GROUP BY CAST(timestamp AS DATE), track_genre
 """
 
 
+def genre_daily_metrics_approx_audit(
+    enriched: DataFrame,
+    rsd: float = 0.02,
+    rel_bound: float = 0.10,
+    abs_slack: int = 4,
+) -> DataFrame:
+    """Bounded driver check for :func:`genre_daily_metrics_approx`
+    (VERDICT r11 item #8): the approx entry used to be rows-only
+    because HLL register values are engine-specific — but the HLL
+    ERROR ENVELOPE is checkable against the exact aggregate in plain
+    SQL. This audit emits the group keys + exact metrics (both engines
+    compute them identically) + a boolean ``hll_within_bound`` that the
+    Spark side derives from its own sketch (|approx − exact| ≤
+    max(rel_bound·exact, abs_slack)) and the oracle asserts as TRUE —
+    so a sketch estimate outside the envelope flips the flag and fails
+    the driver's hash compare. rsd=0.02 with rel_bound=0.10 gives
+    ≥2.4× margin over the measured worst case (4.1% at sf0.01, 3.1% at
+    sf0.1); abs_slack covers integer-granularity wobble on tiny groups.
+    The raw approx output (no exact twin, one shuffle — the 100 TB
+    shape) remains :func:`genre_daily_metrics_approx`."""
+    return (
+        enriched.withColumn("date", F.col("timestamp").cast("date"))
+        .groupBy("date", "track_genre")
+        .agg(
+            F.count("track_id").alias("listen_count"),
+            F.approx_count_distinct("user_id", rsd).alias("_est"),
+            F.count_distinct("user_id").alias("unique_listeners"),
+            exact_sum("listening_time").alias(
+                "total_listening_time_minutes"
+            ),
+        )
+        .select(
+            "date",
+            "track_genre",
+            "listen_count",
+            "unique_listeners",
+            "total_listening_time_minutes",
+            (
+                F.abs(F.col("_est") - F.col("unique_listeners"))
+                <= F.greatest(
+                    F.lit(rel_bound) * F.col("unique_listeners"),
+                    F.lit(abs_slack),
+                )
+            ).alias("hll_within_bound"),
+        )
+    )
+
+
+GENRE_DAILY_APPROX_AUDIT_SQL = f"""
+WITH enriched AS ({ENRICH_SQL})
+SELECT
+    CAST(timestamp AS DATE) AS date,
+    track_genre,
+    COUNT(track_id) AS listen_count,
+    COUNT(DISTINCT user_id) AS unique_listeners,
+    CAST(SUM(CAST(listening_time AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_listening_time_minutes,
+    TRUE AS hll_within_bound
+FROM enriched
+GROUP BY CAST(timestamp AS DATE), track_genre
+"""
+
+
 # ---------------------------------------------------------------------------
 # A3 + W1 — top songs per (day, genre)
 # ---------------------------------------------------------------------------
@@ -455,6 +518,94 @@ def audience_overlap(enriched: DataFrame) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+def genre_distinct_sketch_rollup_audit(
+    enriched: DataFrame, rel_bound: float = 0.05, abs_slack: int = 4
+) -> DataFrame:
+    """Bounded driver check for :func:`genre_distinct_sketch_rollup`
+    (VERDICT r11 item #8): emits the exact per-genre distinct (SQL-
+    reproducible) plus ``sketch_within_bound`` — whether the merged-
+    sketch estimate landed within max(rel_bound·exact, abs_slack) of
+    it. Register-level sketch bytes stay engine-specific; the ESTIMATE
+    has a checkable envelope (measured worst case 0.8% at sf0.1 for the
+    default lgConfigK; rel_bound=0.05 gives ≥6× margin). The oracle
+    asserts TRUE, so an out-of-envelope merge fails the hash compare."""
+    base = genre_distinct_sketch_rollup(enriched)
+    return base.select(
+        "track_genre",
+        F.col("exact_unique_listeners").cast("long").alias(
+            "exact_unique_listeners"
+        ),
+        (
+            F.abs(
+                F.col("est_unique_listeners")
+                - F.col("exact_unique_listeners")
+            )
+            <= F.greatest(
+                F.lit(rel_bound) * F.col("exact_unique_listeners"),
+                F.lit(abs_slack),
+            )
+        ).alias("sketch_within_bound"),
+    )
+
+
+GENRE_SKETCH_ROLLUP_AUDIT_SQL = f"""
+WITH enriched AS ({ENRICH_SQL})
+SELECT track_genre,
+       COUNT(DISTINCT user_id) AS exact_unique_listeners,
+       TRUE AS sketch_within_bound
+FROM enriched
+GROUP BY track_genre
+"""
+
+
+def audience_overlap_audit(
+    enriched: DataFrame, rel_bound: float = 0.08, abs_slack: int = 8
+) -> DataFrame:
+    """Bounded driver check for :func:`audience_overlap` (VERDICT r11
+    item #8): inclusion–exclusion compounds three HLL estimates, so its
+    envelope is wider than a single sketch's — measured worst case 1.8%
+    relative / 27 absolute at sf0.1; rel_bound=0.08 with abs_slack=8
+    (small overlaps are integer-granular) gives >4× margin. Emits the
+    exact pair overlap (SQL: a user-keyed self-join over the distinct
+    (genre, user) relation) and ``ie_within_bound``; the oracle asserts
+    TRUE. The sketch-only production path (no exact twin, no user-level
+    join) remains :func:`audience_overlap`."""
+    base = audience_overlap(enriched)
+    return base.select(
+        "genre_a",
+        "genre_b",
+        "exact_overlap",
+        (
+            F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+            <= F.greatest(
+                F.lit(rel_bound) * F.col("exact_overlap"),
+                F.lit(abs_slack),
+            )
+        ).alias("ie_within_bound"),
+    )
+
+
+AUDIENCE_OVERLAP_AUDIT_SQL = f"""
+WITH enriched AS ({ENRICH_SQL}),
+gu AS (SELECT DISTINCT track_genre AS g, user_id AS u FROM enriched),
+genres AS (SELECT DISTINCT g FROM gu),
+pairs AS (
+    SELECT a.g AS genre_a, b.g AS genre_b
+    FROM genres a JOIN genres b ON a.g < b.g
+),
+ex AS (
+    SELECT x.g AS genre_a, y.g AS genre_b, COUNT(*) AS exact_overlap
+    FROM gu x JOIN gu y ON x.u = y.u AND x.g < y.g
+    GROUP BY x.g, y.g
+)
+SELECT p.genre_a, p.genre_b,
+       COALESCE(ex.exact_overlap, 0) AS exact_overlap,
+       TRUE AS ie_within_bound
+FROM pairs p
+LEFT JOIN ex ON p.genre_a = ex.genre_a AND p.genre_b = ex.genre_b
+"""
 
 
 #: 32-bit bitmap words: shifts stay ≤ 31, which both engines' checked

@@ -1742,6 +1742,94 @@ FROM scored
 
 
 # ---------------------------------------------------------------------------
+def customer_rfm_segments_approx_audit(
+    orders: DataFrame, accuracy: int = 10_000, eps_mult: float = 2.0
+) -> DataFrame:
+    """Bounded driver check for :func:`customer_rfm_segments_approx`
+    (VERDICT r11 item #8): the KLL threshold sketch is engine-specific,
+    but ``percentile_approx``'s rank guarantee is checkable — each
+    returned quintile threshold t must satisfy
+    ``count(v < t) ≤ q·n + ε·n + 1`` and ``count(v ≤ t) ≥ q·n − ε·n − 1``
+    with ε = eps_mult/accuracy. Emits one row per (dimension, quantile)
+    with the exact customer count and ``within_rank_bound``; the oracle
+    asserts TRUE over the literal 3×4 grid. The per-customer metric
+    relation is computed once, unpivoted (3n rows), and counted against
+    the broadcast 12-row threshold relation — no sort, no window."""
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("ref_date"), F.col("last_order")).cast("long"),
+        )
+    )
+    qs = [i / RFM_NTILES for i in range(1, RFM_NTILES)]  # 0.2 .. 0.8
+    th = per_cust.agg(
+        F.percentile_approx("recency_days", qs, accuracy).alias("r_th"),
+        F.percentile_approx("frequency", qs, accuracy).alias("f_th"),
+        F.percentile_approx("monetary", qs, accuracy).alias("m_th"),
+    )
+    q_labels = ", ".join(f"'{q}'" for q in qs)
+    th_rows = th.selectExpr(
+        f"""stack(3,
+            'recency_days', transform(r_th, x -> CAST(x AS DOUBLE)),
+            'frequency',    transform(f_th, x -> CAST(x AS DOUBLE)),
+            'monetary',     transform(m_th, x -> CAST(x AS DOUBLE))
+        ) AS (dimension, ths)"""
+    ).selectExpr(
+        "dimension", "posexplode(ths) AS (pos, t)"
+    ).selectExpr(
+        "dimension",
+        f"element_at(array({q_labels}), pos + 1) AS quantile",
+        "t",
+    )
+    vals = per_cust.selectExpr(
+        """stack(3,
+            'recency_days', CAST(recency_days AS DOUBLE),
+            'frequency',    CAST(frequency AS DOUBLE),
+            'monetary',     monetary
+        ) AS (dimension, v)"""
+    )
+    eps = eps_mult / accuracy
+    qd = F.col("quantile").cast("double")
+    nd = F.col("n_customers").cast("double")
+    return (
+        vals.join(F.broadcast(th_rows), "dimension")
+        .groupBy("dimension", "quantile")
+        .agg(
+            F.sum((F.col("v") < F.col("t")).cast("long")).alias("lt"),
+            F.sum((F.col("v") <= F.col("t")).cast("long")).alias("le"),
+            F.count("v").alias("n_customers"),
+        )
+        .select(
+            "dimension",
+            "quantile",
+            "n_customers",
+            (
+                (F.col("lt") <= qd * nd + F.lit(eps) * nd + 1)
+                & (F.col("le") >= qd * nd - F.lit(eps) * nd - 1)
+            ).alias("within_rank_bound"),
+        )
+    )
+
+
+CUSTOMER_RFM_APPROX_AUDIT_SQL = f"""
+SELECT d.dimension, q.quantile,
+       (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_customers,
+       TRUE AS within_rank_bound
+FROM (VALUES ('recency_days'), ('frequency'), ('monetary')) d(dimension)
+CROSS JOIN (VALUES {", ".join(f"('{i / RFM_NTILES}')" for i in range(1, RFM_NTILES))}) q(quantile)
+"""
+
+
 # order backlog timeline (interval open/close -> cumulative count)
 # ---------------------------------------------------------------------------
 

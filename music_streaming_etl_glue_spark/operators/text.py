@@ -976,6 +976,94 @@ def vocab_top_terms_approx(
     ).orderBy("vocab_rank")
 
 
+def vocab_top_terms_approx_audit(
+    documents: DataFrame,
+    k: int = VOCAB_TOP_K,
+    capacity: int = VOCAB_SKETCH_CAPACITY,
+    rank_slack: int = 5,
+    count_rel: float = 0.01,
+    count_abs: int = 2,
+) -> DataFrame:
+    """Bounded driver check for :func:`vocab_top_terms_approx` (VERDICT
+    r11 item #8): the sketch's tie order at the k boundary is internal,
+    so per-row hash compare is impossible — but two set-level bounds
+    are checkable: (1) every returned term sits in the EXACT top
+    (k + rank_slack) by count, and (2) each returned count is within
+    max(count_rel·exact, count_abs) of the exact count (space-saving
+    over-estimates by at most the evicted mass; at the shipped capacity
+    the sketch is exact — measured error 0 at sf0.01/sf0.1). Emits ONE
+    row: exact token total + returned-k (both SQL-reproducible) + the
+    two all-quantified flags the oracle asserts TRUE.
+
+    The exact-rank side only ranks terms at least as frequent as the
+    smallest returned count minus the allowed error — a ≤(k+ε)-sized
+    relation, so the verification window is bounded and never a global
+    vocabulary sort."""
+    approx = vocab_top_terms_approx(documents, k, capacity)
+    toks = documents.select(F.explode(_tokens()).alias("term"))
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_count"))
+    floor_cnt = approx.agg(
+        (F.min("term_count") - F.lit(count_abs)).alias("floor_cnt")
+    )
+    cand = exact.join(F.broadcast(floor_cnt)).filter(
+        F.col("exact_count")
+        >= F.col("floor_cnt") - F.lit(count_rel) * F.col("exact_count")
+    )
+    ranked = cand.withColumn(
+        "exact_rank",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("exact_count").desc(), F.col("term").asc()
+            )
+        ),
+    )
+    j = approx.join(
+        ranked.select("term", "exact_count", "exact_rank"), "term", "left"
+    )
+    per_term = j.select(
+        F.coalesce(
+            F.col("exact_rank") <= F.lit(k + rank_slack), F.lit(False)
+        ).alias("in_top"),
+        F.coalesce(
+            F.abs(F.col("term_count") - F.col("exact_count"))
+            <= F.greatest(
+                F.lit(count_rel) * F.col("exact_count"), F.lit(count_abs)
+            ),
+            F.lit(False),
+        ).alias("cnt_ok"),
+    )
+    totals = exact.agg(
+        F.sum("exact_count").alias("n_tokens"),
+        F.least(F.lit(k), F.count("*")).cast("long").alias("k_returned"),
+    )
+    flags = per_term.agg(
+        F.min("in_top").alias("in_exact_topk"),
+        F.min("cnt_ok").alias("counts_within_bound"),
+        F.count("*").alias("_n_ret"),
+    )
+    return totals.crossJoin(F.broadcast(flags)).select(
+        "n_tokens",
+        # cross-check: the sketch must return exactly min(k, |vocab|)
+        F.when(F.col("_n_ret") == F.col("k_returned"), F.col("k_returned"))
+        .otherwise(F.lit(-1))
+        .alias("k_returned"),
+        "in_exact_topk",
+        "counts_within_bound",
+    )
+
+
+VOCAB_APPROX_AUDIT_SQL = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT COUNT(*)::BIGINT AS n_tokens,
+       LEAST({VOCAB_TOP_K}, COUNT(DISTINCT term))::BIGINT AS k_returned,
+       TRUE AS in_exact_topk,
+       TRUE AS counts_within_bound
+FROM toks
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (the privacy-scrub stage of a training-data pipeline)
 # ---------------------------------------------------------------------------

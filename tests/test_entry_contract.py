@@ -12,30 +12,23 @@ import __spark_entry__ as entry
 from music_streaming_etl_glue_spark.sources.catalog import TABLES
 from tests.conftest import SF_SMOKE
 
-#: queries deliberately carrying no oracle: approximate sketches (pytest
-#: error bounds instead) and the iterative BPE trainer (pytest pins exact
-#: rule-sequence parity with a reference implementation)
+#: queries deliberately carrying no oracle. r12 upgraded six former
+#: members (genre_daily_metrics_approx, genre_distinct_sketch_rollup,
+#: audience_overlap, vocab_top_terms_approx, value_percentiles_approx,
+#: customer_rfm_segments_approx) to BOUNDED driver checks: their catalog
+#: entries now emit exact aggregates + within-envelope flags the DuckDB
+#: oracle asserts TRUE, so the driver hash-checks the sketch error
+#: envelope. The three left have no deterministic SQL-expressible form:
 ROWS_ONLY = {
-    "genre_daily_metrics_approx",
-    "value_percentiles_approx",
+    # iterative BPE trainer (pytest pins exact rule-sequence parity
+    # with a reference implementation; merges are sequential, each
+    # depending on the last — no SQL twin)
     "bpe_merges",
-    # engine-specific HLL sketch binaries (estimate bounded by pytest)
-    "genre_distinct_sketch_rollup",
-    # HLL inclusion-exclusion overlap: sketch registers are engine-
-    # specific; the exact twin column + pytest bound the estimate
-    "audience_overlap",
     # recursive DP (banded DTW) — pytest pins a pure-Python reference
     "genre_series_dtw",
-    # approx_top_k sketch: boundary-tie order is sketch-internal; pytest
-    # bounds it against the exact vocab_top_terms twin
-    "vocab_top_terms_approx",
     # eigendecomposition has no SQL twin; pytest pins orthonormality,
     # eigenvalue ordering, determinism, and reconstruction error
     "pca_explained_variance",
-    # quintiles from Spark's KLL percentile_approx sketch (engine-
-    # specific tie/error behavior); pytest pins score-range, threshold
-    # monotonicity, and agreement with the exact ntile twin
-    "customer_rfm_segments_approx",
 }
 
 
