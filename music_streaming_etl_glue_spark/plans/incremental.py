@@ -255,15 +255,17 @@ def maintain_kpis_from_lake(
             return {
                 "from_version": from_v,
                 "to_version": to_v,
-                "delta_rows": lakehouse._load_manifest(table_dir, to_v)[
-                    "n_rows"
-                ],
+                "delta_rows": lakehouse._load_manifest(
+                    table_dir, to_v, resolve=False
+                )["n_rows"],
                 "recomputed": True,
             }
         # append-only range (snapshot_delta enforced it), so the delta
         # row count is a manifest subtraction, not a Spark scan
-        n = lakehouse._load_manifest(table_dir, to_v)["n_rows"] - (
-            lakehouse._load_manifest(table_dir, from_v)["n_rows"]
+        n = lakehouse._load_manifest(table_dir, to_v, resolve=False)["n_rows"] - (
+            lakehouse._load_manifest(
+                table_dir, from_v, resolve=False
+            )["n_rows"]
             if from_v
             else 0
         )

@@ -28,10 +28,18 @@ is LAST): a crash before step 3 leaves orphan data files that no manifest
 references — readers never see them and ``vacuum`` sweeps them once they
 age past the in-flight-writer guard.
 
-At 100 TB: manifests here inline the full file list (fine to ~10^5
-files); past that, Iceberg's fix is a manifest-list indirection — the
-commit protocol, snapshot isolation, and vacuum reference-counting are
-unchanged, so this layer's contracts carry over.
+At 100 TB: small snapshots inline the full file list in the version
+manifest (format 1). Past ``MANIFEST_INLINE_LIMIT`` files the commit
+switches to Iceberg's manifest-list indirection (format 2): the version
+file carries only a MANIFEST LIST — one entry per immutable GROUP file
+(``_manifests/g-*.json``, ~``MANIFEST_GROUP_TARGET`` data files each)
+with group-level column [min, max] stats — and appends extend the list
+by reference without rewriting prior groups. Planning reads the version
+file, prunes GROUPS on the group stats, and opens only the surviving
+group files for file-level pruning: resolving a snapshot is O(groups
+touched), not O(total files), and an append's metadata write is
+O(new files), not O(table). The commit protocol (os.link slot claim),
+snapshot isolation, and vacuum reference-counting are unchanged.
 """
 
 from __future__ import annotations
@@ -72,9 +80,103 @@ def current_version(table_dir: str) -> int:
     return max(versions, default=0)
 
 
-def _load_manifest(table_dir: str, version: int) -> dict:
+#: Files per group-manifest file in format-2 snapshots.
+MANIFEST_GROUP_TARGET = 1024
+#: Snapshots up to this many files inline their file list in the
+#: version manifest (format 1); above it, commits write the two-level
+#: manifest-list form (format 2). Appends onto a format-2 base stay
+#: format 2 regardless of size (groups extend by reference).
+MANIFEST_INLINE_LIMIT = 2048
+
+
+def _load_manifest(
+    table_dir: str, version: int, resolve: bool = True
+) -> dict:
+    """One snapshot's manifest. ``resolve=True`` (default) materializes
+    ``files`` and ``stats`` for BOTH formats — format-2 callers that
+    genuinely need the full file set pay O(groups) group-file reads.
+    Pass ``resolve=False`` on scale-sensitive paths (append merging,
+    pruned planning, history, group diffs) and work with ``groups``."""
     with open(_manifest_path(table_dir, version)) as fh:
+        man = json.load(fh)
+    if resolve and "groups" in man:
+        files: list[str] = []
+        stats: dict = {}
+        for g in man["groups"]:
+            gd = _load_group(table_dir, g["path"])
+            files.extend(gd["files"])
+            stats.update(gd["stats"])
+        man = {**man, "files": files, "stats": stats}
+    return man
+
+
+def _load_group(table_dir: str, rel_path: str) -> dict:
+    with open(os.path.join(table_dir, rel_path)) as fh:
         return json.load(fh)
+
+
+def _group_col_ranges(files: list[str], stats: dict) -> dict:
+    """Group-level [min, max] per column, recorded ONLY for columns
+    every member file carries stats for — same conservatism as
+    :func:`_file_stats`: pruning must never act on a range that cannot
+    prove absence."""
+    ranges: dict[str, list] = {}
+    covered: dict[str, int] = {}
+    for f in files:
+        for col, (lo, hi) in stats.get(f, {}).items():
+            covered[col] = covered.get(col, 0) + 1
+            if col not in ranges:
+                ranges[col] = [lo, hi]
+            else:
+                if lo < ranges[col][0]:
+                    ranges[col][0] = lo
+                if hi > ranges[col][1]:
+                    ranges[col][1] = hi
+    return {c: r for c, r in ranges.items() if covered[c] == len(files)}
+
+
+def _pack_groups(
+    table_dir: str, files: list[str], stats: dict
+) -> list[dict]:
+    """Write ``files`` (+ their per-file stats) as immutable group
+    manifests of ~``MANIFEST_GROUP_TARGET`` files each; return the
+    manifest-list entries ({path, n_files, stats}). Group files are
+    write-once and referenced only after the version commit links, so a
+    crashed or raced commit leaves unreferenced ``g-*.json`` orphans
+    that vacuum sweeps."""
+    mdir = _manifest_dir(table_dir)
+    os.makedirs(mdir, exist_ok=True)
+    entries: list[dict] = []
+    txn = _txn_id()
+    for i in range(0, len(files), MANIFEST_GROUP_TARGET):
+        chunk = files[i : i + MANIFEST_GROUP_TARGET]
+        body = {
+            "files": chunk,
+            "stats": {f: stats[f] for f in chunk if f in stats},
+        }
+        name = f"g-{txn}-{i // MANIFEST_GROUP_TARGET:06d}.json"
+        rel = os.path.join(_MANIFEST_DIR, name)
+        tmp = os.path.join(mdir, f".tmp-{name}")
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(table_dir, rel))
+        entries.append(
+            {
+                "path": rel,
+                "n_files": len(chunk),
+                "stats": _group_col_ranges(chunk, body["stats"]),
+            }
+        )
+    return entries
+
+
+def manifest_n_files(manifest: dict) -> int:
+    """File count without resolving groups."""
+    if "groups" in manifest:
+        return sum(g["n_files"] for g in manifest["groups"])
+    return len(manifest["files"])
 
 
 def _file_stats(path: str) -> dict:
@@ -186,13 +288,14 @@ def _find_txn_key(table_dir: str, txn_key: str) -> int | None:
     newest = current_version(table_dir)
     if newest == 0:
         return None
-    man = _load_manifest(table_dir, newest)
+    man = _load_manifest(table_dir, newest, resolve=False)
     if "txns" in man:
         v = man["txns"].get(txn_key)
         return int(v) if v is not None else None
     for v in range(newest, 0, -1):  # legacy tables: full scan
         try:
-            if _load_manifest(table_dir, v).get("txn_key") == txn_key:
+            man = _load_manifest(table_dir, v, resolve=False)
+            if man.get("txn_key") == txn_key:
                 return v
         except FileNotFoundError:  # vacuumed tail
             break
@@ -216,12 +319,21 @@ def _commit(
     txn_key: str | None = None,
     stats: dict | None = None,
     require_base: int | None = None,
+    new_groups: list[dict] | None = None,
 ) -> int:
     """Claim the next version slot; on a lost race, appends re-merge and
     retry, while read-modify-write commits (``require_base``) raise
-    :class:`ConcurrentCommitError` instead of dropping the racer's rows."""
+    :class:`ConcurrentCommitError` instead of dropping the racer's rows.
+
+    Format selection: snapshots whose total file count exceeds
+    ``MANIFEST_INLINE_LIMIT`` — or whose base is already format 2 —
+    carry a manifest LIST (group references) instead of an inline file
+    list; an append then extends the list by reference without
+    rewriting prior groups. ``new_groups`` passes pre-packed list
+    entries through (rollback re-referencing an old snapshot's groups)."""
     mdir = _manifest_dir(table_dir)
     os.makedirs(mdir, exist_ok=True)
+    packed: list[dict] | None = new_groups  # reused across slot retries
     while True:
         base_version = current_version(table_dir)
         if require_base is not None and base_version != require_base:
@@ -234,17 +346,48 @@ def _commit(
             done = _find_txn_key(table_dir, txn_key)
             if done is not None:
                 return done  # idempotent replay: already committed
-        all_stats = dict(stats or {})
-        base = _load_manifest(table_dir, base_version) if base_version else None
+        base = (
+            _load_manifest(table_dir, base_version, resolve=False)
+            if base_version
+            else None
+        )
         txns = dict(base.get("txns", {})) if base else {}
+        out_schema = schema_json
+        groups: list[dict] | None = None
+        files: list[str] = []
+        all_stats: dict = {}
         if merge_with_base and base is not None:
-            files = base["files"] + new_files
             total_rows = base["n_rows"] + n_rows
-            schema_json = _merge_schema_json(base["schema"], schema_json)
-            all_stats = {**base.get("stats", {}), **all_stats}
+            out_schema = _merge_schema_json(base["schema"], schema_json)
+            base_grouped = "groups" in base
+            n_total = manifest_n_files(base) + (
+                sum(g["n_files"] for g in packed)
+                if packed is not None
+                else len(new_files)
+            )
+            if base_grouped or n_total > MANIFEST_INLINE_LIMIT:
+                base_groups = (
+                    list(base["groups"])
+                    if base_grouped
+                    else _pack_groups(
+                        table_dir, base["files"], base.get("stats", {})
+                    )
+                )
+                if packed is None:
+                    packed = _pack_groups(table_dir, new_files, stats or {})
+                groups = base_groups + packed
+            else:
+                files = base["files"] + new_files
+                all_stats = {**base.get("stats", {}), **dict(stats or {})}
         else:
-            files = list(new_files)
             total_rows = n_rows
+            if packed is not None or len(new_files) > MANIFEST_INLINE_LIMIT:
+                if packed is None:
+                    packed = _pack_groups(table_dir, new_files, stats or {})
+                groups = packed
+            else:
+                files = list(new_files)
+                all_stats = dict(stats or {})
         version = base_version + 1
         if txn_key is not None:
             txns[txn_key] = version
@@ -256,14 +399,18 @@ def _commit(
             "version": version,
             "parent": base_version,
             "action": action,
-            "files": files,
             "n_rows": total_rows,
-            "schema": schema_json,
-            "stats": all_stats,
+            "schema": out_schema,
             "txn_key": txn_key,
             "txns": txns,
             "committed_ns": time.time_ns(),
         }
+        if groups is not None:
+            body["format"] = 2
+            body["groups"] = groups
+        else:
+            body["files"] = files
+            body["stats"] = all_stats
         tmp = os.path.join(mdir, f".tmp-{_txn_id()}")
         with open(tmp, "w") as fh:
             json.dump(body, fh)
@@ -307,30 +454,71 @@ def commit_overwrite(df: DataFrame, table_dir: str) -> int:
     )
 
 
+def _ranges_may_match(
+    fstats: dict, predicates: dict[str, tuple]
+) -> bool:
+    """Whether a stats map ({col: [min, max]}) can contain rows matching
+    EVERY ``col: (lo, hi)`` predicate (None for an open bound). Missing
+    columns count as a match — no evidence means must scan."""
+    for col, (lo, hi) in predicates.items():
+        rng = fstats.get(col)
+        if rng is None:
+            continue
+        fmin, fmax = rng
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            return False
+    return True
+
+
 def prune_files(manifest: dict, predicates: dict[str, tuple]) -> list[str]:
     """Manifest-level data skipping: the snapshot's files whose per-file
     [min, max] intersects EVERY ``col: (lo, hi)`` predicate range (None
     for an open bound). Files with no recorded stats for a predicate
     column are kept — skipping must never drop a row it cannot prove
-    absent."""
+    absent. Takes a RESOLVED manifest; format-2 planning goes through
+    :func:`plan_snapshot_files`, which prunes groups before ever loading
+    their file lists."""
     stats = manifest.get("stats", {})
-    kept = []
-    for f in manifest["files"]:
-        fstats = stats.get(f, {})
-        keep = True
-        for col, (lo, hi) in predicates.items():
-            rng = fstats.get(col)
-            if rng is None:
-                continue  # no evidence -> must scan
-            fmin, fmax = rng
-            if (hi is not None and fmin > hi) or (
-                lo is not None and fmax < lo
-            ):
-                keep = False
-                break
-        if keep:
-            kept.append(f)
-    return kept
+    return [
+        f
+        for f in manifest["files"]
+        if _ranges_may_match(stats.get(f, {}), predicates)
+    ]
+
+
+def plan_snapshot_files(
+    table_dir: str,
+    manifest: dict,
+    predicates: dict[str, tuple] | None = None,
+) -> list[str]:
+    """The file list a scan of this snapshot should plan. Two-level
+    pruning for format-2 manifests: groups whose group-level [min, max]
+    cannot match are skipped WITHOUT loading their file lists (the
+    O(groups touched) property); surviving groups are opened and pruned
+    file-by-file. Format-1 manifests prune the inline list directly."""
+    if "groups" not in manifest:
+        return (
+            prune_files(manifest, predicates)
+            if predicates
+            else manifest["files"]
+        )
+    out: list[str] = []
+    for g in manifest["groups"]:
+        if predicates and not _ranges_may_match(
+            g.get("stats", {}), predicates
+        ):
+            continue
+        gd = _load_group(table_dir, g["path"])
+        if not predicates:
+            out.extend(gd["files"])
+            continue
+        gstats = gd.get("stats", {})
+        out.extend(
+            f
+            for f in gd["files"]
+            if _ranges_may_match(gstats.get(f, {}), predicates)
+        )
+    return out
 
 
 def read_snapshot(
@@ -355,9 +543,9 @@ def read_snapshot(
     v = version if version is not None else current_version(table_dir)
     if v == 0:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
-    manifest = _load_manifest(table_dir, v)
+    manifest = _load_manifest(table_dir, v, resolve=False)
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-    file_list = prune_files(manifest, prune) if prune else manifest["files"]
+    file_list = plan_snapshot_files(table_dir, manifest, prune)
     if not file_list:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table_dir, f) for f in file_list]
@@ -370,8 +558,20 @@ def read_snapshot(
 def rollback(table_dir: str, to_version: int) -> int:
     """Commit a NEW snapshot whose file set is ``to_version``'s — undo as
     a forward commit (history is append-only; nothing is deleted, so the
-    rolled-back version itself stays inspectable)."""
-    old = _load_manifest(table_dir, to_version)
+    rolled-back version itself stays inspectable). A format-2 target's
+    GROUPS are re-referenced as-is — the rollback manifest is O(groups),
+    never a file-list rewrite."""
+    old = _load_manifest(table_dir, to_version, resolve=False)
+    if "groups" in old:
+        return _commit(
+            table_dir,
+            "rollback",
+            [],
+            old["schema"],
+            old["n_rows"],
+            False,
+            new_groups=list(old["groups"]),
+        )
     return _commit(
         table_dir,
         "rollback",
@@ -391,7 +591,7 @@ def compact(spark: SparkSession, table_dir: str, target_files: int) -> int:
     drifting rewrite aborts with orphans, never a bad snapshot."""
     before = current_version(table_dir)
     df = read_snapshot(spark, table_dir, before)
-    n_before = _load_manifest(table_dir, before)["n_rows"]
+    n_before = _load_manifest(table_dir, before, resolve=False)["n_rows"]
     files, schema_json, stats, check = _write_data_files(
         df.coalesce(max(1, target_files)), table_dir
     )
@@ -440,8 +640,15 @@ def vacuum(
         if n.startswith("v") and n.endswith(".json") and int(n[1:13]) >= floor
     ]
     referenced: set[str] = set()
+    referenced_groups: set[str] = set()
     for v in surviving:
-        referenced.update(_load_manifest(table_dir, v)["files"])
+        raw = _load_manifest(table_dir, v, resolve=False)
+        if "groups" in raw:
+            for g in raw["groups"]:
+                referenced_groups.add(g["path"])
+                referenced.update(_load_group(table_dir, g["path"])["files"])
+        else:
+            referenced.update(raw["files"])
     deleted: list[str] = []
     now = time.time()
     data_root = os.path.join(table_dir, _DATA_DIR)
@@ -460,6 +667,19 @@ def vacuum(
             shutil.rmtree(txn_dir)
             deleted.append(txn_dir)
     for name in sorted(os.listdir(mdir)):
+        if name.startswith("g-") and name.endswith(".json"):
+            # group manifests: reference-counted like data files — kept
+            # while any surviving version lists them, age-guarded like
+            # data (an in-flight commit's groups are not yet referenced)
+            rel = os.path.join(_MANIFEST_DIR, name)
+            path = os.path.join(mdir, name)
+            if rel in referenced_groups:
+                continue
+            if now - os.path.getmtime(path) < min_age_s:
+                continue
+            os.unlink(path)
+            deleted.append(path)
+            continue
         if not (name.startswith("v") and name.endswith(".json")):
             continue
         # strictly OLDER than the kept window only — a commit that
@@ -481,14 +701,14 @@ def history(table_dir: str) -> list[dict]:
     out = []
     for name in sorted(os.listdir(mdir)):
         if name.startswith("v") and name.endswith(".json"):
-            m = _load_manifest(table_dir, int(name[1:13]))
+            m = _load_manifest(table_dir, int(name[1:13]), resolve=False)
             out.append(
                 {
                     "version": m["version"],
                     "parent": m["parent"],
                     "action": m["action"],
                     "n_rows": m["n_rows"],
-                    "n_files": len(m["files"]),
+                    "n_files": manifest_n_files(m),
                 }
             )
     return out
@@ -545,7 +765,7 @@ def compact_zordered(
 
     before = current_version(table_dir)
     df = read_snapshot(spark, table_dir, before)
-    n_before = _load_manifest(table_dir, before)["n_rows"]
+    n_before = _load_manifest(table_dir, before, resolve=False)["n_rows"]
     if n_before == 0:
         return compact(spark, table_dir, target_files)  # nothing to cluster
     bounds = df.agg(
@@ -606,20 +826,50 @@ def commit_delete(
     small by nature; for bulk predicate deletes use ``commit_overwrite``
     with a filtered read. Files without stats are conservatively
     rewritten.
+
+    On a format-2 table the same two-level pruning the read path uses
+    applies to the DELETE plan: groups whose group-level range cannot
+    contain a doomed key pass into the new snapshot BY REFERENCE (their
+    manifest files are never opened); only intersecting groups are
+    resolved, and only their hit files are rewritten — metadata cost
+    O(groups touched), data cost O(files hit).
     """
     from pyspark.sql import functions as F
 
     version = current_version(table_dir)
-    manifest = _load_manifest(table_dir, version)
-    stats = manifest.get("stats", {})
+    manifest = _load_manifest(table_dir, version, resolve=False)
     doomed = sorted(set(keys))
-    hit, untouched = [], []
-    for f in manifest["files"]:
-        rng = stats.get(f, {}).get(key_col)
-        if rng is None or any(rng[0] <= k <= rng[1] for k in doomed):
-            hit.append(f)
-        else:
-            untouched.append(f)
+
+    def may_hit(rng) -> bool:
+        return rng is None or any(rng[0] <= k <= rng[1] for k in doomed)
+
+    hit: list[str] = []
+    untouched: list[str] = []
+    carry_stats: dict = {}
+    kept_groups: list[dict] = []
+    if "groups" in manifest:
+        for g in manifest["groups"]:
+            if not may_hit(g.get("stats", {}).get(key_col)):
+                kept_groups.append(g)  # by reference, never opened
+                continue
+            gd = _load_group(table_dir, g["path"])
+            gstats = gd.get("stats", {})
+            for f in gd["files"]:
+                if may_hit(gstats.get(f, {}).get(key_col)):
+                    hit.append(f)
+                else:
+                    untouched.append(f)
+                    if f in gstats:
+                        carry_stats[f] = gstats[f]
+    else:
+        stats = manifest.get("stats", {})
+        for f in manifest["files"]:
+            if may_hit(stats.get(f, {}).get(key_col)):
+                hit.append(f)
+            else:
+                untouched.append(f)
+                if f in stats:
+                    carry_stats[f] = stats[f]
     if not hit:
         return version  # nothing to do: no file can contain the keys
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
@@ -637,19 +887,31 @@ def commit_delete(
     new_files, schema_json, new_stats, kept_rows = _write_data_files(
         kept, table_dir
     )
-    files = untouched + new_files
-    all_stats = {
-        **{f: stats[f] for f in untouched if f in stats},
-        **new_stats,
-    }
+    n_after = manifest["n_rows"] - hit_rows + kept_rows
+    if "groups" in manifest:
+        groups = kept_groups + _pack_groups(
+            table_dir,
+            untouched + new_files,
+            {**carry_stats, **new_stats},
+        )
+        return _commit(
+            table_dir,
+            "delete",
+            [],
+            manifest["schema"],
+            n_after,
+            False,
+            require_base=version,
+            new_groups=groups,
+        )
     return _commit(
         table_dir,
         "delete",
-        files,
+        untouched + new_files,
         manifest["schema"],
-        manifest["n_rows"] - hit_rows + kept_rows,
+        n_after,
         False,
-        stats=all_stats,
+        stats={**carry_stats, **new_stats},
         require_base=version,
     )
 
@@ -662,7 +924,9 @@ def coerce_keys(
     works for int-, float-, and string-keyed tables alike. Unknown
     columns raise — a typo'd key column must not silently delete
     nothing."""
-    manifest = _load_manifest(table_dir, current_version(table_dir))
+    manifest = _load_manifest(
+        table_dir, current_version(table_dir), resolve=False
+    )
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     try:
         dt = schema[key_col].dataType
@@ -704,20 +968,40 @@ def snapshot_delta(
     if to_v < from_version:
         raise ValueError(f"to_version {to_v} < from_version {from_version}")
     for v in range(from_version + 1, to_v + 1):
-        action = _load_manifest(table_dir, v)["action"]
+        action = _load_manifest(table_dir, v, resolve=False)["action"]
         if action != "append":
             raise ValueError(
                 f"snapshot_delta needs an append-only range; version {v} "
                 f"is a {action!r} — fall back to a full recompute or a "
                 "keyed snapshot diff"
             )
-    to_man = _load_manifest(table_dir, to_v)
-    base_files = (
-        set(_load_manifest(table_dir, from_version)["files"])
+    to_man = _load_manifest(table_dir, to_v, resolve=False)
+    base_man = (
+        _load_manifest(table_dir, from_version, resolve=False)
         if from_version
-        else set()
+        else None
     )
-    new_files = [f for f in to_man["files"] if f not in base_files]
+    if "groups" in to_man and (base_man is None or "groups" in base_man):
+        # format-2 fast path: appends extend the manifest LIST by
+        # reference, so the delta is the NEW group entries — resolve
+        # only those group files, O(delta groups) not O(table)
+        base_groups = (
+            {g["path"] for g in base_man["groups"]} if base_man else set()
+        )
+        new_files = [
+            f
+            for g in to_man["groups"]
+            if g["path"] not in base_groups
+            for f in _load_group(table_dir, g["path"])["files"]
+        ]
+    else:
+        to_res = _load_manifest(table_dir, to_v)
+        base_files = (
+            set(_load_manifest(table_dir, from_version)["files"])
+            if from_version
+            else set()
+        )
+        new_files = [f for f in to_res["files"] if f not in base_files]
     schema = T.StructType.fromJson(json.loads(to_man["schema"]))
     if not new_files:
         return spark.createDataFrame([], schema)

@@ -39,12 +39,13 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-def _manifest(table_dir: str, version: int) -> dict:
+def _manifest(table_dir: str, version: int, resolve: bool = True) -> dict:
     # delegate to the format's own reader — the commit-log layout has
-    # exactly one definition (plans.lakehouse), never a copy here
+    # exactly one definition (plans.lakehouse), never a copy here;
+    # resolve=False for action/metadata probes (no group-file reads)
     from music_streaming_etl_glue_spark.plans import lakehouse
 
-    return lakehouse._load_manifest(table_dir, version)
+    return lakehouse._load_manifest(table_dir, version, resolve=resolve)
 
 
 def _current_version(table_dir: str) -> int:
@@ -60,7 +61,7 @@ def _delta_files(
     a non-append commit in the range unless ``skip_rewrites``."""
     for v in range(from_v + 1, to_v + 1):
         try:
-            action = _manifest(table_dir, v)["action"]
+            action = _manifest(table_dir, v, resolve=False)["action"]
         except FileNotFoundError:
             raise ValueError(
                 f"lake stream range starts below the table's retention "

@@ -168,7 +168,9 @@ def _lake_epoch_committer(
         if auto_compact_files is None:
             return
         v = lakehouse.current_version(table_dir)
-        n_files = len(lakehouse._load_manifest(table_dir, v)["files"])
+        n_files = lakehouse.manifest_n_files(
+            lakehouse._load_manifest(table_dir, v, resolve=False)
+        )
         if n_files > auto_compact_files:
             try:
                 lakehouse.compact(

@@ -91,6 +91,7 @@ def _run_sequence(spark, tmp_path, seed, n_ops=14):
         assert _rowset(L.read_snapshot(spark, t, v)) == rows, (
             f"seed={seed} final check v={v}"
         )
+    return t
 
 
 @pytest.mark.parametrize("seed", [11, 23, 47])
@@ -98,3 +99,22 @@ def test_lakehouse_matches_reference_model_under_random_ops(
     spark, tmp_path, seed
 ):
     _run_sequence(spark, tmp_path, seed)
+
+
+@pytest.mark.parametrize("seed", [31, 59])
+def test_model_holds_in_manifest_list_format(
+    spark, tmp_path, seed, monkeypatch
+):
+    """The SAME randomized op sequences with the inline limit forced to
+    2 files and 3-file groups — every commit past the first lands in the
+    two-level manifest-list format, so the full op mix (append /
+    overwrite / upsert / delete / compact / rollback / vacuum) exercises
+    format 2 end to end against the reference model."""
+    monkeypatch.setattr(L, "MANIFEST_INLINE_LIMIT", 2)
+    monkeypatch.setattr(L, "MANIFEST_GROUP_TARGET", 3)
+    t = _run_sequence(spark, tmp_path, seed)
+    cur = L.current_version(t)
+    raw = L._load_manifest(t, cur, resolve=False)
+    assert "groups" in raw or L.manifest_n_files(raw) <= 2, (
+        "expected the surviving head snapshot to be format 2"
+    )
