@@ -62,6 +62,9 @@ class LlmPipelineResult:
     #: lakehouse snapshot version the chunk output was published at
     #: (None unless ``publish_table`` was passed)
     published_version: int | None = None
+    #: which training-order schedule step 9 emitted: "shuffle"
+    #: (flat corpus_shuffle) or "curriculum" (quality-phased)
+    schedule_kind: str = "shuffle"
     #: eval-split docs whose content leaks from the train split
     #: (shingle-level — exact dups are gone by the time the split runs);
     #: the number a release gate compares against its leakage budget
@@ -74,6 +77,8 @@ def run_llm_data_pipeline(
     output_dir: str,
     quality_min: float = QUALITY_MIN_SCORE,
     publish_table: str | None = None,
+    dsir_keep_frac: float | None = None,
+    curriculum: bool = False,
 ) -> LlmPipelineResult:
     """Run the full preparation flow over the ``documents`` table and
     write chunked, split-partitioned training data under ``output_dir``.
@@ -85,7 +90,21 @@ def run_llm_data_pipeline(
     previous corpus version keep reading it mid-publish, the new version
     appears all-or-nothing, and a bad release is a ``rollback`` away —
     the publication discipline a shared training corpus needs that a
-    bare ``overwrite`` parquet write cannot give."""
+    bare ``overwrite`` parquet write cannot give.
+
+    ``dsir_keep_frac`` switches on the DSIR target-distribution stage
+    (Xie et al. 2023; ``operators.text.dsir_sample``) between the
+    quality gates and the dedup ladder: documents from the target
+    sources all survive (they define the distribution being steered
+    toward), and the remaining pool is Gumbel-top-k resampled
+    ∝ exp(log-likelihood ratio) down to ``keep_frac`` of the pool —
+    only drops rows, so the monotone stage-count audit holds.
+
+    ``curriculum=True`` swaps step 9's flat ``corpus_shuffle`` schedule
+    for the quality-phased ``curriculum_order`` (train on the cleanest
+    tercile first, anneal onto the tail): the written schedule is
+    partitioned by (phase, shard) so the trainer streams phase 1's
+    shards before touching phase 2."""
     docs = load_table(spark, sf_dir, "documents")
     counts: dict[str, int] = {"input": docs.count()}
 
@@ -132,6 +151,22 @@ def run_llm_data_pipeline(
         "keep"
     )
     counts["hard_rules"] = filtered.count()
+
+    # 2c. optional DSIR importance resampling (between the quality
+    # gates and the dedup ladder): steer the surviving pool toward the
+    # target sources' n-gram distribution. Target-source docs all pass;
+    # pool docs are Gumbel-top-k selected ∝ their likelihood ratio.
+    if dsir_keep_frac is not None:
+        selected = T.dsir_sample(
+            filtered, keep_frac=dsir_keep_frac
+        ).select("doc_id")
+        targets = filtered.filter(
+            F.col("source").isin(*T.DSIR_TARGET_SOURCES)
+        ).select("doc_id")
+        filtered = filtered.join(
+            selected.unionByName(targets), "doc_id", "left_semi"
+        ).localCheckpoint()  # the ratio model need not rebuild per audit
+        counts["dsir_resample"] = filtered.count()
 
     # 3. exact dedup (normalized text already collapses case/punct dups)
     exact = dedup_apply(filtered)
@@ -259,11 +294,12 @@ def run_llm_data_pipeline(
             .agg(F.count_distinct("example_id").alias("n"))
             .collect()
         }
-    # 9. training-order schedule: a stable pseudorandom (shard, pos)
-    # epoch order for the train docs — written beside the chunk output so
-    # the trainer streams shards directly; append-stable (see
-    # operators.dedup.corpus_shuffle), so resuming or extending the
-    # corpus never reorders what an interrupted epoch already consumed
+    # 9. training-order schedule: written beside the chunk output so the
+    # trainer streams shards directly. Default = corpus_shuffle's stable
+    # pseudorandom (shard, pos) epoch order (append-stable: resuming or
+    # extending the corpus never reorders what an interrupted epoch
+    # already consumed). curriculum=True = quality-phased
+    # curriculum_order (phase, shard, pos): cleanest tercile first.
     from music_streaming_etl_glue_spark.operators.dedup import (
         corpus_shuffle,
     )
@@ -271,13 +307,21 @@ def run_llm_data_pipeline(
     train_docs = clean.join(
         split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
     )
-    schedule = corpus_shuffle(train_docs)
     schedule_dir = output_dir.rstrip("/") + "_schedule"
-    scheduled = schedule.count()
-    if scheduled:
-        schedule.write.mode("overwrite").partitionBy("shard").parquet(
-            schedule_dir
-        )
+    if curriculum:
+        schedule = T.curriculum_order(train_docs)
+        scheduled = schedule.count()
+        if scheduled:
+            schedule.write.mode("overwrite").partitionBy(
+                "phase", "shard"
+            ).parquet(schedule_dir)
+    else:
+        schedule = corpus_shuffle(train_docs)
+        scheduled = schedule.count()
+        if scheduled:
+            schedule.write.mode("overwrite").partitionBy("shard").parquet(
+                schedule_dir
+            )
 
     # 10. split-hygiene audit: eval docs whose content leaks from the
     # train split (exact hits are already gone — dedup ran upstream —
@@ -307,4 +351,5 @@ def run_llm_data_pipeline(
         scheduled_train_docs=scheduled,
         leaky_eval_docs=leaky_eval_docs,
         published_version=published_version,
+        schedule_kind="curriculum" if curriculum else "shuffle",
     )

@@ -149,3 +149,55 @@ def test_pipeline_publishes_corpus_as_lake_snapshot(spark, tmp_path):
     res2 = run_llm_data_pipeline(spark, SF_SMOKE, out, publish_table=tbl)
     assert res2.published_version == 2
     assert L.read_snapshot(spark, tbl, 1).count() == snap.count()
+
+
+def test_llm_pipeline_dsir_and_curriculum_path(spark, tmp_path):
+    """The curated-tier composition (VERDICT r11 item #5): DSIR
+    resampling between the quality gates and the dedup ladder, and a
+    quality-phased curriculum schedule instead of the flat shuffle —
+    with counts reconciling against the standalone operators."""
+    from music_streaming_etl_glue_spark.operators import text as T
+
+    out = str(tmp_path / "curated")
+    keep = 0.5
+    res = run_llm_data_pipeline(
+        spark, SF_SMOKE, out, dsir_keep_frac=keep, curriculum=True
+    )
+    assert res.schedule_kind == "curriculum"
+    # the DSIR stage sits between hard_rules and exact_dedup and the
+    # monotone audit still holds across it
+    stages = list(res.stage_counts)
+    assert stages.index("dsir_resample") == stages.index("hard_rules") + 1
+    seq = [res.stage_counts[s] for s in stages]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
+    # reconciliation with the standalone operator semantics:
+    # survivors = all target-source docs + floor(keep * pool)
+    flat = run_llm_data_pipeline(spark, SF_SMOKE, str(tmp_path / "flat"))
+    n_gates = res.stage_counts["hard_rules"]
+    assert flat.stage_counts["hard_rules"] == n_gates
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_targets_total = docs.filter(
+        F.col("source").isin(*T.DSIR_TARGET_SOURCES)
+    ).count()
+    n_targets = res.stage_counts["dsir_resample"] - int(
+        keep * (n_gates - n_targets_total)
+    )
+    assert 0 < n_targets <= n_targets_total
+    assert res.stage_counts["dsir_resample"] < n_gates
+    # curriculum schedule: (phase, shard, pos) partitioned by phase,
+    # contiguous pos within each (phase, shard), phases cover the train
+    # docs exactly once
+    sched = spark.read.parquet(out + "_schedule")
+    assert {"doc_id", "phase", "shard", "pos"} <= set(sched.columns)
+    assert sched.count() == res.scheduled_train_docs
+    assert sched.select("doc_id").distinct().count() == sched.count()
+    bad_pos = (
+        sched.groupBy("phase", "shard")
+        .agg(F.count("*").alias("n"), F.max("pos").alias("mx"))
+        .filter(F.col("n") != F.col("mx"))
+        .count()
+    )
+    assert bad_pos == 0
+    assert set(
+        r["phase"] for r in sched.select("phase").distinct().collect()
+    ) <= {1, 2, 3}
