@@ -112,6 +112,54 @@ GROUP BY source
 """
 
 
+def _lake_merge_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed-driven re-scrub through the driver gate (r12): land
+    documents as a lake snapshot, MERGE a deterministic edit set
+    (uppercase the %89 docs + one added doc copying the lowest doc's
+    text), identify the changed docs from the COMMIT LOG
+    (``plans.lake_scrub.changed_docs_since`` — a MERGE is a rewrite, so
+    the keyed snapshot diff fires, not the file delta), and re-scrub
+    exactly those docs against the untouched corpus with the
+    batch×corpus dedup kernel. The oracle replays the same edit + scrub
+    in pure SQL over the raw parquet — any drift in the commit, MERGE,
+    diff, or scrub path breaks hash parity. Both commits are
+    idempotent across gate/bench re-runs (txn-keyed append; the upsert
+    only fires at version 1, and its content is deterministic)."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans import lake_scrub, lakehouse
+    from music_streaming_etl_glue_spark.plans.snapshot_diff import (
+        DIFF_EDIT_MOD,
+    )
+
+    tbl = _ivf_cache_path(sf_dir, "lakescrub", "v1", table="documents")
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    lakehouse.commit_append(base, tbl, txn_key=f"docs:{tbl}")
+    if lakehouse.current_version(tbl) == 1:
+        mx = base.agg(F.max("doc_id").alias("mx"))
+        edited = base.filter(
+            F.col("doc_id") % DIFF_EDIT_MOD == 0
+        ).select("doc_id", F.upper("text").alias("text"))
+        added = (
+            base.orderBy("doc_id")
+            .limit(1)
+            .crossJoin(F.broadcast(mx))
+            .select((F.col("mx") + 1).alias("doc_id"), "text")
+        )
+        lakehouse.commit_upsert(
+            edited.unionByName(added), tbl, keys=["doc_id"]
+        )
+    batch, mode = lake_scrub.changed_docs_since(spark, tbl, 1)
+    assert mode == "keyed_diff"  # a MERGE can never ride the file delta
+    from music_streaming_etl_glue_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    current = lakehouse.read_snapshot(spark, tbl)
+    corpus = current.join(batch.select("doc_id"), "doc_id", "left_anti")
+    return dedup_against_corpus(batch, corpus).orderBy("doc_id")
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bucket IVF probe against a cached on-disk layout — repeat
     queries pay only the pruned read (build-once/probe-many)."""
@@ -343,6 +391,9 @@ _STAMP_PRIORITY = (
     "vocab_top_terms_approx",
     "customer_rfm_segments_approx",
     "value_percentiles_approx",
+    # (a2) entry NEW this round: change-feed-driven re-scrub after a
+    # lake MERGE (keyed snapshot diff -> batch-vs-corpus dedup kernel)
+    "lake_merge_scrub",
     # (b) the full r6 cohort (latest stamp = round 6, five rounds old,
     # predating the signed-zero gate fix) — 46 entries, alphabetical.
     # VERDICT r11 item #1: this cohort leads the r12 window; done means
@@ -632,6 +683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot-table round trip: commit docs to a lake dir, read the
         # snapshot back, summarize — oracled against the raw parquet
         "lake_roundtrip_summary": _lake_roundtrip,
+        # change-feed-driven re-scrub after a lake MERGE (r12): the
+        # keyed snapshot diff picks the changed docs, the batch-vs-
+        # corpus dedup kernel flags them
+        "lake_merge_scrub": _lake_merge_scrub,
         # data-mix diagnostic: per-source unigram KL vs the corpus blend
         "source_divergence": lambda spark, sf: (
             _text.source_divergence(_docs(spark, sf))
@@ -1582,6 +1637,20 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_rate_by_source": _dedup.NEAR_DUP_RATE_BY_SOURCE_SQL,
         "minhash_blocking_audit": _dedup.MINHASH_BLOCKING_AUDIT_SQL,
         "lake_roundtrip_summary": LAKE_ROUNDTRIP_SQL,
+        "lake_merge_scrub": _dedup._dedup_scrub_sql(
+            cur_sql=(
+                "SELECT doc_id, CASE WHEN doc_id % 89 = 0 "
+                "THEN upper(text) ELSE text END AS text FROM documents "
+                "UNION ALL "
+                "SELECT (SELECT max(doc_id) + 1 FROM documents), "
+                "(SELECT text FROM documents ORDER BY doc_id LIMIT 1)"
+            ),
+            batch_ids_sql=(
+                "SELECT doc_id FROM documents WHERE doc_id % 89 = 0 "
+                "AND md5(text) <> md5(upper(text)) "
+                "UNION ALL SELECT max(doc_id) + 1 FROM documents"
+            ),
+        ),
         "source_divergence": _text.SOURCE_DIVERGENCE_SQL,
         "packing_efficiency": _text.PACKING_EFFICIENCY_SQL,
         "rolling_active_users": _beh.ROLLING_ACTIVE_USERS_SQL,

@@ -78,14 +78,14 @@ def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
-def _shingles_cte(n: int = SHINGLE_N) -> str:
+def _shingles_cte(n: int = SHINGLE_N, source: str = "documents") -> str:
     return f"""
     SELECT doc_id,
            unnest(list_distinct(list_transform(
                generate_series(1, len(string_split(text, ' ')) - {n - 1}),
                i -> array_to_string((string_split(text, ' '))[i:i + {n - 1}], ' ')
            ))) AS shingle
-    FROM documents
+    FROM {source}
     WHERE len(string_split(text, ' ')) >= {n}
     """
 
@@ -2100,6 +2100,73 @@ WHERE d.doc_id % {corpus_mod} != 0
 DEDUP_INCREMENTAL_SQL = _dedup_incremental_sql()
 
 
+def _dedup_scrub_sql(
+    cur_sql: str,
+    batch_ids_sql: str,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+) -> str:
+    """DuckDB twin generator for :func:`dedup_against_corpus` over an
+    arbitrary fixture: ``cur_sql`` defines the CURRENT table relation
+    (doc_id, text) and ``batch_ids_sql`` the changed/added doc_ids to
+    scrub; the kernel (shingles → md5 MinHash → banded candidates →
+    exact-Jaccard verify, plus md5 exact-dup probe) is byte-identical to
+    :func:`_dedup_incremental_sql`'s — only the batch/corpus membership
+    predicate differs (id set instead of the ``doc_id % mod`` split)."""
+    r = k // bands
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{b * r + i}" for i in range(r))
+        + ")) AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH cur AS ({cur_sql}),
+batch_ids AS ({batch_ids_sql}),
+sh AS ({_shingles_cte(n, source="cur")}),
+sigs AS ({_minhash_sig_cte(k)}),
+buckets AS (
+{band_selects}
+),
+candidates AS (
+    SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+    FROM buckets x JOIN buckets y
+      ON x.band = y.band AND x.band_hash = y.band_hash
+    WHERE x.doc_id IN (SELECT doc_id FROM batch_ids)
+      AND y.doc_id NOT IN (SELECT doc_id FROM batch_ids)
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.new_doc, c.corpus_doc, count(*) AS inter
+    FROM candidates c
+    JOIN sh sa ON sa.doc_id = c.new_doc
+    JOIN sh sb ON sb.doc_id = c.corpus_doc AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT DISTINCT new_doc
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = new_doc
+    JOIN sizes sb ON sb.doc_id = corpus_doc
+    WHERE inter::DOUBLE / (sa.set_size + sb.set_size - inter) >= {threshold}
+),
+corpus_hashes AS (
+    SELECT DISTINCT md5(text) AS text_hash FROM cur
+    WHERE doc_id NOT IN (SELECT doc_id FROM batch_ids)
+)
+SELECT d.doc_id,
+       ch.text_hash IS NOT NULL AS exact_dup,
+       n.new_doc IS NOT NULL AS near_dup,
+       NOT (ch.text_hash IS NOT NULL OR n.new_doc IS NOT NULL) AS keep
+FROM cur d
+LEFT JOIN corpus_hashes ch ON ch.text_hash = md5(d.text)
+LEFT JOIN near n ON n.new_doc = d.doc_id
+WHERE d.doc_id IN (SELECT doc_id FROM batch_ids)
+"""
+
+
 # ---------------------------------------------------------------------------
 # temperature-based source mixing
 # ---------------------------------------------------------------------------
@@ -2926,13 +2993,24 @@ def exact_substring_incremental(
     wins). Output is the new slice's (doc_id, n_tokens, n_removed,
     clean_text)."""
     is_corpus = (F.col("doc_id") % corpus_mod) == 0
-    corpus_grams = (
-        _kgram_occurrences(documents.filter(is_corpus), k)
-        .select("gh")
-        .distinct()
+    return exact_substring_against_corpus(
+        documents.filter(~is_corpus), documents.filter(is_corpus), k
     )
-    new_docs = documents.filter(~is_corpus)
-    occ = _kgram_occurrences(new_docs, k)
+
+
+def exact_substring_against_corpus(
+    batch: DataFrame, corpus: DataFrame, k: int = EXACT_SUBSTR_K
+) -> DataFrame:
+    """Two-relation ExactSubstr scrub — the kernel
+    :func:`exact_substring_incremental` (fixture split) and the lake
+    change-feed scrubber (``plans.lake_scrub``) share: remove from each
+    ``batch`` doc every >= ``k``-token span that occurs in the corpus
+    gram set (the corpus, being already ingested, always wins) or more
+    than once within the batch (keep-first). The corpus contributes ONE
+    distinct-hash relation; its text is never rewritten. Output is the
+    batch's (doc_id, n_tokens, n_removed, clean_text)."""
+    corpus_grams = _kgram_occurrences(corpus, k).select("gh").distinct()
+    occ = _kgram_occurrences(batch, k)
     w = Window.partitionBy("gh")
     wo = w.orderBy("doc_id", "pos")
     dup_within = (
@@ -2949,7 +3027,7 @@ def exact_substring_incremental(
         "doc_id", "pos"
     )
     dups = dup_within.unionByName(dup_corpus).distinct()
-    return _apply_spans(new_docs, _merge_spans(dups, k))
+    return _apply_spans(batch, _merge_spans(dups, k))
 
 
 EXACT_SUBSTRING_INCREMENTAL_SQL = f"""
