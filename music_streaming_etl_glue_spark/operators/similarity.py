@@ -2709,7 +2709,12 @@ def retrain_ivfpq_layout(
     one O(corpus) re-encode the gate exists to justify — everything
     else (deletes, appends, re-embeds) stays on the pinned-codebook
     O(diff) paths. Returns an audit dict: mean_sq_err, retrained,
-    candidate_mean_recall (when trained), cutover."""
+    candidate_mean_recall (when trained), cutover.
+
+    This is the LOCAL-DIR form (rename swap + park/heal protocol).
+    Prefer :func:`retrain_ivfpq_lake`: the same gate and audit with the
+    cutover as a lake registry commit — one state layer, and time
+    travel + vacuum of old layouts come with it."""
     import glob
     import os
     import shutil
@@ -2773,6 +2778,168 @@ def retrain_ivfpq_layout(
     shutil.rmtree(parked, ignore_errors=True)
     audit["cutover"] = True
     return audit
+
+
+# ---------------------------------------------------------------------------
+# lake-backed layout registry: retrain cutover as a snapshot commit
+# ---------------------------------------------------------------------------
+# The atomic-rename dir swap above and the lakehouse manifest commit
+# solve the same problem with two mechanisms (VERDICT r11 item #7).
+# The registry collapses them into ONE state layer: layout directories
+# are immutable and write-once under ``layouts_root``; a tiny lake
+# table holds a 1-row POINTER (layout_path, trained_ns) per version,
+# and the cutover is a ``commit_overwrite`` of that pointer — which
+# buys, for free, what the rename dance hand-rolled: atomic cutover
+# (the manifest link), time travel (pin a serving layout version),
+# crash safety (a crashed retrain leaves an unreferenced dir, no
+# park/heal protocol), and vacuum of old layouts (reference-count over
+# surviving registry versions).
+
+
+def commit_ivfpq_layout(
+    spark, embeddings: DataFrame, registry_dir: str, layouts_root: str
+) -> tuple[int, str]:
+    """Train a fresh IVF-PQ layout into an immutable directory and
+    commit its pointer as a new registry snapshot. Returns
+    (registry_version, layout_path)."""
+    import os
+    import time
+
+    path = os.path.join(
+        layouts_root, f"ivfpq-{time.time_ns():x}-{os.getpid():x}"
+    )
+    write_ivfpq_layout(embeddings, path)
+    pointer = spark.createDataFrame(
+        [(path, time.time_ns())], "layout_path string, trained_ns long"
+    )
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    version = lakehouse.commit_overwrite(pointer, registry_dir)
+    return version, path
+
+
+def current_ivfpq_layout(
+    spark, registry_dir: str, version: int | None = None
+) -> str:
+    """Resolve the serving layout path from the registry — newest by
+    default, or PIN a version for reproducible serving / incident
+    rollback (the time-travel read the rename-based cutover could not
+    offer)."""
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    snap = lakehouse.read_snapshot(spark, registry_dir, version)
+    return snap.select("layout_path").head()[0]
+
+
+def retrain_ivfpq_lake(
+    spark,
+    embeddings: DataFrame,
+    registry_dir: str,
+    layouts_root: str,
+    max_mean_sq_err: float,
+    min_recall: float = 0.0,
+    n_queries: int = KNN_N_QUERIES,
+    k: int = KNN_K,
+) -> dict:
+    """:func:`retrain_ivfpq_layout`'s drift gate + recall audit on the
+    lake-backed registry. Identical policy — retrain only past the
+    reconstruction-error threshold, cut over only past the recall
+    audit — but the cutover is ONE registry ``commit_overwrite``: the
+    live layout directory is never renamed, parked, or healed; a failed
+    audit or a crash leaves an unreferenced candidate directory that
+    :func:`vacuum_ivfpq_layouts` sweeps. Readers pinned on a prior
+    registry version keep serving their layout until vacuum."""
+    import os
+    import shutil
+    import time
+
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    live = current_ivfpq_layout(spark, registry_dir)
+    cb = spark.read.parquet(os.path.join(live, "_codebook"))
+    mean_err = float(
+        pq_reconstruction_error(embeddings, codebook=cb)
+        .agg(F.avg("sq_err"))
+        .head()[0]
+    )
+    audit: dict = {
+        "mean_sq_err": round(mean_err, ROUND),
+        "threshold": max_mean_sq_err,
+        "retrained": False,
+        "cutover": False,
+        "registry_version": lakehouse.current_version(registry_dir),
+    }
+    if mean_err <= max_mean_sq_err:
+        return audit
+    candidate = os.path.join(
+        layouts_root, f"ivfpq-{time.time_ns():x}-{os.getpid():x}"
+    )
+    write_ivfpq_layout(embeddings, candidate)
+    audit["retrained"] = True
+    recall = knn_ivfpq_recall_audit(
+        spark, embeddings, candidate, n_queries, k
+    )
+    mean_recall = float(recall.agg(F.avg("recall_at_k")).head()[0])
+    audit["candidate_mean_recall"] = round(mean_recall, ROUND)
+    if mean_recall < min_recall:
+        shutil.rmtree(candidate, ignore_errors=True)
+        audit["reason"] = "recall_audit_failed"
+        return audit
+    pointer = spark.createDataFrame(
+        [(candidate, time.time_ns())],
+        "layout_path string, trained_ns long",
+    )
+    audit["registry_version"] = lakehouse.commit_overwrite(
+        pointer, registry_dir
+    )
+    audit["cutover"] = True
+    return audit
+
+
+def vacuum_ivfpq_layouts(
+    spark,
+    registry_dir: str,
+    layouts_root: str,
+    keep_versions: int = 2,
+    min_age_s: float = 3600.0,
+) -> list[str]:
+    """Sweep layout directories no SURVIVING registry version points
+    to: first ``lakehouse.vacuum`` trims the registry itself, then any
+    directory under ``layouts_root`` unreferenced by the remaining
+    versions — and older than the in-flight-trainer guard — is deleted.
+    The same reference-counting contract the lake applies to data
+    files, extended over the layout dirs the pointer rows reference."""
+    import os
+    import shutil
+    import time
+
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    lakehouse.vacuum(registry_dir, keep_versions, min_age_s)
+    mdir = os.path.join(registry_dir, "_manifests")
+    referenced: set[str] = set()
+    for name in os.listdir(mdir):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        v = int(name[1:13])
+        for row in (
+            lakehouse.read_snapshot(spark, registry_dir, v)
+            .select("layout_path")
+            .collect()
+        ):
+            referenced.add(os.path.realpath(row[0]))
+    deleted: list[str] = []
+    now = time.time()
+    if os.path.isdir(layouts_root):
+        for entry in os.listdir(layouts_root):
+            p = os.path.join(layouts_root, entry)
+            if os.path.realpath(p) in referenced:
+                continue
+            if now - os.path.getmtime(p) < min_age_s:
+                continue  # an in-flight trainer's candidate
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.append(p)
+    return deleted
 
 
 def ann_topk_ivfpq(

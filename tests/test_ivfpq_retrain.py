@@ -174,3 +174,92 @@ def test_self_heal_restores_parked_index_after_hard_crash(
     assert not audit["retrained"]
     assert _files(path) == before, "self-heal must restore the layout"
     assert not _no_debris(str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# lake-backed registry path (VERDICT r11 item #7): one state layer —
+# cutover is a registry snapshot commit, not a dir rename
+# ---------------------------------------------------------------------------
+
+
+def test_lake_registry_gate_holds_and_pins_versions(spark, embs, tmp_path):
+    reg = str(tmp_path / "registry")
+    root = str(tmp_path / "layouts")
+    v1, p1 = S.commit_ivfpq_layout(spark, embs, reg, root)
+    assert v1 == 1 and S.current_ivfpq_layout(spark, reg) == p1
+    before = _files(p1)
+    cb = spark.read.parquet(os.path.join(p1, "_codebook"))
+    base_err = float(
+        S.pq_reconstruction_error(embs, codebook=cb)
+        .agg(F.avg("sq_err"))
+        .head()[0]
+    )
+    audit = S.retrain_ivfpq_lake(
+        spark, embs, reg, root, max_mean_sq_err=base_err * 1.5
+    )
+    assert not audit["retrained"] and not audit["cutover"]
+    assert audit["registry_version"] == 1
+    assert _files(p1) == before  # live layout never touched
+
+
+def test_lake_registry_cutover_is_a_commit_with_time_travel(
+    spark, embs, tmp_path
+):
+    reg = str(tmp_path / "registry")
+    root = str(tmp_path / "layouts")
+    _, p1 = S.commit_ivfpq_layout(spark, embs, reg, root)
+    before = _files(p1)
+    cb = spark.read.parquet(os.path.join(p1, "_codebook"))
+    drifted = _drifted(embs)
+    base_err = float(
+        S.pq_reconstruction_error(embs, codebook=cb)
+        .agg(F.avg("sq_err"))
+        .head()[0]
+    )
+    audit = S.retrain_ivfpq_lake(
+        spark, drifted, reg, root,
+        max_mean_sq_err=base_err * 1.1, min_recall=0.5,
+    )
+    assert audit["retrained"] and audit["cutover"]
+    assert audit["registry_version"] == 2
+    p2 = S.current_ivfpq_layout(spark, reg)
+    assert p2 != p1
+    # the OLD layout is byte-identical and still served via time travel
+    assert _files(p1) == before
+    assert S.current_ivfpq_layout(spark, reg, version=1) == p1
+    # serving from the new layout works
+    served = S.knn_join_ivfpq(spark, drifted, p2).limit(5).collect()
+    assert served
+    # vacuum: keep only the newest version -> p1's directory sweeps,
+    # p2 survives
+    deleted = S.vacuum_ivfpq_layouts(
+        spark, reg, root, keep_versions=1, min_age_s=0.0
+    )
+    assert [os.path.realpath(d) for d in deleted] == [os.path.realpath(p1)]
+    assert not os.path.exists(p1) and os.path.exists(p2)
+
+
+def test_lake_registry_failed_audit_leaves_pointer_and_candidate_for_vacuum(
+    spark, embs, tmp_path
+):
+    reg = str(tmp_path / "registry")
+    root = str(tmp_path / "layouts")
+    _, p1 = S.commit_ivfpq_layout(spark, embs, reg, root)
+    audit = S.retrain_ivfpq_lake(
+        spark, _drifted(embs), reg, root,
+        max_mean_sq_err=0.0, min_recall=1.01,
+    )
+    assert audit["retrained"] and not audit["cutover"]
+    assert audit["reason"] == "recall_audit_failed"
+    # pointer untouched; no park/heal debris concept exists at all —
+    # the failed candidate was removed eagerly, and even a crashed one
+    # would just be an unreferenced dir for vacuum
+    assert S.current_ivfpq_layout(spark, reg) == p1
+    assert os.listdir(root) == [os.path.basename(p1)]
+    # a crashed trainer's orphan: fabricate one and vacuum it
+    orphan = os.path.join(root, "ivfpq-orphan")
+    os.makedirs(orphan)
+    deleted = S.vacuum_ivfpq_layouts(
+        spark, reg, root, keep_versions=2, min_age_s=0.0
+    )
+    assert deleted == [orphan]
