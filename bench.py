@@ -96,6 +96,17 @@ EXPECTED_REGRESSIONS = {
     # more cells read per probe by design
     "ann_topk_image": "r11: serves at BRIDGE_IVF_NPROBE=7 (recall 0.70→0.96)",
     "ann_topk_audio": "r11: serves at BRIDGE_IVF_NPROBE=7 (recall 0.80→0.98)",
+    # r12: the six former rows-only sketch entries were rebased onto
+    # BOUNDED AUDIT forms (VERDICT r11 item #8): each now computes the
+    # exact aggregate alongside its sketch to derive the within-envelope
+    # flag the driver hash-checks — deliberately more work than the raw
+    # sketch output (which remains the operator function)
+    "genre_daily_metrics_approx": "r12: bounded audit (adds exact distinct)",
+    "genre_distinct_sketch_rollup": "r12: bounded audit form",
+    "audience_overlap": "r12: bounded audit form",
+    "vocab_top_terms_approx": "r12: bounded audit (adds exact rank window)",
+    "customer_rfm_segments_approx": "r12: bounded audit (rank-error counts)",
+    "value_percentiles_approx": "r12: bounded audit (rank-error counts)",
 }
 
 
