@@ -717,32 +717,115 @@ def history(table_dir: str) -> list[dict]:
 def commit_upsert(
     updates: DataFrame, table_dir: str, keys: list[str]
 ) -> int:
-    """Keyed last-write-wins MERGE as a snapshot commit: the surviving
-    target rows (anti-join on ``keys``) plus all of ``updates``, landed
-    via :func:`commit_overwrite` — copy-on-write at snapshot granularity
-    (``plans.merge.upsert`` is the relational kernel; this adds the
-    transactional boundary, so a reader mid-merge still resolves the
-    pre-merge snapshot and a crashed merge leaves only orphans).
+    """Keyed last-write-wins MERGE as a snapshot commit, copy-on-write
+    at FILE granularity (``plans.merge.upsert`` is the relational
+    kernel; this adds the transactional boundary, so a reader mid-merge
+    still resolves the pre-merge snapshot and a crashed merge leaves
+    only orphans).
 
-    At 100 TB the rewrite should touch only the files whose key ranges
-    intersect the updates (file-level min/max pruning via
-    ``layout.row_group_stats``) — the snapshot/commit contract is the
-    same; only the "files to rewrite" set shrinks."""
+    The rewrite set is pruned by the updates' key range: only files
+    whose per-key-column [min, max] can intersect EVERY key column's
+    update range are read and rewritten (files without stats are
+    conservatively rewritten; on a format-2 table whole GROUPS whose
+    range cannot intersect pass into the new snapshot unopened, the
+    same two-level pruning as :func:`commit_delete`). Untouched files
+    carry over by reference, so a MERGE of k keys into an N-file table
+    costs O(files hit) + O(updates), not a table rewrite. Updates whose
+    keys exist in no file (pure inserts — including all-NULL keys,
+    which match nothing under SQL equality) rewrite nothing and land as
+    new files."""
+    from pyspark.sql import functions as F
+
     from music_streaming_etl_glue_spark.plans.merge import upsert
 
     spark = updates.sparkSession
     base = current_version(table_dir)
-    target = read_snapshot(spark, table_dir, base)
-    merged = upsert(target, updates, keys)
-    files, schema_json, stats, n = _write_data_files(merged, table_dir)
+    manifest = _load_manifest(table_dir, base, resolve=False)
+    rng = updates.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+    ).head()
+    # per-key-column update ranges; a key column whose updates are all
+    # NULL matches no existing row (SQL equality), so it prunes nothing
+    # INTO the hit set — and if every key column is all-NULL the hit
+    # set is empty (pure insert)
+    predicates = {
+        k: (rng[f"lo_{k}"], rng[f"hi_{k}"])
+        for k in keys
+        if rng[f"lo_{k}"] is not None
+    }
+    all_null_keys = len(predicates) < len(keys)
+
+    def may_hit(fstats: dict) -> bool:
+        if all_null_keys:
+            return False  # no equality can match a NULL update key
+        return _ranges_may_match(fstats, predicates)
+
+    hit: list[str] = []
+    untouched: list[str] = []
+    carry_stats: dict = {}
+    kept_groups: list[dict] = []
+    if "groups" in manifest:
+        for g in manifest["groups"]:
+            if not may_hit(g.get("stats", {})):
+                kept_groups.append(g)  # by reference, never opened
+                continue
+            gd = _load_group(table_dir, g["path"])
+            gstats = gd.get("stats", {})
+            for f in gd["files"]:
+                if may_hit(gstats.get(f, {})):
+                    hit.append(f)
+                else:
+                    untouched.append(f)
+                    if f in gstats:
+                        carry_stats[f] = gstats[f]
+    else:
+        stats = manifest.get("stats", {})
+        for f in manifest["files"]:
+            if may_hit(stats.get(f, {})):
+                hit.append(f)
+            else:
+                untouched.append(f)
+                if f in stats:
+                    carry_stats[f] = stats[f]
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    sub = (
+        spark.read.schema(schema).parquet(
+            *[os.path.join(table_dir, f) for f in hit]
+        )
+        if hit
+        else spark.createDataFrame([], schema)
+    )
+    merged = upsert(sub, updates, keys)
+    hit_rows = sum(_file_rows(os.path.join(table_dir, f)) for f in hit)
+    new_files, schema_json, new_stats, written = _write_data_files(
+        merged, table_dir
+    )
+    n_after = manifest["n_rows"] - hit_rows + written
+    if "groups" in manifest:
+        groups = kept_groups + _pack_groups(
+            table_dir,
+            untouched + new_files,
+            {**carry_stats, **new_stats},
+        )
+        return _commit(
+            table_dir,
+            "upsert",
+            [],
+            manifest["schema"],
+            n_after,
+            False,
+            require_base=base,
+            new_groups=groups,
+        )
     return _commit(
         table_dir,
         "upsert",
-        files,
-        schema_json,
-        n,
+        untouched + new_files,
+        manifest["schema"],
+        n_after,
         False,
-        stats=stats,
+        stats={**carry_stats, **new_stats},
         require_base=base,
     )
 
