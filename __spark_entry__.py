@@ -391,6 +391,7 @@ _STAMP_PRIORITY = (
     "vocab_top_terms_approx",
     "customer_rfm_segments_approx",
     "value_percentiles_approx",
+    "pca_explained_variance",
     # (a2) entry NEW this round: change-feed-driven re-scrub after a
     # lake MERGE (keyed snapshot diff -> batch-vs-corpus dedup kernel)
     "lake_merge_scrub",
@@ -1086,10 +1087,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_ivfpq": _knn_ivfpq,
         "knn_join_ivfpq_after_delete": _knn_ivfpq_after_delete,
         "knn_ivfpq_recall_audit": _knn_ivfpq_recall,
-        # deterministic PCA variance audit (exact integer Gram; rows-only
-        # — no SQL engine eigendecomposes; pytest pins the linear algebra)
+        # deterministic PCA variance audit. Bounded audit form (r12):
+        # the exact integer Gram anchors (trace, colsum-sq) are
+        # reproduced digit-for-digit by the oracle; eigen-structure
+        # flags (unit interval, monotone, sum<=1, eigensum==trace) are
+        # asserted TRUE. The per-component spectrum stays the operator.
         "pca_explained_variance": lambda spark, sf: (
-            _sim.pca_explained_variance(_embs(spark, sf))
+            _sim.pca_explained_variance_audit(_embs(spark, sf))
         ),
         "embedding_stats": lambda spark, sf: _sim.embedding_stats(
             _embs(spark, sf)
@@ -1780,6 +1784,9 @@ def oracle_sql() -> dict[str, str]:
         "semantic_contamination_lsh": _sim.SEMANTIC_CONTAMINATION_LSH_SQL,
         "label_centroids": _sim.LABEL_CENTROIDS_SQL,
         "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_PACKED_SQL,
+        "pca_explained_variance": _sim.PCA_AUDIT_SQL_TEMPLATE.format(
+            q_scale=_sim.Q_SCALE, k=_sim.PCA_COMPONENTS
+        ),
         "ivf_assignments": _sim.IVF_ASSIGNMENTS_SQL,
         "cluster_balanced_sample": _sim.CLUSTER_BALANCED_SAMPLE_SQL,
         "cluster_topics": _sim.CLUSTER_TOPICS_SQL,

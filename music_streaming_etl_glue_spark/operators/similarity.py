@@ -3702,6 +3702,82 @@ def pca_explained_variance(
     )
 
 
+def pca_explained_variance_audit(
+    embeddings: DataFrame, k: int = PCA_COMPONENTS, tol: float = 1e-6
+) -> DataFrame:
+    """Bounded driver check for :func:`pca_explained_variance` (the
+    r12 audit-form discipline): no SQL engine eigendecomposes, but two
+    things ARE cross-engine checkable and anchor the whole computation:
+
+    1. **The integer Gram anchors** — ``gram_trace`` (Σ_d Σ q_d²) and
+       ``colsum_sq`` (Σ_d (Σ q_d)²) over the fixed-point quantized
+       vectors are EXACT integers both engines reproduce digit-for-digit
+       (emitted as DECIMAL(38,0); Python ints never overflow). Any
+       dropped/duplicated/corrupted partial in the distributed
+       mapInPandas Gram aggregation breaks the hash.
+    2. **Eigen-structure flags** the oracle asserts TRUE: every top-k
+       explained fraction in [0, 1], eigenvalues non-increasing, top-k
+       fraction sum ≤ 1, and Σ(all eigenvalues) equal (within tol) to
+       trace(cov) DERIVED FROM THE SAME INTEGERS — the linear-algebra
+       identity that fails if eigvalsh is fed a wrong covariance.
+    """
+    from decimal import Decimal
+
+    import numpy as np
+
+    dims = _dims(embeddings)
+    gram, n, colsum = _exact_gram(embeddings, dims)
+    cov, _mean = _cov_from_gram(gram, n, colsum)
+    w_all = np.linalg.eigvalsh(cov)[::-1]
+    total = float(w_all.sum())
+    gram_trace = int(np.diag(gram).sum())
+    colsum_sq = sum(int(c) ** 2 for c in colsum)
+    q2 = float(Q_SCALE) * float(Q_SCALE)
+    trace = (gram_trace / q2 - colsum_sq / (n * q2)) / (n - 1)
+    fracs = w_all[:k] / total if total else w_all[:k]
+    flags = (
+        bool(np.all((fracs >= -tol) & (fracs <= 1 + tol))),
+        bool(np.all(np.diff(w_all[:k]) <= tol)),
+        bool(float(fracs.sum()) <= 1 + tol),
+        bool(abs(total - trace) <= max(tol * abs(trace), tol)),
+    )
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(int(n), Decimal(gram_trace), Decimal(colsum_sq), int(k), *flags)],
+        "n_vectors long, gram_trace decimal(38,0), "
+        "colsum_sq decimal(38,0), k_components long, "
+        "fractions_in_unit boolean, monotone_nonincreasing boolean, "
+        "topk_fraction_le_1 boolean, eigensum_matches_trace boolean",
+    )
+
+
+PCA_AUDIT_SQL_TEMPLATE = """
+WITH q AS (
+    SELECT list_transform(
+               embedding::DOUBLE[],
+               x -> CAST(floor(x * {q_scale} + 0.5) AS BIGINT)
+           ) AS qv
+    FROM embeddings
+),
+per_dim AS (
+    SELECT d.i AS dim,
+           SUM((qv[d.i] * qv[d.i])::DECIMAL(38,0)) AS sg,
+           SUM(qv[d.i]::DECIMAL(38,0)) AS sc
+    FROM q, unnest(generate_series(1, len(qv))) d(i)
+    GROUP BY d.i
+)
+SELECT (SELECT COUNT(*) FROM q)::BIGINT AS n_vectors,
+       SUM(sg)::DECIMAL(38,0) AS gram_trace,
+       SUM(sc * sc)::DECIMAL(38,0) AS colsum_sq,
+       {k}::BIGINT AS k_components,
+       TRUE AS fractions_in_unit,
+       TRUE AS monotone_nonincreasing,
+       TRUE AS topk_fraction_le_1,
+       TRUE AS eigensum_matches_trace
+FROM per_dim
+"""
+
+
 def pca_project(
     embeddings: DataFrame, components, mean
 ) -> DataFrame:

@@ -107,3 +107,23 @@ def test_vocab_audit_one_row_and_teeth(spark):
     assert not (
         broken["in_exact_topk"] and broken["counts_within_bound"]
     )
+
+
+def test_pca_audit_anchors_and_flag_teeth(spark):
+    import numpy as np
+    from music_streaming_etl_glue_spark.operators import similarity as S
+
+    embs = load_table(spark, SF, "embeddings")
+    row = S.pca_explained_variance_audit(embs).collect()[0]
+    assert row["fractions_in_unit"] and row["monotone_nonincreasing"]
+    assert row["topk_fraction_le_1"] and row["eigensum_matches_trace"]
+    # the integer anchors really are the quantized sums (recompute one)
+    vecs = np.stack(
+        [np.array(r["embedding"]) for r in embs.limit(50).collect()]
+    )
+    q = np.floor(vecs * S.Q_SCALE + 0.5).astype("int64")
+    assert row["n_vectors"] == embs.count()
+    assert int(row["gram_trace"]) > int((q * q).sum())  # 50-row lower bound
+    # teeth: an impossible tolerance flips the derived flags
+    broken = S.pca_explained_variance_audit(embs, tol=-1.0).collect()[0]
+    assert not broken["fractions_in_unit"]

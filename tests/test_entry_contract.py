@@ -12,13 +12,14 @@ import __spark_entry__ as entry
 from music_streaming_etl_glue_spark.sources.catalog import TABLES
 from tests.conftest import SF_SMOKE
 
-#: queries deliberately carrying no oracle. r12 upgraded six former
+#: queries deliberately carrying no oracle. r12 upgraded seven former
 #: members (genre_daily_metrics_approx, genre_distinct_sketch_rollup,
 #: audience_overlap, vocab_top_terms_approx, value_percentiles_approx,
-#: customer_rfm_segments_approx) to BOUNDED driver checks: their catalog
+#: customer_rfm_segments_approx, pca_explained_variance) to BOUNDED
+#: driver checks: their catalog
 #: entries now emit exact aggregates + within-envelope flags the DuckDB
 #: oracle asserts TRUE, so the driver hash-checks the sketch error
-#: envelope. The three left have no deterministic SQL-expressible form:
+#: envelope. The two left have no deterministic SQL-expressible form:
 ROWS_ONLY = {
     # iterative BPE trainer (pytest pins exact rule-sequence parity
     # with a reference implementation; merges are sequential, each
@@ -26,9 +27,6 @@ ROWS_ONLY = {
     "bpe_merges",
     # recursive DP (banded DTW) — pytest pins a pure-Python reference
     "genre_series_dtw",
-    # eigendecomposition has no SQL twin; pytest pins orthonormality,
-    # eigenvalue ordering, determinism, and reconstruction error
-    "pca_explained_variance",
 }
 
 
