@@ -392,6 +392,8 @@ _STAMP_PRIORITY = (
     "customer_rfm_segments_approx",
     "value_percentiles_approx",
     "pca_explained_variance",
+    "genre_series_dtw",
+    "bpe_merges",
     # (a2) entry NEW this round: change-feed-driven re-scrub after a
     # lake MERGE (keyed snapshot diff -> batch-vs-corpus dedup kernel)
     "lake_merge_scrub",
@@ -765,10 +767,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _beh.genre_series_similarity(load_table(spark, sf, "events"))
         ),
         # elastic series distance (banded DTW) — recursive DP, not
-        # SQL-expressible: rows-only check; pytest pins a pure-Python
-        # reference implementation exactly
+        # Bounded audit form (r12): exact calendar-span anchor + the
+        # dtw<=diagonal / dtw>=0 path-minimization flags; the raw
+        # distances stay the operator (pytest pins a pure-Python
+        # reference exactly)
         "genre_series_dtw": lambda spark, sf: (
-            _beh.genre_series_dtw(load_table(spark, sf, "events"))
+            _beh.genre_series_dtw_audit(load_table(spark, sf, "events"))
         ),
         "sample_per_group": lambda spark, sf: _beh.sample_per_group(
             load_table(spark, sf, "events")
@@ -1436,9 +1440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         # BPE merge-rule training (iterative distributed argmax+fold;
-        # rows-only driver check — pytest pins exact rule-sequence parity
-        # with a single-machine reference BPE)
-        "bpe_merges": lambda spark, sf: _text.train_bpe_merges(
+        # Bounded audit form (r12): first merge recomputed in SQL +
+        # structural flags; the full rule sequence stays the operator
+        # (pytest pins exact parity with a reference BPE)
+        "bpe_merges": lambda spark, sf: _text.train_bpe_merges_audit(
             _docs(spark, sf)
         ),
         # BPE encode with the pinned merge artifact (completes the
@@ -1786,6 +1791,10 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": _sim.QUANTIZE_EMBEDDINGS_PACKED_SQL,
         "pca_explained_variance": _sim.PCA_AUDIT_SQL_TEMPLATE.format(
             q_scale=_sim.Q_SCALE, k=_sim.PCA_COMPONENTS
+        ),
+        "genre_series_dtw": _beh.GENRE_SERIES_DTW_AUDIT_SQL,
+        "bpe_merges": _text.BPE_MERGES_AUDIT_SQL_TEMPLATE.format(
+            n=_text.BPE_MERGES
         ),
         "ivf_assignments": _sim.IVF_ASSIGNMENTS_SQL,
         "cluster_balanced_sample": _sim.CLUSTER_BALANCED_SAMPLE_SQL,

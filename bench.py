@@ -107,6 +107,9 @@ EXPECTED_REGRESSIONS = {
     "vocab_top_terms_approx": "r12: bounded audit (adds exact rank window)",
     "customer_rfm_segments_approx": "r12: bounded audit (rank-error counts)",
     "value_percentiles_approx": "r12: bounded audit (rank-error counts)",
+    "genre_series_dtw": "r12: bounded audit (runs the DP + diagonal pass)",
+    "bpe_merges": "r12: bounded audit wrapper over the trainer",
+    "pca_explained_variance": "r12: bounded audit (integer Gram anchors)",
 }
 
 

@@ -1191,6 +1191,93 @@ def genre_series_dtw(events: DataFrame, band: int = DTW_BAND) -> DataFrame:
     ).orderBy("genre_a", "genre_b")
 
 
+def genre_series_dtw_audit(
+    events: DataFrame, band: int = DTW_BAND, tol: float = 1e-6
+) -> DataFrame:
+    """Bounded driver check for :func:`genre_series_dtw` (r12 audit-form
+    discipline): the banded DP itself has no SQL twin, but its
+    STRUCTURE does — per genre pair the audit emits the exact series
+    length (the dense shared calendar span, SQL-reproducible) plus two
+    flags the oracle asserts TRUE: ``dtw_nonneg`` (costs are squares)
+    and ``dtw_le_diagonal`` — DTW minimizes over warping paths that
+    include the identity alignment, so the distance can never exceed
+    the plain Euclidean distance of the z-normalized series. A DP that
+    under-fills, over-counts, or mis-bands breaks one of the two."""
+    import math
+
+    import pandas as pd
+
+    series = _genre_daily_series(events)
+    a, b = series.alias("a"), series.alias("b")
+    paired = a.join(b, F.col("a.genre") < F.col("b.genre")).select(
+        F.col("a.genre").alias("genre_a"),
+        F.col("b.genre").alias("genre_b"),
+        F.col("a.xs").alias("xs"),
+        F.col("b.xs").alias("ys"),
+    )
+    base = genre_series_dtw(events, band).withColumnRenamed(
+        "dtw_distance", "d"
+    )
+
+    def audit(batches):
+        def znorm(v):
+            n = len(v)
+            m = sum(v) / n
+            var = sum((x - m) ** 2 for x in v) / n
+            s = math.sqrt(var)
+            return [(x - m) / s for x in v] if s > 0 else [0.0] * n
+
+        for pdf in batches:
+            out = pdf[["genre_a", "genre_b"]].copy()
+            diag, n_days = [], []
+            for x, y in zip(pdf["xs"], pdf["ys"]):
+                zx, zy = znorm(list(x)), znorm(list(y))
+                diag.append(
+                    math.sqrt(sum((p - q) ** 2 for p, q in zip(zx, zy)))
+                )
+                n_days.append(len(x))
+            out["diagonal_cost"] = diag
+            out["n_days"] = n_days
+            yield out
+
+    diag = paired.mapInPandas(
+        audit,
+        "genre_a string, genre_b string, diagonal_cost double,"
+        " n_days long",
+    )
+    return (
+        base.join(diag, ["genre_a", "genre_b"])
+        .select(
+            "genre_a",
+            "genre_b",
+            "n_days",
+            (F.col("d") >= -tol).alias("dtw_nonneg"),
+            (F.col("d") <= F.col("diagonal_cost") + tol).alias(
+                "dtw_le_diagonal"
+            ),
+        )
+        .orderBy("genre_a", "genre_b")
+    )
+
+
+GENRE_SERIES_DTW_AUDIT_SQL = """
+WITH d AS (
+    SELECT event_type AS genre, CAST(ts AS DATE) AS day
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+span AS (
+    SELECT (date_diff('day', MIN(day), MAX(day)) + 1)::BIGINT AS n FROM d
+),
+g AS (SELECT DISTINCT genre FROM d)
+SELECT a.genre AS genre_a, b.genre AS genre_b,
+       (SELECT n FROM span) AS n_days,
+       TRUE AS dtw_nonneg,
+       TRUE AS dtw_le_diagonal
+FROM g a JOIN g b ON a.genre < b.genre
+"""
+
+
 # ---------------------------------------------------------------------------
 # rolling active users (DAU / trailing-window WAU)
 # ---------------------------------------------------------------------------

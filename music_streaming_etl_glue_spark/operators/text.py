@@ -1358,6 +1358,75 @@ def train_bpe_merges(
     )
 
 
+def train_bpe_merges_audit(
+    documents: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Bounded driver check for :func:`train_bpe_merges` (r12 audit-form
+    discipline): the merge SEQUENCE is an iterative argmax no single
+    SQL statement expresses, but its FIRST step is — the most frequent
+    adjacent character pair of the initial symbolization, with the
+    trainer's exact (count desc, left asc, right asc) tiebreak — and
+    the sequence's structural invariants are flags. One row:
+
+    * ``first_left`` / ``first_right`` / ``first_count`` — recomputed
+      independently by the oracle over the raw corpus (a drifted
+      tokenization, weighting, or tiebreak breaks the hash);
+    * ``n_requested`` + ``emitted_all`` (the corpus supports the full
+      merge budget), ``merged_is_concat`` (every rule's merged symbol
+      is left||right), ``counts_positive``, ``steps_contiguous`` —
+      asserted TRUE by the oracle.
+    """
+    rules = train_bpe_merges(documents, n_merges).orderBy("step").collect()
+    ok_concat = all(r["merged"] == r["left"] + r["right"] for r in rules)
+    ok_counts = all(r["pair_count"] >= 1 for r in rules)
+    ok_steps = [r["step"] for r in rules] == list(range(len(rules)))
+    first = rules[0] if rules else None
+    return documents.sparkSession.createDataFrame(
+        [
+            (
+                int(n_merges),
+                first["left"] if first else None,
+                first["right"] if first else None,
+                int(first["pair_count"]) if first else None,
+                len(rules) == n_merges,
+                ok_concat,
+                ok_counts,
+                ok_steps,
+            )
+        ],
+        "n_requested long, first_left string, first_right string,"
+        " first_count long, emitted_all boolean,"
+        " merged_is_concat boolean, counts_positive boolean,"
+        " steps_contiguous boolean",
+    )
+
+
+BPE_MERGES_AUDIT_SQL_TEMPLATE = """
+WITH words AS (
+    SELECT w, COUNT(*) AS wc
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+),
+syms AS (SELECT regexp_extract_all(w, '.') AS s, wc FROM words),
+pairs AS (
+    SELECT s[u.i] AS l, s[u.i + 1] AS r, wc
+    FROM syms, unnest(generate_series(1, len(s) - 1)) u(i)
+    WHERE len(s) >= 2
+),
+top AS (
+    SELECT l, r, SUM(wc)::BIGINT AS c
+    FROM pairs GROUP BY l, r
+    ORDER BY SUM(wc) DESC, l ASC, r ASC
+    LIMIT 1
+)
+SELECT {n}::BIGINT AS n_requested,
+       l AS first_left, r AS first_right, c AS first_count,
+       TRUE AS emitted_all, TRUE AS merged_is_concat,
+       TRUE AS counts_positive, TRUE AS steps_contiguous
+FROM top
+"""
+
+
 def apply_bpe(
     documents: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:

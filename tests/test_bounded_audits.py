@@ -127,3 +127,32 @@ def test_pca_audit_anchors_and_flag_teeth(spark):
     # teeth: an impossible tolerance flips the derived flags
     broken = S.pca_explained_variance_audit(embs, tol=-1.0).collect()[0]
     assert not broken["fractions_in_unit"]
+
+
+def test_dtw_audit_flags_and_teeth(spark):
+    from music_streaming_etl_glue_spark.operators import behavior as B
+
+    events = load_table(spark, SF, "events")
+    rows = B.genre_series_dtw_audit(events).collect()
+    n_genres = events.filter("event_type IS NOT NULL").select(
+        "event_type"
+    ).distinct().count()
+    assert len(rows) == n_genres * (n_genres - 1) // 2
+    assert all(r["dtw_nonneg"] and r["dtw_le_diagonal"] for r in rows)
+    assert len({r["n_days"] for r in rows}) == 1  # shared dense calendar
+    # teeth: an impossible tolerance flips the derived flags
+    broken = B.genre_series_dtw_audit(events, tol=-1e9).collect()
+    assert all(not r["dtw_nonneg"] for r in broken)
+
+
+def test_bpe_audit_first_merge_and_structure(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    row = Tx.train_bpe_merges_audit(docs).collect()[0]
+    assert row["emitted_all"] and row["merged_is_concat"]
+    assert row["counts_positive"] and row["steps_contiguous"]
+    # the first merge really is the corpus' top character bigram: it
+    # must match the trainer's own first rule
+    first = Tx.train_bpe_merges(docs).orderBy("step").limit(1).collect()[0]
+    assert (row["first_left"], row["first_right"], row["first_count"]) == (
+        first["left"], first["right"], first["pair_count"]
+    )

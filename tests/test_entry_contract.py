@@ -12,22 +12,15 @@ import __spark_entry__ as entry
 from music_streaming_etl_glue_spark.sources.catalog import TABLES
 from tests.conftest import SF_SMOKE
 
-#: queries deliberately carrying no oracle. r12 upgraded seven former
-#: members (genre_daily_metrics_approx, genre_distinct_sketch_rollup,
-#: audience_overlap, vocab_top_terms_approx, value_percentiles_approx,
-#: customer_rfm_segments_approx, pca_explained_variance) to BOUNDED
-#: driver checks: their catalog
-#: entries now emit exact aggregates + within-envelope flags the DuckDB
-#: oracle asserts TRUE, so the driver hash-checks the sketch error
-#: envelope. The two left have no deterministic SQL-expressible form:
-ROWS_ONLY = {
-    # iterative BPE trainer (pytest pins exact rule-sequence parity
-    # with a reference implementation; merges are sequential, each
-    # depending on the last — no SQL twin)
-    "bpe_merges",
-    # recursive DP (banded DTW) — pytest pins a pure-Python reference
-    "genre_series_dtw",
-}
+#: r12 retired this set: every former member (the HLL/KLL/top-k
+#: sketches, PCA, banded DTW, the BPE trainer) was upgraded to a
+#: BOUNDED driver check — the entry emits exact aggregates/anchors the
+#: DuckDB oracle reproduces plus within-envelope/invariant flags it
+#: asserts TRUE, so the driver hash compare now covers the FULL
+#: catalog. Raw sketch/spectrum/sequence outputs remain the operator
+#: functions; pytest still pins those exactly (see
+#: tests/test_bounded_audits.py for the flip-the-flag teeth tests).
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_an_oracle_or_is_declared_rows_only():
