@@ -1451,3 +1451,45 @@ def ingest_substring_scrubbed(
         .start()
     )
     q.awaitTermination()
+
+
+def scrub_lake_changefeed(
+    spark: SparkSession,
+    table_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    k: int | None = None,
+) -> None:
+    """:func:`ingest_substring_scrubbed` fed by the LAKE CHANGE FEED
+    instead of the file landing zone (VERDICT r11 item #6, streaming
+    half): offsets are manifest versions, each micro-batch is one
+    commit range's appended delta (format-2 tables: a group-reference
+    diff — the base is never read), and the scrub/state kernel is the
+    IDENTICAL ``_substring_scrub_batch_handler`` the landing-zone rung
+    uses — so an upstream producer landing docs as lake commits
+    (txn-keyed streaming epochs, batch appends) gets each doc scrubbed
+    exactly once, replay-safe through the source checkpoint AND the
+    handler's epoch-ordered state.
+
+    Non-append commits in the feed raise (the change-feed contract);
+    after a MERGE / CoW delete / compaction, re-scrub the affected docs
+    with the batch ``plans.lake_scrub.scrub_lake_changes`` (keyed diff)
+    and restart this stream from a fresh checkpoint."""
+    from music_streaming_etl_glue_spark.sources.lake_source import register
+
+    register(spark)
+    q = (
+        spark.readStream.format("lake")
+        .option("table", table_dir)
+        .load()
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            _substring_scrub_batch_handler(
+                spark, output_dir, state_dir, k=k
+            )
+        )
+        .start()
+    )
+    q.awaitTermination()

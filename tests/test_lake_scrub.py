@@ -121,3 +121,47 @@ def test_substring_scrub_removes_merged_in_long_spans(spark, tmp_path):
     row = res.scrubbed.filter(F.col("doc_id") == mx + 1).collect()[0]
     assert row["n_removed"] > 0
     assert donor not in row["clean_text"]
+
+
+def test_streaming_scrub_rides_the_lake_changefeed(spark, tmp_path):
+    """The streaming ExactSubstr rung consuming lake commits instead of
+    the file landing zone: docs land scrubbed against everything
+    committed before them, exactly once across restarts."""
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        scrub_lake_changefeed,
+    )
+
+    t = str(tmp_path / "docs_lake")
+    out = str(tmp_path / "scrubbed")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    base = "alpha beta gamma delta " * 8  # 32 tokens, > K=20
+    L.commit_append(
+        spark.createDataFrame(
+            [(1, base.strip()), (2, "totally unrelated words only")],
+            "doc_id long, text string",
+        ),
+        t,
+    )
+    scrub_lake_changefeed(spark, t, out, ckpt, state)
+    first = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert first[2]["n_removed"] == 0
+
+    # a second COMMIT quotes the first commit's passage verbatim
+    L.commit_append(
+        spark.createDataFrame(
+            [(3, "prefix words then " + base.strip() + " suffix words")],
+            "doc_id long, text string",
+        ),
+        t,
+    )
+    scrub_lake_changefeed(spark, t, out, ckpt, state)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["n_removed"] > 0
+    assert "alpha beta gamma delta alpha" not in rows[3]["clean_text"]
+    # exactly-once: a restart with nothing new re-lands nothing
+    n_before = spark.read.parquet(out).count()
+    scrub_lake_changefeed(spark, t, out, ckpt, state)
+    assert spark.read.parquet(out).count() == n_before
