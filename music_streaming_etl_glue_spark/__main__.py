@@ -7,7 +7,7 @@ Glue jobs; here each is a subcommand on one local SparkSession):
     python -m music_streaming_etl_glue_spark llm   --sf-dir D --out DIR
     python -m music_streaming_etl_glue_spark query --sf-dir D NAME [NAME…]
     python -m music_streaming_etl_glue_spark refresh --old P --new P --out DIR
-    python -m music_streaming_etl_glue_spark lake  --table DIR history|compact|vacuum|rollback|delete […]
+    python -m music_streaming_etl_glue_spark lake  --table DIR history|compact|vacuum|rollback|delete|scrub […]
     python -m music_streaming_etl_glue_spark list
 
 `kpis` runs the full batch pipeline (validate → enrich → 5 KPI tables →
@@ -15,8 +15,8 @@ serving layout + QA + engine fingerprint); `llm` runs the training-data
 preparation flow (scrub → normalize → dedup ladder → decontaminate →
 split → chunk → pack); `query` materializes any catalog query and prints
 a sample + row count; `lake` runs the snapshot-table maintenance verbs
-(commit log, compaction, vacuum, rollback) against a lakehouse dir;
-`list` prints the catalog.
+(commit log, compaction, vacuum, rollback, keyed delete, change-feed
+scrub) against a lakehouse dir; `list` prints the catalog.
 """
 
 from __future__ import annotations
@@ -44,7 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     lk = sub.add_parser("lake")
     lk.add_argument("--table", required=True, help="lakehouse table dir")
     lk.add_argument(
-        "verb", choices=("history", "compact", "vacuum", "rollback", "delete")
+        "verb",
+        choices=(
+            "history", "compact", "vacuum", "rollback", "delete", "scrub"
+        ),
     )
     lk.add_argument("--target-files", type=int, default=8)
     lk.add_argument("--zorder-by", nargs="*", default=None)
@@ -56,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     # delete time — string-keyed tables (user ids, doc ids) are the
     # common right-to-be-forgotten case, so type=int here would be wrong
     lk.add_argument("--keys", nargs="*", default=None)
+    lk.add_argument(
+        "--cursor", default=None,
+        help="scrub: cursor file tracking the last scrubbed version",
+    )
     sub.add_parser("list")
     args = p.parse_args(argv)
 
@@ -90,6 +97,31 @@ def main(argv: list[str] | None = None) -> int:
         from music_streaming_etl_glue_spark.session import get_spark as _gs
 
         sp = _gs("cli-lake")
+        if args.verb == "scrub":
+            if not args.cursor:
+                print("scrub needs --cursor", file=sys.stderr)
+                return 2
+            from music_streaming_etl_glue_spark.plans.lake_scrub import (
+                scrub_lake_changes,
+            )
+
+            res = scrub_lake_changes(sp, args.table, args.cursor)
+            print(
+                json.dumps(
+                    {
+                        "from_version": res.from_version,
+                        "to_version": res.to_version,
+                        "mode": res.mode,
+                        "changed_docs": res.changed_docs,
+                        "flagged_dups": (
+                            res.flags.filter("NOT keep").count()
+                            if res.flags is not None
+                            else 0
+                        ),
+                    }
+                )
+            )
+            return 0
         if args.verb == "delete":
             if not args.key_col or not args.keys:
                 print("delete needs --key-col and --keys", file=sys.stderr)

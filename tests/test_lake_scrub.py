@@ -165,3 +165,15 @@ def test_streaming_scrub_rides_the_lake_changefeed(spark, tmp_path):
     n_before = spark.read.parquet(out).count()
     scrub_lake_changefeed(spark, t, out, ckpt, state)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_cli_lake_scrub_verb(spark, tmp_path, capsys):
+    from music_streaming_etl_glue_spark.__main__ import main
+
+    t = str(tmp_path / "docs_lake")
+    cursor = str(tmp_path / "cursor.json")
+    L.commit_append(_docs(spark).limit(50), t)
+    assert main(["lake", "--table", t, "scrub", "--cursor", cursor]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "append_delta" and out["changed_docs"] == 50
+    assert main(["lake", "--table", t, "scrub"]) == 2  # cursor required
