@@ -447,9 +447,10 @@ _STAMP_PRIORITY = (
     "unigram_surprisal",
     "user_session_windows",
     "waiting_customers",
-    # ROUND-13 ROTATION NOTE: with the 6 + 46 above, a 50-slot window
-    # cuts off ~the last 2 r6 entries — lead r13 with whatever of the
-    # r6 list the r12 window cut off, then the r7 cohort (43 entries:
+    # ROUND-13 ROTATION NOTE: with the 10 above (9 bounded-audit
+    # upgrades + lake_merge_scrub) + the 46-entry r6 cohort, a 50-slot
+    # window cuts off ~the last 6 r6 entries — lead r13 with whatever
+    # of the r6 list the r12 window cut off, then the r7 cohort (43:
     # audience_overlap_bitmap bpe_fertility bpe_roundtrip
     # collocations_pmi containment_pairs customer_rfm_segments
     # daily_new_vs_returning dedup_incremental_bloom enriched
