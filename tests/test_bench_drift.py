@@ -80,3 +80,36 @@ def test_prior_round_benches_reads_newest_rounds_and_skips_current(
     assert bench._reference_times(rounds) == {"q": 1.0}
     # the shim keeps the old entry point alive
     assert bench._latest_prior_bench(0.1) == {"q": 1.0}
+
+
+def test_flags_need_same_round_reproduction_to_alarm():
+    flagged = {"a": {"prev": 1.0, "now": 2.0}, "b": {"prev": 1.0, "now": 1.8}}
+    # first run of the round: nothing alarms, everything is recorded
+    conf, unconf = bench._confirm_flags(flagged, None)
+    assert conf == {} and unconf == flagged
+    # second run: only the flag seen before graduates
+    conf, unconf = bench._confirm_flags(flagged, {"a", "zz"})
+    assert set(conf) == {"a"} and set(unconf) == {"b"}
+
+
+def test_same_round_prior_flags_reads_current_local_file(
+    tmp_path, monkeypatch
+):
+    with open(tmp_path / "BENCH_r11.json", "w") as fh:
+        json.dump({"sf": 0.1, "queries": {"q": 1.0}}, fh)
+    with open(tmp_path / "BENCH_LOCAL_r12.json", "w") as fh:
+        json.dump(
+            {
+                "sf": 0.1,
+                "queries": {"q": 1.0},
+                "regressions": {"x": {}},
+                "unconfirmed_regressions": {"y": {}},
+            },
+            fh,
+        )
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert bench._same_round_prior_flags(str(tmp_path)) == {"x", "y"}
+    (tmp_path / "BENCH_LOCAL_r12.json").unlink()
+    assert bench._same_round_prior_flags(str(tmp_path)) is None
