@@ -735,3 +735,55 @@ def test_commit_upsert_pure_insert_rewrites_nothing(spark, tmp_path):
     )
     got = L.read_snapshot(spark, t, v2).collect()
     assert sorted(r["s"] for r in got) == ["new", "null-key", "r1", "r2", "r3"]
+
+
+def _race_worker_grouped(args):
+    # as _race_worker, but with the inline limit forced to 2 so every
+    # commit lands in the manifest-list format — the slot-claim retry
+    # must re-merge GROUP LISTS by reference without losing an append
+    table_dir, wid, n = args
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from music_streaming_etl_glue_spark.plans import lakehouse as LK
+
+    LK.MANIFEST_INLINE_LIMIT = 2
+    LK.MANIFEST_GROUP_TARGET = 3
+    versions = []
+    for i in range(n):
+        versions.append(
+            LK._commit(
+                table_dir,
+                "append",
+                [f"data/w{wid}/f{i}.parquet"],
+                '{"type":"struct","fields":[]}',
+                1,
+                True,
+            )
+        )
+    return versions
+
+
+def test_concurrent_grouped_writers_linearize_without_losing_groups(
+    tmp_path, monkeypatch
+):
+    from multiprocessing import Pool
+
+    monkeypatch.setattr(L, "MANIFEST_INLINE_LIMIT", 2)
+    monkeypatch.setattr(L, "MANIFEST_GROUP_TARGET", 3)
+    t = str(tmp_path / "tbl")
+    n_workers, per = 4, 12
+    with Pool(n_workers) as pool:
+        results = pool.map(
+            _race_worker_grouped, [(t, w, per) for w in range(n_workers)]
+        )
+    total = n_workers * per
+    assert L.current_version(t) == total
+    claimed = sorted(v for vs in results for v in vs)
+    assert claimed == list(range(1, total + 1))
+    raw = L._load_manifest(t, total, resolve=False)
+    assert raw.get("format") == 2
+    resolved = L._load_manifest(t, total)
+    assert raw["n_rows"] == total
+    assert len(resolved["files"]) == total
+    assert len(set(resolved["files"])) == total  # no append lost/duped
