@@ -40,6 +40,16 @@ flags. The REFERENCE times still come only from PRIOR rounds, so this
 never absorbs a slowdown into the baseline (the r8 escape) — it only
 demands repeatability before alarming.
 
+Cross-round confirmation (r13): with the typical one-run-per-round
+cadence, same-round-only confirmation meant a genuine persistent
+slowdown re-parked in ``unconfirmed_regressions`` every round and
+never alarmed (VERDICT r12 "what's wrong" #2 — dedup_clusters_twophase
+rode unconfirmed at 1.52× with unchanged code). A flag that a PRIOR
+round (within the 3-round reference window) recorded as unconfirmed
+now auto-confirms when this round's run trips the same gate: two
+independent rounds are two independent processes — stronger evidence
+than two same-round runs.
+
 Capture-proofing: the one-line JSON is the FIRST and only stdout line
 (everything else goes to stderr), its inline query map is capped to the
 top-20 slowest (the full ~120-query map twice outgrew the driver's tail
@@ -269,10 +279,17 @@ def main() -> None:
                     "warm_min": best,
                 }
         # noise confirmation: only flags that REPRODUCED across
-        # independent same-round runs alarm (see module docstring)
-        prior_flags = _same_round_prior_flags(
-            os.path.dirname(os.path.abspath(__file__))
-        )
+        # independent runs alarm — an earlier run of this round OR a
+        # prior round's unconfirmed set (see module docstring; r13
+        # closed the one-run-per-round hole where persistent slowdowns
+        # re-parked as unconfirmed forever)
+        here = os.path.dirname(os.path.abspath(__file__))
+        same_round = _same_round_prior_flags(here)
+        cross_round = _prior_round_unconfirmed(here)
+        if same_round is None and not cross_round:
+            prior_flags = None
+        else:
+            prior_flags = (same_round or set()) | cross_round
         regressions, unconfirmed = _confirm_flags(regressions, prior_flags)
         out["regressions"] = regressions
         out["unconfirmed_regressions"] = unconfirmed
@@ -431,14 +448,53 @@ def _same_round_prior_flags(here: str) -> set[str] | None:
     )
 
 
+def _prior_round_unconfirmed(here: str, n_rounds: int = 3) -> set[str]:
+    """Flag names that a PRIOR round left in ``unconfirmed_regressions``
+    (within the same ``n_rounds`` window the reference times use).
+
+    r12's same-round-only confirmation had a hole the verdict called
+    out: with one bench run per round, a genuine persistent slowdown
+    parks in unconfirmed_regressions every round and never alarms —
+    each new round's first run resets confirmation. Cross-ROUND
+    repetition is reproducibility too (two independent processes on
+    two independent days is stronger evidence than two same-round
+    runs), so a flag the previous round recorded as unconfirmed
+    auto-confirms the moment this round's run trips the same gate.
+    Only flag NAMES are read; reference times never come from here."""
+    import glob
+    import re
+
+    current = _next_round(here)
+    names: set[str] = set()
+    benches = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
+        os.path.join(here, "BENCH_LOCAL_r*.json")
+    )
+    for path in benches:
+        m = re.search(r"BENCH(_LOCAL)?_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(2))
+        if rnd >= current or rnd < current - n_rounds:
+            continue
+        try:
+            with open(path, encoding="utf-8") as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        names |= set(data.get("unconfirmed_regressions") or {})
+    return names
+
+
 def _confirm_flags(
     flagged: dict, prior_flags: set[str] | None
 ) -> tuple[dict, dict]:
     """Split this run's warm-confirmed flags into (regressions,
-    unconfirmed): a flag alarms only when a prior independent run of
-    the SAME round also flagged it; the round's first run reports all
-    flags as unconfirmed (two disjoint r12 runs proved single-run flags
-    at this noise floor are ambient variance)."""
+    unconfirmed): a flag alarms only when a prior INDEPENDENT run also
+    flagged it — an earlier run of the same round, or a prior round's
+    unconfirmed set (callers union both sources into ``prior_flags``).
+    With no prior evidence at all (None), the run reports every flag
+    as unconfirmed (two disjoint r12 runs proved single-run flags at
+    this noise floor are ambient variance)."""
     if prior_flags is None:
         return {}, dict(flagged)
     confirmed = {k: v for k, v in flagged.items() if k in prior_flags}

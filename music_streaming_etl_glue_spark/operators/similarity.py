@@ -3711,18 +3711,22 @@ def pca_explained_variance_audit(
 
     1. **The integer Gram anchors** — ``gram_trace`` (Σ_d Σ q_d²) and
        ``colsum_sq`` (Σ_d (Σ q_d)²) over the fixed-point quantized
-       vectors are EXACT integers both engines reproduce digit-for-digit
-       (emitted as DECIMAL(38,0); Python ints never overflow). Any
-       dropped/duplicated/corrupted partial in the distributed
-       mapInPandas Gram aggregation breaks the hash.
+       vectors are EXACT integers both engines reproduce digit-for-digit.
+       They are emitted as CANONICAL DIGIT STRINGS, not DECIMAL(38,0):
+       the r12 driver stamp proved two clients can repr the same scale-0
+       decimal differently (``499999994210053`` vs
+       ``Decimal('499999994210053')``) — equal values, divergent hashes.
+       BIGINT is not safe either: ``colsum_sq`` grows ∝ n²·Q_SCALE²·dims
+       and crosses 2^63 near sf≈1. A plain digit string has one repr in
+       every client at every scale. Any dropped/duplicated/corrupted
+       partial in the distributed mapInPandas Gram aggregation still
+       breaks the hash.
     2. **Eigen-structure flags** the oracle asserts TRUE: every top-k
        explained fraction in [0, 1], eigenvalues non-increasing, top-k
        fraction sum ≤ 1, and Σ(all eigenvalues) equal (within tol) to
        trace(cov) DERIVED FROM THE SAME INTEGERS — the linear-algebra
        identity that fails if eigvalsh is fed a wrong covariance.
     """
-    from decimal import Decimal
-
     import numpy as np
 
     dims = _dims(embeddings)
@@ -3743,9 +3747,9 @@ def pca_explained_variance_audit(
     )
     spark = embeddings.sparkSession
     return spark.createDataFrame(
-        [(int(n), Decimal(gram_trace), Decimal(colsum_sq), int(k), *flags)],
-        "n_vectors long, gram_trace decimal(38,0), "
-        "colsum_sq decimal(38,0), k_components long, "
+        [(int(n), str(gram_trace), str(colsum_sq), int(k), *flags)],
+        "n_vectors long, gram_trace string, "
+        "colsum_sq string, k_components long, "
         "fractions_in_unit boolean, monotone_nonincreasing boolean, "
         "topk_fraction_le_1 boolean, eigensum_matches_trace boolean",
     )
@@ -3767,8 +3771,8 @@ per_dim AS (
     GROUP BY d.i
 )
 SELECT (SELECT COUNT(*) FROM q)::BIGINT AS n_vectors,
-       SUM(sg)::DECIMAL(38,0) AS gram_trace,
-       SUM(sc * sc)::DECIMAL(38,0) AS colsum_sq,
+       SUM(sg)::DECIMAL(38,0)::VARCHAR AS gram_trace,
+       SUM(sc * sc)::DECIMAL(38,0)::VARCHAR AS colsum_sq,
        {k}::BIGINT AS k_components,
        TRUE AS fractions_in_unit,
        TRUE AS monotone_nonincreasing,

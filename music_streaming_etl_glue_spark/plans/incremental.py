@@ -239,9 +239,13 @@ def maintain_kpis_from_lake(
             }
         try:
             delta = lakehouse.snapshot_delta(spark, table_dir, from_v, to_v)
-        except ValueError:
-            # non-append commit in the range: full recompute from the
-            # current snapshot, then re-seed the cursor (see docstring)
+        except (ValueError, FileNotFoundError):
+            # non-append commit in the range, OR a manifest in the range
+            # was vacuumed (cursor fell below retention — snapshot_delta
+            # raises FileNotFoundError for that case): full recompute
+            # from the current snapshot, then re-seed the cursor (see
+            # docstring). Catching only ValueError left the vacuumed-
+            # cursor case wedged permanently (ADVICE r12).
             full = lakehouse.read_snapshot(spark, table_dir, to_v)
             partials = genre_daily_partials(
                 enrich_events(full, customer, nation)

@@ -667,6 +667,17 @@ def vacuum(
             shutil.rmtree(txn_dir)
             deleted.append(txn_dir)
     for name in sorted(os.listdir(mdir)):
+        if name.startswith(".tmp-"):
+            # a crash between a tmp write and its rename strands
+            # '.tmp-*' junk that nothing ever references; sweep it
+            # behind the same age guard as data (an in-flight writer's
+            # tmp file is younger than min_age_s) — ADVICE r12
+            path = os.path.join(mdir, name)
+            if now - os.path.getmtime(path) < min_age_s:
+                continue
+            os.unlink(path)
+            deleted.append(path)
+            continue
         if name.startswith("g-") and name.endswith(".json"):
             # group manifests: reference-counted like data files — kept
             # while any surviving version lists them, age-guarded like

@@ -54,14 +54,31 @@ def _current_version(table_dir: str) -> int:
     return lakehouse.current_version(table_dir)
 
 
+#: file-set-preserving actions: metadata-only commits (group-manifest
+#: compaction) that rewrite the manifest LIST but not a byte of data —
+#: a change feed passes through them emitting zero rows, no
+#: skip_rewrites opt-in needed (there is nothing to skip)
+_METADATA_ONLY_ACTIONS = frozenset({"rewrite_manifests"})
+
+
 def _delta_files(
     table_dir: str, from_v: int, to_v: int, skip_rewrites: bool
 ) -> list[str]:
     """Absolute paths of the files appended in (from_v, to_v]; raises on
-    a non-append commit in the range unless ``skip_rewrites``."""
+    a non-append commit in the range unless ``skip_rewrites``
+    (metadata-only commits never raise — the file set is unchanged).
+
+    Format-2 fast path: an append packs its new files into FRESH group
+    manifests and carries the base's groups by reference, so each
+    append's delta is exactly its NEW group entries — the walk resolves
+    O(delta groups) group files per micro-batch, never the base
+    (``plans.lakehouse.snapshot_delta`` has the same fast path; ADVICE
+    r12 flagged that this stream reader resolved both endpoints fully,
+    paying O(total groups) per micro-batch)."""
+    manifests: dict[int, dict] = {}
     for v in range(from_v + 1, to_v + 1):
         try:
-            action = _manifest(table_dir, v, resolve=False)["action"]
+            manifests[v] = _manifest(table_dir, v, resolve=False)
         except FileNotFoundError:
             raise ValueError(
                 f"lake stream range starts below the table's retention "
@@ -69,25 +86,59 @@ def _delta_files(
                 "stream with start_from=latest, or restart from a fresh "
                 "checkpoint"
             ) from None
-        if action != "append" and not skip_rewrites:
+        action = manifests[v]["action"]
+        if (
+            action != "append"
+            and action not in _METADATA_ONLY_ACTIONS
+            and not skip_rewrites
+        ):
             raise ValueError(
                 f"lake stream hit a {action!r} commit at version {v}; "
                 "restart from a fresh checkpoint against the new snapshot "
                 "or set skip_rewrites=true (appends-only change feed)"
             )
     try:
-        base = set(_manifest(table_dir, from_v)["files"]) if from_v else set()
+        base_raw = (
+            _manifest(table_dir, from_v, resolve=False) if from_v else None
+        )
     except FileNotFoundError:
         raise ValueError(
             f"lake stream checkpoint (version {from_v}) is below the "
             "table's retention; start a fresh stream with "
             "start_from=latest"
         ) from None
-    to_files = _manifest(table_dir, to_v)["files"]
-    if skip_rewrites:
-        # appended-by-an-append-commit files only: union of per-append
-        # deltas, so rewritten (compacted/overwritten) files never re-emit
+    all_fmt2 = (base_raw is None or "groups" in base_raw) and all(
+        "groups" in m for m in manifests.values()
+    )
+    if all_fmt2:
+        from music_streaming_etl_glue_spark.plans import lakehouse
+
+        prev_groups = (
+            {g["path"] for g in base_raw["groups"]} if base_raw else set()
+        )
         out: list[str] = []
+        for v in range(from_v + 1, to_v + 1):
+            man = manifests[v]
+            if man["action"] == "append":
+                for g in man["groups"]:
+                    if g["path"] not in prev_groups:
+                        out.extend(
+                            lakehouse._load_group(table_dir, g["path"])[
+                                "files"
+                            ]
+                        )
+            prev_groups = {g["path"] for g in man["groups"]}
+        return [os.path.join(table_dir, f) for f in out]
+    # format-1 (or mixed-format) fallback: full file-set resolution
+    base = set(_manifest(table_dir, from_v)["files"]) if from_v else set()
+    to_files = _manifest(table_dir, to_v)["files"]
+    if skip_rewrites or any(
+        m["action"] in _METADATA_ONLY_ACTIONS for m in manifests.values()
+    ):
+        # appended-by-an-append-commit files only: union of per-append
+        # deltas, so rewritten (compacted/overwritten) files never
+        # re-emit (and metadata-only commits contribute nothing)
+        out = []
         prev = base
         for v in range(from_v + 1, to_v + 1):
             man = _manifest(table_dir, v)

@@ -92,6 +92,67 @@ def test_flags_need_same_round_reproduction_to_alarm():
     assert set(conf) == {"a"} and set(unconf) == {"b"}
 
 
+def test_unconfirmed_flag_from_prior_round_alarms_next_round(
+    tmp_path, monkeypatch
+):
+    # round 12's run left "slow_q" unconfirmed; round 13's FIRST run
+    # (no same-round prior file) trips the gate on it again → it must
+    # alarm, not re-park as unconfirmed (VERDICT r12 what's-wrong #2)
+    with open(tmp_path / "BENCH_r12.json", "w") as fh:
+        json.dump({"sf": 0.1, "queries": {}}, fh)  # driver stamp → current=13
+    with open(tmp_path / "BENCH_LOCAL_r12.json", "w") as fh:
+        json.dump(
+            {
+                "sf": 0.1,
+                "queries": {"slow_q": 3.0},
+                "unconfirmed_regressions": {
+                    "slow_q": {"prev": 2.0, "now": 3.0}
+                },
+            },
+            fh,
+        )
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    here = str(tmp_path)
+    assert bench._next_round(here) == 13
+    assert bench._same_round_prior_flags(here) is None  # round's 1st run
+    cross = bench._prior_round_unconfirmed(here)
+    assert cross == {"slow_q"}
+    flagged = {
+        "slow_q": {"prev": 2.0, "now": 3.1},
+        "fresh": {"prev": 1.0, "now": 1.9},
+    }
+    conf, unconf = bench._confirm_flags(flagged, set() | cross)
+    assert set(conf) == {"slow_q"}  # two independent rounds = confirmed
+    assert set(unconf) == {"fresh"}  # first sighting still parks
+
+
+def test_prior_round_unconfirmed_respects_window_and_current(
+    tmp_path, monkeypatch
+):
+    def write(rnd, unconf):
+        with open(tmp_path / f"BENCH_LOCAL_r{rnd}.json", "w") as fh:
+            json.dump(
+                {"sf": 0.1, "queries": {},
+                 "unconfirmed_regressions": {u: {} for u in unconf}},
+                fh,
+            )
+
+    with open(tmp_path / "BENCH_r12.json", "w") as fh:
+        json.dump({"sf": 0.1, "queries": {}}, fh)  # driver stamp → current=13
+    write(8, ["too_old"])    # outside the 3-round window (current=13)
+    write(10, ["in_window"])
+    write(12, ["recent"])
+    write(13, ["own_round"])  # current round: must be excluded
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    here = str(tmp_path)
+    assert bench._next_round(here) == 13
+    assert bench._prior_round_unconfirmed(here) == {"in_window", "recent"}
+
+
 def test_same_round_prior_flags_reads_current_local_file(
     tmp_path, monkeypatch
 ):

@@ -115,6 +115,25 @@ def test_vacuum_reference_counting_and_inflight_guard(spark, tmp_path):
         assert os.path.exists(os.path.join(t, f))
 
 
+def test_vacuum_sweeps_crashed_tmp_manifests(spark, tmp_path):
+    """A crash between a '.tmp-*' manifest write and its rename leaves
+    junk in _manifests/ that nothing references; vacuum must sweep it
+    behind the same min_age_s guard as data (ADVICE r12)."""
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [1]), t)
+    mdir = L._manifest_dir(t)
+    crashed = os.path.join(mdir, ".tmp-g-deadbeef-000000.json")
+    with open(crashed, "w") as fh:
+        fh.write("{}")
+    # too young: the in-flight-writer guard keeps it
+    L.vacuum(t, keep_versions=1, min_age_s=3600)
+    assert os.path.exists(crashed)
+    deleted = L.vacuum(t, keep_versions=1, min_age_s=0.0)
+    assert crashed in deleted and not os.path.exists(crashed)
+    # the table is untouched
+    assert _ids(L.read_snapshot(spark, t)) == [1]
+
+
 def test_empty_snapshot_stays_readable(spark, tmp_path):
     t = str(tmp_path / "tbl")
     empty = _df(spark, []).limit(0)
@@ -669,6 +688,45 @@ def test_kpi_maintenance_recovers_from_non_append_commit(spark, tmp_path):
         )
 
     assert view(state) == view(state_one)
+
+
+def test_kpi_maintenance_recovers_from_vacuumed_cursor_range(
+    spark, tmp_path
+):
+    """A cursor that fell below vacuum retention (its range's manifests
+    deleted) must trigger the same full-recompute recovery as a
+    non-append commit — snapshot_delta raises FileNotFoundError there,
+    not ValueError, and catching only the latter wedged the maintainer
+    permanently (ADVICE r12)."""
+    from music_streaming_etl_glue_spark.plans.incremental import (
+        maintain_kpis_from_lake,
+    )
+    from music_streaming_etl_glue_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    tbl = str(tmp_path / "events_lake")
+    state = str(tmp_path / "state")
+    cursor = str(tmp_path / "cursor.json")
+
+    L.commit_append(events.filter("event_id % 4 = 0"), tbl)
+    maintain_kpis_from_lake(spark, tbl, customer, nation, state, cursor)
+    for m in (1, 2, 3):
+        L.commit_append(events.filter(f"event_id % 4 = {m}"), tbl)
+    # retention drops the cursor version's manifest (keep newest 2 of 4)
+    L.vacuum(tbl, keep_versions=2, min_age_s=0.0)
+    res = maintain_kpis_from_lake(
+        spark, tbl, customer, nation, state, cursor
+    )
+    assert res.get("recomputed") is True
+    assert res["to_version"] == L.current_version(tbl)
+    # cursor re-seeded: the next run is a clean incremental no-op
+    res2 = maintain_kpis_from_lake(
+        spark, tbl, customer, nation, state, cursor
+    )
+    assert res2["delta_rows"] == 0 and "recomputed" not in res2
 
 
 def test_commit_upsert_rewrites_only_files_in_the_update_key_range(
