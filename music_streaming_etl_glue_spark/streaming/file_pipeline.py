@@ -136,6 +136,13 @@ def ingest_available_now(
     return batches
 
 
+#: group-entry count above which the epoch committer triggers the
+#: metadata-only rewrite_manifests pass — 64 tiny per-epoch groups
+#: merge into ~1 full group in one O(groups) JSON pass, keeping the
+#: version manifest's entry count bounded for arbitrarily long streams
+_GROUP_REWRITE_TRIGGER = 64
+
+
 def _lake_epoch_committer(
     table_dir: str,
     txn_prefix: str = "epoch",
@@ -158,19 +165,33 @@ def _lake_epoch_committer(
     :class:`~...lakehouse.ConcurrentCommitError` from a racing writer
     just skips this round's compaction; the next epoch retries). NOTE:
     compaction is a non-append commit, so a downstream change-feed
-    stream of this table must run with ``skip_rewrites=true``."""
+    stream of this table must run with ``skip_rewrites=true``.
+
+    Independently of file compaction, the sink bounds MANIFEST-LIST
+    fragmentation on format-2 tables: each epoch's append packs a fresh
+    (tiny) group manifest, so a long-running stream would grow one
+    group entry per epoch and planning would degenerate back to
+    O(epochs). When the group-entry count exceeds
+    ``_GROUP_REWRITE_TRIGGER``, the sink runs the metadata-only
+    :func:`~...lakehouse.rewrite_manifests` (zero data I/O,
+    file-set-preserving — downstream change feeds pass through it
+    without ``skip_rewrites``)."""
     from music_streaming_etl_glue_spark.plans import lakehouse
 
     def write(df: DataFrame, epoch_id: int) -> None:
         lakehouse.commit_append(
             df, table_dir, txn_key=f"{txn_prefix}-{epoch_id}"
         )
+        v = lakehouse.current_version(table_dir)
+        man = lakehouse._load_manifest(table_dir, v, resolve=False)
+        if len(man.get("groups", ())) > _GROUP_REWRITE_TRIGGER:
+            try:
+                lakehouse.rewrite_manifests(table_dir)
+            except lakehouse.ConcurrentCommitError:
+                pass  # a racer advanced the table; rewrite next epoch
         if auto_compact_files is None:
             return
-        v = lakehouse.current_version(table_dir)
-        n_files = lakehouse.manifest_n_files(
-            lakehouse._load_manifest(table_dir, v, resolve=False)
-        )
+        n_files = lakehouse.manifest_n_files(man)
         if n_files > auto_compact_files:
             try:
                 lakehouse.compact(

@@ -202,3 +202,106 @@ def test_crossover_inline_to_grouped_preserves_history(
     # file paths
     body = json.load(open(L._manifest_path(t, 2)))
     assert "files" not in body
+
+
+def test_rewrite_manifests_bounds_group_count_over_500_epochs(tmp_path):
+    """500 small appends onto a format-2 table, with the epoch
+    committer's trigger policy applied between commits: the group-entry
+    count must stay BOUNDED (not ∝ epochs), the resolved file set and
+    order must be byte-identical, and the rewrite must be metadata-only
+    (no data paths touched — there are no data files to touch)."""
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        _GROUP_REWRITE_TRIGGER,
+    )
+
+    t = str(tmp_path / "frag")
+    _fake_commit(t, 3_000)  # format-2 base (> MANIFEST_INLINE_LIMIT)
+    max_groups = 0
+    for epoch in range(500):
+        _fake_commit(t, 2, start=3_000 + epoch * 2)
+        v = L.current_version(t)
+        raw = L._load_manifest(t, v, resolve=False)
+        if len(raw["groups"]) > _GROUP_REWRITE_TRIGGER:
+            assert L.rewrite_manifests(t) == v + 1
+        raw = L._load_manifest(t, L.current_version(t), resolve=False)
+        max_groups = max(max_groups, len(raw["groups"]))
+    # bounded: never past trigger + 1 (one fresh group lands between
+    # rewrites), nowhere near the ~503 an unmanaged table accumulates
+    assert max_groups <= _GROUP_REWRITE_TRIGGER + 1
+    final = L._load_manifest(t, L.current_version(t), resolve=False)
+    assert final["action"] in ("append", "rewrite_manifests")
+    # the resolved file set survives every merge, in append order
+    resolved = L._load_manifest(t, L.current_version(t))["files"]
+    assert resolved == [
+        f"data/fake/{i:08d}.parquet" for i in range(4_000)
+    ]
+    assert final["n_rows"] == 4_000
+    # per-file stats survive the merge: a point plan opens few groups
+    files = L.plan_snapshot_files(t, final, {"id": (35_555, 35_555)})
+    assert files == ["data/fake/00003555.parquet"]
+
+
+def test_rewrite_manifests_is_noop_on_format1_and_already_packed(
+    tmp_path,
+):
+    t1 = str(tmp_path / "small")
+    _fake_commit(t1, 10)  # inline format 1
+    assert L.rewrite_manifests(t1) is None
+    assert L.current_version(t1) == 1  # no commit spam
+    t2 = str(tmp_path / "packed")
+    _fake_commit(t2, 3_000)  # 2 full + 1 partial group: no 2-run to merge
+    v1 = L.current_version(t2)
+    again = L.rewrite_manifests(t2)
+    raw = L._load_manifest(t2, v1, resolve=False)
+    n_under = sum(
+        1 for g in raw["groups"] if g["n_files"] < L.MANIFEST_GROUP_TARGET
+    )
+    if n_under < 2:
+        assert again is None and L.current_version(t2) == v1
+
+
+def test_rewrite_manifests_preserves_snapshot_delta_and_change_feed(
+    spark, tmp_path, monkeypatch
+):
+    """snapshot_delta tolerates the metadata-only commit in an append
+    range (falling back to the file-set diff), and the lake change feed
+    passes through it emitting ZERO rows without skip_rewrites."""
+    monkeypatch.setattr(L, "MANIFEST_INLINE_LIMIT", 2)
+    monkeypatch.setattr(L, "MANIFEST_GROUP_TARGET", 4)
+    t = str(tmp_path / "tbl")
+
+    def df(ids):
+        return spark.createDataFrame(
+            [(i, f"r{i}") for i in ids], "id long, s string"
+        ).coalesce(1)
+
+    L.commit_append(df(range(0, 3)), t)    # v1
+    L.commit_append(df(range(3, 6)), t)    # v2
+    L.commit_append(df(range(6, 9)), t)    # v3 — three 1-file groups
+    v_rw = L.rewrite_manifests(t)          # v4: metadata-only merge
+    assert v_rw == 4
+    raw = L._load_manifest(t, 4, resolve=False)
+    assert raw["action"] == "rewrite_manifests"
+    assert len(raw["groups"]) < 3
+    # byte-identical snapshot across the rewrite
+    assert sorted(
+        r["id"] for r in L.read_snapshot(spark, t, 4).collect()
+    ) == list(range(9))
+    L.commit_append(df(range(9, 12)), t)   # v5: append over merged layout
+    # delta across the rewrite boundary: appended rows only, rewrite
+    # contributes nothing
+    delta = sorted(r["id"] for r in L.snapshot_delta(spark, t, 2).collect())
+    assert delta == list(range(6, 12))
+    # change feed: the same range through the streaming source's
+    # file-delta walk — the rewrite version yields zero files
+    from music_streaming_etl_glue_spark.sources import lake_source as LS
+
+    files_v4 = LS._delta_files(t, 3, 4, skip_rewrites=False)
+    assert files_v4 == []
+    files_range = LS._delta_files(t, 2, 5, skip_rewrites=False)
+    got = sorted(
+        r["id"]
+        for p in files_range
+        for r in spark.read.parquet(p).collect()
+    )
+    assert got == list(range(6, 12))

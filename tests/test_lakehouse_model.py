@@ -38,7 +38,7 @@ def _run_sequence(spark, tmp_path, seed, n_ops=14):
         (i, f"s{seed}_{i}") for i in range(next_id - 3, next_id)
     )
     ops = ["append", "overwrite", "upsert", "delete", "compact", "rollback",
-           "vacuum"]
+           "vacuum", "rewrite_manifests"]
     for _ in range(n_ops):
         op = rng.choice(ops)
         cur_v = L.current_version(t)
@@ -72,6 +72,14 @@ def _run_sequence(spark, tmp_path, seed, n_ops=14):
             )
         elif op == "compact":
             v = L.compact(spark, t, target_files=2)
+            model[v] = cur
+        elif op == "rewrite_manifests":
+            # metadata-only: merges under-filled manifest groups by
+            # reference; the rowset is identical, and a no-op (format-1
+            # table / nothing to merge) must not commit at all
+            v = L.rewrite_manifests(t)
+            if v is None:
+                continue
             model[v] = cur
         elif op == "rollback":
             target = rng.choice(sorted(model))

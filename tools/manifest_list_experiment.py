@@ -11,6 +11,7 @@ Prints one JSON line; numbers are quoted in SCALE.md.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -100,6 +101,60 @@ def main() -> None:
         )
         out["plan_speedup"] = round(
             out["inline_point_plan_s"] / out["point_plan_s"], 1
+        )
+        # fragmentation: a long-running stream committing tiny epochs
+        # grows ONE group entry per epoch, so the version manifest —
+        # which EVERY plan must load and range-scan — degenerates to
+        # O(epochs). Build the 20k-epoch end state directly (20k 2-file
+        # groups via a pre-packed commit — the per-commit path is the
+        # same _pack_groups), measure a planner's true cost (manifest
+        # load + entry scan + group open), then the metadata-only
+        # rewrite_manifests merge, then the same plan on the merged
+        # layout.
+        tf = f"{work}/fragmented"
+        n_epochs = 20_000
+        saved_target = L.MANIFEST_GROUP_TARGET
+        L.MANIFEST_GROUP_TARGET = 2
+        try:
+            files = [f"data/f/{i:09d}.parquet" for i in range(n_epochs * 2)]
+            stats = {
+                f: {"id": [i * 100, i * 100 + 99]}
+                for i, f in enumerate(files)
+            }
+            packed = L._pack_groups(tf, files, stats)
+        finally:
+            L.MANIFEST_GROUP_TARGET = saved_target
+        L._commit(
+            tf, "append", [], SCHEMA_JSON, n_epochs * 2, False,
+            new_groups=packed,
+        )
+        out["frag_epochs"] = n_epochs
+        out["frag_groups_before"] = len(packed)
+        out["frag_manifest_bytes"] = os.path.getsize(
+            L._manifest_path(tf, 1)
+        )
+        ptarget = n_epochs * 100 + 5  # mid-table point lookup
+
+        def plan(version):
+            return L.plan_snapshot_files(
+                tf,
+                L._load_manifest(tf, version, resolve=False),
+                {"id": (ptarget, ptarget)},
+            )
+
+        out["frag_point_plan_s"] = _timed(lambda: plan(1))
+        t0 = time.monotonic()
+        v_rw = L.rewrite_manifests(tf)
+        out["rewrite_manifests_s"] = round(time.monotonic() - t0, 4)
+        comp_raw = L._load_manifest(tf, v_rw, resolve=False)
+        out["frag_groups_after"] = len(comp_raw["groups"])
+        out["compacted_manifest_bytes"] = os.path.getsize(
+            L._manifest_path(tf, v_rw)
+        )
+        out["compacted_point_plan_s"] = _timed(lambda: plan(v_rw))
+        assert plan(1) == plan(v_rw)  # same files either way
+        out["frag_plan_speedup"] = round(
+            out["frag_point_plan_s"] / out["compacted_point_plan_s"], 1
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
