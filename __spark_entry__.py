@@ -377,98 +377,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # but a driver stamp is the harder signal — so the dict is reordered per
 # round. Previously-stamped entries keep their historical green stamps.
 _STAMP_PRIORITY = (
-    # ROUND 12 ROTATION — oldest-stamp-first (standing policy), with
-    # the queue-jumping exception up front:
-    # (a) entries whose ORACLES ARE NEW this round: the six former
-    # rows-only sketch/approx entries upgraded to bounded driver checks
-    # (VERDICT r11 item #8) — exact aggregates + within-envelope flags
-    # the oracle asserts TRUE. They have never had a hash stamp at all
-    # (rows-only before), so they are both the oldest and the highest-
-    # risk entries in the catalog.
-    "genre_daily_metrics_approx",
-    "genre_distinct_sketch_rollup",
-    "audience_overlap",
-    "vocab_top_terms_approx",
-    "customer_rfm_segments_approx",
-    "value_percentiles_approx",
+    # ROUND 13 ROTATION — oldest-stamp-first (standing policy), with
+    # the one red leading:
+    # (1) pca_explained_variance: the single r12 driver red
+    # (hash_match FALSE on bit-identical values — a DECIMAL(38,0)
+    # repr divergence between clients). r13 re-emits the audit's
+    # integer anchors as canonical digit strings (see
+    # similarity.pca_explained_variance_audit and the SCALE.md
+    # audit-anchor rule); it goes FIRST so the driver restamps it.
     "pca_explained_variance",
-    "genre_series_dtw",
-    "bpe_merges",
-    # (a2) entry NEW this round: change-feed-driven re-scrub after a
-    # lake MERGE (keyed snapshot diff -> batch-vs-corpus dedup kernel)
-    "lake_merge_scrub",
-    # (b) the full r6 cohort (latest stamp = round 6, five rounds old,
-    # predating the signed-zero gate fix) — 46 entries, alphabetical.
-    # VERDICT r11 item #1: this cohort leads the r12 window; done means
-    # the oldest remaining stamp is r7.
-    "avg_quantity_part_filter",
-    "bpe_encode",
-    "brand_supplier_counts",
-    "cluster_topics",
-    "customer_order_distribution",
-    "dedup_clusters_twophase",
-    "dedup_funnel",
-    "disjunctive_revenue",
-    "dominant_part_suppliers",
-    "embedding_stats",
-    "error_next_click",
-    "events_in_error_bursts",
-    "forecast_revenue_change",
-    "fuzzy_dedup_pairs",
-    "genre_totals_salted",
-    "idle_rich_customers",
-    "important_parts",
-    "ivf_assignments",
-    "knn_join",
-    "knn_recall_audit",
-    "large_orders",
-    "line_priority_counts",
-    "min_cost_supplier",
-    "nation_market_share",
-    "nation_volume_shipping",
-    "near_dedup_apply_best",
-    "order_priority_checking",
-    "order_priority_unpivot",
-    "pii_scrub",
-    "pq_codes",
-    "pq_reconstruction_error",
-    "pricing_summary_ansi",
-    "product_profit_by_nation",
-    "promo_revenue",
-    "quantize_embeddings",
-    "returned_item_customers",
-    "sales_grouping_sets",
-    "semantic_contamination",
-    "semantic_contamination_lsh",
-    "shipping_priority",
+    # (2) the six r6 leftovers the r12 window cut off (newest stamp is
+    # round 6 — seven rounds old, predating the signed-zero gate fix):
     "small_quantity_revenue",
     "suppliers_who_kept_waiting",
     "top_supplier_revenue",
     "unigram_surprisal",
     "user_session_windows",
     "waiting_customers",
-    # ROUND-13 ROTATION NOTE: with the 10 above (9 bounded-audit
-    # upgrades + lake_merge_scrub) + the 46-entry r6 cohort, a 50-slot
-    # window cuts off ~the last 6 r6 entries — lead r13 with whatever
-    # of the r6 list the r12 window cut off, then the r7 cohort (43:
-    # audience_overlap_bitmap bpe_fertility bpe_roundtrip
-    # collocations_pmi containment_pairs customer_rfm_segments
-    # daily_new_vs_returning dedup_incremental_bloom enriched
-    # events_hourly_interpolated events_minute_ohlc genre_country_chi2
-    # genre_distinct_bitmap_rollup genre_rolling_median
-    # genre_trend_slopes hashed_doc_vectors hour_of_week_profile
-    # join_skew_report knn_ivfpq_recall_audit knn_join_ivfpq
-    # knn_join_lsh knn_label_classifier mad_outlier_audit
-    # markov_next_event_accuracy mmr_rerank mmr_rerank_multi
-    # nb_holdout_accuracy nb_source_classifier neyman_sample
-    # orders_backlog_timeline perplexity_buckets session_path_topk
-    # session_transition_matrix soft_dedup_weights
-    # split_leakage_audit text_ann_topk text_semantic_pairs
-    # track_play_gini user_kpis value_equiheight_histogram
-    # view_to_purchase_latency winnow_near_dups
-    # winnowing_fingerprints), then r8.
-    # r7 cohort head — fills whatever window room is left after the
-    # 52 above:
+    # (3) the FULL r7 cohort (43 entries, alphabetical) — 1 + 6 + 43
+    # fills the 50-slot window exactly, so after r13 the oldest stamp
+    # in the catalog is r8.
     "audience_overlap_bitmap",
     "bpe_fertility",
     "bpe_roundtrip",
@@ -484,6 +412,39 @@ _STAMP_PRIORITY = (
     "genre_distinct_bitmap_rollup",
     "genre_rolling_median",
     "genre_trend_slopes",
+    "hashed_doc_vectors",
+    "hour_of_week_profile",
+    "join_skew_report",
+    "knn_ivfpq_recall_audit",
+    "knn_join_ivfpq",
+    "knn_join_lsh",
+    "knn_label_classifier",
+    "mad_outlier_audit",
+    "markov_next_event_accuracy",
+    "mmr_rerank",
+    "mmr_rerank_multi",
+    "nb_holdout_accuracy",
+    "nb_source_classifier",
+    "neyman_sample",
+    "orders_backlog_timeline",
+    "perplexity_buckets",
+    "session_path_topk",
+    "session_transition_matrix",
+    "soft_dedup_weights",
+    "split_leakage_audit",
+    "text_ann_topk",
+    "text_semantic_pairs",
+    "track_play_gini",
+    "user_kpis",
+    "value_equiheight_histogram",
+    "view_to_purchase_latency",
+    "winnow_near_dups",
+    "winnowing_fingerprints",
+    # ROUND-14 ROTATION NOTE: the window above is exactly 50. Next
+    # oldest after r13 lands: the r8 cohort (44 entries, newest stamp
+    # round 8) leads r14, then r9 (41). Recompute with the
+    # CORRECTNESS_r*.json scan (newest hash-green round per entry)
+    # rather than trusting this comment.
     # then the rest of the previously-green catalog in queries() order
 )
 

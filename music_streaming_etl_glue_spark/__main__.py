@@ -8,6 +8,7 @@ Glue jobs; here each is a subcommand on one local SparkSession):
     python -m music_streaming_etl_glue_spark query --sf-dir D NAME [NAME…]
     python -m music_streaming_etl_glue_spark refresh --old P --new P --out DIR
     python -m music_streaming_etl_glue_spark lake  --table DIR history|compact|vacuum|rollback|delete|scrub […]
+    python -m music_streaming_etl_glue_spark ann   --registry DIR --layouts-root DIR bootstrap|retrain|current|vacuum-layouts […]
     python -m music_streaming_etl_glue_spark list
 
 `kpis` runs the full batch pipeline (validate → enrich → 5 KPI tables →
@@ -16,7 +17,11 @@ preparation flow (scrub → normalize → dedup ladder → decontaminate →
 split → chunk → pack); `query` materializes any catalog query and prints
 a sample + row count; `lake` runs the snapshot-table maintenance verbs
 (commit log, compaction, vacuum, rollback, keyed delete, change-feed
-scrub) against a lakehouse dir; `list` prints the catalog.
+scrub) against a lakehouse dir; `list` prints the catalog; `ann` drives the lake-backed IVF-PQ serving
+registry end to end — bootstrap (train + commit the first pointer),
+retrain (drift-gated, recall-audited candidate with a 1-row-commit
+cutover), current (resolve / pin the serving layout), vacuum-layouts
+(reference-counted sweep of unreferenced layout dirs).
 """
 
 from __future__ import annotations
@@ -63,6 +68,32 @@ def main(argv: list[str] | None = None) -> int:
         "--cursor", default=None,
         help="scrub: cursor file tracking the last scrubbed version",
     )
+    an = sub.add_parser("ann")
+    an.add_argument(
+        "verb",
+        choices=("bootstrap", "retrain", "current", "vacuum-layouts"),
+    )
+    an.add_argument("--registry", required=True, help="registry table dir")
+    an.add_argument(
+        "--layouts-root", default=None,
+        help="dir holding immutable layout dirs (bootstrap/retrain/"
+        "vacuum-layouts)",
+    )
+    an.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    an.add_argument(
+        "--max-mean-sq-err", type=float, default=0.0,
+        help="retrain: reconstruction-error drift gate (0 forces retrain)",
+    )
+    an.add_argument(
+        "--min-recall", type=float, default=0.0,
+        help="retrain: candidate cutover needs >= this audited recall@k",
+    )
+    an.add_argument("--keep-versions", type=int, default=2)
+    an.add_argument("--min-age-s", type=float, default=3600.0)
+    an.add_argument(
+        "--version", type=int, default=None,
+        help="current: pin a registry version instead of the newest",
+    )
     sub.add_parser("list")
     args = p.parse_args(argv)
 
@@ -72,6 +103,47 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for name in entry_mod.queries():
             print(name)
+        return 0
+
+    if args.cmd == "ann":
+        from music_streaming_etl_glue_spark.operators import similarity as S
+        from music_streaming_etl_glue_spark.session import get_spark as _gs
+        from music_streaming_etl_glue_spark.sources.catalog import load_table
+
+        sp = _gs("cli-ann")
+        if args.verb == "current":
+            path = S.current_ivfpq_layout(sp, args.registry, args.version)
+            print(json.dumps({"layout_path": path}))
+            return 0
+        if args.verb == "vacuum-layouts":
+            if not args.layouts_root:
+                print("vacuum-layouts needs --layouts-root", file=sys.stderr)
+                return 2
+            deleted = S.vacuum_ivfpq_layouts(
+                sp, args.registry, args.layouts_root,
+                args.keep_versions, args.min_age_s,
+            )
+            print(json.dumps({"deleted": deleted}))
+            return 0
+        if not args.layouts_root:
+            print(f"{args.verb} needs --layouts-root", file=sys.stderr)
+            return 2
+        embs = load_table(sp, args.sf_dir, "embeddings")
+        if args.verb == "bootstrap":
+            version, path = S.commit_ivfpq_layout(
+                sp, embs, args.registry, args.layouts_root
+            )
+            print(
+                json.dumps(
+                    {"registry_version": version, "layout_path": path}
+                )
+            )
+            return 0
+        audit = S.retrain_ivfpq_lake(
+            sp, embs, args.registry, args.layouts_root,
+            args.max_mean_sq_err, args.min_recall,
+        )
+        print(json.dumps(audit))
         return 0
 
     if args.cmd == "lake":

@@ -263,3 +263,49 @@ def test_lake_registry_failed_audit_leaves_pointer_and_candidate_for_vacuum(
         spark, reg, root, keep_versions=2, min_age_s=0.0
     )
     assert deleted == [orphan]
+
+
+def test_cli_ann_bootstrap_retrain_vacuum_flow(spark, tmp_path, capsys):
+    """The operational story — bootstrap → (drift-forced) retrain with
+    1-row-commit cutover → reference-counted layout vacuum — drivable
+    end to end through the CLI `ann` verbs (VERDICT r12 item #8), the
+    same way `lake scrub` is."""
+    import json
+
+    from music_streaming_etl_glue_spark.__main__ import main
+
+    reg = str(tmp_path / "registry")
+    root = str(tmp_path / "layouts")
+    base = ["ann", "--registry", reg, "--layouts-root", root,
+            "--sf-dir", SF_SMOKE]
+
+    def last_json():
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert main([*base, "bootstrap"]) == 0
+    boot = last_json()
+    assert boot["registry_version"] == 1 and os.path.isdir(
+        boot["layout_path"]
+    )
+    # current resolves the pointer
+    assert main([*base, "current"]) == 0
+    assert last_json()["layout_path"] == boot["layout_path"]
+    # forced retrain (gate 0.0 => any error drifts) cuts over via one
+    # registry commit
+    assert main([*base, "retrain", "--max-mean-sq-err", "0.0"]) == 0
+    audit = last_json()
+    assert audit["retrained"] and audit["cutover"]
+    assert audit["registry_version"] == 2
+    # vacuum: keep only the newest registry version; the bootstrap
+    # layout dir is now unreferenced and sweeps
+    assert main(
+        [*base, "vacuum-layouts", "--keep-versions", "1",
+         "--min-age-s", "0"]
+    ) == 0
+    assert last_json()["deleted"] == [boot["layout_path"]]
+    # the new layout still serves
+    assert main([*base, "current"]) == 0
+    served = last_json()["layout_path"]
+    assert served != boot["layout_path"] and os.path.isdir(served)
+    # arg validation: retrain/bootstrap/vacuum-layouts need a root
+    assert main(["ann", "--registry", reg, "retrain"]) == 2
