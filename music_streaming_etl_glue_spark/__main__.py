@@ -51,7 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument(
         "verb",
         choices=(
-            "history", "compact", "vacuum", "rollback", "delete", "scrub"
+            "history", "compact", "vacuum", "rollback", "delete", "scrub",
+            "rewrite-manifests",
         ),
     )
     lk.add_argument("--target-files", type=int, default=8)
@@ -151,6 +152,10 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.verb == "history":
             print(json.dumps(lakehouse.history(args.table)))
+            return 0
+        if args.verb == "rewrite-manifests":
+            v = lakehouse.rewrite_manifests(args.table)
+            print(json.dumps({"committed_version": v, "noop": v is None}))
             return 0
         if args.verb == "vacuum":
             deleted = lakehouse.vacuum(

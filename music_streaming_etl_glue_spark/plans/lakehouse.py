@@ -425,8 +425,204 @@ def _commit(
             os.unlink(tmp)
 
 
+#: bloom sizing: ~9.6 bits/key with k=7 double-hashed probes ≈ 1% false
+#: positives — a false positive costs one needless file rewrite, so the
+#: envelope is loose by design; side files stay ~1.2 KB per 1k keys
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_HASHES = 7
+
+
+_SM_C1 = 0x9E3779B97F4A7C15
+_SM_C2 = 0xBF58476D1CE4E5B9
+_SM_C3 = 0x94D049BB133111EB
+_SM_SALT = 0xD6E8FEB86659FD93
+_U64 = (1 << 64) - 1
+
+
+def _splitmix64_scalar(x: int) -> int:
+    """splitmix64 finalizer over a u64 — the SCALAR twin of the numpy
+    path in :func:`build_file_blooms`; tests pin bit-parity. Chosen
+    over md5 because the build hashes every key of every new file at
+    commit time: per-key hashlib calls made the bloom build a 12×
+    commit tax at 6M rows, while this vectorizes to ~numpy speed."""
+    z = (x + _SM_C1) & _U64
+    z = ((z ^ (z >> 30)) * _SM_C2) & _U64
+    z = ((z ^ (z >> 27)) * _SM_C3) & _U64
+    return z ^ (z >> 31)
+
+
+def _bloom_hash_pair(v) -> tuple[int, int] | None:
+    """(h1, h2) double-hashing seeds for one key value — MUST be
+    identical at build and probe time (the vectorized build path has a
+    parity test against this). Ints (splitmix64) and strings (md5)
+    only — the key types ``coerce_keys`` produces; None never matches
+    a delete (SQL equality), floats are not sane delete keys."""
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        u = v & _U64
+        return _splitmix64_scalar(u), _splitmix64_scalar(u ^ _SM_SALT) | 1
+    if isinstance(v, str):
+        import hashlib
+
+        d = hashlib.md5(b"s:" + v.encode()).digest()
+        return (
+            int.from_bytes(d[:8], "big"),
+            int.from_bytes(d[8:], "big") | 1,
+        )
+    return None
+
+
+def _bloom_positions(pair: tuple[int, int], m: int) -> list[int]:
+    # the u64 WRAP before % m is load-bearing: the vectorized build
+    # lane computes (h1 + i*h2) in numpy uint64 (mod 2^64); an
+    # unbounded-int scalar probe would disagree for i >= 1
+    h1, h2 = pair
+    return [((h1 + i * h2) & _U64) % m for i in range(_BLOOM_HASHES)]
+
+
+def _bloom_side_path(table_dir: str, rel: str) -> str:
+    return os.path.join(table_dir, rel) + ".bloom"
+
+
+def build_file_blooms(
+    table_dir: str, files: list[str], cols: list[str]
+) -> int:
+    """Per-file key bloom filters as SIDE FILES (``<file>.parquet.bloom``
+    JSON beside each data file): min/max ranges prune nothing when a key
+    column is hash-distributed (every file spans the domain), so a keyed
+    delete — the right-to-be-forgotten path — degenerates to a full
+    table rewrite exactly where it matters most. A ~10-bits/key bloom
+    per (file, key column) lets :func:`commit_delete` skip every file
+    that provably lacks all doomed keys, at ~1% false-positive cost
+    (one needless rewrite per false positive).
+
+    Side files, not manifest entries, on purpose: group manifests are
+    loaded on EVERY pruned plan, and 1 KB+/file of bloom bits would
+    bloat that hot path — deletes alone read blooms, and only for files
+    their range pruning could not clear. The side file rides in the
+    same per-txn dir as its data file, so vacuum's directory sweep
+    collects it for free; files rewritten without blooms simply fall
+    back to the conservative rewrite.
+
+    Costs one column-pruned pyarrow read of each NEW file at commit
+    time — O(new data, key column only), paid once, against O(table)
+    rewrites saved at every keyed delete. Integer key columns hash on
+    the fully-vectorized numpy splitmix64 lane (bit-identical to the
+    scalar probe; parity-tested); string columns pay a per-key md5.
+    Returns the number of side files written."""
+    import base64
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _bits_from_pairs(h1, h2, m: int) -> bytes:
+        # positions[(i, j)] = (h1_i + j*h2_i) % m, all in uint64 numpy
+        j = np.arange(_BLOOM_HASHES, dtype=np.uint64)
+        pos = (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m)
+        flat = np.zeros(((m + 7) // 8) * 8, dtype=bool)
+        flat[pos.ravel()] = True
+        return np.packbits(flat, bitorder="little").tobytes()
+
+    written = 0
+    for rel in files:
+        path = os.path.join(table_dir, rel)
+        tbl = pq.read_table(path, columns=[c for c in cols])
+        body: dict = {}
+        for col in cols:
+            arr = tbl.column(col).combine_chunks()
+            if isinstance(arr, pa.ChunkedArray):
+                arr = (
+                    arr.chunk(0)
+                    if arr.num_chunks == 1
+                    else pa.concat_arrays(arr.chunks)
+                )
+            if pa.types.is_integer(arr.type):
+                vals = arr.drop_null().to_numpy(zero_copy_only=False)
+                if len(vals) == 0:
+                    continue
+                u = vals.astype(np.int64).view(np.uint64)
+                with np.errstate(over="ignore"):
+                    z = (u + np.uint64(_SM_C1))
+                    z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM_C2)
+                    z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_C3)
+                    h1 = z ^ (z >> np.uint64(31))
+                    z = (u ^ np.uint64(_SM_SALT)) + np.uint64(_SM_C1)
+                    z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM_C2)
+                    z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_C3)
+                    h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+                n = len(vals)
+                m = max(64, n * _BLOOM_BITS_PER_KEY)
+                bits = _bits_from_pairs(h1, h2, m)
+            else:
+                pairs = [
+                    p
+                    for v in arr.to_pylist()
+                    if (p := _bloom_hash_pair(v)) is not None
+                ]
+                if not pairs:
+                    continue
+                m = max(64, len(pairs) * _BLOOM_BITS_PER_KEY)
+                ph = np.array(pairs, dtype=np.uint64)
+                bits = _bits_from_pairs(ph[:, 0], ph[:, 1], m)
+            body[col] = {
+                "m": m,
+                "k": _BLOOM_HASHES,
+                "bits": base64.b64encode(bits).decode(),
+            }
+        if not body:
+            continue
+        tmp = _bloom_side_path(table_dir, rel) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        os.rename(tmp, _bloom_side_path(table_dir, rel))
+        written += 1
+    return written
+
+
+def _bloom_may_contain_any(
+    table_dir: str, rel: str, key_col: str, keys: list
+) -> bool:
+    """Whether ``rel``'s side bloom admits ANY of ``keys`` for
+    ``key_col``. Missing/unreadable side file, missing column, or an
+    un-tokenizable key ⇒ True (no evidence means must rewrite — the
+    same conservatism as range stats)."""
+    import base64
+
+    path = _bloom_side_path(table_dir, rel)
+    try:
+        with open(path) as fh:
+            body = json.load(fh)
+    except (OSError, ValueError):
+        return True
+    b = body.get(key_col)
+    if not isinstance(b, dict):
+        return True
+    try:
+        bits = base64.b64decode(b["bits"])
+        m, k = int(b["m"]), int(b["k"])
+    except (KeyError, ValueError, TypeError):
+        return True
+    if m <= 0 or k != _BLOOM_HASHES:
+        return True
+    for key in keys:
+        pair = _bloom_hash_pair(key)
+        if pair is None:
+            return True
+        if all(
+            bits[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions(pair, m)
+        ):
+            return True
+    return False
+
+
 def commit_append(
-    df: DataFrame, table_dir: str, txn_key: str | None = None
+    df: DataFrame,
+    table_dir: str,
+    txn_key: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot (base files + the new ones).
 
@@ -434,12 +630,19 @@ def commit_append(
     surviving manifest already holds returns that version without
     writing (the retried data files become unreferenced orphans for
     vacuum) — the contract an at-least-once streaming epoch needs to
-    land exactly once."""
+    land exactly once.
+
+    ``bloom_cols`` builds per-file key blooms as side files for the new
+    files (see :func:`build_file_blooms`) — pass the delete-key columns
+    of right-to-be-forgotten workloads whose values are hash-distributed
+    (min/max pruning can't help those)."""
     if txn_key is not None:
         done = _find_txn_key(table_dir, txn_key)
         if done is not None:
             return done  # skip the data write too, not just the commit
     files, schema_json, stats, n = _write_data_files(df, table_dir)
+    if bloom_cols:
+        build_file_blooms(table_dir, files, bloom_cols)
     return _commit(
         table_dir, "append", files, schema_json, n, True, txn_key, stats
     )
@@ -1007,15 +1210,32 @@ def commit_delete(
     manifest files are never opened); only intersecting groups are
     resolved, and only their hit files are rewritten — metadata cost
     O(groups touched), data cost O(files hit).
+
+    Files whose range survives are additionally tested against their
+    per-file key bloom side file when one exists (written by
+    ``commit_append(bloom_cols=…)``): on HASH-DISTRIBUTED keys every
+    file spans the whole domain and range pruning clears nothing, but
+    the bloom clears every file that provably lacks all doomed keys
+    (~1% false-positive rewrites). Files without a side bloom stay
+    conservatively rewritten.
     """
     from pyspark.sql import functions as F
 
     version = current_version(table_dir)
     manifest = _load_manifest(table_dir, version, resolve=False)
-    doomed = sorted(set(keys))
+    # a NULL delete key matches no row under SQL equality — drop it
+    # here rather than let it poison the sort or probe conservatively
+    doomed = sorted({k for k in keys if k is not None})
+    if not doomed:
+        return version
 
     def may_hit(rng) -> bool:
         return rng is None or any(rng[0] <= k <= rng[1] for k in doomed)
+
+    def file_may_hit(f: str, fstats: dict) -> bool:
+        if not may_hit(fstats.get(key_col)):
+            return False
+        return _bloom_may_contain_any(table_dir, f, key_col, doomed)
 
     hit: list[str] = []
     untouched: list[str] = []
@@ -1029,7 +1249,7 @@ def commit_delete(
             gd = _load_group(table_dir, g["path"])
             gstats = gd.get("stats", {})
             for f in gd["files"]:
-                if may_hit(gstats.get(f, {}).get(key_col)):
+                if file_may_hit(f, gstats.get(f, {})):
                     hit.append(f)
                 else:
                     untouched.append(f)
@@ -1038,7 +1258,7 @@ def commit_delete(
     else:
         stats = manifest.get("stats", {})
         for f in manifest["files"]:
-            if may_hit(stats.get(f, {}).get(key_col)):
+            if file_may_hit(f, stats.get(f, {})):
                 hit.append(f)
             else:
                 untouched.append(f)

@@ -260,6 +260,24 @@ def test_rewrite_manifests_is_noop_on_format1_and_already_packed(
         assert again is None and L.current_version(t2) == v1
 
 
+def test_cli_lake_rewrite_manifests_verb(tmp_path, capsys):
+    import json as _json
+
+    from music_streaming_etl_glue_spark.__main__ import main
+
+    t = str(tmp_path / "frag")
+    _fake_commit(t, 3_000)
+    for epoch in range(4):
+        _fake_commit(t, 2, start=3_000 + epoch * 2)
+    assert main(["lake", "--table", t, "rewrite-manifests"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["noop"] is False and out["committed_version"] == 6
+    # idempotent: nothing left to merge
+    assert main(["lake", "--table", t, "rewrite-manifests"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["noop"] is True
+
+
 def test_rewrite_manifests_preserves_snapshot_delta_and_change_feed(
     spark, tmp_path, monkeypatch
 ):
