@@ -430,6 +430,10 @@ def _commit(
 #: envelope is loose by design; side files stay ~1.2 KB per 1k keys
 _BLOOM_BITS_PER_KEY = 10
 _BLOOM_HASHES = 7
+#: commit_upsert collects its update keys for bloom probing only when
+#: the batch has at most this many rows (one cheap limit() action) —
+#: bigger merges keep range-only pruning
+_BLOOM_PROBE_KEY_CAP = 1024
 
 
 _SM_C1 = 0x9E3779B97F4A7C15
@@ -1027,12 +1031,23 @@ def commit_upsert(
     costs O(files hit) + O(updates), not a table rewrite. Updates whose
     keys exist in no file (pure inserts — including all-NULL keys,
     which match nothing under SQL equality) rewrite nothing and land as
-    new files."""
+    new files.
+
+    Small update batches (≤ ``_BLOOM_PROBE_KEY_CAP`` rows) additionally
+    probe each range-surviving file's key BLOOM side file (see
+    :func:`build_file_blooms`) on the first key column — on
+    hash-distributed keys the ranges clear nothing, and the bloom cuts
+    the rewrite set to ~the files actually holding the keys, the same
+    win :func:`commit_delete` gets. The updates plan is pinned with a
+    ``localCheckpoint`` first, so the range aggregate, the key probe,
+    and the merge all see ONE materialization even for a
+    non-deterministic source."""
     from pyspark.sql import functions as F
 
     from music_streaming_etl_glue_spark.plans.merge import upsert
 
     spark = updates.sparkSession
+    updates = updates.localCheckpoint()
     base = current_version(table_dir)
     manifest = _load_manifest(table_dir, base, resolve=False)
     rng = updates.agg(
@@ -1049,11 +1064,33 @@ def commit_upsert(
         if rng[f"lo_{k}"] is not None
     }
     all_null_keys = len(predicates) < len(keys)
+    probe_keys: list | None = None
+    if not all_null_keys:
+        head = updates.select(keys[0]).limit(
+            _BLOOM_PROBE_KEY_CAP + 1
+        ).collect()
+        if len(head) <= _BLOOM_PROBE_KEY_CAP:
+            # the limit returned EVERY update row, so this is the full
+            # key set — sound to clear files whose bloom lacks them all
+            # (a file matching the composite key must hold the first
+            # key column's value)
+            probe_keys = sorted(
+                {r[0] for r in head if r[0] is not None}
+            )
 
     def may_hit(fstats: dict) -> bool:
         if all_null_keys:
             return False  # no equality can match a NULL update key
         return _ranges_may_match(fstats, predicates)
+
+    def file_may_hit_upsert(f: str, fstats: dict) -> bool:
+        if not may_hit(fstats):
+            return False
+        if probe_keys is not None:
+            return _bloom_may_contain_any(
+                table_dir, f, keys[0], probe_keys
+            )
+        return True
 
     hit: list[str] = []
     untouched: list[str] = []
@@ -1067,7 +1104,7 @@ def commit_upsert(
             gd = _load_group(table_dir, g["path"])
             gstats = gd.get("stats", {})
             for f in gd["files"]:
-                if may_hit(gstats.get(f, {})):
+                if file_may_hit_upsert(f, gstats.get(f, {})):
                     hit.append(f)
                 else:
                     untouched.append(f)
@@ -1076,7 +1113,7 @@ def commit_upsert(
     else:
         stats = manifest.get("stats", {})
         for f in manifest["files"]:
-            if may_hit(stats.get(f, {})):
+            if file_may_hit_upsert(f, stats.get(f, {})):
                 hit.append(f)
             else:
                 untouched.append(f)

@@ -980,3 +980,31 @@ def test_bloom_vector_scalar_hash_parity(spark, tmp_path):
         1 for v in absent if L._bloom_may_contain_any(t, f, "id", [v])
     )
     assert fp <= 2
+
+
+def test_upsert_bloom_probe_on_hash_distributed_keys(spark, tmp_path):
+    """A small MERGE whose keys are hash-distributed must cut its
+    rewrite set via the bloom side files, like commit_delete — and the
+    result must equal the unpruned merge semantics exactly."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 4000).selectExpr(
+        "CAST(hash(id) AS LONG) * 100000 + id AS id",
+        "CAST(id AS STRING) AS s",
+    ).repartition(8)
+    L.commit_append(df, t, bloom_cols=["id"])
+    all_files = L._load_manifest(t, 1)["files"]
+    two = [r["id"] for r in L.read_snapshot(spark, t).limit(2).collect()]
+    ups = spark.createDataFrame(
+        [(two[0], "updated"), (two[1], "updated"), (10**17, "inserted")],
+        "id long, s string",
+    )
+    v = L.commit_upsert(ups, t, keys=["id"])
+    after = set(L._load_manifest(t, v)["files"])
+    rewritten = set(all_files) - after
+    assert 1 <= len(rewritten) <= 3  # not all 8
+    got = L.read_snapshot(spark, t, v)
+    assert got.count() == 4001
+    assert got.filter(got.s == "updated").count() == 2
+    assert got.filter(got.id == 10**17).count() == 1
+    # keys still unique (no duplicate rows from a wrongly-cleared file)
+    assert got.select("id").distinct().count() == 4001
