@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         "verb",
         choices=(
             "history", "compact", "vacuum", "rollback", "delete", "scrub",
-            "rewrite-manifests",
+            "rewrite-manifests", "delete-mor",
         ),
     )
     lk.add_argument("--target-files", type=int, default=8)
@@ -199,14 +199,22 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 0
-        if args.verb == "delete":
+        if args.verb in ("delete", "delete-mor"):
             if not args.key_col or not args.keys:
-                print("delete needs --key-col and --keys", file=sys.stderr)
+                print(
+                    f"{args.verb} needs --key-col and --keys",
+                    file=sys.stderr,
+                )
                 return 2
             keys = lakehouse.coerce_keys(
                 args.table, args.key_col, args.keys
             )
-            v = lakehouse.commit_delete(sp, args.table, args.key_col, keys)
+            fn = (
+                lakehouse.commit_delete
+                if args.verb == "delete"
+                else lakehouse.commit_delete_mor
+            )
+            v = fn(sp, args.table, args.key_col, keys)
             print(json.dumps({"committed_version": v}))
             return 0
         if args.zorder_by:

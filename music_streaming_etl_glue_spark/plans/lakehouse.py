@@ -320,10 +320,18 @@ def _commit(
     stats: dict | None = None,
     require_base: int | None = None,
     new_groups: list[dict] | None = None,
+    deletes: list[dict] | None = None,
 ) -> int:
     """Claim the next version slot; on a lost race, appends re-merge and
     retry, while read-modify-write commits (``require_base``) raise
     :class:`ConcurrentCommitError` instead of dropping the racer's rows.
+
+    ``deletes`` sets the manifest's outstanding merge-on-read equality
+    deletes explicitly; appends (``merge_with_base``) CARRY the base's
+    list automatically (their new files land past every delete's
+    ``prefix``, so the entries keep meaning exactly what they meant).
+    Rewriting commits that pass neither clear the list — correct for
+    ``compact``/``commit_overwrite``, which materialize or replace.
 
     Format selection: snapshots whose total file count exceeds
     ``MANIFEST_INLINE_LIMIT`` — or whose base is already format 2 —
@@ -405,6 +413,11 @@ def _commit(
             "txns": txns,
             "committed_ns": time.time_ns(),
         }
+        out_deletes = deletes
+        if out_deletes is None and merge_with_base and base is not None:
+            out_deletes = base.get("deletes")
+        if out_deletes:
+            body["deletes"] = out_deletes
         if groups is not None:
             body["format"] = 2
             body["groups"] = groups
@@ -693,6 +706,46 @@ def prune_files(manifest: dict, predicates: dict[str, tuple]) -> list[str]:
     ]
 
 
+def _plan_files_with_idx(
+    table_dir: str,
+    manifest: dict,
+    predicates: dict[str, tuple] | None = None,
+) -> list[tuple[str, int]]:
+    """:func:`plan_snapshot_files` keeping each surviving file's
+    position in the snapshot's FULL resolved order — the index
+    merge-on-read delete applicability is defined over (a delete entry
+    applies to files[0:prefix]). Pruned format-2 groups still advance
+    the index by their recorded ``n_files`` without being opened, so
+    the O(groups touched) property holds with deletes outstanding."""
+    if "groups" not in manifest:
+        files = manifest["files"]
+        if not predicates:
+            return list(zip(files, range(len(files))))
+        stats = manifest.get("stats", {})
+        return [
+            (f, i)
+            for i, f in enumerate(files)
+            if _ranges_may_match(stats.get(f, {}), predicates)
+        ]
+    out: list[tuple[str, int]] = []
+    offset = 0
+    for g in manifest["groups"]:
+        if predicates and not _ranges_may_match(
+            g.get("stats", {}), predicates
+        ):
+            offset += g["n_files"]
+            continue
+        gd = _load_group(table_dir, g["path"])
+        gstats = gd.get("stats", {})
+        for j, f in enumerate(gd["files"]):
+            if not predicates or _ranges_may_match(
+                gstats.get(f, {}), predicates
+            ):
+                out.append((f, offset + j))
+        offset += g["n_files"]
+    return out
+
+
 def plan_snapshot_files(
     table_dir: str,
     manifest: dict,
@@ -703,29 +756,7 @@ def plan_snapshot_files(
     cannot match are skipped WITHOUT loading their file lists (the
     O(groups touched) property); surviving groups are opened and pruned
     file-by-file. Format-1 manifests prune the inline list directly."""
-    if "groups" not in manifest:
-        return (
-            prune_files(manifest, predicates)
-            if predicates
-            else manifest["files"]
-        )
-    out: list[str] = []
-    for g in manifest["groups"]:
-        if predicates and not _ranges_may_match(
-            g.get("stats", {}), predicates
-        ):
-            continue
-        gd = _load_group(table_dir, g["path"])
-        if not predicates:
-            out.extend(gd["files"])
-            continue
-        gstats = gd.get("stats", {})
-        out.extend(
-            f
-            for f in gd["files"]
-            if _ranges_may_match(gstats.get(f, {}), predicates)
-        )
-    return out
+    return [f for f, _ in _plan_files_with_idx(table_dir, manifest, predicates)]
 
 
 def read_snapshot(
@@ -752,14 +783,73 @@ def read_snapshot(
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     manifest = _load_manifest(table_dir, v, resolve=False)
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-    file_list = plan_snapshot_files(table_dir, manifest, prune)
-    if not file_list:
+    pairs = _plan_files_with_idx(table_dir, manifest, prune)
+    if not pairs:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_dir, f) for f in file_list]
+    if manifest.get("deletes"):
+        return _read_with_mor_deletes(
+            spark, table_dir, schema, pairs, manifest["deletes"]
+        )
+    paths = [os.path.join(table_dir, f) for f, _ in pairs]
     # the manifest's (possibly evolved) schema drives the scan: columns a
     # file predates read as null, and no footer-picking race decides what
     # the snapshot looks like
     return spark.read.schema(schema).parquet(*paths)
+
+
+def _read_with_mor_deletes(
+    spark: SparkSession,
+    table_dir: str,
+    schema,
+    pairs: list[tuple[str, int]],
+    deletes: list[dict],
+) -> DataFrame:
+    """Assemble a snapshot read with outstanding merge-on-read equality
+    deletes applied. A delete entry applies to the files at index <
+    its ``prefix`` (the snapshot's file count when the delete
+    committed) — rows appended LATER with the same key stay visible,
+    the Iceberg v2 sequence-number rule expressed over the append-
+    ordered file list. Files partition into ≤ (distinct prefixes + 1)
+    segments, each anti-joined against only the delete-key sets that
+    apply to it; the segments union back by name. Delete-key relations
+    are small parquet files — Spark broadcasts the anti-join sides."""
+    from pyspark.sql import functions as F
+
+    prefixes = sorted({d["prefix"] for d in deletes})
+    segments: list[DataFrame] = []
+    edges = [0] + prefixes + [None]
+    for s in range(len(edges) - 1):
+        start, stop = edges[s], edges[s + 1]
+        seg_files = [
+            f
+            for f, i in pairs
+            if i >= start and (stop is None or i < stop)
+        ]
+        if not seg_files:
+            continue
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table_dir, f) for f in seg_files]
+        )
+        applicable = [d for d in deletes if d["prefix"] > start]
+        by_col: dict[str, list[str]] = {}
+        for d in applicable:
+            by_col.setdefault(d["key_col"], []).append(d["path"])
+        for key_col, dpaths in by_col.items():
+            keys_df = spark.read.parquet(
+                *[os.path.join(table_dir, p) for p in dpaths]
+            ).select(F.col(key_col).alias("__doomed_key")).distinct()
+            df = df.join(
+                F.broadcast(keys_df),
+                df[key_col] == F.col("__doomed_key"),
+                "left_anti",
+            )
+        segments.append(df)
+    if not segments:
+        return spark.createDataFrame([], schema)
+    out = segments[0]
+    for df in segments[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def rollback(table_dir: str, to_version: int) -> int:
@@ -769,6 +859,8 @@ def rollback(table_dir: str, to_version: int) -> int:
     GROUPS are re-referenced as-is — the rollback manifest is O(groups),
     never a file-list rewrite."""
     old = _load_manifest(table_dir, to_version, resolve=False)
+    # restoring old state includes its outstanding MoR deletes, if any
+    old_deletes = list(old.get("deletes", [])) or None
     if "groups" in old:
         return _commit(
             table_dir,
@@ -778,6 +870,7 @@ def rollback(table_dir: str, to_version: int) -> int:
             old["n_rows"],
             False,
             new_groups=list(old["groups"]),
+            deletes=old_deletes,
         )
     return _commit(
         table_dir,
@@ -787,6 +880,7 @@ def rollback(table_dir: str, to_version: int) -> int:
         old["n_rows"],
         False,
         stats=old.get("stats", {}),
+        deletes=old_deletes,
     )
 
 
@@ -897,6 +991,9 @@ def rewrite_manifests(
         False,
         require_base=base_v,
         new_groups=new_entries,
+        # metadata-only: the resolved file ORDER is preserved, so MoR
+        # delete prefixes keep meaning exactly what they meant — carry
+        deletes=list(raw.get("deletes", [])) or None,
     )
 
 
@@ -936,6 +1033,10 @@ def vacuum(
                 referenced.update(_load_group(table_dir, g["path"])["files"])
         else:
             referenced.update(raw["files"])
+        # merge-on-read delete relations are commit-referenced data too
+        referenced.update(
+            d["path"] for d in raw.get("deletes", [])
+        )
     deleted: list[str] = []
     now = time.time()
     data_root = os.path.join(table_dir, _DATA_DIR)
@@ -1050,6 +1151,7 @@ def commit_upsert(
     updates = updates.localCheckpoint()
     base = current_version(table_dir)
     manifest = _load_manifest(table_dir, base, resolve=False)
+    _require_no_mor_deletes(manifest, "commit_upsert")
     rng = updates.agg(
         *[F.min(k).alias(f"lo_{k}") for k in keys],
         *[F.max(k).alias(f"hi_{k}") for k in keys],
@@ -1260,6 +1362,7 @@ def commit_delete(
 
     version = current_version(table_dir)
     manifest = _load_manifest(table_dir, version, resolve=False)
+    _require_no_mor_deletes(manifest, "commit_delete")
     # a NULL delete key matches no row under SQL equality — drop it
     # here rather than let it poison the sort or probe conservatively
     doomed = sorted({k for k in keys if k is not None})
@@ -1345,6 +1448,121 @@ def commit_delete(
         stats={**carry_stats, **new_stats},
         require_base=version,
     )
+
+
+def commit_delete_mor(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys: list,
+) -> int:
+    """Keyed MERGE-ON-READ delete (Iceberg v2 equality-delete shape):
+    the write-optimized twin of :func:`commit_delete`. No data file is
+    rewritten — the doomed keys land as ONE small parquet relation
+    under the commit's txn dir, and the manifest carries an outstanding
+    ``deletes`` entry ({path, key_col, n_keys, prefix}) that readers
+    apply as a broadcast anti-join. ``prefix`` is the snapshot's file
+    count at delete time: the delete applies only to files that existed
+    BEFORE it, so re-appending a deleted key later stays visible
+    (sequence-number semantics over the append-ordered file list).
+
+    Cost profile vs copy-on-write: O(keys) write at commit (a CoW
+    delete pays O(files hit) data rewrite), against a per-read
+    anti-join until :func:`compact` (which reads through the deletes
+    and clears them) materializes. Use MoR for high-frequency small
+    deletes between maintenance windows; use CoW when reads dominate.
+
+    ``n_rows`` stays EXACT: the matched row count is taken with one
+    read-only scan of the bloom/range-pruned candidate files (existing
+    outstanding deletes applied first, so stacked MoR deletes never
+    double-subtract). Appends carry the entry transparently; rewriting
+    commits (CoW delete / upsert / z-order) refuse while deletes are
+    outstanding — run ``compact`` first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    version = current_version(table_dir)
+    if version == 0:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    manifest = _load_manifest(table_dir, version, resolve=False)
+    doomed = sorted({k for k in keys if k is not None})
+    if not doomed or manifest_n_files(manifest) == 0:
+        return version
+
+    # candidate files for the COUNT scan: two-level range pruning on
+    # the doomed hull (groups clear without opening), then the bloom
+    # side files — same O(groups touched) + O(candidates) discipline
+    # as the CoW delete, but read-only
+    candidates = [
+        (f, i)
+        for f, i in _plan_files_with_idx(
+            table_dir, manifest, {key_col: (doomed[0], doomed[-1])}
+        )
+        if _bloom_may_contain_any(table_dir, f, key_col, doomed)
+    ]
+    matched = 0
+    if candidates:
+        from pyspark.sql import functions as F
+
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        visible = (
+            _read_with_mor_deletes(
+                spark, table_dir, schema, candidates,
+                manifest["deletes"],
+            )
+            if manifest.get("deletes")
+            else spark.read.schema(schema).parquet(
+                *[os.path.join(table_dir, f) for f, _ in candidates]
+            )
+        )
+        matched = visible.filter(F.col(key_col).isin(doomed)).count()
+    txn = _txn_id()
+    rel_dir = os.path.join(_DATA_DIR, txn)
+    os.makedirs(os.path.join(table_dir, rel_dir), exist_ok=True)
+    rel = os.path.join(rel_dir, "eq-delete.parquet")
+    pq.write_table(
+        pa.table({key_col: doomed}), os.path.join(table_dir, rel)
+    )
+    entry = {
+        "path": rel,
+        "key_col": key_col,
+        "n_keys": len(doomed),
+        "prefix": manifest_n_files(manifest),
+    }
+    deletes = list(manifest.get("deletes", [])) + [entry]
+    if "groups" in manifest:
+        return _commit(
+            table_dir,
+            "delete_mor",
+            [],
+            manifest["schema"],
+            manifest["n_rows"] - matched,
+            False,
+            require_base=version,
+            new_groups=list(manifest["groups"]),
+            deletes=deletes,
+        )
+    return _commit(
+        table_dir,
+        "delete_mor",
+        manifest["files"],
+        manifest["schema"],
+        manifest["n_rows"] - matched,
+        False,
+        stats=manifest.get("stats", {}),
+        require_base=version,
+        deletes=deletes,
+    )
+
+
+def _require_no_mor_deletes(manifest: dict, op: str) -> None:
+    if manifest.get("deletes"):
+        raise ValueError(
+            f"{op} on a table with outstanding merge-on-read deletes "
+            f"({len(manifest['deletes'])} entries) would resurrect or "
+            "double-apply deleted keys; run compact() to materialize "
+            "them first"
+        )
 
 
 def coerce_keys(

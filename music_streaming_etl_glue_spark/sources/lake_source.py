@@ -35,8 +35,12 @@ SOURCE_NAME = "lake"
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, deletes: list | None = None):
         self.path = path
+        #: [(key_col, abs_delete_parquet_path), …] merge-on-read
+        #: equality deletes applying to THIS file (prefix already
+        #: resolved driver-side); rows matching any set are dropped
+        self.deletes = deletes or []
 
 
 def _manifest(table_dir: str, version: int, resolve: bool = True) -> dict:
@@ -181,14 +185,40 @@ class LakeReader(DataSourceReader):
 
     def partitions(self):
         man = _manifest(self.table, self.version)
-        return [
-            _FilePartition(os.path.join(self.table, f)) for f in man["files"]
-        ] or [_FilePartition("")]
+        deletes = man.get("deletes") or []
+        parts = []
+        for idx, f in enumerate(man["files"]):
+            applicable = [
+                (d["key_col"], os.path.join(self.table, d["path"]))
+                for d in deletes
+                if d["prefix"] > idx
+            ]
+            parts.append(
+                _FilePartition(os.path.join(self.table, f), applicable)
+            )
+        return parts or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
         if not partition.path:
             return iter(())
-        return _rows(partition.path, self.fields)
+        rows = _rows(partition.path, self.fields)
+        if not partition.deletes:
+            return rows
+        import pyarrow.parquet as pq
+
+        doomed: list[tuple[int, set]] = []
+        for key_col, dpath in partition.deletes:
+            if key_col not in self.fields:
+                continue
+            keys = set(
+                pq.read_table(dpath).column(key_col).to_pylist()
+            )
+            doomed.append((self.fields.index(key_col), keys))
+        return (
+            row
+            for row in rows
+            if not any(row[i] in keys for i, keys in doomed)
+        )
 
 
 class LakeStreamReader(DataSourceStreamReader):

@@ -38,11 +38,14 @@ def _run_sequence(spark, tmp_path, seed, n_ops=14):
         (i, f"s{seed}_{i}") for i in range(next_id - 3, next_id)
     )
     ops = ["append", "overwrite", "upsert", "delete", "compact", "rollback",
-           "vacuum", "rewrite_manifests"]
+           "vacuum", "rewrite_manifests", "delete_mor"]
     for _ in range(n_ops):
         op = rng.choice(ops)
         cur_v = L.current_version(t)
         cur = list(model[cur_v])
+        has_mor = bool(
+            L._load_manifest(t, cur_v, resolve=False).get("deletes")
+        )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 3))
             v = L.commit_append(_df(spark, rows), t)
@@ -56,6 +59,12 @@ def _run_sequence(spark, tmp_path, seed, n_ops=14):
                 (i, f"u{seed}_{i}")
                 for i, _ in rng.sample(cur, min(len(cur), 2))
             ] + fresh_rows(1)
+            if has_mor:
+                # rewriting commits must REFUSE over outstanding MoR
+                # deletes (they read files raw and would resurrect)
+                with pytest.raises(ValueError, match="merge-on-read"):
+                    L.commit_upsert(_df(spark, updates), t, keys=["id"])
+                continue
             v = L.commit_upsert(_df(spark, updates), t, keys=["id"])
             upd = {i: s for i, s in updates}
             model[v] = sorted(
@@ -66,7 +75,19 @@ def _run_sequence(spark, tmp_path, seed, n_ops=14):
             if not cur:
                 continue
             doomed = [i for i, _ in rng.sample(cur, min(len(cur), 2))]
+            if has_mor:
+                with pytest.raises(ValueError, match="merge-on-read"):
+                    L.commit_delete(spark, t, "id", doomed)
+                continue
             v = L.commit_delete(spark, t, "id", doomed)
+            model[v] = sorted(
+                (i, s) for i, s in cur if i not in doomed
+            )
+        elif op == "delete_mor":
+            if not cur:
+                continue
+            doomed = [i for i, _ in rng.sample(cur, min(len(cur), 2))]
+            v = L.commit_delete_mor(spark, t, "id", doomed)
             model[v] = sorted(
                 (i, s) for i, s in cur if i not in doomed
             )

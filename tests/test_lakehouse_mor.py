@@ -1,0 +1,178 @@
+"""Merge-on-read equality deletes (commit_delete_mor): the
+write-optimized twin of the CoW delete — no data rewrite at commit,
+readers apply the delete-key relations as broadcast anti-joins, with
+Iceberg-v2 sequence semantics (a delete applies only to files that
+existed before it, expressed as a file-count prefix over the
+append-ordered file list)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from music_streaming_etl_glue_spark.plans import lakehouse as L
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, s string").coalesce(1)
+
+
+def _rowset(df):
+    return sorted((r["id"], r["s"]) for r in df.collect())
+
+
+def test_mor_delete_rewrites_nothing_and_hides_rows(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    files_before = set(L._load_manifest(t, 1)["files"])
+    v = L.commit_delete_mor(spark, t, "id", [2])
+    assert v == 2
+    man = L._load_manifest(t, 2, resolve=False)
+    # SAME data files, one outstanding delete entry, exact n_rows
+    assert set(L._load_manifest(t, 2)["files"]) == files_before
+    assert man["action"] == "delete_mor" and man["n_rows"] == 2
+    (entry,) = man["deletes"]
+    assert entry["key_col"] == "id" and entry["n_keys"] == 1
+    assert entry["prefix"] == len(files_before)
+    assert os.path.exists(os.path.join(t, entry["path"]))
+    assert _rowset(L.read_snapshot(spark, t)) == [(1, "a"), (3, "c")]
+    # time travel below the delete still sees the row
+    assert _rowset(L.read_snapshot(spark, t, 1)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_mor_sequence_rule_reappended_key_stays_visible(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "old"), (2, "b")]), t)
+    L.commit_delete_mor(spark, t, "id", [1])
+    # re-append the deleted key AFTER the delete: the new row is past
+    # the delete's prefix and must be visible
+    L.commit_append(_df(spark, [(1, "new")]), t)
+    assert _rowset(L.read_snapshot(spark, t)) == [(1, "new"), (2, "b")]
+    assert L._load_manifest(
+        t, L.current_version(t), resolve=False
+    )["n_rows"] == 2
+    # a second MoR delete of the same key kills the NEW row too
+    v = L.commit_delete_mor(spark, t, "id", [1])
+    assert _rowset(L.read_snapshot(spark, t, v)) == [(2, "b")]
+    assert L._load_manifest(t, v, resolve=False)["n_rows"] == 1
+
+
+def test_mor_stacked_deletes_never_double_subtract(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(i, f"r{i}") for i in range(10)]), t)
+    L.commit_delete_mor(spark, t, "id", [3, 4])
+    v = L.commit_delete_mor(spark, t, "id", [4, 5])  # 4 already hidden
+    assert L._load_manifest(t, v, resolve=False)["n_rows"] == 7
+    assert sorted(
+        r["id"] for r in L.read_snapshot(spark, t, v).collect()
+    ) == [0, 1, 2, 6, 7, 8, 9]
+
+
+def test_mor_compact_materializes_and_clears(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    L.commit_delete_mor(spark, t, "id", [2])
+    v = L.compact(spark, t, target_files=1)
+    man = L._load_manifest(t, v, resolve=False)
+    assert "deletes" not in man and man["n_rows"] == 2
+    assert _rowset(L.read_snapshot(spark, t, v)) == [(1, "a"), (3, "c")]
+    # cleared: rewriting commits are allowed again
+    L.commit_delete(spark, t, "id", [3])
+    assert _rowset(L.read_snapshot(spark, t)) == [(1, "a")]
+
+
+def test_mor_guards_block_raw_rewrites(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b")]), t)
+    L.commit_delete_mor(spark, t, "id", [1])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        L.commit_delete(spark, t, "id", [2])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        L.commit_upsert(_df(spark, [(2, "u")]), t, keys=["id"])
+    # appends carry the outstanding entry transparently
+    v = L.commit_append(_df(spark, [(9, "z")]), t)
+    assert len(L._load_manifest(t, v, resolve=False)["deletes"]) == 1
+
+
+def test_mor_rollback_restores_deletes_and_vacuum_keeps_them(
+    spark, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b")]), t)
+    v_del = L.commit_delete_mor(spark, t, "id", [1])
+    L.compact(spark, t, target_files=1)  # v3 clears
+    v_rb = L.rollback(t, v_del)  # restore the deleted-state view
+    assert _rowset(L.read_snapshot(spark, t, v_rb)) == [(2, "b")]
+    man = L._load_manifest(t, v_rb, resolve=False)
+    (entry,) = man["deletes"]
+    # vacuum keeps the delete relation while a surviving version
+    # references it
+    L.vacuum(t, keep_versions=2, min_age_s=0.0)
+    assert os.path.exists(os.path.join(t, entry["path"]))
+    assert _rowset(L.read_snapshot(spark, t)) == [(2, "b")]
+
+
+def test_mor_pruned_read_still_applies_deletes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        L.commit_append(
+            _df(spark, [(lo + i, f"r{lo + i}") for i in range(10)]), t
+        )
+    L.commit_delete_mor(spark, t, "id", [105, 205])
+    got = L.read_snapshot(spark, t, prune={"id": (100, 110)})
+    ids = sorted(r["id"] for r in got.collect())
+    assert 105 not in ids and set(ids) >= {100, 104, 106, 109}
+
+
+def test_mor_on_format2_table_with_group_pruned_count(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(L, "MANIFEST_INLINE_LIMIT", 2)
+    monkeypatch.setattr(L, "MANIFEST_GROUP_TARGET", 2)
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        L.commit_append(_df(spark, [(lo, f"r{lo}"), (lo + 1, f"r{lo+1}")]), t)
+    assert L._load_manifest(t, 3, resolve=False).get("format") == 2
+    v = L.commit_delete_mor(spark, t, "id", [10])
+    man = L._load_manifest(t, v, resolve=False)
+    assert man["n_rows"] == 5 and "groups" in man
+    assert sorted(
+        r["id"] for r in L.read_snapshot(spark, t, v).collect()
+    ) == [0, 1, 11, 20, 21]
+    # metadata-only group rewrite carries the delete entry
+    v_rw = L.rewrite_manifests(t)
+    if v_rw is not None:
+        man_rw = L._load_manifest(t, v_rw, resolve=False)
+        assert len(man_rw["deletes"]) == 1
+        assert sorted(
+            r["id"] for r in L.read_snapshot(spark, t, v_rw).collect()
+        ) == [0, 1, 11, 20, 21]
+
+
+def test_mor_python_datasource_batch_read_applies_deletes(
+    spark, tmp_path
+):
+    from music_streaming_etl_glue_spark.sources import lake_source
+
+    lake_source.register(spark)
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    L.commit_delete_mor(spark, t, "id", [2])
+    got = (
+        spark.read.format("lake").option("table", t).load()
+    )
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
+
+
+def test_mor_delete_of_absent_or_null_keys(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a")]), t)
+    # absent key: entry still lands (cheap), n_rows unchanged
+    v = L.commit_delete_mor(spark, t, "id", [999])
+    assert L._load_manifest(t, v, resolve=False)["n_rows"] == 1
+    assert _rowset(L.read_snapshot(spark, t)) == [(1, "a")]
+    # all-null key list: no commit at all
+    assert L.commit_delete_mor(spark, t, "id", [None]) == v
