@@ -112,6 +112,60 @@ GROUP BY source
 """
 
 
+def _lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes through the driver gate (r13):
+    land documents as a lake snapshot, MoR-delete the %97 doc_ids (no
+    data rewrite — the keys land as one small relation + an outstanding
+    manifest entry), then RE-APPEND the smallest deleted doc verbatim —
+    the sequence rule says the delete applies only to files that
+    existed before it, so the re-appended row must be VISIBLE. The
+    snapshot read applies the segmented broadcast anti-join; the oracle
+    replays delete + resurrect in pure SQL over the raw parquet. All
+    three commits are idempotent across gate/bench re-runs (txn-keyed
+    appends; the delete fires only at version 1)."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    tbl = _ivf_cache_path(sf_dir, "lakemor", "v1", table="documents")
+    base = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    lakehouse.commit_append(base, tbl, txn_key=f"docs:{tbl}")
+    doomed_df = base.filter(F.col("doc_id") % 97 == 0)
+    if lakehouse.current_version(tbl) == 1:
+        doomed = [r[0] for r in doomed_df.select("doc_id").collect()]
+        lakehouse.commit_delete_mor(spark, tbl, "doc_id", doomed)
+    resurrect = doomed_df.orderBy("doc_id").limit(1)
+    lakehouse.commit_append(resurrect, tbl, txn_key=f"resurrect:{tbl}")
+    snap = lakehouse.read_snapshot(spark, tbl)
+    return snap.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).cast("long").alias(
+            "content_checksum"
+        ),
+    )
+
+
+LAKE_MOR_DELETE_SQL = """
+WITH kept AS (
+    SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 97 <> 0
+),
+resurrected AS (
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 1
+),
+cur AS (
+    SELECT * FROM kept UNION ALL SELECT * FROM resurrected
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       SUM(doc_id * n_chars)::BIGINT AS content_checksum
+FROM cur
+GROUP BY source
+"""
+
+
 def _lake_merge_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed-driven re-scrub through the driver gate (r12): land
     documents as a lake snapshot, MERGE a deterministic edit set
@@ -386,6 +440,9 @@ _STAMP_PRIORITY = (
     # similarity.pca_explained_variance_audit and the SCALE.md
     # audit-anchor rule); it goes FIRST so the driver restamps it.
     "pca_explained_variance",
+    # (1b) entry NEW this round — never stamped: merge-on-read delete
+    # + sequence-rule resurrect replayed through the lake
+    "lake_mor_delete",
     # (2) the six r6 leftovers the r12 window cut off (newest stamp is
     # round 6 — seven rounds old, predating the signed-zero gate fix):
     "small_quantity_revenue",
@@ -652,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keyed snapshot diff picks the changed docs, the batch-vs-
         # corpus dedup kernel flags them
         "lake_merge_scrub": _lake_merge_scrub,
+        "lake_mor_delete": _lake_mor_delete,
         # data-mix diagnostic: per-source unigram KL vs the corpus blend
         "source_divergence": lambda spark, sf: (
             _text.source_divergence(_docs(spark, sf))
@@ -1608,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_rate_by_source": _dedup.NEAR_DUP_RATE_BY_SOURCE_SQL,
         "minhash_blocking_audit": _dedup.MINHASH_BLOCKING_AUDIT_SQL,
         "lake_roundtrip_summary": LAKE_ROUNDTRIP_SQL,
+        "lake_mor_delete": LAKE_MOR_DELETE_SQL,
         "lake_merge_scrub": _dedup._dedup_scrub_sql(
             cur_sql=(
                 "SELECT doc_id, CASE WHEN doc_id % 89 = 0 "
