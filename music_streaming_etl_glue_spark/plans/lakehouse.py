@@ -1113,6 +1113,32 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+def version_at_timestamp(table_dir: str, ts_ns: int) -> int:
+    """Timestamp-based time travel: the newest surviving version whose
+    ``committed_ns`` is ≤ ``ts_ns`` — "the table as of 14:00" without
+    knowing version numbers (every manifest records its commit wall
+    clock). Raises when the timestamp predates every surviving snapshot
+    (or falls below vacuum retention — same failure, same message
+    shape: pin by version or widen retention)."""
+    mdir = _manifest_dir(table_dir)
+    best = 0
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            v = int(name[1:13])
+            m = _load_manifest(table_dir, v, resolve=False)
+            if m.get("committed_ns", 0) <= ts_ns and v > best:
+                best = v
+    if best == 0:
+        raise FileNotFoundError(
+            f"no surviving snapshot under {table_dir} committed at or "
+            f"before ts_ns={ts_ns} (predates the table, or vacuumed "
+            "below retention)"
+        )
+    return best
+
+
 def commit_upsert(
     updates: DataFrame, table_dir: str, keys: list[str]
 ) -> int:

@@ -176,11 +176,25 @@ def _rows(path: str, field_names: list[str]):
         yield from zip(*cols) if cols else iter(())
 
 
+def _resolve_version(options, table: str) -> int:
+    """Batch-read version resolution: explicit ``version`` wins, else
+    ``as_of_ns`` (timestamp time travel via the manifests' commit
+    clock), else the current snapshot."""
+    v = options.get("version")
+    if v is not None:
+        return int(v)
+    ts = options.get("as_of_ns")
+    if ts is not None:
+        from music_streaming_etl_glue_spark.plans import lakehouse
+
+        return lakehouse.version_at_timestamp(table, int(ts))
+    return _current_version(table)
+
+
 class LakeReader(DataSourceReader):
     def __init__(self, options, schema):
         self.table = options["table"]
-        v = options.get("version")
-        self.version = int(v) if v is not None else _current_version(self.table)
+        self.version = _resolve_version(options, self.table)
         self.fields = [f.name for f in schema.fields]
 
     def partitions(self):
@@ -267,8 +281,7 @@ class LakeDataSource(DataSource):
 
     def schema(self):
         table = self.options["table"]
-        v = self.options.get("version")
-        ver = int(v) if v is not None else _current_version(table)
+        ver = _resolve_version(self.options, table)
         if ver == 0:
             raise FileNotFoundError(
                 f"no committed snapshot under {table}: the lake source "

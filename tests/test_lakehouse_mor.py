@@ -176,3 +176,30 @@ def test_mor_delete_of_absent_or_null_keys(spark, tmp_path):
     assert _rowset(L.read_snapshot(spark, t)) == [(1, "a")]
     # all-null key list: no commit at all
     assert L.commit_delete_mor(spark, t, "id", [None]) == v
+
+
+def test_version_at_timestamp_time_travel(spark, tmp_path):
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a")]), t)
+    ts1 = L._load_manifest(t, 1, resolve=False)["committed_ns"]
+    L.commit_append(_df(spark, [(2, "b")]), t)
+    ts2 = L._load_manifest(t, 2, resolve=False)["committed_ns"]
+    assert L.version_at_timestamp(t, ts1) == 1
+    assert L.version_at_timestamp(t, (ts1 + ts2) // 2) == 1
+    assert L.version_at_timestamp(t, ts2) == 2
+    assert L.version_at_timestamp(t, ts2 + 10**12) == 2
+    with _pytest.raises(FileNotFoundError, match="predates"):
+        L.version_at_timestamp(t, ts1 - 1)
+    # through the DataSource option
+    from music_streaming_etl_glue_spark.sources import lake_source
+
+    lake_source.register(spark)
+    got = (
+        spark.read.format("lake")
+        .option("table", t)
+        .option("as_of_ns", str(ts1))
+        .load()
+    )
+    assert _rowset(got) == [(1, "a")]
