@@ -1511,6 +1511,17 @@ def commit_delete_mor(
     if version == 0:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     manifest = _load_manifest(table_dir, version, resolve=False)
+    schema_cols = {
+        f["name"] for f in json.loads(manifest["schema"])["fields"]
+    }
+    if key_col not in schema_cols:
+        # validate BEFORE the entry lands: a typo'd key column in an
+        # outstanding delete entry would fail every future snapshot
+        # read's anti-join, not just this commit
+        raise ValueError(
+            f"delete key column {key_col!r} not in table schema "
+            f"(have: {sorted(schema_cols)})"
+        )
     doomed = sorted({k for k in keys if k is not None})
     if not doomed or manifest_n_files(manifest) == 0:
         return version

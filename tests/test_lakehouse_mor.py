@@ -203,3 +203,12 @@ def test_version_at_timestamp_time_travel(spark, tmp_path):
         .load()
     )
     assert _rowset(got) == [(1, "a")]
+
+
+def test_mor_delete_rejects_unknown_key_column(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="not in table schema"):
+        L.commit_delete_mor(spark, t, "nope", [1])
+    # nothing landed: reads unaffected
+    assert _rowset(L.read_snapshot(spark, t)) == [(1, "a")]
