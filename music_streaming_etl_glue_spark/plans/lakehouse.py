@@ -598,6 +598,24 @@ def build_file_blooms(
     return written
 
 
+def _bloom_cols_of(table_dir: str, files: list[str]) -> list[str]:
+    """The union of key columns any of ``files``' bloom side files
+    cover — how rewriting commits (compact / CoW delete / upsert)
+    decide which blooms to REBUILD for their output files, so the
+    delete-pruning feature survives maintenance instead of silently
+    degrading to conservative rewrites."""
+    cols: set[str] = set()
+    for rel in files:
+        try:
+            with open(_bloom_side_path(table_dir, rel)) as fh:
+                body = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(body, dict):
+            cols.update(k for k in body if isinstance(k, str))
+    return sorted(cols)
+
+
 def _bloom_may_contain_any(
     table_dir: str, rel: str, key_col: str, keys: list
 ) -> bool:
@@ -892,10 +910,18 @@ def compact(spark: SparkSession, table_dir: str, target_files: int) -> int:
     drifting rewrite aborts with orphans, never a bad snapshot."""
     before = current_version(table_dir)
     df = read_snapshot(spark, table_dir, before)
-    n_before = _load_manifest(table_dir, before, resolve=False)["n_rows"]
+    base_man = _load_manifest(table_dir, before, resolve=False)
+    n_before = base_man["n_rows"]
     files, schema_json, stats, check = _write_data_files(
         df.coalesce(max(1, target_files)), table_dir
     )
+    # bloom side files survive maintenance: rebuild for the compacted
+    # output whatever key columns the base files covered
+    bloom_cols = _bloom_cols_of(
+        table_dir, plan_snapshot_files(table_dir, base_man)
+    )
+    if bloom_cols:
+        build_file_blooms(table_dir, files, bloom_cols)
     # drift check is footer-count vs the base manifest's n_rows — one
     # source plan execution, no verification re-read
     if check != n_before:
@@ -1260,6 +1286,9 @@ def commit_upsert(
     new_files, schema_json, new_stats, written = _write_data_files(
         merged, table_dir
     )
+    bloom_cols = _bloom_cols_of(table_dir, hit)
+    if bloom_cols:
+        build_file_blooms(table_dir, new_files, bloom_cols)
     n_after = manifest["n_rows"] - hit_rows + written
     if "groups" in manifest:
         groups = kept_groups + _pack_groups(
@@ -1332,6 +1361,14 @@ def compact_zordered(
     files, schema_json, stats, check = _write_data_files(
         clustered, table_dir
     )
+    bloom_cols = _bloom_cols_of(
+        table_dir,
+        plan_snapshot_files(
+            table_dir, _load_manifest(table_dir, before, resolve=False)
+        ),
+    )
+    if bloom_cols:
+        build_file_blooms(table_dir, files, bloom_cols)
     if check != n_before:
         raise RuntimeError(
             f"zorder compaction row drift: {n_before} -> {check};"
@@ -1447,6 +1484,9 @@ def commit_delete(
     new_files, schema_json, new_stats, kept_rows = _write_data_files(
         kept, table_dir
     )
+    bloom_cols = _bloom_cols_of(table_dir, hit)
+    if bloom_cols:
+        build_file_blooms(table_dir, new_files, bloom_cols)
     n_after = manifest["n_rows"] - hit_rows + kept_rows
     if "groups" in manifest:
         groups = kept_groups + _pack_groups(

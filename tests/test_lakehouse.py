@@ -1008,3 +1008,28 @@ def test_upsert_bloom_probe_on_hash_distributed_keys(spark, tmp_path):
     assert got.filter(got.id == 10**17).count() == 1
     # keys still unique (no duplicate rows from a wrongly-cleared file)
     assert got.select("id").distinct().count() == 4001
+
+
+def test_blooms_survive_compaction_and_cow_rewrites(spark, tmp_path):
+    """Rewriting commits rebuild bloom side files for their output
+    whenever the predecessor files carried them — the delete-pruning
+    feature must survive maintenance, not silently degrade."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).selectExpr(
+        "CAST(hash(id) AS LONG) * 100000 + id AS id",
+        "CAST(id AS STRING) AS s",
+    ).repartition(4)
+    L.commit_append(df, t, bloom_cols=["id"])
+    v = L.compact(spark, t, target_files=2)
+    for f in L._load_manifest(t, v)["files"]:
+        assert os.path.exists(os.path.join(t, f) + ".bloom")
+    # a keyed delete on the compacted table still prunes via blooms
+    doomed = [r["id"] for r in L.read_snapshot(spark, t).limit(1).collect()]
+    v2 = L.commit_delete(spark, t, "id", doomed)
+    # ... and the delete's own rewritten output re-carries the bloom
+    new_files = set(L._load_manifest(t, v2)["files"]) - set(
+        L._load_manifest(t, v)["files"]
+    )
+    for f in new_files:
+        assert os.path.exists(os.path.join(t, f) + ".bloom")
+    assert L.read_snapshot(spark, t).count() == 1999
