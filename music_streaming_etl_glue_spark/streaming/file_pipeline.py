@@ -148,6 +148,7 @@ def _lake_epoch_committer(
     txn_prefix: str = "epoch",
     auto_compact_files: int | None = None,
     compact_target: int = 8,
+    bloom_cols: list[str] | None = None,
 ):
     """foreachBatch sink that lands each micro-batch as a lakehouse
     snapshot commit (``plans.lakehouse.commit_append``) keyed by the
@@ -180,7 +181,14 @@ def _lake_epoch_committer(
 
     def write(df: DataFrame, epoch_id: int) -> None:
         lakehouse.commit_append(
-            df, table_dir, txn_key=f"{txn_prefix}-{epoch_id}"
+            df,
+            table_dir,
+            txn_key=f"{txn_prefix}-{epoch_id}",
+            # per-epoch bloom side files: streamed tables get the same
+            # keyed-delete pruning appends get (compaction re-lands
+            # them for its output, so the feature survives the
+            # auto-compact below)
+            bloom_cols=bloom_cols,
         )
         v = lakehouse.current_version(table_dir)
         man = lakehouse._load_manifest(table_dir, v, resolve=False)

@@ -1033,3 +1033,18 @@ def test_blooms_survive_compaction_and_cow_rewrites(spark, tmp_path):
     for f in new_files:
         assert os.path.exists(os.path.join(t, f) + ".bloom")
     assert L.read_snapshot(spark, t).count() == 1999
+
+
+def test_epoch_committer_lands_blooms_per_epoch(spark, tmp_path):
+    from music_streaming_etl_glue_spark.streaming.file_pipeline import (
+        _lake_epoch_committer,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write = _lake_epoch_committer(tbl, bloom_cols=["id"])
+    write(_df(spark, [1, 2]).coalesce(1), 0)
+    write(_df(spark, [3]).coalesce(1), 1)
+    files = L._load_manifest(t := tbl, L.current_version(t))["files"]
+    assert len(files) == 2
+    for f in files:
+        assert os.path.exists(os.path.join(tbl, f) + ".bloom")
