@@ -1119,7 +1119,10 @@ def vacuum(
 
 def history(table_dir: str) -> list[dict]:
     """The commit log, oldest first: (version, parent, action, n_rows,
-    n_files) per surviving snapshot."""
+    n_files[, n_deletes]) per surviving snapshot — ``n_deletes`` (the
+    outstanding merge-on-read entry count) appears only when
+    non-zero, so the operator sees at a glance which snapshots carry
+    un-materialized deletes."""
     mdir = _manifest_dir(table_dir)
     if not os.path.isdir(mdir):
         return []
@@ -1127,15 +1130,16 @@ def history(table_dir: str) -> list[dict]:
     for name in sorted(os.listdir(mdir)):
         if name.startswith("v") and name.endswith(".json"):
             m = _load_manifest(table_dir, int(name[1:13]), resolve=False)
-            out.append(
-                {
-                    "version": m["version"],
-                    "parent": m["parent"],
-                    "action": m["action"],
-                    "n_rows": m["n_rows"],
-                    "n_files": manifest_n_files(m),
-                }
-            )
+            row = {
+                "version": m["version"],
+                "parent": m["parent"],
+                "action": m["action"],
+                "n_rows": m["n_rows"],
+                "n_files": manifest_n_files(m),
+            }
+            if m.get("deletes"):
+                row["n_deletes"] = len(m["deletes"])
+            out.append(row)
     return out
 
 
