@@ -166,6 +166,39 @@ GROUP BY source
 """
 
 
+def _lake_cdf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed fold through the driver gate (r13): the same
+    append → MoR-delete → resurrect history as ``lake_mor_delete``, but
+    the result is derived from the ROW-LEVEL CHANGE FEED
+    (``plans.lake_cdf.snapshot_changes`` — inserts from appends,
+    retractions from the MoR delete) folded back to net state, instead
+    of from a snapshot read. Same oracle: fold(changes(0, head)) must
+    equal the snapshot — any drift in the feed's delta resolution,
+    retraction pruning, or fold ordering breaks hash parity."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans import lake_cdf, lakehouse
+
+    tbl = _ivf_cache_path(sf_dir, "lakecdf", "v1", table="documents")
+    base = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    lakehouse.commit_append(base, tbl, txn_key=f"docs:{tbl}")
+    doomed_df = base.filter(F.col("doc_id") % 97 == 0)
+    if lakehouse.current_version(tbl) == 1:
+        doomed = [r[0] for r in doomed_df.select("doc_id").collect()]
+        lakehouse.commit_delete_mor(spark, tbl, "doc_id", doomed)
+    resurrect = doomed_df.orderBy("doc_id").limit(1)
+    lakehouse.commit_append(resurrect, tbl, txn_key=f"resurrect:{tbl}")
+    changes = lake_cdf.snapshot_changes(spark, tbl, 0)
+    folded = lake_cdf.fold_changes(changes, ["doc_id"])
+    return folded.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).cast("long").alias(
+            "content_checksum"
+        ),
+    )
+
+
 def _lake_merge_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed-driven re-scrub through the driver gate (r12): land
     documents as a lake snapshot, MERGE a deterministic edit set
@@ -440,9 +473,11 @@ _STAMP_PRIORITY = (
     # similarity.pca_explained_variance_audit and the SCALE.md
     # audit-anchor rule); it goes FIRST so the driver restamps it.
     "pca_explained_variance",
-    # (1b) entry NEW this round — never stamped: merge-on-read delete
-    # + sequence-rule resurrect replayed through the lake
+    # (1b) entries NEW this round — never stamped: merge-on-read delete
+    # + sequence-rule resurrect replayed through the lake, and the same
+    # history derived via the row-level change feed + fold
     "lake_mor_delete",
+    "lake_cdf_fold",
     # (2) the six r6 leftovers the r12 window cut off (newest stamp is
     # round 6 — seven rounds old, predating the signed-zero gate fix):
     "small_quantity_revenue",
@@ -710,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus dedup kernel flags them
         "lake_merge_scrub": _lake_merge_scrub,
         "lake_mor_delete": _lake_mor_delete,
+        "lake_cdf_fold": _lake_cdf_fold,
         # data-mix diagnostic: per-source unigram KL vs the corpus blend
         "source_divergence": lambda spark, sf: (
             _text.source_divergence(_docs(spark, sf))
@@ -1667,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_blocking_audit": _dedup.MINHASH_BLOCKING_AUDIT_SQL,
         "lake_roundtrip_summary": LAKE_ROUNDTRIP_SQL,
         "lake_mor_delete": LAKE_MOR_DELETE_SQL,
+        "lake_cdf_fold": LAKE_MOR_DELETE_SQL,
         "lake_merge_scrub": _dedup._dedup_scrub_sql(
             cur_sql=(
                 "SELECT doc_id, CASE WHEN doc_id % 89 = 0 "
