@@ -486,9 +486,11 @@ _STAMP_PRIORITY = (
     "unigram_surprisal",
     "user_session_windows",
     "waiting_customers",
-    # (3) the FULL r7 cohort (43 entries, alphabetical) — 1 + 6 + 43
-    # fills the 50-slot window exactly, so after r13 the oldest stamp
-    # in the catalog is r8.
+    # (3) the r7 cohort (43 entries, alphabetical). 1 + 2 + 6 + 43 = 52
+    # overfills the 50-slot window by two: the LAST TWO r7 entries
+    # (winnow_near_dups, winnowing_fingerprints) ride to r14 — the two
+    # never-stamped lake entries above need a first stamp more than
+    # green-but-old ones need a refresh.
     "audience_overlap_bitmap",
     "bpe_fertility",
     "bpe_roundtrip",
