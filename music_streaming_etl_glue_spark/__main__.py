@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         "verb",
         choices=(
             "history", "compact", "vacuum", "rollback", "delete", "scrub",
-            "rewrite-manifests", "delete-mor",
+            "rewrite-manifests", "delete-mor", "changes",
         ),
     )
     lk.add_argument("--target-files", type=int, default=8)
@@ -68,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument(
         "--cursor", default=None,
         help="scrub: cursor file tracking the last scrubbed version",
+    )
+    lk.add_argument(
+        "--from-version", type=int, default=0,
+        help="changes: exclusive lower version bound of the feed",
     )
     an = sub.add_parser("ann")
     an.add_argument(
@@ -174,6 +178,35 @@ def main(argv: list[str] | None = None) -> int:
         from music_streaming_etl_glue_spark.session import get_spark as _gs
 
         sp = _gs("cli-lake")
+        if args.verb == "changes":
+            from pyspark.sql import functions as F
+
+            from music_streaming_etl_glue_spark.plans import lake_cdf
+
+            feed = lake_cdf.snapshot_changes(
+                sp, args.table, args.from_version, args.to_version
+            )
+            counts = {
+                r["_change_type"]: r["n"]
+                for r in feed.groupBy("_change_type")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            print(
+                json.dumps(
+                    {
+                        "from_version": args.from_version,
+                        "to_version": (
+                            args.to_version
+                            if args.to_version is not None
+                            else lakehouse.current_version(args.table)
+                        ),
+                        "inserts": counts.get("insert", 0),
+                        "deletes": counts.get("delete", 0),
+                    }
+                )
+            )
+            return 0
         if args.verb == "scrub":
             if not args.cursor:
                 print("scrub needs --cursor", file=sys.stderr)

@@ -112,3 +112,23 @@ def test_fold_on_format2_table(spark, tmp_path, monkeypatch):
     changes = C.snapshot_changes(spark, t, 0)
     folded = C.fold_changes(changes, ["id"])
     assert _rowset(folded) == _rowset(L.read_snapshot(spark, t))
+
+
+def test_cli_lake_changes_verb(spark, tmp_path, capsys):
+    import json
+
+    from music_streaming_etl_glue_spark.__main__ import main
+
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b")]), t)
+    L.commit_delete_mor(spark, t, "id", [1])
+    assert main(["lake", "--table", t, "changes"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {
+        "from_version": 0, "to_version": 2, "inserts": 2, "deletes": 1,
+    }
+    assert main(
+        ["lake", "--table", t, "changes", "--from-version", "1"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["inserts"] == 0 and out["deletes"] == 1
