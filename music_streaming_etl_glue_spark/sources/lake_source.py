@@ -235,17 +235,161 @@ class LakeReader(DataSourceReader):
         )
 
 
+class _ChangePartition(InputPartition):
+    """One file of one commit in emit_changes mode. ``change_type`` is
+    'insert' (an appended file — emit its rows) or 'delete' (a MoR
+    delete's candidate file — emit the pre-delete VISIBLE rows whose
+    key the doomed relation holds, i.e. file rows minus prior delete
+    sets, intersect doomed)."""
+
+    def __init__(
+        self,
+        path: str,
+        change_type: str,
+        version: int,
+        key_col: str | None = None,
+        doomed_path: str | None = None,
+        prior_deletes: list | None = None,
+    ):
+        self.path = path
+        self.change_type = change_type
+        self.version = version
+        self.key_col = key_col
+        self.doomed_path = doomed_path
+        self.prior_deletes = prior_deletes or []
+
+
+def _change_partitions(
+    table_dir: str, from_v: int, to_v: int
+) -> list[_ChangePartition]:
+    """Driver-side plan of the change feed for (from_v, to_v] — the
+    streaming twin of ``plans.lake_cdf.snapshot_changes``: appends
+    plan their NEW files as insert partitions (format-2 group diff),
+    MoR deletes plan their bloom/range-pruned candidate prefix as
+    delete partitions, metadata-only commits plan nothing, anything
+    else raises (restart against a fresh checkpoint after a rewrite).
+    Deterministic from the manifests alone, so a restarted query
+    replays byte-identical micro-batches."""
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    parts: list[_ChangePartition] = []
+    prev_man = (
+        _manifest(table_dir, from_v, resolve=False) if from_v else None
+    )
+    for v in range(from_v + 1, to_v + 1):
+        try:
+            man = _manifest(table_dir, v, resolve=False)
+        except FileNotFoundError:
+            raise ValueError(
+                f"lake change stream range starts below retention "
+                f"(version {v} vacuumed); restart with start_from=latest"
+            ) from None
+        action = man["action"]
+        if action == "append":
+            if "groups" in man and (
+                prev_man is None or "groups" in prev_man
+            ):
+                prev_groups = (
+                    {g["path"] for g in prev_man["groups"]}
+                    if prev_man
+                    else set()
+                )
+                new_files = [
+                    f
+                    for g in man["groups"]
+                    if g["path"] not in prev_groups
+                    for f in lakehouse._load_group(table_dir, g["path"])[
+                        "files"
+                    ]
+                ]
+            else:
+                prev_files = (
+                    set(_manifest(table_dir, v - 1)["files"])
+                    if prev_man is not None
+                    else set()
+                )
+                new_files = [
+                    f
+                    for f in _manifest(table_dir, v)["files"]
+                    if f not in prev_files
+                ]
+            parts.extend(
+                _ChangePartition(
+                    os.path.join(table_dir, f), "insert", v
+                )
+                for f in new_files
+            )
+        elif action == "delete_mor":
+            import pyarrow.parquet as pq
+
+            entry = man["deletes"][-1]
+            key_col, prefix = entry["key_col"], entry["prefix"]
+            doomed_abs = os.path.join(table_dir, entry["path"])
+            doomed = pq.read_table(doomed_abs).column(key_col).to_pylist()
+            if doomed and prev_man is not None:
+                prior = prev_man.get("deletes") or []
+                for f, i in lakehouse._plan_files_with_idx(
+                    table_dir, prev_man,
+                    {key_col: (min(doomed), max(doomed))},
+                ):
+                    if i >= prefix:
+                        continue
+                    if not lakehouse._bloom_may_contain_any(
+                        table_dir, f, key_col, doomed
+                    ):
+                        continue
+                    applicable = [
+                        (
+                            d["key_col"],
+                            os.path.join(table_dir, d["path"]),
+                        )
+                        for d in prior
+                        if d["prefix"] > i
+                    ]
+                    parts.append(
+                        _ChangePartition(
+                            os.path.join(table_dir, f),
+                            "delete",
+                            v,
+                            key_col=key_col,
+                            doomed_path=doomed_abs,
+                            prior_deletes=applicable,
+                        )
+                    )
+        elif action in _METADATA_ONLY_ACTIONS:
+            pass
+        else:
+            raise ValueError(
+                f"lake change stream hit a {action!r} commit at version "
+                f"{v}; a rewrite is not representable as row changes — "
+                "restart from a fresh checkpoint against the new snapshot"
+            )
+        prev_man = man
+    return parts
+
+
 class LakeStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema):
         self.table = options["table"]
         self.skip_rewrites = (
             str(options.get("skip_rewrites", "false")).lower() == "true"
         )
+        #: emit_changes=true streams the CHANGE FEED: appends as
+        #: _change_type='insert' rows, MoR deletes as 'delete'
+        #: retraction rows (the row as it was), with _commit_version —
+        #: the streaming twin of plans.lake_cdf.snapshot_changes
+        self.emit_changes = (
+            str(options.get("emit_changes", "false")).lower() == "true"
+        )
         #: "beginning" replays the whole surviving history; "latest"
         #: starts at the current snapshot version (new commits only) —
         #: required on tables whose early manifests were vacuumed
         self.start_from = str(options.get("start_from", "beginning")).lower()
-        self.fields = [f.name for f in schema.fields]
+        self.fields = [
+            f.name
+            for f in schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
 
     def initialOffset(self):
         if self.start_from == "latest":
@@ -256,15 +400,48 @@ class LakeStreamReader(DataSourceStreamReader):
         return {"version": _current_version(self.table)}
 
     def partitions(self, start, end):
+        if self.emit_changes:
+            parts = _change_partitions(
+                self.table, start["version"], end["version"]
+            )
+            return parts or [_FilePartition("")]
         files = _delta_files(
             self.table, start["version"], end["version"], self.skip_rewrites
         )
         return [_FilePartition(p) for p in files] or [_FilePartition("")]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
         if not partition.path:
             return iter(())
-        return _rows(partition.path, self.fields)
+        rows = _rows(partition.path, self.fields)
+        if not isinstance(partition, _ChangePartition):
+            return rows
+        import pyarrow.parquet as pq
+
+        v = partition.version
+        if partition.change_type == "insert":
+            return (row + ("insert", v) for row in rows)
+        doomed = set(
+            pq.read_table(partition.doomed_path)
+            .column(partition.key_col)
+            .to_pylist()
+        )
+        prior: list[tuple[int, set]] = []
+        for key_col, dpath in partition.prior_deletes:
+            if key_col in self.fields:
+                prior.append(
+                    (
+                        self.fields.index(key_col),
+                        set(pq.read_table(dpath).column(key_col).to_pylist()),
+                    )
+                )
+        ki = self.fields.index(partition.key_col)
+        return (
+            row + ("delete", v)
+            for row in rows
+            if row[ki] in doomed
+            and not any(row[i] in keys for i, keys in prior)
+        )
 
     def commit(self, end):
         pass
@@ -288,9 +465,18 @@ class LakeDataSource(DataSource):
                 "needs at least one commit to resolve a schema (commit "
                 "first, or pass an explicit schema-bearing version)"
             )
-        return T.StructType.fromJson(
+        base = T.StructType.fromJson(
             json.loads(_manifest(table, ver)["schema"])
         )
+        if str(self.options.get("emit_changes", "false")).lower() == "true":
+            return T.StructType(
+                list(base.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_version", T.LongType(), False),
+                ]
+            )
+        return base
 
     def reader(self, schema):
         return LakeReader(self.options, schema)

@@ -132,3 +132,82 @@ def test_cli_lake_changes_verb(spark, tmp_path, capsys):
     ) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["inserts"] == 0 and out["deletes"] == 1
+
+
+def test_streaming_change_feed_emits_inserts_and_retractions(
+    spark, tmp_path
+):
+    """emit_changes=true streams the CDF: the same history that
+    snapshot_changes describes arrives as micro-batches with
+    _change_type/_commit_version — including retraction rows from MoR
+    deletes — exactly once across restarts (offsets are versions)."""
+    from music_streaming_etl_glue_spark.sources import lake_source
+
+    lake_source.register(spark)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b")]), t)   # v1
+    L.commit_delete_mor(spark, t, "id", [1])               # v2
+
+    collected = []
+
+    def run():
+        q = (
+            spark.readStream.format("lake")
+            .option("table", t)
+            .option("emit_changes", "true")
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, eid: collected.extend(
+                    (r["_commit_version"], r["_change_type"], r["id"], r["s"])
+                    for r in df.collect()
+                )
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert sorted(collected) == [
+        (1, "insert", 1, "a"),
+        (1, "insert", 2, "b"),
+        (2, "delete", 1, "a"),
+    ]
+    # new commits after the checkpoint: only the delta arrives
+    collected.clear()
+    L.commit_append(_df(spark, [(1, "new")]), t)           # v3
+    L.commit_delete_mor(spark, t, "id", [2])               # v4
+    run()
+    assert sorted(collected) == [
+        (3, "insert", 1, "new"),
+        (4, "delete", 2, "b"),
+    ]
+    # nothing new: an empty run, no replay
+    collected.clear()
+    run()
+    assert collected == []
+
+
+def test_streaming_change_feed_raises_on_rewrite(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from music_streaming_etl_glue_spark.sources import lake_source
+
+    lake_source.register(spark)
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b")]), t)
+    L.compact(spark, t, target_files=1)
+    q = (
+        spark.readStream.format("lake")
+        .option("table", t)
+        .option("emit_changes", "true")
+        .load()
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, eid: df.collect())
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="not representable"):
+        q.awaitTermination()
