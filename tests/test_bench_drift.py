@@ -174,3 +174,17 @@ def test_same_round_prior_flags_reads_current_local_file(
     assert bench._same_round_prior_flags(str(tmp_path)) == {"x", "y"}
     (tmp_path / "BENCH_LOCAL_r12.json").unlink()
     assert bench._same_round_prior_flags(str(tmp_path)) is None
+
+
+def test_noise_floor_blocks_subsecond_ratio_only_flags():
+    """A warm-min over the 1.5x ratio gate but within NOISE_FLOOR_S of
+    the reference is scheduler jitter (the r13 quality_filter_rules
+    case: ref 0.156s was a one-off warm re-time; 0.25s is the query's
+    normal range) — it must NOT alarm; a genuine regression clearing
+    both gates must."""
+    assert bench.NOISE_FLOOR_S == 0.3
+    prev, best = 0.156, 0.25
+    assert best > 1.5 * prev  # ratio gate alone would have flagged
+    assert not (best - prev > bench.NOISE_FLOOR_S)  # floor blocks it
+    prev, best = 1.0, 1.6
+    assert best > 1.5 * prev and best - prev > bench.NOISE_FLOOR_S
