@@ -122,7 +122,10 @@ def _lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot read applies the segmented broadcast anti-join; the oracle
     replays delete + resurrect in pure SQL over the raw parquet. All
     three commits are idempotent across gate/bench re-runs (txn-keyed
-    appends; the delete fires only at version 1)."""
+    appends; the delete fires only at version 1). The doomed keys go
+    through ``commit_delete_mor_df`` (r14): the key RELATION is written
+    into the txn dir executor-side — a predicate delete proportional to
+    the data never visits the driver."""
     from pyspark.sql import functions as F
 
     from music_streaming_etl_glue_spark.plans import lakehouse
@@ -132,8 +135,9 @@ def _lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakehouse.commit_append(base, tbl, txn_key=f"docs:{tbl}")
     doomed_df = base.filter(F.col("doc_id") % 97 == 0)
     if lakehouse.current_version(tbl) == 1:
-        doomed = [r[0] for r in doomed_df.select("doc_id").collect()]
-        lakehouse.commit_delete_mor(spark, tbl, "doc_id", doomed)
+        lakehouse.commit_delete_mor_df(
+            spark, tbl, "doc_id", doomed_df.select("doc_id")
+        )
     resurrect = doomed_df.orderBy("doc_id").limit(1)
     lakehouse.commit_append(resurrect, tbl, txn_key=f"resurrect:{tbl}")
     snap = lakehouse.read_snapshot(spark, tbl)
@@ -184,13 +188,167 @@ def _lake_cdf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakehouse.commit_append(base, tbl, txn_key=f"docs:{tbl}")
     doomed_df = base.filter(F.col("doc_id") % 97 == 0)
     if lakehouse.current_version(tbl) == 1:
-        doomed = [r[0] for r in doomed_df.select("doc_id").collect()]
-        lakehouse.commit_delete_mor(spark, tbl, "doc_id", doomed)
+        lakehouse.commit_delete_mor_df(
+            spark, tbl, "doc_id", doomed_df.select("doc_id")
+        )
     resurrect = doomed_df.orderBy("doc_id").limit(1)
     lakehouse.commit_append(resurrect, tbl, txn_key=f"resurrect:{tbl}")
     changes = lake_cdf.snapshot_changes(spark, tbl, 0)
     folded = lake_cdf.fold_changes(changes, ["doc_id"])
     return folded.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).cast("long").alias(
+            "content_checksum"
+        ),
+    )
+
+
+def _lake_cdf_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED change-data-feed fold through the driver gate (r14,
+    VERDICT r13 item #7): the same append → MoR-delete → resurrect
+    history as ``lake_mor_delete``, but the change feed arrives through
+    Structured Streaming — ``readStream.format("lake")`` with
+    ``emit_changes=true`` under an AvailableNow trigger, landing in a
+    parquet sink (exactly-once via the sink's commit log + version
+    offsets), then folded back to net state with the same
+    ``fold_changes`` kernel the batch twin uses. Oracle shared with
+    ``lake_mor_delete``. Idempotent across gate/bench re-runs: commits
+    are txn-keyed, the stream resumes from its checkpoint (nothing new
+    → nothing appended), and the fold collapses any at-least-once
+    duplicates by construction (newest change per key wins)."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans import lake_cdf, lakehouse
+    from music_streaming_etl_glue_spark.sources import lake_source
+
+    tbl = _ivf_cache_path(sf_dir, "lakecdfs", "v1", table="documents")
+    base = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    lakehouse.commit_append(base, tbl, txn_key=f"docs:{tbl}")
+    doomed_df = base.filter(F.col("doc_id") % 97 == 0)
+    if lakehouse.current_version(tbl) == 1:
+        lakehouse.commit_delete_mor_df(
+            spark, tbl, "doc_id", doomed_df.select("doc_id")
+        )
+    resurrect = doomed_df.orderBy("doc_id").limit(1)
+    lakehouse.commit_append(resurrect, tbl, txn_key=f"resurrect:{tbl}")
+    lake_source.register(spark)
+    feed_dir, ckpt_dir = tbl + "-feed", tbl + "-ckpt"
+    q = (
+        spark.readStream.format("lake")
+        .option("table", tbl)
+        .option("emit_changes", "true")
+        .load()
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", feed_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(feed_dir)
+    folded = lake_cdf.fold_changes(feed, ["doc_id"])
+    return folded.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).cast("long").alias(
+            "content_checksum"
+        ),
+    )
+
+
+def _lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the driver gate (r14, VERDICT
+    r13 item #3): v1 lands (doc_id, source, n_chars); v2 appends a
+    WIDENED batch carrying a new ``n_tokens`` column (the %5 docs,
+    doc_ids shifted collision-free). ``_merge_schema_json`` admits the
+    new field as nullable, and the snapshot read drives the scan with
+    the MERGED schema — rows from v1's files surface ``n_tokens`` as
+    NULL. The per-source summary counts non-null tokens alongside the
+    content checksum, so a read that dropped the old files, misfilled
+    the nulls, or double-applied the widened batch breaks hash parity.
+    The oracle replays the union in SQL over the raw parquet. Both
+    commits are txn-keyed (idempotent across gate/bench re-runs)."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    tbl = _ivf_cache_path(sf_dir, "lakeevo", "v1", table="documents")
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", "source", "n_chars")
+    lakehouse.commit_append(base, tbl, txn_key=f"docs:{tbl}")
+    widened = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(100000000)).alias("doc_id"),
+        "source",
+        "n_chars",
+        (F.col("n_chars") * 2).cast("long").alias("n_tokens"),
+    )
+    lakehouse.commit_append(widened, tbl, txn_key=f"widened:{tbl}")
+    snap = lakehouse.read_snapshot(spark, tbl)
+    return snap.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count("n_tokens").cast("long").alias("n_with_tokens"),
+        F.sum(F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .cast("long")
+        .alias("total_tokens"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).cast("long").alias(
+            "content_checksum"
+        ),
+    )
+
+
+LAKE_SCHEMA_EVOLUTION_SQL = """
+WITH v1 AS (
+    SELECT doc_id, source, n_chars, NULL::BIGINT AS n_tokens
+    FROM documents
+),
+v2 AS (
+    SELECT doc_id + 100000000 AS doc_id, source, n_chars,
+           (n_chars * 2)::BIGINT AS n_tokens
+    FROM documents WHERE doc_id % 5 = 0
+),
+cur AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       count(n_tokens)::BIGINT AS n_with_tokens,
+       SUM(COALESCE(n_tokens, 0))::BIGINT AS total_tokens,
+       SUM(doc_id * n_chars)::BIGINT AS content_checksum
+FROM cur
+GROUP BY source
+"""
+
+
+def _lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel through the driver gate (r14, VERDICT r13
+    item #8): v1 lands the documents, v2 appends shifted extra rows
+    that CHANGE every per-source aggregate, then the read resolves "the
+    table as of v1's commit wall clock" via ``version_at_timestamp``
+    (the manifests record ``committed_ns``) and summarizes. The oracle
+    aggregates the raw parquet — i.e. exactly v1's content — so an
+    as-of resolution that leaked v2's rows (or pinned the wrong
+    version) breaks rows/hash parity. Commits are txn-keyed
+    (idempotent across gate/bench re-runs); the as-of timestamp is read
+    back from v1's manifest, not synthesized, so the entry is
+    deterministic for any wall clock."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    tbl = _ivf_cache_path(sf_dir, "laketime", "v1", table="documents")
+    base = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    lakehouse.commit_append(base, tbl, txn_key=f"docs:{tbl}")
+    extra = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(200000000)).alias("doc_id"),
+        "source",
+        (F.col("n_chars") + 7).alias("n_chars"),
+    )
+    lakehouse.commit_append(extra, tbl, txn_key=f"extra:{tbl}")
+    ts1 = lakehouse._load_manifest(tbl, 1, resolve=False)["committed_ns"]
+    v_at = lakehouse.version_at_timestamp(tbl, ts1)
+    snap = lakehouse.read_snapshot(spark, tbl, v_at)
+    return snap.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum(F.col("doc_id") * F.col("n_chars")).cast("long").alias(
@@ -464,81 +622,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # but a driver stamp is the harder signal — so the dict is reordered per
 # round. Previously-stamped entries keep their historical green stamps.
 _STAMP_PRIORITY = (
-    # ROUND 13 ROTATION — oldest-stamp-first (standing policy), with
-    # the one red leading:
-    # (1) pca_explained_variance: the single r12 driver red
-    # (hash_match FALSE on bit-identical values — a DECIMAL(38,0)
-    # repr divergence between clients). r13 re-emits the audit's
-    # integer anchors as canonical digit strings (see
-    # similarity.pca_explained_variance_audit and the SCALE.md
-    # audit-anchor rule); it goes FIRST so the driver restamps it.
-    "pca_explained_variance",
-    # (1b) entries NEW this round — never stamped: merge-on-read delete
-    # + sequence-rule resurrect replayed through the lake, and the same
-    # history derived via the row-level change feed + fold
+    # ROUND 14 ROTATION — recomputed from the CORRECTNESS_r*.json scan
+    # (newest hash-green round per entry): r7×2 (winnow riders), r8×44,
+    # r9×41, r10×43, r11×50, r12×49, r13×50.
+    # (1) entries whose IMPLEMENTATION changed this round (the MoR
+    # delete path is now DataFrame-sided via commit_delete_mor_df —
+    # VERDICT r13 "what's wrong" #1): restamp first.
     "lake_mor_delete",
     "lake_cdf_fold",
-    # (2) the six r6 leftovers the r12 window cut off (newest stamp is
-    # round 6 — seven rounds old, predating the signed-zero gate fix):
-    "small_quantity_revenue",
-    "suppliers_who_kept_waiting",
-    "top_supplier_revenue",
-    "unigram_surprisal",
-    "user_session_windows",
-    "waiting_customers",
-    # (3) the r7 cohort (43 entries, alphabetical). 1 + 2 + 6 + 43 = 52
-    # overfills the 50-slot window by two: the LAST TWO r7 entries
-    # (winnow_near_dups, winnowing_fingerprints) ride to r14 — the two
-    # never-stamped lake entries above need a first stamp more than
-    # green-but-old ones need a refresh.
-    "audience_overlap_bitmap",
-    "bpe_fertility",
-    "bpe_roundtrip",
-    "collocations_pmi",
-    "containment_pairs",
-    "customer_rfm_segments",
-    "daily_new_vs_returning",
-    "dedup_incremental_bloom",
-    "enriched",
-    "events_hourly_interpolated",
-    "events_minute_ohlc",
-    "genre_country_chi2",
-    "genre_distinct_bitmap_rollup",
-    "genre_rolling_median",
-    "genre_trend_slopes",
-    "hashed_doc_vectors",
-    "hour_of_week_profile",
-    "join_skew_report",
-    "knn_ivfpq_recall_audit",
-    "knn_join_ivfpq",
-    "knn_join_lsh",
-    "knn_label_classifier",
-    "mad_outlier_audit",
-    "markov_next_event_accuracy",
-    "mmr_rerank",
-    "mmr_rerank_multi",
-    "nb_holdout_accuracy",
-    "nb_source_classifier",
-    "neyman_sample",
-    "orders_backlog_timeline",
-    "perplexity_buckets",
-    "session_path_topk",
-    "session_transition_matrix",
-    "soft_dedup_weights",
-    "split_leakage_audit",
-    "text_ann_topk",
-    "text_semantic_pairs",
-    "track_play_gini",
-    "user_kpis",
-    "value_equiheight_histogram",
-    "view_to_purchase_latency",
+    # (2) entries NEW this round — never stamped: the streamed CDF fold
+    # (AvailableNow over emit_changes, VERDICT item #7), additive
+    # schema evolution through the snapshot read (item #3), and
+    # timestamp time travel via version_at_timestamp (item #8).
+    "lake_cdf_stream_fold",
+    "lake_schema_evolution",
+    "lake_time_travel",
+    # (3) the two r7 riders the r13 window cut (oldest stamps in the
+    # catalog — VERDICT item #2 says lead with these):
     "winnow_near_dups",
     "winnowing_fingerprints",
-    # ROUND-14 ROTATION NOTE: the window above is exactly 50. Next
-    # oldest after r13 lands: the r8 cohort (44 entries, newest stamp
-    # round 8) leads r14, then r9 (41). Recompute with the
-    # CORRECTNESS_r*.json scan (newest hash-green round per entry)
-    # rather than trusting this comment.
+    # (4) the r8 cohort (44 entries, alphabetical). 2 + 3 + 2 + 44 = 51
+    # overfills the ~50-slot window by one: the LAST r8 entry
+    # (zipf_documents) may ride to r15 — either way the oldest green
+    # stamp in the catalog advances to r8.
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",
+    "ann_topk_pandas",
+    "chunk_dedup",
+    "containment_pairs_prefix",
+    "containment_pairs_prefix_zipf",
+    "containment_pairs_zipf",
+    "cosine_pairs",
+    "cosine_pairs_blocked",
+    "cosine_pairs_lsh",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "dedup_clusters",
+    "error_click_asof",
+    "genre_top_genres",
+    "image_ahash",
+    "image_decode_meta",
+    "jaccard_pairs_prefix_zipf",
+    "knn_join_ivfpq_after_delete",
+    "label_centroids",
+    "minhash_dedup_pairs",
+    "minhash_signatures",
+    "multimodal_meta",
+    "near_dedup_apply",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_zipf",
+    "normalize_text",
+    "order_priority_pivot",
+    "pricing_summary",
+    "rebalance_sources",
+    "rebalance_sources_fractional",
+    "revenue_by_nation",
+    "sales_cube",
+    "sales_rollup",
+    "semantic_dedup_clusters",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "skyline_parts",
+    "top_customers_per_nation",
+    "track_play_gini_closed_form",
+    "trending_tracks_reference_exact",
+    "user_sessions",
+    "value_percentiles",
+    "zipf_documents",
+    # ROUND-15 ROTATION NOTE: next oldest is the r9 cohort (41
+    # entries), then r10 (43). Recompute with the CORRECTNESS_r*.json
+    # scan (newest hash-green round per entry) rather than trusting
+    # this comment.
     # then the rest of the previously-green catalog in queries() order
 )
 
@@ -748,6 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_merge_scrub": _lake_merge_scrub,
         "lake_mor_delete": _lake_mor_delete,
         "lake_cdf_fold": _lake_cdf_fold,
+        "lake_cdf_stream_fold": _lake_cdf_stream_fold,
+        "lake_schema_evolution": _lake_schema_evolution,
+        "lake_time_travel": _lake_time_travel,
         # data-mix diagnostic: per-source unigram KL vs the corpus blend
         "source_divergence": lambda spark, sf: (
             _text.source_divergence(_docs(spark, sf))
@@ -1706,6 +1863,11 @@ def oracle_sql() -> dict[str, str]:
         "lake_roundtrip_summary": LAKE_ROUNDTRIP_SQL,
         "lake_mor_delete": LAKE_MOR_DELETE_SQL,
         "lake_cdf_fold": LAKE_MOR_DELETE_SQL,
+        "lake_cdf_stream_fold": LAKE_MOR_DELETE_SQL,
+        "lake_schema_evolution": LAKE_SCHEMA_EVOLUTION_SQL,
+        # v1's content IS the raw documents table — same oracle as the
+        # lake roundtrip summary
+        "lake_time_travel": LAKE_ROUNDTRIP_SQL,
         "lake_merge_scrub": _dedup._dedup_scrub_sql(
             cur_sql=(
                 "SELECT doc_id, CASE WHEN doc_id % 89 = 0 "

@@ -166,11 +166,15 @@ def snapshot_changes(
         raise ValueError(
             f"to_version {to_v} < from_version {from_version}"
         )
+    if to_v == 0:
+        # a never-committed table has no manifest to take a schema from;
+        # same failure shape as read_snapshot, not a raw manifest-miss
+        raise FileNotFoundError(
+            f"no committed snapshot under {table_dir}"
+        )
     schema = T.StructType.fromJson(
         json.loads(
-            L._load_manifest(table_dir, max(to_v, 1), resolve=False)[
-                "schema"
-            ]
+            L._load_manifest(table_dir, to_v, resolve=False)["schema"]
         )
     )
     parts: list[DataFrame] = []

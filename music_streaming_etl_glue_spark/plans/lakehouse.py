@@ -1195,16 +1195,39 @@ def commit_upsert(
     :func:`build_file_blooms`) on the first key column — on
     hash-distributed keys the ranges clear nothing, and the bloom cuts
     the rewrite set to ~the files actually holding the keys, the same
-    win :func:`commit_delete` gets. The updates plan is pinned with a
-    ``localCheckpoint`` first, so the range aggregate, the key probe,
-    and the merge all see ONE materialization even for a
-    non-deterministic source."""
+    win :func:`commit_delete` gets. The updates plan is persisted
+    (memory-then-disk) for the span of the merge, so the range
+    aggregate, the key probe, and the merge all read ONE
+    materialization even for a non-deterministic source — and the
+    blocks are FREED at exit instead of pinned until GC (an eager
+    ``localCheckpoint`` held every batch in executor block storage and
+    dropped lineage recovery, a cost only the probe's consistency
+    needed)."""
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from music_streaming_etl_glue_spark.plans.merge import upsert
 
     spark = updates.sparkSession
-    updates = updates.localCheckpoint()
+    updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _commit_upsert_pinned(spark, updates, table_dir, keys)
+    finally:
+        updates.unpersist()
+
+
+def _commit_upsert_pinned(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_dir: str,
+    keys: list[str],
+) -> int:
+    """The body of :func:`commit_upsert`, running against an
+    already-persisted updates frame (the caller frees the blocks)."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans.merge import upsert
+
     base = current_version(table_dir)
     manifest = _load_manifest(table_dir, base, resolve=False)
     _require_no_mor_deletes(manifest, "commit_upsert")
@@ -1333,7 +1356,14 @@ def compact_zordered(
     every key column gets tight per-file min/max ranges for data
     skipping), verify the row count, commit as a new snapshot. The
     maintenance job that keeps scan pruning healthy as appends
-    interleave key ranges — readers of prior snapshots untouched."""
+    interleave key ranges — readers of prior snapshots untouched.
+
+    Like :func:`compact`, reads THROUGH any outstanding merge-on-read
+    deletes (``read_snapshot`` applies them) and the committed rewrite
+    clears the entries — z-ordering is a valid way to materialize MoR
+    deletes, so no ``_require_no_mor_deletes`` guard applies here (the
+    refusal is only for ``commit_delete``/``commit_upsert``, whose
+    partial rewrites would resurrect or double-apply keys)."""
     from pyspark.sql import functions as F
 
     from music_streaming_etl_glue_spark.plans.layout import zorder_key
@@ -1545,57 +1575,32 @@ def commit_delete_mor(
     ``n_rows`` stays EXACT: the matched row count is taken with one
     read-only scan of the bloom/range-pruned candidate files (existing
     outstanding deletes applied first, so stacked MoR deletes never
-    double-subtract). Appends carry the entry transparently; rewriting
-    commits (CoW delete / upsert / z-order) refuse while deletes are
-    outstanding — run ``compact`` first."""
+    double-subtract). Appends carry the entry transparently; the
+    copy-on-write rewrites (``commit_delete`` / ``commit_upsert``)
+    refuse while deletes are outstanding, while ``compact`` and
+    ``compact_zordered`` read THROUGH the deletes and clear them —
+    run either to materialize.
+
+    ``keys`` is a driver-side list (right-to-be-forgotten batches are
+    small by nature); a predicate delete whose key set is proportional
+    to the data goes through :func:`commit_delete_mor_df`, which never
+    materializes the keys on the driver."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    version = current_version(table_dir)
-    if version == 0:
-        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
-    manifest = _load_manifest(table_dir, version, resolve=False)
-    schema_cols = {
-        f["name"] for f in json.loads(manifest["schema"])["fields"]
-    }
-    if key_col not in schema_cols:
-        # validate BEFORE the entry lands: a typo'd key column in an
-        # outstanding delete entry would fail every future snapshot
-        # read's anti-join, not just this commit
-        raise ValueError(
-            f"delete key column {key_col!r} not in table schema "
-            f"(have: {sorted(schema_cols)})"
-        )
+    version, manifest = _delete_mor_base(table_dir, key_col)
     doomed = sorted({k for k in keys if k is not None})
     if not doomed or manifest_n_files(manifest) == 0:
         return version
 
-    # candidate files for the COUNT scan: two-level range pruning on
-    # the doomed hull (groups clear without opening), then the bloom
-    # side files — same O(groups touched) + O(candidates) discipline
-    # as the CoW delete, but read-only
-    candidates = [
-        (f, i)
-        for f, i in _plan_files_with_idx(
-            table_dir, manifest, {key_col: (doomed[0], doomed[-1])}
-        )
-        if _bloom_may_contain_any(table_dir, f, key_col, doomed)
-    ]
+    visible = _delete_mor_visible(
+        spark, table_dir, manifest, key_col,
+        (doomed[0], doomed[-1]), doomed,
+    )
     matched = 0
-    if candidates:
+    if visible is not None:
         from pyspark.sql import functions as F
 
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-        visible = (
-            _read_with_mor_deletes(
-                spark, table_dir, schema, candidates,
-                manifest["deletes"],
-            )
-            if manifest.get("deletes")
-            else spark.read.schema(schema).parquet(
-                *[os.path.join(table_dir, f) for f, _ in candidates]
-            )
-        )
         matched = visible.filter(F.col(key_col).isin(doomed)).count()
     txn = _txn_id()
     rel_dir = os.path.join(_DATA_DIR, txn)
@@ -1610,6 +1615,153 @@ def commit_delete_mor(
         "n_keys": len(doomed),
         "prefix": manifest_n_files(manifest),
     }
+    return _delete_mor_finish(table_dir, version, manifest, entry, matched)
+
+
+def commit_delete_mor_df(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys_df: DataFrame,
+) -> int:
+    """DataFrame-sided merge-on-read delete: identical commit semantics
+    to :func:`commit_delete_mor`, but the doomed keys arrive as a
+    RELATION and land in the commit's txn dir executor-side — they
+    never materialize on the driver, so a delete-by-predicate whose key
+    set is proportional to the data scales with the cluster, not the
+    driver heap.
+
+    The distinct non-null key projection is written FIRST (as the
+    parquet directory ``eq-delete.parquet`` — every consumer of a
+    delete entry's ``path`` resolves it through pyarrow/Spark dataset
+    reads, which accept a file or a directory alike, and vacuum's
+    txn-dir reference scan matches the ``.parquet`` suffix either way),
+    and everything downstream — the key-count/hull aggregate, the bloom
+    probe, the matched-count semi-join — reads that ON-DISK relation
+    back: one materialization, deterministic even for a
+    non-deterministic input plan. Bloom side-file probing needs the
+    keys driver-side, so it engages only when the written relation
+    holds at most ``_BLOOM_PROBE_KEY_CAP`` rows (a bounded read of
+    already-written data, the same cap :func:`commit_upsert` uses);
+    larger key sets keep range-hull pruning only. The matched count
+    comes from a semi-join against the relation instead of an ``isin``
+    literal list — Spark broadcasts the small side on its own."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    version, manifest = _delete_mor_base(table_dir, key_col)
+    if manifest_n_files(manifest) == 0:
+        return version
+    txn = _txn_id()
+    rel_dir = os.path.join(_DATA_DIR, txn)
+    rel = os.path.join(rel_dir, "eq-delete.parquet")
+    abs_rel = os.path.join(table_dir, rel)
+    (
+        keys_df.select(key_col)
+        .where(F.col(key_col).isNotNull())
+        .distinct()
+        .write.parquet(abs_rel)
+    )
+    doomed_rel = spark.read.parquet(abs_rel)
+    agg = doomed_rel.agg(
+        F.count("*").alias("n"),
+        F.min(key_col).alias("lo"),
+        F.max(key_col).alias("hi"),
+    ).head()
+    if agg["n"] == 0:
+        # nothing to delete: drop the empty relation, no commit — the
+        # same no-op contract as the list form's empty-keys early out
+        shutil.rmtree(
+            os.path.join(table_dir, rel_dir), ignore_errors=True
+        )
+        return version
+    probe_keys = None
+    if agg["n"] <= _BLOOM_PROBE_KEY_CAP:
+        probe_keys = sorted(r[0] for r in doomed_rel.collect())
+    visible = _delete_mor_visible(
+        spark, table_dir, manifest, key_col,
+        (agg["lo"], agg["hi"]), probe_keys,
+    )
+    matched = (
+        visible.join(doomed_rel, on=key_col, how="left_semi").count()
+        if visible is not None
+        else 0
+    )
+    entry = {
+        "path": rel,
+        "key_col": key_col,
+        "n_keys": int(agg["n"]),
+        "prefix": manifest_n_files(manifest),
+    }
+    return _delete_mor_finish(table_dir, version, manifest, entry, matched)
+
+
+def _delete_mor_base(table_dir: str, key_col: str) -> tuple[int, dict]:
+    """Shared MoR-delete preamble: the current version + raw manifest,
+    with the key column validated BEFORE any entry lands — a typo'd key
+    column in an outstanding delete entry would fail every future
+    snapshot read's anti-join, not just this commit."""
+    version = current_version(table_dir)
+    if version == 0:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    manifest = _load_manifest(table_dir, version, resolve=False)
+    schema_cols = {
+        f["name"] for f in json.loads(manifest["schema"])["fields"]
+    }
+    if key_col not in schema_cols:
+        raise ValueError(
+            f"delete key column {key_col!r} not in table schema "
+            f"(have: {sorted(schema_cols)})"
+        )
+    return version, manifest
+
+
+def _delete_mor_visible(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: dict,
+    key_col: str,
+    hull: tuple,
+    probe_keys: list | None,
+) -> DataFrame | None:
+    """The snapshot's VISIBLE rows within the delete's candidate files —
+    two-level range pruning on the doomed hull (groups clear without
+    opening), then the bloom side files when the keys are available
+    driver-side (``probe_keys``; None skips the bloom, keeping range
+    pruning only). Existing outstanding deletes are applied first so
+    stacked MoR deletes never double-subtract. None when pruning clears
+    every file."""
+    candidates = [
+        (f, i)
+        for f, i in _plan_files_with_idx(
+            table_dir, manifest, {key_col: hull}
+        )
+        if probe_keys is None
+        or _bloom_may_contain_any(table_dir, f, key_col, probe_keys)
+    ]
+    if not candidates:
+        return None
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    if manifest.get("deletes"):
+        return _read_with_mor_deletes(
+            spark, table_dir, schema, candidates, manifest["deletes"]
+        )
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, f) for f, _ in candidates]
+    )
+
+
+def _delete_mor_finish(
+    table_dir: str,
+    version: int,
+    manifest: dict,
+    entry: dict,
+    matched: int,
+) -> int:
+    """Commit a MoR delete entry onto ``version``'s file set (carried
+    by reference in both manifest formats), n_rows reduced by the exact
+    matched count."""
     deletes = list(manifest.get("deletes", [])) + [entry]
     if "groups" in manifest:
         return _commit(

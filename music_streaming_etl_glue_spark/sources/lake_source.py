@@ -479,6 +479,17 @@ class LakeDataSource(DataSource):
         return base
 
     def reader(self, schema):
+        if str(self.options.get("emit_changes", "false")).lower() == "true":
+            # a batch read has no offset range to diff, so "the change
+            # feed" is undefined — refusing beats returning a snapshot
+            # whose advertised _change_type/_commit_version columns
+            # would backfill as all-NULL in non-nullable fields
+            raise ValueError(
+                "emit_changes=true is a streaming option: a batch read "
+                "returns a snapshot, not a change feed — use "
+                "spark.readStream.format('lake') or "
+                "plans.lake_cdf.snapshot_changes for a bounded range"
+            )
         return LakeReader(self.options, schema)
 
     def streamReader(self, schema):

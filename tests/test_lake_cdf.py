@@ -190,6 +190,46 @@ def test_streaming_change_feed_emits_inserts_and_retractions(
     assert collected == []
 
 
+def test_streamed_feed_folds_to_snapshot(spark, tmp_path):
+    """The r14 driver-gate shape (lake_cdf_stream_fold): stream the
+    change feed (emit_changes + AvailableNow) into a parquet sink, fold
+    it with fold_changes — the net state must equal the live snapshot,
+    including across a second incremental run."""
+    from music_streaming_etl_glue_spark.sources import lake_source
+
+    lake_source.register(spark)
+    t = str(tmp_path / "tbl")
+    feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+    L.commit_append(_df(spark, [(i, f"r{i}") for i in range(8)]), t)
+    L.commit_delete_mor(spark, t, "id", [2, 5])
+    L.commit_append(_df(spark, [(2, "back")]), t)
+
+    def run():
+        q = (
+            spark.readStream.format("lake")
+            .option("table", t)
+            .option("emit_changes", "true")
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", feed)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    folded = C.fold_changes(spark.read.parquet(feed), ["id"])
+    assert _rowset(folded) == _rowset(L.read_snapshot(spark, t))
+    # more history lands; the resumed stream appends only the delta and
+    # the fold still reproduces the (new) snapshot
+    L.commit_delete_mor(spark, t, "id", [7])
+    L.commit_append(_df(spark, [(11, "k")]), t)
+    run()
+    folded = C.fold_changes(spark.read.parquet(feed), ["id"])
+    assert _rowset(folded) == _rowset(L.read_snapshot(spark, t))
+
+
 def test_streaming_change_feed_raises_on_rewrite(spark, tmp_path):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 

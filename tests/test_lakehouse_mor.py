@@ -212,3 +212,142 @@ def test_mor_delete_rejects_unknown_key_column(spark, tmp_path):
         L.commit_delete_mor(spark, t, "nope", [1])
     # nothing landed: reads unaffected
     assert _rowset(L.read_snapshot(spark, t)) == [(1, "a")]
+
+
+# ---- DataFrame-sided MoR deletes (commit_delete_mor_df, r14) ----
+
+
+def _keys_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_mor_df_delete_writes_relation_executor_side(spark, tmp_path):
+    """The doomed-key relation is written BY SPARK into the txn dir (a
+    parquet directory with part files), never materialized on the
+    driver — the VERDICT r13 scale fix."""
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    v = L.commit_delete_mor_df(spark, t, "id", _keys_df(spark, [2]))
+    assert v == 2
+    man = L._load_manifest(t, v, resolve=False)
+    (entry,) = man["deletes"]
+    assert entry["key_col"] == "id" and entry["n_keys"] == 1
+    rel_abs = os.path.join(t, entry["path"])
+    # executor-side write: the relation is a parquet DIRECTORY whose
+    # part files Spark's writer named — not a driver-side pyarrow file
+    assert os.path.isdir(rel_abs)
+    assert any(
+        n.startswith("part-") and n.endswith(".parquet")
+        for n in os.listdir(rel_abs)
+    )
+    assert man["n_rows"] == 2
+    assert _rowset(L.read_snapshot(spark, t)) == [(1, "a"), (3, "c")]
+
+
+def test_mor_df_delete_matches_list_form_semantics(spark, tmp_path):
+    """Same history driven through the list form and the DataFrame form
+    lands identical visible state, n_rows, and sequence-rule behavior."""
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    rows = [(i, f"r{i}") for i in range(10)]
+    for t in (ta, tb):
+        L.commit_append(_df(spark, rows), t)
+    L.commit_delete_mor(spark, ta, "id", [3, 4])
+    L.commit_delete_mor_df(spark, tb, "id", _keys_df(spark, [3, 4]))
+    # stacked delete overlapping an already-hidden key
+    L.commit_delete_mor(spark, ta, "id", [4, 5])
+    L.commit_delete_mor_df(spark, tb, "id", _keys_df(spark, [4, 5]))
+    # sequence rule: re-append a deleted key, must be visible in both
+    L.commit_append(_df(spark, [(3, "back")]), ta)
+    L.commit_append(_df(spark, [(3, "back")]), tb)
+    assert _rowset(L.read_snapshot(spark, ta)) == _rowset(
+        L.read_snapshot(spark, tb)
+    )
+    assert (
+        L._load_manifest(ta, L.current_version(ta), resolve=False)["n_rows"]
+        == L._load_manifest(tb, L.current_version(tb), resolve=False)[
+            "n_rows"
+        ]
+        == 8
+    )
+
+
+def test_mor_df_delete_null_dup_and_empty_keys(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b")]), t)
+    # nulls dropped, duplicates collapsed
+    keys = spark.createDataFrame(
+        [(2,), (2,), (None,)], "id long"
+    )
+    v = L.commit_delete_mor_df(spark, t, "id", keys)
+    (entry,) = L._load_manifest(t, v, resolve=False)["deletes"]
+    assert entry["n_keys"] == 1
+    assert _rowset(L.read_snapshot(spark, t)) == [(1, "a")]
+    # all-null / empty relation: NO commit, and the staged relation is
+    # cleaned up (nothing for vacuum to chase)
+    v2 = L.commit_delete_mor_df(
+        spark, t, "id", spark.createDataFrame([(None,)], "id long")
+    )
+    assert v2 == v
+    # exactly the append's txn dir + the real delete's relation dir —
+    # the no-op attempt cleaned its staged (empty) relation up
+    data_root = os.path.join(t, "data")
+    assert len(os.listdir(data_root)) == 2
+
+
+def test_mor_df_delete_large_keyset_skips_bloom_not_correctness(
+    spark, tmp_path, monkeypatch
+):
+    """Key sets above _BLOOM_PROBE_KEY_CAP keep range-only pruning (the
+    keys stay off the driver) — results identical either way."""
+    monkeypatch.setattr(L, "_BLOOM_PROBE_KEY_CAP", 2)
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(i, f"r{i}") for i in range(20)]), t)
+    v = L.commit_delete_mor_df(
+        spark, t, "id", _keys_df(spark, [1, 5, 9, 13])
+    )
+    man = L._load_manifest(t, v, resolve=False)
+    assert man["n_rows"] == 16
+    assert sorted(
+        r["id"] for r in L.read_snapshot(spark, t, v).collect()
+    ) == [i for i in range(20) if i not in (1, 5, 9, 13)]
+
+
+def test_mor_df_delete_feeds_cdf_and_vacuum(spark, tmp_path):
+    """The directory-shaped delete relation flows through every reader
+    of entry['path']: the row-level change feed retracts from it, the
+    Python DataSource batch read anti-joins it, and vacuum keeps the
+    txn dir while a surviving manifest references it."""
+    from music_streaming_etl_glue_spark.plans import lake_cdf as C
+    from music_streaming_etl_glue_spark.sources import lake_source
+
+    lake_source.register(spark)
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    v = L.commit_delete_mor_df(spark, t, "id", _keys_df(spark, [2]))
+    changes = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in C.snapshot_changes(spark, t, 0).collect()
+    )
+    assert (v, "delete", 2) in changes
+    got = spark.read.format("lake").option("table", t).load()
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
+    (entry,) = L._load_manifest(t, v, resolve=False)["deletes"]
+    L.vacuum(t, keep_versions=2, min_age_s=0.0)
+    assert os.path.exists(os.path.join(t, entry["path"]))
+    assert _rowset(L.read_snapshot(spark, t)) == [(1, "a"), (3, "c")]
+
+
+def test_mor_df_delete_rejects_unknown_key_column_before_writing(
+    spark, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="not in table schema"):
+        L.commit_delete_mor_df(
+            spark, t, "nope",
+            spark.createDataFrame([(1,)], "nope long"),
+        )
+    # validation fires before the relation write: no stray txn dirs
+    # beyond the append's own
+    data_root = os.path.join(t, "data")
+    assert len(os.listdir(data_root)) == 1
