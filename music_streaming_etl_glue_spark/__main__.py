@@ -7,7 +7,7 @@ Glue jobs; here each is a subcommand on one local SparkSession):
     python -m music_streaming_etl_glue_spark llm   --sf-dir D --out DIR
     python -m music_streaming_etl_glue_spark query --sf-dir D NAME [NAME…]
     python -m music_streaming_etl_glue_spark refresh --old P --new P --out DIR
-    python -m music_streaming_etl_glue_spark lake  --table DIR history|compact|vacuum|rollback|delete|scrub […]
+    python -m music_streaming_etl_glue_spark lake  --table DIR history|compact|vacuum|rollback|delete|delete-mor|delete-mor-where|scrub […]
     python -m music_streaming_etl_glue_spark ann   --registry DIR --layouts-root DIR bootstrap|retrain|current|vacuum-layouts […]
     python -m music_streaming_etl_glue_spark list
 
@@ -52,7 +52,8 @@ def main(argv: list[str] | None = None) -> int:
         "verb",
         choices=(
             "history", "compact", "vacuum", "rollback", "delete", "scrub",
-            "rewrite-manifests", "delete-mor", "changes",
+            "rewrite-manifests", "delete-mor", "delete-mor-where",
+            "changes",
         ),
     )
     lk.add_argument("--target-files", type=int, default=8)
@@ -65,6 +66,13 @@ def main(argv: list[str] | None = None) -> int:
     # delete time — string-keyed tables (user ids, doc ids) are the
     # common right-to-be-forgotten case, so type=int here would be wrong
     lk.add_argument("--keys", nargs="*", default=None)
+    lk.add_argument(
+        "--where", default=None,
+        help="delete-mor-where: SQL predicate selecting the doomed "
+        "rows; their keys are committed as a merge-on-read delete "
+        "RELATION executor-side (commit_delete_mor_df) — never "
+        "collected to the driver",
+    )
     lk.add_argument(
         "--cursor", default=None,
         help="scrub: cursor file tracking the last scrubbed version",
@@ -231,6 +239,23 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+            return 0
+        if args.verb == "delete-mor-where":
+            if not args.key_col or not args.where:
+                print(
+                    "delete-mor-where needs --key-col and --where",
+                    file=sys.stderr,
+                )
+                return 2
+            keys_df = (
+                lakehouse.read_snapshot(sp, args.table)
+                .filter(args.where)
+                .select(args.key_col)
+            )
+            v = lakehouse.commit_delete_mor_df(
+                sp, args.table, args.key_col, keys_df
+            )
+            print(json.dumps({"committed_version": v}))
             return 0
         if args.verb in ("delete", "delete-mor"):
             if not args.key_col or not args.keys:

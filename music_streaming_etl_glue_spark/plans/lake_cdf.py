@@ -108,24 +108,53 @@ def _mor_delete_retractions(
 ) -> DataFrame | None:
     """The rows version ``v``'s MoR delete made invisible, as they
     were: the pre-delete VISIBLE rows (prior deletes applied) within
-    the entry's prefix whose key is in the doomed relation."""
+    the entry's prefix whose key is in the doomed relation.
+
+    Scale discipline (r14): the candidate plan prunes on the HULL the
+    commit recorded in the entry ([lo, hi]) — the key relation is read
+    back to the driver only when the entry predates hulls, or for the
+    bloom side-file probe when it is small enough
+    (``_BLOOM_PROBE_KEY_CAP``, the same bound the commit paths use);
+    the retraction filter itself is a semi-join against the on-disk
+    relation, never an ``isin`` literal list — so a delete whose key
+    set is proportional to the data feeds the change stream without
+    driver materialization."""
     entry = man["deletes"][-1]
     key_col, prefix = entry["key_col"], entry["prefix"]
-    import pyarrow.parquet as pq
-
-    doomed = pq.read_table(
-        os.path.join(table_dir, entry["path"])
-    ).column(key_col).to_pylist()
-    if not doomed:
+    n_keys = entry.get("n_keys", 0)
+    if n_keys == 0:
         return None
+    doomed_abs = os.path.join(table_dir, entry["path"])
+    hull = (
+        (entry["lo"], entry["hi"])
+        if "lo" in entry and "hi" in entry
+        else None
+    )
+    probe_keys = None
+    if hull is None or n_keys <= L._BLOOM_PROBE_KEY_CAP:
+        import pyarrow.parquet as pq
+
+        doomed = [
+            k
+            for k in pq.read_table(doomed_abs).column(key_col).to_pylist()
+            if k is not None
+        ]
+        if not doomed:
+            return None
+        if hull is None:
+            hull = (min(doomed), max(doomed))
+        if len(doomed) <= L._BLOOM_PROBE_KEY_CAP:
+            probe_keys = doomed
     candidates = [
         (f, i)
         for f, i in L._plan_files_with_idx(
-            table_dir, prev_man,
-            {key_col: (min(doomed), max(doomed))},
+            table_dir, prev_man, {key_col: hull}
         )
         if i < prefix
-        and L._bloom_may_contain_any(table_dir, f, key_col, doomed)
+        and (
+            probe_keys is None
+            or L._bloom_may_contain_any(table_dir, f, key_col, probe_keys)
+        )
     ]
     if not candidates:
         return None
@@ -138,8 +167,9 @@ def _mor_delete_retractions(
             *[os.path.join(table_dir, f) for f, _ in candidates]
         )
     )
+    doomed_rel = spark.read.parquet(doomed_abs).select(key_col)
     return (
-        visible.filter(F.col(key_col).isin(doomed))
+        visible.join(doomed_rel, on=key_col, how="left_semi")
         .withColumn(CHANGE_TYPE, F.lit("delete"))
         .withColumn(COMMIT_VERSION, F.lit(v).cast("long"))
     )

@@ -1609,12 +1609,10 @@ def commit_delete_mor(
     pq.write_table(
         pa.table({key_col: doomed}), os.path.join(table_dir, rel)
     )
-    entry = {
-        "path": rel,
-        "key_col": key_col,
-        "n_keys": len(doomed),
-        "prefix": manifest_n_files(manifest),
-    }
+    entry = _delete_mor_entry(
+        rel, key_col, len(doomed), manifest_n_files(manifest),
+        doomed[0], doomed[-1],
+    )
     return _delete_mor_finish(table_dir, version, manifest, entry, matched)
 
 
@@ -1688,13 +1686,33 @@ def commit_delete_mor_df(
         if visible is not None
         else 0
     )
+    entry = _delete_mor_entry(
+        rel, key_col, int(agg["n"]), manifest_n_files(manifest),
+        agg["lo"], agg["hi"],
+    )
+    return _delete_mor_finish(table_dir, version, manifest, entry, matched)
+
+
+def _delete_mor_entry(
+    rel: str, key_col: str, n_keys: int, prefix: int, lo, hi
+) -> dict:
+    """A manifest ``deletes`` entry. The key hull ([lo, hi]) rides in
+    the entry when it is JSON-native, so DOWNSTREAM planners (the
+    change feed, the streaming change source) can range-prune a
+    delete's candidate files from the manifest alone — without reading
+    the key relation back to the driver, which at scale is as
+    data-proportional as the key list this commit path just avoided.
+    Non-JSON key types (Decimal, timestamps) omit the hull; consumers
+    fall back to reading the relation, exactly the pre-hull behavior."""
     entry = {
         "path": rel,
         "key_col": key_col,
-        "n_keys": int(agg["n"]),
-        "prefix": manifest_n_files(manifest),
+        "n_keys": n_keys,
+        "prefix": prefix,
     }
-    return _delete_mor_finish(table_dir, version, manifest, entry, matched)
+    if isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str)):
+        entry["lo"], entry["hi"] = lo, hi
+    return entry
 
 
 def _delete_mor_base(table_dir: str, key_col: str) -> tuple[int, dict]:

@@ -337,6 +337,69 @@ def test_mor_df_delete_feeds_cdf_and_vacuum(spark, tmp_path):
     assert _rowset(L.read_snapshot(spark, t)) == [(1, "a"), (3, "c")]
 
 
+def test_mor_delete_entries_record_key_hull(spark, tmp_path):
+    """Both commit forms record the doomed-key hull in the manifest
+    entry (r14), so the change-feed planners range-prune from metadata
+    alone instead of reading the relation back to the driver."""
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(i, f"r{i}") for i in range(10)]), t)
+    L.commit_delete_mor(spark, t, "id", [7, 3])
+    (e1,) = L._load_manifest(t, 2, resolve=False)["deletes"]
+    assert (e1["lo"], e1["hi"]) == (3, 7)
+    L.commit_delete_mor_df(spark, t, "id", _keys_df(spark, [8, 1]))
+    e2 = L._load_manifest(t, 3, resolve=False)["deletes"][-1]
+    assert (e2["lo"], e2["hi"]) == (1, 8)
+
+
+def test_mor_cdf_handles_legacy_hull_less_entries(spark, tmp_path):
+    """Delete entries written before r14 carry no lo/hi: the change
+    feed must fall back to reading the relation for the hull and still
+    retract correctly."""
+    import json as _json
+
+    from music_streaming_etl_glue_spark.plans import lake_cdf as C
+
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    L.commit_delete_mor(spark, t, "id", [2])
+    # strip the hull in place, simulating a pre-r14 manifest
+    mpath = L._manifest_path(t, 2)
+    man = _json.load(open(mpath))
+    for e in man["deletes"]:
+        e.pop("lo"), e.pop("hi")
+    with open(mpath, "w") as fh:
+        _json.dump(man, fh)
+    changes = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in C.snapshot_changes(spark, t, 0).collect()
+    )
+    assert (2, "delete", 2) in changes
+
+
+def test_cli_delete_mor_where_predicate(spark, tmp_path, capsys):
+    import json as _json
+
+    from music_streaming_etl_glue_spark.__main__ import main
+
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(i, f"r{i}") for i in range(10)]), t)
+    rc = main([
+        "lake", "--table", t, "delete-mor-where",
+        "--key-col", "id", "--where", "id % 3 = 0",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    v = out["committed_version"]
+    assert sorted(
+        r["id"] for r in L.read_snapshot(spark, t, v).collect()
+    ) == [1, 2, 4, 5, 7, 8]
+    man = L._load_manifest(t, v, resolve=False)
+    (entry,) = man["deletes"]
+    assert entry["n_keys"] == 4 and man["n_rows"] == 6
+    # missing args is a usage error, not a traceback
+    assert main(["lake", "--table", t, "delete-mor-where"]) == 2
+
+
 def test_mor_df_delete_rejects_unknown_key_column_before_writing(
     spark, tmp_path
 ):
