@@ -57,6 +57,19 @@ now auto-confirms when this round's run trips the same gate: two
 independent rounds are two independent processes — stronger evidence
 than two same-round runs.
 
+Cold-path churn (r14, VERDICT r13 item #5): warmup now pre-forks the
+Arrow python-worker daemon pool (one trivial mapInPandas over one
+partition per core) so first-use fork + kernel-ship stops landing on
+the first Arrow-lane query. Measured on an idle machine: suspect_cold
+70 (r13) → 38, cold total 498.7 → 427.4 s, warm total unchanged
+(367→382 s ambient). The residual suspects are (a) per-lane first-use
+localCheckpoint materializations (shingle streams, cluster edge
+relations — amortized across the lane but paid by whichever entry runs
+first, and the per-round stamp-rotation reorder shifts WHICH entry
+that is against prior-round references) and (b) sub-second scheduler
+noise below the ratio gate's floor; both clear warm, neither is a
+regression, so they are left visible rather than suppressed.
+
 Capture-proofing: the one-line JSON is the FIRST and only stdout line
 (everything else goes to stderr), its inline query map is capped to the
 top-20 slowest (the full ~120-query map twice outgrew the driver's tail
