@@ -357,6 +357,59 @@ def _lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lake_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction + manifest data skipping through the driver
+    gate (r14): land documents across multiple interleaved-range files,
+    ``compact_zordered`` on (doc_id, n_chars) — Morton-interleaved sort
+    giving every file tight per-column [min, max] — then read the
+    snapshot with a manifest-level ``prune`` on a doc_id range PLUS the
+    same real filter (pruning only narrows the file list; exact
+    semantics stay with the predicate). The oracle replays the filter
+    in SQL over the raw parquet, so a prune that dropped a file it
+    could not prove empty — or a z-order rewrite that lost/duplicated
+    rows — breaks rows/hash parity. Idempotent: the append is
+    txn-keyed and the compaction fires only at version 1."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    tbl = _ivf_cache_path(sf_dir, "lakezord", "v1", table="documents")
+    base = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    # repartition so pre-compaction files interleave the doc_id range
+    # (each spans ~the whole domain — the layout z-ordering must fix)
+    lakehouse.commit_append(
+        base.repartition(8, "source"), tbl, txn_key=f"docs:{tbl}"
+    )
+    if lakehouse.current_version(tbl) == 1:
+        lakehouse.compact_zordered(
+            spark, tbl, ["doc_id", "n_chars"], target_files=8
+        )
+    snap = lakehouse.read_snapshot(
+        spark, tbl, prune={"doc_id": (10, 200)}
+    )
+    hits = snap.filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") <= 200)
+    )
+    return hits.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).cast("long").alias(
+            "content_checksum"
+        ),
+    )
+
+
+LAKE_ZORDER_PRUNE_SQL = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       SUM(doc_id * n_chars)::BIGINT AS content_checksum
+FROM documents
+WHERE doc_id BETWEEN 10 AND 200
+GROUP BY source
+"""
+
+
 def _lake_merge_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed-driven re-scrub through the driver gate (r12): land
     documents as a lake snapshot, MERGE a deterministic edit set
@@ -637,6 +690,7 @@ _STAMP_PRIORITY = (
     "lake_cdf_stream_fold",
     "lake_schema_evolution",
     "lake_time_travel",
+    "lake_zorder_prune",
     # (3) the two r7 riders the r13 window cut (oldest stamps in the
     # catalog — VERDICT item #2 says lead with these):
     "winnow_near_dups",
@@ -905,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_cdf_stream_fold": _lake_cdf_stream_fold,
         "lake_schema_evolution": _lake_schema_evolution,
         "lake_time_travel": _lake_time_travel,
+        "lake_zorder_prune": _lake_zorder_prune,
         # data-mix diagnostic: per-source unigram KL vs the corpus blend
         "source_divergence": lambda spark, sf: (
             _text.source_divergence(_docs(spark, sf))
@@ -1865,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_cdf_fold": LAKE_MOR_DELETE_SQL,
         "lake_cdf_stream_fold": LAKE_MOR_DELETE_SQL,
         "lake_schema_evolution": LAKE_SCHEMA_EVOLUTION_SQL,
+        "lake_zorder_prune": LAKE_ZORDER_PRUNE_SQL,
         # v1's content IS the raw documents table — same oracle as the
         # lake roundtrip summary
         "lake_time_travel": LAKE_ROUNDTRIP_SQL,
