@@ -695,10 +695,10 @@ _STAMP_PRIORITY = (
     # catalog — VERDICT item #2 says lead with these):
     "winnow_near_dups",
     "winnowing_fingerprints",
-    # (4) the r8 cohort (44 entries, alphabetical). 2 + 3 + 2 + 44 = 51
-    # overfills the ~50-slot window by one: the LAST r8 entry
-    # (zipf_documents) may ride to r15 — either way the oldest green
-    # stamp in the catalog advances to r8.
+    # (4) the r8 cohort (44 entries, alphabetical). 2 + 4 + 2 + 44 = 52
+    # overfills the ~50-slot window by two: the LAST TWO r8 entries
+    # (value_percentiles, zipf_documents) may ride to r15 — either way
+    # the oldest green stamp in the catalog advances to r8.
     "ann_topk_bruteforce",
     "ann_topk_bucketed",
     "ann_topk_pandas",

@@ -121,30 +121,11 @@ def _mor_delete_retractions(
     driver materialization."""
     entry = man["deletes"][-1]
     key_col, prefix = entry["key_col"], entry["prefix"]
-    n_keys = entry.get("n_keys", 0)
-    if n_keys == 0:
-        return None
     doomed_abs = os.path.join(table_dir, entry["path"])
-    hull = (
-        (entry["lo"], entry["hi"])
-        if "lo" in entry and "hi" in entry
-        else None
-    )
-    probe_keys = None
-    if hull is None or n_keys <= L._BLOOM_PROBE_KEY_CAP:
-        import pyarrow.parquet as pq
-
-        doomed = [
-            k
-            for k in pq.read_table(doomed_abs).column(key_col).to_pylist()
-            if k is not None
-        ]
-        if not doomed:
-            return None
-        if hull is None:
-            hull = (min(doomed), max(doomed))
-        if len(doomed) <= L._BLOOM_PROBE_KEY_CAP:
-            probe_keys = doomed
+    plan = L._delete_mor_probe_plan(table_dir, entry)
+    if plan is None:
+        return None
+    hull, probe_keys = plan
     candidates = [
         (f, i)
         for f, i in L._plan_files_with_idx(
@@ -197,10 +178,27 @@ def snapshot_changes(
             f"to_version {to_v} < from_version {from_version}"
         )
     if to_v == 0:
-        # a never-committed table has no manifest to take a schema from;
-        # same failure shape as read_snapshot, not a raw manifest-miss
-        raise FileNotFoundError(
-            f"no committed snapshot under {table_dir}"
+        head = L.current_version(table_dir)
+        if head == 0:
+            # a never-committed table has no manifest to take a schema
+            # from; same failure shape as read_snapshot, not a raw
+            # manifest-miss
+            raise FileNotFoundError(
+                f"no committed snapshot under {table_dir}"
+            )
+        # explicit to_version=0 on a COMMITTED table is the empty range
+        # (0, 0] — an empty feed (newest schema: v1 may be vacuumed),
+        # not an error; a cursoring consumer's first no-op poll lands
+        # here
+        return _empty(
+            spark,
+            T.StructType.fromJson(
+                json.loads(
+                    L._load_manifest(table_dir, head, resolve=False)[
+                        "schema"
+                    ]
+                )
+            ),
         )
     schema = T.StructType.fromJson(
         json.loads(

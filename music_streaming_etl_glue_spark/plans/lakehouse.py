@@ -1195,25 +1195,40 @@ def commit_upsert(
     :func:`build_file_blooms`) on the first key column — on
     hash-distributed keys the ranges clear nothing, and the bloom cuts
     the rewrite set to ~the files actually holding the keys, the same
-    win :func:`commit_delete` gets. The updates plan is persisted
-    (memory-then-disk) for the span of the merge, so the range
-    aggregate, the key probe, and the merge all read ONE
-    materialization even for a non-deterministic source — and the
-    blocks are FREED at exit instead of pinned until GC (an eager
-    ``localCheckpoint`` held every batch in executor block storage and
-    dropped lineage recovery, a cost only the probe's consistency
-    needed)."""
-    from pyspark import StorageLevel
-    from pyspark.sql import functions as F
+    win :func:`commit_delete` gets.
 
-    from music_streaming_etl_glue_spark.plans.merge import upsert
+    The updates plan is pinned ON DISK first — written once into the
+    commit's txn dir and read back for the range aggregate, the key
+    probe, AND the merge. One materialization is a CORRECTNESS
+    requirement, not hygiene: if a non-deterministic source re-
+    evaluated between the hull aggregate and the merge scan, a key
+    outside the recorded hull would leave its file classified
+    "untouched" while the merge inserts the same key as a new row —
+    silent duplicate keys. A cache/persist cannot give that guarantee
+    on a cluster (lost partitions recompute through lineage and can
+    diverge), and an eager ``localCheckpoint`` gave it at the price of
+    pinning every batch in executor block storage until GC (ADVICE
+    r13). The staged files cost one write + one columnar read, fail
+    LOUDLY if storage is lost, and are removed at exit (a crash
+    strands an unreferenced txn dir that vacuum sweeps)."""
+    import shutil
 
     spark = updates.sparkSession
-    updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+    staging_dir = os.path.join(table_dir, _DATA_DIR, _txn_id())
+    staging = os.path.join(staging_dir, "upsert-updates.parquet")
+    updates.write.parquet(staging)
+    has_rows = any(
+        n.endswith(".parquet") for n in os.listdir(staging)
+    )
+    pinned = (
+        spark.read.schema(updates.schema).parquet(staging)
+        if has_rows
+        else spark.createDataFrame([], updates.schema)
+    )
     try:
-        return _commit_upsert_pinned(spark, updates, table_dir, keys)
+        return _commit_upsert_pinned(spark, pinned, table_dir, keys)
     finally:
-        updates.unpersist()
+        shutil.rmtree(staging_dir, ignore_errors=True)
 
 
 def _commit_upsert_pinned(
@@ -1222,8 +1237,8 @@ def _commit_upsert_pinned(
     table_dir: str,
     keys: list[str],
 ) -> int:
-    """The body of :func:`commit_upsert`, running against an
-    already-persisted updates frame (the caller frees the blocks)."""
+    """The body of :func:`commit_upsert`, running against an updates
+    frame already pinned on disk (the caller stages and removes it)."""
     from pyspark.sql import functions as F
 
     from music_streaming_etl_glue_spark.plans.merge import upsert
@@ -1713,6 +1728,45 @@ def _delete_mor_entry(
     if isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str)):
         entry["lo"], entry["hi"] = lo, hi
     return entry
+
+
+def _delete_mor_probe_plan(
+    table_dir: str, entry: dict
+) -> tuple[tuple, list | None] | None:
+    """Pruning inputs for ONE outstanding delete entry, shared by every
+    change-feed planner (batch ``plans.lake_cdf`` and the streaming
+    lake source must plan the SAME candidate set for the same entry):
+    the key hull for range pruning, plus — when the key set is small
+    enough to hold driver-side (``_BLOOM_PROBE_KEY_CAP``) — the keys
+    for the bloom side-file probe. Prefers the hull the commit recorded
+    in the entry (r14); legacy hull-less entries read the relation
+    back. Returns None when the entry provably retracts nothing."""
+    n_keys = entry.get("n_keys", 0)
+    if n_keys == 0:
+        return None
+    hull = (
+        (entry["lo"], entry["hi"])
+        if "lo" in entry and "hi" in entry
+        else None
+    )
+    probe_keys = None
+    if hull is None or n_keys <= _BLOOM_PROBE_KEY_CAP:
+        import pyarrow.parquet as pq
+
+        doomed = [
+            k
+            for k in pq.read_table(os.path.join(table_dir, entry["path"]))
+            .column(entry["key_col"])
+            .to_pylist()
+            if k is not None
+        ]
+        if not doomed:
+            return None
+        if hull is None:
+            hull = (min(doomed), max(doomed))
+        if len(doomed) <= _BLOOM_PROBE_KEY_CAP:
+            probe_keys = doomed
+    return hull, probe_keys
 
 
 def _delete_mor_base(table_dir: str, key_col: str) -> tuple[int, dict]:

@@ -323,36 +323,14 @@ def _change_partitions(
             entry = man["deletes"][-1]
             key_col, prefix = entry["key_col"], entry["prefix"]
             doomed_abs = os.path.join(table_dir, entry["path"])
-            n_keys = entry.get("n_keys", 0)
-            # plan from the manifest's recorded hull where the commit
-            # left one (r14) — the key relation visits the DRIVER only
-            # for legacy hull-less entries or the bloom probe on small
-            # key sets (same cap as the commit paths); tasks read the
-            # relation themselves via doomed_path
-            hull = (
-                (entry["lo"], entry["hi"])
-                if "lo" in entry and "hi" in entry
-                else None
-            )
-            probe_keys = None
-            if n_keys and (
-                hull is None
-                or n_keys <= lakehouse._BLOOM_PROBE_KEY_CAP
-            ):
-                import pyarrow.parquet as pq
-
-                doomed = [
-                    k
-                    for k in pq.read_table(doomed_abs)
-                    .column(key_col)
-                    .to_pylist()
-                    if k is not None
-                ]
-                if doomed and hull is None:
-                    hull = (min(doomed), max(doomed))
-                if doomed and len(doomed) <= lakehouse._BLOOM_PROBE_KEY_CAP:
-                    probe_keys = doomed
-            if n_keys and hull is not None and prev_man is not None:
+            # hull/probe pruning shared with plans.lake_cdf (one
+            # helper, so batch feed and stream plan the SAME candidate
+            # set): the key relation visits the DRIVER only for legacy
+            # hull-less entries or the bloom probe on small key sets;
+            # tasks read the relation themselves via doomed_path
+            plan = lakehouse._delete_mor_probe_plan(table_dir, entry)
+            if plan is not None and prev_man is not None:
+                hull, probe_keys = plan
                 prior = prev_man.get("deletes") or []
                 for f, i in lakehouse._plan_files_with_idx(
                     table_dir, prev_man, {key_col: hull}

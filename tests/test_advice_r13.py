@@ -58,6 +58,18 @@ def test_snapshot_changes_on_empty_table_raises_cleanly(spark, tmp_path):
         C.snapshot_changes(spark, t, 0)
 
 
+def test_snapshot_changes_explicit_empty_range_is_empty_feed(
+    spark, tmp_path
+):
+    """to_version=0 on a COMMITTED table is the empty range (0, 0] — a
+    cursoring consumer's first no-op poll — not a missing-table error."""
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a")]), t)
+    got = C.snapshot_changes(spark, t, 0, to_version=0)
+    assert got.count() == 0
+    assert C.CHANGE_TYPE in got.columns and "id" in got.columns
+
+
 def test_compact_zordered_materializes_outstanding_mor_deletes(
     spark, tmp_path
 ):
@@ -81,6 +93,8 @@ def test_compact_zordered_materializes_outstanding_mor_deletes(
 
 
 def test_commit_upsert_frees_its_persisted_blocks(spark, tmp_path):
+    import os
+
     sc = spark.sparkContext
     before = len(sc._jsc.sc().getRDDStorageInfo())
     t = str(tmp_path / "tbl")
@@ -89,7 +103,21 @@ def test_commit_upsert_frees_its_persisted_blocks(spark, tmp_path):
     assert _rowset(L.read_snapshot(spark, t)) == [
         (1, "a"), (2, "up"), (3, "new"),
     ]
-    # the updates batch is not left pinned in block storage (the old
-    # eager localCheckpoint held it until the DataFrame was GC'd)
+    # the updates batch is pinned ON DISK (txn-dir staging), never in
+    # executor block storage (the old eager localCheckpoint held it
+    # until the DataFrame was GC'd) — and the staging dir is removed
     after = len(sc._jsc.sc().getRDDStorageInfo())
     assert after <= before
+    data_root = os.path.join(t, "data")
+    for txn in os.listdir(data_root):
+        names = os.listdir(os.path.join(data_root, txn))
+        assert not any("upsert-updates" in n for n in names)
+
+
+def test_commit_upsert_empty_batch_still_works(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    L.commit_append(_df(spark, [(1, "a")]), t)
+    L.commit_upsert(
+        spark.createDataFrame([], "id long, s string"), t, keys=["id"]
+    )
+    assert _rowset(L.read_snapshot(spark, t)) == [(1, "a")]
