@@ -337,6 +337,40 @@ def test_mor_df_delete_feeds_cdf_and_vacuum(spark, tmp_path):
     assert _rowset(L.read_snapshot(spark, t)) == [(1, "a"), (3, "c")]
 
 
+def test_mor_df_delete_on_format2_table(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(L, "MANIFEST_INLINE_LIMIT", 2)
+    monkeypatch.setattr(L, "MANIFEST_GROUP_TARGET", 2)
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        L.commit_append(
+            _df(spark, [(lo, f"r{lo}"), (lo + 1, f"r{lo+1}")]), t
+        )
+    assert L._load_manifest(t, 3, resolve=False).get("format") == 2
+    v = L.commit_delete_mor_df(spark, t, "id", _keys_df(spark, [10, 21]))
+    man = L._load_manifest(t, v, resolve=False)
+    assert man["n_rows"] == 4 and "groups" in man
+    assert sorted(
+        r["id"] for r in L.read_snapshot(spark, t, v).collect()
+    ) == [0, 1, 11, 20]
+
+
+def test_mor_df_delete_with_bloom_side_files(spark, tmp_path):
+    """DF-form delete on a bloom-indexed table: the capped probe path
+    engages (small key set read back from the written relation) and the
+    exact matched count still lands in n_rows."""
+    t = str(tmp_path / "tbl")
+    L.commit_append(
+        _df(spark, [(i, f"r{i}") for i in range(20)]),
+        t,
+        bloom_cols=["id"],
+    )
+    v = L.commit_delete_mor_df(spark, t, "id", _keys_df(spark, [3, 17]))
+    assert L._load_manifest(t, v, resolve=False)["n_rows"] == 18
+    assert sorted(
+        r["id"] for r in L.read_snapshot(spark, t, v).collect()
+    ) == [i for i in range(20) if i not in (3, 17)]
+
+
 def test_mor_delete_entries_record_key_hull(spark, tmp_path):
     """Both commit forms record the doomed-key hull in the manifest
     entry (r14), so the change-feed planners range-prune from metadata
