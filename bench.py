@@ -186,6 +186,24 @@ EXPECTED_REGRESSIONS = {
         "r13: environmental — reproduces at the r12 commit "
         "(bit-identical code, 1.59-1.93 s, overlapping r13's range)"
     ),
+    # r14: both profiled in ISOLATION (fresh session, min-of-4) after
+    # the same-round confirmer flagged them; similarity.py untouched
+    # by any r14 commit. cosine_pairs_lsh isolated warm 2.76-3.03 s —
+    # AT its 2.73 s reference; the in-suite ~5.0 s is suite-context
+    # (it runs adjacent to the excluded O(n²) cosine_pairs baseline,
+    # whose executor/GC state it inherits). ann_topk_bruteforce
+    # isolated warm 0.524 s vs the one-off 0.278 s reference — the
+    # isolated delta (0.246 s) is under the NOISE_FLOOR_S gate; the
+    # 0.278 s ref is the fastest-ever single warm re-time of a
+    # sub-second entry, the exact class the floor exists for.
+    "cosine_pairs_lsh": (
+        "r14: suite-context — isolated re-profile 2.76-3.03 s, at its "
+        "2.73 s reference; code unchanged this round"
+    ),
+    "ann_topk_bruteforce": (
+        "r14: isolated re-profile 0.524 s; delta vs the one-off "
+        "0.278 s ref is under the noise floor; code unchanged"
+    ),
 }
 
 
