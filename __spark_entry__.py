@@ -410,6 +410,41 @@ GROUP BY source
 """
 
 
+def _lake_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback through the driver gate (r14): v1 lands the documents,
+    v2 appends a poisoned batch (shifted doc_ids, negated n_chars —
+    every aggregate moves), and ``rollback(1)`` commits a NEW version
+    whose file set is v1's by reference (undo as a forward commit —
+    nothing is deleted, v2 stays inspectable). The CURRENT snapshot
+    read must then equal v1 exactly; the oracle aggregates the raw
+    parquet, so a rollback that kept v2's files (or dropped any of
+    v1's) breaks hash parity. Idempotent: the appends are txn-keyed
+    and the rollback fires only at version 2."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    tbl = _ivf_cache_path(sf_dir, "lakerb", "v1", table="documents")
+    base = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    lakehouse.commit_append(base, tbl, txn_key=f"docs:{tbl}")
+    poisoned = base.select(
+        (F.col("doc_id") + F.lit(300000000)).alias("doc_id"),
+        "source",
+        (-F.col("n_chars")).alias("n_chars"),
+    )
+    lakehouse.commit_append(poisoned, tbl, txn_key=f"poison:{tbl}")
+    if lakehouse.current_version(tbl) == 2:
+        lakehouse.rollback(tbl, 1)
+    snap = lakehouse.read_snapshot(spark, tbl)
+    return snap.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).cast("long").alias(
+            "content_checksum"
+        ),
+    )
+
+
 def _lake_merge_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed-driven re-scrub through the driver gate (r12): land
     documents as a lake snapshot, MERGE a deterministic edit set
@@ -691,14 +726,16 @@ _STAMP_PRIORITY = (
     "lake_schema_evolution",
     "lake_time_travel",
     "lake_zorder_prune",
+    "lake_rollback",
     # (3) the two r7 riders the r13 window cut (oldest stamps in the
     # catalog — VERDICT item #2 says lead with these):
     "winnow_near_dups",
     "winnowing_fingerprints",
-    # (4) the r8 cohort (44 entries, alphabetical). 2 + 4 + 2 + 44 = 52
-    # overfills the ~50-slot window by two: the LAST TWO r8 entries
-    # (value_percentiles, zipf_documents) may ride to r15 — either way
-    # the oldest green stamp in the catalog advances to r8.
+    # (4) the r8 cohort (44 entries, alphabetical). 2 + 5 + 2 + 44 = 53
+    # overfills the ~50-slot window by three: the LAST THREE r8 entries
+    # (user_sessions, value_percentiles, zipf_documents) may ride to
+    # r15 — either way the oldest green stamp in the catalog advances
+    # to r8.
     "ann_topk_bruteforce",
     "ann_topk_bucketed",
     "ann_topk_pandas",
@@ -960,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_schema_evolution": _lake_schema_evolution,
         "lake_time_travel": _lake_time_travel,
         "lake_zorder_prune": _lake_zorder_prune,
+        "lake_rollback": _lake_rollback,
         # data-mix diagnostic: per-source unigram KL vs the corpus blend
         "source_divergence": lambda spark, sf: (
             _text.source_divergence(_docs(spark, sf))
@@ -1921,6 +1959,8 @@ def oracle_sql() -> dict[str, str]:
         "lake_cdf_stream_fold": LAKE_MOR_DELETE_SQL,
         "lake_schema_evolution": LAKE_SCHEMA_EVOLUTION_SQL,
         "lake_zorder_prune": LAKE_ZORDER_PRUNE_SQL,
+        # rollback restores v1, whose content IS the raw documents
+        "lake_rollback": LAKE_ROUNDTRIP_SQL,
         # v1's content IS the raw documents table — same oracle as the
         # lake roundtrip summary
         "lake_time_travel": LAKE_ROUNDTRIP_SQL,
