@@ -445,6 +445,76 @@ def _lake_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lake_incremental_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KPI maintenance from the lake commit log through the
+    driver gate (r14): the events table lands in TWO lake appends
+    (deterministic user_id-parity halves), and after EACH append
+    ``plans.incremental.maintain_kpis_from_lake`` reads only the
+    appended delta (``snapshot_delta`` — a manifest file-set diff, the
+    accumulated history is never rescanned), enriches it, reduces it to
+    mergeable (date, genre) partials, and MERGEs them into the
+    persisted rollup with dynamic partition overwrite + a version
+    cursor. The entry emits the ROLLUP's additive counters (exact by
+    construction: counts and decimal sums merge associatively) joined
+    with the exact distinct-listener count from the full enriched frame
+    and the HLL envelope flag — and the oracle replays the FULL
+    aggregate (``GENRE_DAILY_APPROX_AUDIT_SQL``), so the
+    incrementally-built rollup must equal the one-shot aggregate
+    digit-for-digit. Idempotent across gate/bench re-runs: appends are
+    txn-keyed and the maintainer no-ops when its cursor is at the
+    table head."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_glue_spark.plans import incremental as _inc
+    from music_streaming_etl_glue_spark.plans import lakehouse
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    tbl = _ivf_cache_path(sf_dir, "lakeinc", "v1", table="events")
+    state, cursor = tbl + "-state", tbl + "-cursor.json"
+    lakehouse.commit_append(
+        events.filter(F.col("user_id") % 2 == 0), tbl, txn_key=f"a:{tbl}"
+    )
+    _inc.maintain_kpis_from_lake(
+        spark, tbl, customer, nation, state, cursor
+    )
+    lakehouse.commit_append(
+        events.filter(F.col("user_id") % 2 == 1), tbl, txn_key=f"b:{tbl}"
+    )
+    _inc.maintain_kpis_from_lake(
+        spark, tbl, customer, nation, state, cursor
+    )
+    rollup = spark.read.parquet(state).select(
+        "date",
+        "track_genre",
+        "listen_count",
+        F.hll_sketch_estimate("listeners_sketch").alias("_est"),
+        F.col("listening_time_dec")
+        .cast("double")
+        .alias("total_listening_time_minutes"),
+    )
+    exact = (
+        _enriched(spark, sf_dir)
+        .withColumn("date", F.col("timestamp").cast("date"))
+        .groupBy("date", "track_genre")
+        .agg(F.count_distinct("user_id").alias("unique_listeners"))
+    )
+    return rollup.join(exact, ["date", "track_genre"]).select(
+        "date",
+        "track_genre",
+        "listen_count",
+        "unique_listeners",
+        "total_listening_time_minutes",
+        (
+            F.abs(F.col("_est") - F.col("unique_listeners"))
+            <= F.greatest(
+                F.lit(0.10) * F.col("unique_listeners"), F.lit(4)
+            )
+        ).alias("hll_within_bound"),
+    )
+
+
 def _lake_merge_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed-driven re-scrub through the driver gate (r12): land
     documents as a lake snapshot, MERGE a deterministic edit set
@@ -727,15 +797,16 @@ _STAMP_PRIORITY = (
     "lake_time_travel",
     "lake_zorder_prune",
     "lake_rollback",
+    "lake_incremental_kpis",
     # (3) the two r7 riders the r13 window cut (oldest stamps in the
     # catalog — VERDICT item #2 says lead with these):
     "winnow_near_dups",
     "winnowing_fingerprints",
-    # (4) the r8 cohort (44 entries, alphabetical). 2 + 5 + 2 + 44 = 53
-    # overfills the ~50-slot window by three: the LAST THREE r8 entries
-    # (user_sessions, value_percentiles, zipf_documents) may ride to
-    # r15 — either way the oldest green stamp in the catalog advances
-    # to r8.
+    # (4) the r8 cohort (44 entries, alphabetical). 2 + 6 + 2 + 44 = 54
+    # overfills the ~50-slot window by four: the LAST FOUR r8 entries
+    # (trending_tracks_reference_exact, user_sessions,
+    # value_percentiles, zipf_documents) may ride to r15 — either way
+    # the oldest green stamp in the catalog advances to r8.
     "ann_topk_bruteforce",
     "ann_topk_bucketed",
     "ann_topk_pandas",
@@ -998,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_time_travel": _lake_time_travel,
         "lake_zorder_prune": _lake_zorder_prune,
         "lake_rollback": _lake_rollback,
+        "lake_incremental_kpis": _lake_incremental_kpis,
         # data-mix diagnostic: per-source unigram KL vs the corpus blend
         "source_divergence": lambda spark, sf: (
             _text.source_divergence(_docs(spark, sf))
@@ -1961,6 +2033,9 @@ def oracle_sql() -> dict[str, str]:
         "lake_zorder_prune": LAKE_ZORDER_PRUNE_SQL,
         # rollback restores v1, whose content IS the raw documents
         "lake_rollback": LAKE_ROUNDTRIP_SQL,
+        # the incrementally-maintained rollup must equal the one-shot
+        # full aggregate — same audit SQL as genre_daily_metrics_approx
+        "lake_incremental_kpis": _kpis.GENRE_DAILY_APPROX_AUDIT_SQL,
         # v1's content IS the raw documents table — same oracle as the
         # lake roundtrip summary
         "lake_time_travel": LAKE_ROUNDTRIP_SQL,
