@@ -801,7 +801,10 @@ def _rademacher_planes(bands: int, bits: int, dims: int) -> np.ndarray:
 
 
 def lsh_band_buckets(
-    embeddings: DataFrame, bands: int = LSH_BANDS, bits: int = LSH_BITS
+    embeddings: DataFrame,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+    dims: int | None = None,
 ) -> DataFrame:
     """(vec_id, band, band_hash): one ``bits``-bit hash per band, bit i of
     band b = sign of the Rademacher projection of the fixed-point-quantized
@@ -809,8 +812,14 @@ def lsh_band_buckets(
     int64) — the vectorized-Python escape hatch; a JVM-expression form
     would be bands·bits·dims ≈ 90k codegen terms. The output is the SLIM
     bucket relation (3 ints/row): only it shuffles in the candidate join,
-    never the vectors."""
-    dims = _dims(embeddings)
+    never the vectors.
+
+    ``dims``: the vector width when the caller knows it statically —
+    skips the ``_dims`` head-probe, which on a lazily-derived corpus
+    (e.g. the centered text vectors) is a whole extra serial job that
+    recomputes the upstream chain just to read one array length."""
+    if dims is None:
+        dims = _dims(embeddings)
     # float64 planes: integer matmul has no BLAS path in numpy (5 s/2k
     # rows interpreted); DGEMM is ~ms and still EXACT here — every
     # product (±q, |q| ≤ ~5e6) and partial sum (≤ 64·5e6 « 2^53) is an
@@ -831,9 +840,20 @@ def lsh_band_buckets(
         bit_m = (proj > 0).astype(np.int64).reshape(len(q), bands, bits)
         return pd.Series(list((bit_m * weights).sum(axis=2)))
 
-    return embeddings.select(
-        "vec_id", band_hashes(_as_double("embedding")).alias("bh")
-    ).select("vec_id", F.posexplode("bh").alias("band", "band_hash"))
+    # The corpus typically arrives as ONE scan partition (single parquet
+    # file / checkpointed aggregate), so without a spread the GEMM, the
+    # bands-wide posexplode AND every downstream consumer of the bucket
+    # relation (the candidate self-join probes) run on one core. An
+    # explicit hash repartition to the cluster's parallelism (explicit n:
+    # AQE would coalesce a tiny keyed exchange right back to one
+    # partition) costs one slim exchange of the raw vectors and makes the
+    # whole bucket lane wide. Guide §2.5 (input skew) / §2.6.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    return (
+        embeddings.repartition(par, "vec_id")
+        .select("vec_id", band_hashes(_as_double("embedding")).alias("bh"))
+        .select("vec_id", F.posexplode("bh").alias("band", "band_hash"))
+    )
 
 
 def _lsh_buckets_ctes(
@@ -893,6 +913,7 @@ def cosine_pairs_lsh(
     bands: int | None = None,
     bits: int | None = None,
     max_bucket_size: int | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs cosine ≥ threshold via banded multi-bit
     sign-LSH: a pair is a candidate iff it collides in ANY of ``bands``
@@ -917,11 +938,12 @@ def cosine_pairs_lsh(
         d_bands, d_bits = derive_banding(_corpus_count(embeddings), threshold)
         bands = d_bands if bands is None else bands
         bits = d_bits if bits is None else bits
-    dims = _dims(embeddings)
     # both self-join sides read the bucket relation; EAGER checkpoint —
     # with a lazy one the two shuffle-map stages race and each recomputes
     # the signature UDF before either lands the checkpoint
-    buckets = lsh_band_buckets(embeddings, bands, bits).localCheckpoint()
+    buckets = lsh_band_buckets(
+        embeddings, bands, bits, dims=dims
+    ).localCheckpoint()
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "band_hash").agg(
             F.count("*").alias("bsz")

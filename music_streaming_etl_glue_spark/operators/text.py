@@ -2785,8 +2785,17 @@ def text_semantic_pairs(
         cosine_pairs_lsh,
     )
 
-    vecs = hashed_doc_vectors(documents, dims).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
+    # the hashed-vector aggregate feeds THREE consumers (the mean sums,
+    # the centering projection, and the bucket GEMM downstream) —
+    # materialize it once, spread across the cluster so the per-row
+    # dense-array reconstruction and the centering both run wide instead
+    # of on the aggregate's one coalesced output partition
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    vecs = (
+        hashed_doc_vectors(documents, dims)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .repartition(par, "vec_id")
+        .localCheckpoint()
     )
     sums = (
         vecs.select(F.posexplode("embedding").alias("d", "x"))
@@ -2821,7 +2830,8 @@ def text_semantic_pairs(
     # re-runs per consumer
     centered = centered.filter(sq > 0).localCheckpoint(eager=False)
     return cosine_pairs_lsh(
-        centered, threshold=threshold, bands=LSH_BANDS, bits=LSH_BITS
+        centered, threshold=threshold, bands=LSH_BANDS, bits=LSH_BITS,
+        dims=dims,
     ).select(
         F.col("vec_id_a").alias("doc_id_a"),
         F.col("vec_id_b").alias("doc_id_b"),
