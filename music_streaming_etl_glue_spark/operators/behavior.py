@@ -360,6 +360,23 @@ def cooccurrence_pairs(
         plays.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= max_tracks_per_group)
         .drop("rn")
+        # pin the self-join's exchange at cluster parallelism (guide
+        # §2.5): the capped relation is BYTE-small, so AQE coalesces its
+        # shuffle to one partition — but the O(cap²) pair fan-out happens
+        # AFTER the shuffle read, and byte-based coalescing can't see it;
+        # one task then expands every (user, day) group serially
+        # (measured 25 s of single-core CPU at sf0.1). An explicit keyed
+        # repartition is exempt from AQE coalescing and both join sides
+        # reuse the one exchange.
+        # (no checkpoint here: a LogicalRDD would report
+        # UnknownPartitioning and the join would re-shuffle — and
+        # re-coalesce — both sides; the bare repartition satisfies the
+        # join's distribution and ReuseExchange dedups the two aliases)
+        .repartition(
+            enriched.sparkSession.sparkContext.defaultParallelism,
+            "user_id",
+            "day",
+        )
     )
     a, b = capped.alias("a"), capped.alias("b")
     return a.join(

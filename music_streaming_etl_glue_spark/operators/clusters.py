@@ -73,18 +73,30 @@ def connected_components(
     the iteration cap is hit without reaching the fixpoint: returning
     silently un-converged labels would drop/keep the wrong documents
     downstream with no signal.
+
+    r14 (guide §2.3 — shuffle fewer bytes): the iteration runs over the
+    EDGE-TOUCHED vertices only. A vertex with no edge can never change
+    its label, yet the previous shape dragged the whole corpus through
+    every round's union + min-aggregate; now each round's shuffle is
+    ∝ |edges|, not |corpus| (at 100 TB the ratio is the dup rate), and
+    singletons attach in one final left join that AQE resolves from
+    runtime stats.
     """
     sym = _symmetric(edges)
     sym = sym.localCheckpoint()  # compact edge list, mined plan runs once
 
-    labels = vertices.select(
-        F.col("id").alias("id"), F.col("id").alias("cluster_id")
-    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=False)
+    )
     # labels only decrease → the exact sum is monotone; equal sums ⇔ fixpoint
     prev_sum = labels.agg(
         F.sum(F.col("cluster_id").cast("decimal(38,0)"))
     ).collect()[0][0]
 
+    converged = False
     for _ in range(max_iterations):
         propagated = sym.join(
             labels, sym["src"] == labels["id"], "inner"
@@ -102,12 +114,18 @@ def connected_components(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
         if new_sum == prev_sum:
-            return labels
+            converged = True
+            break
         prev_sum = new_sum
-    raise RuntimeError(
-        f"connected_components did not converge within {max_iterations} "
-        "rounds (component diameter exceeds the cap); use "
-        "connected_components_two_phase for long-chain graphs"
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} rounds (component diameter exceeds the "
+            "cap); use connected_components_two_phase for long-chain "
+            "graphs"
+        )
+    return vertices.join(labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
     )
 
 
@@ -136,7 +154,18 @@ def connected_components_two_phase(
     O(log n) of them. Termination is edge-set stability (count equal +
     exceptAll empty — the paper's star fixpoint, not a heuristic), with
     lineage truncated per phase via lazy ``localCheckpoint``. Pass
-    ``stats`` to receive {"rounds": k} for convergence telemetry."""
+    ``stats`` to receive {"rounds": k} for convergence telemetry.
+
+    r14 round cost (guide §1.2 — the distributed algorithm first): a
+    round used to pay three extra jobs — re-counting the PREVIOUS edge
+    set (already known), and an exact ``exceptAll`` shuffle whenever the
+    counts happened to match. The round's single action is now one
+    aggregate returning (count, Σ xxhash64(src,dst) as an exact decimal
+    — an order-independent set fingerprint); the previous round's pair
+    is a Python variable. The exact ``exceptAll`` verify still runs
+    before returning (a colliding fingerprint could only DELAY
+    convergence detection by a round, never corrupt labels), so the
+    fixpoint remains the paper's, not a probabilistic one."""
     e = (
         _symmetric(edges)
         .filter(F.col("src") != F.col("dst"))
@@ -162,6 +191,16 @@ def connected_components_two_phase(
             .distinct()
         )
 
+    def edge_sig(cur: DataFrame) -> tuple[int, int]:
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"]) if row["h"] is not None else 0
+
+    prev_sig = edge_sig(e)
     rounds = 0
     for _ in range(max_iterations):
         mn = min_nbr(e)
@@ -184,8 +223,11 @@ def connected_components_two_phase(
         ).localCheckpoint(eager=False)
         rounds += 1
 
-        # star fixpoint ⇔ the undirected edge set stopped moving
-        if e_new.count() == e.count() and e_new.exceptAll(e).isEmpty():
+        # star fixpoint ⇔ the undirected edge set stopped moving; the
+        # (count, hash-sum) pair gates the exact verify so the round's
+        # steady-state cost is ONE aggregate job
+        new_sig = edge_sig(e_new)
+        if new_sig == prev_sig and e_new.exceptAll(e).isEmpty():
             if stats is not None:
                 stats["rounds"] = rounds
             final_mn = min_nbr(e_new)
@@ -194,6 +236,7 @@ def connected_components_two_phase(
             ).select(
                 "id", F.coalesce(F.col("m"), F.col("id")).alias("cluster_id")
             )
+        prev_sig = new_sig
         e = e_new
     raise RuntimeError(
         f"connected_components_two_phase did not converge within "
@@ -569,21 +612,25 @@ def pagerank(
     ``vertices``: column ``id``; ``edges``: ``src``/``dst`` (already
     symmetric if the graph is undirected). One join + one aggregate per
     iteration, both keyed — the edge list (with out-degrees attached) is
-    checkpointed once and re-scanned."""
+    checkpointed once and re-scanned.
+
+    r14: every checkpoint here is LAZY. The iteration count is fixed and
+    small, so no mid-loop action is needed — the caller's single action
+    materializes each level's blocks exactly once (each level is
+    referenced once by the next), and the whole power iteration runs as
+    ONE Spark job instead of one eager-checkpoint job per round (guide
+    §1.2: remove passes before tuning them)."""
     e = edges.join(
         edges.groupBy("src").agg(F.count("*").alias("deg")), "src"
-    ).localCheckpoint()
-    # vertices feed every iteration's rank rebuild AND the count below —
-    # pin them once or the (possibly join-heavy) vertex plan reruns per
-    # checkpoint action
-    vertices = vertices.localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # vertices feed every iteration's rank rebuild — pin them once or the
+    # (possibly join-heavy) vertex plan reruns per level
+    vertices = vertices.localCheckpoint(eager=False)
     n_row = F.broadcast(
         vertices.agg(F.count("*").cast("double").alias("n"))
     )
-    ranks = (
-        vertices.crossJoin(n_row)
-        .select("id", (F.lit(1.0) / F.col("n")).alias("rank"))
-        .localCheckpoint()
+    ranks = vertices.crossJoin(n_row).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     base, d = 1.0 - damping, damping
     for _ in range(iterations):
@@ -605,7 +652,7 @@ def pagerank(
                     * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -896,12 +943,16 @@ def label_propagation(
     One edge-label join + one (dst,label) hash agg + one dst-keyed
     row_number per round — all shuffles on graph keys, nothing
     driver-side; per-round ``localCheckpoint`` truncates the iterative
-    lineage exactly like PageRank's. Communities are what the
-    min-label connected components CANNOT give you: CC merges everything
-    reachable, LP splits dense regions joined by thin bridges.
+    lineage exactly like PageRank's (LAZY since r14: each round's labels
+    are referenced twice by the next round — vote join + carry-forward
+    join — so the lazy checkpoint still materializes each level exactly
+    once, inside the caller's single action instead of one eager job per
+    round). Communities are what the min-label connected components
+    CANNOT give you: CC merges everything reachable, LP splits dense
+    regions joined by thin bridges.
     """
-    vertices = vertices.localCheckpoint()
-    edges = edges.localCheckpoint()
+    vertices = vertices.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
     labels = vertices.select("id", F.col("id").alias("label"))
     w = Window.partitionBy("dst").orderBy(
         F.col("c").desc(), F.col("label").asc()
@@ -922,7 +973,7 @@ def label_propagation(
             .select(
                 "id", F.coalesce("new_label", "label").alias("label")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -1062,9 +1113,11 @@ def track_reach(
     # the view's plan every iteration, and without the checkpoint that
     # meant re-running the whole pair-mining join per BFS level
     # (measured 14.9s → ~1s at sf0.1)
-    strongest_neighbor_edges(enriched, cap).localCheckpoint().createOrReplaceTempView(
-        "__reach_edges"
-    )
+    # lazy (r14): the recursive query's first iteration materializes the
+    # blocks; every later BFS level re-reads the same cached RDD
+    strongest_neighbor_edges(enriched, cap).localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("__reach_edges")
     return spark.sql(
         f"""
         WITH RECURSIVE reach(track_id, depth) AS (
@@ -1137,11 +1190,14 @@ def personalized_pagerank(
     'similarity to this node' random walk recommenders run per anchor
     item. Identical iteration shape (and determinism discipline: 12dp
     rounding + DECIMAL sums) to :func:`pagerank`; only the base term
-    changes from (1−d)/n everywhere to (1−d) at the seed."""
+    changes from (1−d)/n everywhere to (1−d) at the seed. Checkpoints
+    are lazy for the same reason as :func:`pagerank` (r14): fixed small
+    iteration count, one caller action materializes every level once —
+    the whole walk is one Spark job."""
     e = edges.join(
         edges.groupBy("src").agg(F.count("*").alias("deg")), "src"
-    ).localCheckpoint()
-    vertices = vertices.localCheckpoint()
+    ).localCheckpoint(eager=False)
+    vertices = vertices.localCheckpoint(eager=False)
     base, d = 1.0 - damping, damping
     seed_base = F.when(F.col("id") == seed_id, F.lit(base)).otherwise(
         F.lit(0.0)
@@ -1151,7 +1207,7 @@ def personalized_pagerank(
         F.when(F.col("id") == seed_id, F.lit(1.0))
         .otherwise(F.lit(0.0))
         .alias("rank"),
-    ).localCheckpoint()
+    )
     for _ in range(iterations):
         contribs = e.join(ranks, e["src"] == ranks["id"]).select(
             F.col("dst"),
@@ -1170,7 +1226,7 @@ def personalized_pagerank(
                     * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -1183,7 +1239,10 @@ def track_personalized_pagerank(enriched: DataFrame) -> DataFrame:
         cooccurrence_pairs,
     )
 
-    pairs = cooccurrence_pairs(enriched).distinct().localCheckpoint()
+    # lazy: the seed aggregate below is the action that materializes it
+    pairs = (
+        cooccurrence_pairs(enriched).distinct().localCheckpoint(eager=False)
+    )
     edges = pairs.select(
         F.col("track_a").alias("src"), F.col("track_b").alias("dst")
     ).unionByName(

@@ -33,6 +33,20 @@ FEATURE_SCHEMA = (
 )
 
 
+def _spread_ids(documents: DataFrame) -> DataFrame:
+    """(doc_id) spread across the cluster parallelism. The corpus scan is
+    one file at bench scale, so every synth→decode ``mapInPandas`` lane
+    downstream would inherit a single partition and serialize the whole
+    codec stage on one core (guide §2.5 — partition before the expensive
+    fan-out, not after). The exchange moves only 8-byte ids; mapInPandas
+    preserves the partitioning for every later decode/hash stage."""
+    ids = documents.select("doc_id")
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() >= par:
+        return ids
+    return ids.repartition(par)
+
+
 def attach_binary(documents: DataFrame, mime: str = "text/plain") -> DataFrame:
     """Wrap a source column as an opaque multimodal payload: binary content
     + typed metadata. (The testdata has no real image bytes, so document
@@ -220,7 +234,7 @@ def synth_bmp_payloads(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_ids(documents).mapInPandas(
         gen, schema="doc_id long, content binary"
     )
 
@@ -1379,7 +1393,7 @@ def synth_wav_payloads(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_ids(documents).mapInPandas(
         gen, schema="doc_id long, content binary"
     )
 
@@ -1998,7 +2012,7 @@ def synth_video_payloads(documents: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": payloads}
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_ids(documents).mapInPandas(
         gen, schema="doc_id long, content binary"
     )
 

@@ -1303,7 +1303,7 @@ def train_bpe_merges(
         .agg(F.count("*").alias("wc"))
         .withColumn("syms", F.split(F.col("w"), ""))
         .select("syms", "wc")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges = []
     for step_no in range(n_merges):
@@ -1345,12 +1345,16 @@ def train_bpe_merges(
         merges.append(
             (step_no, left, right, left + right, int(top[0]["pair_count"]))
         )
+        # LAZY checkpoint (r14): the next round's argmax collect is the
+        # action that materializes this round's re-symbolized vocab, so
+        # each merge costs one job instead of two — and the final
+        # round's vocab (referenced by nothing) is never computed at all
         words = words.select(
             _merge_pair(
                 F.col("syms"), F.lit(left), F.lit(right)
             ).alias("syms"),
             "wc",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return documents.sparkSession.createDataFrame(
         merges,
         "step long, left string, right string, merged string,"
@@ -2338,7 +2342,20 @@ def _nb_predictions(
     ``train_docs``, score ``score_docs`` against every candidate source.
     Vocabulary, totals and priors come from the TRAIN side only, so the
     holdout form sees eval tokens exactly as unseen-token smoothing
-    (coalesce(c,0)+1). Both relations need (doc_id, text, source)."""
+    (coalesce(c,0)+1). Both relations need (doc_id, text, source).
+
+    Plan shape (r14, guide §2.5/§3.1): the documents scan is one file at
+    bench scale, and the ~300x token explode inherits that single
+    partition — both sides spread across the cluster parallelism before
+    exploding so tokenization isn't serialized on one core. The scoring
+    join broadcasts the model (|sources|x|vocab|, corpus-growth ~log —
+    the documented broadcast-sized relation): the exploded token stream
+    is never shuffled, the partial aggregate reduces it map-side, and
+    the only exchange left carries ~|docs|x|sources| aggregated rows."""
+    from music_streaming_etl_glue_spark.operators.dedup import _spread
+
+    train_docs = _spread(train_docs)
+    score_docs = _spread(score_docs)
     train_toks = train_docs.select(
         F.col("source").alias("src"),
         F.explode(F.filter(_tokens(), lambda t: t != F.lit(""))).alias(
@@ -2371,7 +2388,7 @@ def _nb_predictions(
     ).cast(_NB_DEC)
     scored_terms = (
         score_toks.crossJoin(F.broadcast(priors.select("src")))
-        .join(model, ["src", "token"], "left")
+        .join(F.broadcast(model), ["src", "token"], "left")
         .join(F.broadcast(totals), "src")
         .crossJoin(vocab_n)
         .select("doc_id", "actual_source", "src", term.alias("term"))
