@@ -691,6 +691,7 @@ def containment_pairs_prefix(
         - F.ceil(F.round(F.lit(threshold) * F.col("set_size"), 9))
         + F.lit(1)
     )
+    par = documents.sparkSession.sparkContext.defaultParallelism
     prefixes = (
         ranked.withColumn("pos", F.row_number().over(pos_w))
         .withColumn("set_size", F.count("*").over(size_w))
@@ -711,6 +712,9 @@ def containment_pairs_prefix(
             ),
         )
         .distinct()
+        # wide lanes for the broadcast verify probe (see
+        # jaccard_pairs_prefix) — AQE would hand it ~1 partition
+        .repartition(par, "doc_id_a")
         .localCheckpoint(eager=False)
     )
     if candidate_stats is not None:
@@ -839,69 +843,73 @@ def _zipf_lookup() -> list:
 def zipf_documents(documents: DataFrame) -> DataFrame:
     """(doc_id, text): the documents table with every token redrawn from
     the Zipf vocabulary (word ``w<r>``), lengths preserved. The rank
-    lookup is one O(1) ``element_at`` against a literal lookup table —
-    no join, no shuffle beyond the per-doc reassembly aggregate."""
+    lookup is one O(1) ``element_at`` against a literal lookup table.
+
+    r14 (guide §2.4 — remove shuffles outright): the redraw is a PURE
+    PER-DOC function of (doc_id, token_count), so the whole synthesis
+    now runs as one narrow projection — token positions come from
+    ``transform(sequence(0, n_tokens-1))`` instead of a posexplode, and
+    the text reassembles with an in-row ``concat_ws`` instead of the
+    explode → groupBy(doc_id) → collect_list → array_sort round trip.
+    That removes BOTH shuffles (the ~|tokens| exchange carrying every
+    drawn word and the reassembly sort) — at 100 TB the explode shape
+    shuffled the entire synthetic corpus once just to put rows back in
+    the order they started in. Token-hash math is unchanged
+    (md5(key_id:pos) → lookup), so the corpus is byte-identical and the
+    DuckDB twin needs no change."""
     lookup = _zipf_lookup()
     total = len(lookup)
-    copies_base = (F.col("doc_id") % ZIPF_DUP_MOD == ZIPF_DUP_RES) & (
-        F.col("pos") % ZIPF_EDIT_MOD != ZIPF_EDIT_RES
-    )
-    key_id = F.when(
-        copies_base, F.col("doc_id") - ZIPF_DUP_RES
-    ).otherwise(F.col("doc_id"))
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", key_id, F.col("pos"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % total
-    )
-    rank = F.element_at(F.lit(lookup), (F.col("h") + 1).cast("int"))
-    drawn = (
+    fanned = (
         _spread(documents)
         .filter(F.col("text").isNotNull())
         .select(
             "doc_id",
-            "text",
             F.explode(
                 F.sequence(F.lit(0), F.lit(ZIPF_FANOUT - 1))
             ).alias("j"),
+            F.size(F.split("text", " ")).alias("n_toks"),
         )
         .select(
             (F.col("doc_id") * ZIPF_FANOUT + F.col("j")).alias("doc_id"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("pos", "_tok"),
-        )
-        .select("doc_id", "pos", h.alias("h"))
-        .select(
-            "doc_id", "pos", F.concat(F.lit("w"), rank).alias("word")
+            "n_toks",
         )
     )
-    ordered = F.array_sort(F.collect_list(F.struct("pos", "word")))
+
+    def word_at(pos):
+        copies_base = (F.col("doc_id") % ZIPF_DUP_MOD == ZIPF_DUP_RES) & (
+            pos % ZIPF_EDIT_MOD != ZIPF_EDIT_RES
+        )
+        key_id = F.when(
+            copies_base, F.col("doc_id") - ZIPF_DUP_RES
+        ).otherwise(F.col("doc_id"))
+        h = (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", key_id, pos)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % total
+        )
+        return F.concat(
+            F.lit("w"), F.element_at(F.lit(lookup), (h + 1).cast("int"))
+        )
+
     # localCheckpoint: text here is a deep expression tree (concat_ws ∘
-    # transform ∘ array_sort ∘ collect_list ∘ rank-lookup); left as
-    # lineage, downstream shingle lambdas inline it PER SHINGLE — the
-    # O(|text|²) collapse _shingle_array documents, one level up
-    # (measured: shingles-on-lineage 22 s vs 1 s checkpointed at sf0.1).
-    # The corpus twin is |documents|-sized, so the materialization is
-    # the cheap side of that trade at any scale.
-    return (
-        drawn.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                " ", F.transform(ordered, lambda s: s["word"])
-            ).alias("text")
-        )
-        .localCheckpoint(eager=False)
-    )
+    # transform ∘ md5-rank-lookup); left as lineage, downstream shingle
+    # lambdas inline it PER SHINGLE — the O(|text|²) collapse
+    # _shingle_array documents, one level up (measured:
+    # shingles-on-lineage 22 s vs 1 s checkpointed at sf0.1). The corpus
+    # twin is |documents|-sized, so the materialization is the cheap
+    # side of that trade at any scale.
+    return fanned.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_toks") - 1), word_at
+            ),
+        ).alias("text"),
+    ).localCheckpoint(eager=False)
 
 
 def _zipf_lookup_sql() -> str:
@@ -1025,6 +1033,7 @@ def jaccard_pairs_prefix(
         - F.ceil(F.round(F.lit(threshold) * F.col("set_size"), 9))
         + F.lit(1)
     )
+    par = documents.sparkSession.sparkContext.defaultParallelism
     prefixes = (
         ranked.withColumn("pos", F.row_number().over(pos_w))
         .withColumn("set_size", F.count("*").over(size_w))
@@ -1059,6 +1068,12 @@ def jaccard_pairs_prefix(
             F.col("b.set_size").alias("size_b"),
         )
         .distinct()
+        # the verify probe joins are broadcast (sha/shb build sides), so
+        # the probe stage inherits THIS relation's partition count; left
+        # to AQE the distinct's output coalesces to ~1 partition and the
+        # ×|shingle set| probe fan-out serializes. Slim relation, wide
+        # lanes.
+        .repartition(par, "doc_id_a")
         .localCheckpoint(eager=False)
     )
     if candidate_stats is not None:

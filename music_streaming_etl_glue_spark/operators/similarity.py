@@ -1723,7 +1723,11 @@ def semantic_contamination_lsh(
     the exact cosine — the asymmetric twin of :func:`cosine_pairs_lsh`."""
     dims = _dims(embeddings)
     # eager: the corpus stream and the broadcast bench side both read it
-    buckets = lsh_band_buckets(embeddings, bands, bits).localCheckpoint()
+    # (dims passed through — guide §1.2: the head-probe re-runs the
+    # upstream embedding chain as a serial job, once is enough)
+    buckets = lsh_band_buckets(
+        embeddings, bands, bits, dims=dims
+    ).localCheckpoint()
     corpus_b = buckets.filter(F.col("vec_id") % bench_mod != 0)
     bench_b = F.broadcast(
         buckets.filter(F.col("vec_id") % bench_mod == 0).select(
