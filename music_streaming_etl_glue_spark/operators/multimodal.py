@@ -885,21 +885,63 @@ def image_embeddings(documents: DataFrame) -> DataFrame:
     return _unit_embedding(cent)
 
 
+def _unit_vector_inrow(arr) -> F.Column:
+    """array<long> integer components → array<double> unit vector,
+    IN-ROW — the r14 shuffle-free twin of :func:`_unit_embedding`
+    (guide §2.4: the explode → window-normalize → groupBy(collect_list)
+    round trip shuffled every embedding TWICE just to end where it
+    started, in-row per-doc math). Bit-compatible by construction: the
+    Σc² accumulator is the same exact long arithmetic as the window
+    ``SUM(c*c)``, the sqrt/divide is the same IEEE binary64 expression,
+    and ``F.round`` (BigDecimal, no −0.0) applies per element as
+    before, so every emitted double is identical.
+
+    The norm is bound ONCE PER ROW through ``aggregate``'s finish
+    lambda: naming it as a plain column expression instead lets
+    CollapseProject inline the whole Σc² subtree into the per-element
+    transform, re-evaluating it for each of the 64 elements (measured:
+    the image lane, whose ``arr`` is itself a nested expression, went
+    to ~217 s CPU/5000 rows that way — 650× the actual codec work)."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+        lambda ssq: F.transform(
+            arr,
+            lambda x: F.when(
+                F.sqrt(ssq.cast("double")) == 0, F.lit(0.0)
+            ).otherwise(F.round(x / F.sqrt(ssq.cast("double")), IMAGE_EMB_ROUND)),
+        ),
+    )
+
+
 def image_embedding_vectors(documents: DataFrame) -> DataFrame:
     """(vec_id, embedding array<double>, label): the embeddings-table
-    shape the ANN/IVF-PQ stack consumes, built from
-    :func:`image_embeddings`. The IVF seed label is the image width
-    bucket (w − 8 ∈ 0..8) — a pure function of the dup-resolved doc key
-    (w = 8 + key % 9), so a planted dup seeds the same cell as its base
-    and the label is replayable without touching pixels; the actual
-    cell assignment is nearest-centroid over the full vector, as
-    everywhere in the IVF stack."""
-    emb = image_embeddings(documents)
-    vecs = emb.groupBy("doc_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("dim", "val"))),
-            lambda t: t["val"],
-        ).alias("embedding")
+    shape the ANN/IVF-PQ stack consumes — the same values as
+    :func:`image_embeddings` re-assembled per doc, computed IN-ROW from
+    the decoded luma grid (components cᵢ = 64·lumaᵢ − Σ lumas, then
+    :func:`_unit_vector_inrow`); zero exchanges after the decode lane,
+    where the exploded form paid a window shuffle plus a
+    groupBy(collect_list) shuffle to rebuild the array it started from.
+    The IVF seed label is the image width bucket (w − 8 ∈ 0..8) — a
+    pure function of the dup-resolved doc key (w = 8 + key % 9), so a
+    planted dup seeds the same cell as its base and the label is
+    replayable without touching pixels; the actual cell assignment is
+    nearest-centroid over the full vector, as everywhere in the IVF
+    stack."""
+    lum = image_grid_lumas(documents)
+    # Σ lumas bound once per row via the finish lambda (see
+    # _unit_vector_inrow's note on CollapseProject inlining)
+    comps = F.aggregate(
+        F.col("lumas"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+        lambda total: F.transform(
+            F.col("lumas"), lambda x: F.lit(AHASH_BITS) * x - total
+        ),
+    )
+    vecs = lum.select(
+        "doc_id", _unit_vector_inrow(comps).alias("embedding")
     )
     key = F.when(
         (F.col("doc_id") % BMP_DUP_MOD == BMP_DUP_RES)
@@ -1805,16 +1847,15 @@ def audio_embeddings(documents: DataFrame) -> DataFrame:
 
 def audio_embedding_vectors(documents: DataFrame) -> DataFrame:
     """(vec_id, embedding array<double>, label): the embeddings-table
-    shape for the ANN stack. IVF seed label = clip length bucket
-    (n % 9 where n = 64 + key % 100 is the dup-resolved sample count) —
-    replayable without decoding, and a planted dup seeds its base's
-    cell."""
-    emb = audio_embeddings(documents)
-    vecs = emb.groupBy("doc_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("dim", "val"))),
-            lambda t: t["val"],
-        ).alias("embedding")
+    shape for the ANN stack — :func:`audio_embeddings`' values computed
+    IN-ROW from the fingerprint margins (:func:`_unit_vector_inrow`;
+    zero exchanges after the decode lane, see
+    :func:`image_embedding_vectors`). IVF seed label = clip length
+    bucket (n % 9 where n = 64 + key % 100 is the dup-resolved sample
+    count) — replayable without decoding, and a planted dup seeds its
+    base's cell."""
+    vecs = audio_window_margins(documents).select(
+        "doc_id", _unit_vector_inrow(F.col("margins")).alias("embedding")
     )
     key = F.when(
         (F.col("doc_id") % AUDIO_DUP_MOD == AUDIO_DUP_RES)
@@ -2385,15 +2426,14 @@ def video_embeddings(documents: DataFrame) -> DataFrame:
 
 def video_embedding_vectors(documents: DataFrame) -> DataFrame:
     """(vec_id, embedding array<double>, label): the embeddings-table
-    shape for the ANN stack; IVF seed label = clip length bucket
-    (n_frames − 2 = doc_id % VIDEO_F_MOD — replayable without
+    shape for the ANN stack — :func:`video_embeddings`' values computed
+    IN-ROW from the summed clip components (:func:`_unit_vector_inrow`;
+    zero exchanges after the decode lane, see
+    :func:`image_embedding_vectors`); IVF seed label = clip length
+    bucket (n_frames − 2 = doc_id % VIDEO_F_MOD — replayable without
     decoding)."""
-    emb = video_embeddings(documents)
-    vecs = emb.groupBy("doc_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("dim", "val"))),
-            lambda t: t["val"],
-        ).alias("embedding")
+    vecs = video_clip_components(documents).select(
+        "doc_id", _unit_vector_inrow(F.col("comps")).alias("embedding")
     )
     return vecs.select(
         F.col("doc_id").alias("vec_id"),

@@ -1543,26 +1543,31 @@ def knn_recall_audit(
     approx = knn_join_lsh(embeddings, n_queries, k).select(
         "query_id", "vec_id"
     )
-    n_exact = exact.groupBy("query_id").agg(
-        F.count("*").alias("n_exact")
+    return _recall_from(exact, approx)
+
+
+def _recall_from(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(query_id, n_exact, n_hits, recall_at_k) from the exact and
+    approximate (query_id, vec_id) result sets, in ONE pass over
+    ``exact`` (r14, guide §2.4/§1.2): the old two-branch shape
+    (groupBy-count on one branch, left-semi + groupBy on the other)
+    re-executed the whole exact-kNN subtree — a broadcast scoring join
+    plus two window passes — once per branch. One left join against the
+    (unique-keyed, top-k-ranked) approx set and one aggregate computes
+    both counts with identical values: n_exact = rows per query,
+    n_hits = matched rows (COUNT of the non-null marker)."""
+    marked = exact.join(
+        approx.withColumn("__hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
     )
-    hits = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        n_exact.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)).cast("double")
-                / F.col("n_exact").cast("double"),
-                ROUND,
-            ).alias("recall_at_k"),
-        )
+    return marked.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.count("__hit").alias("n_hits"),
+        F.round(
+            F.count("__hit").cast("double") / F.count("*").cast("double"),
+            ROUND,
+        ).alias("recall_at_k"),
     )
 
 
@@ -2245,14 +2250,32 @@ def ann_topk_pq_rerank(
     shortlist·dims floats are ever fetched, everything else is scanned
     as codes)."""
     short = ann_topk_pq(embeddings, k=shortlist, query_vec_id=query_vec_id)
-    nv = _normalized_vecs(embeddings)
+    return _rerank_shortlist(embeddings, short, query_vec_id, k)
+
+
+def _rerank_shortlist(
+    embeddings: DataFrame, short: DataFrame, query_vec_id: int, k: int
+) -> DataFrame:
+    """Exact rerank of a single-query shortlist: attach raw vectors to
+    the ~shortlist candidate ids FIRST, unit-normalize the survivors
+    after the join (r14, guide §1.2 — the old shape normalized the whole
+    corpus through the interpreted higher-order transform to keep
+    `shortlist` rows of it; the per-row math is unchanged, so every
+    similarity is bit-identical)."""
     q = F.broadcast(
-        nv.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("vec").alias("qvec")
-        )
+        _normalized_vecs(
+            embeddings.filter(F.col("vec_id") == query_vec_id)
+        ).select(F.col("vec").alias("qvec"))
+    )
+    cand = (
+        embeddings.select("vec_id", _as_double("embedding").alias("vec"))
+        .join(F.broadcast(short.select("vec_id")), "vec_id")
+        .withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
     )
     rescored = (
-        nv.join(F.broadcast(short.select("vec_id")), "vec_id")
+        cand.select(
+            "vec_id", _normalized(F.col("vec"), F.col("norm")).alias("vec")
+        )
         .crossJoin(q)
         .select(
             "vec_id",
@@ -2441,23 +2464,7 @@ def ann_topk_pq_rerank_cached(
     short = ann_topk_pq_cached(
         spark, embeddings, path, k=shortlist, query_vec_id=query_vec_id
     )
-    nv = _normalized_vecs(embeddings)
-    q = F.broadcast(
-        nv.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("vec").alias("qvec")
-        )
-    )
-    rescored = (
-        nv.join(F.broadcast(short.select("vec_id")), "vec_id")
-        .crossJoin(q)
-        .select(
-            "vec_id",
-            F.round(_dot(F.col("vec"), F.col("qvec")), ROUND).alias(
-                "similarity"
-            ),
-        )
-    )
-    return _ranked_topk(rescored, k)
+    return _rerank_shortlist(embeddings, short, query_vec_id, k)
 
 
 def write_ivfpq_layout(embeddings: DataFrame, path: str) -> None:
@@ -3036,23 +3043,7 @@ def ann_topk_ivfpq(
         .limit(shortlist)
         .select("vec_id")
     )
-    nv = _normalized_vecs(embeddings)
-    q = F.broadcast(
-        nv.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("vec").alias("qnorm")
-        )
-    )
-    rescored = (
-        nv.join(F.broadcast(short), "vec_id")
-        .crossJoin(q)
-        .select(
-            "vec_id",
-            F.round(_dot(F.col("vec"), F.col("qnorm")), ROUND).alias(
-                "similarity"
-            ),
-        )
-    )
-    return _ranked_topk(rescored, k)
+    return _rerank_shortlist(embeddings, short, query_vec_id, k)
 
 
 ANN_TOPK_IVFPQ_SQL = f"""
@@ -3216,15 +3207,32 @@ def knn_join_ivfpq(
         .filter(F.col("__rn") <= shortlist)
         .select("query_id", "vec_id")
     )
-    nv = _normalized_vecs(embeddings)
+    # rerank: attach raw vectors to the Q·shortlist survivors first,
+    # normalize after the join (r14 — see ann_topk_ivfpq: same per-row
+    # math on ~shortlist rows instead of the whole corpus)
     qn = F.broadcast(
-        nv.filter(F.col("vec_id") < n_queries).select(
+        _normalized_vecs(
+            embeddings.filter(F.col("vec_id") < n_queries)
+        ).select(
             F.col("vec_id").alias("query_id"), F.col("vec").alias("qnvec")
         )
     )
+    cand = (
+        short.join(
+            embeddings.select(
+                "vec_id", _as_double("embedding").alias("vec")
+            ),
+            "vec_id",
+        )
+        .withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+        .select(
+            "query_id",
+            "vec_id",
+            _normalized(F.col("vec"), F.col("norm")).alias("vec"),
+        )
+    )
     rescored = (
-        short.join(nv, "vec_id")
-        .join(qn, "query_id")
+        cand.join(qn, "query_id")
         .select(
             "query_id",
             "vec_id",
@@ -3342,22 +3350,7 @@ def knn_ivfpq_recall_audit(
     approx = knn_join_ivfpq(
         spark, embeddings, path, n_queries, k, nprobe, shortlist
     ).select("query_id", "vec_id")
-    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    hits = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return n_exact.join(hits, "query_id", "left").select(
-        "query_id",
-        "n_exact",
-        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-        F.round(
-            F.coalesce("n_hits", F.lit(0)).cast("double")
-            / F.col("n_exact").cast("double"),
-            ROUND,
-        ).alias("recall_at_k"),
-    )
+    return _recall_from(exact, approx)
 
 
 KNN_IVFPQ_RECALL_AUDIT_SQL = f"""

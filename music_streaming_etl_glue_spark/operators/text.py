@@ -3343,16 +3343,33 @@ def dsir_weights(
 
     Output: (doc_id, source, logw) for every pool document (gramless
     docs carry 0.0)."""
+    from music_streaming_etl_glue_spark.operators.dedup import _spread
+
     is_target = F.col("source").isin(*target_sources)
-    grams = _dsir_grams(documents).withColumn(
+    grams = _dsir_grams(_spread(documents)).withColumn(
         "b", _dsir_bucket(buckets=buckets)
     )
-    tgt = grams.filter(is_target)
-    pool = grams.filter(~is_target)
-    tcounts = tgt.groupBy("b").agg(F.count("*").alias("ct"))
-    t_tot = F.broadcast(tgt.agg(F.count("*").alias("t_tot")))
-    pcounts = pool.groupBy("b").agg(F.count("*").alias("cp"))
-    p_tot = F.broadcast(pool.agg(F.count("*").alias("p_tot")))
+    # r14 (guide §2.4/§1.2): the gram stream used to be re-tokenized for
+    # EVERY consumer — tcounts, t_tot, pcounts, p_tot and the weight sum
+    # each re-ran the scan → tokenize → explode chain (×2 branches for
+    # the uni/bigram union), ten corpus passes in one plan. One
+    # map-side-reducible aggregate now lands the per-(doc, bucket)
+    # occurrence counts ONCE; every model statistic derives from that
+    # slim relation (totals = Σ of the bucket counts — same values by
+    # definition), and the weight sum re-attaches λ per bucket with the
+    # occurrence count as an exact decimal repeat-factor.
+    cdb = (
+        grams.groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tcounts = cdb.filter(is_target).groupBy("b").agg(
+        F.sum("c").alias("ct")
+    )
+    pcb = cdb.filter(~is_target)
+    pcounts = pcb.groupBy("b").agg(F.sum("c").alias("cp"))
+    t_tot = F.broadcast(tcounts.agg(F.sum("ct").alias("t_tot")))
+    p_tot = F.broadcast(pcounts.agg(F.sum("cp").alias("p_tot")))
     lam = (
         pcounts.join(tcounts, "b", "left")
         .crossJoin(t_tot)
@@ -3377,10 +3394,22 @@ def dsir_weights(
             ).alias("lam"),
         )
     )
+    # λ·c with pinned decimal types: DECIMAL(26,12) × DECIMAL(11,0) →
+    # DECIMAL(38,12) stays UNDER the 38-precision cap, so Spark performs
+    # no precision-loss scale adjustment and the product is the exact
+    # decimal value of λ added c times — bit-identical to the old
+    # per-occurrence sum (decimal addition and this multiply are both
+    # exact), while the aggregate now runs over the slim cdb relation
+    # instead of the re-tokenized gram stream.
     w = (
-        pool.join(F.broadcast(lam), "b")
+        pcb.join(F.broadcast(lam), "b")
         .groupBy("doc_id", "source")
-        .agg(F.sum("lam").alias("w"))
+        .agg(
+            F.sum(
+                F.col("lam").cast("decimal(26,12)")
+                * F.col("c").cast("decimal(11,0)")
+            ).alias("w")
+        )
     )
     pool_docs = documents.filter(~is_target).select("doc_id", "source")
     return pool_docs.join(w, ["doc_id", "source"], "left").select(
