@@ -12,6 +12,8 @@ so Java-vs-RE2 dialect differences don't bite).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2585,8 +2587,15 @@ def hashed_doc_vectors(
     downstream dot product exact across engines.
 
     One explode + one (doc, dim) hash aggregate; the dense array is
-    rebuilt from a map lookup per dimension — dims is a compile-time
-    constant so the projection stays one codegen'd expression."""
+    rebuilt by a vectorized Arrow scatter over the per-doc (dim, value)
+    entry list (r14, guide §4.2 — the old per-dimension
+    ``element_at(map, i)`` rebuild hid a quadratic: Spark maps are
+    arrays, so ``GetMapValue`` is a LINEAR scan and each row paid
+    dims × |entries| interpreted comparisons — measured 437 s CPU for
+    2×2967 rows; the scatter is two numpy index ops per doc). Values
+    are unchanged: the entries are exact int64 sums and the scatter
+    casts them to the same exactly-representable doubles, missing dims
+    to the same 0.0."""
     toks = documents.select(
         "doc_id",
         F.explode(F.filter(_tokens(), lambda t: t != F.lit(""))).alias(
@@ -2607,20 +2616,33 @@ def hashed_doc_vectors(
         .groupBy("doc_id", "d")
         .agg(F.sum("s").cast("long").alias("v"))
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("__m"), i.cast("int")), F.lit(0).cast("long")
-        ).cast("double"),
+    @F.pandas_udf("array<double>")
+    def scatter(ds: pd.Series, vs: pd.Series) -> pd.Series:
+        out = []
+        for d, v in zip(ds, vs):
+            a = np.zeros(dims, dtype=np.float64)
+            if len(d):
+                a[np.asarray(d, dtype=np.int64)] = np.asarray(
+                    v, dtype=np.float64
+                )
+            out.append(a)
+        return pd.Series(out)
+
+    entries = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("d").cast("int").alias("d"), F.col("v"))
+        )
     )
     return (
         cells.groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("d").cast("int"), F.col("v")))
-            ).alias("__m")
+        .agg(entries.alias("__e"))
+        .select(
+            "doc_id",
+            scatter(
+                F.transform(F.col("__e"), lambda e: e["d"]),
+                F.transform(F.col("__e"), lambda e: e["v"]),
+            ).alias("embedding"),
         )
-        .select("doc_id", dense.alias("embedding"))
     )
 
 
