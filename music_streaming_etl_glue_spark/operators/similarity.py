@@ -1304,46 +1304,85 @@ def knn_join(
     contamination-check / near-dup-vs-held-out shape: score a corpus
     against every benchmark vector at once), exact.
 
-    Plan: data rows are unit-normalized once (one narrow pass), the query
-    set broadcasts, and the |data| × |queries| scores are a flat
-    codegen'd expression join — linear in n·Q, never a vector shuffle.
-    Top-k is TWO-stage: rank within (query, input-partition) first — a
-    well-spread P×Q-key shuffle that cuts each partition's contribution
-    to k — then rank the surviving P·Q·k rows per query. No stage funnels
-    all scores of one query through one task at full width.
+    Plan: the query block broadcasts (Q « corpus), each data partition
+    scores against it in one vectorized Arrow pass (dimension-ascending
+    accumulation — bit-identical to the oracle's fold; see the inline
+    note), and only the slim (query_id, vec_id, score) relation ever
+    shuffles. Top-k is TWO-stage: rank within (query, input-partition)
+    first — a well-spread P×Q-key shuffle that cuts each partition's
+    contribution to k — then rank the surviving P·Q·k rows per query. No
+    stage funnels all scores of one query through one task at full
+    width.
     """
-    dims = _dims(embeddings)
-    # Norms are computed once per row but the score divides the RAW dot by
-    # the norm product — the exact arithmetic of the oracle's
-    # dot/(|a|·|b|), so rounding-boundary scores can't drift.
-    norm = F.sqrt(
-        _dot(_as_double("embedding"), _as_double("embedding"))
-    )
-    data = embeddings.select(
-        "vec_id", _as_double("embedding").alias("vec"), norm.alias("norm")
-    )
-    # the scoring join is a broadcast nested loop whose parallelism is the
-    # STREAM side's partition count — spread a single-file scan first
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    sc = embeddings.sparkSession.sparkContext
+    data = embeddings.select("vec_id", _as_double("embedding").alias("vec"))
+    # the scoring stage's parallelism is the data side's partition
+    # count — spread a single-file scan first
+    par = sc.defaultParallelism
     if data.rdd.getNumPartitions() < par:
         data = data.repartition(par)
-    queries = F.broadcast(
-        data.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("vec").alias("qvec"),
-            F.col("norm").alias("qnorm"),
-        )
+    # The query set is Q « corpus rows — collect it once and ship it as
+    # a plain broadcast (the LSH-plane discipline), then score each data
+    # partition against the whole query block in ONE vectorized Arrow
+    # pass (r14, guide §4.2): the old shape ran the n·Q dot products
+    # through interpreted aggregate(zip_with(...)) folds inside a
+    # broadcast nested-loop join — measured ~87 s CPU per audit at
+    # sf0.1. Exactness is preserved by construction: the numpy loop
+    # accumulates dimension-by-dimension in ascending order, which is
+    # bit-for-bit the left fold ((0 + x₀y₀) + x₁y₁) + … the JVM
+    # expression (and the oracle's list_dot_product) computes, the
+    # norm product and divide are the same IEEE ops, and the 6dp
+    # rounding still happens in the JVM (BigDecimal HALF_UP) on the raw
+    # double the worker returns.
+    qrows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", _as_double("embedding").alias("vec"))
+        .collect()
     )
+    if not qrows:
+        _dims(embeddings)  # raises the documented error on an empty table
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["vec"] for r in qrows], dtype=np.float64)
+    bc = sc.broadcast((qids, qmat))
+
+    def score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        qids_, qmat_ = bc.value
+        nq = len(qids_)
+        if nq == 0:
+            return
+        dims = qmat_.shape[1]
+        qn = np.zeros(nq)
+        for d in range(dims):
+            qn += qmat_[:, d] * qmat_[:, d]
+        qn = np.sqrt(qn)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vmat = np.array(list(pdf["vec"]), dtype=np.float64)
+            acc = np.zeros((n, nq))
+            nrm = np.zeros(n)
+            for d in range(dims):
+                acc += vmat[:, d][:, None] * qmat_[:, d][None, :]
+                nrm += vmat[:, d] * vmat[:, d]
+            sim = acc / (np.sqrt(nrm)[:, None] * qn[None, :])
+            vv = np.repeat(pdf["vec_id"].to_numpy()[:, None], nq, axis=1)
+            qq = np.repeat(qids_[None, :], n, axis=0)
+            keep = vv != qq
+            yield pd.DataFrame(
+                {
+                    "query_id": qq[keep],
+                    "vec_id": vv[keep],
+                    "raw": sim[keep],
+                }
+            )
+
     scored = (
-        data.join(queries, F.col("vec_id") != F.col("query_id"))
+        data.mapInPandas(score, "query_id long, vec_id long, raw double")
         .select(
             "query_id",
             "vec_id",
-            F.round(
-                _dot(F.col("vec"), F.col("qvec"))
-                / (F.col("norm") * F.col("qnorm")),
-                ROUND,
-            ).alias("similarity"),
+            F.round(F.col("raw"), ROUND).alias("similarity"),
         )
         .withColumn("__pid", F.spark_partition_id())
     )
