@@ -3343,6 +3343,7 @@ def dsir_weights(
     documents: DataFrame,
     buckets: int = DSIR_BUCKETS,
     target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance weights (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): fit two
@@ -3380,11 +3381,20 @@ def dsir_weights(
     # slim relation (totals = Σ of the bucket counts — same values by
     # definition), and the weight sum re-attaches λ per bucket with the
     # occurrence count as an exact decimal repeat-factor.
-    cdb = (
-        grams.groupBy("doc_id", "source", "b")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
+    # materialize=False (the direct weights entry): every consumer hangs
+    # off the SAME aggregate subtree, so ReuseExchange materializes the
+    # one (doc, source, b) exchange once — measured 0.56 s vs 1.15 s
+    # with a checkpoint. materialize=True (dsir_sample and other callers
+    # that embed the weights in a LARGER plan): the broadcast subqueries
+    # of the enclosing plan compile cdb into separate AQE jobs where
+    # exchange reuse does not apply and the gram pass re-ran 3× —
+    # a lazy checkpoint pins it to one materialization (measured
+    # 5.26 s → 2.04 s for dsir_sample).
+    cdb = grams.groupBy("doc_id", "source", "b").agg(
+        F.count("*").alias("c")
     )
+    if materialize:
+        cdb = cdb.localCheckpoint(eager=False)
     tcounts = cdb.filter(is_target).groupBy("b").agg(
         F.sum("c").alias("ct")
     )
@@ -3468,10 +3478,12 @@ def dsir_sample(
     ⌊keep_frac·|pool|⌋ documents."""
     is_target = F.col("source").isin(*target_sources)
     pool_docs = documents.filter(~is_target).select("doc_id", "source")
-    # unrounded decimal weight (cast exactly to double) + Gumbel draw
-    weights = dsir_weights(documents, buckets, target_sources).select(
-        "doc_id", "source", "logw"
-    )
+    # unrounded decimal weight (cast exactly to double) + Gumbel draw;
+    # materialize: the weights land inside a larger plan whose broadcast
+    # subqueries would otherwise re-run the gram pass (see dsir_weights)
+    weights = dsir_weights(
+        documents, buckets, target_sources, materialize=True
+    ).select("doc_id", "source", "logw")
     u = (
         F.conv(
             F.substring(
