@@ -79,8 +79,12 @@ def test_small_quantity_revenue_single_fact_exchange(spark):
 
 
 def test_knn_join_broadcasts_queries_no_vector_shuffle(spark):
+    # r14: the n×Q scoring runs as one vectorized Arrow pass per data
+    # partition against the plain-broadcast query block (no join
+    # operator at all); the ranking tail is unchanged
     plan = _plan(knn_join(load_table(spark, SF_SMOKE, "embeddings")))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     # the only row movement is the compact (query_id, score) ranking —
     # never a hash exchange carrying the embedding arrays
     for line in plan.splitlines():
