@@ -454,7 +454,12 @@ def error_click_asof_cogroup(events: DataFrame) -> DataFrame:
     # single Python worker (measured 12s -> ~1s at sf0.1 with the
     # explicit 32-way split). An explicit repartition is respected by
     # AQE; the cogroup reuses it, so no extra exchange appears.
-    n_parts = events.sparkSession.sparkContext.defaultParallelism
+    # r15: size-adaptive width (per-group pandas merges are the cost;
+    # a few thousand event rows per task keep every core busy at scale
+    # while a kilobyte fixture stops paying 32 task launches)
+    from music_streaming_etl_glue_spark.operators.width import spread_width
+
+    n_parts = spread_width(events, rows_per_task=2048)
     errors = (
         events.filter(F.col("event_type") == "error")
         .select("event_id", "user_id", "ts")

@@ -340,6 +340,18 @@ SELECT 'week', bucket_ts, n_events::BIGINT, value_dec::DOUBLE FROM weekly
 # track co-occurrence
 # ---------------------------------------------------------------------------
 
+def _coocc_width(enriched: DataFrame) -> int:
+    """Size-adaptive width for the co-play self-join's keyed exchange
+    (see the inline note at the repartition): derived from the enriched
+    play stream's plan estimate, full parallelism when unknown."""
+    from music_streaming_etl_glue_spark.operators.width import spread_width
+
+    return spread_width(
+        enriched.select("user_id", "timestamp", "track_id"),
+        rows_per_task=2048,
+    )
+
+
 def cooccurrence_pairs(
     enriched: DataFrame,
     max_tracks_per_group: int = COOCCUR_MAX_TRACKS_PER_GROUP,
@@ -372,8 +384,12 @@ def cooccurrence_pairs(
         # UnknownPartitioning and the join would re-shuffle — and
         # re-coalesce — both sides; the bare repartition satisfies the
         # join's distribution and ReuseExchange dedups the two aliases)
+        # r15: width size-adaptive from the play-event estimate (the
+        # O(cap²) fan-out is per (user, day) group, so ~2k play rows per
+        # task bound the expansion a task owns); unknown stats → full
+        # parallelism, the r14 behavior
         .repartition(
-            enriched.sparkSession.sparkContext.defaultParallelism,
+            _coocc_width(enriched),
             "user_id",
             "day",
         )

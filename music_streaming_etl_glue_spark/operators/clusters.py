@@ -85,10 +85,22 @@ def connected_components(
     sym = _symmetric(edges)
     sym = sym.localCheckpoint()  # compact edge list, mined plan runs once
 
+    # r15 (guide §1.2 — fewer rounds beats cheaper rounds): initialize
+    # every edge-touched vertex at min(id, min(neighbor)) instead of id.
+    # The init aggregate costs the SAME one shuffle the old
+    # ``distinct`` did (groupBy src with a min instead of a dedup), but
+    # it IS the first propagation round — LSH dup cliques now converge
+    # in one checked round instead of two, and every component saves
+    # exactly one round+job. The fixpoint is unchanged: labels start
+    # lower but never below the component minimum, and still only
+    # decrease, so the sum-monotone convergence check holds as before.
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("cluster_id"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__mn")).alias("cluster_id"),
+        )
         .localCheckpoint(eager=False)
     )
     # labels only decrease → the exact sum is monotone; equal sums ⇔ fixpoint
@@ -209,7 +221,15 @@ def connected_components_two_phase(
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
-        e_large = _symmetric(canonical(large)).localCheckpoint(eager=False)
+        # r15 (§2.4 — remove shuffles): the intermediate large-star edge
+        # set is NOT deduplicated. Its only consumers are a min-aggregate
+        # (duplicate-insensitive) and the small-star join, whose duplicate
+        # outputs e_new's exact canonical distinct below removes — so the
+        # old per-round (lo, hi) dedup exchange here bought nothing, and
+        # |large| ≤ |e| bounds the duplicated relation by the round's
+        # input edge set either way. Self-loops cannot occur in large
+        # (dst > src ≥ m), so only the direction doubling remains.
+        e_large = _symmetric(large).localCheckpoint(eager=False)
 
         mn2 = min_nbr(e_large)
         small_lower = (

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from music_streaming_etl_glue_spark.functions.ranks import rank_post_limit
+from music_streaming_etl_glue_spark.operators.width import spread_width
 
 SHINGLE_N = 3
 MINHASH_K = 6
@@ -57,12 +58,23 @@ def _shingle_array(n: int = SHINGLE_N, toks: Column | None = None) -> Column:
     )
 
 
-def _spread(documents: DataFrame) -> DataFrame:
+def _spread(documents: DataFrame, rows_per_task: int = 1024) -> DataFrame:
     """Spread a (often single-file) document scan across the cores before
     the explode stage — the shingle fan-out inherits the scan's partition
-    count, and one input file would serialize the whole stage."""
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    return documents if documents.rdd.getNumPartitions() >= par else documents.repartition(par)
+    count, and one input file would serialize the whole stage.
+
+    r15 (guide §2.5 — partition to the data, not the cluster constant):
+    the width is size-adaptive, ``est_rows / rows_per_task`` clamped to
+    [1, defaultParallelism], instead of an unconditional
+    ``defaultParallelism`` that imposed 32-task stages on kilobyte test
+    relations (the r14 driver measured the suite 18% faster at 8 cores
+    than 32 purely on that fixed cost). ``rows_per_task`` reflects the
+    per-row cost of the stage this spread feeds; anything ≥
+    par×rows_per_task rows still fans out to full cluster width."""
+    w = spread_width(documents, rows_per_task)
+    if w <= 1:
+        return documents
+    return documents if documents.rdd.getNumPartitions() >= w else documents.repartition(w)
 
 
 def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
@@ -456,7 +468,11 @@ def winnowing_fingerprints(
     # inlines the whole ~|text| md5 chain into every window's slice, and
     # the per-row cost goes |text|² (measured 47 s → 1.7 s at sf0.1).
     # CollapseProject keeps the split (non-cheap expr, multiple refs).
-    with_hashes = _spread(documents).select(
+    # per-row work here is the |text|-long md5 chain — far heavier than a
+    # shingle split, and winnowing is the one pair miner measured to keep
+    # scaling with cores (r14 low/high ratio 1.87) — so it spreads at a
+    # 4× smaller rows-per-task than the default shingle lanes
+    with_hashes = _spread(documents, rows_per_task=256).select(
         "doc_id", hashes.alias("__hashes")
     )
     h = F.col("__hashes")
@@ -720,15 +736,16 @@ def containment_pairs_prefix(
     if candidate_stats is not None:
         candidate_stats["candidates"] = cand.count()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        cand.join(sha, "doc_id_a")
-        .join(shb, ["doc_id_b", "shingle"])
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    base = inter.join(
+    # r15 (§2.3 — stream fewer rows; same rewrite as jaccard_pairs_prefix):
+    # sizes attach to the slim candidate relation FIRST (two broadcast
+    # joins over |candidates| rows), each pair explodes its SMALLER set
+    # and probes the other — Σ min(|a|,|b|) intermediate rows instead of
+    # Σ|a|, identical counts (intersection is symmetric), and the old
+    # post-aggregate size joins disappear because the sizes ride along.
+    # (no broadcast hint: sizes is per-document — corpus-scale at 100 TB
+    # — so the strategy is left to AQE's runtime stats, which broadcast
+    # it at bench scale)
+    cand_sz = cand.join(
         sizes.select(
             F.col("doc_id").alias("doc_id_a"),
             F.col("set_size").alias("size_a"),
@@ -740,6 +757,27 @@ def containment_pairs_prefix(
             F.col("set_size").alias("size_b"),
         ),
         "doc_id_b",
+    )
+    probe_is_a = F.col("size_a") <= F.col("size_b")
+    cand_sided = cand_sz.select(
+        "doc_id_a",
+        "doc_id_b",
+        "size_a",
+        "size_b",
+        F.when(probe_is_a, F.col("doc_id_a"))
+        .otherwise(F.col("doc_id_b"))
+        .alias("__probe_doc"),
+        F.when(probe_is_a, F.col("doc_id_b"))
+        .otherwise(F.col("doc_id_a"))
+        .alias("__other_doc"),
+    )
+    shp = sh.select(F.col("doc_id").alias("__probe_doc"), "shingle")
+    sho = sh.select(F.col("doc_id").alias("__other_doc"), "shingle")
+    base = (
+        cand_sided.join(shp, "__probe_doc")
+        .join(sho, ["__other_doc", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("inter"))
     )
     c_ab = base.select(
         F.col("doc_id_a").alias("contained_doc"),
@@ -860,7 +898,9 @@ def zipf_documents(documents: DataFrame) -> DataFrame:
     lookup = _zipf_lookup()
     total = len(lookup)
     fanned = (
-        _spread(documents)
+        # per-row work is ZIPF_FANOUT × |tokens| md5 draws — far heavier
+        # than a shingle split, so spread at 4× the default density
+        _spread(documents, rows_per_task=256)
         .filter(F.col("text").isNotNull())
         .select(
             "doc_id",
@@ -1079,14 +1119,33 @@ def jaccard_pairs_prefix(
     if candidate_stats is not None:
         candidate_stats["candidates"] = cand.count()
 
-    # exact verification over the full sets, restricted to candidates
-    sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    # exact verification over the full sets, restricted to candidates.
+    # r15 (§2.3 — stream fewer rows): the intersection is symmetric, so
+    # each pair explodes the SMALLER set and probes the other — the
+    # verify pipeline's intermediate drops from Σ|set_a| to
+    # Σ min(|set_a|, |set_b|) rows (measured 21.1M → ~12M at sf0.1,
+    # where the fused probe+aggregate was 1.6 min of task time), while
+    # the grouping keys and counts are unchanged.
+    probe_is_a = F.col("size_a") <= F.col("size_b")
+    cand_sided = cand.select(
+        "doc_id_a",
+        "doc_id_b",
+        "size_a",
+        "size_b",
+        F.when(probe_is_a, F.col("doc_id_a"))
+        .otherwise(F.col("doc_id_b"))
+        .alias("__probe_doc"),
+        F.when(probe_is_a, F.col("doc_id_b"))
+        .otherwise(F.col("doc_id_a"))
+        .alias("__other_doc"),
+    )
+    shp = sh.select(F.col("doc_id").alias("__probe_doc"), "shingle")
+    sho = sh.select(F.col("doc_id").alias("__other_doc"), "shingle")
     inter = (
-        cand.join(sha, "doc_id_a")
-        # composite-key equi-join: Catalyst hashes on (doc_id_b, shingle),
+        cand_sided.join(shp, "__probe_doc")
+        # composite-key equi-join: Catalyst hashes on (doc, shingle),
         # so the probe cost is Σ|candidate sets|, never a per-pair scan
-        .join(shb, ["doc_id_b", "shingle"])
+        .join(sho, ["__other_doc", "shingle"])
         .groupBy("doc_id_a", "doc_id_b", "size_a", "size_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from music_streaming_etl_glue_spark.operators.width import spread_width
+
 FEATURE_SCHEMA = (
     "doc_id long, byte_len long, width int, height int, "
     "px_sum long, px_sq_sum long, grad_sum long"
@@ -34,17 +36,23 @@ FEATURE_SCHEMA = (
 
 
 def _spread_ids(documents: DataFrame) -> DataFrame:
-    """(doc_id) spread across the cluster parallelism. The corpus scan is
-    one file at bench scale, so every synth→decode ``mapInPandas`` lane
+    """(doc_id) spread before the codec fan-out. The corpus scan is one
+    file at bench scale, so every synth→decode ``mapInPandas`` lane
     downstream would inherit a single partition and serialize the whole
     codec stage on one core (guide §2.5 — partition before the expensive
     fan-out, not after). The exchange moves only 8-byte ids; mapInPandas
-    preserves the partitioning for every later decode/hash stage."""
+    preserves the partitioning for every later decode/hash stage.
+
+    r15: the width is size-adaptive (one task per ~2k docs, clamped to
+    the cluster parallelism) instead of an unconditional 32 — the r14
+    spread's fixed cost on a 5k-doc corpus was the driver-confirmed
+    `image_decode_meta` +121% regression, while any production corpus
+    (≥ par×2048 rows) still fans out fully."""
     ids = documents.select("doc_id")
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() >= par:
+    w = spread_width(documents, rows_per_task=2048)
+    if w <= 1 or ids.rdd.getNumPartitions() >= w:
         return ids
-    return ids.repartition(par)
+    return ids.repartition(w)
 
 
 def attach_binary(documents: DataFrame, mime: str = "text/plain") -> DataFrame:
@@ -901,16 +909,27 @@ def _unit_vector_inrow(arr) -> F.Column:
     CollapseProject inline the whole Σc² subtree into the per-element
     transform, re-evaluating it for each of the 64 elements (measured:
     the image lane, whose ``arr`` is itself a nested expression, went
-    to ~217 s CPU/5000 rows that way — 650× the actual codec work)."""
+    to ~217 s CPU/5000 rows that way — 650× the actual codec work).
+
+    The norm itself (√Σc²) is bound once per row the same way (ADVICE
+    r14): a nested single-element ``aggregate`` whose merge lambda
+    receives √ssq as a lambda variable — lambda variables cannot be
+    inlined, so the sqrt runs once instead of twice per element (the
+    when-predicate and the divide both reference it). Same IEEE sqrt on
+    the same ssq, so every emitted double is unchanged."""
     return F.aggregate(
         arr,
         F.lit(0).cast("long"),
         lambda acc, x: acc + x * x,
-        lambda ssq: F.transform(
-            arr,
-            lambda x: F.when(
-                F.sqrt(ssq.cast("double")) == 0, F.lit(0.0)
-            ).otherwise(F.round(x / F.sqrt(ssq.cast("double")), IMAGE_EMB_ROUND)),
+        lambda ssq: F.aggregate(
+            F.array(F.sqrt(ssq.cast("double"))),
+            F.array().cast("array<double>"),
+            lambda _acc, nrm: F.transform(
+                arr,
+                lambda x: F.when(nrm == 0, F.lit(0.0)).otherwise(
+                    F.round(x / nrm, IMAGE_EMB_ROUND)
+                ),
+            ),
         ),
     )
 

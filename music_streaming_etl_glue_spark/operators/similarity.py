@@ -844,11 +844,18 @@ def lsh_band_buckets(
     # file / checkpointed aggregate), so without a spread the GEMM, the
     # bands-wide posexplode AND every downstream consumer of the bucket
     # relation (the candidate self-join probes) run on one core. An
-    # explicit hash repartition to the cluster's parallelism (explicit n:
-    # AQE would coalesce a tiny keyed exchange right back to one
-    # partition) costs one slim exchange of the raw vectors and makes the
-    # whole bucket lane wide. Guide §2.5 (input skew) / §2.6.
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # explicit hash repartition (explicit n: AQE would coalesce a tiny
+    # keyed exchange right back to one partition) costs one slim
+    # exchange of the raw vectors and makes the whole bucket lane wide.
+    # Guide §2.5 (input skew) / §2.6. r15: width is size-adaptive with a
+    # deliberately SMALL rows-per-task (the downstream candidate
+    # self-join inherits this partitioning, and the r14 A/B showed the
+    # narrow lane serializing that join costs far more than the spread);
+    # unknown-size inputs (the text lanes' derived vectors) stay at full
+    # parallelism.
+    from music_streaming_etl_glue_spark.operators.width import spread_width
+
+    par = spread_width(embeddings, rows_per_task=64, row_bytes=384)
     return (
         embeddings.repartition(par, "vec_id")
         .select("vec_id", band_hashes(_as_double("embedding")).alias("bh"))
@@ -1313,13 +1320,29 @@ def knn_join(
     contribution to k — then rank the surviving P·Q·k rows per query. No
     stage funnels all scores of one query through one task at full
     width.
+
+    Driver-memory bound (ADVICE r14): the query block is collected and
+    broadcast, so this kernel assumes Q ≪ corpus — ``n_queries`` full
+    vectors land on the driver and in every executor (the LSH-plane
+    discipline; at the default Q=30 that is a few KB). Construction is
+    EAGER (one collect); the broadcast's blocks are released by the
+    ContextCleaner once the returned DataFrame (whose scoring closure
+    holds the only reference) is garbage-collected, so repeated calls
+    do not accumulate beyond live plans. Callers with query sets that
+    approach corpus scale should use the LSH/IVF-PQ funnels instead.
     """
     sc = embeddings.sparkSession.sparkContext
     data = embeddings.select("vec_id", _as_double("embedding").alias("vec"))
     # the scoring stage's parallelism is the data side's partition
-    # count — spread a single-file scan first
-    par = sc.defaultParallelism
-    if data.rdd.getNumPartitions() < par:
+    # count — spread a single-file scan first. r15: size-adaptive width
+    # (the vectorized Arrow kernel scores ~10⁶ pairs/s per task, so a
+    # few hundred rows per task amortize the Python stage setup that
+    # made the unconditional 32-way spread a confirmed regression on
+    # the 2k-row bench corpus)
+    from music_streaming_etl_glue_spark.operators.width import spread_width
+
+    par = spread_width(embeddings, rows_per_task=512, row_bytes=384)
+    if par > 1 and data.rdd.getNumPartitions() < par:
         data = data.repartition(par)
     # The query set is Q « corpus rows — collect it once and ship it as
     # a plain broadcast (the LSH-plane discipline), then score each data
@@ -1594,9 +1617,18 @@ def _recall_from(exact: DataFrame, approx: DataFrame) -> DataFrame:
     plus two window passes — once per branch. One left join against the
     (unique-keyed, top-k-ranked) approx set and one aggregate computes
     both counts with identical values: n_exact = rows per query,
-    n_hits = matched rows (COUNT of the non-null marker)."""
+    n_hits = matched rows (COUNT of the non-null marker).
+
+    The left-join counting is only equivalent to a semi-join when
+    ``approx`` is unique on (query_id, vec_id) — a duplicated approx row
+    would inflate both counts. Both current callers pass
+    row_number-deduped top-k relations, but the invariant is enforced
+    here (ADVICE r14: a no-op dedup for them, a guard for any future
+    caller)."""
     marked = exact.join(
-        approx.withColumn("__hit", F.lit(1)),
+        approx.select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("__hit", F.lit(1)),
         ["query_id", "vec_id"],
         "left",
     )
@@ -1709,9 +1741,13 @@ def semantic_contamination(
     :func:`semantic_contamination_lsh` and accept its measured recall."""
     dims = _dims(embeddings)
     v = _vecs_with_norm(embeddings, dims)
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # r15: size-adaptive stream-side width (per-row work is |bench|×dims
+    # codegen'd multiplies — a few hundred rows amortize a task)
+    from music_streaming_etl_glue_spark.operators.width import spread_width
+
+    par = spread_width(embeddings, rows_per_task=256, row_bytes=384)
     corpus = v.filter(F.col("vec_id") % bench_mod != 0)
-    if corpus.rdd.getNumPartitions() < par:
+    if par > 1 and corpus.rdd.getNumPartitions() < par:
         corpus = corpus.repartition(par)
     bench = F.broadcast(
         v.filter(F.col("vec_id") % bench_mod == 0).select(
@@ -4182,9 +4218,13 @@ def knn_label_classifier(
         _as_double("embedding").alias("vec"),
         norm.alias("norm"),
     )
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # r15: size-adaptive stream-side width (same rationale as
+    # semantic_contamination — |holdout|×dims codegen'd work per row)
+    from music_streaming_etl_glue_spark.operators.width import spread_width
+
+    par = spread_width(embeddings, rows_per_task=256, row_bytes=384)
     train = base.filter(F.col("vec_id") % holdout_mod != 0)
-    if train.rdd.getNumPartitions() < par:
+    if par > 1 and train.rdd.getNumPartitions() < par:
         train = train.repartition(par)
     holdout = F.broadcast(
         base.filter(F.col("vec_id") % holdout_mod == 0).select(

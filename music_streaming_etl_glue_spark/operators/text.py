@@ -2828,8 +2828,12 @@ def text_semantic_pairs(
     # the centering projection, and the bucket GEMM downstream) —
     # materialize it once, spread across the cluster so the per-row
     # dense-array reconstruction and the centering both run wide instead
-    # of on the aggregate's one coalesced output partition
-    par = documents.sparkSession.sparkContext.defaultParallelism
+    # of on the aggregate's one coalesced output partition (r15: width
+    # size-adaptive from the document count — the dense vectors are
+    # dims×8 bytes/row of real work each, so 128 rows amortize a task)
+    from music_streaming_etl_glue_spark.operators.width import spread_width
+
+    par = spread_width(documents, rows_per_task=128)
     vecs = (
         hashed_doc_vectors(documents, dims)
         .select(F.col("doc_id").alias("vec_id"), "embedding")
@@ -3400,8 +3404,20 @@ def dsir_weights(
     )
     pcb = cdb.filter(~is_target)
     pcounts = pcb.groupBy("b").agg(F.sum("c").alias("cp"))
-    t_tot = F.broadcast(tcounts.agg(F.sum("ct").alias("t_tot")))
-    p_tot = F.broadcast(pcounts.agg(F.sum("cp").alias("p_tot")))
+    # coalesce the totals to 0 on degenerate corpora (ADVICE r14): an
+    # empty target/pool side makes F.sum yield NULL where the pre-r14
+    # per-gram count(*) yielded 0 — the NULL would silently zero every
+    # smoothed log-ratio downstream instead of computing it
+    t_tot = F.broadcast(
+        tcounts.agg(
+            F.coalesce(F.sum("ct"), F.lit(0).cast("long")).alias("t_tot")
+        )
+    )
+    p_tot = F.broadcast(
+        pcounts.agg(
+            F.coalesce(F.sum("cp"), F.lit(0).cast("long")).alias("p_tot")
+        )
+    )
     lam = (
         pcounts.join(tcounts, "b", "left")
         .crossJoin(t_tot)
