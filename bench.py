@@ -278,6 +278,38 @@ def main() -> None:
     spark.range(0, n_workers * 8, 1, n_workers).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # Generic JVM first-touch pre-warm (r15, VERDICT r14 item #6): the
+    # first query to exercise a codegen/operator family in a fresh JVM
+    # pays its JIT + classloading (window exec, hash/codec expressions,
+    # broadcast-nested-loop, localCheckpoint block write) — a cost that
+    # lands on whichever entry the per-round stamp rotation happens to
+    # run first in that family and shows up as a spurious cold-only
+    # "regression" (r14: image_ahash cold 17.2 s vs warm 0.73 s with no
+    # code change). One tiny synthetic pass per family warms the paths;
+    # NOTHING query- or data-specific is computed or retained, so every
+    # timed entry still computes from the parquet inputs.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _tiny = spark.range(0, 256).select(
+        _F.col("id"),
+        (_F.col("id") % 7).alias("k"),
+        _F.conv(_F.substring(_F.md5(_F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    _tiny.localCheckpoint()  # checkpoint block write path
+    _tiny.withColumn(
+        "rn", _F.row_number().over(_W.partitionBy("k").orderBy("id"))
+    ).groupBy("k").agg(
+        _F.sum(_F.col("h").cast("decimal(38,0)")).alias("s"),
+        _F.collect_list("rn").alias("l"),
+    ).count()  # window + decimal-agg + collect_list codegen
+    _a = _tiny.select(_F.col("id").alias("ia"), "h")
+    _b = _tiny.select(_F.col("id").alias("ib"))
+    _a.join(_b, _F.col("ia") < _F.col("ib")).filter(
+        _F.expr("bit_count(h ^ ib)") < 100
+    ).count()  # broadcast-nested-loop + bit_count paths
     # Index-backed queries: build the on-disk index in warmup so the timed
     # region measures the probe (benchmark convention: index build is
     # load-time, not query-time).

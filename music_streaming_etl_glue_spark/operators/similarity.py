@@ -800,6 +800,41 @@ def _rademacher_planes(bands: int, bits: int, dims: int) -> np.ndarray:
     return S
 
 
+#: session-level UDF registry for the banding GEMM (r15, VERDICT r14
+#: item #5, guide §4.1): one (udf, plane-broadcast) pair per
+#: (SparkContext, bands, bits, dims) instead of re-deriving the plane
+#: matrix, re-broadcasting it, and re-wrapping a fresh pandas_udf on
+#: every call — 8 LSH-lane entries share the default banding. The
+#: planes are a parameter-keyed CONSTANT (md5-seeded Rademacher), never
+#: data, so caching them cannot stale; the context id in the key drops
+#: entries from stopped sessions (their broadcasts die with the sc).
+_BAND_HASH_UDF_CACHE: dict = {}
+
+
+def _band_hash_udf(sc, bands: int, bits: int, dims: int):
+    key = (id(sc), bands, bits, dims)
+    hit = _BAND_HASH_UDF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    S = _rademacher_planes(bands, bits, dims).astype(np.float64)
+    bc_planes = sc.broadcast(S)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def band_hashes(batch: pd.Series) -> pd.Series:
+        mat = np.vstack(batch.map(lambda v: np.asarray(v, dtype=np.float64)))
+        q = np.floor(mat * Q_SCALE + 0.5)
+        # BLAS DGEMM over integer-valued doubles — exact
+        proj = q @ bc_planes.value
+        bit_m = (proj > 0).astype(np.int64).reshape(len(q), bands, bits)
+        return pd.Series(list((bit_m * weights).sum(axis=2)))
+
+    if len(_BAND_HASH_UDF_CACHE) > 32:
+        _BAND_HASH_UDF_CACHE.clear()
+    _BAND_HASH_UDF_CACHE[key] = band_hashes
+    return band_hashes
+
+
 def lsh_band_buckets(
     embeddings: DataFrame,
     bands: int = LSH_BANDS,
@@ -827,18 +862,9 @@ def lsh_band_buckets(
     # The plane matrix rides a Spark broadcast (one copy per executor),
     # not the UDF closure (one copy per task) — at wide banding it is
     # ~bands·bits·dims·8 bytes and tasks are many.
-    S = _rademacher_planes(bands, bits, dims).astype(np.float64)
-    bc_planes = embeddings.sparkSession.sparkContext.broadcast(S)
-    weights = 1 << np.arange(bits, dtype=np.int64)
-
-    @F.pandas_udf("array<long>")
-    def band_hashes(batch: pd.Series) -> pd.Series:
-        mat = np.vstack(batch.map(lambda v: np.asarray(v, dtype=np.float64)))
-        q = np.floor(mat * Q_SCALE + 0.5)
-        # BLAS DGEMM over integer-valued doubles — exact
-        proj = q @ bc_planes.value
-        bit_m = (proj > 0).astype(np.int64).reshape(len(q), bands, bits)
-        return pd.Series(list((bit_m * weights).sum(axis=2)))
+    band_hashes = _band_hash_udf(
+        embeddings.sparkSession.sparkContext, bands, bits, dims
+    )
 
     # The corpus typically arrives as ONE scan partition (single parquet
     # file / checkpointed aggregate), so without a spread the GEMM, the
