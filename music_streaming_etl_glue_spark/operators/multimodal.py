@@ -503,17 +503,8 @@ def mih_cross_matches(
     exactly. Only the two slim fingerprint relations shuffle; the
     16-bit band space keeps landed-state buckets sparse as the corpus
     grows — the property the 5-bit banding loses."""
-    spark = probe_fp.sparkSession
     ball = max_hamming // MIH_BANDS
-    masks = spark.createDataFrame(
-        [(m,) for m in _mih_masks(ball)], "mask long"
-    )
-    probes = _mih_banded(probe_fp).crossJoin(F.broadcast(masks)).select(
-        "doc_id",
-        "ahash",
-        "band",
-        F.expr("val ^ mask").alias("pval"),
-    )
+    probes = _mih_probe_explode(_mih_banded(probe_fp), ball)
     a, b = probes.alias("a"), _mih_banded(corpus_fp).alias("b")
     hamming = F.expr("bit_count(a.ahash ^ b.ahash)")
     return (
@@ -666,23 +657,42 @@ def _mih_banded(fp: DataFrame) -> DataFrame:
     ).select("doc_id", "ahash", "bv.band", "bv.val")
 
 
-def _mih_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
-    """Multi-index-hashing pair join over any (doc_id, ahash) relation
-    — since r10 the DEFAULT candidate generator for the image and audio
-    near-dup rungs (and, via them, the dedup-cluster edge sets); ball
-    radius derives from the requested Hamming radius (⌊r/4⌋)."""
-    spark = fp.sparkSession
-    bands = _mih_banded(fp)
-    ball = max_hamming // MIH_BANDS
+def _mih_probe_explode(banded: DataFrame, ball: int) -> DataFrame:
+    """(doc_id, ahash, band, pval): the Hamming-``ball`` probe fan-out
+    of a banded relation — the broadcast-mask crossJoin (one tiny BNLJ
+    stream per band row).
+
+    r15 NEGATIVE RESULT, measured and rejected: replacing the BNLJ with
+    an in-row explode of the constant mask array looked like a §2.4
+    shuffle/join removal but measured WORSE both ways at sf0.1 — a
+    ``transform`` lambda evaluates interpreted and allocates a fresh
+    697-element array per band row (2.4 s → 4.7 s warm), and a bare
+    ``explode(lit array)`` + codegen XOR makes the static planner
+    broadcast the 14M-row PROBE side (BuildLeft — its Generate carries
+    no size estimate), a 14M-entry hash relation (2.4 s → 14-16 s). The
+    crossJoin form keeps the probes as the stream and lets AQE pick the
+    band relation as the build side from runtime stats, which is also
+    the only scale-safe choice (bands ∝ corpus)."""
+    spark = banded.sparkSession
     masks = spark.createDataFrame(
         [(m,) for m in _mih_masks(ball)], "mask long"
     )
-    probes = bands.crossJoin(F.broadcast(masks)).select(
+    return banded.crossJoin(F.broadcast(masks)).select(
         "doc_id",
         "ahash",
         "band",
         F.expr("val ^ mask").alias("pval"),
     )
+
+
+def _mih_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
+    """Multi-index-hashing pair join over any (doc_id, ahash) relation
+    — since r10 the DEFAULT candidate generator for the image and audio
+    near-dup rungs (and, via them, the dedup-cluster edge sets); ball
+    radius derives from the requested Hamming radius (⌊r/4⌋)."""
+    bands = _mih_banded(fp)
+    ball = max_hamming // MIH_BANDS
+    probes = _mih_probe_explode(bands, ball)
     a, b = probes.alias("a"), bands.alias("b")
     hamming = F.expr("bit_count(a.ahash ^ b.ahash)").cast("long")
     return (

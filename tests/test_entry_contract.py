@@ -93,26 +93,26 @@ def test_cli_refresh_roundtrip(spark, tmp_path, capsys):
     assert spark.read.parquet(out_p).count() == audit["corpus_rows"]
 
 
-def test_oracled_queries_emit_scalar_columns_only(spark):
+def test_oracled_queries_emit_scalar_columns_only(spark, catalog_dfs):
     """Catalog rule (the pq_codes lesson, rounds 4-5): every queries()
     entry with an oracle_sql twin is hash-compared by the driver, whose
     pandas canonicalizer sorts every column — list/struct/map cells are
     unhashable there and turn a correct query into a red ERR row. Guard
-    at schema level (analysis only, no jobs) so a future entry can't
-    reintroduce the failure mode."""
+    at schema level (analysis only, no jobs — the session-scoped
+    catalog_dfs fixture shares one construction pass with the plan
+    sweep) so a future entry can't reintroduce the failure mode."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     import __spark_entry__ as m
 
     offenders = {}
     oracled = set(m.oracle_sql())
-    for name, fn in m.queries().items():
+    for name, df in catalog_dfs.items():
         if name not in oracled:
             continue  # rows-only entries may keep arrays (never hashed)
-        schema = fn(spark, "/root/testdata/sf0.001").schema
         bad = [
             f.name
-            for f in schema.fields
+            for f in df.schema.fields
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
         if bad:

@@ -212,7 +212,7 @@ def test_decay_scores_single_aggregate_no_window(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_catalog_wide_plan_invariants(spark):
+def test_catalog_wide_plan_invariants(spark, catalog_dfs):
     """Sweep EVERY catalog query's physical plan for the two engine-wide
     bans: CartesianProduct (an unkeyed join that went quadratic) and
     BatchEvalPython (a row-at-a-time Python UDF in the plan — Python is
@@ -223,12 +223,10 @@ def test_catalog_wide_plan_invariants(spark):
     cosine_pairs is exempt from the Cartesian ban: it is the guarded
     O(n²) correctness baseline and its pair join is deliberately
     unkeyed (a<b only)."""
-    import __spark_entry__ as entry_mod
-
     cartesian_ok = {"cosine_pairs"}
     offenders = {}
-    for name, fn in entry_mod.queries().items():
-        plan = _plan(fn(spark, SF_SMOKE))
+    for name, df in catalog_dfs.items():
+        plan = _plan(df)
         bad = []
         if "CartesianProduct" in plan and name not in cartesian_ok:
             bad.append("CartesianProduct")
